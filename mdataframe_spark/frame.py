@@ -1,0 +1,252 @@
+"""MFrame — the engine's chainable frame wrapper.
+
+Plays the role of the reference's ``MDF`` (reference: mdataframe.py:160-317):
+a 2-D labeled matrix with an explicit row-identity column plus metadata
+sidecars, exposing a chainable pipeline API
+(``frame.impute().scale().filter(...).sort(...).write(...)``).
+
+Spark mapping (SURVEY.md §1.3):
+
+- the pandas row index becomes an explicit ``row_id`` column (default
+  ``__row_id``); there is no physical row order — order is applied only
+  at sinks.
+- ``df_meta_rows`` (per-row annotations) live as extra columns in the
+  same Spark DataFrame, tracked by name in ``meta_row_columns`` — a
+  projection, not a join, so keeping them is free and Catalyst prunes
+  them when unused.
+- ``df_meta_columns`` (per-sample annotations) is a tiny driver-side
+  mapping (``column_meta``: dict col -> dict), broadcastable — sample
+  counts are bounded even when rows are 100 TB.
+- wide <-> long layout conversion via ``melt()`` / ``pivot_wide()``:
+  column-axis operations become ``groupBy("sample")`` on the long
+  layout, which shuffles-scales where pandas transposes.
+
+Everything chainable is lazy: each method only appends to the Catalyst
+logical plan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .filter import Filter
+from .transformer import Transformer
+
+ROW_ID = "__row_id"
+
+# pandas-method passthrough whitelist (reference: mdataframe.py:523-574
+# dispatches arbitrary pandas method names; we accept the verbs that have
+# scale-safe Spark equivalents and fail fast on anything else, X4)
+_VERB_WHITELIST = {
+    "drop",
+    "rename",
+    "abs",
+    "fillna",
+    "replace",
+    "round",
+    "cast",
+}
+
+
+class MFrame:
+    """A Spark DataFrame + row identity + column metadata, chainable."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        name: str = "mframe",
+        index_column: str = ROW_ID,
+        data_columns: Optional[Sequence[str]] = None,
+        rows: Optional[Sequence[Any]] = None,
+        column_meta: Optional[Dict[str, Dict[str, Any]]] = None,
+    ):
+        """Wrap ``df``.
+
+        data_columns / rows mirror the reference's load-time projection
+        (``MDF(columns=..., rows=...)``, mdataframe.py:271-295): columns
+        not selected as data stay in the frame as row-metadata; a ``rows``
+        list becomes a pushed-down filter on the index column.
+        """
+        if index_column not in df.columns:
+            raise ValueError(f"index column {index_column!r} not in DataFrame")
+        self.name = name
+        self.index_column = index_column
+        if rows is not None:
+            df = df.filter(F.col(index_column).isin(list(rows)))
+        all_cols = [c for c in df.columns if c != index_column]
+        if data_columns is None:
+            self.data_columns = all_cols
+            self.meta_row_columns: List[str] = []
+        else:
+            data_columns = list(data_columns)
+            missing = set(data_columns) - set(all_cols)
+            if missing:
+                raise ValueError(f"data columns not present: {sorted(missing)}")
+            self.data_columns = data_columns
+            self.meta_row_columns = [c for c in all_cols if c not in data_columns]
+        self.df = df
+        self.column_meta = dict(column_meta or {})
+
+    # ------------------------------------------------------------------
+    def _derive(self, df: DataFrame, step: str, data_columns=None, meta=None) -> "MFrame":
+        out = MFrame.__new__(MFrame)
+        out.name = f"{self.name}_{step}"
+        out.index_column = self.index_column
+        out.df = df
+        out.data_columns = list(data_columns if data_columns is not None else self.data_columns)
+        out.meta_row_columns = [
+            c for c in df.columns if c != self.index_column and c not in out.data_columns
+        ]
+        out.column_meta = dict(meta if meta is not None else self.column_meta)
+        return out
+
+    # -- projections / filters -----------------------------------------
+    def select_data(self, columns: Sequence[str]) -> "MFrame":
+        """Narrow the data matrix; dropped data columns become row-meta."""
+        return self._derive(self.df, "select", data_columns=list(columns))
+
+    def filter(self, spec: Union[Filter, List, Any]) -> "MFrame":
+        """Filter rows with a Filter DSL object, term list, or Column."""
+        if isinstance(spec, Filter):
+            pred = spec.expr()
+        elif isinstance(spec, list):
+            pred = Filter(spec).expr()
+        else:
+            pred = spec
+        return self._derive(self.df.filter(pred), "filter")
+
+    def transform(
+        self,
+        step: Union[str, Transformer, Callable[[DataFrame], DataFrame]],
+        *args,
+        **kwargs,
+    ) -> "MFrame":
+        """Apply a transform step (verb name, Transformer, or callable).
+
+        Mirrors the reference's transform dispatch (mdataframe.py:489-587):
+        strings are whitelisted verbs, Transformers are called, plain
+        callables receive the Spark DataFrame.
+        """
+        if isinstance(step, str):
+            return self._apply_verb(step, *args, **kwargs)
+        if isinstance(step, Transformer):
+            return self._derive(step(self.df), step.name)
+        if callable(step):
+            return self._derive(step(self.df, *args, **kwargs), getattr(step, "__name__", "fn"))
+        raise ValueError(f"Cannot interpret transform step {step!r}")
+
+    def _apply_verb(self, verb: str, *args, **kwargs) -> "MFrame":
+        if verb not in _VERB_WHITELIST:
+            raise ValueError(
+                f"Verb {verb!r} is not in the scale-safe whitelist {sorted(_VERB_WHITELIST)}"
+            )
+        df = self.df
+        data_columns = self.data_columns
+        if verb == "drop":
+            cols = list(args[0]) if args and isinstance(args[0], (list, tuple)) else list(args)
+            df = df.drop(*cols)
+            data_columns = [c for c in data_columns if c not in cols]
+        elif verb == "rename":
+            mapping: Dict[str, str] = args[0] if args else kwargs
+            df = df.withColumnsRenamed(mapping)
+            data_columns = [mapping.get(c, c) for c in data_columns]
+        elif verb == "abs":
+            df = df.withColumns({c: F.abs(F.col(c)) for c in data_columns})
+        elif verb == "round":
+            nd = args[0] if args else 0
+            df = df.withColumns({c: F.round(F.col(c), nd) for c in data_columns})
+        elif verb == "fillna":
+            df = df.fillna(args[0], subset=data_columns)
+        elif verb == "replace":
+            df = df.replace(args[0], args[1], subset=data_columns)
+        elif verb == "cast":
+            dtype = args[0]
+            df = df.withColumns({c: F.col(c).cast(dtype) for c in data_columns})
+        return self._derive(df, verb, data_columns=data_columns)
+
+    def __getattr__(self, item: str):
+        # chain ergonomics: mf.drop("c") == mf.transform("drop", "c")
+        # (reference: mdataframe.py:232-236 dynamic dispatch, X4)
+        if item in _VERB_WHITELIST:
+            return lambda *a, **k: self._apply_verb(item, *a, **k)
+        raise AttributeError(item)
+
+    # -- sorting ---------------------------------------------------------
+    def sort(
+        self,
+        by: Union[str, Sequence[str]],
+        ascending: Union[bool, Sequence[bool]] = True,
+    ) -> "MFrame":
+        """Multi-key row sort (reference sort DSL, mdataframe.py:319-468).
+
+        Keys may be data columns OR row-meta columns (the reference pulls
+        sort keys from df_meta_rows when absent in data, O2 — free here
+        because meta lives in the same frame). The sort itself is lazy;
+        Spark materializes a total order only at an ordered sink.
+        """
+        keys = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(keys) if isinstance(ascending, bool) else list(ascending)
+        cols = [F.col(k).asc() if a else F.col(k).desc() for k, a in zip(keys, asc)]
+        return self._derive(self.df.orderBy(*cols), "sort")
+
+    # -- layout conversion ------------------------------------------------
+    def melt(self, value_name: str = "value", var_name: str = "sample") -> DataFrame:
+        """Wide -> long: (row_id, sample, value). The 100 TB layout."""
+        return self.df.melt(
+            ids=[self.index_column] + self.meta_row_columns,
+            values=self.data_columns,
+            variableColumnName=var_name,
+            valueColumnName=value_name,
+        )
+
+    @classmethod
+    def from_long(
+        cls,
+        long_df: DataFrame,
+        name: str = "mframe",
+        index_column: str = ROW_ID,
+        var_name: str = "sample",
+        value_name: str = "value",
+        samples: Optional[Sequence[str]] = None,
+    ) -> "MFrame":
+        """Long -> wide via pivot. Pass ``samples`` to avoid the extra
+        distinct-values job (Spark pivots need the column list)."""
+        gb = long_df.groupBy(index_column)
+        pivoted = (
+            gb.pivot(var_name, list(samples)) if samples is not None else gb.pivot(var_name)
+        ).agg(F.first(value_name))
+        return cls(pivoted, name=name, index_column=index_column)
+
+    # -- sinks -------------------------------------------------------------
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).parquet(path)
+
+    def write_tsv(self, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+        """TSV sink (reference: MDF.write, mdataframe.py:925-949).
+
+        ``single_file=True`` coalesces to 1 partition for small outputs
+        (parity with the reference's one-file TSV); leave False at scale.
+        """
+        writer = self.df.coalesce(1) if single_file else self.df
+        writer.write.mode(mode).option("sep", "\t").option("header", True).csv(path)
+
+    def to_pandas(self):
+        """Driver-side materialization (bounded outputs only)."""
+        return self.df.toPandas()
+
+    def write_excel(self, path: str) -> None:
+        """Excel sink (reference: write_excel, mdataframe.py:951-973).
+
+        Bounded-output only: collects to the driver. Sheet 2 carries the
+        column metadata, mirroring the reference's 3-sheet layout.
+        """
+        import pandas as pd
+
+        pdf = self.to_pandas()
+        with pd.ExcelWriter(path) as writer:
+            pdf.to_excel(writer, sheet_name="data", index=False)
+            if self.column_meta:
+                pd.DataFrame(self.column_meta).T.to_excel(writer, sheet_name="meta_columns")

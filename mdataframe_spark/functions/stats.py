@@ -1,0 +1,70 @@
+"""Window-based statistical primitives: BH/FDR adjustment and ranking.
+
+The reference obtains both from R — ``FDR`` comes out of edgeR's
+``topTags`` / DESeq2's ``padj`` (reference: differential.py:107-117,
+149, 255-270) and ``ranking`` out of NOISeq (differential.py:599-600,
+727-739). Here they are native Spark window expressions (SURVEY.md §2.5
+W1/W2) — the first fully R-free pieces of the stats stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "fdr",
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Benjamini-Hochberg adjusted p-values as a window computation.
+
+    BH: sort p ascending, q_i = min_{j>=i}( p_j * n / j ), clipped to 1.
+    Expressed as two windows: a row_number to get the rank j, then a
+    running minimum over the suffix (ROWS BETWEEN CURRENT AND UNBOUNDED
+    FOLLOWING). Ties in p get identical adjusted values automatically —
+    the suffix-min sees the larger-rank (smaller p*n/j) tied row.
+
+    ``group_cols`` partitions the correction (one family per group) and
+    is also the scale path: an unpartitioned window is a single-reducer
+    total order, fine for the ≤10^7-row stats frames this targets, wrong
+    for 100 TB — at that scale, partition by contrast/family.
+    """
+    parts = list(group_cols or [])
+    w_rank = Window.partitionBy(*parts).orderBy(F.col(p_col).asc_nulls_last())
+    w_n = Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
+    w_suffix = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(p_col).asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    n = F.count(F.when(F.col(p_col).isNotNull(), 1)).over(w_n)
+    rank = F.row_number().over(w_rank)
+    raw = F.col(p_col) * n / rank
+    return (
+        df.withColumn("__bh_raw", raw)
+        .withColumn(out_col, F.least(F.min("__bh_raw").over(w_suffix), F.lit(1.0)))
+        .drop("__bh_raw")
+    )
+
+
+def add_rank(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "rank",
+    ascending: bool = True,
+    group_cols: Optional[Sequence[str]] = None,
+    method: str = "rank",
+) -> DataFrame:
+    """Ranking column (NOISeq-style ``ranking``, W2).
+
+    method: 'rank' (ties share rank, gaps), 'dense_rank', or 'row_number'.
+    """
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*(group_cols or [])).orderBy(order)
+    fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[method]
+    return df.withColumn(out_col, fn().over(w))

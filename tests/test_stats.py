@@ -1,0 +1,53 @@
+"""BH/FDR and ranking window primitives vs a numpy oracle."""
+
+import numpy as np
+
+from mdataframe_spark.functions.stats import add_rank, bh_adjust
+
+
+def bh_numpy(p):
+    p = np.asarray(p, dtype=float)
+    n = len(p)
+    order = np.argsort(p, kind="mergesort")
+    ranked = p[order] * n / np.arange(1, n + 1)
+    cummin = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(n)
+    out[order] = np.minimum(cummin, 1.0)
+    return out
+
+
+def test_bh_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    p = np.round(rng.uniform(0, 1, 200), 6)
+    p[:20] = np.round(p[:20] / 100, 8)  # some small p
+    p[50] = p[51] = p[52] = 0.5  # explicit ties
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(p)], ["id", "p"])
+    got_rows = bh_adjust(df, "p", "fdr").collect()
+    got = np.empty(len(p))
+    for r in got_rows:
+        got[r["id"]] = r["fdr"]
+    np.testing.assert_almost_equal(got, bh_numpy(p), decimal=12)
+
+
+def test_bh_grouped(spark):
+    p1 = [0.01, 0.02, 0.9]
+    p2 = [0.5, 0.04]
+    data = [("g1", i, x) for i, x in enumerate(p1)] + [("g2", i, x) for i, x in enumerate(p2)]
+    df = spark.createDataFrame(data, ["grp", "id", "p"])
+    rows = bh_adjust(df, "p", "fdr", group_cols=["grp"]).collect()
+    by = {(r["grp"], r["id"]): r["fdr"] for r in rows}
+    e1, e2 = bh_numpy(p1), bh_numpy(p2)
+    for i in range(3):
+        np.testing.assert_almost_equal(by[("g1", i)], e1[i], decimal=12)
+    for i in range(2):
+        np.testing.assert_almost_equal(by[("g2", i)], e2[i], decimal=12)
+
+
+def test_add_rank(spark):
+    df = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0), ("c", 1.0), ("d", 2.0)], ["id", "v"]
+    )
+    rows = {r["id"]: r["rank"] for r in add_rank(df, "v").collect()}
+    assert rows == {"b": 1, "c": 1, "d": 3, "a": 4}
+    rows = {r["id"]: r["rank"] for r in add_rank(df, "v", method="dense_rank").collect()}
+    assert rows == {"b": 1, "c": 1, "d": 2, "a": 3}
