@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute via a noop sink (full computation, no driver collect),
+so the measurement is engine time, not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mdataframe_spark.queries import QUERIES
+from mdataframe_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "f1_filter_dsl",
+    "j_generic_join_q3",
+    "a2_group_zscore",
+    "w1_bh_fdr",
+    "w2_rank_window",
+    "layout_pivot_wide",
+    "dd_exact_dedup",
+    "dd_minhash_lsh",
+    "txt_quality",
+    "txt_lang_id",
+    "sim_cosine_topk",
+    "mm_payload_stats",
+    "st_events_window",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

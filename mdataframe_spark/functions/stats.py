@@ -20,6 +20,7 @@ def bh_adjust(
     p_col: str,
     out_col: str = "fdr",
     group_cols: Optional[Sequence[str]] = None,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Benjamini-Hochberg adjusted p-values as a window computation.
 
@@ -33,13 +34,19 @@ def bh_adjust(
     is also the scale path: an unpartitioned window is a single-reducer
     total order, fine for the ≤10^7-row stats frames this targets, wrong
     for 100 TB — at that scale, partition by contrast/family.
+
+    ``tiebreak_cols`` make the ordering total, so the rank window and
+    the suffix-min frame agree on tie order — required when the output
+    must be reproducible bit-for-bit across engines/runs. BH itself is
+    tie-stable (tied p get equal adjusted values) either way.
     """
     parts = list(group_cols or [])
-    w_rank = Window.partitionBy(*parts).orderBy(F.col(p_col).asc_nulls_last())
+    order = [F.col(p_col).asc_nulls_last()] + [F.col(c).asc() for c in tiebreak_cols]
+    w_rank = Window.partitionBy(*parts).orderBy(*order)
     w_n = Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
     w_suffix = (
         Window.partitionBy(*parts)
-        .orderBy(F.col(p_col).asc_nulls_last())
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     n = F.count(F.when(F.col(p_col).isNotNull(), 1)).over(w_n)

@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Engine extensions for training-data pipelines (the reference has no
+dedup surface; exact dedup maps to ``dropDuplicates``, SURVEY.md §2.7).
+Every operator is expressed with built-in column functions + joins so
+the heavy lifting (shingle explode, band self-join) is shuffle-parallel
+and AQE-managed. No Python UDFs anywhere in the hot path.
+
+Scale shape:
+- exact/fingerprint dedup: one groupBy on a hash — the cheapest pass.
+- MinHash/LSH: explode shingles → per-doc signature (one groupBy) →
+  band keys → self-join per band (shuffle join on band hash). The band
+  self-join is the standard sub-quadratic near-dup plan: candidates are
+  only generated within buckets.
+- SimHash: 64-bit signature from token hashes (bit-vote aggregation),
+  banding by 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal chunk).
+- n-gram Jaccard: exact verification on candidate pairs via a shingle
+  equi-join — used standalone on small blocks or as the LSH verify
+  stage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group exact duplicates by content hash.
+
+    Returns (text_hash, keep_id, n_dups): one row per distinct content,
+    keep_id = the minimum id (the canonical survivor).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row (min id) per distinct text — the applied version."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.split(normalize_text(text), r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def _hash64(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash from md5 (portable across engines:
+    the same construction is expressible in ANSI SQL for oracles)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: (id, minhash_0..minhash_{k-1}).
+
+    One explode + one groupBy(id): the signature aggregation is a
+    map-side-combinable min, so the shuffle carries only k longs per doc.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle")
+    )
+    aggs = [
+        F.min(_hash64(F.col("__shingle"), s)).alias(f"minhash_{s}")
+        for s in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (id_a < id_b, distinct)."""
+    rows_per_band = num_hashes // bands
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"minhash_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_struct).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for near-duplicate pairs.
+
+    Equi-join on shingles counts the intersection; |union| comes from
+    the per-doc distinct-shingle counts. ``block_col`` restricts pairs
+    to a blocking key (e.g. language) to bound the join. Quadratic only
+    within a shared shingle — the standard verify stage after LSH.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    join_keys = ["__shingle"] + ([block_col] if block_col else [])
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    for k in join_keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    inter = (
+        l.join(r, cond)
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document via bit-vote aggregation.
+
+    Tokens hash to 64 bits (xxhash64); each bit votes ±1; the sign of
+    the vote sum is the signature bit. Expressed as 64 conditional sums
+    in ONE groupBy — map-side combinable, one shuffle of 64 longs/doc.
+    Emits the signature as 4 × 16-bit chunks (simhash_c0..c3) for
+    pigeonhole banding, plus the full signature.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), r"\s+"))
+        ).alias("__tok"),
+    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sig = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("decimal(38,0)")).otherwise(F.lit(0)))
+        for b in range(bits - 1)
+    )  # top bit handled separately to stay in signed-long range downstream
+    chunks = {
+        f"simhash_c{c}": sum(
+            (
+                F.when(F.col(f"v{16 * c + i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            )
+            for i in range(16)
+        ).cast("int")
+        for c in range(4)
+    }
+    return voted.withColumns(chunks).select(
+        id_col, *[f"simhash_c{c}" for c in range(4)]
+    )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: any equal 16-bit chunk (pigeonhole for
+    hamming ≤ 3), verified by exact hamming over the 4 chunks."""
+    chunk_cols = [f"simhash_c{c}" for c in range(4)]
+    banded = signatures.select(
+        F.col(id_col),
+        *chunk_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("band"), F.col(cc).alias("key"))
+                    for c, cc in enumerate(chunk_cols)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, *chunk_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"l.{cc}").bitwiseXOR(F.col(f"r.{cc}")).cast("bigint")
+        )
+        for cc in chunk_cols
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extension (SURVEY.md §7 step 9): brute-force cosine top-k as the
+exact baseline, and a random-hyperplane LSH-bucketed variant as the
+scale path. Vector math uses built-in higher-order functions
+(``zip_with`` + ``aggregate``) — JVM-side, no Python round-trip.
+
+Scale shape: brute force is a broadcast nested-loop (queries × corpus)
+— correct but O(Q·N); fine when Q is small. The LSH variant buckets
+both sides by hyperplane sign bits so candidate generation is an
+equi-join on the bucket key; recall is tunable via #planes / #tables.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential double adds)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cast_double: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    (query_id, neighbor_id, cos_sim, knn_rank). Queries are broadcast;
+    the corpus streams — one pass, no shuffle except the per-query
+    top-k window (partitioned by query: parallel across queries).
+    Deterministic tiebreak: (sim desc, neighbor_id asc).
+    """
+    vec = (lambda c: F.col(c).cast("array<double>")) if cast_double else F.col
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes (SRP-LSH)."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP-LSH bucket.
+
+    Same output schema as cosine_topk. Candidate generation is an
+    equi-join on the bucket key — scales to corpora where Q·N is
+    infeasible; recall < 1 by construction (bucket boundaries).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = lambda c: F.col(c).cast("array<double>")  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec(vec_col).alias("__qv")
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("__cv")
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+    )
+
+
+def embedding_stats(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding statistics: count, mean vector-sum, mean L2
+    norm — the cheap sanity aggregate over an embedding table."""
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x)).alias("avg_vec_sum"),
+            F.avg(F.sqrt(dot(vec, vec))).alias("avg_l2_norm"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+These extend the reference's capability surface (it has no text
+operators) with the standard LLM-training-data text metrics, each as
+pure `pyspark.sql.functions` column expressions — no Python UDFs, so
+they stay inside whole-stage codegen and scale linearly with the scan.
+
+Operators: token counting, quality features (length / punctuation /
+stopword ratios), a heuristic language scorer, and document
+fingerprinting (normalized-text hash).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small, fixed stopword lists per language: enough signal for an n-gram /
+# stopword-hit heuristic, cheap enough to inline as literals
+STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "un", "une", "du"),
+}
+
+_WS = r"\s+"
+_PUNCT = r"[^\w\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach standard quality-scoring features:
+
+    n_chars, n_tokens, avg_token_len, punct_ratio (punctuation chars /
+    chars), stopword_ratio (english stopword hits / tokens), and a
+    composite quality_score in [0,1]. All codegen'd expressions.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    punct_chars = n_chars - F.length(F.regexp_replace(t, _PUNCT, ""))
+    stop_ratio = stopword_hits(t, "en") / n_tokens
+    avg_tok = (F.length(F.regexp_replace(t, _WS, ""))) / n_tokens
+    score = (
+        F.when(n_tokens < 5, 0.0)
+        .otherwise(
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (1.0 - F.least(punct_chars / n_chars * 5.0, F.lit(1.0))) * 0.3
+            + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        )
+    )
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("bigint"),
+            "n_tokens": n_tokens.cast("bigint"),
+            "avg_token_len": avg_tok,
+            "punct_ratio": punct_chars / n_chars,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit rate per candidate language,
+    predicted language = argmax (ties broken by language code order)."""
+    t = F.lower(F.col(text_col))
+    toks = tokens(t)
+    n = F.size(toks)
+
+    def hits(words):
+        wordlist = list(words)
+        return F.size(F.filter(toks, lambda x: x.isin(wordlist)))
+
+    scores = {f"score_{lang}": hits(words) / n for lang, words in STOPWORDS.items()}
+    df = df.withColumns(scores)
+    best = F.greatest(*[F.col(c) for c in scores])
+    pred = F.lit(None).cast("string")
+    # first language (sorted) achieving the max wins — deterministic
+    for lang in sorted(STOPWORDS):
+        pred = F.when(
+            pred.isNull() & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return df.withColumn("predicted_lang", pred)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    cleaned = F.regexp_replace(F.lower(text), _PUNCT, "")
+    return F.trim(F.regexp_replace(cleaned, _WS, " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Near-identical documents (case/punctuation/whitespace variants)
+    collide — the cheap first pass before MinHash/SimHash near-dup.
+    """
+    return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))

@@ -1,0 +1,1023 @@
+"""Declared query registry: Spark implementation + DuckDB oracle pairs.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data extension). The Spark side routes through the engine's
+public operators; the oracle is ANSI SQL DuckDB runs on the same
+parquet. Column names, types (counts/ranks cast to BIGINT), and
+rounding are aligned on both sides so the driver's order-insensitive
+value-hash matches: anything accumulated in floating point is rounded
+(4-6 dp) to absorb summation-order differences; per-row arithmetic is
+left exact (identical IEEE ops ⇒ identical bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .filter import Filter
+from .functions.stats import bh_adjust
+from .operators import dedup, multimodal, similarity, text
+
+_STOP_SQL = "('the','a','of','and','to','in','is','that','it','for')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship + relational core
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (A1/A6 aggregation core)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def f1_filter_dsl(spark, sf_dir):
+    """Filter DSL conjunction (F1-F5, F7, F10) pushed into the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    flt = Filter(
+        [
+            ("l_quantity", ">", 24),
+            ("l_returnflag", "in", ["R"]),
+            ("l_discount", "<=", 0.05),
+        ]
+    )
+    return flt(li).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+F1_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity > 24 AND l_returnflag IN ('R') AND l_discount <= 0.05
+"""
+
+
+def f6_filter_abs(spark, sf_dir):
+    """Absolute-value filter (F6) on a derived signed expression."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "disc_dev", F.col("l_discount") - 0.05
+    )
+    return Filter([("disc_dev", "|>", 0.03)])(li).select(
+        "l_orderkey", "l_linenumber", "disc_dev"
+    )
+
+
+F6_SQL = """
+SELECT l_orderkey, l_linenumber, l_discount - 0.05 AS disc_dev
+FROM lineitem WHERE abs(l_discount - 0.05) > 0.03
+"""
+
+
+def f9_filter_k_of_n(spark, sf_dir):
+    """k-of-n quantifier (F9): rows where ≥2 of 3 predicates hold."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("q_hi", F.col("l_quantity"))
+        .withColumn("d_hi", F.col("l_discount"))
+        .withColumn("t_hi", F.col("l_tax"))
+    )
+    # ≥2 of: quantity>25, discount>0.05, tax>0.04 — one term per column
+    # group is the reference shape: (columns, "2>", threshold) needs a
+    # shared threshold, so express as boolean sum like the engine does
+    flt = (
+        (F.col("l_quantity") > 25).cast("int")
+        + (F.col("l_discount") > 0.05).cast("int")
+        + (F.col("l_tax") > 0.04).cast("int")
+        >= 2
+    )
+    return li.filter(flt).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+
+
+F9_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+FROM lineitem
+WHERE (CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+     + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+     + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) >= 2
+"""
+
+
+def f11_filter_or(spark, sf_dir):
+    """Filter combinator | (F11, U2 as predicate union)."""
+    li = _t(spark, sf_dir, "lineitem")
+    combined = Filter([("l_quantity", ">=", 49)]) | Filter([("l_discount", ">=", 0.09)])
+    return combined(li).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+F11_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity >= 49 OR l_discount >= 0.09
+"""
+
+
+def f12_impute_fixed(spark, sf_dir):
+    """Fixed-value imputation (F12): sentinel → NULL → constant."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(-1.0)).alias("tax_imputed"),
+    )
+
+
+F12_SQL = """
+SELECT l_orderkey, l_linenumber,
+       coalesce(nullif(l_tax, 0.0), -1.0) AS tax_imputed
+FROM lineitem
+"""
+
+
+def a1_column_sums(spark, sf_dir):
+    """Library-size-style column sums per group (A1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+A1_SQL = """
+SELECT l_returnflag, round(sum(l_quantity), 4) AS total_qty,
+       round(sum(l_extendedprice), 4) AS total_price,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a2_group_zscore(spark, sf_dir):
+    """Z-score within group via window (C1/A2 on the long layout)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return o.select(
+        "o_orderkey", "o_orderpriority", F.round(z, 6).alias("price_z")
+    )
+
+
+A2_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+             / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) AS price_z
+FROM orders
+"""
+
+
+def a8_correlation(spark, sf_dir):
+    """Pearson correlation per group (A8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+A8_SQL = """
+SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def j_generic_join_q3(spark, sf_dir):
+    """3-way join + agg + deterministic top-k (TPC-H Q3 shape, §2.3)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+J_Q3_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def j1_annotation_join(spark, sf_dir):
+    """Annotation left-join with fill (J1): broadcast the small side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce(F.col("c_name"), F.lit("unknown")).alias("cust_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment"),
+    )
+
+
+J1_SQL = """
+SELECT o_orderkey, coalesce(c_name, 'unknown') AS cust_name,
+       coalesce(c_mktsegment, 'unknown') AS segment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def j_semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS): customers that have orders, per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+J_SEMI_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def j_anti_join(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): parts never ordered."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+J_ANTI_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def w1_bh_fdr(spark, sf_dir):
+    """BH/FDR adjustment (W1) over per-part pseudo p-values."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(F.avg("l_discount") * 10, 6).alias("p")
+    )
+    out = bh_adjust(p, "p", "fdr", tiebreak_cols=["partkey"])
+    return out.select("partkey", "p", F.round("fdr", 8).alias("fdr"))
+
+
+W1_SQL = """
+WITH p AS (
+  SELECT l_partkey AS partkey, round(avg(l_discount) * 10, 6) AS p
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT partkey, p,
+         row_number() OVER (ORDER BY p, partkey) AS rn,
+         count(*) OVER () AS n
+  FROM p
+)
+SELECT partkey, p,
+       round(least(min(p * n / rn) OVER (ORDER BY p, partkey
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 8) AS fdr
+FROM r
+"""
+
+
+def w2_rank_window(spark, sf_dir):
+    """Ranking window (W2): suppliers by revenue within nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey").asc()
+    )
+    return rev.withColumn("rev_rank", F.row_number().over(w).cast("bigint"))
+
+
+W2_SQL = """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey
+)
+SELECT s_nationkey, s_suppkey, revenue,
+       row_number() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS rev_rank
+FROM rev
+"""
+
+
+def o1_multikey_sort_topk(spark, sf_dir):
+    """Multi-key sort + limit = deterministic top-k (O1, §2.6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(15)
+    )
+
+
+O1_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 15
+"""
+
+
+def o6_pagination(spark, sf_dir):
+    """Row-range pagination via row_number (O6)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rn") >= 201) & (F.col("rn") <= 300))
+        .select("rn", "o_orderkey", "o_totalprice")
+    )
+
+
+O6_SQL = """
+SELECT rn, o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice, row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+) WHERE rn BETWEEN 201 AND 300
+"""
+
+
+def u1_intersect(spark, sf_dir):
+    """Row-set intersection (U1): partkeys seen with both flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    b = li.filter(F.col("l_returnflag") == "A").select("l_partkey").distinct()
+    return a.intersect(b)
+
+
+U1_SQL = """
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+def u2_union(spark, sf_dir):
+    """Row-set union (U2) with dedup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    b = c.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+U2_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def u3_except(spark, sf_dir):
+    """Set difference (U3): parts never appearing in lineitem."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.exceptAll(li.distinct())
+
+
+U3_SQL = """
+SELECT p_partkey FROM part
+EXCEPT ALL
+SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+"""
+
+
+def layout_pivot_wide(spark, sf_dir):
+    """Long→wide pivot (§1.3 layout converter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def layout_melt_long(spark, sf_dir):
+    """Wide→long melt (§1.3): 3 measures into (variable, value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="variable",
+        valueColumnName="value",
+    )
+
+
+MELT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+def g_rollup(spark, sf_dir):
+    """Rollup grouping sets (§2.4 extension)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*)::BIGINT AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def c9_hash_columns(spark, sf_dir):
+    """Hashing functions (C9): md5 + sha256 parity."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )
+
+
+C9_SQL = """
+SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+FROM customer
+"""
+
+
+def _events(spark, sf_dir):
+    """Read the events table. Its parquet carries TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; nanosAsLong reads ts as
+    raw nanos (BIGINT). All bucketing below is integer arithmetic on
+    epoch nanos — timezone-free, so parity does not depend on either
+    engine's session timezone."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def e_events_hourly(spark, sf_dir):
+    """Timestamp bucketing on the events table (§2.8 date functions)."""
+    e = _events(spark, sf_dir)
+    hour = (F.floor(F.col("ts") / F.lit(3_600_000_000_000)) * 3600).cast("bigint")
+    return (
+        e.groupBy(hour.alias("hour_epoch"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+E_HOURLY_SQL = """
+SELECT (epoch_ns(ts) // 3600000000000 * 3600)::BIGINT AS hour_epoch, event_type,
+       count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def e_events_json(spark, sf_dir):
+    """Semi-structured extraction from the events props column."""
+    e = _events(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+E_JSON_SQL = """
+SELECT event_type, sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT)::BIGINT AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data extensions)
+# ---------------------------------------------------------------------------
+def txt_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("n_tokens", text.token_count(F.col("text")).cast("bigint"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+TXT_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT lang, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs, round(avg(n_tokens), 6) AS avg_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens, max(n_tokens)::BIGINT AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+def txt_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_features(d)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+TXT_QUALITY_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x IN {_STOP_SQL})) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(punct_chars / n_chars, 6) AS punct_ratio,
+       round(stop_hits / n_tokens, 6) AS stopword_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         least(n_tokens / 100.0, 1.0) * 0.4
+         + (1.0 - least(punct_chars / n_chars * 5.0, 1.0)) * 0.3
+         + least(stop_hits / n_tokens * 5.0, 1.0) * 0.3 END, 6) AS quality_score
+FROM q
+"""
+
+
+def txt_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = text.language_scores(d)
+    return scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_LANG_SCORE_SQL = ",\n".join(
+    "len(list_filter(toks, x -> x IN ({})))::DOUBLE / len(toks) AS score_{}".format(
+        ",".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in sorted(text.STOPWORDS.items())
+)
+
+TXT_LANG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, {_LANG_SCORE_SQL}
+  FROM toks
+), pred AS (
+  SELECT lang,
+         CASE
+           WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+           WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+           WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+           ELSE 'fr'
+         END AS predicted_lang
+  FROM s
+)
+SELECT lang, predicted_lang, count(*)::BIGINT AS n_docs
+FROM pred GROUP BY lang, predicted_lang
+"""
+
+
+def txt_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = text.fingerprint(d)
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+TXT_FP_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup (training-data extensions)
+# ---------------------------------------------------------------------------
+def dd_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d)
+
+
+DD_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dd_distinct_pairs(spark, sf_dir):
+    """dropDuplicates on a key pair (§2.4 distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
+DD_DISTINCT_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs — portable hash family so
+    the full pipeline (shingle→sign→band→join) is oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, num_hashes=16)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+
+
+_MINHASH_COLS = ",\n".join(
+    "min(('0x' || substr(md5('s{}:' || shingle), 1, 15))::BIGINT) AS minhash_{}".format(s, s)
+    for s in range(16)
+)
+_BAND_ROWS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws(',', minhash_{m0}, minhash_{m1}, minhash_{m2}, minhash_{m3})) AS key FROM sig".format(
+        b=b, m0=4 * b, m1=4 * b + 1, m2=4 * b + 2, m3=4 * b + 3
+    )
+    for b in range(4)
+)
+
+DD_MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+  FROM toks
+), sig AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM grams GROUP BY doc_id
+), bands AS (
+  {_BAND_ROWS}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+def dd_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs, blocked by language."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.4, block_col="lang")
+    return pairs.select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+DD_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS n_inter
+  FROM grams l JOIN grams r
+    ON l.shingle = r.shingle AND l.lang = r.lang AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+"""
+
+
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates (no SQL oracle: xxhash64 is
+    Spark-specific — driver records rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(d)
+    return dedup.simhash_candidate_pairs(sigs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (training-data extensions)
+# ---------------------------------------------------------------------------
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for query vectors (vec_id < 5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(similarity.cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= 3)
+    )
+
+
+SIM_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, v.e)
+               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cos_sim
+  FROM q JOIN v ON v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 3
+"""
+
+
+def sim_embedding_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_stats(emb)
+    return out.select(
+        "label",
+        "n_vecs",
+        F.round("avg_vec_sum", 6).alias("avg_vec_sum"),
+        F.round("avg_l2_norm", 6).alias("avg_l2_norm"),
+    )
+
+
+SIM_STATS_SQL = """
+SELECT label, count(*)::BIGINT AS n_vecs,
+       round(avg(list_aggregate(embedding::DOUBLE[], 'sum')), 6) AS avg_vec_sum,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_l2_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def sim_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (scale path; approximate by construction —
+    no SQL oracle, driver records rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_cosine_topk(emb, q, k=3, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (training-data extensions)
+# ---------------------------------------------------------------------------
+def mm_payload_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d)
+    out = multimodal.payload_summary(media)
+    return out.select(
+        "modality",
+        "n_media",
+        F.col("total_bytes").cast("bigint").alias("total_bytes"),
+        F.round("avg_bytes", 6).alias("avg_bytes"),
+        "distinct_payloads",
+    )
+
+
+MM_STATS_SQL = """
+SELECT 'text' AS modality, count(*)::BIGINT AS n_media,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       round(avg(octet_length(encode(text))), 6) AS avg_bytes,
+       count(DISTINCT text)::BIGINT AS distinct_payloads
+FROM documents
+"""
+
+
+def mm_features(spark, sf_dir):
+    """Arrow-batched feature extraction plumbing (stub decoder — no
+    SQL oracle, rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d)
+    return multimodal.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped (batch-equivalent window aggregation)
+# ---------------------------------------------------------------------------
+def st_events_window(spark, sf_dir):
+    """Tumbling-window aggregation via F.window — the exact shape a
+    Structured Streaming job uses (streaming/ has the readStream
+    variant); on batch input it is oracle-checkable. ts arrives as
+    epoch nanos (see _events); convert to a real timestamp for
+    F.window, then back to epoch seconds for timezone-free compare."""
+    e = _events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
+    )
+    return (
+        e.groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ST_WINDOW_SQL = """
+SELECT (epoch_ns(ts) // 3600000000000 * 3600)::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "f1_filter_dsl": f1_filter_dsl,
+    "f6_filter_abs": f6_filter_abs,
+    "f9_filter_k_of_n": f9_filter_k_of_n,
+    "f11_filter_or": f11_filter_or,
+    "f12_impute_fixed": f12_impute_fixed,
+    "a1_column_sums": a1_column_sums,
+    "a2_group_zscore": a2_group_zscore,
+    "a8_correlation": a8_correlation,
+    "j_generic_join_q3": j_generic_join_q3,
+    "j1_annotation_join": j1_annotation_join,
+    "j_semi_join": j_semi_join,
+    "j_anti_join": j_anti_join,
+    "w1_bh_fdr": w1_bh_fdr,
+    "w2_rank_window": w2_rank_window,
+    "o1_multikey_sort_topk": o1_multikey_sort_topk,
+    "o6_pagination": o6_pagination,
+    "u1_intersect": u1_intersect,
+    "u2_union": u2_union,
+    "u3_except": u3_except,
+    "layout_pivot_wide": layout_pivot_wide,
+    "layout_melt_long": layout_melt_long,
+    "g_rollup": g_rollup,
+    "c9_hash_columns": c9_hash_columns,
+    "e_events_hourly": e_events_hourly,
+    "e_events_json": e_events_json,
+    "txt_token_stats": txt_token_stats,
+    "txt_quality": txt_quality,
+    "txt_lang_id": txt_lang_id,
+    "txt_fingerprint": txt_fingerprint,
+    "dd_exact_dedup": dd_exact_dedup,
+    "dd_distinct_pairs": dd_distinct_pairs,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_embedding_stats": sim_embedding_stats,
+    "sim_lsh_topk": sim_lsh_topk,
+    "mm_payload_stats": mm_payload_stats,
+    "mm_features": mm_features,
+    "st_events_window": st_events_window,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "f1_filter_dsl": F1_SQL,
+    "f6_filter_abs": F6_SQL,
+    "f9_filter_k_of_n": F9_SQL,
+    "f11_filter_or": F11_SQL,
+    "f12_impute_fixed": F12_SQL,
+    "a1_column_sums": A1_SQL,
+    "a2_group_zscore": A2_SQL,
+    "a8_correlation": A8_SQL,
+    "j_generic_join_q3": J_Q3_SQL,
+    "j1_annotation_join": J1_SQL,
+    "j_semi_join": J_SEMI_SQL,
+    "j_anti_join": J_ANTI_SQL,
+    "w1_bh_fdr": W1_SQL,
+    "w2_rank_window": W2_SQL,
+    "o1_multikey_sort_topk": O1_SQL,
+    "o6_pagination": O6_SQL,
+    "u1_intersect": U1_SQL,
+    "u2_union": U2_SQL,
+    "u3_except": U3_SQL,
+    "layout_pivot_wide": PIVOT_SQL,
+    "layout_melt_long": MELT_SQL,
+    "g_rollup": ROLLUP_SQL,
+    "c9_hash_columns": C9_SQL,
+    "e_events_hourly": E_HOURLY_SQL,
+    "e_events_json": E_JSON_SQL,
+    "txt_token_stats": TXT_TOKENS_SQL,
+    "txt_quality": TXT_QUALITY_SQL,
+    "txt_lang_id": TXT_LANG_SQL,
+    "txt_fingerprint": TXT_FP_SQL,
+    "dd_exact_dedup": DD_EXACT_SQL,
+    "dd_distinct_pairs": DD_DISTINCT_SQL,
+    "dd_minhash_lsh": DD_MINHASH_SQL,
+    "dd_ngram_jaccard": DD_JACCARD_SQL,
+    # dd_simhash_pairs: rows-only (xxhash64 not portable)
+    "sim_cosine_topk": SIM_TOPK_SQL,
+    "sim_embedding_stats": SIM_STATS_SQL,
+    # sim_lsh_topk: rows-only (approximate by construction)
+    "mm_payload_stats": MM_STATS_SQL,
+    # mm_features: rows-only (stub decoder, mapInPandas)
+    "st_events_window": ST_WINDOW_SQL,
+}

@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB over
+the same parquet dir, then compares row count, column names/types, and
+order-insensitive values. Usage:
+
+    python scripts/parity_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+from mdataframe_spark.queries import ORACLES, QUERIES
+from mdataframe_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, int):
+        return float(v) if False else v
+    return v
+
+
+def frame_to_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted_cols, out
+
+
+def compare(name: str, spark, con, sf_dir: str) -> list[str]:
+    problems = []
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    if len(srows) != len(drows):
+        problems.append(f"row count: spark={len(srows)} duck={len(drows)}")
+    sc, sr = frame_to_rows(scols, srows)
+    dc, dr = frame_to_rows(dcols, drows)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    n_mismatch = 0
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b:
+            n_mismatch += 1
+            if n_mismatch <= 3:
+                problems.append(f"row {i}: spark={a} duck={b}")
+    if n_mismatch:
+        problems.append(f"total mismatching rows: {n_mismatch}/{len(sr)}")
+    return problems
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    names = [a for a in args if "/" not in a] or list(ORACLES)
+    spark = get_spark("parity_check", shuffle_partitions=8)
+    con = duck_connection(sf_dir)
+    failed = []
+    import time
+
+    for name in names:
+        if name not in ORACLES:
+            print(f"{name}: SKIP (no oracle — rows-only)")
+            continue
+        t0 = time.time()
+        try:
+            problems = compare(name, spark, con, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"]
+        dt = time.time() - t0
+        if problems:
+            failed.append(name)
+            print(f"{name}: FAIL ({dt:.1f}s)")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            print(f"{name}: OK ({dt:.1f}s)")
+    print()
+    print(f"{len(names) - len(failed)}/{len(names)} queries match")
+    if failed:
+        print("failed:", " ".join(failed))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
