@@ -42,6 +42,15 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
+    # warmup: run every headline query once at the smallest SF so the
+    # timed pass measures steady-state execution, not whole-stage
+    # codegen compilation and JIT (2-5s per novel query shape)
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
     timings = {}
     for name in HEADLINE:
         t0 = time.time()

@@ -25,10 +25,14 @@ def bh_adjust(
     """Benjamini-Hochberg adjusted p-values as a window computation.
 
     BH: sort p ascending, q_i = min_{j>=i}( p_j * n / j ), clipped to 1.
-    Expressed as two windows: a row_number to get the rank j, then a
-    running minimum over the suffix (ROWS BETWEEN CURRENT AND UNBOUNDED
-    FOLLOWING). Ties in p get identical adjusted values automatically —
-    the suffix-min sees the larger-rank (smaller p*n/j) tied row.
+    Expressed as two windows: a row_number to get the rank j, then the
+    suffix-minimum — computed as a running min over a DESCENDING order
+    with a growing frame (UNBOUNDED PRECEDING → CURRENT ROW), which
+    Spark's WindowExec evaluates incrementally in O(n); the equivalent
+    shrinking frame (CURRENT → UNBOUNDED FOLLOWING) is re-scanned per
+    row, O(n²) — 20k rows took seconds. Ties in p get identical
+    adjusted values automatically — the running min in descending order
+    reaches the smaller p*n/j tied row first.
 
     ``group_cols`` partitions the correction (one family per group) and
     is also the scale path: an unpartitioned window is a single-reducer
@@ -41,20 +45,21 @@ def bh_adjust(
     tie-stable (tied p get equal adjusted values) either way.
     """
     parts = list(group_cols or [])
-    order = [F.col(p_col).asc_nulls_last()] + [F.col(c).asc() for c in tiebreak_cols]
-    w_rank = Window.partitionBy(*parts).orderBy(*order)
+    order_asc = [F.col(p_col).asc_nulls_last()] + [F.col(c).asc() for c in tiebreak_cols]
+    order_desc = [F.col(p_col).desc_nulls_first()] + [F.col(c).desc() for c in tiebreak_cols]
+    w_rank = Window.partitionBy(*parts).orderBy(*order_asc)
     w_n = Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
-    w_suffix = (
+    w_runmin = (
         Window.partitionBy(*parts)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*order_desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n = F.count(F.when(F.col(p_col).isNotNull(), 1)).over(w_n)
     rank = F.row_number().over(w_rank)
     raw = F.col(p_col) * n / rank
     return (
         df.withColumn("__bh_raw", raw)
-        .withColumn(out_col, F.least(F.min("__bh_raw").over(w_suffix), F.lit(1.0)))
+        .withColumn(out_col, F.least(F.min("__bh_raw").over(w_runmin), F.lit(1.0)))
         .drop("__bh_raw")
     )
 

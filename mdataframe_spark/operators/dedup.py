@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
+def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than cores.
+
+    CPU-heavy map stages (shingle explode, hashing) inherit the scan's
+    split count; a small single-row-group parquet yields ONE partition
+    and serializes the whole stage. At real scale inputs have thousands
+    of splits and this is a no-op — the check costs only plan metadata.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -60,8 +75,13 @@ def drop_exact_duplicates(
 # shingling + MinHash
 # ---------------------------------------------------------------------------
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = F.split(normalize_text(text), r"\s+")
+    """Distinct word n-gram shingles of the normalized text.
+
+    Tokenization uses one regex pass (strip punctuation) + split on
+    whitespace runs — splitting on ``\\s+`` already collapses runs, so
+    the fingerprint-style collapse pass is skipped (one less full-text
+    regex per document on the dedup hot path)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]", "")), r"\s+")
     k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
@@ -70,12 +90,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _hash64(col: Column, seed: int) -> Column:
-    """Deterministic 60-bit hash from md5 (portable across engines:
-    the same construction is expressible in ANSI SQL for oracles)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+# Kirsch-Mitzenmacher double hashing: k hash functions from ONE md5 per
+# shingle — h_i = (h1 + i*h2) mod P with h1/h2 the two 52-bit halves of
+# the digest. P prime < 2^52; i ≤ 63 keeps h1 + i*h2 < 2^58, no overflow.
+# The same construction is expressible in ANSI SQL for oracles.
+MINHASH_PRIME = 4503599627370449
 
 
 def minhash_signatures(
@@ -88,16 +107,28 @@ def minhash_signatures(
     """Per-document MinHash signature: (id, minhash_0..minhash_{k-1}).
 
     One explode + one groupBy(id): the signature aggregation is a
-    map-side-combinable min, so the shuffle carries only k longs per doc.
+    map-side-combinable min, so the shuffle carries only k longs per
+    doc, and each shingle is digested ONCE (k functions derived by
+    double hashing from the two digest halves, not k digests).
     """
-    shingled = df.select(
+    shingled = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle")
     )
+    # materialize the digest once in its own projection so the two
+    # substring halves share it instead of re-hashing
+    digested = shingled.select(id_col, F.md5("__shingle").alias("__d"))
+    hashed = digested.select(
+        id_col,
+        F.conv(F.substring("__d", 1, 13), 16, 10).cast("bigint").alias("__h1"),
+        F.conv(F.substring("__d", 14, 13), 16, 10).cast("bigint").alias("__h2"),
+    )
     aggs = [
-        F.min(_hash64(F.col("__shingle"), s)).alias(f"minhash_{s}")
+        F.min((F.col("__h1") + F.lit(s) * F.col("__h2")) % F.lit(MINHASH_PRIME)).alias(
+            f"minhash_{s}"
+        )
         for s in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -129,6 +160,11 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(band_struct).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the self-join references `banded` twice; without persisting, the
+    # whole signature pipeline (shingle explode + hashing) would execute
+    # once PER SIDE. The banded table is tiny (bands rows/doc, a hash +
+    # id each) — persist it and join from memory.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -160,11 +196,15 @@ def ngram_jaccard_pairs(
     to a blocking key (e.g. language) to bound the join. Quadratic only
     within a shared shingle — the standard verify stage after LSH.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle"),
     )
+    # referenced three times below (both join sides + sizes): persist so
+    # the shingle explode runs once. At extreme scale prefer a parquet
+    # checkpoint over memory persistence — the shape is the same.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     join_keys = ["__shingle"] + ([block_col] if block_col else [])
     l, r = sh.alias("l"), sh.alias("r")
@@ -206,7 +246,7 @@ def simhash_signatures(
     Emits the signature as 4 × 16-bit chunks (simhash_c0..c3) for
     pigeonhole banding, plus the full signature.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(normalize_text(F.col(text_col)), r"\s+"))
@@ -255,6 +295,7 @@ def simhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, *chunk_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded.persist()  # two join sides — compute the votes once
     l, r = banded.alias("l"), banded.alias("r")
     hamming = sum(
         F.bit_count(

@@ -78,27 +78,41 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Heuristic language ID: stopword-hit rate per candidate language,
-    predicted language = argmax (ties broken by language code order)."""
-    t = F.lower(F.col(text_col))
-    toks = tokens(t)
-    n = F.size(toks)
+    predicted language = argmax (ties broken by language code order).
 
-    def hits(words):
-        wordlist = list(words)
-        return F.size(F.filter(toks, lambda x: x.isin(wordlist)))
-
-    scores = {f"score_{lang}": hits(words) / n for lang, words in STOPWORDS.items()}
-    df = df.withColumns(scores)
-    best = F.greatest(*[F.col(c) for c in scores])
+    Implementation: explode tokens once and count hits per language as
+    conditional aggregates — fully codegen'd with map-side combine.
+    (The natural higher-order `filter(toks, isin)` form is interpreted
+    per element in Spark and was 4-5x slower.) The token shuffle
+    carries only (id, token); the result joins back on the id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.count(F.when(F.col("__tok").isin(list(words)), 1)).alias(f"__hits_{lang}")
+        for lang, words in STOPWORDS.items()
+    ]
+    counted = toks.groupBy(id_col).agg(*aggs)
+    scores = {
+        f"score_{lang}": F.col(f"__hits_{lang}") / F.col("__n") for lang in STOPWORDS
+    }
+    counted = counted.withColumns(scores).drop(
+        "__n", *[f"__hits_{lang}" for lang in STOPWORDS]
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
     pred = F.lit(None).cast("string")
     # first language (sorted) achieving the max wins — deterministic
     for lang in sorted(STOPWORDS):
         pred = F.when(
             pred.isNull() & (F.col(f"score_{lang}") == best), F.lit(lang)
         ).otherwise(pred)
-    return df.withColumn("predicted_lang", pred)
+    counted = counted.withColumn("predicted_lang", pred)
+    return df.join(counted, id_col)
 
 
 def normalize_text(text: Column) -> Column:

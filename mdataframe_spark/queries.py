@@ -717,7 +717,7 @@ def dd_minhash_lsh(spark, sf_dir):
 
 
 _MINHASH_COLS = ",\n".join(
-    "min(('0x' || substr(md5('s{}:' || shingle), 1, 15))::BIGINT) AS minhash_{}".format(s, s)
+    "min((h1 + {s} * h2) % 4503599627370449) AS minhash_{s}".format(s=s)
     for s in range(16)
 )
 _BAND_ROWS = "\nUNION ALL\n".join(
@@ -730,17 +730,22 @@ _BAND_ROWS = "\nUNION ALL\n".join(
 DD_MINHASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
-             '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')), '\\s+') AS t
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^\\w\\s]', '', 'g')), '\\s+') AS t
   FROM documents
 ), grams AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
              i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
   FROM toks
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 14, 13))::BIGINT AS h2
+  FROM grams
 ), sig AS (
   SELECT doc_id, {_MINHASH_COLS}
-  FROM grams GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ), bands AS (
   {_BAND_ROWS}
 )
@@ -761,8 +766,8 @@ def dd_ngram_jaccard(spark, sf_dir):
 DD_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, lang,
-         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
-             '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')), '\\s+') AS t
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^\\w\\s]', '', 'g')), '\\s+') AS t
   FROM documents
 ), grams AS (
   SELECT doc_id, lang,
