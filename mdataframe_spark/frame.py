@@ -174,6 +174,57 @@ class MFrame:
             return lambda *a, **k: self._apply_verb(item, *a, **k)
         raise AttributeError(item)
 
+    # -- reference chain verbs (mdataframe.py:753-763, 775-830, 841-923) --
+    def impute(self, strategy="fixed", **kwargs) -> "MFrame":
+        """`.impute()` chain step (reference default: NaN → 0)."""
+        from .operators.impute import ImputeFixed, ImputeMeanMedian
+
+        if strategy == "fixed":
+            t = ImputeFixed(columns=kwargs.pop("columns", self.data_columns), **kwargs)
+        else:
+            t = ImputeMeanMedian(strategy, columns=kwargs.pop("columns", self.data_columns))
+        return self._derive(t(self.df), f"imputed_{t.hash[:8]}")
+
+    def scale(self, axis: int = 0, **kwargs) -> "MFrame":
+        """`.scale()` chain step: axis=0 column-standardize (reference
+        default via sklearn StandardScaler), axis=1 row z-score."""
+        from .operators.scale import ColumnScaler, ZScaler
+
+        cls = ColumnScaler if axis == 0 else ZScaler
+        t = cls(columns=self.data_columns, index_column=self.index_column, **kwargs)
+        return self._derive(t(self.df), f"scaled_axis{axis}")
+
+    def cluster(self, strategy=None, sort: bool = True, ascending: bool = True,
+                **kwargs) -> "MFrame":
+        """`.cluster()` chain step: fit labels into the frame (labels
+        land as a row-meta column, like the reference writes them into
+        df_meta_rows, mdataframe.py:801-807)."""
+        from .operators.clustering import Cluster, KMeans
+
+        if strategy is None:
+            strategy = KMeans(index_column=self.index_column, **kwargs)
+        if not isinstance(strategy, Cluster):
+            raise ValueError("strategy must be a Cluster transformer")
+        out = strategy(self.df.select(self.index_column, *self.data_columns),
+                       sort=sort, ascending=ascending)
+        meta = self.df.select(self.index_column, *self.meta_row_columns)
+        joined = out.join(meta, self.index_column) if self.meta_row_columns else out
+        return self._derive(joined, f"Cl({strategy.name})")
+
+    def reduce(self, reducer=None, **kwargs) -> "MFrame":
+        """`.reduce()` chain step: replace the data matrix with the
+        reduced components (reference: mdataframe.py:862-913 resets the
+        invalidated sidecar; here meta columns are carried by join)."""
+        from .operators.projection import PCA
+
+        if reducer is None:
+            reducer = PCA(index_column=self.index_column, **kwargs)
+        out = reducer(self.df.select(self.index_column, *self.data_columns))
+        meta = self.df.select(self.index_column, *self.meta_row_columns)
+        joined = out.join(meta, self.index_column) if self.meta_row_columns else out
+        new_data = [c for c in out.columns if c != self.index_column]
+        return self._derive(joined, f"Red({reducer.name})", data_columns=new_data)
+
     # -- sorting ---------------------------------------------------------
     def sort(
         self,

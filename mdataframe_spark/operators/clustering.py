@@ -1,0 +1,224 @@
+"""Clustering transformers (reference: clustering.py:9-60,
+strategies.py:136-333, M7/M8/M10/M11/M15).
+
+API parity with the reference's ``Cluster`` protocol: construct with
+model kwargs, call with ``(df, sort=, ascending=, add=)``, get the
+label column named after the transformer appended to the frame.
+
+Spark mapping:
+- KMeans / BisectingKMeans: ``pyspark.ml`` on an assembled feature
+  vector — fully distributed fit + predict (M7). BisectingKMeans is
+  the scale answer to hierarchical clustering (divisive, distributed).
+- Agglo: true agglomerative (Ward linkage, Lance-Williams update)
+  implemented in numpy on DRIVER-collected features — the algorithm is
+  inherently O(n²); a hard ``max_rows`` guard makes the non-scalability
+  explicit (reference uses sklearn in-memory anyway, M8).
+- ClassLabel: labels from a provided dict — a broadcast map join (M11).
+- fitted models expose ``.predict(new_df)`` (M15).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..transformer import Transformer
+
+_VEC_COL = "__features"
+
+
+def _assemble(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(inputCols=list(cols), outputCol=_VEC_COL).transform(df)
+
+
+class Cluster(Transformer):
+    """Base: fit on the numeric columns, append the label column."""
+
+    def __init__(self, name: str, column_name: Optional[str] = None,
+                 index_column: str = "__row_id", **kwargs):
+        super().__init__(name, **kwargs)
+        self.new_column = column_name if column_name is not None else name
+        self.index_column = index_column
+        self.model_kwargs = kwargs
+        self.model = None  # set after fit
+
+    def _feature_cols(self, df: DataFrame) -> list:
+        return [
+            c for c, t in df.dtypes
+            if c != self.index_column and t in ("double", "float", "bigint", "int", "smallint")
+        ]
+
+    def _fit_predict(self, df: DataFrame, cols: Sequence[str]) -> DataFrame:
+        raise NotImplementedError
+
+    def __call__(self, df: DataFrame, sort: bool = True, ascending: bool = True,
+                 add: bool = True, **kwargs) -> DataFrame:
+        if not isinstance(df, DataFrame):
+            raise ValueError(
+                f"Transformer calls need a DataFrame as first parameter, was {type(df)}."
+            )
+        cols = self._feature_cols(df)
+        labeled = self._fit_predict(df, cols)
+        if sort:
+            labeled = labeled.orderBy(
+                F.col(self.new_column).asc() if ascending else F.col(self.new_column).desc()
+            )
+        if not add:
+            labeled = labeled.drop(self.new_column)
+        return labeled
+
+
+class KMeans(Cluster):
+    """Distributed k-means via Spark ML (reference: strategies.py:136-184)."""
+
+    def __init__(self, name: str = "KMeans", n_clusters: int = 2, seed: int = 42,
+                 column_name: Optional[str] = None, index_column: str = "__row_id", **kwargs):
+        super().__init__(name, column_name, index_column,
+                         n_clusters=n_clusters, seed=seed, **kwargs)
+        self.n_clusters = n_clusters
+        self.seed = seed
+
+    def _fit_predict(self, df: DataFrame, cols):
+        from pyspark.ml.clustering import KMeans as MLKMeans
+
+        assembled = _assemble(df, cols)
+        self.model = MLKMeans(
+            k=self.n_clusters, seed=self.seed, featuresCol=_VEC_COL,
+            predictionCol=self.new_column
+        ).fit(assembled)
+        return self.model.transform(assembled).drop(_VEC_COL)
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        """Apply the fitted model to new data (M15)."""
+        if self.model is None:
+            raise RuntimeError("call the transformer on a frame before predict()")
+        cols = self._feature_cols(df)
+        return self.model.transform(_assemble(df, cols)).drop(_VEC_COL)
+
+
+class BisectingKMeans(Cluster):
+    """Divisive hierarchical clustering — the distributed analog of
+    agglomerative clustering (SURVEY.md M8 scale path)."""
+
+    def __init__(self, name: str = "BisectingKMeans", n_clusters: int = 2, seed: int = 42,
+                 column_name: Optional[str] = None, index_column: str = "__row_id", **kwargs):
+        super().__init__(name, column_name, index_column,
+                         n_clusters=n_clusters, seed=seed, **kwargs)
+        self.n_clusters = n_clusters
+        self.seed = seed
+
+    def _fit_predict(self, df: DataFrame, cols):
+        from pyspark.ml.clustering import BisectingKMeans as MLBKM
+
+        assembled = _assemble(df, cols)
+        self.model = MLBKM(
+            k=self.n_clusters, seed=self.seed, featuresCol=_VEC_COL,
+            predictionCol=self.new_column
+        ).fit(assembled)
+        return self.model.transform(assembled).drop(_VEC_COL)
+
+
+class Agglo(Cluster):
+    """Agglomerative clustering, Ward linkage (reference: clustering.py:46-52).
+
+    Inherently O(n²): features are collected to the driver under a hard
+    ``max_rows`` guard (the explicit non-scalable escape hatch; use
+    BisectingKMeans beyond it). Labels are assigned in first-appearance
+    order, so they are deterministic given row order by index.
+    """
+
+    def __init__(self, name: str = "Agglo", n_clusters: int = 2,
+                 column_name: Optional[str] = None, index_column: str = "__row_id",
+                 max_rows: int = 20000, **kwargs):
+        super().__init__(name, column_name, index_column, n_clusters=n_clusters, **kwargs)
+        self.n_clusters = n_clusters
+        self.max_rows = max_rows
+
+    def _fit_predict(self, df: DataFrame, cols):
+        import numpy as np
+
+        rows = df.select(self.index_column, *cols).orderBy(self.index_column).collect()
+        if len(rows) > self.max_rows:
+            raise ValueError(
+                f"Agglo is O(n^2) and capped at {self.max_rows} rows "
+                f"(got {len(rows)}); use BisectingKMeans at scale."
+            )
+        ids = [r[self.index_column] for r in rows]
+        x = np.array([[r[c] for c in cols] for r in rows], dtype=float)
+        labels = _ward_labels(x, self.n_clusters)
+        spark = df.sparkSession
+        label_df = spark.createDataFrame(
+            list(zip(ids, [int(v) for v in labels])),
+            [self.index_column, self.new_column],
+        )
+        return df.join(F.broadcast(label_df), self.index_column)
+
+
+def _ward_labels(x, n_clusters: int):
+    """Ward-linkage agglomeration via the Lance-Williams update."""
+    import numpy as np
+
+    n = len(x)
+    if n <= n_clusters:
+        return list(range(n))
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    # Ward objective uses squared distances scaled by cluster sizes
+    size = np.ones(n)
+    active = list(range(n))
+    members = {i: [i] for i in range(n)}
+    cost = d2 / 2.0  # initial Ward cost between singletons
+    while len(active) > n_clusters:
+        sub = np.ix_(active, active)
+        flat = cost[sub]
+        i_loc, j_loc = np.unravel_index(np.argmin(flat), flat.shape)
+        i, j = active[i_loc], active[j_loc]
+        if i > j:
+            i, j = j, i
+        # Lance-Williams for Ward: d(k, i∪j)
+        for k in active:
+            if k in (i, j):
+                continue
+            si, sj, sk = size[i], size[j], size[k]
+            tot = si + sj + sk
+            cost[i, k] = cost[k, i] = (
+                (si + sk) / tot * cost[i, k]
+                + (sj + sk) / tot * cost[j, k]
+                - sk / tot * cost[i, j]
+            )
+        members[i] = members[i] + members[j]
+        size[i] += size[j]
+        active.remove(j)
+    labels = [0] * n
+    # first-appearance order: cluster containing the smallest row index
+    # gets label 0, etc. — deterministic
+    order = sorted(active, key=lambda c: min(members[c]))
+    for lab, c in enumerate(order):
+        for m in members[c]:
+            labels[m] = lab
+    return labels
+
+
+class ClassLabel(Cluster):
+    """Pseudo-clustering: labels from a provided mapping (reference:
+    strategies.py:187-211) — a broadcast map join on the row id."""
+
+    def __init__(self, labels: Dict, name: str = "ClassLabel",
+                 column_name: Optional[str] = None, index_column: str = "__row_id",
+                 fill_value: int = -1):
+        super().__init__(name, column_name, index_column, labels=sorted(labels.items()))
+        self.labels = dict(labels)
+        self.fill_value = fill_value
+
+    def _fit_predict(self, df: DataFrame, cols):
+        spark = df.sparkSession
+        label_df = spark.createDataFrame(
+            list(self.labels.items()), [self.index_column, self.new_column]
+        )
+        return df.join(F.broadcast(label_df), self.index_column, "left").fillna(
+            {self.new_column: self.fill_value}
+        )

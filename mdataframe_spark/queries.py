@@ -937,6 +937,129 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# normalization stack on relational data (C1/C3 oracle-checkable)
+# ---------------------------------------------------------------------------
+def _part_counts(spark, sf_dir):
+    """lineitem pivoted to a (partkey × returnflag) count matrix — the
+    engine's wide count-matrix layout built from relational data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+
+
+def n_cpm_log2(spark, sf_dir):
+    """log2-CPM with scaled prior (C3, edgeR cpm semantics) on the
+    part-count matrix; library sizes are the distributed column sums."""
+    from .functions.norm import cpm_log2
+
+    counts = _part_counts(spark, sf_dir)
+    out = cpm_log2(counts, ["A", "N", "R"], prior_count=5.0)
+    return out.select(
+        "partkey",
+        F.round(F.col("A"), 6).alias("cpm_a"),
+        F.round(F.col("N"), 6).alias("cpm_n"),
+        F.round(F.col("R"), 6).alias("cpm_r"),
+    )
+
+
+N_CPM_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0) AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0) AS n,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0) AS r
+  FROM lineitem GROUP BY l_partkey
+), libs AS (
+  SELECT sum(a) AS la, sum(n) AS ln, sum(r) AS lr,
+         (sum(a) + sum(n) + sum(r)) / 3.0 AS lmean
+  FROM counts
+)
+SELECT partkey,
+       round(log2((a + 5.0 * la / lmean) / (la + 2 * (5.0 * la / lmean)) * 1e6), 6) AS cpm_a,
+       round(log2((n + 5.0 * ln / lmean) / (ln + 2 * (5.0 * ln / lmean)) * 1e6), 6) AS cpm_n,
+       round(log2((r + 5.0 * lr / lmean) / (lr + 2 * (5.0 * lr / lmean)) * 1e6), 6) AS cpm_r
+FROM counts, libs
+"""
+
+
+def n_zscore_rows(spark, sf_dir):
+    """Row-wise z-score across the sample columns (C1, the reference
+    ZScaler semantics: ddof=1, constant rows → 0)."""
+    from .functions.norm import zscore_rows
+
+    counts = _part_counts(spark, sf_dir)
+    out = zscore_rows(counts, ["A", "N", "R"])
+    return out.select(
+        "partkey",
+        F.round(F.col("A"), 6).alias("z_a"),
+        F.round(F.col("N"), 6).alias("z_n"),
+        F.round(F.col("R"), 6).alias("z_r"),
+    )
+
+
+N_ZSCORE_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0) AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0) AS n,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0) AS r
+  FROM lineitem GROUP BY l_partkey
+), stats AS (
+  SELECT partkey, a, n, r,
+         (a + n + r) / 3.0 AS m,
+         sqrt(((a - (a+n+r)/3.0)^2 + (n - (a+n+r)/3.0)^2 + (r - (a+n+r)/3.0)^2) / 2.0) AS s,
+         greatest(a, n, r) = least(a, n, r) AS const
+  FROM counts
+)
+SELECT partkey,
+       round(CASE WHEN const THEN 0.0 ELSE (a - m) / s END, 6) AS z_a,
+       round(CASE WHEN const THEN 0.0 ELSE (n - m) / s END, 6) AS z_n,
+       round(CASE WHEN const THEN 0.0 ELSE (r - m) / s END, 6) AS z_r
+FROM stats
+"""
+
+
+def ml_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means over embeddings (M7; seeded so the output is
+    stable, but no cross-engine oracle exists — rows-only check)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from .operators.clustering import KMeans
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("__row_id"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("__vec"),
+    )
+    # KMeans transformer assembles numeric cols; here the features are
+    # already a vector, so drive Spark ML directly through the operator's
+    # model path
+    km = KMeans(n_clusters=8)
+    from pyspark.ml.clustering import KMeans as MLKMeans
+
+    model = MLKMeans(k=8, seed=42, featuresCol="__vec", predictionCol="cluster").fit(emb)
+    km.model = model
+    return (
+        model.transform(emb)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def ml_pca_embed(spark, sf_dir):
+    """Distributed PCA (M12) of the part-count matrix with the
+    reference's PC-column naming contract (rows-only: sign of the
+    principal axes is implementation-defined)."""
+    from .operators.projection import PCA
+
+    counts = _part_counts(spark, sf_dir).withColumnRenamed("partkey", "__row_id")
+    return PCA(n_components=2)(counts)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -981,6 +1104,10 @@ QUERIES = {
     "mm_payload_stats": mm_payload_stats,
     "mm_features": mm_features,
     "st_events_window": st_events_window,
+    "n_cpm_log2": n_cpm_log2,
+    "n_zscore_rows": n_zscore_rows,
+    "ml_kmeans_clusters": ml_kmeans_clusters,
+    "ml_pca_embed": ml_pca_embed,
 }
 
 ORACLES = {
@@ -1025,4 +1152,7 @@ ORACLES = {
     "mm_payload_stats": MM_STATS_SQL,
     # mm_features: rows-only (stub decoder, mapInPandas)
     "st_events_window": ST_WINDOW_SQL,
+    "n_cpm_log2": N_CPM_SQL,
+    "n_zscore_rows": N_ZSCORE_SQL,
+    # ml_kmeans_clusters / ml_pca_embed: rows-only (iterative ML, no SQL oracle)
 }

@@ -1,0 +1,166 @@
+"""Tests for imputation, scaling, clustering, projection, sources,
+checkpoint store, and the MFrame chain verbs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mdataframe_spark import MFrame
+from mdataframe_spark.operators.clustering import Agglo, BisectingKMeans, ClassLabel, KMeans
+from mdataframe_spark.operators.impute import ImputeFixed, ImputeMeanMedian
+from mdataframe_spark.operators.projection import PCA, TSNE
+from mdataframe_spark.operators.scale import ColumnScaler, ZScaler
+from mdataframe_spark.plans.checkpoint import CheckpointStore
+from mdataframe_spark.sources import read_table_file, write_tsv
+from mdataframe_spark.sources.readers import annotate_from_file
+
+
+@pytest.fixture
+def null_frame(spark):
+    return spark.createDataFrame(
+        [("a", 1.0, None), ("b", None, 4.0), ("c", 3.0, 8.0)],
+        ["__row_id", "x", "y"],
+    )
+
+
+def test_impute_fixed(null_frame):
+    rows = {r["__row_id"]: r for r in ImputeFixed()(null_frame).collect()}
+    assert rows["b"]["x"] == 0 and rows["a"]["y"] == 0
+    assert rows["a"]["x"] == 1.0
+
+
+def test_impute_mean_median(null_frame):
+    rows = {r["__row_id"]: r for r in ImputeMeanMedian("mean")(null_frame).collect()}
+    assert rows["b"]["x"] == 2.0  # mean of 1, 3
+    assert rows["a"]["y"] == 6.0  # mean of 4, 8
+    rows = {r["__row_id"]: r for r in ImputeMeanMedian("median")(null_frame).collect()}
+    assert rows["b"]["x"] == 2.0
+    with pytest.raises(ValueError):
+        ImputeMeanMedian("mode")
+
+
+def test_column_scaler(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], ["__row_id", "x"]
+    )
+    vals = sorted(r["x"] for r in ColumnScaler()(df).collect())
+    np.testing.assert_almost_equal(vals, [-1.224744871, 0.0, 1.224744871], decimal=8)
+
+
+def test_zscaler_rows(test_frame):
+    out = ZScaler()(test_frame)
+    row = {r["__row_id"]: r for r in out.collect()}["genA"]
+    samples = [c for c in test_frame.columns if c != "__row_id"]
+    vals = np.array([row[s] for s in samples])
+    np.testing.assert_almost_equal(vals.mean(), 0.0, decimal=10)
+    np.testing.assert_almost_equal(vals.std(ddof=1), 1.0, decimal=10)
+
+
+def test_kmeans_labels_and_predict(test_frame):
+    km = KMeans(n_clusters=2)
+    out = km(test_frame)
+    labels = {r["__row_id"]: r["KMeans"] for r in out.collect()}
+    assert set(labels.values()) == {0, 1}
+    # genD is far from the others — it should sit alone or with genC
+    assert labels["genA"] == labels["genB"]
+    pred = km.predict(test_frame)
+    labels2 = {r["__row_id"]: r["KMeans"] for r in pred.collect()}
+    assert labels == labels2
+
+
+def test_bisecting_kmeans(test_frame):
+    out = BisectingKMeans(n_clusters=2)(test_frame)
+    assert set(r["BisectingKMeans"] for r in out.collect()) == {0, 1}
+
+
+def test_agglo_ward(test_frame):
+    agglo = Agglo(n_clusters=2)
+    out = agglo(test_frame, sort=True)
+    rows = out.collect()
+    labels = [r["Agglo"] for r in rows]
+    assert labels == sorted(labels)  # sorted ascending by label
+    by_id = {r["__row_id"]: r["Agglo"] for r in rows}
+    # genD dominates the distance scale -> singleton cluster
+    assert len({by_id["genA"], by_id["genB"], by_id["genC"]}) == 1
+    assert by_id["genD"] != by_id["genA"]
+    # add=False drops the column
+    assert "Agglo" not in Agglo(n_clusters=2)(test_frame, add=False).columns
+
+
+def test_agglo_row_cap(spark):
+    df = spark.range(5).select(
+        F.col("id").cast("string").alias("__row_id"), F.rand(7).alias("x")
+    )
+    with pytest.raises(ValueError, match="capped"):
+        Agglo(max_rows=3)(df)
+
+
+def test_class_label(test_frame):
+    cl = ClassLabel({"genA": 1, "genB": 1, "genC": 2})
+    out = {r["__row_id"]: r["ClassLabel"] for r in cl(test_frame, sort=False).collect()}
+    assert out == {"genA": 1, "genB": 1, "genC": 2, "genD": -1}
+
+
+def test_pca_contract(test_frame):
+    pca = PCA(n_components=2)
+    out = pca(test_frame)
+    pc_cols = [c for c in out.columns if c.startswith("PC")]
+    assert len(pc_cols) == 2
+    assert "expl.var" in pc_cols[0]
+    assert out.count() == 4
+    # explained variance ratios sorted descending, in (0, 1]
+    evr = pca.explained_variance_ratio_
+    assert evr[0] >= evr[1] and 0 < evr[0] <= 1
+
+
+def test_tsne_stub(test_frame):
+    with pytest.raises(NotImplementedError, match="scikit-learn"):
+        TSNE()(test_frame)
+
+
+def test_tsv_roundtrip(spark, tmp_path, test_frame):
+    path = str(tmp_path / "out_tsv")
+    write_tsv(test_frame, path, single_file=True)
+    back = read_table_file(spark, path)
+    assert back.count() == 4
+    assert set(back.columns) == set(test_frame.columns)
+
+
+def test_annotation_join_fill(spark, test_frame):
+    anno = spark.createDataFrame(
+        [("genA", "chr1"), ("genB", "chr2")], ["gene", "chrom"]
+    )
+    out = annotate_from_file(test_frame, anno, "gene", ["chrom"],
+                             fill_value="NA", df_key="__row_id")
+    rows = {r["__row_id"]: r["chrom"] for r in out.collect()}
+    assert rows == {"genA": "chr1", "genB": "chr2", "genC": "NA", "genD": "NA"}
+
+
+def test_checkpoint_store(spark, tmp_path, test_frame):
+    from mdataframe_spark.functions.norm import TMM
+
+    store = CheckpointStore(str(tmp_path / "cache"))
+    tmm = TMM({"sampleA_1": "A"})
+    key = store.step_key(store.source_key("test_frame"), tmm)
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return test_frame
+
+    a = store.get_or_compute(spark, key, compute)
+    b = store.get_or_compute(spark, key, compute)
+    assert calls["n"] == 1  # second call is a cache hit
+    assert a.count() == b.count() == 4
+    # same params => same key; different params => different key
+    assert key == store.step_key(store.source_key("test_frame"), TMM({"sampleA_1": "A"}))
+    assert key != store.step_key(store.source_key("test_frame"), TMM({"sampleA_1": "B"}))
+
+
+def test_mframe_chain_cluster_reduce(test_frame):
+    mf = MFrame(test_frame, name="counts")
+    clustered = mf.impute().scale(axis=1).cluster(n_clusters=2)
+    assert "KMeans" in clustered.df.columns
+    reduced = mf.reduce(n_components=2)
+    assert len(reduced.data_columns) == 2
+    assert all("PC" in c for c in reduced.data_columns)
