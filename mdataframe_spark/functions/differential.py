@@ -1,0 +1,343 @@
+"""Differential-expression transformers (reference: differential.py).
+
+EdgeR_Unpaired reproduces the reference's edgeR exact-test pipeline
+(reference: differential.py:51-150 — DGEList → calcNormFactors →
+estimateDisp → exactTest → topTags) natively on Spark, with the same
+output-column contract: ``log2FC (name)``, ``logCPM (name)``,
+``p (name)``, ``FDR (name)`` (reference: differential.py:26-48, 84-90).
+
+Distributed shape (designed for 100 TB of genes, bounded samples):
+
+1. library sizes + TMM factors — distributed aggregations (norm.py),
+   driver receives one scalar per sample;
+2. phase A (``applyInPandas`` over gene partitions): per-gene APL
+   curve over the 21-point dispersion grid + aveLogCPM + residual
+   deviance — each gene independent, Arrow-batched numpy kernels
+   (edger.py);
+3. global empirical-Bayes reduction — one Spark aggregation: summed
+   APL curve (common dispersion), deviance moments (prior df). A few
+   dozen doubles to the driver, broadcast back as literals;
+4. phase B (``applyInPandas``): per-gene tagwise dispersion
+   (weighted-likelihood maximize), pseudo-counts, exact NB test,
+   logFC;
+5. BH/FDR — the W1 window (stats.py).
+
+Numerical parity: given a KNOWN dispersion the exact test matches NB
+enumeration exactly; the estimateDisp EB layer approximates R's
+locfit/robust machinery (see edger.py docstring) — golden parity is
+asserted with documented tolerances in tests/test_edger_golden.py.
+"""
+
+from __future__ import annotations
+
+from typing import Collection, Dict, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..transformer import Transformer
+from . import edger
+from .norm import tmm_norm_factors
+from .stats import bh_adjust
+
+GRID_LENGTH = 21
+GRID_RANGE = (-10.0, 10.0)
+
+
+class EdgeR_Unpaired(Transformer):
+    """Two-group unpaired exact NB test with TMM normalization."""
+
+    def __init__(
+        self,
+        condition_a: str,
+        condition_b: str,
+        condition_to_columns: Dict[str, Collection[str]],
+        comparison_name: Optional[str] = None,
+        index_column: str = "__row_id",
+        dispersion: Optional[float] = None,
+        prior_df: Optional[float] = None,
+        **parameters,
+    ):
+        library_sizes = parameters.get("library_sizes", None)
+        self.manual_dispersion_value = parameters.get("manual_dispersion_value", 0.4)
+        super().__init__(
+            "EdgeR_Unpaired",
+            condition_a,
+            condition_b,
+            condition_to_columns,
+            comparison_name,
+            library_sizes,
+        )
+        self.condition_a = condition_a
+        self.condition_b = condition_b
+        self.columns_a = list(condition_to_columns[condition_a])
+        self.columns_b = list(condition_to_columns[condition_b])
+        self.index_column = index_column
+        self.library_sizes = library_sizes
+        self.dispersion = dispersion
+        self.prior_df = prior_df
+        self.suffix = f" ({comparison_name})" if comparison_name else f" ({self.name})"
+
+    # reference column contract (differential.py:26-48, 84-90)
+    @property
+    def logFC_column(self):
+        return "log2FC" + self.suffix
+
+    @property
+    def p_column(self):
+        return "p" + self.suffix
+
+    @property
+    def fdr_column(self):
+        return "FDR" + self.suffix
+
+    @property
+    def logCPM_column(self):
+        return "logCPM" + self.suffix
+
+    @property
+    def columns(self):
+        return [self.logFC_column, self.p_column, self.fdr_column, self.logCPM_column]
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        cols = self.columns_a + self.columns_b
+        n_a = len(self.columns_a)
+        idx = self.index_column
+        counts = df.select(idx, *cols)
+
+        # --- stage 1: library sizes + TMM factors (distributed aggs) ---
+        if self.library_sizes is not None:
+            lib = {c: float(v) for c, v in zip(cols, self.library_sizes)}
+        else:
+            row = counts.select([F.sum(c).alias(c) for c in cols]).collect()[0]
+            lib = {c: float(row[c]) for c in cols}
+        factors = tmm_norm_factors(counts, cols, idx)
+        eff_lib = np.array([lib[c] * factors[c] for c in cols])
+        group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
+        spline_pts = np.linspace(GRID_RANGE[0], GRID_RANGE[1], GRID_LENGTH)
+        spline_disp = 0.1 * 2.0 ** spline_pts
+        df_resid = len(cols) - 2
+
+        dispersion = self.dispersion
+        if dispersion is None and df_resid <= 0:
+            # no replicates: dispersion cannot be estimated. Follow the
+            # reference (differential.py:128-135): fall back to a manual
+            # "from experience" value, squared as the reference does.
+            dispersion = self.manual_dispersion_value ** 2
+
+        if dispersion is None:
+            # --- phase A: per-gene APL curves + aveLogCPM + deviance ---
+            schema_a = T.StructType(
+                list(counts.schema.fields)
+                + [T.StructField(f"l0_{i}", T.DoubleType()) for i in range(GRID_LENGTH)]
+                + [
+                    T.StructField("alc05", T.DoubleType()),
+                    T.StructField("s2", T.DoubleType()),
+                ]
+            )
+
+            def phase_a(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    y = pdf[cols].to_numpy(dtype=float)
+                    out = pdf.copy()
+                    l0 = np.empty((len(y), GRID_LENGTH))
+                    for i, d in enumerate(spline_disp):
+                        l0[:, i] = edger.adjusted_profile_lik(
+                            d, y, group, np.log(eff_lib)[None, :]
+                        )
+                        out[f"l0_{i}"] = l0[:, i]
+                    out["alc05"] = edger.ave_log_cpm(y, eff_lib)
+                    out["s2"] = _residual_s2(y, group, eff_lib, df_resid)
+                    yield out
+
+            # the counts columns ride along (bounded width: #samples), so
+            # phase B has both the APL grid and the raw counts
+            curves = counts.mapInPandas(phase_a, schema_a).persist()
+
+            # --- global EB reduction: one aggregation ---
+            agg_row = curves.agg(
+                *[F.sum(f"l0_{i}").alias(f"s{i}") for i in range(GRID_LENGTH)],
+                F.count(F.lit(1)).alias("n_genes"),
+                F.avg(F.log("s2")).alias("mean_log_s2"),
+                F.var_samp(F.log("s2")).alias("var_log_s2"),
+            ).collect()[0]
+            n_genes = agg_row["n_genes"]
+            sum_curve = np.array([agg_row[f"s{i}"] for i in range(GRID_LENGTH)])
+            # common dispersion: argmax of the summed APL curve. Also the
+            # dispersion at which exactTest's logCPM column is evaluated
+            # (edgeR computes aveLogCPM at the common dispersion).
+            common_pt = edger._spline_argmax(spline_pts, sum_curve)
+            common_disp = 0.1 * 2.0 ** common_pt
+
+            # dispersion-trend support: quantile-bin the aveLogCPM
+            # covariate and average the APL curves per bin (one groupBy;
+            # the scalable stand-in for locfit's local regression). Phase
+            # B tricube-weights the bin curves around each gene's
+            # abundance — with #bins == #genes this IS a per-gene
+            # tricube smoother.
+            n_bins = int(min(max(n_genes, 1), 64))
+            probs = [i / n_bins for i in range(1, n_bins)]
+            cuts = curves.approxQuantile("alc05", probs, 0.001) if n_bins > 1 else []
+            bin_expr = F.lit(0)
+            for ci, cut in enumerate(cuts):
+                bin_expr = F.when(F.col("alc05") > cut, ci + 1).otherwise(bin_expr)
+            bin_rows = (
+                curves.withColumn("__bin", bin_expr)
+                .groupBy("__bin")
+                .agg(
+                    *[F.avg(f"l0_{i}").alias(f"c{i}") for i in range(GRID_LENGTH)],
+                    F.avg("alc05").alias("center"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            bin_centers = np.array([r["center"] for r in bin_rows])
+            bin_counts = np.array([r["n"] for r in bin_rows], dtype=float)
+            bin_curves = np.array(
+                [[r[f"c{i}"] for i in range(GRID_LENGTH)] for r in bin_rows]
+            )
+            if self.prior_df is not None:
+                prior_df = self.prior_df
+            else:
+                prior_df = _prior_df_from_moments(
+                    agg_row["var_log_s2"], df_resid
+                )
+            prior_n = prior_df / df_resid if np.isfinite(prior_df) else 1e8
+
+            # --- phase B: tagwise + exact test per gene ---
+            result = curves.mapInPandas(
+                _phase_b_builder(
+                    idx, cols, n_a, eff_lib, spline_pts,
+                    bin_centers, bin_counts, bin_curves, prior_n, common_disp,
+                ),
+                _phase_b_schema(idx, counts.schema[idx].dataType),
+            )
+            # curves stays persisted: the EB aggregation already
+            # materialized it, and phase B reads it again lazily
+            joined = counts.join(result, idx)
+        else:
+            # fixed dispersion: single distributed pass, exact math
+            joined = counts.mapInPandas(
+                _fixed_disp_builder(idx, cols, n_a, eff_lib, float(dispersion)),
+                _phase_b_schema(idx, counts.schema[idx].dataType),
+            ).join(counts, idx)
+
+        out = bh_adjust(joined, "p_raw", "fdr_raw", tiebreak_cols=[idx])
+        return out.select(
+            idx,
+            *cols,
+            F.col("logfc_raw").alias(self.logFC_column),
+            F.col("logcpm_raw").alias(self.logCPM_column),
+            F.col("p_raw").alias(self.p_column),
+            F.col("fdr_raw").alias(self.fdr_column),
+        )
+
+
+def _residual_s2(y, group, eff_lib, df_resid):
+    """Residual NB deviance / df at a moderate dispersion (for the
+    prior-df moment estimate)."""
+    g = len(y)
+    disp = np.full(g, 0.1)
+    mu = np.zeros_like(y, dtype=float)
+    offs = np.log(eff_lib)[None, :]
+    for grp in np.unique(group):
+        j = group == grp
+        beta = edger.mglm_one_group(y[:, j], disp, np.broadcast_to(offs, y.shape)[:, j])
+        mu[:, j] = np.exp(beta[:, None] + np.broadcast_to(offs, y.shape)[:, j])
+    r = 1.0 / disp
+    yy = np.maximum(y, 1e-300)
+    dev = 2.0 * (
+        y * np.log(yy / np.maximum(mu, 1e-300))
+        - (y + r[:, None]) * np.log((yy + r[:, None]) / (mu + r[:, None]))
+    ).sum(axis=1)
+    return np.maximum(dev / df_resid, 1e-8)
+
+
+def _prior_df_from_moments(var_log_s2, df_resid):
+    if var_log_s2 is None:
+        return 10.0
+    evar = float(var_log_s2) - float(edger.trigamma(np.array([df_resid / 2.0]))[0])
+    if evar <= 0:
+        return np.inf
+    return 2.0 * float(edger.trigamma_inverse(np.array([evar]))[0])
+
+
+def _phase_b_schema(idx, idx_type):
+    return T.StructType(
+        [
+            T.StructField(idx, idx_type),
+            T.StructField("logfc_raw", T.DoubleType()),
+            T.StructField("logcpm_raw", T.DoubleType()),
+            T.StructField("p_raw", T.DoubleType()),
+            T.StructField("tagwise_disp", T.DoubleType()),
+        ]
+    )
+
+
+def _phase_b_builder(idx, cols, n_a, eff_lib, spline_pts,
+                     bin_centers, bin_counts, bin_curves, prior_n, common_disp):
+    l0_cols = [f"l0_{i}" for i in range(len(spline_pts))]
+    group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
+
+    def trend_curve(alc):
+        """Tricube-weighted mix of bin curves around each gene's
+        abundance (span=1 over the observed bin range)."""
+        d = np.abs(bin_centers[None, :] - alc[:, None])
+        h = np.maximum(d.max(axis=1, keepdims=True), 1e-10)
+        w = np.clip(1.0 - (d / h) ** 3, 0.0, None) ** 3
+        w = np.maximum(w, 1e-8) * bin_counts[None, :]
+        w = w / w.sum(axis=1, keepdims=True)
+        return w @ bin_curves
+
+    def phase_b(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            y = pdf[cols].to_numpy(dtype=float)
+            l0 = pdf[l0_cols].to_numpy(dtype=float)
+            m0 = trend_curve(pdf["alc05"].to_numpy(dtype=float))
+            shrunk = l0 + prior_n * m0
+            pts = edger.maximize_interpolant(np.asarray(spline_pts), shrunk)
+            tagwise = 0.1 * 2.0 ** pts
+            pseudo, common_lib = edger.equalize_lib_sizes(y, group, tagwise, eff_lib)
+            p1, p2 = pseudo[:, :n_a], pseudo[:, n_a:]
+            pv = edger.exact_test_doubletail(p1, p2, tagwise)
+            lfc = edger.exact_test_logfc(p1, p2, common_lib)
+            alc = edger.ave_log_cpm(y, eff_lib, dispersion=common_disp)
+            yield pd.DataFrame(
+                {
+                    idx: pdf[idx],
+                    "logfc_raw": lfc,
+                    "logcpm_raw": alc,
+                    "p_raw": pv,
+                    "tagwise_disp": tagwise,
+                }
+            )
+
+    return phase_b
+
+
+def _fixed_disp_builder(idx, cols, n_a, eff_lib, dispersion):
+    group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            y = pdf[cols].to_numpy(dtype=float)
+            disp = np.full(len(y), dispersion)
+            pseudo, common_lib = edger.equalize_lib_sizes(y, group, disp, eff_lib)
+            p1, p2 = pseudo[:, :n_a], pseudo[:, n_a:]
+            pv = edger.exact_test_doubletail(p1, p2, disp)
+            lfc = edger.exact_test_logfc(p1, p2, common_lib)
+            alc = edger.ave_log_cpm(y, eff_lib)
+            yield pd.DataFrame(
+                {
+                    idx: pdf[idx],
+                    "logfc_raw": lfc,
+                    "logcpm_raw": alc,
+                    "p_raw": pv,
+                    "tagwise_disp": disp,
+                }
+            )
+
+    return run

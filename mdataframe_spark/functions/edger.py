@@ -1,0 +1,472 @@
+"""Native reimplementation of the edgeR exact-test pipeline (numpy).
+
+The reference calls edgeR in an embedded R session (reference:
+differential.py:51-150: DGEList → calcNormFactors → estimateDisp →
+exactTest → topTags). This module implements the same published
+algorithms (Robinson & Smyth 2008 — exact NB test & qCML; McCarthy,
+Chen & Smyth 2012 — APL dispersion estimation; Chen, Lun & Smyth 2014
+— empirical Bayes shrinkage) as vectorized numpy kernels over a
+(genes × samples) block, so they can run either driver-side for small
+frames or inside ``applyInPandas`` per gene-partition at scale (the
+cross-gene pieces — common/trended dispersion, prior df — are global
+aggregates computed in a first pass and broadcast into the second).
+
+Deviations from R (documented; no R exists in this environment to
+cross-check intermediates):
+- the dispersion-trend smoother approximates edgeR's locfit local
+  regression with a tricube-weighted local-constant smoother;
+- `maximizeInterpolant` uses a natural cubic spline (R's splinefun
+  default is FMM; boundary segments differ slightly);
+- robust=TRUE's winsorized prior-df estimation follows limma's
+  fitFDist moment matching without the robust outlier re-weighting.
+Golden tests assert logCPM at the reference's decimal=5 and
+p-values/logFC within a relaxed documented tolerance
+(tests/test_edger_golden.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .numerics import dnbinom_log, gammaln, pgamma, pnorm, qgamma, qnorm
+
+# ---------------------------------------------------------------------------
+# one-group NB GLM (log link) — edgeR mglmOneGroup equivalent
+# ---------------------------------------------------------------------------
+def mglm_one_group(
+    y: np.ndarray,
+    dispersion,
+    offset: np.ndarray,
+    max_iter: int = 50,
+    tol: float = 1e-10,
+) -> np.ndarray:
+    """Per-gene MLE of beta in  mu_ij = exp(beta_i + offset_j).
+
+    Newton iterations on the NB score equation
+    sum_j (y_ij - mu_ij) / (1 + phi_i * mu_ij) = 0.
+    """
+    y = np.asarray(y, dtype=float)
+    g, n = y.shape
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,)).copy()
+    offset = np.broadcast_to(np.asarray(offset, dtype=float), (g, n))
+    # start from the Poisson solution
+    tot = y.sum(axis=1)
+    beta = np.where(
+        tot > 0, np.log(np.maximum(tot, 1e-300)) - np.log(np.exp(offset).sum(axis=1)), -np.inf
+    )
+    active = tot > 0
+    for _ in range(max_iter):
+        if not active.any():
+            break
+        mu = np.exp(beta[:, None] + offset)
+        denom = 1.0 + phi[:, None] * mu
+        score = ((y - mu) / denom).sum(axis=1)
+        info = (mu / denom).sum(axis=1)
+        step = np.where(active & (info > 0), score / np.maximum(info, 1e-300), 0.0)
+        step = np.clip(step, -10.0, 10.0)
+        beta = beta + step
+        active = active & (np.abs(step) > tol)
+    return beta
+
+
+def ave_log_cpm(
+    y: np.ndarray,
+    lib_size: np.ndarray,
+    prior_count: float = 2.0,
+    dispersion: float = 0.05,
+) -> np.ndarray:
+    """edgeR aveLogCPM: average log2 CPM with a scaled prior, fitted as
+    a one-group NB GLM at a nominal dispersion."""
+    y = np.asarray(y, dtype=float)
+    lib = np.asarray(lib_size, dtype=float)
+    adj_prior = prior_count * lib / lib.mean()
+    adj_lib = lib + 2.0 * adj_prior
+    beta = mglm_one_group(y + adj_prior[None, :], dispersion, np.log(adj_lib)[None, :])
+    return (beta + np.log(1e6)) / np.log(2.0)
+
+
+# ---------------------------------------------------------------------------
+# adjusted profile likelihood over a dispersion grid (one-way design)
+# ---------------------------------------------------------------------------
+def nb_loglik(y, mu, phi):
+    """NB log likelihood, phi may be 0 (Poisson limit)."""
+    y = np.asarray(y, dtype=float)
+    mu = np.maximum(mu, 1e-300)
+    if np.all(phi == 0):
+        return (y * np.log(mu) - mu - gammaln(y + 1.0)).sum(axis=-1)
+    r = 1.0 / np.maximum(phi, 1e-300)
+    if np.ndim(r) > 0:
+        r = np.asarray(r)[..., None] if np.ndim(r) == 1 else r
+    ll = (
+        gammaln(y + r)
+        - gammaln(r)
+        - gammaln(y + 1.0)
+        + r * np.log(r / (r + mu))
+        + y * np.log(mu / (r + mu))
+    )
+    return ll.sum(axis=-1)
+
+
+def adjusted_profile_lik(
+    dispersion: float,
+    y: np.ndarray,
+    group: np.ndarray,
+    offset: np.ndarray,
+) -> np.ndarray:
+    """APL(gene) at a single dispersion for a one-way layout:
+    max loglik over group means minus the Cox-Reid adjustment
+    ½·log det(XᵀWX) — which for one-way designs factorizes into
+    ½·Σ_groups log Σ_j w_ij."""
+    y = np.asarray(y, dtype=float)
+    g, n = y.shape
+    offset = np.broadcast_to(np.asarray(offset, dtype=float), (g, n))
+    groups = np.unique(group)
+    mu = np.zeros_like(y)
+    cr = np.zeros(g)
+    for grp in groups:
+        j = group == grp
+        beta = mglm_one_group(y[:, j], dispersion, offset[:, j])
+        mu_j = np.exp(beta[:, None] + offset[:, j])
+        mu[:, j] = mu_j
+        w = mu_j / (1.0 + dispersion * mu_j)
+        sw = np.maximum(w.sum(axis=1), 1e-300)
+        cr += 0.5 * np.log(sw)
+    ll = nb_loglik(y, mu, dispersion)
+    return ll - cr
+
+
+def maximize_interpolant(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Argmax of a cubic-spline interpolant through (x, row of y),
+    vectorized over rows (edgeR maximizeInterpolant shape)."""
+    x = np.asarray(x, dtype=float)
+    y = np.atleast_2d(np.asarray(y, dtype=float))
+    nrow, n = y.shape
+    out = np.empty(nrow)
+    for r in range(nrow):
+        out[r] = _spline_argmax(x, y[r])
+    return out
+
+
+def _natural_spline_coeffs(x, y):
+    n = len(x)
+    h = np.diff(x)
+    rhs = np.zeros(n)
+    rhs[1:-1] = 3.0 * ((y[2:] - y[1:-1]) / h[1:] - (y[1:-1] - y[:-2]) / h[:-1])
+    # tridiagonal solve (natural BC: c0 = cn-1 = 0)
+    a = np.zeros(n)
+    b = np.ones(n)
+    c = np.zeros(n)
+    a[1:-1] = h[:-1]
+    b[1:-1] = 2.0 * (h[:-1] + h[1:])
+    c[1:-1] = h[1:]
+    # Thomas algorithm
+    cp = np.zeros(n)
+    dp = np.zeros(n)
+    cp[0] = c[0] / b[0]
+    dp[0] = rhs[0] / b[0]
+    for i in range(1, n):
+        m = b[i] - a[i] * cp[i - 1]
+        cp[i] = c[i] / m
+        dp[i] = (rhs[i] - a[i] * dp[i - 1]) / m
+    cc = np.zeros(n)
+    cc[-1] = dp[-1]
+    for i in range(n - 2, -1, -1):
+        cc[i] = dp[i] - cp[i] * cc[i + 1]
+    bb = (y[1:] - y[:-1]) / h - h * (2.0 * cc[:-1] + cc[1:]) / 3.0
+    dd = (cc[1:] - cc[:-1]) / (3.0 * h)
+    return bb, cc[:-1], dd
+
+
+def _spline_argmax(x, y):
+    i_best = int(np.argmax(y))
+    best_x, best_val = x[i_best], y[i_best]
+    bb, cc, dd = _natural_spline_coeffs(x, y)
+    for seg in range(len(x) - 1):
+        b, c, d = bb[seg], cc[seg], dd[seg]
+        # derivative roots of the cubic on this segment
+        if abs(d) > 1e-300:
+            disc = c * c - 3.0 * d * b
+            if disc < 0:
+                continue
+            roots = [(-c + s * np.sqrt(disc)) / (3.0 * d) for s in (1.0, -1.0)]
+        elif abs(c) > 1e-300:
+            roots = [-b / (2.0 * c)]
+        else:
+            continue
+        for t in roots:
+            if 0 <= t <= x[seg + 1] - x[seg]:
+                val = y[seg] + b * t + c * t * t + d * t ** 3
+                if val > best_val:
+                    best_val, best_x = val, x[seg] + t
+    return best_x
+
+
+def _tricube_smooth(loglik: np.ndarray, covariate: np.ndarray, span: float = 1.0) -> np.ndarray:
+    """Local-constant smoother of each APL column over the covariate
+    (approximates edgeR's locfitByCol, degree 0)."""
+    g = len(covariate)
+    k = max(int(np.ceil(span * g)), 2)
+    order = np.argsort(covariate)
+    sm = np.empty_like(loglik)
+    for gi in range(g):
+        d = np.abs(covariate - covariate[gi])
+        h = np.sort(d)[min(k - 1, g - 1)]
+        h = max(h, 1e-10)
+        w = np.clip(1.0 - (d / h) ** 3, 0.0, None) ** 3
+        w[d <= h * (1 + 1e-12)] = np.maximum(w[d <= h * (1 + 1e-12)], 1e-8)
+        sm[gi] = (w[:, None] * loglik).sum(axis=0) / w.sum()
+    _ = order
+    return sm
+
+
+# digamma / trigamma (needed for prior-df moment matching)
+def digamma(x):
+    x = np.asarray(x, dtype=float).copy()
+    res = np.zeros_like(x)
+    while np.any(x < 6):
+        small = x < 6
+        res[small] -= 1.0 / x[small]
+        x[small] += 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    return res + np.log(x) - 0.5 * inv - inv2 * (
+        1.0 / 12 - inv2 * (1.0 / 120 - inv2 / 252)
+    )
+
+
+def trigamma(x):
+    x = np.asarray(x, dtype=float).copy()
+    res = np.zeros_like(x)
+    while np.any(x < 6):
+        small = x < 6
+        res[small] += 1.0 / (x[small] * x[small])
+        x[small] += 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    return res + inv * (1.0 + 0.5 * inv + inv2 * (1.0 / 6 - inv2 * (1.0 / 30 - inv2 / 42)))
+
+
+def trigamma_inverse(y):
+    """Solve trigamma(x) = y (limma trigammaInverse, Newton)."""
+    y = np.asarray(y, dtype=float)
+    x = 0.5 + 1.0 / y
+    for _ in range(50):
+        tri = trigamma(x)
+        dif = tri * (1.0 - tri / y) / _tetragamma(x)
+        x = x + dif
+        if np.all(np.abs(dif / x) < 1e-10):
+            break
+    return x
+
+
+def _tetragamma(x):
+    eps = 1e-5
+    return (trigamma(x + eps) - trigamma(x - eps)) / (2 * eps)
+
+
+def estimate_prior_df(
+    y: np.ndarray, group: np.ndarray, offset: np.ndarray, trended_disp: np.ndarray
+) -> float:
+    """Prior degrees of freedom via limma-style moment matching of the
+    residual deviances (squeezeVar/fitFDist, non-robust form)."""
+    g, n = y.shape
+    groups = np.unique(group)
+    df_resid = n - len(groups)
+    mu = np.zeros_like(y, dtype=float)
+    for grp in groups:
+        j = group == grp
+        beta = mglm_one_group(y[:, j], trended_disp, np.broadcast_to(offset, (g, n))[:, j])
+        mu[:, j] = np.exp(beta[:, None] + np.broadcast_to(offset, (g, n))[:, j])
+    # NB deviance per gene
+    r = 1.0 / np.maximum(trended_disp, 1e-300)
+    yy = np.maximum(y, 1e-300)
+    dev = 2.0 * (
+        y * np.log(yy / np.maximum(mu, 1e-300))
+        - (y + r[:, None]) * np.log((yy + r[:, None]) / (mu + r[:, None]))
+    ).sum(axis=1)
+    s2 = np.maximum(dev / df_resid, 0.0)
+    # fitFDist moment matching on log(s2)
+    ok = s2 > 0
+    if ok.sum() < 2:
+        return 10.0
+    z = np.log(s2[ok])
+    df1 = float(df_resid)
+    e = z - digamma(df1 / 2.0) + np.log(df1 / 2.0)
+    evar = np.var(e, ddof=1) - float(trigamma(np.array([df1 / 2.0]))[0])
+    if evar <= 0:
+        return np.inf
+    df2 = 2.0 * float(trigamma_inverse(np.array([evar]))[0])
+    return df2
+
+
+def estimate_disp(
+    y: np.ndarray,
+    group: np.ndarray,
+    lib_size: np.ndarray,
+    prior_df: Optional[float] = None,
+    grid_length: int = 21,
+    grid_range: Tuple[float, float] = (-10.0, 10.0),
+    span: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """APL-grid dispersion estimation (edgeR estimateDisp shape):
+    common, trended (smoothed over aveLogCPM), and tagwise empirical
+    Bayes dispersions."""
+    y = np.asarray(y, dtype=float)
+    g, n = y.shape
+    offset = np.log(np.asarray(lib_size, dtype=float))
+    spline_pts = np.linspace(grid_range[0], grid_range[1], grid_length)
+    spline_disp = 0.1 * 2.0 ** spline_pts
+    l0 = np.empty((g, grid_length))
+    for i, disp in enumerate(spline_disp):
+        l0[:, i] = adjusted_profile_lik(disp, y, group, offset[None, :])
+    # common
+    common_pt = _spline_argmax(spline_pts, l0.sum(axis=0))
+    common = 0.1 * 2.0 ** common_pt
+    # trended over aveLogCPM
+    alc = ave_log_cpm(y, np.asarray(lib_size, dtype=float))
+    if span is None:
+        span = 1.0 if g < 50 else max(0.25 + 0.75 * (50.0 / g) ** 0.5, 0.3)
+    m0 = _tricube_smooth(l0, alc, span)
+    trend_pts = maximize_interpolant(spline_pts, m0)
+    trended = 0.1 * 2.0 ** trend_pts
+    # prior df
+    if prior_df is None:
+        prior_df = estimate_prior_df(y, group, offset[None, :], trended)
+    df_resid = n - len(np.unique(group))
+    prior_n = prior_df / df_resid if np.isfinite(prior_df) else 1e8
+    # tagwise: maximize l0 + prior.n * m0
+    tag_pts = maximize_interpolant(spline_pts, l0 + prior_n * m0)
+    tagwise = 0.1 * 2.0 ** tag_pts
+    return {
+        "common": common,
+        "trended": trended,
+        "tagwise": tagwise,
+        "prior_df": prior_df,
+        "ave_log_cpm": alc,
+    }
+
+
+# ---------------------------------------------------------------------------
+# library-size equalization (pseudo counts)
+# ---------------------------------------------------------------------------
+def q2qnbinom(x, input_mean, output_mean, dispersion):
+    """edgeR q2qnbinom: map counts between NB distributions with
+    different means by averaging the normal- and gamma-approximation
+    quantile transforms."""
+    x = np.asarray(x, dtype=float)
+    input_mean = np.asarray(input_mean, dtype=float).copy()
+    output_mean = np.asarray(output_mean, dtype=float).copy()
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), x.shape)
+    eps = 1e-14
+    zero = (input_mean < eps) | (output_mean < eps)
+    input_mean[zero] += 0.25
+    output_mean[zero] += 0.25
+    ri = 1.0 + phi * input_mean
+    vi = input_mean * ri
+    ro = 1.0 + phi * output_mean
+    vo = output_mean * ro
+    out = np.empty_like(x)
+    up = x >= input_mean
+    # upper tail
+    if up.any():
+        p1 = pnorm(x[up], input_mean[up], np.sqrt(vi[up]), lower_tail=False)
+        q1 = qnorm(p1, output_mean[up], np.sqrt(vo[up]), lower_tail=False)
+        p2 = pgamma(x[up], shape=input_mean[up] / ri[up], scale=ri[up], lower_tail=False)
+        q2 = qgamma(p2, shape=output_mean[up] / ro[up], scale=ro[up], lower_tail=False)
+        out[up] = 0.5 * (q1 + q2)
+    lo = ~up
+    if lo.any():
+        p1 = pnorm(x[lo], input_mean[lo], np.sqrt(vi[lo]), lower_tail=True)
+        q1 = qnorm(p1, output_mean[lo], np.sqrt(vo[lo]), lower_tail=True)
+        p2 = pgamma(x[lo], shape=input_mean[lo] / ri[lo], scale=ri[lo], lower_tail=True)
+        q2 = qgamma(p2, shape=output_mean[lo] / ro[lo], scale=ro[lo], lower_tail=True)
+        out[lo] = 0.5 * (q1 + q2)
+    return np.maximum(out, 0.0)
+
+
+def equalize_lib_sizes(
+    y: np.ndarray, group: np.ndarray, dispersion: np.ndarray, lib_size: np.ndarray
+) -> Tuple[np.ndarray, float]:
+    """Quantile-adjust counts to a common library size (geometric mean
+    of the effective sizes), per group (edgeR equalizeLibSizes)."""
+    y = np.asarray(y, dtype=float)
+    g, n = y.shape
+    lib = np.asarray(lib_size, dtype=float)
+    common_lib = np.exp(np.mean(np.log(lib)))
+    disp = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,))
+    pseudo = np.zeros_like(y)
+    for grp in np.unique(group):
+        j = group == grp
+        beta = mglm_one_group(y[:, j], disp, np.log(lib[j])[None, :])
+        lam = np.exp(beta)  # per-gene rate
+        input_mean = lam[:, None] * lib[j][None, :]
+        output_mean = np.broadcast_to((lam * common_lib)[:, None], input_mean.shape).copy()
+        pseudo[:, j] = q2qnbinom(
+            y[:, j], input_mean, output_mean, disp[:, None]
+        )
+    return pseudo, common_lib
+
+
+# ---------------------------------------------------------------------------
+# exact NB test (double tail)
+# ---------------------------------------------------------------------------
+def exact_test_doubletail(
+    y1: np.ndarray, y2: np.ndarray, dispersion, big_count: int = 900
+) -> np.ndarray:
+    """Exact NB test p-values (edgeR exactTestDoubleTail): conditional
+    on the total, sum the probabilities of all splits at most as likely
+    as the observed one."""
+    y1 = np.atleast_2d(np.asarray(y1, dtype=float))
+    y2 = np.atleast_2d(np.asarray(y2, dtype=float))
+    g = y1.shape[0]
+    n1, n2 = y1.shape[1], y2.shape[1]
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,))
+    s1 = np.round(y1.sum(axis=1))
+    s2 = np.round(y2.sum(axis=1))
+    s = s1 + s2
+    mu = s / (n1 + n2)
+    mu1, mu2 = n1 * mu, n2 * mu
+    pvals = np.ones(g)
+    for i in range(g):
+        if s[i] == 0:
+            pvals[i] = 1.0
+            continue
+        si = int(s[i])
+        r1 = n1 / phi[i] if phi[i] > 0 else np.inf
+        r2 = n2 / phi[i] if phi[i] > 0 else np.inf
+        j = np.arange(si + 1)
+        if phi[i] > 0 and si <= big_count * (n1 + n2):
+            logp = dnbinom_log(j, r1, mu1[i]) + dnbinom_log(si - j, r2, mu2[i])
+            logp -= logp.max()
+            p = np.exp(logp)
+            obs = p[int(s1[i])]
+            pvals[i] = min(p[p <= obs * (1 + 1e-12)].sum() / p.sum(), 1.0)
+        else:
+            # Poisson limit: binomial split of the total
+            from math import lgamma
+
+            logp = (
+                gammaln(si + 1.0)
+                - gammaln(j + 1.0)
+                - gammaln(si - j + 1.0)
+                + j * np.log(n1 / (n1 + n2))
+                + (si - j) * np.log(n2 / (n1 + n2))
+            )
+            logp -= logp.max()
+            p = np.exp(logp)
+            obs = p[int(s1[i])]
+            pvals[i] = min(p[p <= obs * (1 + 1e-12)].sum() / p.sum(), 1.0)
+    return pvals
+
+
+def exact_test_logfc(
+    pseudo1: np.ndarray, pseudo2: np.ndarray, common_lib: float, prior_count: float = 0.125
+) -> np.ndarray:
+    """logFC as reported by edgeR's exactTest: log2 ratio of average
+    pseudo-CPM with a small prior."""
+    m1 = pseudo1.mean(axis=1)
+    m2 = pseudo2.mean(axis=1)
+    prior = prior_count * 2.0  # prior added to each side's average
+    return np.log2((m1 + prior) / (m2 + prior))
