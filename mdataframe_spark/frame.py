@@ -243,6 +243,89 @@ class MFrame:
         cols = [F.col(k).asc() if a else F.col(k).desc() for k, a in zip(keys, asc)]
         return self._derive(self.df.orderBy(*cols), "sort")
 
+    # -- UDF surface (X1/X2) ----------------------------------------------
+    def apply(self, fn: Callable, axis: int = 0, result_name: Optional[str] = None) -> "MFrame":
+        """Arbitrary-callable transform step (reference X1:
+        mdataframe.py:493-501, 603-621 — ``df.apply(f, axis)``).
+
+        axis=0: ``fn(pandas.Series) -> pandas.Series`` applied to each
+        data column as an Arrow-batched pandas UDF — executor-parallel,
+        the scalable path.
+        axis=1: ``fn(pandas.Series) -> scalar`` applied per row via
+        mapInPandas; the scalar lands in ``result_name`` (default: the
+        function's name).
+        """
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        if axis == 0:
+            # functionType form: this module uses `from __future__ import
+            # annotations`, which stringifies type hints and breaks
+            # pandas_udf's hint inspection
+            from pyspark.sql.functions import PandasUDFType
+
+            col_udf = pandas_udf(
+                lambda s: fn(s).astype(float), "double", PandasUDFType.SCALAR
+            )
+
+            out = self.df.withColumns({c: col_udf(F.col(c)) for c in self.data_columns})
+            return self._derive(out, "apply_ax0")
+        if axis == 1:
+            import pandas as pd
+
+            name = result_name or getattr(fn, "__name__", "applied")
+            cols = list(self.data_columns)
+            idx = self.index_column
+            schema = T.StructType(
+                [self.df.schema[idx], T.StructField(name, T.DoubleType())]
+            )
+
+            def run(batches):
+                for pdf in batches:
+                    yield pd.DataFrame(
+                        {idx: pdf[idx], name: pdf[cols].apply(fn, axis=1).astype(float)}
+                    )
+
+            applied = self.df.select(idx, *cols).mapInPandas(run, schema)
+            return self._derive(self.df.join(applied, idx), "apply_ax1")
+        raise ValueError(f"axis must be 0 or 1, got {axis}")
+
+    def apply_frame(self, fn: Callable) -> "MFrame":
+        """Whole-frame pandas callable (reference X2: mdataframe.py:625-645).
+
+        NON-SCALABLE escape hatch: the entire frame is gathered into one
+        pandas DataFrame on an executor (single group). Kept for parity
+        with the reference's whole-frame transforms; anything hot-path
+        belongs in a real operator.
+        """
+        import pandas as pd
+
+        pdf = self.df.toPandas()
+        result = fn(pdf)
+        if not isinstance(result, pd.DataFrame):
+            raise ValueError("apply_frame callable must return a pandas DataFrame")
+        out = self.df.sparkSession.createDataFrame(result)
+        return self._derive(out, "apply_frame")
+
+    # -- column-axis sort (O3) --------------------------------------------
+    def sort_columns(self, by_row: Any, ascending: bool = True) -> "MFrame":
+        """Order the data COLUMNS by the values of one row (reference
+        O3: mdataframe.py:449-468). The deciding row is a single
+        driver-side fetch; the reorder is a projection."""
+        row = (
+            self.df.filter(F.col(self.index_column) == by_row)
+            .select(*self.data_columns)
+            .collect()
+        )
+        if not row:
+            raise ValueError(f"row {by_row!r} not found")
+        vals = row[0].asDict()
+        new_order = sorted(self.data_columns, key=lambda c: vals[c], reverse=not ascending)
+        out = self.df.select(
+            self.index_column, *new_order, *self.meta_row_columns
+        )
+        return self._derive(out, "sort_columns", data_columns=new_order)
+
     # -- layout conversion ------------------------------------------------
     def melt(self, value_name: str = "value", var_name: str = "sample") -> DataFrame:
         """Wide -> long: (row_id, sample, value). The 100 TB layout."""

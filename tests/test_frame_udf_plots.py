@@ -1,0 +1,66 @@
+"""UDF surface (X1/X2), column-axis sort (O3), and plot data plane (S8)."""
+
+import numpy as np
+import pytest
+
+from mdataframe_spark import MFrame
+from mdataframe_spark.operators.plots import heatmap_data, scatter_data
+
+
+def test_apply_axis0_column_udf(test_frame):
+    mf = MFrame(test_frame, name="counts")
+    doubled = mf.apply(lambda s: s * 2.0, axis=0)
+    a = {r["__row_id"]: r for r in test_frame.collect()}
+    b = {r["__row_id"]: r for r in doubled.df.collect()}
+    for g in a:
+        assert b[g]["sampleA_1"] == 2.0 * a[g]["sampleA_1"]
+
+
+def test_apply_axis1_rowwise(test_frame):
+    mf = MFrame(test_frame, name="counts")
+    out = mf.apply(lambda row: float(row.max() - row.min()), axis=1, result_name="rng")
+    rows = {r["__row_id"]: r["rng"] for r in out.df.collect()}
+    assert rows["genA"] == 23 - 2
+    assert rows["genD"] == 90 - 40
+
+
+def test_apply_frame_escape_hatch(test_frame):
+    mf = MFrame(test_frame, name="counts")
+    out = mf.apply_frame(lambda pdf: pdf.assign(total=pdf.iloc[:, 1:].sum(axis=1)))
+    rows = {r["__row_id"]: r["total"] for r in out.df.collect()}
+    assert rows["genA"] == 23 + 2 + 21 + 23 + 3 + 4
+
+
+def test_apply_frame_rejects_non_frame(test_frame):
+    mf = MFrame(test_frame, name="counts")
+    with pytest.raises(ValueError, match="pandas DataFrame"):
+        mf.apply_frame(lambda pdf: 42)
+
+
+def test_sort_columns_by_row(test_frame):
+    mf = MFrame(test_frame, name="counts")
+    out = mf.sort_columns("genA", ascending=True)
+    # genA = [23, 2, 21, 23, 3, 4] -> ascending column order by value
+    vals = [2, 3, 4, 21, 23, 23]
+    row = out.df.filter("__row_id = 'genA'").collect()[0]
+    assert [row[c] for c in out.data_columns] == vals
+    with pytest.raises(ValueError, match="not found"):
+        mf.sort_columns("nope")
+
+
+def test_heatmap_pages(test_frame):
+    cols = [c for c in test_frame.columns if c != "__row_id"]
+    pages = heatmap_data(test_frame, cols, max_rows=3, page_size=2)
+    assert [len(p) for p in pages] == [2, 1]
+    # ranked by row variance: genD (largest spread) first
+    assert pages[0].iloc[0]["__row_id"] == "genD"
+    assert set(pages[0].columns) == {"__row_id", *cols}
+
+
+def test_scatter_sample(spark):
+    df = spark.range(1000).selectExpr(
+        "cast(id as string) as __row_id", "id * 1.0 as x", "id * 2.0 as y"
+    )
+    pts = scatter_data(df, "x", "y", max_points=100)
+    assert 50 <= len(pts) <= 200  # sampled down
+    assert list(pts.columns) == ["__row_id", "x", "y"]
