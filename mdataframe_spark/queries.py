@@ -1049,6 +1049,79 @@ def ml_kmeans_clusters(spark, sf_dir):
     )
 
 
+def stat_edger_exact_test(spark, sf_dir):
+    """Native edgeR exact-test pipeline (M3) on a part-count matrix:
+    TMM → APL dispersion EB → pseudo-counts → NB exact test → BH.
+    Iterative NB fits — no SQL oracle (rows-only check; golden parity
+    vs the reference's R outputs lives in tests/test_edger_golden.py)."""
+    from .functions.differential import EdgeR_Unpaired
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.withColumn("sample", F.concat("l_returnflag", F.lit("_"), "l_linestatus"))
+        .groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+        .pivot("sample", ["A_F", "N_F", "N_O", "R_F", "A_O", "R_O"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+    c2c = {"grpA": ["A_F", "N_F", "N_O"], "grpB": ["R_F", "A_O", "R_O"]}
+    tr = EdgeR_Unpaired("grpA", "grpB", c2c, "flags")
+    out = tr(counts)
+    return out.select(
+        "__row_id",
+        F.round(tr.logFC_column, 6).alias("log2fc"),
+        F.round(tr.logCPM_column, 6).alias("logcpm"),
+        F.round(tr.p_column, 8).alias("p"),
+        F.round(tr.fdr_column, 8).alias("fdr"),
+    )
+
+
+def stat_noiseq(spark, sf_dir):
+    """Native NOISeq-sim (M6) on a part-count matrix (rows-only: the
+    noise cloud is simulation-based; golden parity for M/D/ranking in
+    tests/test_noiseq_golden.py)."""
+    from .functions.noiseq import NOISeq
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+    nq = NOISeq("g1", "g2", {"g1": ["A", "N"], "g2": ["R"]})
+    out = nq(counts)
+    return out.select(
+        "__row_id",
+        F.round(nq.logFC, 6).alias("m"),
+        F.round(nq.D, 6).alias("d"),
+        F.round(nq.prob, 6).alias("prob"),
+        F.round(nq.rank, 6).alias("ranking"),
+    )
+
+
+def stat_tmm_cpm(spark, sf_dir):
+    """Full TMM-normalized log2-CPM transformer (M1) on a part-count
+    matrix (rows-only: the TMM trim ranks are windowed per sample —
+    expressible in SQL but redundantly; golden parity at decimal=5 in
+    tests/test_norm_golden.py)."""
+    from .functions.norm import TMM
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+    tmm = TMM(suffix=True)
+    out = tmm(counts)
+    return out.select(
+        "__row_id",
+        *[F.round(f"`{c} (TMM)`", 6).alias(f"tmm_{c.lower()}") for c in ["A", "N", "R"]],
+    )
+
+
 def ml_pca_embed(spark, sf_dir):
     """Distributed PCA (M12) of the part-count matrix with the
     reference's PC-column naming contract (rows-only: sign of the
@@ -1108,6 +1181,9 @@ QUERIES = {
     "n_zscore_rows": n_zscore_rows,
     "ml_kmeans_clusters": ml_kmeans_clusters,
     "ml_pca_embed": ml_pca_embed,
+    "stat_edger_exact_test": stat_edger_exact_test,
+    "stat_noiseq": stat_noiseq,
+    "stat_tmm_cpm": stat_tmm_cpm,
 }
 
 ORACLES = {
