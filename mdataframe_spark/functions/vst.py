@@ -1,0 +1,161 @@
+"""Variance-stabilizing transformation (reference: transformations.py:155-218).
+
+Native DESeq2-style VST (Anders & Huber 2010; DESeq2's parametric
+fitType): median-of-ratios size factors → BLIND gene-wise dispersion
+estimation (design ~1 — vst()'s default, recovered by calibrating
+against the reference golden: the two-group design misses it by 0.86,
+blind by 0.006) on ≤``nsub`` sampled genes → parametric trend
+disp(q) = a0 + a1/q via gamma IRLS → closed-form transform
+
+    vst(q) = log2( (1 + a1 + 2·a0·q + 2·√(a0·q·(1 + a1 + a0·q))) / (4·a0) )
+
+with q = count/size-factor. The dispersion fit touches only the
+sampled subset (phase A mapInPandas + a handful of aggregation
+scalars); the transform itself is pure column arithmetic — zero UDF on
+the hot path, Catalyst-codegen'd at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..transformer import Transformer
+from . import edger
+
+GRID_LENGTH = 25
+GRID_RANGE = (-12.0, 8.0)
+
+
+class VST(Transformer):
+    """DESeq2-style variance-stabilizing transform, suffix ``" (VST)"``."""
+
+    def __init__(
+        self,
+        samples_to_group: Optional[Dict[str, str]] = None,
+        nsub: int = 1000,
+        suffix=None,
+        index_column: str = "__row_id",
+    ):
+        super().__init__("VST", samples_to_group, nsub)
+        self.samples_to_group = samples_to_group
+        self.nsub = nsub
+        self.index_column = index_column
+        self.suffix = " (VST)" if suffix is None or suffix is True else suffix
+        self.trend_: Optional[tuple] = None  # (a0, a1) after fit
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        idx = self.index_column
+        cols = [c for c in df.columns if c != idx]
+        n = len(cols)
+
+        # --- size factors (median-of-ratios, distributed) ---
+        all_pos = None
+        for c in cols:
+            cond = F.col(c) > 0
+            all_pos = cond if all_pos is None else (all_pos & cond)
+        logmean = sum(F.log(F.col(c)) for c in cols) / n
+        med = (
+            df.filter(all_pos)
+            .select(*[(F.log(F.col(c)) - logmean).alias(f"r_{c}") for c in cols])
+            .agg(*[F.expr(f"percentile(`r_{c}`, 0.5)").alias(c) for c in cols])
+            .collect()[0]
+        )
+        sf = np.array([np.exp(float(med[c])) for c in cols])
+
+        base_mean = sum(
+            (F.col(c) / float(s) for c, s in zip(cols, sf)), F.lit(0.0)
+        ) / n
+
+        # --- sample ≤ nsub genes spanning the mean range (DESeq2 vst
+        # filters baseMean > 5 and subsets evenly over the ordering) ---
+        candidates = df.withColumn("__bm", base_mean).filter(F.col("__bm") > 5)
+        n_cand = candidates.count()
+        if n_cand == 0:
+            candidates = df.withColumn("__bm", base_mean)
+            n_cand = candidates.count()
+        nsub = min(self.nsub, n_cand)
+        w = Window.orderBy(F.col("__bm").asc(), F.col(idx).asc())
+        step = max(n_cand // nsub, 1)
+        sampled = (
+            candidates.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") - 1) % step == 0)
+            .limit(nsub)
+        )
+
+        # --- phase A: blind (one-group) APL dispersion per sampled gene ---
+        group = np.array(["all"] * n)
+        spline_pts = np.linspace(GRID_RANGE[0], GRID_RANGE[1], GRID_LENGTH)
+        spline_disp = 0.1 * 2.0 ** spline_pts
+        schema_a = T.StructType(
+            [
+                T.StructField("gene_disp", T.DoubleType()),
+                T.StructField("bm", T.DoubleType()),
+            ]
+        )
+
+        def phase_a(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                y = pdf[cols].to_numpy(dtype=float)
+                if len(y) == 0:
+                    continue
+                l0 = np.empty((len(y), GRID_LENGTH))
+                for i, d in enumerate(spline_disp):
+                    l0[:, i] = edger.adjusted_profile_lik(
+                        d, y, group, np.log(sf)[None, :]
+                    )
+                pts = edger.maximize_interpolant(spline_pts, l0)
+                yield pd.DataFrame(
+                    {
+                        "gene_disp": np.maximum(0.1 * 2.0 ** pts, 1e-8),
+                        "bm": pdf["__bm"].to_numpy(dtype=float),
+                    }
+                )
+
+        disps = sampled.select(*cols, "__bm").mapInPandas(phase_a, schema_a).persist()
+
+        # --- gamma IRLS trend fit: one 5-scalar aggregation per iter ---
+        a0, a1 = 0.1, 1.0
+        usable = disps.filter((F.col("gene_disp") > 1e-7) & (F.col("bm") > 0))
+        for _ in range(12):
+            mu_fit = F.lit(a0) + F.lit(a1) / F.col("bm")
+            wgt = 1.0 / (mu_fit ** 2)
+            x = 1.0 / F.col("bm")
+            yv = F.col("gene_disp")
+            row = usable.agg(
+                F.sum(wgt).alias("sw"),
+                F.sum(wgt * x).alias("swx"),
+                F.sum(wgt * x * x).alias("swxx"),
+                F.sum(wgt * yv).alias("swy"),
+                F.sum(wgt * x * yv).alias("swxy"),
+            ).collect()[0]
+            det = row["sw"] * row["swxx"] - row["swx"] ** 2
+            if not det:
+                break
+            new_a0 = (row["swxx"] * row["swy"] - row["swx"] * row["swxy"]) / det
+            new_a1 = (row["sw"] * row["swxy"] - row["swx"] * row["swy"]) / det
+            if abs(new_a0 - a0) < 1e-12 and abs(new_a1 - a1) < 1e-12:
+                a0, a1 = new_a0, new_a1
+                break
+            a0, a1 = max(new_a0, 1e-8), max(new_a1, 0.0)
+        self.trend_ = (a0, a1)
+
+        # --- closed-form transform: pure column expressions ---
+        out_cols = {}
+        for c, s in zip(cols, sf):
+            q = F.col(c) / float(s)
+            out_cols[c] = F.log2(
+                (
+                    F.lit(1.0 + a1)
+                    + 2.0 * a0 * q
+                    + 2.0 * F.sqrt(a0 * q * (F.lit(1.0 + a1) + a0 * q))
+                )
+                / F.lit(4.0 * a0)
+            )
+        out = df.withColumns(out_cols)
+        return self._apply_suffix(out, cols)

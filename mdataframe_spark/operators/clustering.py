@@ -203,6 +203,72 @@ def _ward_labels(x, n_clusters: int):
     return labels
 
 
+class DBSCAN(Cluster):
+    """Density-based clustering (reference: strategies.py:214-281, M10).
+
+    Exact DBSCAN on driver-collected features under a row cap (the
+    reference wraps sklearn in-memory too). Noise points get label -1,
+    clusters are numbered in first-appearance order (deterministic).
+    The scale path for density clustering is LSH-bucketed local DBSCAN;
+    out of scope until a corpus needs it.
+    """
+
+    def __init__(self, name: str = "DBSCAN", eps: float = 0.5, min_samples: int = 5,
+                 column_name: Optional[str] = None, index_column: str = "__row_id",
+                 max_rows: int = 50000, **kwargs):
+        super().__init__(name, column_name, index_column,
+                         eps=eps, min_samples=min_samples, **kwargs)
+        self.eps = eps
+        self.min_samples = min_samples
+        self.max_rows = max_rows
+
+    def _fit_predict(self, df: DataFrame, cols):
+        import numpy as np
+
+        rows = df.select(self.index_column, *cols).orderBy(self.index_column).collect()
+        if len(rows) > self.max_rows:
+            raise ValueError(
+                f"DBSCAN is O(n^2) here and capped at {self.max_rows} rows "
+                f"(got {len(rows)})."
+            )
+        ids = [r[self.index_column] for r in rows]
+        x = np.array([[r[c] for c in cols] for r in rows], dtype=float)
+        labels = _dbscan_labels(x, self.eps, self.min_samples)
+        label_df = df.sparkSession.createDataFrame(
+            list(zip(ids, [int(v) for v in labels])), [self.index_column, self.new_column]
+        )
+        return df.join(F.broadcast(label_df), self.index_column)
+
+
+def _dbscan_labels(x, eps: float, min_samples: int):
+    """Classic DBSCAN: BFS over the eps-neighborhood graph from cores."""
+    import numpy as np
+
+    n = len(x)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    neigh = d2 <= eps * eps
+    n_neigh = neigh.sum(axis=1)  # includes self
+    core = n_neigh >= min_samples
+    labels = np.full(n, -1)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        # grow a new cluster from this unvisited core point
+        stack = [i]
+        labels[i] = cluster
+        while stack:
+            p = stack.pop()
+            if not core[p]:
+                continue
+            for q in np.nonzero(neigh[p])[0]:
+                if labels[q] == -1:
+                    labels[q] = cluster
+                    stack.append(q)
+        cluster += 1
+    return labels
+
+
 class ClassLabel(Cluster):
     """Pseudo-clustering: labels from a provided mapping (reference:
     strategies.py:187-211) — a broadcast map join on the row id."""

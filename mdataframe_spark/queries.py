@@ -1122,6 +1122,67 @@ def stat_tmm_cpm(spark, sf_dir):
     )
 
 
+def stat_deseq2_wald(spark, sf_dir):
+    """Native DESeq2-style Wald test (M4) on a part-count matrix
+    (rows-only; golden parity in tests/test_deseq2_golden.py)."""
+    from .functions.deseq2 import DESeq2UnpairedAB
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.withColumn("sample", F.concat("l_returnflag", F.lit("_"), "l_linestatus"))
+        .groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+        .pivot("sample", ["A_F", "N_F", "N_O", "R_F", "A_O", "R_O"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+    c2c = {"grpA": ["A_F", "N_F", "N_O"], "grpB": ["R_F", "A_O", "R_O"]}
+    tr = DESeq2UnpairedAB("grpA", "grpB", c2c, "flags")
+    out = tr(counts)
+    return out.select(
+        "__row_id",
+        F.round(tr.baseMean_column, 6).alias("base_mean"),
+        F.round(tr.logFC_column, 6).alias("log2fc"),
+        F.round(tr.lfcSE_column, 6).alias("lfc_se"),
+        F.round(tr.p_column, 8).alias("p"),
+        F.round(tr.fdr_column, 8).alias("fdr"),
+    )
+
+
+def stat_vst(spark, sf_dir):
+    """Native variance-stabilizing transform (M2) on a part-count
+    matrix (rows-only; golden parity in tests/test_vst_golden.py)."""
+    from .functions.vst import VST
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+    out = VST()(counts)
+    return out.select(
+        "__row_id",
+        *[F.round(f"`{c} (VST)`", 6).alias(f"vst_{c.lower()}") for c in ["A", "N", "R"]],
+    )
+
+
+def ml_dbscan_clusters(spark, sf_dir):
+    """Density clustering (M10) over 2-D part price/size features
+    (rows-only: iterative, no SQL oracle)."""
+    from .operators.clustering import DBSCAN
+
+    p = _t(spark, sf_dir, "part")
+    feats = p.select(
+        F.col("p_partkey").cast("string").alias("__row_id"),
+        (F.col("p_retailprice") / 1000.0).alias("price_k"),
+        (F.col("p_size") / 10.0).alias("size_d"),
+    )
+    db = DBSCAN(eps=0.1, min_samples=4)
+    out = db(feats, sort=False)
+    return out.groupBy("DBSCAN").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
 def ml_pca_embed(spark, sf_dir):
     """Distributed PCA (M12) of the part-count matrix with the
     reference's PC-column naming contract (rows-only: sign of the
@@ -1184,6 +1245,9 @@ QUERIES = {
     "stat_edger_exact_test": stat_edger_exact_test,
     "stat_noiseq": stat_noiseq,
     "stat_tmm_cpm": stat_tmm_cpm,
+    "stat_deseq2_wald": stat_deseq2_wald,
+    "stat_vst": stat_vst,
+    "ml_dbscan_clusters": ml_dbscan_clusters,
 }
 
 ORACLES = {

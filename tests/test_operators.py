@@ -164,3 +164,21 @@ def test_mframe_chain_cluster_reduce(test_frame):
     reduced = mf.reduce(n_components=2)
     assert len(reduced.data_columns) == 2
     assert all("PC" in c for c in reduced.data_columns)
+
+
+def test_dbscan(spark):
+    from mdataframe_spark.operators.clustering import DBSCAN
+
+    # two dense blobs + one far noise point
+    pts = (
+        [(f"a{i}", 0.0 + i * 0.01, 0.0) for i in range(6)]
+        + [(f"b{i}", 5.0 + i * 0.01, 5.0) for i in range(6)]
+        + [("noise", 50.0, 50.0)]
+    )
+    df = spark.createDataFrame(pts, ["__row_id", "x", "y"])
+    out = {r["__row_id"]: r["DBSCAN"] for r in DBSCAN(eps=0.5, min_samples=3)(df, sort=False).collect()}
+    a_labels = {out[f"a{i}"] for i in range(6)}
+    b_labels = {out[f"b{i}"] for i in range(6)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    assert out["noise"] == -1
