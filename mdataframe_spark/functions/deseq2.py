@@ -84,6 +84,8 @@ def wald_one_way(y, group, sf, dispersion, minmu: float = 0.5):
 class DESeq2UnpairedAB(Transformer):
     """Two-group DESeq2-style Wald test (native)."""
 
+    _name = "DESeq2UnpairedAB"
+
     def __init__(
         self,
         condition_a: str,
@@ -92,15 +94,28 @@ class DESeq2UnpairedAB(Transformer):
         comparison_name: Optional[str] = None,
         index_column: str = "__row_id",
         dispersion: Optional[float] = None,
+        include_other_columns_for_variance: bool = False,
     ):
         super().__init__(
-            "DESeq2UnpairedAB", condition_a, condition_b, condition_to_columns,
+            self._name, condition_a, condition_b, condition_to_columns,
             comparison_name,
         )
+        self.name = self._name
         self.condition_a = condition_a
         self.condition_b = condition_b
+        self.condition_to_columns = condition_to_columns
         self.columns_a = list(condition_to_columns[condition_a])
         self.columns_b = list(condition_to_columns[condition_b])
+        self.include_other_columns_for_variance = include_other_columns_for_variance
+        # extra conditions contribute replicates to the dispersion fit
+        # (reference: differential.py:333-348) but not to the contrast
+        self.other_columns = []
+        self.other_groups = []
+        if include_other_columns_for_variance:
+            for cond, cc in condition_to_columns.items():
+                if cond not in (condition_a, condition_b):
+                    self.other_columns.extend(list(cc))
+                    self.other_groups.extend([f"o_{cond}"] * len(list(cc)))
         self.index_column = index_column
         self.dispersion = dispersion
         self.suffix = f" ({comparison_name})" if comparison_name else f" ({self.name})"
@@ -138,15 +153,17 @@ class DESeq2UnpairedAB(Transformer):
         ]
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        cols = self.columns_a + self.columns_b
+        cols = self.columns_a + self.columns_b + self.other_columns
         n_a = len(self.columns_a)
+        n_b = len(self.columns_b)
         idx = self.index_column
         counts = df.select(idx, *cols)
-        group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
+        group = np.array(["a"] * n_a + ["b"] * n_b + self.other_groups)
+        n_groups = len(np.unique(group))
         spline_pts = np.linspace(GRID_RANGE[0], GRID_RANGE[1], GRID_LENGTH)
         spline_disp = 0.1 * 2.0 ** spline_pts
         n = len(cols)
-        df_resid = n - 2
+        df_resid = n - n_groups
 
         # --- size factors: exact median-of-ratios, from one collect of
         # per-gene log-count sums? The median is over genes — compute
@@ -313,3 +330,11 @@ class DESeq2UnpairedAB(Transformer):
             F.col("p_raw").alias(self.p_column),
             F.col("fdr_raw").alias(self.fdr_column),
         )
+
+
+class DESeq2Unpaired(DESeq2UnpairedAB):
+    """A-vs-B Wald contrast with optional extra conditions contributing
+    replicates to the dispersion fit (reference: differential.py:273-404,
+    ``include_other_columns_for_variance``)."""
+
+    _name = "DESeq2Unpaired"

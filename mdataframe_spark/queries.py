@@ -936,6 +936,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+def st_sessionize(spark, sf_dir):
+    """Batch sessionization (gap = 1h) — the backfill twin of the
+    stateful streaming operator (streaming/sessionize.py). Session
+    boundaries via lag + running sum; timezone-free epoch output.
+    Ordering ties broken by event_id on both sides."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = F.when(
+        F.col("ts") - F.lag("ts").over(w) > F.lit(3_600_000_000_000), 1
+    ).otherwise(0)
+    sess = e.withColumn(
+        "__sess", F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "__sess")
+        .agg(
+            F.floor(F.min("ts") / 1e9).cast("bigint").alias("session_start"),
+            F.floor(F.max("ts") / 1e9).cast("bigint").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("__sess")
+    )
+
+
+ST_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events
+), b AS (
+  SELECT user_id, tns, value,
+         CASE WHEN tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+              > 3600000000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+), c AS (
+  SELECT user_id, tns, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tns
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT user_id,
+       (min(tns) // 1000000000)::BIGINT AS session_start,
+       (max(tns) // 1000000000)::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM c GROUP BY user_id, sess
+"""
+
+
 # ---------------------------------------------------------------------------
 # normalization stack on relational data (C1/C3 oracle-checkable)
 # ---------------------------------------------------------------------------
@@ -1238,6 +1286,7 @@ QUERIES = {
     "mm_payload_stats": mm_payload_stats,
     "mm_features": mm_features,
     "st_events_window": st_events_window,
+    "st_sessionize": st_sessionize,
     "n_cpm_log2": n_cpm_log2,
     "n_zscore_rows": n_zscore_rows,
     "ml_kmeans_clusters": ml_kmeans_clusters,
@@ -1292,6 +1341,7 @@ ORACLES = {
     "mm_payload_stats": MM_STATS_SQL,
     # mm_features: rows-only (stub decoder, mapInPandas)
     "st_events_window": ST_WINDOW_SQL,
+    "st_sessionize": ST_SESSION_SQL,
     "n_cpm_log2": N_CPM_SQL,
     "n_zscore_rows": N_ZSCORE_SQL,
     # ml_kmeans_clusters / ml_pca_embed: rows-only (iterative ML, no SQL oracle)

@@ -81,3 +81,45 @@ def test_fixed_dispersion_deterministic(test_frame):
     r2 = {r["__row_id"]: r[d2.p_column] for r in d2(test_frame).collect()}
     assert r1 == r2
     assert all(0 <= v <= 1 for v in r1.values())
+
+
+GOLDEN_3COND = {
+    #        baseMean    log2FC      lfcSE      stat        p           padj
+    "genA": (10.302582, 0.6577772, 0.8259099, 0.7964272, 0.425783759, 0.42578376),
+    "genB": (8.938091, 1.5981515, 0.7503795, 2.1297910, 0.033188868, 0.06637774),
+    "genC": (15.465866, -1.7288386, 0.6314611, -2.7378387, 0.006184439, 0.02473776),
+    "genD": (78.136713, -0.3961812, 0.4143803, -0.9560813, 0.339031148, 0.42578376),
+}
+
+
+def test_deseq2_unpaired_three_conditions(spark):
+    """Reference golden: tests/test_differential.py:194-229 — extra
+    condition C contributes replicates to the dispersion fit."""
+    from mdataframe_spark.functions.deseq2 import DESeq2Unpaired
+
+    rows = [
+        ("genA", 23, 2, 21, 23, 3, 4, 20, 4, 6),
+        ("genB", 12, 14, 14, 4, 4, 5, 12, 7, 7),
+        ("genC", 9, 6, 6, 21, 22, 23, 12, 22, 13),
+        ("genD", 40, 80, 80, 90, 90, 80, 70, 75, 76),
+    ]
+    cols = ["__row_id"] + [f"sample{c}_{i}" for c in "ABC" for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, cols)
+    c2c = {
+        "A": ["sampleA_1", "sampleA_2", "sampleA_3"],
+        "B": ["sampleB_1", "sampleB_2", "sampleB_3"],
+        "C": ["sampleC_1", "sampleC_2", "sampleC_3"],
+    }
+    d = DESeq2Unpaired("A", "B", c2c, include_other_columns_for_variance=True)
+    assert d.suffix == " (DESeq2Unpaired)"
+    assert d.other_columns == c2c["C"]
+    res = {r["__row_id"]: r for r in d(df).collect()}
+    for gene, (bm, lfc, se, stat, p, padj) in GOLDEN_3COND.items():
+        r = res[gene]
+        np.testing.assert_allclose(r[d.baseMean_column], bm, atol=1e-4)
+        np.testing.assert_allclose(r[d.logFC_column], lfc, atol=0.02)
+        np.testing.assert_allclose(r[d.lfcSE_column], se, rtol=0.45)
+        assert abs(math.log10(max(r[d.p_column], 1e-12)) - math.log10(p)) < 1.3
+    got_order = sorted(GOLDEN_3COND, key=lambda g: res[g][d.p_column])
+    exp_order = sorted(GOLDEN_3COND, key=lambda g: GOLDEN_3COND[g][4])
+    assert got_order == exp_order

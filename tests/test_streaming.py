@@ -66,3 +66,56 @@ def test_filtered_stream(spark, events_dir):
     )
     assert len(rows) == batch_n > 0
     assert all(r["value"] > 4 for r in rows)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path_factory):
+    """Drive the stateful operator on a real stream and compare the
+    union of emitted + batch-tail sessions against the pure-batch
+    window implementation."""
+    from mdataframe_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    src = tmp_path_factory.mktemp("sessions") / "events"
+    # 3 users, bursts separated by > gap
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_micros(
+            (
+                F.lit(1700000000_000000)
+                + (F.col("id") / 3).cast("long") * 60_000_000          # 1/min
+                + ((F.col("id") / 90).cast("long") * 7200_000_000)    # 2h jumps
+            ).cast("bigint")
+        ).alias("ts"),
+        (F.col("id") % 5).cast("double").alias("value"),
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(str(src))
+    batch = spark.read.parquet(str(src))
+
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(batch, gap_seconds=1800).collect()
+    }
+    assert len(expected) > 3  # the 2h jumps split sessions
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # the final open session per user is still in state at stream end
+    # (availableNow stops before its timeout fires) — every emitted
+    # session must match the batch result exactly
+    assert len(got) >= len(expected) - 3
+    for k, v in got.items():
+        assert expected.get(k) == v, (k, v, expected.get(k))
