@@ -20,8 +20,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential double adds)."""
+def dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
+    """Σ aᵢ·bᵢ, sequential double adds (left-to-right — the same
+    association order as DuckDB's list_dot_product, so oracle results
+    are bit-identical).
+
+    With ``dim`` known, unrolls to a flat 2·dim-term expression —
+    whole-stage-codegen'd, ~10x faster than the higher-order
+    zip_with/aggregate form, which Spark evaluates interpreted per
+    element (CodegenFallback)."""
+    if dim is not None:
+        expr = a[0] * b[0]
+        for i in range(1, dim):
+            expr = expr + a[i] * b[i]
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -29,12 +41,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: Column, dim: Optional[int] = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def cosine_topk(
@@ -57,9 +69,10 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), vec(vec_col).alias("__qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("__cv"))
+    dim = len(corpus.select(vec_col).first()[0])
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -812,7 +812,7 @@ def sim_cosine_topk(spark, sf_dir):
     scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(similarity.cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        F.round(similarity.cosine(F.col("qe"), F.col("e"), dim=64), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
