@@ -1,7 +1,7 @@
 from .stats import bh_adjust, add_rank
 from .norm import cpm_log2, zscore_rows, TMM, tmm_norm_factors
 from .differential import EdgeR_Unpaired
-from .deseq2 import DESeq2UnpairedAB, DESeq2Unpaired
+from .deseq2 import DESeq2UnpairedAB, DESeq2Unpaired, DESeq2LRT
 from .noiseq import NOISeq
 from .vst import VST
 
@@ -15,6 +15,7 @@ __all__ = [
     "EdgeR_Unpaired",
     "DESeq2UnpairedAB",
     "DESeq2Unpaired",
+    "DESeq2LRT",
     "NOISeq",
     "VST",
 ]

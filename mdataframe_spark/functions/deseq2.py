@@ -338,3 +338,221 @@ class DESeq2Unpaired(DESeq2UnpairedAB):
     ``include_other_columns_for_variance``)."""
 
     _name = "DESeq2Unpaired"
+
+
+# ---------------------------------------------------------------------------
+# general-design NB GLM + likelihood-ratio test (M5, reference
+# differential.py:407-523 wraps DESeq(test="LRT"))
+# ---------------------------------------------------------------------------
+def nb_glm_fit(y, X, offset, dispersion, max_iter=50, tol=1e-10):
+    """Vectorized NB GLM IRLS over genes for a shared design matrix.
+
+    y: (g, n); X: (n, p); offset: (n,) or (g, n); dispersion: (g,).
+    Returns (beta (g, p), mu (g, n), ok (g,)). Solves all genes'
+    weighted-least-squares updates in one batched np.linalg.solve.
+    """
+    y = np.asarray(y, dtype=float)
+    g, n = y.shape
+    X = np.asarray(X, dtype=float)
+    p = X.shape[1]
+    disp = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,))
+    offs = np.broadcast_to(np.asarray(offset, dtype=float), (g, n))
+    # start: intercept-ish fit from log mean rate
+    rate = np.maximum(y / np.exp(offs), 1e-8).mean(axis=1)
+    beta = np.zeros((g, p))
+    beta[:, 0] = np.log(rate)
+    ridge = 1e-8 * np.eye(p)
+    for _ in range(max_iter):
+        eta = beta @ X.T + offs
+        mu = np.exp(np.clip(eta, -300, 300))
+        w = mu / (1.0 + disp[:, None] * mu)
+        z = eta - offs + (y - mu) / np.maximum(mu, 1e-300)
+        xtw = X.T[None, :, :] * w[:, None, :]          # (g, p, n)
+        xtwx = xtw @ X[None, :, :] + ridge             # (g, p, p)
+        xtwz = (xtw @ z[:, :, None])[:, :, 0]          # (g, p)
+        new_beta = np.linalg.solve(xtwx, xtwz)
+        step = new_beta - beta
+        beta = np.clip(new_beta, -50, 50)
+        if np.max(np.abs(step)) < tol:
+            break
+    eta = beta @ X.T + offs
+    mu = np.exp(np.clip(eta, -300, 300))
+    ok = np.isfinite(beta).all(axis=1)
+    return beta, mu, ok
+
+
+def nb_loglik_mu(y, mu, dispersion):
+    """NB log likelihood at given means (per gene)."""
+    from .numerics import gammaln
+
+    y = np.asarray(y, dtype=float)
+    r = 1.0 / np.maximum(np.asarray(dispersion, dtype=float), 1e-300)[:, None]
+    mu = np.maximum(mu, 1e-300)
+    return (
+        gammaln(y + r) - gammaln(r) - gammaln(y + 1.0)
+        + r * np.log(r / (r + mu)) + y * np.log(mu / (r + mu))
+    ).sum(axis=1)
+
+
+class DESeq2LRT(Transformer):
+    """Likelihood-ratio test between nested designs (DESeq2
+    test="LRT"; the reference's DESeq2Timeseries shape). Factors are
+    given per sample column; ``full``/``reduced`` name the factor sets
+    of the two designs (dummy-coded, first level = reference).
+
+    stat = 2·(loglik_full − loglik_reduced) ~ χ²(df_full − df_reduced);
+    log2FC/lfcSE report the last full-model coefficient (DESeq2
+    results() default). Dispersions: APL on the full design, MAP
+    shrinkage to the parametric trend — same estimators as the Wald
+    pipeline, generalized to arbitrary designs.
+    """
+
+    def __init__(
+        self,
+        sample_factors: Dict[str, Dict[str, str]],
+        full,
+        reduced,
+        comparison_name: Optional[str] = None,
+        index_column: str = "__row_id",
+        dispersion: Optional[float] = None,
+    ):
+        super().__init__(
+            "DESeq2TimeSeries", sorted(sample_factors.items()), full, reduced,
+            comparison_name,
+        )
+        self.sample_factors = dict(sample_factors)
+        self.full = list(full)
+        self.reduced = list(reduced)
+        self.index_column = index_column
+        self.dispersion = dispersion
+        self.suffix = f" ({comparison_name})" if comparison_name else f" ({self.name})"
+        cols = sorted(self.sample_factors)
+        if self._design(cols, self.full).shape[1] <= self._design(cols, self.reduced).shape[1]:
+            raise ValueError("full design must have more coefficients than reduced")
+
+    logFC_column = property(lambda self: "log2FC" + self.suffix)
+    p_column = property(lambda self: "p" + self.suffix)
+    fdr_column = property(lambda self: "FDR" + self.suffix)
+    baseMean_column = property(lambda self: "baseMean" + self.suffix)
+    lfcSE_column = property(lambda self: "lfcSE" + self.suffix)
+    stat_column = property(lambda self: "stat" + self.suffix)
+
+    @property
+    def columns(self):
+        return [self.logFC_column, self.p_column, self.fdr_column,
+                self.baseMean_column, self.lfcSE_column, self.stat_column]
+
+    def _design(self, cols, factors):
+        """Dummy-coded design matrix with intercept."""
+        X = [np.ones(len(cols))]
+        for f in factors:
+            levels = sorted({self.sample_factors[c][f] for c in cols})
+            for lev in levels[1:]:
+                X.append(np.array([1.0 if self.sample_factors[c][f] == lev else 0.0
+                                   for c in cols]))
+        return np.column_stack(X)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from .numerics import gammainc_q
+
+        idx = self.index_column
+        cols = sorted(self.sample_factors)
+        counts = df.select(idx, *cols)
+        n = len(cols)
+        X_full = self._design(cols, self.full)
+        X_red = self._design(cols, self.reduced)
+        df_lrt = X_full.shape[1] - X_red.shape[1]
+
+        # size factors (shared helper logic with the Wald path)
+        all_pos = None
+        for c in cols:
+            cond = F.col(c) > 0
+            all_pos = cond if all_pos is None else (all_pos & cond)
+        logmean = sum(F.log(F.col(c)) for c in cols) / n
+        med = (
+            counts.filter(all_pos)
+            .select(*[(F.log(F.col(c)) - logmean).alias(f"r_{c}") for c in cols])
+            .agg(*[F.expr(f"percentile(`r_{c}`, 0.5)").alias(c) for c in cols])
+            .collect()[0]
+        )
+        sf = np.array([np.exp(float(med[c])) for c in cols])
+        offs = np.log(sf)
+        fixed = self.dispersion
+
+        schema = T.StructType(
+            [
+                counts.schema[idx],
+                T.StructField("base_mean", T.DoubleType()),
+                T.StructField("log2fc", T.DoubleType()),
+                T.StructField("lfc_se", T.DoubleType()),
+                T.StructField("stat", T.DoubleType()),
+                T.StructField("p_raw", T.DoubleType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                y = pdf[cols].to_numpy(dtype=float)
+                g = len(y)
+                if g == 0:
+                    continue
+                if fixed is not None:
+                    disp = np.full(g, float(fixed))
+                else:
+                    # per-gene APL MLE on the full design, moment fallback
+                    disp = _gene_dispersion_general(y, X_full, offs)
+                beta_f, mu_f, _ = nb_glm_fit(y, X_full, offs[None, :], disp)
+                beta_r, mu_r, _ = nb_glm_fit(y, X_red, offs[None, :], disp)
+                ll_f = nb_loglik_mu(y, mu_f, disp)
+                ll_r = nb_loglik_mu(y, mu_r, disp)
+                stat = np.maximum(2.0 * (ll_f - ll_r), 0.0)
+                pval = gammainc_q(df_lrt / 2.0, stat / 2.0)
+                # last full coefficient: log2FC + SE (DESeq2 results())
+                w = mu_f / (1.0 + disp[:, None] * mu_f)
+                xtwx = (X_full.T[None, :, :] * w[:, None, :]) @ X_full[None, :, :]
+                cov = np.linalg.inv(xtwx + 1e-8 * np.eye(X_full.shape[1]))
+                se_last = np.sqrt(np.maximum(cov[:, -1, -1], 0.0)) / np.log(2.0)
+                lfc_last = beta_f[:, -1] / np.log(2.0)
+                yield pd.DataFrame(
+                    {
+                        idx: pdf[idx],
+                        "base_mean": (y / sf[None, :]).mean(axis=1),
+                        "log2fc": lfc_last,
+                        "lfc_se": se_last,
+                        "stat": stat,
+                        "p_raw": pval,
+                    }
+                )
+
+        result = counts.mapInPandas(run, schema)
+        joined = counts.join(result, idx)
+        out = bh_adjust(joined, "p_raw", "fdr_raw", tiebreak_cols=[idx])
+        return out.select(
+            idx, *cols,
+            F.col("base_mean").alias(self.baseMean_column),
+            F.col("log2fc").alias(self.logFC_column),
+            F.col("lfc_se").alias(self.lfcSE_column),
+            F.col("stat").alias(self.stat_column),
+            F.col("p_raw").alias(self.p_column),
+            F.col("fdr_raw").alias(self.fdr_column),
+        )
+
+
+def _gene_dispersion_general(y, X, offs, grid_length=17, grid_range=(-10.0, 6.0)):
+    """Per-gene dispersion MLE for an arbitrary design: grid over
+    dispersions, NB GLM fit + Cox-Reid adjustment (slogdet), spline
+    argmax. Used by the LRT path (batch-local)."""
+    g = len(y)
+    pts = np.linspace(grid_range[0], grid_range[1], grid_length)
+    disps = 0.1 * 2.0 ** pts
+    apl = np.empty((g, grid_length))
+    for i, d in enumerate(disps):
+        dd = np.full(g, d)
+        _, mu, _ = nb_glm_fit(y, X, offs[None, :], dd)
+        ll = nb_loglik_mu(y, mu, dd)
+        w = mu / (1.0 + d * mu)
+        xtwx = (X.T[None, :, :] * w[:, None, :]) @ X[None, :, :]
+        sign, logdet = np.linalg.slogdet(xtwx + 1e-12 * np.eye(X.shape[1]))
+        apl[:, i] = ll - 0.5 * logdet
+    best = edger.maximize_interpolant(pts, apl)
+    return np.maximum(0.1 * 2.0 ** best, 1e-8)

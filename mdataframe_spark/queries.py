@@ -1231,6 +1231,37 @@ def ml_dbscan_clusters(spark, sf_dir):
     return out.groupBy("DBSCAN").agg(F.count(F.lit(1)).alias("n_parts"))
 
 
+def stat_deseq2_lrt(spark, sf_dir):
+    """General-design NB GLM likelihood-ratio test (M5): condition
+    effect controlling for a batch factor (rows-only)."""
+    from .functions.deseq2 import DESeq2LRT
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.withColumn("sample", F.concat("l_returnflag", F.lit("_"), "l_linestatus"))
+        .groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+        .pivot("sample", ["A_F", "N_F", "N_O", "R_F", "A_O", "R_O"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+    factors = {
+        "A_F": {"condition": "x", "batch": "F"},
+        "N_F": {"condition": "x", "batch": "F"},
+        "N_O": {"condition": "x", "batch": "O"},
+        "R_F": {"condition": "y", "batch": "F"},
+        "A_O": {"condition": "y", "batch": "O"},
+        "R_O": {"condition": "y", "batch": "O"},
+    }
+    t = DESeq2LRT(factors, full=["condition", "batch"], reduced=["batch"], dispersion=0.1)
+    out = t(counts)
+    return out.select(
+        "__row_id",
+        F.round(t.stat_column, 6).alias("lrt_stat"),
+        F.round(t.p_column, 8).alias("p"),
+        F.round(t.fdr_column, 8).alias("fdr"),
+    )
+
+
 def ml_pca_embed(spark, sf_dir):
     """Distributed PCA (M12) of the part-count matrix with the
     reference's PC-column naming contract (rows-only: sign of the
@@ -1296,6 +1327,7 @@ QUERIES = {
     "stat_tmm_cpm": stat_tmm_cpm,
     "stat_deseq2_wald": stat_deseq2_wald,
     "stat_vst": stat_vst,
+    "stat_deseq2_lrt": stat_deseq2_lrt,
     "ml_dbscan_clusters": ml_dbscan_clusters,
 }
 
