@@ -401,6 +401,163 @@ SELECT rn, o_orderkey, o_totalprice FROM (
 """
 
 
+def j_q5_multijoin(spark, sf_dir):
+    """5-way join (TPC-H Q5 shape): revenue by nation for one region."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(na), s.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(r), na.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+J_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def sq_correlated(spark, sf_dir):
+    """Correlated-subquery semantics: orders priced above their
+    customer's average order price (decorrelated to a window)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("cust_avg", 6).alias("cust_avg"))
+    )
+
+
+SQ_CORR_SQL = """
+SELECT o_orderkey, o_custkey, round(cust_avg, 6) AS cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) WHERE o_totalprice > cust_avg
+"""
+
+
+def g_grouping_sets(spark, sf_dir):
+    """Cube with GROUPING() disambiguation (distinguishes data NULLs
+    from subtotal rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "total", "n", "g_flag", "g_status",
+        )
+    )
+
+
+G_SETS_SQL = """
+SELECT coalesce(l_returnflag, '<all>') AS flag,
+       coalesce(l_linestatus, '<all>') AS status,
+       round(sum(l_extendedprice), 4) AS total, count(*)::BIGINT AS n,
+       grouping(l_returnflag)::INT AS g_flag, grouping(l_linestatus)::INT AS g_status
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def c_array_functions(spark, sf_dir):
+    """Array functions over the embedding column (§2.8 extension):
+    size, max, min, head slice sum."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dim"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.round(
+            F.slice(v, 1, 8)[0] + F.slice(v, 1, 8)[1] + F.slice(v, 1, 8)[2], 6
+        ).alias("head3_sum"),
+    )
+
+
+C_ARRAY_SQL = """
+SELECT vec_id, len(embedding)::BIGINT AS dim,
+       round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+       round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+       round(embedding[1]::DOUBLE + embedding[2]::DOUBLE + embedding[3]::DOUBLE, 6) AS head3_sum
+FROM embeddings
+"""
+
+
+def c_string_functions(spark, sf_dir):
+    """String scalar functions (C7/C10 family)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_masked"),
+    )
+
+
+C_STRING_SQL = """
+SELECT c_custkey, upper(c_name) AS name_upper, substr(c_name, 1, 8) AS name_prefix,
+       length(c_name)::BIGINT AS name_len,
+       lpad(c_custkey::VARCHAR, 8, '0') AS key_padded,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked
+FROM customer
+"""
+
+
+def c_date_arithmetic(spark, sf_dir):
+    """Date arithmetic: ship delay in days per order priority."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.avg(delay), 6).alias("avg_ship_delay_days"),
+        F.max(delay).cast("bigint").alias("max_delay"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+C_DATE_SQL = """
+SELECT o_orderpriority,
+       round(avg(date_diff('day', o_orderdate::DATE, l_shipdate::DATE)), 6) AS avg_ship_delay_days,
+       max(date_diff('day', o_orderdate::DATE, l_shipdate::DATE))::BIGINT AS max_delay,
+       count(*)::BIGINT AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def u1_intersect(spark, sf_dir):
     """Row-set intersection (U1): partkeys seen with both flags."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1289,6 +1446,12 @@ QUERIES = {
     "j1_annotation_join": j1_annotation_join,
     "j_semi_join": j_semi_join,
     "j_anti_join": j_anti_join,
+    "j_q5_multijoin": j_q5_multijoin,
+    "sq_correlated": sq_correlated,
+    "g_grouping_sets": g_grouping_sets,
+    "c_array_functions": c_array_functions,
+    "c_string_functions": c_string_functions,
+    "c_date_arithmetic": c_date_arithmetic,
     "w1_bh_fdr": w1_bh_fdr,
     "w2_rank_window": w2_rank_window,
     "o1_multikey_sort_topk": o1_multikey_sort_topk,
@@ -1345,6 +1508,12 @@ ORACLES = {
     "j1_annotation_join": J1_SQL,
     "j_semi_join": J_SEMI_SQL,
     "j_anti_join": J_ANTI_SQL,
+    "j_q5_multijoin": J_Q5_SQL,
+    "sq_correlated": SQ_CORR_SQL,
+    "g_grouping_sets": G_SETS_SQL,
+    "c_array_functions": C_ARRAY_SQL,
+    "c_string_functions": C_STRING_SQL,
+    "c_date_arithmetic": C_DATE_SQL,
     "w1_bh_fdr": W1_SQL,
     "w2_rank_window": W2_SQL,
     "o1_multikey_sort_topk": O1_SQL,
