@@ -139,6 +139,96 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build an IVF-flat index: k-means centroids (Spark ML, distributed)
+    + the corpus partitioned by nearest centroid.
+
+    Returns (assigned_corpus_df, centroids) where the corpus carries a
+    ``__centroid`` column. At scale, write the assigned corpus bucketed
+    by ``__centroid`` so probes prune partitions at scan time.
+    """
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__fv", array_to_vector("__v"))
+    model = MLKMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__centroid"
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("__fv")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: score only the ``n_probe`` nearest
+    centroid buckets per query.
+
+    Candidate generation is an equi-join on the centroid id, so the
+    scored fraction is ~n_probe/n_centroids of the corpus — the
+    standard recall/cost dial. Output schema matches cosine_topk.
+    """
+    assigned, centroids = ivf_index(corpus, n_centroids, id_col, vec_col, seed)
+    dim = len(centroids[0])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # rank centroids per query (centroid count is small: literal arrays)
+    # negated similarity FIRST in the struct: array_sort orders structs
+    # by their leading field, so ascending(-sim) = most-similar first
+    cent_dists = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("__qv"), F.array(*[F.lit(x) for x in c]), dim)).alias("d"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    probes = q.withColumn(
+        "__centroid",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cent_dists), 1, n_probe), lambda s: s["cid"]
+            )
+        ),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "__centroid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col("__v"), dim).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
 def embedding_stats(
     df: DataFrame,
     group_col: str = "label",

@@ -115,6 +115,19 @@ def language_scores(
     return df.join(counted, id_col)
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, whitespace-attached words. A portable
+# approximation of BPE pre-tokenization — counts the units a BPE
+# tokenizer would split on, without a vocabulary.
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count BPE-pre-tokenizer units via regexp extraction (north-star
+    'token counting: whitespace + a BPE-ish regex')."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), 0))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip punctuation,
     collapse whitespace."""

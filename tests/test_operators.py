@@ -182,3 +182,18 @@ def test_dbscan(spark):
     assert len(a_labels) == 1 and len(b_labels) == 1
     assert a_labels != b_labels
     assert out["noise"] == -1
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN finds most exact neighbors while probing a fraction of
+    the buckets."""
+    from mdataframe_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(emb, q, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
