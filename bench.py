@@ -35,6 +35,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "mm_payload_stats",
     "st_events_window",
+    "st_sessionize",
+    "n_cpm_log2",
+    "stat_vst",
 ]
 
 

@@ -243,6 +243,31 @@ class MFrame:
         cols = [F.col(k).asc() if a else F.col(k).desc() for k, a in zip(keys, asc)]
         return self._derive(self.df.orderBy(*cols), "sort")
 
+    # -- descriptive passthrough (A7; reference MDF2 pandas surface,
+    # mframe.py:18-30 / tests/test_mframe.py:19-26) ------------------------
+    def describe(self) -> DataFrame:
+        """Summary statistics of the data columns (count/mean/std/min/
+        quartiles/max) — Spark's distributed `summary()`."""
+        return self.df.select(*self.data_columns).summary()
+
+    def mean(self) -> Dict[str, float]:
+        row = self.df.agg(
+            *[F.avg(c).alias(c) for c in self.data_columns]
+        ).collect()[0]
+        return {c: row[c] for c in self.data_columns}
+
+    def sum(self) -> Dict[str, float]:
+        row = self.df.agg(
+            *[F.sum(c).alias(c) for c in self.data_columns]
+        ).collect()[0]
+        return {c: row[c] for c in self.data_columns}
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def limit(self, n: int) -> "MFrame":
+        return self._derive(self.df.limit(n), f"limit{n}")
+
     # -- UDF surface (X1/X2) ----------------------------------------------
     def apply(self, fn: Callable, axis: int = 0, result_name: Optional[str] = None) -> "MFrame":
         """Arbitrary-callable transform step (reference X1:

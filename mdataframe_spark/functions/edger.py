@@ -138,15 +138,68 @@ def adjusted_profile_lik(
 
 
 def maximize_interpolant(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Argmax of a cubic-spline interpolant through (x, row of y),
-    vectorized over rows (edgeR maximizeInterpolant shape)."""
+    """Argmax of a natural-cubic-spline interpolant through (x, row of
+    y), fully vectorized over rows (edgeR maximizeInterpolant shape):
+    one batched tridiagonal solve for all rows' spline coefficients,
+    then closed-form derivative roots per segment."""
     x = np.asarray(x, dtype=float)
     y = np.atleast_2d(np.asarray(y, dtype=float))
     nrow, n = y.shape
-    out = np.empty(nrow)
-    for r in range(nrow):
-        out[r] = _spline_argmax(x, y[r])
-    return out
+    h = np.diff(x)
+    # batched Thomas algorithm (natural BC) — loops over the ~21 knots,
+    # vector ops over rows
+    rhs = np.zeros((nrow, n))
+    rhs[:, 1:-1] = 3.0 * (
+        (y[:, 2:] - y[:, 1:-1]) / h[1:] - (y[:, 1:-1] - y[:, :-2]) / h[:-1]
+    )
+    a = np.zeros(n)
+    b = np.ones(n)
+    c = np.zeros(n)
+    a[1:-1] = h[:-1]
+    b[1:-1] = 2.0 * (h[:-1] + h[1:])
+    c[1:-1] = h[1:]
+    cp = np.zeros(n)
+    dp = np.zeros((nrow, n))
+    cp[0] = c[0] / b[0]
+    dp[:, 0] = rhs[:, 0] / b[0]
+    for i in range(1, n):
+        m = b[i] - a[i] * cp[i - 1]
+        cp[i] = c[i] / m
+        dp[:, i] = (rhs[:, i] - a[i] * dp[:, i - 1]) / m
+    cc = np.zeros((nrow, n))
+    cc[:, -1] = dp[:, -1]
+    for i in range(n - 2, -1, -1):
+        cc[:, i] = dp[:, i] - cp[i] * cc[:, i + 1]
+    bb = (y[:, 1:] - y[:, :-1]) / h - h * (2.0 * cc[:, :-1] + cc[:, 1:]) / 3.0
+    dd = (cc[:, 1:] - cc[:, :-1]) / (3.0 * h)
+    cm = cc[:, :-1]
+
+    best_idx = np.argmax(y, axis=1)
+    best_x = x[best_idx]
+    best_val = y[np.arange(nrow), best_idx]
+    # derivative roots t of b + 2c t + 3d t^2 per segment, both branches
+    with np.errstate(invalid="ignore", divide="ignore"):
+        disc = cm * cm - 3.0 * dd * bb
+        sq = np.sqrt(np.where(disc >= 0, disc, np.nan))
+        for sign in (1.0, -1.0):
+            t = np.where(
+                np.abs(dd) > 1e-300,
+                (-cm + sign * sq) / (3.0 * dd),
+                np.where(np.abs(cm) > 1e-300, -bb / (2.0 * cm), np.nan),
+            )
+            inside = (t >= 0) & (t <= h[None, :]) & np.isfinite(t)
+            val = y[:, :-1] + bb * t + cm * t * t + dd * t ** 3
+            val = np.where(inside, val, -np.inf)
+            seg_best = np.argmax(val, axis=1)
+            seg_val = val[np.arange(nrow), seg_best]
+            better = seg_val > best_val
+            best_val = np.where(better, seg_val, best_val)
+            best_x = np.where(
+                better,
+                x[seg_best] + t[np.arange(nrow), seg_best],
+                best_x,
+            )
+    return best_x
 
 
 def _natural_spline_coeffs(x, y):
@@ -429,35 +482,51 @@ def exact_test_doubletail(
     mu = s / (n1 + n2)
     mu1, mu2 = n1 * mu, n2 * mu
     pvals = np.ones(g)
-    for i in range(g):
-        if s[i] == 0:
-            pvals[i] = 1.0
-            continue
-        si = int(s[i])
-        r1 = n1 / phi[i] if phi[i] > 0 else np.inf
-        r2 = n2 / phi[i] if phi[i] > 0 else np.inf
-        j = np.arange(si + 1)
-        if phi[i] > 0 and si <= big_count * (n1 + n2):
-            logp = dnbinom_log(j, r1, mu1[i]) + dnbinom_log(si - j, r2, mu2[i])
-            logp -= logp.max()
-            p = np.exp(logp)
-            obs = p[int(s1[i])]
-            pvals[i] = min(p[p <= obs * (1 + 1e-12)].sum() / p.sum(), 1.0)
-        else:
-            # Poisson limit: binomial split of the total
-            from math import lgamma
 
-            logp = (
-                gammaln(si + 1.0)
-                - gammaln(j + 1.0)
-                - gammaln(si - j + 1.0)
-                + j * np.log(n1 / (n1 + n2))
-                + (si - j) * np.log(n2 / (n1 + n2))
-            )
-            logp -= logp.max()
+    def batch_pvals(idx, chunk=256):
+        """Vectorized double-tail sums: genes padded to the max total
+        within each chunk (mask beyond each gene's own total)."""
+        for lo in range(0, len(idx), chunk):
+            ii = idx[lo:lo + chunk]
+            smax = int(s[ii].max())
+            j = np.arange(smax + 1)[None, :]
+            valid = j <= s[ii][:, None]
+            jj = np.where(valid, j, 0)
+            if np.all(phi[ii] > 0):
+                r1 = (n1 / phi[ii])[:, None]
+                r2 = (n2 / phi[ii])[:, None]
+                logp = dnbinom_log(jj, r1, mu1[ii][:, None]) + dnbinom_log(
+                    s[ii][:, None] - jj, r2, mu2[ii][:, None]
+                )
+            else:  # Poisson limit: binomial split of the total
+                si = s[ii][:, None]
+                logp = (
+                    gammaln(si + 1.0)
+                    - gammaln(jj + 1.0)
+                    - gammaln(si - jj + 1.0)
+                    + jj * np.log(n1 / (n1 + n2))
+                    + (si - jj) * np.log(n2 / (n1 + n2))
+                )
+            logp = np.where(valid, logp, -np.inf)
+            logp -= logp.max(axis=1, keepdims=True)
             p = np.exp(logp)
-            obs = p[int(s1[i])]
-            pvals[i] = min(p[p <= obs * (1 + 1e-12)].sum() / p.sum(), 1.0)
+            obs = p[np.arange(len(ii)), s1[ii].astype(int)]
+            dominated = np.where(p <= obs[:, None] * (1 + 1e-12), p, 0.0)
+            pvals[ii] = np.minimum(dominated.sum(axis=1) / p.sum(axis=1), 1.0)
+
+    nonzero = np.nonzero(s > 0)[0]
+    exact_sel = nonzero[
+        (phi[nonzero] > 0) & (s[nonzero] <= big_count * (n1 + n2))
+    ]
+    pois_sel = nonzero[~((phi[nonzero] > 0) & (s[nonzero] <= big_count * (n1 + n2)))]
+    if len(exact_sel):
+        # sort by total so chunks have similar padding (less waste)
+        batch_pvals(exact_sel[np.argsort(s[exact_sel])])
+    if len(pois_sel):
+        phi_safe = phi.copy()
+        phi_safe[pois_sel] = 0.0
+        phi = phi_safe
+        batch_pvals(pois_sel[np.argsort(s[pois_sel])])
     return pvals
 
 

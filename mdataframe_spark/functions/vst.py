@@ -117,28 +117,27 @@ class VST(Transformer):
                     }
                 )
 
-        disps = sampled.select(*cols, "__bm").mapInPandas(phase_a, schema_a).persist()
-
-        # --- gamma IRLS trend fit: one 5-scalar aggregation per iter ---
+        # the sample is ≤ nsub rows by construction — collect the
+        # (dispersion, mean) pairs once and run the gamma IRLS in numpy
+        # (12 sequential Spark jobs on ≤1000 rows cost ~2s of pure
+        # scheduling latency; one collect costs one job)
+        pairs = sampled.select(*cols, "__bm").mapInPandas(phase_a, schema_a).collect()
+        gd = np.array([r["gene_disp"] for r in pairs])
+        bm = np.array([r["bm"] for r in pairs])
+        use = (gd > 1e-7) & (bm > 0)
+        gd, bm = gd[use], bm[use]
         a0, a1 = 0.1, 1.0
-        usable = disps.filter((F.col("gene_disp") > 1e-7) & (F.col("bm") > 0))
         for _ in range(12):
-            mu_fit = F.lit(a0) + F.lit(a1) / F.col("bm")
-            wgt = 1.0 / (mu_fit ** 2)
-            x = 1.0 / F.col("bm")
-            yv = F.col("gene_disp")
-            row = usable.agg(
-                F.sum(wgt).alias("sw"),
-                F.sum(wgt * x).alias("swx"),
-                F.sum(wgt * x * x).alias("swxx"),
-                F.sum(wgt * yv).alias("swy"),
-                F.sum(wgt * x * yv).alias("swxy"),
-            ).collect()[0]
-            det = row["sw"] * row["swxx"] - row["swx"] ** 2
+            mu_fit = a0 + a1 / bm
+            w = 1.0 / mu_fit ** 2
+            x = 1.0 / bm
+            sw, swx = w.sum(), (w * x).sum()
+            swxx, swy, swxy = (w * x * x).sum(), (w * gd).sum(), (w * x * gd).sum()
+            det = sw * swxx - swx ** 2
             if not det:
                 break
-            new_a0 = (row["swxx"] * row["swy"] - row["swx"] * row["swxy"]) / det
-            new_a1 = (row["sw"] * row["swxy"] - row["swx"] * row["swy"]) / det
+            new_a0 = (swxx * swy - swx * swxy) / det
+            new_a1 = (sw * swxy - swx * swy) / det
             if abs(new_a0 - a0) < 1e-12 and abs(new_a1 - a1) < 1e-12:
                 a0, a1 = new_a0, new_a1
                 break

@@ -703,14 +703,18 @@ def e_events_hourly(spark, sf_dir):
         e.groupBy(hour.alias("hour_epoch"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # sum, not avg: the source values are 2-decimal, so group
+            # sums sit ON the decimal grid (never near a rounding
+            # boundary), while avg = sum/count lands exactly on .5
+            # boundaries where engine summation order flips the round
+            F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
 
 
 E_HOURLY_SQL = """
 SELECT (epoch_ns(ts) // 3600000000000 * 3600)::BIGINT AS hour_epoch, event_type,
-       count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
 

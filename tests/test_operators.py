@@ -197,3 +197,15 @@ def test_ivf_topk_recall(spark):
         for r in ivf_cosine_topk(emb, q, k=3, n_centroids=8, n_probe=3).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_mframe_descriptive_surface(test_frame):
+    mf = MFrame(test_frame, name="counts")
+    means = mf.mean()
+    assert abs(means["sampleA_1"] - (23 + 12 + 9 + 40) / 4) < 1e-9
+    sums = mf.sum()
+    assert sums["sampleB_1"] == 23 + 4 + 21 + 90
+    assert mf.count() == 4
+    assert mf.limit(2).count() == 2
+    summary_rows = mf.describe().collect()
+    assert {r["summary"] for r in summary_rows} >= {"count", "mean", "max"}
