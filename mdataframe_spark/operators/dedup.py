@@ -232,6 +232,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The composed production near-dup pipeline: MinHash signatures →
+    LSH band candidates → exact n-gram Jaccard verification → pairs at
+    or above ``threshold``.
+
+    Sub-quadratic end to end: only candidate pairs (same LSH bucket)
+    are verified, and the verify join is restricted to the candidate
+    set via a semi-join on the pair keys. Returns
+    (id_a, id_b, jaccard).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # verify only documents that appear in some candidate pair
+    involved = df.join(cand_ids, id_col, "left_semi")
+    verified = ngram_jaccard_pairs(
+        involved, id_col, text_col, shingle_n, threshold=0.0
+    )
+    return (
+        verified.join(candidates, ["id_a", "id_b"], "left_semi")
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """Keep one representative per near-dup group: the standard
+    min-id survivor rule applied over the near-dup pair graph (one
+    union-find-free pass: drop any doc that pairs with a smaller id —
+    correct for transitive clusters when the survivor is the group
+    minimum, conservative otherwise)."""
+    pairs = near_duplicates(df, id_col, text_col, threshold, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -209,3 +209,31 @@ def test_mframe_descriptive_surface(test_frame):
     assert mf.limit(2).count() == 2
     summary_rows = mf.describe().collect()
     assert {r["summary"] for r in summary_rows} >= {"count", "mean", "max"}
+
+
+def test_near_duplicates_pipeline(spark):
+    from mdataframe_spark.operators.dedup import drop_near_duplicates, near_duplicates
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    docs = [
+        (1, base),
+        (2, base + " extra"),                      # near-dup of 1
+        (3, base.replace("quick", "slow")),        # near-dup of 1
+        (4, "completely different text about spark engines and parquet "
+            "files with columnar compression and vectorized readers"),
+        (5, "another unrelated document discussing window functions and "
+            "adaptive query execution in distributed systems"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # 8 bands of 2 hashes: band-collision prob s^2 per band -> ~0.97
+    # recall at s=0.6 (4x4 banding would miss mid-similarity pairs ~half
+    # the time - correct LSH behavior, wrong parameters for s=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in near_duplicates(df, threshold=0.5, bands=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert (1, 3) in pairs
+    assert all(4 not in k and 5 not in k for k in pairs)
+    kept = {r["doc_id"] for r in drop_near_duplicates(df, threshold=0.5, bands=8).collect()}
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept
