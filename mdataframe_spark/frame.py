@@ -318,10 +318,14 @@ class MFrame:
     def apply_frame(self, fn: Callable) -> "MFrame":
         """Whole-frame pandas callable (reference X2: mdataframe.py:625-645).
 
-        NON-SCALABLE escape hatch: the entire frame is gathered into one
-        pandas DataFrame on an executor (single group). Kept for parity
-        with the reference's whole-frame transforms; anything hot-path
-        belongs in a real operator.
+        NON-SCALABLE escape hatch: the entire frame is collected to the
+        DRIVER (``toPandas``) and handed to ``fn`` as one pandas
+        DataFrame. Kept for parity with the reference's whole-frame
+        transforms; anything hot-path belongs in a real operator.
+
+        Contract realignment: the result must keep the index column;
+        surviving data/meta columns keep their tracking, and columns
+        ``fn`` introduced are classified as data columns.
         """
         import pandas as pd
 
@@ -329,8 +333,19 @@ class MFrame:
         result = fn(pdf)
         if not isinstance(result, pd.DataFrame):
             raise ValueError("apply_frame callable must return a pandas DataFrame")
+        if self.index_column not in result.columns:
+            raise ValueError(
+                f"apply_frame callable dropped the index column "
+                f"{self.index_column!r}; it must be preserved"
+            )
         out = self.df.sparkSession.createDataFrame(result)
-        return self._derive(out, "apply_frame")
+        known_meta = set(self.meta_row_columns)
+        new_data = [
+            c
+            for c in result.columns
+            if c != self.index_column and c not in known_meta
+        ]
+        return self._derive(out, "apply_frame", data_columns=new_data)
 
     # -- column-axis sort (O3) --------------------------------------------
     def sort_columns(self, by_row: Any, ascending: bool = True) -> "MFrame":

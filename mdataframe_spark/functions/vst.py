@@ -21,7 +21,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -73,20 +73,43 @@ class VST(Transformer):
         ) / n
 
         # --- sample ≤ nsub genes spanning the mean range (DESeq2 vst
-        # filters baseMean > 5 and subsets evenly over the ordering) ---
+        # filters baseMean > 5 and subsets evenly over the ordering).
+        # Scale path: STRATIFIED sampling — log-width buckets over the
+        # baseMean range, one deterministic representative per bucket
+        # (min (__bm, id) struct). No global row_number window (that
+        # serializes every candidate through one reducer); two bounded
+        # aggregations + a broadcast semi-join instead. ---
         candidates = df.withColumn("__bm", base_mean).filter(F.col("__bm") > 5)
         n_cand = candidates.count()
         if n_cand == 0:
             candidates = df.withColumn("__bm", base_mean)
             n_cand = candidates.count()
         nsub = min(self.nsub, n_cand)
-        w = Window.orderBy(F.col("__bm").asc(), F.col(idx).asc())
-        step = max(n_cand // nsub, 1)
-        sampled = (
-            candidates.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") - 1) % step == 0)
-            .limit(nsub)
-        )
+        if n_cand <= nsub:
+            sampled = candidates
+        else:
+            lo, hi = candidates.agg(
+                F.min(F.log(F.greatest(F.col("__bm"), F.lit(1e-12)))),
+                F.max(F.log(F.greatest(F.col("__bm"), F.lit(1e-12)))),
+            ).collect()[0]
+            lo, hi = float(lo), float(hi)
+            if hi <= lo:
+                bkt = F.lit(1)
+            else:
+                bkt = F.least(
+                    F.width_bucket(
+                        F.log(F.greatest(F.col("__bm"), F.lit(1e-12))),
+                        F.lit(lo), F.lit(hi), F.lit(nsub),
+                    ),
+                    F.lit(nsub),
+                )
+            reps = (
+                candidates.withColumn("__bkt", bkt)
+                .groupBy("__bkt")
+                .agg(F.min(F.struct(F.col("__bm"), F.col(idx))).alias("__s"))
+                .select(F.col(f"__s.{idx}").alias(idx))
+            )
+            sampled = candidates.join(F.broadcast(reps), idx)
 
         # --- phase A: blind (one-group) APL dispersion per sampled gene ---
         group = np.array(["all"] * n)

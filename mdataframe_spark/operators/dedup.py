@@ -294,29 +294,39 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document via bit-vote aggregation.
 
-    Tokens hash to 64 bits (xxhash64); each bit votes ±1; the sign of
-    the vote sum is the signature bit. Expressed as 64 conditional sums
-    in ONE groupBy — map-side combinable, one shuffle of 64 longs/doc.
-    Emits the signature as 4 × 16-bit chunks (simhash_c0..c3) for
-    pigeonhole banding, plus the full signature.
+    Tokens hash to 64 bits; each bit votes ±1; the sign of the vote sum
+    is the signature bit. Expressed as 64 conditional sums in ONE
+    groupBy — map-side combinable, one shuffle of 64 longs/doc. Emits
+    the signature as 4 × 16-bit chunks (simhash_c0..c3) for pigeonhole
+    banding.
+
+    The token hash is PORTABLE: two 32-bit halves of md5 (bits 0-31
+    from hex chars 1-8, bits 32-63 from chars 9-16), so any engine can
+    reproduce the signatures exactly — the DuckDB oracle for
+    dd_simhash_pairs does.  (xxhash64 would be marginally cheaper but
+    is Spark-specific, which made the whole pipeline unverifiable.)
     """
-    toks = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(normalize_text(F.col(text_col)), r"\s+"))
-        ).alias("__tok"),
-    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(normalize_text(F.col(text_col)), r"\s+"))
+            ).alias("__tok"),
+        )
+        .withColumn("__md5", F.md5(F.col("__tok")))
+        .withColumn("__h1", F.conv(F.substring("__md5", 1, 8), 16, 10).cast("bigint"))
+        .withColumn("__h2", F.conv(F.substring("__md5", 9, 8), 16, 10).cast("bigint"))
+    )
+
+    def bit(b: int):
+        src, off = ("__h1", b) if b < 32 else ("__h2", b - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
     ]
     voted = toks.groupBy(id_col).agg(*votes)
-    sig = sum(
-        (F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("decimal(38,0)")).otherwise(F.lit(0)))
-        for b in range(bits - 1)
-    )  # top bit handled separately to stay in signed-long range downstream
     chunks = {
         f"simhash_c{c}": sum(
             (
@@ -367,7 +377,7 @@ def simhash_candidate_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            hamming.alias("hamming"),
+            hamming.cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -64,16 +64,22 @@ _FEATURE_SCHEMA = T.StructType(
 
 def _decode_stub(payload: bytes, dim: int = 8) -> list:
     """Deterministic fake feature extraction (STUB — no media libs in
-    this container). Produces a stable ``dim``-dim vector from byte
-    histogram moments so tests are reproducible. Replace with a real
-    decoder (PIL/torchaudio/ffmpeg) in production."""
+    this container). Produces a stable ``dim``-dim vector from strided
+    byte sums so tests are reproducible. Replace with a real decoder
+    (PIL/torchaudio/ffmpeg) in production.
+
+    The accumulator is an INTEGER byte sum (exact in float64 up to 2^53),
+    so the result is independent of summation order and reproducible
+    bit-for-bit by any engine — the final value is a single chain of
+    IEEE ops on exact inputs.
+    """
     if payload is None:
         return None
-    acc = [0.0] * dim
+    acc = [0] * dim
     for i, b in enumerate(payload):
-        acc[i % dim] += b / 255.0
+        acc[i % dim] += b
     n = max(len(payload), 1)
-    return [round(a / n * dim, 9) for a in acc]
+    return [round(a / 255.0 / n * dim, 9) for a in acc]
 
 
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:

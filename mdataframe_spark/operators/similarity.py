@@ -107,13 +107,21 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     dim: Optional[int] = None,
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share an SRP-LSH bucket.
 
     Same output schema as cosine_topk. Candidate generation is an
     equi-join on the bucket key — scales to corpora where Q·N is
     infeasible; recall < 1 by construction (bucket boundaries).
-    """
+
+    ``probe_hamming`` enables multi-probe LSH (Lv et al., VLDB 2007
+    shape): each QUERY additionally probes every bucket within that
+    hamming distance of its own (sign flips are the most likely
+    misplacements). Only the tiny query side fans out — the corpus
+    keeps exactly one bucket per vector, so the equi-join stays the
+    same shuffle; recall rises at the cost of probing
+    sum_{i<=h} C(n_planes, i) / 2^n_planes of the corpus."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -121,6 +129,17 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), vec(vec_col).alias("__qv")
     ).withColumn("__bucket", hyperplane_bucket(F.col("__qv"), planes))
+    if probe_hamming > 0:
+        from itertools import combinations
+
+        masks = [0]
+        for h in range(1, probe_hamming + 1):
+            for bits in combinations(range(n_planes), h):
+                masks.append(sum(1 << b for b in bits))
+        q = q.withColumn(
+            "__bucket",
+            F.explode(F.array(*[F.col("__bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("__cv")
     ).withColumn("__bucket", hyperplane_bucket(F.col("__cv"), planes))

@@ -51,3 +51,28 @@ def test_add_rank(spark):
     assert rows == {"b": 1, "c": 1, "d": 3, "a": 4}
     rows = {r["id"]: r["rank"] for r in add_rank(df, "v", method="dense_rank").collect()}
     assert rows == {"b": 1, "c": 1, "d": 2, "a": 3}
+
+
+def test_unpartitioned_guard(spark, monkeypatch):
+    """Global windows over large frames must demand group_cols (probed
+    via a cheap limit+count; thresholds shrunk here to avoid building
+    10M-row test frames)."""
+    import pytest
+
+    from mdataframe_spark.functions import stats as stats_mod
+
+    monkeypatch.setattr(stats_mod, "SINGLE_REDUCER_WARN_ROWS", 10)
+    monkeypatch.setattr(stats_mod, "SINGLE_REDUCER_MAX_ROWS", 50)
+    big = spark.range(100).selectExpr("id", "id / 100.0 AS p")
+    with pytest.raises(ValueError, match="unpartitioned window"):
+        bh_adjust(big, "p", "fdr")
+    # opt-in accepts the single-reducer order
+    assert bh_adjust(big, "p", "fdr", allow_global=True).count() == 100
+    # partitioned path never probes
+    grouped = big.withColumn("g", big.id % 4)
+    assert bh_adjust(grouped, "p", "fdr", group_cols=["g"]).count() == 100
+    mid = spark.range(30).selectExpr("id", "id / 30.0 AS p")
+    with pytest.warns(UserWarning, match="single-reducer"):
+        bh_adjust(mid, "p", "fdr").count()
+    with pytest.raises(ValueError, match="unpartitioned window"):
+        add_rank(big, "p")
