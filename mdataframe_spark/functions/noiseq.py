@@ -27,6 +27,7 @@ mapInPandas (deterministic per-gene seeds); prob compares each gene's
 
 from __future__ import annotations
 
+import hashlib
 from typing import Collection, Dict, Iterator, Optional
 
 import numpy as np
@@ -202,12 +203,121 @@ class NOISeq(Transformer):
             return np.array([]), np.array([])
         return np.concatenate(out_m), np.concatenate(out_d)
 
-    def _prob_binomial_approx(self, signal, pair, idx, ca, cb, lib, scale):  # pragma: no cover
-        """Distributed approximation for very large gene counts:
-        per-gene binomial replicate draws (multinomial marginals) in
-        mapInPandas, then a broadcast 2-D histogram of the noise cloud.
-        Exactness bounded by the histogram resolution."""
-        raise NotImplementedError(
-            "gene count exceeds max_exact_noise; raise the cap or "
-            "implement the histogram path for this corpus size"
+    def _prob_binomial_approx(
+        self, signal, pair, idx, ca, cb, lib, scale, bins: int = 512
+    ):
+        """Distributed approximation for very large gene counts.
+
+        The exact multinomial couples all genes only through the shared
+        replicate total; its marginals are Binomial(size_r, p_g), and
+        for large totals the coupling is O(p_g) — negligible. So:
+
+        1. Per-gene binomial replicate draws in mapInPandas (replicate
+           sizes drawn once on the driver from the seeded stream, so
+           every gene sees the same replicate sizing as the exact
+           scheme). Per-gene deterministic sub-seeds keep the result
+           independent of partitioning. Noise points (|M|, |D|) stay
+           distributed — never collected.
+        2. A 2-D histogram of the noise cloud (linear bins in |M|,
+           log1p bins in |D| for the heavy tail) is aggregated to at
+           most ``bins``² cells; only the CELLS are collected (bounded
+           by resolution, not corpus size) and turned into an inclusive
+           2-D prefix-sum.
+        3. Per-gene prob = prefix[bin(|M|), bin(|D|)] / total via an
+           Arrow-batched pandas UDF over the broadcast prefix matrix.
+
+        Error is bounded by one histogram cell: points sharing the
+        gene's cell but strictly above it are over-counted — at most
+        the cell's mass, so prob is exact to ~1/bins of the local
+        marginal density. (A counter-based RNG would remove the
+        per-gene generator init, the only non-vectorized step, if this
+        path ever becomes CPU-bound at extreme gene counts.)
+        """
+        from pyspark.sql import functions as SF
+
+        nss, pnr, v, k = self.nss, self.pnr, self.v, float(self.k)
+        base_seed = self.seed
+        rng = np.random.RandomState(base_seed)
+        # replicate sizes per (condition, replicate): the same
+        # driver-side scalars the exact path derives per multinomial
+        sizes = [
+            [
+                int(round(pnr * lib[ci] * rng.uniform(1 - v, 1 + v)))
+                for _ in range(nss)
+            ]
+            for ci in range(2)
+        ]
+        lib0, lib1 = float(lib[0]), float(lib[1])
+        pair_idx = [(r1, r2) for r1 in range(nss) for r2 in range(r1 + 1, nss)]
+
+        noise_schema = T.StructType(
+            [
+                T.StructField("__nm", T.DoubleType()),
+                T.StructField("__nd", T.DoubleType()),
+            ]
         )
+
+        def gen_noise(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                xa = pdf[ca].to_numpy(dtype=float)
+                xb = pdf[cb].to_numpy(dtype=float)
+                ids = pdf[idx].astype(str).to_numpy()
+                out_m, out_d = [], []
+                for g in range(len(pdf)):
+                    # partition-independent per-gene stream
+                    gh = int.from_bytes(
+                        hashlib.md5(ids[g].encode()).digest()[:8], "big"
+                    )
+                    grng = np.random.default_rng([base_seed, gh])
+                    for ci, x, libc in ((0, xa[g], lib0), (1, xb[g], lib1)):
+                        if libc <= 0:
+                            continue
+                        p = min(x / libc, 1.0)
+                        reps = grng.binomial(sizes[ci], p).astype(float)
+                        reps[reps == 0] = k
+                        for r1, r2 in pair_idx:
+                            out_m.append(abs(np.log2(reps[r1] / reps[r2])))
+                            out_d.append(abs(reps[r1] - reps[r2]))
+                yield pd.DataFrame({"__nm": out_m, "__nd": out_d})
+
+        noise = pair.mapInPandas(gen_noise, noise_schema).persist()
+        ext = noise.agg(
+            SF.max("__nm").alias("m_max"), SF.max("__nd").alias("d_max")
+        ).collect()[0]
+        m_max = float(ext["m_max"] or 1.0) or 1.0
+        d_log_max = float(np.log1p(ext["d_max"] or 1.0)) or 1.0
+
+        m_bin = SF.least(
+            SF.floor(SF.col("__nm") / m_max * bins).cast("int"), SF.lit(bins - 1)
+        )
+        d_bin = SF.least(
+            SF.floor(SF.log1p(SF.col("__nd")) / d_log_max * bins).cast("int"),
+            SF.lit(bins - 1),
+        )
+        cells = (
+            noise.groupBy(m_bin.alias("mb"), d_bin.alias("db"))
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .collect()
+        )
+        noise.unpersist()
+        hist = np.zeros((bins, bins), dtype=np.int64)
+        for r in cells:
+            hist[r["mb"], r["db"]] = r["n"]
+        prefix = hist.cumsum(axis=0).cumsum(axis=1)
+        total = int(prefix[-1, -1])
+
+        def prob_lookup(m: pd.Series, d: pd.Series) -> pd.Series:
+            if total == 0:
+                return pd.Series(np.zeros(len(m)))
+            am = np.abs(m.to_numpy(dtype=float))
+            ad = np.abs(d.to_numpy(dtype=float))
+            mi = np.minimum((am / m_max * bins).astype(int), bins - 1)
+            di = np.minimum(
+                (np.log1p(ad) / d_log_max * bins).astype(int), bins - 1
+            )
+            return pd.Series(prefix[mi, di] / total)
+
+        prob_udf = F.pandas_udf(prob_lookup, T.DoubleType())
+        return signal.withColumn("__prob", prob_udf(F.col("__m"), F.col("__d")))

@@ -28,6 +28,31 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
+# Intermediates persisted by the candidate-pair builders (banded
+# signature / shingle tables referenced by both sides of a self-join).
+# They cannot be unpersisted inside the builder — the returned DataFrame
+# is lazy and still reads them at the caller's action — so they are
+# tracked here; call release_caches() after the consuming action to free
+# executor memory between pipeline invocations.
+_PERSISTED: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    p = df.persist()
+    _PERSISTED.append(p)
+    return p
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by dedup pipelines so far.
+
+    Returns the number of DataFrames released. Safe to call any time
+    after the consuming action; the next pipeline call re-persists."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than cores.
@@ -164,7 +189,7 @@ def lsh_candidate_pairs(
     # whole signature pipeline (shingle explode + hashing) would execute
     # once PER SIDE. The banded table is tiny (bands rows/doc, a hash +
     # id each) — persist it and join from memory.
-    banded = banded.persist()
+    banded = _persist_tracked(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -204,7 +229,7 @@ def ngram_jaccard_pairs(
     # referenced three times below (both join sides + sizes): persist so
     # the shingle explode runs once. At extreme scale prefer a parquet
     # checkpoint over memory persistence — the shape is the same.
-    sh = sh.persist()
+    sh = _persist_tracked(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     join_keys = ["__shingle"] + ([block_col] if block_col else [])
     l, r = sh.alias("l"), sh.alias("r")
@@ -251,7 +276,9 @@ def near_duplicates(
     (id_a, id_b, jaccard).
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    candidates = _persist_tracked(
+        lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    )
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -359,7 +386,7 @@ def simhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, *chunk_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    banded = banded.persist()  # two join sides — compute the votes once
+    banded = _persist_tracked(banded)  # two join sides — compute the votes once
     l, r = banded.alias("l"), banded.alias("r")
     hamming = sum(
         F.bit_count(

@@ -65,13 +65,31 @@ def stream_from_parquet_dir(spark, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
-def run_to_memory_sink(stream_df: DataFrame, table_name: str, spark=None):
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    table_name: str,
+    spark=None,
+    output_mode: Optional[str] = None,
+):
     """Drain an availableNow stream into an in-memory table and return
-    the query handle (caller awaits termination)."""
+    the query handle (caller awaits termination).
+
+    ``output_mode`` default (None) picks ``complete`` for aggregated
+    streams, ``append`` otherwise. CAVEAT — complete mode disables the
+    watermark-based state eviction that windowed_event_counts relies on
+    for its state bound, so it is only safe for this bounded
+    availableNow test/drain path. A LONG-RUNNING watermarked windowed
+    aggregation must pass ``output_mode="append"`` (finalized windows
+    are emitted as the watermark passes them and their state is
+    evicted); note append emits nothing for windows the final watermark
+    never passed.
+    """
+    if output_mode is None:
+        output_mode = "complete" if _has_aggregation(stream_df) else "append"
     return (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -67,3 +67,59 @@ def test_noiseq_prob_deterministic(test_frame):
     p1 = {r["__row_id"]: r[nq1.prob] for r in nq1(test_frame).collect()}
     p2 = {r["__row_id"]: r[nq2.prob] for r in nq2(test_frame).collect()}
     assert p1 == p2
+
+
+def test_noiseq_approx_matches_exact(spark):
+    """The distributed histogram path (forced via max_exact_noise=0)
+    agrees with the exact collected path within sampling tolerance —
+    different RNG streams (multinomial vs binomial marginals), same
+    noise model, so probs should correlate strongly and the prob
+    ordering of clearly-separated genes must match."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    n = 300
+    base = rng.gamma(2.0, 50.0, n)
+    a = rng.poisson(base).astype(float)
+    b = rng.poisson(base * np.where(rng.rand(n) < 0.1, 4.0, 1.0)).astype(float)
+    pdf = pd.DataFrame({"__row_id": [f"g{i}" for i in range(n)],
+                        "ca": a + 1, "cb": b + 1})
+    df = spark.createDataFrame(pdf)
+    c2c = {"A": ["ca"], "B": ["cb"]}
+    exact = NOISeq("A", "B", c2c, seed=3)
+    approx = NOISeq("A", "B", c2c, seed=3, max_exact_noise=0)
+    pe = {r["__row_id"]: r[exact.prob] for r in exact(df).collect()}
+    pa = {r["__row_id"]: r[approx.prob] for r in approx(df).collect()}
+    ids = sorted(pe)
+    ve = np.array([pe[i] for i in ids])
+    va = np.array([pa[i] for i in ids])
+    assert np.all((va >= 0) & (va <= 1))
+    assert np.corrcoef(ve, va)[0, 1] > 0.9
+    assert np.mean(np.abs(ve - va)) < 0.1
+
+
+def test_noiseq_approx_scales_distributed(spark):
+    """50k genes through the approximate path: no driver collect of
+    noise pairs (only the bounded histogram cells), deterministic,
+    bounded output, and genes with a strong injected fold change score
+    higher prob than null genes."""
+    counts = spark.range(50_000).selectExpr(
+        "concat('g', id) AS __row_id",
+        # deterministic pseudo-random baseline counts in [50, 1050)
+        "50 + pmod(abs(hash(id)), 1000) AS ca",
+        # every 100th gene gets ~6x fold change; others are unchanged
+        # (identical counts both sides = pure noise-floor genes)
+        """CASE WHEN id % 100 = 0
+            THEN (50 + pmod(abs(hash(id)), 1000)) * 6
+            ELSE 50 + pmod(abs(hash(id)), 1000) END AS cb""",
+    ).selectExpr("__row_id", "CAST(ca AS DOUBLE) ca", "CAST(cb AS DOUBLE) cb")
+    nq = NOISeq("A", "B", {"A": ["ca"], "B": ["cb"]}, seed=5,
+                max_exact_noise=10_000)
+    out = nq(counts).select("__row_id", nq.prob).collect()
+    assert len(out) == 50_000
+    probs = {r["__row_id"]: r[nq.prob] for r in out}
+    vals = np.array(list(probs.values()))
+    assert np.all((vals >= 0) & (vals <= 1))
+    fc = np.array([probs[f"g{i}"] for i in range(0, 50_000, 100)])
+    null = np.array([probs[f"g{i}"] for i in range(1, 50_000, 100)])
+    assert fc.mean() > null.mean() + 0.2, (fc.mean(), null.mean())
