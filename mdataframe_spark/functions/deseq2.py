@@ -38,6 +38,9 @@ from .stats import bh_adjust
 
 GRID_LENGTH = 25
 GRID_RANGE = (-12.0, 8.0)  # dispersions 0.1 * 2^pt: ~2.4e-5 .. 25.6
+# LRT general-design grid: coarser (each point is a full GLM fit)
+LRT_GRID_LENGTH = 17
+LRT_GRID_RANGE = (-10.0, 6.0)
 
 
 def size_factors(y: np.ndarray) -> np.ndarray:
@@ -79,6 +82,74 @@ def wald_one_way(y, group, sf, dispersion, minmu: float = 0.5):
     stat = lfc / se
     pval = 2.0 * pnorm(-np.abs(stat))
     return lfc, se, stat, pval
+
+
+def fit_dispersion_trend_and_prior(curves: DataFrame, df_resid: int):
+    """Parametric dispersion-mean trend + empirical-Bayes prior width
+    from a DataFrame of per-gene (gene_disp, base_mean) columns.
+
+    Trend: gamma IRLS of disp ~ a0 + a1/mu — each iteration is ONE
+    Spark aggregation of five scalars (no per-gene collect). Prior
+    variance: MAD of log residuals around the trend, minus the expected
+    sampling variance trigamma(df_resid/2), floored at 0.25 (DESeq2
+    estimateDispersionsMAP). Returns (a0, a1, prior_var, outlier_sd);
+    shared by the Wald and LRT pipelines.
+    """
+    a0, a1 = 0.1, 1.0
+    usable = curves.filter((F.col("gene_disp") > 1e-7) & (F.col("base_mean") > 0))
+    for _ in range(12):
+        mu_fit = F.lit(a0) + F.lit(a1) / F.col("base_mean")
+        w = 1.0 / (mu_fit ** 2)
+        x = 1.0 / F.col("base_mean")
+        yv = F.col("gene_disp")
+        row = usable.agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * x).alias("swx"),
+            F.sum(w * x * x).alias("swxx"),
+            F.sum(w * yv).alias("swy"),
+            F.sum(w * x * yv).alias("swxy"),
+        ).collect()[0]
+        det = row["sw"] * row["swxx"] - row["swx"] ** 2
+        if det == 0 or row["sw"] is None:
+            break
+        new_a0 = (row["swxx"] * row["swy"] - row["swx"] * row["swxy"]) / det
+        new_a1 = (row["sw"] * row["swxy"] - row["swx"] * row["swy"]) / det
+        if abs(new_a0 - a0) < 1e-10 and abs(new_a1 - a1) < 1e-10:
+            a0, a1 = new_a0, new_a1
+            break
+        a0, a1 = max(new_a0, 1e-8), max(new_a1, 0.0)
+
+    resid = curves.select(
+        (F.log(F.col("gene_disp")) - F.log(F.lit(a0) + F.lit(a1) / F.col("base_mean")))
+        .alias("lr")
+    )
+    med_r = resid.agg(F.expr("percentile(lr, 0.5)").alias("m")).collect()[0]["m"]
+    mad = resid.agg(
+        F.expr(f"percentile(abs(lr - {med_r}), 0.5)").alias("mad")
+    ).collect()[0]["mad"]
+    var_log_disp = (1.4826 * float(mad)) ** 2
+    prior_var = max(
+        var_log_disp - float(edger.trigamma(np.array([max(df_resid, 1) / 2.0]))[0]),
+        0.25,
+    )
+    outlier_sd = 2.0 * np.sqrt(max(var_log_disp, 1e-8))
+    return a0, a1, prior_var, outlier_sd
+
+
+def map_dispersions(l0, spline_pts, gene_disp, base_mean, a0, a1, prior_var, outlier_sd):
+    """MAP dispersion per gene: log-normal prior centered on the trend
+    added to the APL curve, spline argmax, with DESeq2's outlier escape
+    (genes far above the trend keep the gene-wise MLE). Vectorized over
+    the batch; shared by the Wald and LRT pipelines."""
+    trend = a0 + a1 / np.maximum(base_mean, 1e-8)
+    log_prior_mean = np.log(np.maximum(trend, 1e-10))
+    prior = -0.5 * (
+        (np.log(0.1) + np.log(2.0) * spline_pts)[None, :] - log_prior_mean[:, None]
+    ) ** 2 / prior_var
+    pts = edger.maximize_interpolant(spline_pts, l0 + prior)
+    map_disp = np.maximum(0.1 * 2.0 ** pts, 1e-8)
+    outlier = np.log(gene_disp) > np.log(trend) + outlier_sd
+    return np.where(outlier, gene_disp, map_disp)
 
 
 class DESeq2UnpairedAB(Transformer):
@@ -242,49 +313,11 @@ class DESeq2UnpairedAB(Transformer):
 
             curves = counts.mapInPandas(phase_a, schema_a).persist()
 
-            # --- parametric trend: gamma IRLS of disp ~ a0 + a1/mu,
-            # each iteration = one aggregation of five scalars ---
-            a0, a1 = 0.1, 1.0
-            usable = curves.filter(
-                (F.col("gene_disp") > 1e-7) & (F.col("base_mean") > 0)
+            # --- trend + prior (shared helper: gamma-IRLS trend from
+            # five aggregation scalars per iteration, MAD prior) ---
+            a0, a1, prior_var, outlier_sd = fit_dispersion_trend_and_prior(
+                curves, df_resid
             )
-            for _ in range(12):
-                mu_fit = F.lit(a0) + F.lit(a1) / F.col("base_mean")
-                w = 1.0 / (mu_fit ** 2)
-                x = 1.0 / F.col("base_mean")
-                yv = F.col("gene_disp")
-                row = usable.agg(
-                    F.sum(w).alias("sw"),
-                    F.sum(w * x).alias("swx"),
-                    F.sum(w * x * x).alias("swxx"),
-                    F.sum(w * yv).alias("swy"),
-                    F.sum(w * x * yv).alias("swxy"),
-                ).collect()[0]
-                det = row["sw"] * row["swxx"] - row["swx"] ** 2
-                if det == 0 or row["sw"] is None:
-                    break
-                new_a0 = (row["swxx"] * row["swy"] - row["swx"] * row["swxy"]) / det
-                new_a1 = (row["sw"] * row["swxy"] - row["swx"] * row["swy"]) / det
-                if abs(new_a0 - a0) < 1e-10 and abs(new_a1 - a1) < 1e-10:
-                    a0, a1 = new_a0, new_a1
-                    break
-                a0, a1 = max(new_a0, 1e-8), max(new_a1, 0.0)
-
-            # --- prior variance from log residuals (MAD, DESeq2 style) ---
-            resid = curves.select(
-                (F.log(F.col("gene_disp")) - F.log(F.lit(a0) + F.lit(a1) / F.col("base_mean")))
-                .alias("lr")
-            )
-            med_r = resid.agg(F.expr("percentile(lr, 0.5)").alias("m")).collect()[0]["m"]
-            mad = resid.agg(
-                F.expr(f"percentile(abs(lr - {med_r}), 0.5)").alias("mad")
-            ).collect()[0]["mad"]
-            var_log_disp = (1.4826 * float(mad)) ** 2
-            prior_var = max(
-                var_log_disp - float(edger.trigamma(np.array([df_resid / 2.0]))[0]),
-                0.25,
-            )
-            outlier_sd = 2.0 * np.sqrt(max(var_log_disp, 1e-8))
 
             # --- phase B: MAP dispersion + Wald per gene ---
             l0_cols = [f"l0_{i}" for i in range(GRID_LENGTH)]
@@ -295,18 +328,9 @@ class DESeq2UnpairedAB(Transformer):
                     l0 = pdf[l0_cols].to_numpy(dtype=float)
                     bm = pdf["base_mean"].to_numpy(dtype=float)
                     gene_disp = pdf["gene_disp"].to_numpy(dtype=float)
-                    trend = a0 + a1 / np.maximum(bm, 1e-8)
-                    log_prior_mean = np.log(np.maximum(trend, 1e-10))
-                    # log-normal prior over the grid
-                    prior = -0.5 * (
-                        (np.log(0.1) + np.log(2.0) * spline_pts)[None, :]
-                        - log_prior_mean[:, None]
-                    ) ** 2 / prior_var
-                    pts = edger.maximize_interpolant(spline_pts, l0 + prior)
-                    map_disp = np.maximum(0.1 * 2.0 ** pts, 1e-8)
-                    # dispersion outliers keep the gene-wise estimate
-                    outlier = np.log(gene_disp) > np.log(trend) + outlier_sd
-                    final_disp = np.where(outlier, gene_disp, map_disp)
+                    final_disp = map_dispersions(
+                        l0, spline_pts, gene_disp, bm, a0, a1, prior_var, outlier_sd
+                    )
                     lfc, se, stat, pval = wald_one_way(y, group, sf, final_disp)
                     yield pd.DataFrame(
                         {
@@ -490,41 +514,93 @@ class DESeq2LRT(Transformer):
             ]
         )
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                y = pdf[cols].to_numpy(dtype=float)
-                g = len(y)
-                if g == 0:
-                    continue
-                if fixed is not None:
-                    disp = np.full(g, float(fixed))
-                else:
-                    # per-gene APL MLE on the full design, moment fallback
-                    disp = _gene_dispersion_general(y, X_full, offs)
-                beta_f, mu_f, _ = nb_glm_fit(y, X_full, offs[None, :], disp)
-                beta_r, mu_r, _ = nb_glm_fit(y, X_red, offs[None, :], disp)
-                ll_f = nb_loglik_mu(y, mu_f, disp)
-                ll_r = nb_loglik_mu(y, mu_r, disp)
-                stat = np.maximum(2.0 * (ll_f - ll_r), 0.0)
-                pval = gammainc_q(df_lrt / 2.0, stat / 2.0)
-                # last full coefficient: log2FC + SE (DESeq2 results())
-                w = mu_f / (1.0 + disp[:, None] * mu_f)
-                xtwx = (X_full.T[None, :, :] * w[:, None, :]) @ X_full[None, :, :]
-                cov = np.linalg.inv(xtwx + 1e-8 * np.eye(X_full.shape[1]))
-                se_last = np.sqrt(np.maximum(cov[:, -1, -1], 0.0)) / np.log(2.0)
-                lfc_last = beta_f[:, -1] / np.log(2.0)
-                yield pd.DataFrame(
-                    {
-                        idx: pdf[idx],
-                        "base_mean": (y / sf[None, :]).mean(axis=1),
-                        "log2fc": lfc_last,
-                        "lfc_se": se_last,
-                        "stat": stat,
-                        "p_raw": pval,
-                    }
-                )
+        def lrt_at_dispersion(pdf: pd.DataFrame, disp: np.ndarray) -> pd.DataFrame:
+            """Full/reduced GLM fits + χ² LRT at the given per-gene
+            dispersions (the test stage, common to both paths)."""
+            y = pdf[cols].to_numpy(dtype=float)
+            beta_f, mu_f, _ = nb_glm_fit(y, X_full, offs[None, :], disp)
+            beta_r, mu_r, _ = nb_glm_fit(y, X_red, offs[None, :], disp)
+            ll_f = nb_loglik_mu(y, mu_f, disp)
+            ll_r = nb_loglik_mu(y, mu_r, disp)
+            stat = np.maximum(2.0 * (ll_f - ll_r), 0.0)
+            pval = gammainc_q(df_lrt / 2.0, stat / 2.0)
+            # last full coefficient: log2FC + SE (DESeq2 results() default)
+            w = mu_f / (1.0 + disp[:, None] * mu_f)
+            xtwx = (X_full.T[None, :, :] * w[:, None, :]) @ X_full[None, :, :]
+            cov = np.linalg.inv(xtwx + 1e-8 * np.eye(X_full.shape[1]))
+            se_last = np.sqrt(np.maximum(cov[:, -1, -1], 0.0)) / np.log(2.0)
+            lfc_last = beta_f[:, -1] / np.log(2.0)
+            return pd.DataFrame(
+                {
+                    idx: pdf[idx],
+                    "base_mean": (y / sf[None, :]).mean(axis=1),
+                    "log2fc": lfc_last,
+                    "lfc_se": se_last,
+                    "stat": stat,
+                    "p_raw": pval,
+                }
+            )
 
-        result = counts.mapInPandas(run, schema)
+        if fixed is not None:
+
+            def run_fixed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    yield lrt_at_dispersion(pdf, np.full(len(pdf), float(fixed)))
+
+            result = counts.mapInPandas(run_fixed, schema)
+        else:
+            # --- phase A: per-gene APL curve on the FULL design +
+            # gene-wise MLE — the curve is kept so phase B can add the
+            # prior without refitting (same two-phase shape as Wald) ---
+            lrt_pts = np.linspace(LRT_GRID_RANGE[0], LRT_GRID_RANGE[1], LRT_GRID_LENGTH)
+            schema_a = T.StructType(
+                list(counts.schema.fields)
+                + [T.StructField(f"l0_{i}", T.DoubleType()) for i in range(LRT_GRID_LENGTH)]
+                + [
+                    T.StructField("gene_disp", T.DoubleType()),
+                    T.StructField("base_mean", T.DoubleType()),
+                ]
+            )
+
+            def phase_a(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    y = pdf[cols].to_numpy(dtype=float)
+                    out = pdf.copy()
+                    apl = _apl_curve_general(y, X_full, offs, lrt_pts)
+                    for i in range(LRT_GRID_LENGTH):
+                        out[f"l0_{i}"] = apl[:, i]
+                    best = edger.maximize_interpolant(lrt_pts, apl)
+                    out["gene_disp"] = np.maximum(0.1 * 2.0 ** best, 1e-8)
+                    out["base_mean"] = (y / sf[None, :]).mean(axis=1)
+                    yield out
+
+            curves = counts.mapInPandas(phase_a, schema_a).persist()
+
+            # --- trend + EB prior, shared with the Wald pipeline ---
+            a0, a1, prior_var, outlier_sd = fit_dispersion_trend_and_prior(
+                curves, n - X_full.shape[1]
+            )
+            l0_cols = [f"l0_{i}" for i in range(LRT_GRID_LENGTH)]
+
+            def phase_b(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    l0 = pdf[l0_cols].to_numpy(dtype=float)
+                    final_disp = map_dispersions(
+                        l0,
+                        lrt_pts,
+                        pdf["gene_disp"].to_numpy(dtype=float),
+                        pdf["base_mean"].to_numpy(dtype=float),
+                        a0, a1, prior_var, outlier_sd,
+                    )
+                    yield lrt_at_dispersion(pdf, final_disp)
+
+            result = curves.mapInPandas(phase_b, schema)
         joined = counts.join(result, idx)
         out = bh_adjust(joined, "p_raw", "fdr_raw", tiebreak_cols=[idx])
         return out.select(
@@ -538,14 +614,13 @@ class DESeq2LRT(Transformer):
         )
 
 
-def _gene_dispersion_general(y, X, offs, grid_length=17, grid_range=(-10.0, 6.0)):
-    """Per-gene dispersion MLE for an arbitrary design: grid over
-    dispersions, NB GLM fit + Cox-Reid adjustment (slogdet), spline
-    argmax. Used by the LRT path (batch-local)."""
+def _apl_curve_general(y, X, offs, pts):
+    """Per-gene Cox-Reid adjusted profile likelihood curve over a
+    dispersion grid for an arbitrary design: NB GLM fit at each grid
+    dispersion + 0.5·logdet(XᵀWX) adjustment. Returns (g, len(pts))."""
     g = len(y)
-    pts = np.linspace(grid_range[0], grid_range[1], grid_length)
-    disps = 0.1 * 2.0 ** pts
-    apl = np.empty((g, grid_length))
+    disps = 0.1 * 2.0 ** np.asarray(pts, dtype=float)
+    apl = np.empty((g, len(disps)))
     for i, d in enumerate(disps):
         dd = np.full(g, d)
         _, mu, _ = nb_glm_fit(y, X, offs[None, :], dd)
@@ -554,5 +629,14 @@ def _gene_dispersion_general(y, X, offs, grid_length=17, grid_range=(-10.0, 6.0)
         xtwx = (X.T[None, :, :] * w[:, None, :]) @ X[None, :, :]
         sign, logdet = np.linalg.slogdet(xtwx + 1e-12 * np.eye(X.shape[1]))
         apl[:, i] = ll - 0.5 * logdet
+    return apl
+
+
+def _gene_dispersion_general(y, X, offs, grid_length=LRT_GRID_LENGTH,
+                             grid_range=LRT_GRID_RANGE):
+    """Per-gene dispersion MLE for an arbitrary design: spline argmax
+    of the Cox-Reid APL curve (batch-local)."""
+    pts = np.linspace(grid_range[0], grid_range[1], grid_length)
+    apl = _apl_curve_general(y, X, offs, pts)
     best = edger.maximize_interpolant(pts, apl)
     return np.maximum(0.1 * 2.0 ** best, 1e-8)

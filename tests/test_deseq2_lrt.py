@@ -68,3 +68,38 @@ def test_lrt_matches_wald_asymptotically(lrt_frame):
     assert len(ratios) > 5
     # asymptotic equivalence: within 30% for non-degenerate genes
     assert np.median(np.abs(np.array(ratios) - 1.0)) < 0.3
+
+
+def test_lrt_estimated_dispersions_are_shrunk(spark):
+    """The estimated-dispersion path (dispersion=None) applies EB MAP
+    shrinkage to the trend — same estimators as the Wald pipeline. With
+    few replicates and a common true dispersion, raw gene-wise MLEs are
+    noisy and anti-conservative; shrinkage must (a) agree with the Wald
+    pipeline's shrunken p on a two-group design (same prior machinery)
+    and (b) keep null p-values roughly uniform (not anti-conservative)."""
+    rng = np.random.RandomState(7)
+    n_genes, disp = 400, 0.1
+    rows = []
+    for gi in range(n_genes):
+        base = rng.randint(30, 500)
+        r = 1.0 / disp
+        vals = rng.negative_binomial(r, r / (r + base), 8).astype(int)
+        rows.append((f"g{gi}", *[int(v) for v in vals]))
+    df = spark.createDataFrame(rows, ["__row_id"] + [f"s{i}" for i in range(8)])
+
+    lrt = DESeq2LRT(SAMPLES, full=["condition"], reduced=[])
+    out = {r["__row_id"]: r for r in lrt(df).collect()}
+    pvals = np.array([out[f"g{i}"][lrt.p_column] for i in range(n_genes)])
+    assert np.all((pvals >= 0) & (pvals <= 1))
+    # anti-conservativeness check: with proper shrinkage the null
+    # false-positive rate at 0.05 stays near nominal
+    assert (pvals < 0.05).mean() < 0.12, (pvals < 0.05).mean()
+
+    c2c = {"A": [f"s{i}" for i in range(4)], "B": [f"s{i}" for i in range(4, 8)]}
+    wald = DESeq2UnpairedAB("A", "B", c2c)
+    wp = {r["__row_id"]: r[wald.p_column] for r in wald(df).collect()}
+    lp = np.array([out[g][lrt.p_column] for g in wp])
+    wpv = np.array([wp[g] for g in wp])
+    # same shrinkage machinery -> strongly correlated p-values
+    assert np.corrcoef(np.log10(np.maximum(lp, 1e-12)),
+                       np.log10(np.maximum(wpv, 1e-12)))[0, 1] > 0.9
