@@ -398,14 +398,59 @@ class MFrame:
     def write_parquet(self, path: str, mode: str = "overwrite") -> None:
         self.df.write.mode(mode).parquet(path)
 
-    def write_tsv(self, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    def write_tsv(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        single_file: bool = False,
+        full: bool = False,
+    ) -> None:
         """TSV sink (reference: MDF.write, mdataframe.py:925-949).
 
         ``single_file=True`` coalesces to 1 partition for small outputs
         (parity with the reference's one-file TSV); leave False at scale.
+        ``full=True`` emits the three-way meta join (J4, reference
+        mdataframe.py:937-944): data rows carry their row-meta columns
+        (already in-frame) and the per-sample column metadata is
+        appended as attribute rows below the data.
         """
-        writer = self.df.coalesce(1) if single_file else self.df
+        out = self.full_output() if full else self.df
+        writer = out.coalesce(1) if single_file else out
         writer.write.mode(mode).option("sep", "\t").option("header", True).csv(path)
+
+    def full_output(self) -> DataFrame:
+        """The reference's ``write(full=True)`` frame (J4,
+        mdataframe.py:937-944: ``df.T.join(meta_columns).T.join(
+        meta_rows)``): data rows x (index + data + row-meta columns),
+        followed by one row per column-meta attribute whose index cell
+        is the attribute name and whose data cells are each sample's
+        attribute value (row-meta cells null).
+
+        Row-meta columns are already in-frame (a projection); the
+        column-meta mapping is driver-bounded (#samples x #attributes),
+        so the attribute rows are a tiny union — no join, no shuffle.
+        All columns are cast to string: the union mixes numeric data
+        with attribute text, and a TSV is untyped anyway. With
+        ``single_file=True`` the union order (data, then attributes)
+        is preserved in the written file.
+        """
+        cols = self.df.columns
+        strd = self.df.select([F.col(c).cast("string").alias(c) for c in cols])
+        attrs = sorted({a for m in self.column_meta.values() for a in m})
+        if not attrs:
+            return strd
+        rows = []
+        for a in attrs:
+            cells = {self.index_column: a}
+            for c in self.data_columns:
+                v = self.column_meta.get(c, {}).get(a)
+                cells[c] = None if v is None else str(v)
+            rows.append(tuple(cells.get(c) for c in cols))
+        from pyspark.sql import types as _T
+
+        schema = _T.StructType([_T.StructField(c, _T.StringType()) for c in cols])
+        attr_df = self.df.sparkSession.createDataFrame(rows, schema)
+        return strd.unionByName(attr_df)
 
     def to_pandas(self):
         """Driver-side materialization (bounded outputs only)."""

@@ -158,13 +158,15 @@ class Agglo(Cluster):
         return df.join(F.broadcast(label_df), self.index_column)
 
 
-def _ward_labels(x, n_clusters: int):
-    """Ward-linkage agglomeration via the Lance-Williams update."""
+def _ward_merge_sequence(x):
+    """Full Ward agglomeration via the Lance-Williams update, recording
+    every merge. Returns (merges, members_at) where merges is a list of
+    (slot_i, slot_j, cost_ij, new_size) in merge order — the raw
+    material for both label cuts and the scipy-format linkage matrix
+    (M9). Deterministic: ties break by smallest (i, j) slot pair."""
     import numpy as np
 
     n = len(x)
-    if n <= n_clusters:
-        return list(range(n))
     d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d2, np.inf)
     # Ward objective uses squared distances scaled by cluster sizes
@@ -172,13 +174,15 @@ def _ward_labels(x, n_clusters: int):
     active = list(range(n))
     members = {i: [i] for i in range(n)}
     cost = d2 / 2.0  # initial Ward cost between singletons
-    while len(active) > n_clusters:
+    merges = []
+    while len(active) > 1:
         sub = np.ix_(active, active)
         flat = cost[sub]
         i_loc, j_loc = np.unravel_index(np.argmin(flat), flat.shape)
         i, j = active[i_loc], active[j_loc]
         if i > j:
             i, j = j, i
+        merge_cost = cost[i, j]
         # Lance-Williams for Ward: d(k, i∪j)
         for k in active:
             if k in (i, j):
@@ -193,14 +197,112 @@ def _ward_labels(x, n_clusters: int):
         members[i] = members[i] + members[j]
         size[i] += size[j]
         active.remove(j)
+        merges.append((i, j, float(merge_cost), int(size[i])))
+    return merges, members
+
+
+def _ward_labels(x, n_clusters: int):
+    """Ward-linkage cluster labels: cut the merge sequence at
+    ``n_clusters`` (replay all but the last n_clusters-1 merges)."""
+    n = len(x)
+    if n <= n_clusters:
+        return list(range(n))
+    merges, _ = _ward_merge_sequence(x)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j, _cost, _sz in merges[: n - n_clusters]:
+        parent[find(j)] = find(i)
+    roots = {}
     labels = [0] * n
     # first-appearance order: cluster containing the smallest row index
     # gets label 0, etc. — deterministic
-    order = sorted(active, key=lambda c: min(members[c]))
-    for lab, c in enumerate(order):
-        for m in members[c]:
-            labels[m] = lab
+    for m in range(n):
+        r = find(m)
+        if r not in roots:
+            roots[r] = len(roots)
+        labels[m] = roots[r]
     return labels
+
+
+def ward_linkage(x):
+    """scipy-format Ward linkage matrix (M9, reference
+    strategies.py:450-486 feeds scipy linkage into dendrogram-ordered
+    heatmaps).
+
+    Returns an (n-1, 4) float array: row t = [id_a, id_b, dist, size]
+    where ids < n are leaves, id n+t is the cluster formed at step t,
+    and dist = sqrt(2 x Ward merge cost) — the same height scale as
+    ``scipy.cluster.hierarchy.linkage(x, method='ward')`` (for
+    singletons it equals the euclidean distance). id_a < id_b.
+    """
+    import numpy as np
+
+    n = len(x)
+    if n < 2:
+        return np.zeros((0, 4))
+    merges, _ = _ward_merge_sequence(x)
+    slot_id = list(range(n))  # current linkage id held by each slot
+    Z = np.empty((n - 1, 4))
+    for t, (i, j, cost, new_size) in enumerate(merges):
+        a, b = slot_id[i], slot_id[j]
+        if a > b:
+            a, b = b, a
+        Z[t] = (a, b, np.sqrt(max(2.0 * cost, 0.0)), new_size)
+        slot_id[i] = n + t
+    return Z
+
+
+def dendrogram_leaf_order(Z):
+    """Left-to-right leaf ordering of the linkage tree — the row order
+    scipy's dendrogram would draw (no optimal-ordering pass)."""
+    n = len(Z) + 1
+    if n == 1:
+        return [0]
+    order = []
+    stack = [2 * n - 2]
+    while stack:
+        node = stack.pop()
+        if node < n:
+            order.append(node)
+            continue
+        a, b = int(Z[node - n][0]), int(Z[node - n][1])
+        stack.append(b)
+        stack.append(a)  # a pops first: left-to-right
+    return order
+
+
+def ward_dendrogram(
+    df: DataFrame,
+    value_cols,
+    index_column: str = "__row_id",
+    max_rows: int = 20000,
+):
+    """Linkage matrix + dendrogram-ordered row ids for a frame.
+
+    Driver-collected under the same O(n²) cap as Agglo (the explicit
+    escape hatch; dendrograms above the cap are not meaningful to draw
+    anyway). Returns (Z, ordered_ids): Z is the scipy-format linkage
+    matrix, ordered_ids the index values in leaf order — feed to
+    plots.heatmap_data(rank_by="dendrogram") for the reference's
+    clustered-heatmap row ordering (strategies.py:450-486)."""
+    import numpy as np
+
+    rows = df.select(index_column, *value_cols).orderBy(index_column).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"ward_dendrogram is O(n^2) and capped at {max_rows} rows "
+            f"(got {len(rows)})"
+        )
+    ids = [r[index_column] for r in rows]
+    x = np.array([[r[c] for c in value_cols] for r in rows], dtype=float)
+    Z = ward_linkage(x)
+    return Z, [ids[i] for i in dendrogram_leaf_order(Z)]
 
 
 class DBSCAN(Cluster):

@@ -32,24 +32,37 @@ def heatmap_data(
     rank_by: str = "variance",
 ) -> List["object"]:
     """Prepare heatmap pages: top ``max_rows`` rows (by row variance or
-    row mean), split into pages of ``page_size`` (reference pagination,
-    mdataframe.py:1123-1139). Returns a list of pandas DataFrames —
-    driver-bounded by construction."""
+    row mean) or ALL rows in Ward-dendrogram leaf order
+    (``rank_by="dendrogram"``, the reference's clustered heatmap,
+    strategies.py:450-486), split into pages of ``page_size``
+    (reference pagination, mdataframe.py:1123-1139). Returns a list of
+    pandas DataFrames — driver-bounded by construction."""
     cols = list(value_cols)
     k = len(cols)
-    mean = sum((F.col(c) for c in cols), F.lit(0.0)) / k
-    if rank_by == "variance":
-        metric = sum(((F.col(c) - mean) ** 2 for c in cols), F.lit(0.0)) / k
-    elif rank_by == "mean":
-        metric = mean
+    if rank_by == "dendrogram":
+        from .clustering import ward_dendrogram
+
+        _Z, ordered = ward_dendrogram(df, cols, index_column, max_rows=max_rows)
+        pos = df.sparkSession.createDataFrame(
+            [(v, i + 1) for i, v in enumerate(ordered)], [index_column, "__rn"]
+        )
+        ranked = df.join(F.broadcast(pos), index_column)
     else:
-        raise ValueError(f"rank_by must be variance or mean, got {rank_by!r}")
-    w = Window.orderBy(F.col("__metric").desc(), F.col(index_column).asc())
-    ranked = (
-        df.withColumn("__metric", metric)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_rows)
-    )
+        mean = sum((F.col(c) for c in cols), F.lit(0.0)) / k
+        if rank_by == "variance":
+            metric = sum(((F.col(c) - mean) ** 2 for c in cols), F.lit(0.0)) / k
+        elif rank_by == "mean":
+            metric = mean
+        else:
+            raise ValueError(
+                f"rank_by must be variance, mean or dendrogram, got {rank_by!r}"
+            )
+        w = Window.orderBy(F.col("__metric").desc(), F.col(index_column).asc())
+        ranked = (
+            df.withColumn("__metric", metric)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_rows)
+        )
     if page_size is None:
         page_size = min(max_rows, MAX_PIXELS)
     pages = []

@@ -64,3 +64,48 @@ def test_scatter_sample(spark):
     pts = scatter_data(df, "x", "y", max_points=100)
     assert 50 <= len(pts) <= 200  # sampled down
     assert list(pts.columns) == ["__row_id", "x", "y"]
+
+
+def test_write_tsv_full_output(spark, tmp_path):
+    """J4 golden: full_output() matches the reference's
+    df.T.join(meta_columns).T.join(meta_rows) shape (mdataframe.py:
+    937-944) — data rows with row-meta columns, then one attribute row
+    per column-meta key with per-sample values and null row-meta."""
+    import csv
+
+    import pandas as pd
+
+    from mdataframe_spark.frame import MFrame
+
+    rows = [("g1", 1.0, 2.0, "x"), ("g2", 3.0, 4.0, "y")]
+    df = spark.createDataFrame(rows, ["__row_id", "s1", "s2", "anno"])
+    meta = {"s1": {"group": "A", "batch": "b1"}, "s2": {"group": "B", "batch": "b2"}}
+    mf = MFrame(df, index_column="__row_id", data_columns=["s1", "s2"],
+                column_meta=meta)
+
+    # reference-shape expectation built with the same pandas ops
+    pdf = pd.DataFrame({"s1": [1.0, 3.0], "s2": [2.0, 4.0]},
+                       index=["g1", "g2"])
+    meta_cols = pd.DataFrame(meta).T  # index s1/s2, columns group/batch
+    meta_rows = pd.DataFrame({"anno": ["x", "y"]}, index=["g1", "g2"])
+    expected = pdf.T.join(meta_cols).T.join(meta_rows)
+
+    out = mf.full_output().collect()
+    got = {r["__row_id"]: r for r in out}
+    assert set(got) == set(expected.index)
+    for ridx in expected.index:
+        for c in ("s1", "s2", "anno"):
+            e = expected.loc[ridx, c]
+            g = got[ridx][c]
+            if pd.isna(e):
+                assert g is None, (ridx, c, g)
+            else:
+                assert g == str(e), (ridx, c, g, e)
+
+    # the sink writes data rows first, then attribute rows
+    mf.write_tsv(str(tmp_path / "full"), single_file=True, full=True)
+    part = next((tmp_path / "full").glob("part-*.csv"))
+    with open(part) as fh:
+        lines = list(csv.reader(fh, delimiter="\t"))
+    assert lines[0] == ["__row_id", "s1", "s2", "anno"]
+    assert [l[0] for l in lines[1:]] == ["g1", "g2", "batch", "group"]

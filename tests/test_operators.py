@@ -237,3 +237,84 @@ def test_near_duplicates_pipeline(spark):
     kept = {r["doc_id"] for r in drop_near_duplicates(df, threshold=0.5, bands=8).collect()}
     assert 1 in kept and 4 in kept and 5 in kept
     assert 2 not in kept
+
+
+def test_ward_linkage_matrix(spark):
+    """M9: scipy-format linkage matrix from the Ward merge sequence.
+    Heights hand-checked against the Ward formula
+    dist = sqrt(2 * |A||B|/(|A|+|B|) * ||centroid_A - centroid_B||^2)
+    (= what scipy.cluster.hierarchy.linkage(method='ward') yields)."""
+    import numpy as np
+
+    from mdataframe_spark.operators.clustering import (
+        dendrogram_leaf_order,
+        ward_linkage,
+    )
+
+    x = np.array([[0.0], [0.1], [5.0], [5.1], [10.0]])
+    Z = ward_linkage(x)
+    assert Z.shape == (4, 4)
+    # singleton merges first: (0,1) and (2,3) at euclidean distance 0.1
+    assert {tuple(Z[0, :2]), tuple(Z[1, :2])} == {(0.0, 1.0), (2.0, 3.0)}
+    np.testing.assert_allclose(Z[0, 2], 0.1)
+    np.testing.assert_allclose(Z[1, 2], 0.1)
+    assert Z[0, 3] == 2 and Z[1, 3] == 2
+    # third merge: {2,3} (centroid 5.05) absorbs leaf 4 at 10.0:
+    # cost = (2*1/3) * 4.95^2, dist = sqrt(2*cost)
+    assert 4.0 in tuple(Z[2, :2]) and Z[2, :2].max() >= 5.0
+    np.testing.assert_allclose(Z[2, 2], np.sqrt(2 * (2 / 3) * 4.95 ** 2))
+    assert Z[2, 3] == 3
+    # final merge has all points; Ward heights are monotone
+    assert Z[3, 3] == 5
+    assert np.all(np.diff(Z[:, 2]) >= -1e-12)
+    # leaf order: a permutation that keeps the tight pairs adjacent
+    order = dendrogram_leaf_order(Z)
+    assert sorted(order) == [0, 1, 2, 3, 4]
+    assert abs(order.index(0) - order.index(1)) == 1
+    assert abs(order.index(2) - order.index(3)) == 1
+
+
+def test_ward_linkage_agrees_with_labels(spark):
+    """Cutting the linkage tree at k clusters reproduces _ward_labels."""
+    import numpy as np
+
+    from mdataframe_spark.operators.clustering import _ward_labels, ward_linkage
+
+    rng = np.random.RandomState(3)
+    x = np.vstack([rng.normal(c, 0.3, (7, 2)) for c in (0.0, 5.0, 10.0)])
+    Z = ward_linkage(x)
+    n, k = len(x), 3
+    parent = list(range(n + len(Z)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for t in range(n - k):  # all but last k-1 merges
+        a, b = int(Z[t][0]), int(Z[t][1])
+        parent[find(a)] = parent[find(b)] = n + t
+    groups = {}
+    cut = [groups.setdefault(find(i), len(groups)) for i in range(n)]
+    labels = _ward_labels(x, k)
+    # same partition (label names may differ)
+    pairings = {(cut[i], labels[i]) for i in range(n)}
+    assert len(pairings) == k
+
+
+def test_heatmap_dendrogram_order(spark):
+    """heatmap_data(rank_by='dendrogram') pages rows in leaf order."""
+    from mdataframe_spark.operators.clustering import ward_dendrogram
+    from mdataframe_spark.operators.plots import heatmap_data
+
+    rows = [("a", 1.0, 1.1), ("b", 9.0, 9.2), ("c", 1.05, 1.0),
+            ("d", 9.1, 9.0), ("e", 5.0, 5.0)]
+    df = spark.createDataFrame(rows, ["__row_id", "v1", "v2"])
+    _Z, ordered = ward_dendrogram(df, ["v1", "v2"])
+    pages = heatmap_data(df, ["v1", "v2"], rank_by="dendrogram")
+    got = [r for p in pages for r in p["__row_id"].tolist()]
+    assert got == ordered
+    # the two tight pairs are adjacent in the drawn order
+    assert abs(got.index("a") - got.index("c")) == 1
+    assert abs(got.index("b") - got.index("d")) == 1
