@@ -17,6 +17,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from mdataframe_spark.cache import release_caches
 from mdataframe_spark.queries import QUERIES
 from mdataframe_spark.session import get_spark
 
@@ -38,6 +39,8 @@ HEADLINE = [
     "st_sessionize",
     "n_cpm_log2",
     "stat_vst",
+    "stat_edger_exact_test",
+    "stat_deseq2",
 ]
 
 
@@ -54,24 +57,34 @@ def main():
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    release_caches()
+    # per-query error isolation: one broken query must never erase the
+    # round's numbers — record its error type and keep timing the rest
     timings = {}
+    errors = {}
     for name in HEADLINE:
         t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+        finally:
+            # free persisted intermediates (dedup bands, APL curves)
+            # so later queries are timed without inherited cache pressure
+            release_caches()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

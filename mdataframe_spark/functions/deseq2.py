@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import persist_tracked
 from ..transformer import Transformer
 from . import edger
 from .numerics import pnorm
@@ -311,7 +312,7 @@ class DESeq2UnpairedAB(Transformer):
                     out["base_mean"] = (y / sf[None, :]).mean(axis=1)
                     yield out
 
-            curves = counts.mapInPandas(phase_a, schema_a).persist()
+            curves = persist_tracked(counts.mapInPandas(phase_a, schema_a))
 
             # --- trend + prior (shared helper: gamma-IRLS trend from
             # five aggregation scalars per iteration, MAD prior) ---
@@ -578,7 +579,7 @@ class DESeq2LRT(Transformer):
                     out["base_mean"] = (y / sf[None, :]).mean(axis=1)
                     yield out
 
-            curves = counts.mapInPandas(phase_a, schema_a).persist()
+            curves = persist_tracked(counts.mapInPandas(phase_a, schema_a))
 
             # --- trend + EB prior, shared with the Wald pipeline ---
             a0, a1, prior_var, outlier_sd = fit_dispersion_trend_and_prior(

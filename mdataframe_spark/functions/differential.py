@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import persist_tracked
 from ..transformer import Transformer
 from . import edger
 from .norm import tmm_norm_factors
@@ -129,13 +130,13 @@ class EdgeR_Unpaired(Transformer):
             dispersion = self.manual_dispersion_value ** 2
 
         if dispersion is None:
-            # --- phase A: per-gene APL curves + aveLogCPM + deviance ---
+            # --- phase A: per-gene APL curves + aveLogCPM ---
             schema_a = T.StructType(
                 list(counts.schema.fields)
                 + [T.StructField(f"l0_{i}", T.DoubleType()) for i in range(GRID_LENGTH)]
                 + [
                     T.StructField("alc05", T.DoubleType()),
-                    T.StructField("s2", T.DoubleType()),
+                    T.StructField("sel", T.BooleanType()),
                 ]
             )
 
@@ -150,19 +151,20 @@ class EdgeR_Unpaired(Transformer):
                         )
                         out[f"l0_{i}"] = l0[:, i]
                     out["alc05"] = edger.ave_log_cpm(y, eff_lib)
-                    out["s2"] = _residual_s2(y, group, eff_lib, df_resid)
+                    # estimateDisp's min.row.sum gene filter for the EB
+                    # moment estimation (low-count genes get the trend)
+                    out["sel"] = y.sum(axis=1) >= MIN_ROW_SUM
                     yield out
 
             # the counts columns ride along (bounded width: #samples), so
             # phase B has both the APL grid and the raw counts
-            curves = counts.mapInPandas(phase_a, schema_a).persist()
+            curves = persist_tracked(counts.mapInPandas(phase_a, schema_a))
+            sel_curves = curves.filter(F.col("sel"))
 
-            # --- global EB reduction: one aggregation ---
-            agg_row = curves.agg(
+            # --- global EB reduction 1: common dispersion + trend bins ---
+            agg_row = sel_curves.agg(
                 *[F.sum(f"l0_{i}").alias(f"s{i}") for i in range(GRID_LENGTH)],
                 F.count(F.lit(1)).alias("n_genes"),
-                F.avg(F.log("s2")).alias("mean_log_s2"),
-                F.var_samp(F.log("s2")).alias("var_log_s2"),
             ).collect()[0]
             n_genes = agg_row["n_genes"]
             sum_curve = np.array([agg_row[f"s{i}"] for i in range(GRID_LENGTH)])
@@ -180,12 +182,16 @@ class EdgeR_Unpaired(Transformer):
             # tricube smoother.
             n_bins = int(min(max(n_genes, 1), 64))
             probs = [i / n_bins for i in range(1, n_bins)]
-            cuts = curves.approxQuantile("alc05", probs, 0.001) if n_bins > 1 else []
+            cuts = (
+                sel_curves.approxQuantile("alc05", probs, 0.001)
+                if n_bins > 1
+                else []
+            )
             bin_expr = F.lit(0)
             for ci, cut in enumerate(cuts):
                 bin_expr = F.when(F.col("alc05") > cut, ci + 1).otherwise(bin_expr)
             bin_rows = (
-                curves.withColumn("__bin", bin_expr)
+                sel_curves.withColumn("__bin", bin_expr)
                 .groupBy("__bin")
                 .agg(
                     *[F.avg(f"l0_{i}").alias(f"c{i}") for i in range(GRID_LENGTH)],
@@ -199,19 +205,24 @@ class EdgeR_Unpaired(Transformer):
             bin_curves = np.array(
                 [[r[f"c{i}"] for i in range(GRID_LENGTH)] for r in bin_rows]
             )
+            span = (
+                1.0 if n_genes <= 50 else 0.25 + 0.75 * (50.0 / n_genes) ** 0.5
+            )
+            trend = _TrendMixer(bin_centers, bin_counts, bin_curves, span)
+
             if self.prior_df is not None:
                 prior_df = self.prior_df
             else:
-                prior_df = _prior_df_from_moments(
-                    agg_row["var_log_s2"], df_resid
+                prior_df = _distributed_prior_df(
+                    sel_curves, cols, n_a, eff_lib, spline_pts, trend
                 )
             prior_n = prior_df / df_resid if np.isfinite(prior_df) else 1e8
 
             # --- phase B: tagwise + exact test per gene ---
             result = curves.mapInPandas(
                 _phase_b_builder(
-                    idx, cols, n_a, eff_lib, spline_pts,
-                    bin_centers, bin_counts, bin_curves, prior_n, common_disp,
+                    idx, cols, n_a, eff_lib, spline_pts, trend,
+                    prior_n, common_disp,
                 ),
                 _phase_b_schema(idx, counts.schema[idx].dataType),
             )
@@ -236,33 +247,147 @@ class EdgeR_Unpaired(Transformer):
         )
 
 
-def _residual_s2(y, group, eff_lib, df_resid):
-    """Residual NB deviance / df at a moderate dispersion (for the
-    prior-df moment estimate)."""
-    g = len(y)
-    disp = np.full(g, 0.1)
-    mu = np.zeros_like(y, dtype=float)
-    offs = np.log(eff_lib)[None, :]
-    for grp in np.unique(group):
-        j = group == grp
-        beta = edger.mglm_one_group(y[:, j], disp, np.broadcast_to(offs, y.shape)[:, j])
-        mu[:, j] = np.exp(beta[:, None] + np.broadcast_to(offs, y.shape)[:, j])
-    r = 1.0 / disp
-    yy = np.maximum(y, 1e-300)
-    dev = 2.0 * (
-        y * np.log(yy / np.maximum(mu, 1e-300))
-        - (y + r[:, None]) * np.log((yy + r[:, None]) / (mu + r[:, None]))
-    ).sum(axis=1)
-    return np.maximum(dev / df_resid, 1e-8)
+MIN_ROW_SUM = 5.0
 
 
-def _prior_df_from_moments(var_log_s2, df_resid):
-    if var_log_s2 is None:
-        return 10.0
-    evar = float(var_log_s2) - float(edger.trigamma(np.array([df_resid / 2.0]))[0])
+class _TrendMixer:
+    """Trend curves from quantile bins: a serializable stand-in for
+    locfit's local-constant smoother. For each abundance, tricube-
+    weight the bin APL curves with a nearest-neighbor-fraction
+    bandwidth — the distance at which the cumulative bin gene count
+    reaches span * total (with per-gene bins this IS the per-gene
+    tricube smoother used by the driver-side estimate_disp)."""
+
+    def __init__(self, centers, counts, curves, span):
+        self.centers = np.asarray(centers, dtype=float)
+        self.counts = np.asarray(counts, dtype=float)
+        self.curves = np.asarray(curves, dtype=float)
+        self.span = float(span)
+        self.total = float(self.counts.sum())
+
+    def mix(self, alc):
+        d = np.abs(self.centers[None, :] - alc[:, None])
+        order = np.argsort(d, axis=1)
+        cum = np.cumsum(np.take_along_axis(
+            np.broadcast_to(self.counts[None, :], d.shape), order, axis=1
+        ), axis=1)
+        kidx = np.argmax(cum >= self.span * self.total, axis=1)
+        h = np.take_along_axis(d, order, axis=1)[np.arange(len(alc)), kidx]
+        h = np.maximum(h, 1e-10)[:, None]
+        w = np.clip(1.0 - (d / h) ** 3, 0.0, None) ** 3
+        w = np.maximum(w, 1e-8) * self.counts[None, :]
+        w = w / w.sum(axis=1, keepdims=True)
+        return w @ self.curves
+
+
+def _distributed_prior_df(sel_curves, cols, n_a, eff_lib, spline_pts, trend):
+    """Prior df with one extra distributed pass: per-gene residual
+    deviance at the TRENDED dispersion with zero-adjusted residual df
+    (edgeR glmFit + .residDF), then the limma fitFDist moment match
+    with the abundance covariate — the spline-detrended regression is
+    reduced to k<=4 normal-equation aggregates, so only O(k^2) doubles
+    reach the driver regardless of gene count."""
+    group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
+    l0_cols = [f"l0_{i}" for i in range(len(spline_pts))]
+    pts = np.asarray(spline_pts)
+
+    schema = T.StructType(
+        [
+            T.StructField("alc05", T.DoubleType()),
+            T.StructField("e", T.DoubleType()),
+            T.StructField("trig", T.DoubleType()),
+        ]
+    )
+
+    def s2_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            y = pdf[cols].to_numpy(dtype=float)
+            alc = pdf["alc05"].to_numpy(dtype=float)
+            l0 = pdf[l0_cols].to_numpy(dtype=float)
+            m0 = trend.mix(alc)
+            trended = 0.1 * 2.0 ** edger.maximize_interpolant(pts, m0)
+            s2, dfres = edger.deviance_s2(
+                y, group, np.log(eff_lib)[None, :], trended
+            )
+            ok = (dfres > 0) & (s2 > 0)
+            d1 = dfres[ok].astype(float)
+            e = (
+                np.log(s2[ok])
+                - edger.digamma(d1 / 2.0)
+                + np.log(d1 / 2.0)
+            )
+            yield pd.DataFrame(
+                {
+                    "alc05": alc[ok],
+                    "e": e,
+                    "trig": edger.trigamma(d1 / 2.0),
+                }
+            )
+
+    from ..cache import persist_tracked as _pt
+
+    ez = _pt(sel_curves.mapInPandas(s2_pass, schema))
+    n_ok = ez.count()
+    if n_ok < 2:
+        return np.inf
+    df_spline = edger.spline_basis_df(n_ok)
+    interior = max(df_spline - 2, 0)
+    if interior > 0:
+        probs = list(np.linspace(0, 1, interior + 2)[1:-1])
+        iq = ez.approxQuantile("alc05", probs, 0.001)
+        bounds = ez.agg(
+            F.min("alc05").alias("lo"), F.max("alc05").alias("hi")
+        ).collect()[0]
+        knots = sorted(iq + [bounds["lo"], bounds["hi"]])
+    else:
+        knots = []
+    basis = _ns_basis_exprs("alc05", knots, df_spline)
+    k = len(basis)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(basis[i] * basis[j]).alias(f"xx_{i}_{j}"))
+        aggs.append(F.sum(basis[i] * F.col("e")).alias(f"xe_{i}"))
+    aggs.append(F.sum(F.col("e") * F.col("e")).alias("ee"))
+    aggs.append(F.avg("trig").alias("mean_trig"))
+    row = ez.agg(*aggs).collect()[0]
+    XtX = np.empty((k, k))
+    Xte = np.empty(k)
+    for i in range(k):
+        for j in range(i, k):
+            XtX[i, j] = XtX[j, i] = row[f"xx_{i}_{j}"]
+        Xte[i] = row[f"xe_{i}"]
+    rank = np.linalg.matrix_rank(XtX)
+    coef = np.linalg.pinv(XtX) @ Xte
+    rss = max(row["ee"] - coef @ Xte, 0.0)
+    if n_ok - rank <= 0:
+        return np.inf
+    evar = rss / (n_ok - rank) - row["mean_trig"]
     if evar <= 0:
         return np.inf
     return 2.0 * float(edger.trigamma_inverse(np.array([evar]))[0])
+
+
+def _ns_basis_exprs(col, knots, df):
+    """Column expressions mirroring edger.natural_spline_basis: {1, x}
+    plus truncated-power natural-spline terms for df > 2."""
+    x = F.col(col)
+    exprs = [F.lit(1.0), x]
+    if df <= 2 or len(knots) < 3:
+        return exprs[: max(df, 1)]
+    k_last = knots[-1]
+    k_prev = knots[-2]
+
+    def d(kn):
+        return (
+            F.pow(F.greatest(x - F.lit(kn), F.lit(0.0)), 3)
+            - F.pow(F.greatest(x - F.lit(k_last), F.lit(0.0)), 3)
+        ) / F.lit(k_last - kn)
+
+    d_prev = d(k_prev)
+    for kn in knots[:-2]:
+        exprs.append(d(kn) - d_prev)
+    return exprs
 
 
 def _phase_b_schema(idx, idx_type):
@@ -277,33 +402,30 @@ def _phase_b_schema(idx, idx_type):
     )
 
 
-def _phase_b_builder(idx, cols, n_a, eff_lib, spline_pts,
-                     bin_centers, bin_counts, bin_curves, prior_n, common_disp):
+def _phase_b_builder(idx, cols, n_a, eff_lib, spline_pts, trend,
+                     prior_n, common_disp):
     l0_cols = [f"l0_{i}" for i in range(len(spline_pts))]
-    group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
-
-    def trend_curve(alc):
-        """Tricube-weighted mix of bin curves around each gene's
-        abundance (span=1 over the observed bin range)."""
-        d = np.abs(bin_centers[None, :] - alc[:, None])
-        h = np.maximum(d.max(axis=1, keepdims=True), 1e-10)
-        w = np.clip(1.0 - (d / h) ** 3, 0.0, None) ** 3
-        w = np.maximum(w, 1e-8) * bin_counts[None, :]
-        w = w / w.sum(axis=1, keepdims=True)
-        return w @ bin_curves
 
     def phase_b(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             y = pdf[cols].to_numpy(dtype=float)
             l0 = pdf[l0_cols].to_numpy(dtype=float)
-            m0 = trend_curve(pdf["alc05"].to_numpy(dtype=float))
-            shrunk = l0 + prior_n * m0
-            pts = edger.maximize_interpolant(np.asarray(spline_pts), shrunk)
-            tagwise = 0.1 * 2.0 ** pts
-            pseudo, common_lib = edger.equalize_lib_sizes(y, group, tagwise, eff_lib)
-            p1, p2 = pseudo[:, :n_a], pseudo[:, n_a:]
-            pv = edger.exact_test_doubletail(p1, p2, tagwise)
-            lfc = edger.exact_test_logfc(p1, p2, common_lib)
+            sel = pdf["sel"].to_numpy(dtype=bool)
+            m0 = trend.mix(pdf["alc05"].to_numpy(dtype=float))
+            pts = np.asarray(spline_pts)
+            # selected genes: weighted-likelihood EB; low-count genes:
+            # the trend value at their abundance (edgeR's sel logic)
+            shrunk = np.where(
+                sel[:, None], l0 + prior_n * m0, m0
+            )
+            tagwise = 0.1 * 2.0 ** edger.maximize_interpolant(pts, shrunk)
+            # exactTest internals: pooled-abundance equalization,
+            # doubled-tail exact test, prior-augmented abundance logFC
+            pseudo, _ = edger.equalize_pooled(y, tagwise, eff_lib)
+            pv = edger.exact_test_doubletail(
+                pseudo[:, :n_a], pseudo[:, n_a:], tagwise
+            )
+            lfc = edger.exact_test_logfc(y, tagwise, eff_lib, n_a)
             alc = edger.ave_log_cpm(y, eff_lib, dispersion=common_disp)
             yield pd.DataFrame(
                 {
@@ -319,16 +441,15 @@ def _phase_b_builder(idx, cols, n_a, eff_lib, spline_pts,
 
 
 def _fixed_disp_builder(idx, cols, n_a, eff_lib, dispersion):
-    group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             y = pdf[cols].to_numpy(dtype=float)
             disp = np.full(len(y), dispersion)
-            pseudo, common_lib = edger.equalize_lib_sizes(y, group, disp, eff_lib)
-            p1, p2 = pseudo[:, :n_a], pseudo[:, n_a:]
-            pv = edger.exact_test_doubletail(p1, p2, disp)
-            lfc = edger.exact_test_logfc(p1, p2, common_lib)
+            pseudo, _ = edger.equalize_pooled(y, disp, eff_lib)
+            pv = edger.exact_test_doubletail(
+                pseudo[:, :n_a], pseudo[:, n_a:], disp
+            )
+            lfc = edger.exact_test_logfc(y, disp, eff_lib, n_a)
             alc = edger.ave_log_cpm(y, eff_lib)
             yield pd.DataFrame(
                 {

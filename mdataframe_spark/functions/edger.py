@@ -319,39 +319,131 @@ def _tetragamma(x):
     return (trigamma(x + eps) - trigamma(x - eps)) / (2 * eps)
 
 
-def estimate_prior_df(
-    y: np.ndarray, group: np.ndarray, offset: np.ndarray, trended_disp: np.ndarray
-) -> float:
-    """Prior degrees of freedom via limma-style moment matching of the
-    residual deviances (squeezeVar/fitFDist, non-robust form)."""
-    g, n = y.shape
+def spline_basis_df(n: int) -> int:
+    """limma fitFDist's covariate spline df: 1+(n>=3)+(n>=6)+(n>=30)."""
+    return 1 + (n >= 3) + (n >= 6) + (n >= 30)
+
+
+def natural_spline_basis(x: np.ndarray, df: int) -> np.ndarray:
+    """Design matrix spanning the natural-cubic-spline space with
+    ``df`` total columns (intercept included), interior knots at
+    quantiles — the same SPACE as R's splines::ns(df=df,
+    intercept=TRUE), so least-squares residuals match even though the
+    basis parameterization differs. df=2 degenerates to {1, x}."""
+    x = np.asarray(x, dtype=float)
+    cols = [np.ones_like(x), x]
+    if df <= 2:
+        return np.column_stack(cols[:df]) if df >= 1 else np.ones((len(x), 1))
+    n_interior = df - 2
+    probs = np.linspace(0, 1, n_interior + 2)[1:-1]
+    interior = np.quantile(x, probs)
+    boundary = np.array([x.min(), x.max()])
+    knots = np.sort(np.concatenate([interior, boundary]))
+    k_last = knots[-1]
+    k_prev = knots[-2]
+
+    def d(k, xx):
+        return (
+            np.maximum(xx - k, 0.0) ** 3 - np.maximum(xx - k_last, 0.0) ** 3
+        ) / (k_last - k)
+
+    d_prev = d(k_prev, x)
+    for k in knots[:-2]:
+        cols.append(d(k, x) - d_prev)
+    return np.column_stack(cols)
+
+
+def fit_f_dist(s2: np.ndarray, df1, covariate: Optional[np.ndarray] = None) -> float:
+    """limma fitFDist: estimate df2 (the prior df) of the scaled
+    F-distribution by moment matching of the log residual variances,
+    optionally detrended over a covariate with a low-df natural-spline
+    regression (linear for n<6, matching ns(df=2)). This is also what
+    fitFDistRobustly reduces to whenever n*winsor.tail.p < 1 — e.g. on
+    the reference's 4-gene golden fixture, where robust winsorization
+    cannot engage.
+    """
+    s2 = np.asarray(s2, dtype=float)
+    df1 = np.broadcast_to(np.asarray(df1, dtype=float), s2.shape)
+    ok = np.isfinite(s2) & (s2 > 0) & np.isfinite(df1) & (df1 > 1e-15)
+    if ok.sum() < 2:
+        return np.inf
+    x = s2[ok]
+    d1 = df1[ok]
+    n = len(x)
+    z = np.log(x)
+    e = z - digamma(d1 / 2.0) + np.log(d1 / 2.0)
+    if covariate is None or len(np.unique(covariate[ok])) < 2:
+        evar = np.var(e, ddof=1)
+    else:
+        df_spline = min(spline_basis_df(n), len(np.unique(covariate[ok])))
+        X = natural_spline_basis(covariate[ok], max(df_spline, 1))
+        coef, _, rank, _ = np.linalg.lstsq(X, e, rcond=None)
+        resid = e - X @ coef
+        if n - rank <= 0:
+            return np.inf
+        evar = float((resid ** 2).sum() / (n - rank))
+    evar = evar - float(np.mean(trigamma(d1 / 2.0)))
+    if evar <= 0:
+        return np.inf
+    return 2.0 * float(trigamma_inverse(np.array([evar]))[0])
+
+
+def residual_df_zero_adjusted(
+    y: np.ndarray, mu: np.ndarray, group: np.ndarray
+) -> np.ndarray:
+    """Per-gene residual df, reduced for samples whose fit AND count
+    are both ~zero (edgeR .residDF): such samples carry no information
+    about dispersion. For the one-way layout the restricted design
+    rank is the number of groups retaining any live sample."""
+    zerofit = (mu < 1e-4) & (y < 1e-4)
+    live = ~zerofit
+    n_live = live.sum(axis=1)
     groups = np.unique(group)
-    df_resid = n - len(groups)
-    mu = np.zeros_like(y, dtype=float)
+    rank = np.zeros(y.shape[0], dtype=int)
     for grp in groups:
         j = group == grp
-        beta = mglm_one_group(y[:, j], trended_disp, np.broadcast_to(offset, (g, n))[:, j])
-        mu[:, j] = np.exp(beta[:, None] + np.broadcast_to(offset, (g, n))[:, j])
-    # NB deviance per gene
-    r = 1.0 / np.maximum(trended_disp, 1e-300)
+        rank += live[:, j].any(axis=1).astype(int)
+    return np.maximum(n_live - rank, 0)
+
+
+def deviance_s2(
+    y: np.ndarray, group: np.ndarray, offset: np.ndarray, dispersion: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Residual NB deviance / zero-adjusted df at the given (usually
+    trended) dispersions — the squeezeVar input in estimateDisp.
+    Returns (s2, df_resid) with s2 = 0 where df_resid = 0."""
+    g, n = y.shape
+    offset = np.broadcast_to(np.asarray(offset, dtype=float), (g, n))
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,))
+    mu = np.zeros_like(y, dtype=float)
+    for grp in np.unique(group):
+        j = group == grp
+        beta = mglm_one_group(y[:, j], phi, offset[:, j])
+        mu[:, j] = np.exp(beta[:, None] + offset[:, j])
+    r = 1.0 / np.maximum(phi, 1e-300)
     yy = np.maximum(y, 1e-300)
     dev = 2.0 * (
         y * np.log(yy / np.maximum(mu, 1e-300))
         - (y + r[:, None]) * np.log((yy + r[:, None]) / (mu + r[:, None]))
     ).sum(axis=1)
-    s2 = np.maximum(dev / df_resid, 0.0)
-    # fitFDist moment matching on log(s2)
-    ok = s2 > 0
-    if ok.sum() < 2:
-        return 10.0
-    z = np.log(s2[ok])
-    df1 = float(df_resid)
-    e = z - digamma(df1 / 2.0) + np.log(df1 / 2.0)
-    evar = np.var(e, ddof=1) - float(trigamma(np.array([df1 / 2.0]))[0])
-    if evar <= 0:
-        return np.inf
-    df2 = 2.0 * float(trigamma_inverse(np.array([evar]))[0])
-    return df2
+    df_resid = residual_df_zero_adjusted(y, mu, group)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s2 = np.where(df_resid > 0, dev / np.maximum(df_resid, 1), 0.0)
+    return np.maximum(s2, 0.0), df_resid
+
+
+def estimate_prior_df(
+    y: np.ndarray,
+    group: np.ndarray,
+    offset: np.ndarray,
+    trended_disp: np.ndarray,
+    covariate: Optional[np.ndarray] = None,
+) -> float:
+    """Prior degrees of freedom: residual deviances at the trended
+    dispersion, zero-adjusted df, then fitFDist moment matching with
+    the abundance covariate (limma squeezeVar's estimation path)."""
+    s2, df_resid = deviance_s2(y, group, offset, trended_disp)
+    return fit_f_dist(s2, df_resid.astype(float), covariate)
 
 
 def estimate_disp(
@@ -362,10 +454,15 @@ def estimate_disp(
     grid_length: int = 21,
     grid_range: Tuple[float, float] = (-10.0, 10.0),
     span: Optional[float] = None,
+    min_row_sum: float = 5.0,
 ) -> Dict[str, np.ndarray]:
     """APL-grid dispersion estimation (edgeR estimateDisp shape):
     common, trended (smoothed over aveLogCPM), and tagwise empirical
-    Bayes dispersions."""
+    Bayes dispersions. Prior df follows the squeezeVar path: residual
+    deviances at the trended dispersion, zero-adjusted residual df,
+    fitFDist moment matching with the abundance covariate. Genes below
+    ``min_row_sum`` total counts are excluded from the common/trend/
+    prior estimation and get tagwise = trended (edgeR's sel logic)."""
     y = np.asarray(y, dtype=float)
     g, n = y.shape
     offset = np.log(np.asarray(lib_size, dtype=float))
@@ -374,24 +471,38 @@ def estimate_disp(
     l0 = np.empty((g, grid_length))
     for i, disp in enumerate(spline_disp):
         l0[:, i] = adjusted_profile_lik(disp, y, group, offset[None, :])
-    # common
-    common_pt = _spline_argmax(spline_pts, l0.sum(axis=0))
+    sel = y.sum(axis=1) >= min_row_sum
+    if not sel.any():
+        sel = np.ones(g, dtype=bool)
+    n_sel = int(sel.sum())
+    # common: argmax of the summed APL over selected genes
+    common_pt = _spline_argmax(spline_pts, l0[sel].sum(axis=0))
     common = 0.1 * 2.0 ** common_pt
-    # trended over aveLogCPM
+    # trended over aveLogCPM (selected genes drive the smoother)
     alc = ave_log_cpm(y, np.asarray(lib_size, dtype=float))
     if span is None:
-        span = 1.0 if g < 50 else max(0.25 + 0.75 * (50.0 / g) ** 0.5, 0.3)
-    m0 = _tricube_smooth(l0, alc, span)
-    trend_pts = maximize_interpolant(spline_pts, m0)
-    trended = 0.1 * 2.0 ** trend_pts
-    # prior df
+        span = 1.0 if n_sel <= 50 else 0.25 + 0.75 * (50.0 / n_sel) ** 0.5
+    m0_sel = _tricube_smooth(l0[sel], alc[sel], span)
+    trend_pts_sel = maximize_interpolant(spline_pts, m0_sel)
+    trended = np.empty(g)
+    trended[sel] = 0.1 * 2.0 ** trend_pts_sel
+    if (~sel).any():
+        # nearest-selected trend value by abundance (approx rule=2)
+        order = np.argsort(alc[sel])
+        xs = alc[sel][order]
+        ys = trended[sel][order]
+        trended[~sel] = np.interp(alc[~sel], xs, ys)
+    # prior df: deviances at the trended dispersion, fitFDist vs alc
     if prior_df is None:
-        prior_df = estimate_prior_df(y, group, offset[None, :], trended)
+        prior_df = estimate_prior_df(
+            y[sel], group, offset[None, :], trended[sel], covariate=alc[sel]
+        )
     df_resid = n - len(np.unique(group))
     prior_n = prior_df / df_resid if np.isfinite(prior_df) else 1e8
-    # tagwise: maximize l0 + prior.n * m0
-    tag_pts = maximize_interpolant(spline_pts, l0 + prior_n * m0)
-    tagwise = 0.1 * 2.0 ** tag_pts
+    # tagwise: maximize l0 + prior.n * m0 for selected; trended otherwise
+    tagwise = trended.copy()
+    tag_pts = maximize_interpolant(spline_pts, l0[sel] + prior_n * m0_sel)
+    tagwise[sel] = 0.1 * 2.0 ** tag_pts
     return {
         "common": common,
         "trended": trended,
@@ -463,14 +574,145 @@ def equalize_lib_sizes(
 
 
 # ---------------------------------------------------------------------------
-# exact NB test (double tail)
+# exact NB test (double tail) — edgeR exactTestDoubleTail, faithful
 # ---------------------------------------------------------------------------
+def binom_test(s1: np.ndarray, s2: np.ndarray, p: float) -> np.ndarray:
+    """Exact two-sided binomial split test (edgeR binomTest shape):
+    given the total n = s1+s2 split with success prob p, sum the
+    probabilities of all outcomes at most as likely as the observed."""
+    s1 = np.asarray(s1, dtype=float)
+    s2 = np.asarray(s2, dtype=float)
+    n = s1 + s2
+    out = np.ones(len(s1))
+    order = np.argsort(n)
+    for lo in range(0, len(order), 256):
+        ii = order[lo:lo + 256]
+        nmax = int(n[ii].max())
+        j = np.arange(nmax + 1)[None, :]
+        valid = j <= n[ii][:, None]
+        jj = np.where(valid, j, 0)
+        ni = n[ii][:, None]
+        logp = (
+            gammaln(ni + 1.0)
+            - gammaln(jj + 1.0)
+            - gammaln(ni - jj + 1.0)
+            + jj * np.log(p)
+            + (ni - jj) * np.log1p(-p)
+        )
+        logp = np.where(valid, logp, -np.inf)
+        logp -= logp.max(axis=1, keepdims=True)
+        d = np.exp(logp)
+        obs = d[np.arange(len(ii)), s1[ii].astype(int)]
+        dominated = np.where(d <= obs[:, None] * (1 + 1e-8), d, 0.0)
+        out[ii] = np.minimum(dominated.sum(axis=1) / d.sum(axis=1), 1.0)
+    return out
+
+
+def exact_test_beta_approx(y1: np.ndarray, y2: np.ndarray, dispersion) -> np.ndarray:
+    """edgeR exactTestBetaApprox: for large counts the conditional split
+    S1/(S1+S2) is asymptotically Beta(n1/phi, n2/phi) (gamma limit of
+    the NB); doubled smaller tail with a half-count continuity
+    correction."""
+    from .numerics import pbeta, qbeta
+
+    y1 = np.atleast_2d(np.asarray(y1, dtype=float))
+    y2 = np.atleast_2d(np.asarray(y2, dtype=float))
+    g = y1.shape[0]
+    n1, n2 = y1.shape[1], y2.shape[1]
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,))
+    s1 = np.round(y1.sum(axis=1))
+    s2 = np.round(y2.sum(axis=1))
+    s = s1 + s2
+    a1 = n1 / phi
+    a2 = n2 / phi
+    med = qbeta(np.full(g, 0.5), a1, a2)
+    pv = np.ones(g)
+    left = (s1 + 0.5) / s < med
+    if left.any():
+        pv[left] = 2.0 * pbeta(((s1 + 0.5) / s)[left], a1[left], a2[left])
+    right = (s1 - 0.5) / s > med
+    if right.any():
+        pv[right] = 2.0 * pbeta(
+            ((s1 - 0.5) / s)[right], a1[right], a2[right], lower_tail=False
+        )
+    return np.minimum(pv, 1.0)
+
+
 def exact_test_doubletail(
     y1: np.ndarray, y2: np.ndarray, dispersion, big_count: int = 900
 ) -> np.ndarray:
-    """Exact NB test p-values (edgeR exactTestDoubleTail): conditional
-    on the total, sum the probabilities of all splits at most as likely
-    as the observed one."""
+    """Exact NB test p-values, faithful to edgeR exactTestDoubleTail:
+    conditional on the total s, double the SMALLER tail of the split
+    distribution P(S1 = j | S1+S2 = s) — p.top/p.bot with
+    p.bot = dnbinom(s; (n1+n2)/phi, mu=s) — rather than summing all
+    splits less likely than the observed (that is exactTestBySmallP,
+    a different rejection region; see :func:`exact_test_smallp`).
+    Genes with both group sums above ``big_count`` use the beta
+    approximation; non-positive dispersions use the binomial split.
+    """
+    y1 = np.atleast_2d(np.asarray(y1, dtype=float))
+    y2 = np.atleast_2d(np.asarray(y2, dtype=float))
+    g = y1.shape[0]
+    n1, n2 = y1.shape[1], y2.shape[1]
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,)).copy()
+    s1 = np.round(y1.sum(axis=1))
+    s2 = np.round(y2.sum(axis=1))
+    s = s1 + s2
+    ntot = n1 + n2
+    mu = s / ntot
+    mu1 = n1 * mu
+    pvals = np.ones(g)
+
+    nonzero = s > 0
+    pois = nonzero & (phi <= 0)
+    if pois.any():
+        pvals[pois] = binom_test(s1[pois], s2[pois], n1 / ntot)
+    big = nonzero & (phi > 0) & (s1 > big_count) & (s2 > big_count)
+    if big.any():
+        pvals[big] = exact_test_beta_approx(y1[big], y2[big], phi[big])
+    rest = nonzero & (phi > 0) & ~big
+
+    left = np.nonzero(rest & (s1 < mu1))[0]
+    right = np.nonzero(rest & (s1 > mu1))[0]
+    # genes with s1 == mu1 exactly keep p = 1 (edgeR leaves them at 1)
+
+    def tail_sums(idx, lengths, enum_left):
+        """Doubled-tail sums, chunked and padded to the max tail length
+        (sorted by length so padding waste stays bounded)."""
+        order = idx[np.argsort(lengths[idx])]
+        for lo in range(0, len(order), 256):
+            ii = order[lo:lo + 256]
+            lmax = int(lengths[ii].max())
+            t = np.arange(lmax)[None, :]
+            valid = t < lengths[ii][:, None]
+            tt = np.where(valid, t, 0)
+            r1 = (n1 / phi[ii])[:, None]
+            r2 = (n2 / phi[ii])[:, None]
+            m1 = (n1 * mu[ii])[:, None]
+            m2 = (n2 * mu[ii])[:, None]
+            si = s[ii][:, None]
+            if enum_left:  # j = 0..s1: left tail
+                j = tt
+            else:  # j = s1..s, enumerated from the right as j = s - t
+                j = si - tt
+            logp = dnbinom_log(j, r1, m1) + dnbinom_log(si - j, r2, m2)
+            logpbot = dnbinom_log(s[ii], ntot / phi[ii], s[ii])[:, None]
+            contrib = np.where(valid, np.exp(logp - logpbot), 0.0)
+            pvals[ii] = np.minimum(2.0 * contrib.sum(axis=1), 1.0)
+
+    if len(left):
+        tail_sums(left, (s1 + 1).astype(int), True)
+    if len(right):
+        tail_sums(right, (s2 + 1).astype(int), False)
+    return pvals
+
+
+def exact_test_smallp(
+    y1: np.ndarray, y2: np.ndarray, dispersion
+) -> np.ndarray:
+    """edgeR exactTestBySmallP: sum the probabilities of all splits at
+    most as likely as the observed one (kept for the alternative
+    rejection region; the pipeline default is doubletail)."""
     y1 = np.atleast_2d(np.asarray(y1, dtype=float))
     y2 = np.atleast_2d(np.asarray(y2, dtype=float))
     g = y1.shape[0]
@@ -482,60 +724,70 @@ def exact_test_doubletail(
     mu = s / (n1 + n2)
     mu1, mu2 = n1 * mu, n2 * mu
     pvals = np.ones(g)
-
-    def batch_pvals(idx, chunk=256):
-        """Vectorized double-tail sums: genes padded to the max total
-        within each chunk (mask beyond each gene's own total)."""
-        for lo in range(0, len(idx), chunk):
-            ii = idx[lo:lo + chunk]
-            smax = int(s[ii].max())
-            j = np.arange(smax + 1)[None, :]
-            valid = j <= s[ii][:, None]
-            jj = np.where(valid, j, 0)
-            if np.all(phi[ii] > 0):
-                r1 = (n1 / phi[ii])[:, None]
-                r2 = (n2 / phi[ii])[:, None]
-                logp = dnbinom_log(jj, r1, mu1[ii][:, None]) + dnbinom_log(
-                    s[ii][:, None] - jj, r2, mu2[ii][:, None]
-                )
-            else:  # Poisson limit: binomial split of the total
-                si = s[ii][:, None]
-                logp = (
-                    gammaln(si + 1.0)
-                    - gammaln(jj + 1.0)
-                    - gammaln(si - jj + 1.0)
-                    + jj * np.log(n1 / (n1 + n2))
-                    + (si - jj) * np.log(n2 / (n1 + n2))
-                )
-            logp = np.where(valid, logp, -np.inf)
-            logp -= logp.max(axis=1, keepdims=True)
-            p = np.exp(logp)
-            obs = p[np.arange(len(ii)), s1[ii].astype(int)]
-            dominated = np.where(p <= obs[:, None] * (1 + 1e-12), p, 0.0)
-            pvals[ii] = np.minimum(dominated.sum(axis=1) / p.sum(axis=1), 1.0)
-
-    nonzero = np.nonzero(s > 0)[0]
-    exact_sel = nonzero[
-        (phi[nonzero] > 0) & (s[nonzero] <= big_count * (n1 + n2))
-    ]
-    pois_sel = nonzero[~((phi[nonzero] > 0) & (s[nonzero] <= big_count * (n1 + n2)))]
-    if len(exact_sel):
-        # sort by total so chunks have similar padding (less waste)
-        batch_pvals(exact_sel[np.argsort(s[exact_sel])])
-    if len(pois_sel):
-        phi_safe = phi.copy()
-        phi_safe[pois_sel] = 0.0
-        phi = phi_safe
-        batch_pvals(pois_sel[np.argsort(s[pois_sel])])
+    idx = np.nonzero(s > 0)[0]
+    order = idx[np.argsort(s[idx])]
+    for lo in range(0, len(order), 256):
+        ii = order[lo:lo + 256]
+        smax = int(s[ii].max())
+        j = np.arange(smax + 1)[None, :]
+        valid = j <= s[ii][:, None]
+        jj = np.where(valid, j, 0)
+        r1 = (n1 / phi[ii])[:, None]
+        r2 = (n2 / phi[ii])[:, None]
+        logp = dnbinom_log(jj, r1, mu1[ii][:, None]) + dnbinom_log(
+            s[ii][:, None] - jj, r2, mu2[ii][:, None]
+        )
+        logp = np.where(valid, logp, -np.inf)
+        logp -= logp.max(axis=1, keepdims=True)
+        p = np.exp(logp)
+        obs = p[np.arange(len(ii)), s1[ii].astype(int)]
+        dominated = np.where(p <= obs[:, None] * (1 + 1e-12), p, 0.0)
+        pvals[ii] = np.minimum(dominated.sum(axis=1) / p.sum(axis=1), 1.0)
     return pvals
 
 
+def equalize_pooled(
+    y: np.ndarray, dispersion, lib_size: np.ndarray
+) -> Tuple[np.ndarray, float]:
+    """Library-size equalization as done INSIDE edgeR's exactTest: one
+    pooled one-group abundance over ALL samples (not per group — that
+    is :func:`equalize_lib_sizes`, the standalone equalizeLibSizes),
+    mapping each count from its own effective library to the geometric
+    average library."""
+    y = np.asarray(y, dtype=float)
+    g, n = y.shape
+    lib = np.asarray(lib_size, dtype=float)
+    offset = np.log(lib)
+    lib_avg = float(np.exp(offset.mean()))
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,))
+    beta = mglm_one_group(y, phi, offset[None, :])
+    e = np.exp(beta)
+    input_mean = e[:, None] * lib[None, :]
+    output_mean = np.broadcast_to((e * lib_avg)[:, None], input_mean.shape)
+    pseudo = q2qnbinom(y, input_mean, output_mean, phi[:, None])
+    return np.maximum(pseudo, 0.0), lib_avg
+
+
 def exact_test_logfc(
-    pseudo1: np.ndarray, pseudo2: np.ndarray, common_lib: float, prior_count: float = 0.125
+    y: np.ndarray,
+    dispersion,
+    lib_size: np.ndarray,
+    n1: int,
+    prior_count: float = 0.125,
 ) -> np.ndarray:
-    """logFC as reported by edgeR's exactTest: log2 ratio of average
-    pseudo-CPM with a small prior."""
-    m1 = pseudo1.mean(axis=1)
-    m2 = pseudo2.mean(axis=1)
-    prior = prior_count * 2.0  # prior added to each side's average
-    return np.log2((m1 + prior) / (m2 + prior))
+    """logFC as reported by edgeR's exactTest: difference of one-group
+    abundances fitted on counts augmented by a library-size-scaled
+    prior, over prior-augmented offsets (first group minus second)."""
+    y = np.asarray(y, dtype=float)
+    g, n = y.shape
+    lib = np.asarray(lib_size, dtype=float)
+    phi = np.broadcast_to(np.asarray(dispersion, dtype=float), (g,))
+    pc = prior_count * lib / lib.mean()
+    off_aug = np.log(lib + 2.0 * pc)
+    a1 = mglm_one_group(
+        y[:, :n1] + pc[None, :n1], phi, off_aug[None, :n1]
+    )
+    a2 = mglm_one_group(
+        y[:, n1:] + pc[None, n1:], phi, off_aug[None, n1:]
+    )
+    return (a1 - a2) / np.log(2.0)

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import persist_tracked
 from ..transformer import Transformer
 from .norm import tmm_norm_factors
 
@@ -282,7 +283,7 @@ class NOISeq(Transformer):
                             out_d.append(abs(reps[r1] - reps[r2]))
                 yield pd.DataFrame({"__nm": out_m, "__nd": out_d})
 
-        noise = pair.mapInPandas(gen_noise, noise_schema).persist()
+        noise = persist_tracked(pair.mapInPandas(gen_noise, noise_schema))
         ext = noise.agg(
             SF.max("__nm").alias("m_max"), SF.max("__nd").alias("d_max")
         ).collect()[0]

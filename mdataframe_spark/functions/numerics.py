@@ -278,6 +278,34 @@ def betainc(a, b, x):
     return np.clip(out, 0.0, 1.0)
 
 
+def pbeta(x, a, b, lower_tail=True):
+    """Beta CDF (regularized incomplete beta), R argument order."""
+    res = betainc(a, b, x)
+    return res if lower_tail else 1.0 - res
+
+
+def qbeta(p, a, b, tol=1e-12, max_iter=200):
+    """Beta quantile via bisection on ``pbeta`` (vectorized).
+
+    Accuracy ~1e-12 in x — used for the beta-approximation median in
+    the edgeR big-count exact test, where the argument only selects a
+    tail, so bisection robustness beats Newton speed."""
+    p = np.atleast_1d(np.asarray(p, dtype=float))
+    a = np.atleast_1d(np.asarray(a, dtype=float))
+    b = np.atleast_1d(np.asarray(b, dtype=float))
+    p, a, b = np.broadcast_arrays(p, a, b)
+    lo = np.zeros(p.shape, dtype=float)
+    hi = np.ones(p.shape, dtype=float)
+    for _ in range(max_iter):
+        mid = 0.5 * (lo + hi)
+        below = betainc(a, b, mid) < p
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+        if np.all(hi - lo < tol):
+            break
+    return 0.5 * (lo + hi)
+
+
 def dnbinom_log(x, size, mu):
     """log NB pmf with mean mu, dispersion size=r (R parameterization)."""
     x = np.asarray(x, dtype=float)

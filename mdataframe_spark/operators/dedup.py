@@ -29,29 +29,11 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 # Intermediates persisted by the candidate-pair builders (banded
-# signature / shingle tables referenced by both sides of a self-join).
-# They cannot be unpersisted inside the builder — the returned DataFrame
-# is lazy and still reads them at the caller's action — so they are
-# tracked here; call release_caches() after the consuming action to free
-# executor memory between pipeline invocations.
-_PERSISTED: list = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    p = df.persist()
-    _PERSISTED.append(p)
-    return p
-
-
-def release_caches() -> int:
-    """Unpersist every intermediate cached by dedup pipelines so far.
-
-    Returns the number of DataFrames released. Safe to call any time
-    after the consuming action; the next pipeline call re-persists."""
-    n = len(_PERSISTED)
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-    return n
+# signature / shingle tables referenced by both sides of a self-join)
+# register with the engine-wide cache registry; call release_caches()
+# after the consuming action to free executor memory between pipelines.
+from ..cache import persist_tracked as _persist_tracked  # noqa: E402
+from ..cache import release_caches  # noqa: E402,F401  (re-export)
 
 
 def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:

@@ -704,13 +704,32 @@ FROM customer
 
 
 def _events(spark, sf_dir):
-    """Read the events table. Its parquet carries TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; nanosAsLong reads ts as
-    raw nanos (BIGINT). All bucketing below is integer arithmetic on
-    epoch nanos — timezone-free, so parity does not depend on either
-    engine's session timezone."""
+    """Read the events table with type-robust timestamp ingestion.
+
+    The driver's parquet has shipped `ts` as TIMESTAMP(NANOS) (which
+    Spark's vectorized reader only accepts as raw BIGINT nanos via
+    nanosAsLong) and as timestamp[us] (which arrives as TIMESTAMP_NTZ).
+    Rather than hard-code one physical type, branch on the scanned
+    dtype and canonicalize: `ts` always leaves here as epoch-nanosecond
+    BIGINT, so every downstream bucketing expression is timezone-free
+    integer arithmetic. The DuckDB oracles use epoch_ns(ts), which is
+    robust to both encodings. Session timezone is pinned to UTC so the
+    NTZ->TIMESTAMP cast is epoch-preserving even under a foreign
+    (driver-owned) session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    dtype = dict(e.dtypes)["ts"]
+    if dtype.startswith("timestamp"):
+        e = e.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "bigint"
+            ),
+        )
+    elif dtype != "bigint":
+        e = e.withColumn("ts", F.col("ts").cast("bigint"))
+    return e
 
 
 def e_events_hourly(spark, sf_dir):
@@ -1747,6 +1766,31 @@ QUERIES = {
     "stat_deseq2": stat_deseq2,
     "stat_noiseq": stat_noiseq,
 }
+
+
+def _with_cache_release(fn):
+    """Release persisted intermediates (dedup's banded signatures,
+    differential's APL curve tables, NOISeq's noise cloud) from PRIOR
+    pipelines when the next query is built.
+
+    The builders must persist across their own consuming action (the
+    returned frame is lazy), so the earliest safe release point is the
+    start of the following query. Unpersist is an optimization knob,
+    never a correctness one — a caller who interleaves construction and
+    actions merely recomputes the deterministic intermediates."""
+    import functools
+
+    from .cache import release_caches
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
+QUERIES = {name: _with_cache_release(fn) for name, fn in QUERIES.items()}
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
