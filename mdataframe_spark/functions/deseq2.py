@@ -85,6 +85,212 @@ def wald_one_way(y, group, sf, dispersion, minmu: float = 0.5):
     return lfc, se, stat, pval
 
 
+MIN_DISP = 1e-8
+MIN_MU = 0.5
+
+
+def rough_moments_init(y, group, sf, df_resid):
+    """DESeq2 initial dispersion: min(roughDispEstimate, momentsDisp).
+
+    rough: normalized-count linear-model residual moments; moments:
+    (var − ξ̄·mean)/mean² with ξ̄ the mean reciprocal size factor."""
+    y = np.asarray(y, dtype=float)
+    norm = y / np.asarray(sf, dtype=float)[None, :]
+    mu_lin = np.empty_like(norm)
+    for grp in np.unique(group):
+        j = group == grp
+        mu_lin[:, j] = norm[:, j].mean(axis=1, keepdims=True)
+    mu_lin = np.maximum(mu_lin, 1.0)
+    rough = np.maximum(
+        (((norm - mu_lin) ** 2 - mu_lin) / mu_lin ** 2).sum(axis=1)
+        / max(df_resid, 1),
+        0.0,
+    )
+    xim = float(np.mean(1.0 / np.asarray(sf, dtype=float)))
+    bv = norm.var(axis=1, ddof=1)
+    bm = norm.mean(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        moments = np.where(bm > 0, (bv - xim * bm) / np.maximum(bm, 1e-300) ** 2, 0.0)
+    max_disp = float(max(10, y.shape[1]))
+    return np.clip(np.minimum(rough, moments), MIN_DISP, max_disp)
+
+
+def fit_mu_oneway(y, group, sf, alpha, minmu: float = MIN_MU):
+    """One-way NB GLM fitted means at the given dispersions, floored at
+    minmu (DESeq2 fitNbinomGLMs for the gene-est stage)."""
+    y = np.asarray(y, dtype=float)
+    offs = np.log(np.asarray(sf, dtype=float))
+    mu = np.empty_like(y)
+    for grp in np.unique(group):
+        j = group == grp
+        b = edger.mglm_one_group(y[:, j], alpha, offs[None, j])
+        mu[:, j] = np.exp(b[:, None] + offs[None, j])
+    return np.maximum(mu, minmu)
+
+
+def _cr_logpost_grad(y, mu, group, log_alpha, prior_mean=None, prior_var=None):
+    """Cox-Reid adjusted log posterior and its d/d(log alpha), with mu
+    FIXED (DESeq2 C++ log_posterior/dlog_posterior). One-way design:
+    det(XᵀWX) factorizes into the product of group weight sums."""
+    from .numerics import gammaln
+
+    a = np.exp(log_alpha)
+    r = 1.0 / a
+    ll = (
+        gammaln(y + r[:, None]) - gammaln(r)[:, None]
+        - (y + r[:, None]) * np.log(mu + r[:, None])
+        + (r * np.log(r))[:, None]
+        + y * np.log(mu)
+    ).sum(axis=1)
+    w = 1.0 / (1.0 / mu + a[:, None])
+    dw = -a[:, None] * w ** 2
+    cr = np.zeros(len(a))
+    dcr = np.zeros(len(a))
+    for grp in np.unique(group):
+        j = group == grp
+        sw = np.maximum(w[:, j].sum(axis=1), 1e-300)
+        cr += 0.5 * np.log(sw)
+        dcr += 0.5 * dw[:, j].sum(axis=1) / sw
+    dll_dr = (
+        edger.digamma(y + r[:, None])
+        - edger.digamma(np.broadcast_to(r[:, None], y.shape))
+        - np.log(mu + r[:, None])
+        - (y + r[:, None]) / (mu + r[:, None])
+        + (np.log(r) + 1.0)[:, None]
+    ).sum(axis=1)
+    lp = ll - cr
+    g = -r * dll_dr - dcr
+    if prior_mean is not None:
+        lp = lp - 0.5 * (log_alpha - prior_mean) ** 2 / prior_var
+        g = g - (log_alpha - prior_mean) / prior_var
+    return lp, g
+
+
+def fit_disp_steepest(
+    y, mu, group, log_alpha_init,
+    prior_mean=None, prior_var=None,
+    kappa_0: float = 1.0, tol: float = 1e-6, maxit: int = 100,
+    epsilon: float = 1e-4,
+):
+    """DESeq2 C++ fitDisp: steepest ascent on log alpha with Armijo
+    backtracking and adaptive step kappa; stops when the step
+    kappa·|grad| drops below tol.
+
+    The stall at a minDisp start is LOAD-BEARING for R parity: for
+    genes whose rough/moments init is ~0 the gradient in log-alpha
+    scales with alpha itself, so the ascent 'converges' immediately at
+    the boundary — those genes get dispGeneEst = minDisp, fall below
+    the 100·minDisp trend filter, and are later pulled to the trend by
+    the MAP prior, exactly as DESeq2 does."""
+    y = np.asarray(y, dtype=float)
+    g = len(log_alpha_init)
+    min_log_alpha = np.log(MIN_DISP / 10.0)
+    max_log_alpha = np.log(float(max(10, y.shape[1])) * 4.0)
+    a = np.asarray(log_alpha_init, dtype=float).copy()
+    lp, grad = _cr_logpost_grad(y, mu, group, a, prior_mean, prior_var)
+    kappa = np.full(g, kappa_0)
+    active = np.ones(g, dtype=bool)
+    for _ in range(maxit):
+        if not active.any():
+            break
+        prop = np.clip(a + kappa * grad, min_log_alpha, max_log_alpha)
+        lp_prop, grad_prop = _cr_logpost_grad(
+            y, mu, group, prop, prior_mean, prior_var
+        )
+        accept = active & (lp_prop >= lp + epsilon * kappa * grad * grad)
+        a = np.where(accept, prop, a)
+        lp = np.where(accept, lp_prop, lp)
+        grad = np.where(accept, grad_prop, grad)
+        kappa = np.where(accept, np.minimum(kappa * 1.1, 10.0), kappa / 2.0)
+        active = active & (np.abs(kappa * grad) >= tol)
+    return a, ~active
+
+
+def fit_disp_grid(y, mu, group, prior_mean=None, prior_var=None, grid_n: int = 20):
+    """DESeq2 fitDispGrid: coarse log-alpha grid argmax + one fine grid
+    around the winner — the fallback for non-converged ascents."""
+    y = np.asarray(y, dtype=float)
+    g = y.shape[0]
+    max_disp = float(max(10, y.shape[1]))
+    grid = np.linspace(np.log(MIN_DISP), np.log(max_disp), grid_n)
+    vals = np.stack(
+        [
+            _cr_logpost_grad(y, mu, group, np.full(g, x), prior_mean, prior_var)[0]
+            for x in grid
+        ],
+        axis=1,
+    )
+    best = grid[np.argmax(vals, axis=1)]
+    delta = grid[1] - grid[0]
+    offsets = np.linspace(-delta, delta, grid_n)
+    fine_vals = np.stack(
+        [
+            _cr_logpost_grad(y, mu, group, best + o, prior_mean, prior_var)[0]
+            for o in offsets
+        ],
+        axis=1,
+    )
+    return best + offsets[np.argmax(fine_vals, axis=1)]
+
+
+def gene_dispersions(y, group, sf, niter: int = 7):
+    """DESeq2 estimateDispersionsGeneEst: alternate the one-way GLM mu
+    fit and the mu-fixed CR dispersion ascent until each gene's log
+    estimate moves < 0.05, grid-refitting non-converged genes.
+
+    Returns (gene_est, mu, base_mean)."""
+    y = np.asarray(y, dtype=float)
+    n_groups = len(np.unique(group))
+    df_resid = y.shape[1] - n_groups
+    max_disp = float(max(10, y.shape[1]))
+    sf = np.asarray(sf, dtype=float)
+    alpha = rough_moments_init(y, group, sf, df_resid)
+    mu_store = np.empty_like(y)
+    fitidx = np.ones(len(y), dtype=bool)
+    for _ in range(niter):
+        mu = fit_mu_oneway(y, group, sf, alpha)
+        mu_store[fitidx] = mu[fitidx]
+        la, conv = fit_disp_steepest(y, mu, group, np.log(alpha))
+        new = np.minimum(np.exp(la), max_disp)
+        if (~conv).any():
+            gr = fit_disp_grid(y[~conv], mu[~conv], group)
+            new[~conv] = np.minimum(np.exp(gr), max_disp)
+        delta = np.abs(np.log(np.maximum(new, MIN_DISP)) - np.log(alpha))
+        alpha = np.where(fitidx, new, alpha)
+        fitidx = fitidx & (delta > 0.05)
+        if not fitidx.any():
+            break
+    gene_est = np.maximum(alpha, MIN_DISP)
+    base_mean = (y / sf[None, :]).mean(axis=1)
+    return gene_est, mu_store, base_mean
+
+
+def map_dispersions_mu_fixed(
+    y, mu, group, gene_est, base_mean, a0, a1, prior_var, outlier_sd
+):
+    """DESeq2 estimateDispersionsMAP: maximize the mu-fixed CR
+    posterior with the log-normal trend prior, starting from the gene
+    estimate; dispersion outliers (log est > log trend + 2·sd(logs))
+    keep their gene-wise estimate."""
+    y = np.asarray(y, dtype=float)
+    trend = a0 + a1 / np.maximum(base_mean, 1e-8)
+    pm = np.log(np.maximum(trend, 1e-10))
+    la, conv = fit_disp_steepest(
+        y, mu, group, np.log(np.maximum(gene_est, MIN_DISP)),
+        prior_mean=pm, prior_var=prior_var,
+    )
+    dmap = np.exp(la)
+    if (~conv).any():
+        gr = fit_disp_grid(
+            y[~conv], mu[~conv], group,
+            prior_mean=pm[~conv], prior_var=prior_var,
+        )
+        dmap[~conv] = np.exp(gr)
+    outlier = np.log(gene_est) > np.log(trend) + outlier_sd
+    final = np.where(outlier, gene_est, dmap)
+    return np.clip(final, MIN_DISP, float(max(10, y.shape[1])))
+
+
 def fit_dispersion_trend_and_prior(curves: DataFrame, df_resid: int):
     """Parametric dispersion-mean trend + empirical-Bayes prior width
     from a DataFrame of per-gene (gene_disp, base_mean) columns.
@@ -97,30 +303,55 @@ def fit_dispersion_trend_and_prior(curves: DataFrame, df_resid: int):
     shared by the Wald and LRT pipelines.
     """
     a0, a1 = 0.1, 1.0
-    usable = curves.filter((F.col("gene_disp") > 1e-7) & (F.col("base_mean") > 0))
-    for _ in range(12):
-        mu_fit = F.lit(a0) + F.lit(a1) / F.col("base_mean")
-        w = 1.0 / (mu_fit ** 2)
-        x = 1.0 / F.col("base_mean")
-        yv = F.col("gene_disp")
-        row = usable.agg(
-            F.sum(w).alias("sw"),
-            F.sum(w * x).alias("swx"),
-            F.sum(w * x * x).alias("swxx"),
-            F.sum(w * yv).alias("swy"),
-            F.sum(w * x * yv).alias("swxy"),
-        ).collect()[0]
-        det = row["sw"] * row["swxx"] - row["swx"] ** 2
-        if det == 0 or row["sw"] is None:
+    # DESeq2 estimateDispersionsFit: only genes with a real gene-wise
+    # estimate (above 100*minDisp — minDisp-stalled genes carry no
+    # dispersion information) feed the trend
+    usable = curves.filter(
+        (F.col("gene_disp") > 100 * MIN_DISP) & (F.col("base_mean") > 0)
+    )
+    # parametricDispersionFit: outer loop re-selects 'good' genes whose
+    # ratio to the current fit is within (1e-4, 15); inner gamma-GLM
+    # IRLS (identity link: weighted LS with weights 1/fit^2) runs to
+    # convergence — every iteration is ONE five-scalar aggregation
+    for _outer in range(10):
+        good = usable
+        ratio = F.col("gene_disp") / (F.lit(a0) + F.lit(a1) / F.col("base_mean"))
+        good = usable.filter((ratio > 1e-4) & (ratio < 15.0))
+        ca0, ca1 = a0, a1
+        for _inner in range(50):
+            mu_fit = F.lit(ca0) + F.lit(ca1) / F.col("base_mean")
+            w = 1.0 / (mu_fit ** 2)
+            x = 1.0 / F.col("base_mean")
+            yv = F.col("gene_disp")
+            row = good.agg(
+                F.sum(w).alias("sw"),
+                F.sum(w * x).alias("swx"),
+                F.sum(w * x * x).alias("swxx"),
+                F.sum(w * yv).alias("swy"),
+                F.sum(w * x * yv).alias("swxy"),
+            ).collect()[0]
+            if row["sw"] is None:
+                break
+            det = row["sw"] * row["swxx"] - row["swx"] ** 2
+            if det == 0:
+                break
+            new_a0 = (row["swxx"] * row["swy"] - row["swx"] * row["swxy"]) / det
+            new_a1 = (row["sw"] * row["swxy"] - row["swx"] * row["swy"]) / det
+            moved = abs(new_a0 - ca0) + abs(new_a1 - ca1)
+            ca0, ca1 = max(new_a0, 1e-8), max(new_a1, 0.0)
+            if moved < 1e-10:
+                break
+        prev_a0, prev_a1 = a0, a1
+        a0, a1 = ca0, ca1
+        if (
+            np.log(max(a0, 1e-12) / max(prev_a0, 1e-12)) ** 2
+            + np.log(max(a1, 1e-12) / max(prev_a1, 1e-12)) ** 2
+        ) < 1e-6:
             break
-        new_a0 = (row["swxx"] * row["swy"] - row["swx"] * row["swxy"]) / det
-        new_a1 = (row["sw"] * row["swxy"] - row["swx"] * row["swy"]) / det
-        if abs(new_a0 - a0) < 1e-10 and abs(new_a1 - a1) < 1e-10:
-            a0, a1 = new_a0, new_a1
-            break
-        a0, a1 = max(new_a0, 1e-8), max(new_a1, 0.0)
 
-    resid = curves.select(
+    # prior width from genes with real estimates only (DESeq2
+    # aboveMinDisp mask in estimateDispersionsMAP)
+    resid = usable.select(
         (F.log(F.col("gene_disp")) - F.log(F.lit(a0) + F.lit(a1) / F.col("base_mean")))
         .alias("lr")
     )
@@ -128,7 +359,7 @@ def fit_dispersion_trend_and_prior(curves: DataFrame, df_resid: int):
     mad = resid.agg(
         F.expr(f"percentile(abs(lr - {med_r}), 0.5)").alias("mad")
     ).collect()[0]["mad"]
-    var_log_disp = (1.4826 * float(mad)) ** 2
+    var_log_disp = (1.4826 * float(mad)) ** 2 if mad is not None else 0.0
     prior_var = max(
         var_log_disp - float(edger.trigamma(np.array([max(df_resid, 1) / 2.0]))[0]),
         0.25,
@@ -287,10 +518,12 @@ class DESeq2UnpairedAB(Transformer):
 
             result = counts.mapInPandas(run_fixed, schema)
         else:
-            # --- phase A: per-gene APL curve + gene-wise MLE dispersion ---
+            # --- phase A: DESeq2 gene-wise dispersion (mu-fixed CR
+            # steepest ascent alternated with the GLM mean fit) ---
+            mu_cols = [f"mu_{i}" for i in range(len(cols))]
             schema_a = T.StructType(
                 list(counts.schema.fields)
-                + [T.StructField(f"l0_{i}", T.DoubleType()) for i in range(GRID_LENGTH)]
+                + [T.StructField(c, T.DoubleType()) for c in mu_cols]
                 + [
                     T.StructField("gene_disp", T.DoubleType()),
                     T.StructField("base_mean", T.DoubleType()),
@@ -301,15 +534,11 @@ class DESeq2UnpairedAB(Transformer):
                 for pdf in batches:
                     y = pdf[cols].to_numpy(dtype=float)
                     out = pdf.copy()
-                    l0 = np.empty((len(y), GRID_LENGTH))
-                    for i, d in enumerate(spline_disp):
-                        l0[:, i] = edger.adjusted_profile_lik(
-                            d, y, group, np.log(sf)[None, :]
-                        )
-                        out[f"l0_{i}"] = l0[:, i]
-                    pts = edger.maximize_interpolant(spline_pts, l0)
-                    out["gene_disp"] = np.maximum(0.1 * 2.0 ** pts, 1e-8)
-                    out["base_mean"] = (y / sf[None, :]).mean(axis=1)
+                    gene_est, mu, bm = gene_dispersions(y, group, sf)
+                    for i, c in enumerate(mu_cols):
+                        out[c] = mu[:, i]
+                    out["gene_disp"] = gene_est
+                    out["base_mean"] = bm
                     yield out
 
             curves = persist_tracked(counts.mapInPandas(phase_a, schema_a))
@@ -320,17 +549,15 @@ class DESeq2UnpairedAB(Transformer):
                 curves, df_resid
             )
 
-            # --- phase B: MAP dispersion + Wald per gene ---
-            l0_cols = [f"l0_{i}" for i in range(GRID_LENGTH)]
-
+            # --- phase B: MAP dispersion (same fixed mu) + Wald ---
             def phase_b(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
                     y = pdf[cols].to_numpy(dtype=float)
-                    l0 = pdf[l0_cols].to_numpy(dtype=float)
+                    mu = pdf[mu_cols].to_numpy(dtype=float)
                     bm = pdf["base_mean"].to_numpy(dtype=float)
                     gene_disp = pdf["gene_disp"].to_numpy(dtype=float)
-                    final_disp = map_dispersions(
-                        l0, spline_pts, gene_disp, bm, a0, a1, prior_var, outlier_sd
+                    final_disp = map_dispersions_mu_fixed(
+                        y, mu, group, gene_disp, bm, a0, a1, prior_var, outlier_sd
                     )
                     lfc, se, stat, pval = wald_one_way(y, group, sf, final_disp)
                     yield pd.DataFrame(

@@ -1474,6 +1474,211 @@ def ml_cluster_summary(spark, sf_dir):
     return km.unionAll(dbs)
 
 
+def ml_kmeans_lloyd(spark, sf_dir):
+    """Distributed K-Means (M7) made hash-checkable: deterministic
+    seeding (the embeddings of vec_id 0,8,..,56) + 4 unrolled Lloyd
+    iterations, all expressed as broadcast-join + aggregation (the
+    plan a 100 TB K-Means actually wants: centroids broadcast, one
+    shuffle per iteration for the re-centering). The DuckDB oracle
+    replays the identical arithmetic; summed distances use the same
+    left-to-right element order on both engines so assignments agree
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter((F.col("vec_id") % 8 == 0) & (F.col("vec_id") < 64)).select(
+        (F.col("vec_id") / 8).cast("int").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(4):
+        pairs = emb.crossJoin(F.broadcast(cents))
+        d2 = F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            pairs.withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid", "e")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.e").alias("e"))
+        )
+        cents = (
+            assign.select("cid", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("c")
+            )
+        )
+    norm = F.sqrt(
+        F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.join(cents, "cid")
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(norm, 4).alias("centroid_norm"),
+        )
+    )
+
+
+def _kmeans_lloyd_sql() -> str:
+    """Unrolled Lloyd SQL mirroring ml_kmeans_lloyd: the distance is a
+    generated 64-term left-to-right sum so FP bits match Spark's
+    aggregate fold exactly."""
+    d2 = " + ".join(f"(e.e[{i}]-c.c[{i}])*(e.e[{i}]-c.c[{i}])" for i in range(1, 65))
+    nrm = " + ".join(f"c.c[{i}]*c.c[{i}]" for i in range(1, 65))
+    parts = [
+        """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), cents0 AS (
+  SELECT (vec_id // 8)::INT AS cid, e AS c FROM emb
+  WHERE vec_id % 8 = 0 AND vec_id < 64
+)"""
+    ]
+    prev = "cents0"
+    for it in range(4):
+        parts.append(
+            f""", assign{it} AS (
+  SELECT e.vec_id, min(struct_pack(d := {d2}, cid := c.cid)) AS m
+  FROM emb e CROSS JOIN {prev} c GROUP BY e.vec_id
+), lab{it} AS (
+  SELECT a.vec_id, a.m.cid AS cid, e.e FROM assign{it} a JOIN emb e USING (vec_id)
+), cents{it + 1} AS (
+  SELECT cid, list(cv ORDER BY i) AS c FROM (
+    SELECT l.cid, i, avg(l.e[i]) AS cv
+    FROM lab{it} l CROSS JOIN range(1, 65) t(i)
+    GROUP BY l.cid, i
+  ) GROUP BY cid
+)"""
+        )
+        prev = f"cents{it + 1}"
+    parts.append(
+        f"""
+SELECT c.cid::BIGINT AS cid, n.n::BIGINT AS n,
+       round(sqrt({nrm}), 4) AS centroid_norm
+FROM {prev} c JOIN (
+  SELECT cid, count(*) AS n FROM lab3 GROUP BY cid
+) n USING (cid)"""
+    )
+    return "".join(parts)
+
+
+ML_KMEANS_SQL = _kmeans_lloyd_sql()
+
+
+def ml_dbscan_classes(spark, sf_dir):
+    """DBSCAN point classification (M10) as a distributed plan: the
+    eps-grid bucketed self-join (each point joins only its 3x3
+    neighborhood of cells — the scale path for density clustering,
+    replacing the driver-capped exact operator) yields per-point
+    neighbor counts; core/border/noise counts are hash-checkable and
+    label-free. Same eps/min_samples semantics as operators
+    clustering._dbscan_labels (d2 <= eps^2, self-inclusive counts)."""
+    eps = 0.1
+    min_samples = 4
+    p = _t(spark, sf_dir, "part")
+    feats = p.select(
+        F.col("p_partkey").alias("pid"),
+        (F.col("p_retailprice") / 1000.0).alias("x"),
+        (F.col("p_size") / 10.0).alias("y"),
+    )
+    cell = feats.withColumn("cx", F.floor(F.col("x") / eps)).withColumn(
+        "cy", F.floor(F.col("y") / eps)
+    )
+    shifted = cell.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.explode(
+            F.array(*[F.col("cx") + dx for dx in (-1, 0, 1)])
+        ).alias("cx"),
+        "cy",
+    ).select(
+        "qid", "qx", "qy", "cx",
+        F.explode(F.array(*[F.col("cy") + dy for dy in (-1, 0, 1)])).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    neigh = (
+        cell.join(shifted, ["cx", "cy"])
+        .filter(d2 <= F.lit(eps * eps))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_neigh"))
+    )
+    classified = neigh.withColumn("core", F.col("n_neigh") >= min_samples)
+    # border: non-core point with at least one core neighbor — reuse the
+    # bucketed pair generation against the core subset only
+    core_pts = cell.join(classified.filter("core").select("pid"), "pid").select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"),
+        "cx", "cy",
+    )
+    core_shifted = core_pts.select(
+        "qid", "qx", "qy",
+        F.explode(F.array(*[F.col("cx") + dx for dx in (-1, 0, 1)])).alias("cx"),
+        "cy",
+    ).select(
+        "qid", "qx", "qy", "cx",
+        F.explode(F.array(*[F.col("cy") + dy for dy in (-1, 0, 1)])).alias("cy"),
+    )
+    has_core_neigh = (
+        cell.join(core_shifted, ["cx", "cy"])
+        .filter((d2 <= F.lit(eps * eps)) & (F.col("pid") != F.col("qid")))
+        .select("pid")
+        .distinct()
+        .withColumn("near_core", F.lit(True))
+    )
+    cls = (
+        classified.join(has_core_neigh, "pid", "left")
+        .withColumn(
+            "cls",
+            F.when(F.col("core"), "core")
+            .when(F.col("near_core"), "border")
+            .otherwise("noise"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("n_neigh").alias("total_neigh"),
+        )
+    )
+    return cls
+
+
+ML_DBSCAN_SQL = """
+WITH feats AS (
+  SELECT p_partkey AS pid, p_retailprice/1000.0 AS x, p_size/10.0 AS y FROM part
+), neigh AS (
+  SELECT a.pid, count(*) AS n_neigh
+  FROM feats a JOIN feats b
+    ON (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= 0.1*0.1
+  GROUP BY a.pid
+), classified AS (
+  SELECT f.pid, f.x, f.y, n.n_neigh, n.n_neigh >= 4 AS core
+  FROM feats f JOIN neigh n USING (pid)
+), near_core AS (
+  SELECT DISTINCT a.pid
+  FROM classified a JOIN classified b
+    ON (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= 0.1*0.1
+   AND a.pid <> b.pid AND b.core
+)
+SELECT CASE WHEN c.core THEN 'core'
+            WHEN nc.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS cls,
+       count(*)::BIGINT AS n_points,
+       sum(c.n_neigh)::BIGINT AS total_neigh
+FROM classified c LEFT JOIN near_core nc ON nc.pid = c.pid
+GROUP BY 1
+"""
+
+
 def stat_edger_exact_test(spark, sf_dir):
     """Native edgeR exact-test pipeline (M3) on a part-count matrix:
     TMM → APL dispersion EB → pseudo-counts → NB exact test → BH.
@@ -1698,13 +1903,123 @@ def stat_vst(spark, sf_dir):
 
 
 def ml_pca_embed(spark, sf_dir):
-    """Distributed PCA (M12) of the part-count matrix with the
-    reference's PC-column naming contract (rows-only: sign of the
-    principal axes is implementation-defined)."""
+    """Distributed PCA (M12) of the part-count matrix, hash-checkable:
+    principal-axis signs are canonicalized (largest-|loading| component
+    positive), so scores and variance-explained ratios are fully
+    deterministic. The DuckDB oracle recomputes the same numbers with
+    the closed-form trigonometric eigendecomposition of the 3x3 sample
+    covariance — a genuine cross-engine check of the covariance, the
+    eigenstructure, and Spark ML's uncentered-projection convention."""
+    import numpy as np
+
     from .operators.projection import PCA
 
     counts = _part_counts(spark, sf_dir).withColumnRenamed("partkey", "__row_id")
-    return PCA(n_components=2)(counts)
+    t = PCA(n_components=2)
+    res = t(counts)
+    pc_named = [c for c in res.columns if c.startswith("PC")]
+    loadings = np.asarray(t.model.pc.toArray())  # (3, 2)
+    flips = []
+    for i in range(2):
+        j = int(np.argmax(np.abs(loadings[:, i])))
+        flips.append(-1.0 if loadings[j, i] < 0 else 1.0)
+    var = t.explained_variance_ratio_
+    return res.select(
+        "__row_id",
+        F.round(F.col(f"`{pc_named[0]}`") * flips[0], 5).alias("pc1"),
+        F.round(F.col(f"`{pc_named[1]}`") * flips[1], 5).alias("pc2"),
+        F.round(F.lit(float(var[0])), 6).alias("var1"),
+        F.round(F.lit(float(var[1])), 6).alias("var2"),
+    )
+
+
+def _pca_eigvec_sql(lam: str) -> str:
+    """SQL fragment: unit eigenvector of the 3x3 covariance for the
+    eigenvalue column ``lam``, via the largest cross product of rows of
+    (C - lambda I), sign-canonicalized (largest-|component| positive).
+    Emits columns {lam}_vx, {lam}_vy, {lam}_vz."""
+    r1 = (f"(c11-{lam})", "c12", "c13")
+    r2 = ("c12", f"(c22-{lam})", "c23")
+    r3 = ("c13", "c23", f"(c33-{lam})")
+
+    def cross(u, v):
+        return (
+            f"({u[1]}*{v[2]} - {u[2]}*{v[1]})",
+            f"({u[2]}*{v[0]} - {u[0]}*{v[2]})",
+            f"({u[0]}*{v[1]} - {u[1]}*{v[0]})",
+        )
+
+    cands = [cross(r1, r2), cross(r1, r3), cross(r2, r3)]
+    norms = [f"({c[0]}*{c[0]} + {c[1]}*{c[1]} + {c[2]}*{c[2]})" for c in cands]
+    pick = lambda k: (  # noqa: E731
+        f"CASE WHEN {norms[0]} >= {norms[1]} AND {norms[0]} >= {norms[2]} THEN {cands[0][k]} "
+        f"WHEN {norms[1]} >= {norms[2]} THEN {cands[1][k]} ELSE {cands[2][k]} END"
+    )
+    return ", ".join(
+        f"{pick(k)} AS {lam}_raw{ax}" for k, ax in enumerate(("x", "y", "z"))
+    )
+
+
+ML_PCA_SQL = f"""
+WITH counts AS (
+  SELECT l_partkey AS __row_id,
+         coalesce(sum(CASE WHEN l_returnflag='A' THEN l_quantity END),0.0) AS a,
+         coalesce(sum(CASE WHEN l_returnflag='N' THEN l_quantity END),0.0) AS n,
+         coalesce(sum(CASE WHEN l_returnflag='R' THEN l_quantity END),0.0) AS r
+  FROM lineitem GROUP BY l_partkey
+), cov AS (
+  SELECT covar_samp(a,a) AS c11, covar_samp(a,n) AS c12, covar_samp(a,r) AS c13,
+         covar_samp(n,n) AS c22, covar_samp(n,r) AS c23, covar_samp(r,r) AS c33
+  FROM counts
+), eig AS (
+  SELECT *,
+    (c11+c22+c33)/3.0 AS qq,
+    sqrt(greatest(((c11-(c11+c22+c33)/3.0)^2 + (c22-(c11+c22+c33)/3.0)^2
+      + (c33-(c11+c22+c33)/3.0)^2 + 2*(c12^2 + c13^2 + c23^2))/6.0, 1e-300)) AS pp
+  FROM cov
+), eig2 AS (
+  SELECT *,
+    ((c11-qq)*((c22-qq)*(c33-qq)-c23*c23) - c12*(c12*(c33-qq)-c23*c13)
+      + c13*(c12*c23-(c22-qq)*c13)) / (2.0*pp*pp*pp) AS rr
+  FROM eig
+), lam AS (
+  SELECT *,
+    qq + 2*pp*cos(acos(least(greatest(rr,-1.0),1.0))/3.0) AS l1
+  FROM eig2
+), lam2 AS (
+  SELECT *,
+    greatest(qq + 2*pp*cos(acos(least(greatest(rr,-1.0),1.0))/3.0 + 2.0943951023931953),
+             3*qq - l1 - (qq + 2*pp*cos(acos(least(greatest(rr,-1.0),1.0))/3.0 + 2.0943951023931953))) AS l2
+  FROM lam
+), vec AS (
+  SELECT *, {_pca_eigvec_sql('l1')}, {_pca_eigvec_sql('l2')} FROM lam2
+), unit AS (
+  SELECT l1, l2, c11+c22+c33 AS total,
+    l1_rawx / sqrt(l1_rawx^2 + l1_rawy^2 + l1_rawz^2) AS u1x,
+    l1_rawy / sqrt(l1_rawx^2 + l1_rawy^2 + l1_rawz^2) AS u1y,
+    l1_rawz / sqrt(l1_rawx^2 + l1_rawy^2 + l1_rawz^2) AS u1z,
+    l2_rawx / sqrt(l2_rawx^2 + l2_rawy^2 + l2_rawz^2) AS u2x,
+    l2_rawy / sqrt(l2_rawx^2 + l2_rawy^2 + l2_rawz^2) AS u2y,
+    l2_rawz / sqrt(l2_rawx^2 + l2_rawy^2 + l2_rawz^2) AS u2z
+  FROM vec
+), canon AS (
+  SELECT l1, l2, total,
+    CASE WHEN (CASE WHEN abs(u1x) >= abs(u1y) AND abs(u1x) >= abs(u1z) THEN u1x
+                    WHEN abs(u1y) >= abs(u1z) THEN u1y ELSE u1z END) < 0
+         THEN -1.0 ELSE 1.0 END AS s1,
+    CASE WHEN (CASE WHEN abs(u2x) >= abs(u2y) AND abs(u2x) >= abs(u2z) THEN u2x
+                    WHEN abs(u2y) >= abs(u2z) THEN u2y ELSE u2z END) < 0
+         THEN -1.0 ELSE 1.0 END AS s2,
+    u1x, u1y, u1z, u2x, u2y, u2z
+  FROM unit
+)
+SELECT c.__row_id,
+       round(c.a*(k.s1*k.u1x) + c.n*(k.s1*k.u1y) + c.r*(k.s1*k.u1z), 5) AS pc1,
+       round(c.a*(k.s2*k.u2x) + c.n*(k.s2*k.u2y) + c.r*(k.s2*k.u2z), 5) AS pc2,
+       round(k.l1/k.total, 6) AS var1,
+       round(k.l2/k.total, 6) AS var2
+FROM counts c CROSS JOIN canon k
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1758,6 +2073,8 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_recall": sim_ann_recall,
     "stat_tmm_cpm": stat_tmm_cpm,
+    "ml_kmeans_lloyd": ml_kmeans_lloyd,
+    "ml_dbscan_classes": ml_dbscan_classes,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
     "stat_vst": stat_vst,
     "ml_cluster_summary": ml_cluster_summary,
@@ -1837,6 +2154,9 @@ ORACLES = {
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_ann_recall": SIM_ANN_SQL,
     "stat_tmm_cpm": STAT_TMM_SQL,
+    "ml_pca_embed": ML_PCA_SQL,
+    "ml_kmeans_lloyd": ML_KMEANS_SQL,
+    "ml_dbscan_classes": ML_DBSCAN_SQL,
     # The
     # remaining stat_/ml_ queries are honestly rows-only: iterative
     # NB/GLM/k-means fits with no SQL-expressible equivalent. Their

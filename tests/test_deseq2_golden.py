@@ -1,17 +1,14 @@
 """DESeq2 golden parity (reference: tests/test_differential.py:103-137).
 
-What is exact: size factors and baseMean (median-of-ratios, 1e-5),
-log2FC (the one-way NB MLE is dispersion-insensitive: within 0.01),
-and the ordering of evidence. What is approximate: lfcSE/stat/p depend
-on the final dispersions — our APL gene-estimates + gamma-IRLS trend +
-log-normal MAP follow the published algorithm, but DESeq2's C++
-gene-wise estimator (mu-fixed alternating iteration) lands genes
-differently on this 4-gene fixture and there is no R here to
-cross-check intermediates. Deviations are asserted with documented
-gates; `dispersion=` gives exact reproducibility when dispersions are
-known."""
-
-import math
+The full chain is now step-for-step faithful: median-of-ratios size
+factors, rough/moments initial dispersion, mu-fixed Cox-Reid steepest
+ascent alternated with the GLM mean fit (including the load-bearing
+stall at the minDisp start for under-dispersed genes), parametric
+gamma trend with the 100*minDisp gene filter, MAD prior width floored
+at 0.25, mu-fixed MAP with outlier escape, and the one-way Wald test.
+Measured deviations vs R on this fixture: p within 1e-3 absolute,
+lfcSE within 3e-3, log2FC within 1e-4 — the residual is numerical
+(ascent step dynamics), not algorithmic."""
 
 import numpy as np
 import pytest
@@ -62,12 +59,11 @@ def test_deseq2_golden(test_frame):
     for gene, (bm, lfc, se, stat, p, padj) in GOLDEN.items():
         r = rows[gene]
         np.testing.assert_allclose(r[d.baseMean_column], bm, atol=1e-4)
-        np.testing.assert_allclose(r[d.logFC_column], lfc, atol=0.01)
-        # dispersion-dependent quantities: documented gates
-        np.testing.assert_allclose(r[d.lfcSE_column], se, rtol=0.45)
-        assert abs(math.log10(max(r[d.p_column], 1e-12)) - math.log10(p)) < 1.3, (
-            gene, r[d.p_column], p
-        )
+        np.testing.assert_allclose(r[d.logFC_column], lfc, atol=2e-4)
+        np.testing.assert_allclose(r[d.lfcSE_column], se, atol=3e-3)
+        np.testing.assert_allclose(r[d.stat_column], stat, atol=5e-3)
+        np.testing.assert_allclose(r[d.p_column], p, atol=1e-3)
+        np.testing.assert_allclose(r[d.fdr_column], padj, atol=2e-3)
     # evidence ordering matches R exactly
     got_order = sorted(GOLDEN, key=lambda g: rows[g][d.p_column])
     exp_order = sorted(GOLDEN, key=lambda g: GOLDEN[g][4])
@@ -117,9 +113,11 @@ def test_deseq2_unpaired_three_conditions(spark):
     for gene, (bm, lfc, se, stat, p, padj) in GOLDEN_3COND.items():
         r = res[gene]
         np.testing.assert_allclose(r[d.baseMean_column], bm, atol=1e-4)
-        np.testing.assert_allclose(r[d.logFC_column], lfc, atol=0.02)
-        np.testing.assert_allclose(r[d.lfcSE_column], se, rtol=0.45)
-        assert abs(math.log10(max(r[d.p_column], 1e-12)) - math.log10(p)) < 1.3
+        np.testing.assert_allclose(r[d.logFC_column], lfc, atol=3e-4)
+        np.testing.assert_allclose(r[d.lfcSE_column], se, atol=5e-3)
+        np.testing.assert_allclose(r[d.stat_column], stat, atol=1.5e-2)
+        np.testing.assert_allclose(r[d.p_column], p, atol=2e-3)
+        np.testing.assert_allclose(r[d.fdr_column], padj, atol=3e-3)
     got_order = sorted(GOLDEN_3COND, key=lambda g: res[g][d.p_column])
     exp_order = sorted(GOLDEN_3COND, key=lambda g: GOLDEN_3COND[g][4])
     assert got_order == exp_order
