@@ -414,11 +414,25 @@ class MFrame:
         (already in-frame) and the per-sample column metadata is
         appended as attribute rows below the data.
         """
-        out = self.full_output() if full else self.df
-        writer = out.coalesce(1) if single_file else out
-        writer.write.mode(mode).option("sep", "\t").option("header", True).csv(path)
+        out = self.full_output(include_attributes=True) if full else self.df
+        if single_file:
+            # the reference's to_csv writes rows in index order; sort
+            # the data block so the one-file TSV is deterministic (the
+            # attribute rows, if any, stay below the data: union
+            # partition order survives coalesce(1))
+            out = (
+                out.orderBy(F.col("__is_attr"), F.col(self.index_column)).drop(
+                    "__is_attr"
+                )
+                if full
+                else out.orderBy(self.index_column)
+            )
+            out = out.coalesce(1)
+        elif full:
+            out = out.drop("__is_attr")
+        out.write.mode(mode).option("sep", "\t").option("header", True).csv(path)
 
-    def full_output(self) -> DataFrame:
+    def full_output(self, include_attributes: bool = False) -> DataFrame:
         """The reference's ``write(full=True)`` frame (J4,
         mdataframe.py:937-944: ``df.T.join(meta_columns).T.join(
         meta_rows)``): data rows x (index + data + row-meta columns),
@@ -426,29 +440,50 @@ class MFrame:
         is the attribute name and whose data cells are each sample's
         attribute value (row-meta cells null).
 
+        By default the TYPED frame is returned (data + row-meta columns
+        with their original dtypes — callers composing further
+        transforms keep numeric types). ``include_attributes=True``
+        appends the attribute rows, which forces every column to
+        string (the union mixes numeric data with attribute text — the
+        representation a TSV sink wants, and what ``write_tsv(
+        full=True)`` uses). Attribute rows appear in first-seen
+        insertion order across the column-meta dicts, matching the
+        reference's ``meta_columns`` column order. The appended frame
+        carries a ``__is_attr`` marker column so sinks can keep the
+        data-before-attributes order under a global sort.
+
         Row-meta columns are already in-frame (a projection); the
         column-meta mapping is driver-bounded (#samples x #attributes),
         so the attribute rows are a tiny union — no join, no shuffle.
-        All columns are cast to string: the union mixes numeric data
-        with attribute text, and a TSV is untyped anyway. With
-        ``single_file=True`` the union order (data, then attributes)
-        is preserved in the written file.
         """
+        if not include_attributes:
+            return self.df
         cols = self.df.columns
-        strd = self.df.select([F.col(c).cast("string").alias(c) for c in cols])
-        attrs = sorted({a for m in self.column_meta.values() for a in m})
+        strd = self.df.select(
+            [F.col(c).cast("string").alias(c) for c in cols]
+        ).withColumn("__is_attr", F.lit(0))
+        attrs = []
+        for m in self.column_meta.values():
+            for a in m:
+                if a not in attrs:
+                    attrs.append(a)
         if not attrs:
             return strd
         rows = []
-        for a in attrs:
+        for ai, a in enumerate(attrs):
             cells = {self.index_column: a}
             for c in self.data_columns:
                 v = self.column_meta.get(c, {}).get(a)
                 cells[c] = None if v is None else str(v)
-            rows.append(tuple(cells.get(c) for c in cols))
+            # ordinal marker: data rows are 0, attribute rows keep their
+            # first-seen rank so the sink's sort preserves meta order
+            rows.append(tuple(cells.get(c) for c in cols) + (ai + 1,))
         from pyspark.sql import types as _T
 
-        schema = _T.StructType([_T.StructField(c, _T.StringType()) for c in cols])
+        schema = _T.StructType(
+            [_T.StructField(c, _T.StringType()) for c in cols]
+            + [_T.StructField("__is_attr", _T.IntegerType())]
+        )
         attr_df = self.df.sparkSession.createDataFrame(rows, schema)
         return strd.unionByName(attr_df)
 

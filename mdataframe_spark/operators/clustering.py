@@ -294,6 +294,8 @@ def ward_dendrogram(
     import numpy as np
 
     rows = df.select(index_column, *value_cols).orderBy(index_column).collect()
+    if not rows:
+        return np.zeros((0, 4)), []
     if len(rows) > max_rows:
         raise ValueError(
             f"ward_dendrogram is O(n^2) and capped at {max_rows} rows "

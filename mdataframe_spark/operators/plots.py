@@ -42,6 +42,20 @@ def heatmap_data(
     if rank_by == "dendrogram":
         from .clustering import ward_dendrogram
 
+        # keep max_rows TRUNCATION semantics (matching the other modes):
+        # frames above the cap are pre-filtered to the top-variance rows
+        # and the dendrogram is drawn over that subset, instead of
+        # failing on the O(n^2) guard
+        if df.count() > max_rows:
+            mean = sum((F.col(c) for c in cols), F.lit(0.0)) / k
+            var = sum(((F.col(c) - mean) ** 2 for c in cols), F.lit(0.0)) / k
+            w = Window.orderBy(F.col("__metric").desc(), F.col(index_column).asc())
+            df = (
+                df.withColumn("__metric", var)
+                .withColumn("__vrn", F.row_number().over(w))
+                .filter(F.col("__vrn") <= max_rows)
+                .drop("__metric", "__vrn")
+            )
         _Z, ordered = ward_dendrogram(df, cols, index_column, max_rows=max_rows)
         pos = df.sparkSession.createDataFrame(
             [(v, i + 1) for i, v in enumerate(ordered)], [index_column, "__rn"]

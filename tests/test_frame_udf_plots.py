@@ -90,7 +90,10 @@ def test_write_tsv_full_output(spark, tmp_path):
     meta_rows = pd.DataFrame({"anno": ["x", "y"]}, index=["g1", "g2"])
     expected = pdf.T.join(meta_cols).T.join(meta_rows)
 
-    out = mf.full_output().collect()
+    # typed access path: schema (incl. numeric data columns) preserved
+    assert mf.full_output().schema == df.schema
+
+    out = mf.full_output(include_attributes=True).drop("__is_attr").collect()
     got = {r["__row_id"]: r for r in out}
     assert set(got) == set(expected.index)
     for ridx in expected.index:
@@ -108,4 +111,7 @@ def test_write_tsv_full_output(spark, tmp_path):
     with open(part) as fh:
         lines = list(csv.reader(fh, delimiter="\t"))
     assert lines[0] == ["__row_id", "s1", "s2", "anno"]
-    assert [l[0] for l in lines[1:]] == ["g1", "g2", "batch", "group"]
+    # data rows in index order, then attribute rows in the column-meta
+    # dicts' first-seen insertion order (group before batch — matching
+    # the reference's meta_columns column order, not alphabetical)
+    assert [l[0] for l in lines[1:]] == ["g1", "g2", "group", "batch"]

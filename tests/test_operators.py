@@ -318,3 +318,32 @@ def test_heatmap_dendrogram_order(spark):
     # the two tight pairs are adjacent in the drawn order
     assert abs(got.index("a") - got.index("c")) == 1
     assert abs(got.index("b") - got.index("d")) == 1
+
+
+def test_ward_dendrogram_empty_frame(spark):
+    """0-row frames return an empty linkage and no leaf order instead
+    of an opaque IndexError."""
+    import numpy as np
+
+    from mdataframe_spark.operators.clustering import ward_dendrogram
+
+    df = spark.createDataFrame([], "__row_id string, v1 double, v2 double")
+    Z, ordered = ward_dendrogram(df, ["v1", "v2"])
+    assert Z.shape == (0, 4)
+    assert ordered == []
+
+
+def test_heatmap_dendrogram_over_cap_truncates(spark):
+    """rank_by='dendrogram' degrades to top-variance truncation above
+    max_rows (matching the other modes) instead of raising."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.plots import heatmap_data
+
+    df = spark.range(50).select(
+        F.col("id").cast("string").alias("__row_id"),
+        (F.col("id") * 1.0).alias("v1"),
+        (F.col("id") % 7 * 3.0).alias("v2"),
+    )
+    pages = heatmap_data(df, ["v1", "v2"], max_rows=20, rank_by="dendrogram")
+    assert sum(len(p) for p in pages) == 20

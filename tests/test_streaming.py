@@ -68,6 +68,68 @@ def test_filtered_stream(spark, events_dir):
     assert all(r["value"] > 4 for r in rows)
 
 
+def test_st_sessionize_query_matches_stream_on_events(spark, tmp_path_factory):
+    """Parity of the two sessionization twins on the REAL events table:
+    the declared batch query (queries.st_sessionize, lag+cumsum over
+    epoch nanos) and the stateful streaming operator
+    (sessionize_stream, applyInPandasWithState) must agree session for
+    session at sf0.001 — the streaming run only withholds the final
+    still-open session per user (availableNow ends before its timeout
+    fires)."""
+    from mdataframe_spark.queries import QUERIES
+    from mdataframe_spark.streaming.sessionize import sessionize_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in QUERIES["st_sessionize"](spark, sf_dir).collect()
+    }
+    assert len(expected) > 10
+
+    # the file stream source needs a DIRECTORY; the testdata table is a
+    # single parquet file — stage a copy
+    import shutil
+
+    stream_dir = tmp_path_factory.mktemp("events_real")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = sessionize_stream(stream, gap_seconds=3600, watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("events_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql(
+            """SELECT user_id,
+                      unix_timestamp(session_start) AS session_start,
+                      unix_timestamp(session_end) AS session_end,
+                      n_events, round(sum_value, 4) AS sum_value
+               FROM events_sessions"""
+        ).collect()
+    }
+    n_users = batch.select("user_id").distinct().count()
+    # every emitted session matches the batch query exactly
+    assert len(got) >= len(expected) - n_users
+    for k, v in got.items():
+        assert expected.get(k) == v, (k, v, expected.get(k))
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path_factory):
     """Drive the stateful operator on a real stream and compare the
     union of emitted + batch-tail sessions against the pure-batch
