@@ -189,21 +189,31 @@ def fit_disp_steepest(
     a = np.asarray(log_alpha_init, dtype=float).copy()
     lp, grad = _cr_logpost_grad(y, mu, group, a, prior_mean, prior_var)
     kappa = np.full(g, kappa_0)
-    active = np.ones(g, dtype=bool)
+    # most genes converge in a handful of steps; evaluating the special
+    # functions only on the ACTIVE subset makes total work proportional
+    # to the sum of per-gene iterations, not genes x maxit
+    idx = np.nonzero(np.abs(kappa * grad) >= tol)[0]
     for _ in range(maxit):
-        if not active.any():
+        if len(idx) == 0:
             break
-        prop = np.clip(a + kappa * grad, min_log_alpha, max_log_alpha)
+        ai = a[idx]
+        ki = kappa[idx]
+        gi = grad[idx]
+        prop = np.clip(ai + ki * gi, min_log_alpha, max_log_alpha)
+        pm = prior_mean[idx] if prior_mean is not None else None
         lp_prop, grad_prop = _cr_logpost_grad(
-            y, mu, group, prop, prior_mean, prior_var
+            y[idx], mu[idx], group, prop, pm, prior_var
         )
-        accept = active & (lp_prop >= lp + epsilon * kappa * grad * grad)
-        a = np.where(accept, prop, a)
-        lp = np.where(accept, lp_prop, lp)
-        grad = np.where(accept, grad_prop, grad)
-        kappa = np.where(accept, np.minimum(kappa * 1.1, 10.0), kappa / 2.0)
-        active = active & (np.abs(kappa * grad) >= tol)
-    return a, ~active
+        accept = lp_prop >= lp[idx] + epsilon * ki * gi * gi
+        a[idx] = np.where(accept, prop, ai)
+        lp[idx] = np.where(accept, lp_prop, lp[idx])
+        grad[idx] = np.where(accept, grad_prop, gi)
+        kappa[idx] = np.where(accept, np.minimum(ki * 1.1, 10.0), ki / 2.0)
+        still = np.abs(kappa[idx] * grad[idx]) >= tol
+        idx = idx[still]
+    converged = np.ones(g, dtype=bool)
+    converged[idx] = False
+    return a, converged
 
 
 def fit_disp_grid(y, mu, group, prior_mean=None, prior_var=None, grid_n: int = 20):
@@ -248,18 +258,19 @@ def gene_dispersions(y, group, sf, niter: int = 7):
     mu_store = np.empty_like(y)
     fitidx = np.ones(len(y), dtype=bool)
     for _ in range(niter):
-        mu = fit_mu_oneway(y, group, sf, alpha)
-        mu_store[fitidx] = mu[fitidx]
-        la, conv = fit_disp_steepest(y, mu, group, np.log(alpha))
-        new = np.minimum(np.exp(la), max_disp)
-        if (~conv).any():
-            gr = fit_disp_grid(y[~conv], mu[~conv], group)
-            new[~conv] = np.minimum(np.exp(gr), max_disp)
-        delta = np.abs(np.log(np.maximum(new, MIN_DISP)) - np.log(alpha))
-        alpha = np.where(fitidx, new, alpha)
-        fitidx = fitidx & (delta > 0.05)
         if not fitidx.any():
             break
+        sub = np.nonzero(fitidx)[0]
+        mu = fit_mu_oneway(y[sub], group, sf, alpha[sub])
+        mu_store[sub] = mu
+        la, conv = fit_disp_steepest(y[sub], mu, group, np.log(alpha[sub]))
+        new = np.minimum(np.exp(la), max_disp)
+        if (~conv).any():
+            gr = fit_disp_grid(y[sub][~conv], mu[~conv], group)
+            new[~conv] = np.minimum(np.exp(gr), max_disp)
+        delta = np.abs(np.log(np.maximum(new, MIN_DISP)) - np.log(alpha[sub]))
+        alpha[sub] = new
+        fitidx[sub] = delta > 0.05
     gene_est = np.maximum(alpha, MIN_DISP)
     base_mean = (y / sf[None, :]).mean(axis=1)
     return gene_est, mu_store, base_mean
@@ -291,6 +302,50 @@ def map_dispersions_mu_fixed(
     return np.clip(final, MIN_DISP, float(max(10, y.shape[1])))
 
 
+def _parametric_trend_numpy(gd: np.ndarray, bm: np.ndarray):
+    """DESeq2 parametricDispersionFit on collected pairs: outer loop
+    re-selects genes whose ratio to the fit is within (1e-4, 15), inner
+    gamma-GLM IRLS (identity link) to convergence."""
+    coefs = np.array([0.1, 1.0])
+    if len(gd) == 0:
+        return float(coefs[0]), float(coefs[1])
+    for _outer in range(10):
+        resid = gd / (coefs[0] + coefs[1] / bm)
+        good = (resid > 1e-4) & (resid < 15.0)
+        if not good.any():
+            break
+        mg, dg = bm[good], gd[good]
+        c = coefs.copy()
+        for _inner in range(50):
+            mu_fit = c[0] + c[1] / mg
+            w = 1.0 / mu_fit ** 2
+            x = 1.0 / mg
+            sw, swx = w.sum(), (w * x).sum()
+            swxx = (w * x * x).sum()
+            swy, swxy = (w * dg).sum(), (w * x * dg).sum()
+            det = sw * swxx - swx ** 2
+            if det == 0:
+                break
+            new = np.array(
+                [
+                    (swxx * swy - swx * swxy) / det,
+                    (sw * swxy - swx * swy) / det,
+                ]
+            )
+            moved = np.abs(new - c).sum()
+            c = np.array([max(new[0], 1e-8), max(new[1], 0.0)])
+            if moved < 1e-10:
+                break
+        prev = coefs
+        coefs = c
+        if (
+            np.log(max(coefs[0], 1e-12) / max(prev[0], 1e-12)) ** 2
+            + np.log(max(coefs[1], 1e-12) / max(prev[1], 1e-12)) ** 2
+        ) < 1e-6:
+            break
+    return float(coefs[0]), float(coefs[1])
+
+
 def fit_dispersion_trend_and_prior(curves: DataFrame, df_resid: int):
     """Parametric dispersion-mean trend + empirical-Bayes prior width
     from a DataFrame of per-gene (gene_disp, base_mean) columns.
@@ -309,6 +364,27 @@ def fit_dispersion_trend_and_prior(curves: DataFrame, df_resid: int):
     usable = curves.filter(
         (F.col("gene_disp") > 100 * MIN_DISP) & (F.col("base_mean") > 0)
     )
+    n_usable = usable.count()
+    if n_usable <= 2_000_000:
+        # the gamma IRLS needs up to ~100 sequential reductions of five
+        # scalars each; below ~32 MB of pairs one collect replaces ~100
+        # scheduled jobs (identical arithmetic). The aggregation path
+        # below stays for genuinely huge gene counts.
+        pairs = usable.select("gene_disp", "base_mean").collect()
+        gd = np.array([r["gene_disp"] for r in pairs])
+        bm = np.array([r["base_mean"] for r in pairs])
+        a0, a1 = _parametric_trend_numpy(gd, bm)
+        resid = np.log(gd) - np.log(a0 + a1 / bm)
+        med = float(np.median(resid)) if len(resid) else 0.0
+        mad = float(np.median(np.abs(resid - med))) if len(resid) else 0.0
+        var_log_disp = (1.4826 * mad) ** 2
+        prior_var = max(
+            var_log_disp
+            - float(edger.trigamma(np.array([max(df_resid, 1) / 2.0]))[0]),
+            0.25,
+        )
+        outlier_sd = 2.0 * np.sqrt(max(var_log_disp, 1e-8))
+        return a0, a1, prior_var, outlier_sd
     # parametricDispersionFit: outer loop re-selects 'good' genes whose
     # ratio to the current fit is within (1e-4, 15); inner gamma-GLM
     # IRLS (identity link: weighted LS with weights 1/fit^2) runs to
@@ -460,7 +536,9 @@ class DESeq2UnpairedAB(Transformer):
         n_a = len(self.columns_a)
         n_b = len(self.columns_b)
         idx = self.index_column
-        counts = df.select(idx, *cols)
+        # pin the (often shuffle-produced) input: size factors, phase A
+        # and the final join all re-read it
+        counts = persist_tracked(df.select(idx, *cols))
         group = np.array(["a"] * n_a + ["b"] * n_b + self.other_groups)
         n_groups = len(np.unique(group))
         spline_pts = np.linspace(GRID_RANGE[0], GRID_RANGE[1], GRID_LENGTH)

@@ -107,7 +107,10 @@ class EdgeR_Unpaired(Transformer):
         cols = self.columns_a + self.columns_b
         n_a = len(self.columns_a)
         idx = self.index_column
-        counts = df.select(idx, *cols)
+        # the input is often a shuffle product (e.g. a pivot); every
+        # stage below (TMM, library sizes, phase A, the final join)
+        # re-reads it, so pin it once — released via cache.release_caches
+        counts = persist_tracked(df.select(idx, *cols))
 
         # --- stage 1: library sizes + TMM factors (distributed aggs) ---
         if self.library_sizes is not None:

@@ -56,18 +56,21 @@ def mglm_one_group(
     beta = np.where(
         tot > 0, np.log(np.maximum(tot, 1e-300)) - np.log(np.exp(offset).sum(axis=1)), -np.inf
     )
-    active = tot > 0
+    # Newton on the active subset only: converged genes drop out, so
+    # total work tracks the sum of per-gene iterations (most converge
+    # in < 10), not genes x max_iter
+    idx = np.nonzero(tot > 0)[0]
     for _ in range(max_iter):
-        if not active.any():
+        if len(idx) == 0:
             break
-        mu = np.exp(beta[:, None] + offset)
-        denom = 1.0 + phi[:, None] * mu
-        score = ((y - mu) / denom).sum(axis=1)
+        mu = np.exp(beta[idx, None] + offset[idx])
+        denom = 1.0 + phi[idx, None] * mu
+        score = ((y[idx] - mu) / denom).sum(axis=1)
         info = (mu / denom).sum(axis=1)
-        step = np.where(active & (info > 0), score / np.maximum(info, 1e-300), 0.0)
+        step = np.where(info > 0, score / np.maximum(info, 1e-300), 0.0)
         step = np.clip(step, -10.0, 10.0)
-        beta = beta + step
-        active = active & (np.abs(step) > tol)
+        beta[idx] = beta[idx] + step
+        idx = idx[np.abs(step) > tol]
     return beta
 
 
