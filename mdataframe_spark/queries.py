@@ -1517,6 +1517,12 @@ def ml_kmeans_lloyd(spark, sf_dir):
     norm = F.sqrt(
         F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # pin the final assignment: both output branches (sizes and the
+    # re-derived centroids) read it, and its lineage is 4 iterations of
+    # broadcast-join + shuffle that would otherwise replay twice
+    from .cache import persist_tracked
+
+    assign = persist_tracked(assign)
     counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     return (
         counts.join(cents, "cid")
