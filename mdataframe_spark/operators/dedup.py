@@ -391,3 +391,135 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (deterministic feature-hash + SRP-LSH bands)
+# ---------------------------------------------------------------------------
+FH_DIM = 64
+
+
+def srp_plane_constants(n_bands: int, n_planes: int, dim: int = FH_DIM,
+                        seed: int = 1042):
+    """Deterministic random-hyperplane constants: every component is a
+    pure function of (seed, band, plane, dim) through md5 — no RNG
+    state, so the Spark plan and a SQL oracle can bake the SAME planes
+    and reproduce bucket assignment bit-for-bit."""
+    import hashlib
+
+    planes = []
+    for b in range(n_bands):
+        band = []
+        for p in range(n_planes):
+            row = []
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}:{b}:{p}:{d}".encode()).hexdigest()
+                row.append(int(h[:8], 16) / float(1 << 32) - 0.5)
+            band.append(row)
+        planes.append(band)
+    return planes
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = FH_DIM,
+) -> DataFrame:
+    """Signed feature-hashing embedding of text (Weinberger et al.
+    2009): tokens hash to one of ``dim`` buckets with a +/-1 sign, the
+    document vector is the bucket-sum. Entirely built-in expressions
+    (lower/split/md5/conv + one groupBy) — codegen end to end, no UDF.
+    Returns (id, vec array<double>, norm); zero-token documents are
+    dropped (no direction to compare)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = tok.select(
+        id_col,
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint") % dim
+         ).alias("dim"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 5, 1), 16, 10).cast("bigint") < 8,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)).alias("s"),
+    )
+    sparse = hashed.groupBy(id_col, "dim").agg(F.sum("s").alias("v"))
+    dense = (
+        sparse.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.coalesce(F.col("m")[d.cast("bigint")], F.lit(0.0)),
+            ).alias("vec"),
+        )
+    )
+    norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+    return dense.withColumn("norm", norm).filter(F.col("norm") > 0)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+    norm_col: str = "norm",
+    threshold: float = 0.9,
+    n_bands: int = 6,
+    n_planes: int = 6,
+    seed: int = 1042,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-LSH banded candidate
+    generation (pairs agreeing on ALL sign bits of one band's random
+    hyperplanes) + exact cosine verification at ``threshold``.
+
+    Scale shape: per band one bucket equi-join — never all-pairs; at
+    cosine ~0.9 the 6x6 banding retains ~95% of true pairs while the
+    bucket join prunes the rest of the corpus. The planes are
+    deterministic (md5-derived), so results are reproducible across
+    engines and runs."""
+    planes = srp_plane_constants(n_bands, n_planes, seed=seed)
+
+    def bucket(vc: str, band) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for p, row in enumerate(band):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vc),
+                    F.array(*[F.lit(float(c)) for c in row]),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(0).cast("bigint")
+        return acc
+
+    sig = emb.select(
+        id_col, vec_col, norm_col,
+        *[bucket(vec_col, band).alias(f"b{b}") for b, band in enumerate(planes)],
+    )
+    sig = _persist_tracked(ensure_parallelism(sig))
+    cands = None
+    for b in range(n_bands):
+        left = sig.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col(norm_col).alias("na"), F.col(f"b{b}").alias("__bk"),
+        )
+        right = sig.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col(norm_col).alias("nb"), F.col(f"b{b}").alias("__bk"),
+        )
+        pairs = left.join(right, "__bk").filter(F.col("id_a") < F.col("id_b"))
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    cos = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (F.col("na") * F.col("nb"))
+    return (
+        cands.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1474,6 +1474,91 @@ def ml_cluster_summary(spark, sf_dir):
     return km.unionAll(dbs)
 
 
+def dd_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (north-star dedup
+    method): deterministic signed feature-hash embedding of the
+    document text (64-dim, md5 bucketed, codegen only) → SRP-LSH
+    banded candidate pairs (6 bands x 6 hyperplanes, md5-derived plane
+    constants) → exact cosine verification at 0.9. The oracle replays
+    the IDENTICAL pipeline in SQL — same tokens, same hash buckets,
+    same plane constants, same left-to-right summation order — so
+    bucket assignment and the threshold comparison agree bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    emb = dedup.feature_hash_embed(d)
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    """SQL mirror of dd_embedding_neardup with the plane constants
+    baked in (same srp_plane_constants call the Spark side uses)."""
+    dim = dedup.FH_DIM
+    planes = dedup.srp_plane_constants(6, 6)
+
+    def dot64(vc: str, row) -> str:
+        return " + ".join(f"{vc}[{i + 1}]*({row[i]!r})" for i in range(dim))
+
+    def bucket(vc: str, band) -> str:
+        bits = [
+            f"(CASE WHEN {dot64(vc, row)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(band)
+        ]
+        return " + ".join(bits)
+
+    vdot = " + ".join(f"a.vec[{i + 1}]*b.vec[{i + 1}]" for i in range(dim))
+    nrm = " + ".join(f"vec[{i + 1}]*vec[{i + 1}]" for i in range(dim))
+    band_sel = ",\n         ".join(
+        f"({bucket('vec', band)}) AS b{b}" for b, band in enumerate(planes)
+    )
+    cand_union = "\n  UNION ALL ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
+        f"ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
+        for b in range(6)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+), tt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 4))::BIGINT % {dim} AS dim,
+         CASE WHEN ('0x' || substr(md5(tok), 5, 1))::BIGINT < 8
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM toks WHERE tok <> ''
+), sparse AS (
+  SELECT doc_id, dim, sum(s) AS v FROM tt GROUP BY doc_id, dim
+), vecs AS (
+  SELECT d.doc_id, list(coalesce(s.v, 0.0) ORDER BY r.d) AS vec
+  FROM (SELECT DISTINCT doc_id FROM sparse) d
+  CROSS JOIN range(0, {dim}) r(d)
+  LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.dim = r.d
+  GROUP BY d.doc_id
+), normed AS (
+  SELECT doc_id, vec, sqrt({nrm}) AS norm FROM vecs
+  WHERE sqrt({nrm}) > 0
+), sig AS (
+  SELECT doc_id, vec, norm,
+         {band_sel}
+  FROM normed
+), cands AS (
+  SELECT DISTINCT id_a, id_b FROM (
+  {cand_union}
+  )
+)
+SELECT c.id_a, c.id_b,
+       round(({vdot}) / (a.norm * b.norm), 6) AS cosine
+FROM cands c
+JOIN sig a ON a.doc_id = c.id_a
+JOIN sig b ON b.doc_id = c.id_b
+WHERE ({vdot}) / (a.norm * b.norm) >= 0.9
+"""
+
+
+DD_EMB_NEARDUP_SQL = _embedding_neardup_sql()
+
+
 def ml_kmeans_lloyd(spark, sf_dir):
     """Distributed K-Means (M7) made hash-checkable: deterministic
     seeding (the embeddings of vec_id 0,8,..,56) + 4 unrolled Lloyd
@@ -2079,6 +2164,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_recall": sim_ann_recall,
     "stat_tmm_cpm": stat_tmm_cpm,
+    "dd_embedding_neardup": dd_embedding_neardup,
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
     "ml_dbscan_classes": ml_dbscan_classes,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
@@ -2161,6 +2247,7 @@ ORACLES = {
     "sim_ann_recall": SIM_ANN_SQL,
     "stat_tmm_cpm": STAT_TMM_SQL,
     "ml_pca_embed": ML_PCA_SQL,
+    "dd_embedding_neardup": DD_EMB_NEARDUP_SQL,
     "ml_kmeans_lloyd": ML_KMEANS_SQL,
     "ml_dbscan_classes": ML_DBSCAN_SQL,
     # The

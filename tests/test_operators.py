@@ -347,3 +347,34 @@ def test_heatmap_dendrogram_over_cap_truncates(spark):
     )
     pages = heatmap_data(df, ["v1", "v2"], max_rows=20, rank_by="dendrogram")
     assert sum(len(p) for p in pages) == 20
+
+
+def test_embedding_near_dup_recall(spark):
+    """Embedding-cosine near-dup: every emitted pair is a true pair
+    (cosine >= threshold, verified against numpy brute force) and the
+    6x6 SRP banding recovers the large majority of true pairs."""
+    import numpy as np
+
+    from mdataframe_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = dedup.feature_hash_embed(docs)
+    rows = emb.collect()
+    ids = [r["doc_id"] for r in rows]
+    X = np.array([r["vec"] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    iu = np.triu_indices(len(ids), 1)
+    true_pairs = {
+        tuple(sorted((ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if C[i, j] >= 0.9
+    }
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    dedup.release_caches()
+    assert got <= true_pairs  # no false positives ever
+    assert len(true_pairs) > 0
+    assert len(got) / len(true_pairs) >= 0.7, (len(got), len(true_pairs))
