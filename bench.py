@@ -41,6 +41,8 @@ HEADLINE = [
     "stat_vst",
     "stat_edger_exact_test",
     "stat_deseq2",
+    "ml_kmeans_lloyd",
+    "ml_dbscan_classes",
 ]
 
 

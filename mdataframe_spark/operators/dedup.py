@@ -436,12 +436,12 @@ def feature_hash_embed(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hashed = tok.select(
+    # one md5 per token (projected so both derived columns reuse it)
+    hashed = tok.select(id_col, F.md5("tok").alias("h")).select(
         id_col,
-        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint") % dim
-         ).alias("dim"),
+        (F.conv(F.substring("h", 1, 4), 16, 10).cast("bigint") % dim).alias("dim"),
         F.when(
-            F.conv(F.substring(F.md5("tok"), 5, 1), 16, 10).cast("bigint") < 8,
+            F.conv(F.substring("h", 5, 1), 16, 10).cast("bigint") < 8,
             F.lit(1.0),
         ).otherwise(F.lit(-1.0)).alias("s"),
     )
@@ -502,24 +502,33 @@ def embedding_near_dup_pairs(
         *[bucket(vec_col, band).alias(f"b{b}") for b, band in enumerate(planes)],
     )
     sig = _persist_tracked(ensure_parallelism(sig))
+    # candidate generation on (id, bucket) ONLY — the 64-dim vectors
+    # would otherwise ride through every band shuffle; the verify stage
+    # joins them back once for the deduplicated candidate set
+    ids = sig.select(id_col, *[f"b{b}" for b in range(n_bands)])
     cands = None
     for b in range(n_bands):
-        left = sig.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-            F.col(norm_col).alias("na"), F.col(f"b{b}").alias("__bk"),
-        )
-        right = sig.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-            F.col(norm_col).alias("nb"), F.col(f"b{b}").alias("__bk"),
-        )
+        left = ids.select(F.col(id_col).alias("id_a"), F.col(f"b{b}").alias("__bk"))
+        right = ids.select(F.col(id_col).alias("id_b"), F.col(f"b{b}").alias("__bk"))
         pairs = left.join(right, "__bk").filter(F.col("id_a") < F.col("id_b"))
+        pairs = pairs.select("id_a", "id_b")
         cands = pairs if cands is None else cands.unionByName(pairs)
     cands = cands.dropDuplicates(["id_a", "id_b"])
+    va = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col(norm_col).alias("na"),
+    )
+    vb = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col(norm_col).alias("nb"),
+    )
     cos = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     ) / (F.col("na") * F.col("nb"))
     return (
-        cands.withColumn("cosine", cos)
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -181,3 +181,58 @@ def test_sessionize_stream_matches_batch(spark, tmp_path_factory):
     assert len(got) >= len(expected) - 3
     for k, v in got.items():
         assert expected.get(k) == v, (k, v, expected.get(k))
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming exact dedup (keyed and content-addressed) emits the
+    same distinct set a batch dropDuplicates computes."""
+    from mdataframe_spark.streaming.dedup import (
+        dedup_stream_content,
+        dedup_stream_exact,
+    )
+
+    src = tmp_path_factory.mktemp("dedup_stream") / "events"
+    # 400 rows with heavy duplication: 100 distinct payloads, case and
+    # whitespace variants of the same content hash
+    df = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1700000000_000000) + F.col("id") * 1_000_000).cast("bigint")
+        ).alias("ts"),
+        (F.col("id") % 100).alias("key"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("Payload ")).otherwise(F.lit("  payload   ")),
+            (F.col("id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(str(src))
+    batch = spark.read.parquet(str(src))
+    schema = batch.schema
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        dedup_stream_exact(stream, ["key"], watermark="1 hour")
+        .writeStream.format("memory").queryName("dd_keyed")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    keyed = spark.sql("SELECT key FROM dd_keyed").collect()
+    assert len(keyed) == 100
+    assert len({r["key"] for r in keyed}) == 100
+
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = (
+        dedup_stream_content(stream2, watermark="1 hour")
+        .writeStream.format("memory").queryName("dd_content")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    content = spark.sql("SELECT text FROM dd_content").collect()
+    # case/whitespace variants normalize to the same hash: 100 contents
+    assert len(content) == 100
+    from mdataframe_spark.operators.text import normalize_text
+    batch_distinct = (
+        batch.select(F.md5(normalize_text(F.col("text"))).alias("h"))
+        .distinct().count()
+    )
+    assert batch_distinct == 100
