@@ -1821,6 +1821,109 @@ def stat_noiseq(spark, sf_dir):
     )
 
 
+def stat_noiseq_md(spark, sf_dir):
+    """NOISeq's deterministic layer (M6) hash-checked: the M (log2
+    ratio), D (absolute difference) and signed-distance Rank statistics
+    on the TMM-normalized two-sample pair are closed-form — only the
+    Prob column needs the simulated noise cloud (covered rows-only by
+    stat_noiseq + golden tests). The oracle replays the 2-sample TMM
+    trim step for step like the stat_tmm_cpm oracle does for 3."""
+    from .functions.noiseq import NOISeq
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0)
+    )
+    nq = NOISeq("g1", "g2", {"g1": ["A", "N"], "g2": ["R"]})
+    out = nq(counts)
+    return out.select(
+        "__row_id",
+        F.round(nq.logFC, 6).alias("m"),
+        F.round(nq.D, 6).alias("d"),
+        F.round(nq.rank, 6).alias("ranking"),
+    )
+
+
+STAT_NOISEQ_MD_SQL = """
+WITH counts AS (
+  SELECT l_partkey::VARCHAR AS __row_id,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0) AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0) AS r
+  FROM lineitem GROUP BY l_partkey
+), long AS (
+  SELECT __row_id, 'A' AS s, 1 AS sidx, a AS x FROM counts
+  UNION ALL SELECT __row_id, 'R', 2, r FROM counts
+), libs AS (
+  SELECT s, sidx, sum(x) AS lib, quantile_cont(x, 0.75) AS q75
+  FROM long GROUP BY s, sidx
+), f AS (
+  SELECT s, sidx, lib, q75 / lib AS f75 FROM libs
+), refsel AS (
+  SELECT s AS ref_s, lib AS ref_lib FROM f
+  ORDER BY abs(f75 - (SELECT avg(f75) FROM f)), sidx LIMIT 1
+), refvals AS (
+  SELECT __row_id, x AS xr FROM long JOIN refsel ON long.s = refsel.ref_s
+  WHERE x > 0
+), j AS (
+  SELECT l.s, l.x, li.lib, rv.xr, rs.ref_lib,
+         log2((l.x / li.lib) / (rv.xr / rs.ref_lib)) AS m,
+         (log2(l.x / li.lib) + log2(rv.xr / rs.ref_lib)) / 2 AS aa,
+         (li.lib - l.x) / (li.lib * l.x)
+           + (rs.ref_lib - rv.xr) / (rs.ref_lib * rv.xr) AS v
+  FROM long l
+  JOIN libs li ON li.s = l.s
+  JOIN refvals rv ON rv.__row_id = l.__row_id
+  CROSS JOIN refsel rs
+  WHERE l.x > 0
+), ranked AS (
+  SELECT s, m, v,
+         rank() OVER (PARTITION BY s ORDER BY m)
+           + (count(*) OVER (PARTITION BY s, m) - 1) / 2.0 AS rm,
+         rank() OVER (PARTITION BY s ORDER BY aa)
+           + (count(*) OVER (PARTITION BY s, aa) - 1) / 2.0 AS ra,
+         count(*) OVER (PARTITION BY s) AS nn
+  FROM j WHERE aa > -1e10
+), kept AS (
+  SELECT s, m, v,
+         rm >= floor(nn * 0.3) + 1 AND rm <= nn + 1 - (floor(nn * 0.3) + 1)
+         AND ra >= floor(nn * 0.05) + 1 AND ra <= nn + 1 - (floor(nn * 0.05) + 1)
+           AS keep
+  FROM ranked
+), fac0 AS (
+  SELECT s,
+         sum(CASE WHEN keep THEN m / v END) / sum(CASE WHEN keep THEN 1.0 / v END) AS f_log,
+         max(abs(m)) AS max_abs_m
+  FROM kept GROUP BY s
+), fac1 AS (
+  SELECT f.s, f.sidx, f.lib,
+         CASE WHEN fac0.max_abs_m IS NOT NULL AND fac0.max_abs_m < 1e-6 THEN 1.0
+              WHEN fac0.f_log IS NULL OR isnan(fac0.f_log) THEN 1.0
+              ELSE power(2.0, fac0.f_log) END AS fac
+  FROM f LEFT JOIN fac0 ON fac0.s = f.s
+), facs AS (
+  SELECT s, lib, fac / exp(avg(ln(fac)) OVER ()) AS factor FROM fac1
+), scales AS (
+  SELECT max(CASE WHEN s = 'A' THEN (SELECT avg(lib) FROM libs) / (lib * factor) END) AS sa,
+         max(CASE WHEN s = 'R' THEN (SELECT avg(lib) FROM libs) / (lib * factor) END) AS sr
+  FROM facs
+), md AS (
+  SELECT c.__row_id,
+         (CASE WHEN c.a = 0 THEN 0.5 ELSE c.a END) * k.sa AS na,
+         (CASE WHEN c.r = 0 THEN 0.5 ELSE c.r END) * k.sr AS nb
+  FROM counts c CROSS JOIN scales k
+)
+SELECT __row_id,
+       round(log2(na / nb), 6) AS m,
+       round(abs(na - nb), 6) AS d,
+       round(sign(log2(na / nb)) * sqrt(log2(na / nb)^2 + (abs(na - nb))^2), 6)
+         AS ranking
+FROM md
+"""
+
+
 def stat_tmm_cpm(spark, sf_dir):
     """Full TMM-normalized log2-CPM transformer (M1) on a part-count
     matrix (rows-only: the TMM trim ranks are windowed per sample —
@@ -2165,6 +2268,7 @@ QUERIES = {
     "sim_ann_recall": sim_ann_recall,
     "stat_tmm_cpm": stat_tmm_cpm,
     "dd_embedding_neardup": dd_embedding_neardup,
+    "stat_noiseq_md": stat_noiseq_md,
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
     "ml_dbscan_classes": ml_dbscan_classes,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
@@ -2248,6 +2352,7 @@ ORACLES = {
     "stat_tmm_cpm": STAT_TMM_SQL,
     "ml_pca_embed": ML_PCA_SQL,
     "dd_embedding_neardup": DD_EMB_NEARDUP_SQL,
+    "stat_noiseq_md": STAT_NOISEQ_MD_SQL,
     "ml_kmeans_lloyd": ML_KMEANS_SQL,
     "ml_dbscan_classes": ML_DBSCAN_SQL,
     # The
