@@ -75,3 +75,22 @@ def test_dnbinom_log_normalizes():
     size, mu = 3.0, 8.0
     total = sum(math.exp(nm.dnbinom_log(np.array([k]), size, mu)[0]) for k in range(500))
     np.testing.assert_allclose(total, 1.0, rtol=1e-10)
+
+
+def test_pbeta_qbeta_analytic():
+    """Beta CDF/quantile against closed forms: I_x(a,1) = x^a,
+    I_x(1,b) = 1-(1-x)^b, symmetry I_0.5(a,a) = 0.5, and qbeta as the
+    inverse of pbeta."""
+    import numpy as np
+
+    from mdataframe_spark.functions.numerics import pbeta, qbeta
+
+    x = np.linspace(0.05, 0.95, 10)
+    for a in (0.5, 1.0, 2.5, 7.0):
+        np.testing.assert_allclose(pbeta(x, a, 1.0), x ** a, rtol=1e-10)
+        np.testing.assert_allclose(pbeta(x, 1.0, a), 1 - (1 - x) ** a, rtol=1e-10)
+        np.testing.assert_allclose(pbeta(np.array([0.5]), a, a), [0.5], atol=1e-12)
+        np.testing.assert_allclose(qbeta(np.array([0.5]), a, a), [0.5], atol=1e-9)
+    p = np.linspace(0.01, 0.99, 15)
+    for a, b in ((2.0, 5.0), (30.0, 12.0), (0.7, 3.3)):
+        np.testing.assert_allclose(pbeta(qbeta(p, a, b), a, b), p, atol=1e-9)
