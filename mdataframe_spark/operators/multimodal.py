@@ -103,3 +103,84 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+_TRANSFORM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("modality", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, factor: int) -> bytes:
+    """Deterministic stand-in for an image resize (STUB — no imaging
+    libs in this container): keep every ``factor``-th byte. A real
+    implementation decodes, resizes (PIL/opencv) and re-encodes; the
+    Spark-side contract (binary in, binary out, meta updated) is
+    identical."""
+    if payload is None:
+        return None
+    return bytes(payload[::factor])
+
+
+def _frame_sample_stub(payload: bytes, frame_size: int, every_k: int) -> bytes:
+    """Deterministic stand-in for video frame sampling: treat the
+    payload as fixed-size frames and keep every ``every_k``-th frame.
+    This IS the real byte-plumbing for containerless raw formats; codec
+    formats additionally need a demuxer in place of the slicing."""
+    if payload is None:
+        return None
+    frames = [
+        payload[i : i + frame_size] for i in range(0, len(payload), frame_size)
+    ]
+    return b"".join(frames[::every_k])
+
+
+def resize_media(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Arrow-batched payload resize over media rows (mapInPandas —
+    executor-parallel, no driver traffic). Meta records the transform
+    so downstream stages can audit provenance."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda p: _resize_stub(p, factor)
+            )
+            out["meta"] = pdf["meta"].map(
+                lambda m: {**(m or {}), "resize_factor": str(factor)}
+            )
+            yield out[["media_id", "payload", "modality", "meta"]]
+
+    return df.select("media_id", "payload", "modality", "meta").mapInPandas(
+        run, _TRANSFORM_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, every_k: int = 4
+) -> DataFrame:
+    """Arrow-batched frame sampling over media payloads; same
+    binary-in/binary-out contract as resize_media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda p: _frame_sample_stub(p, frame_size, every_k)
+            )
+            out["meta"] = pdf["meta"].map(
+                lambda m: {
+                    **(m or {}),
+                    "frame_size": str(frame_size),
+                    "frame_stride": str(every_k),
+                }
+            )
+            yield out[["media_id", "payload", "modality", "meta"]]
+
+    return df.select("media_id", "payload", "modality", "meta").mapInPandas(
+        run, _TRANSFORM_SCHEMA
+    )

@@ -378,3 +378,35 @@ def test_embedding_near_dup_recall(spark):
     assert got <= true_pairs  # no false positives ever
     assert len(true_pairs) > 0
     assert len(got) / len(true_pairs) >= 0.7, (len(got), len(true_pairs))
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize / frame-sample plumbing: binary-in binary-out with
+    deterministic stub transforms, meta provenance recorded, byte
+    counts exactly as the stride math predicts."""
+    from mdataframe_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_media,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = attach_binary_payload(docs.limit(50))
+    orig = {r["media_id"]: r for r in media.collect()}
+
+    resized = {r["media_id"]: r for r in resize_media(media, factor=3).collect()}
+    for mid, r in resized.items():
+        expect = bytes(bytes(orig[mid]["payload"])[::3])
+        assert bytes(r["payload"]) == expect
+        assert r["meta"]["resize_factor"] == "3"
+
+    sampled = {
+        r["media_id"]: r
+        for r in sample_frames(media, frame_size=16, every_k=2).collect()
+    }
+    for mid, r in sampled.items():
+        p = bytes(orig[mid]["payload"])
+        frames = [p[i:i + 16] for i in range(0, len(p), 16)]
+        assert bytes(r["payload"]) == b"".join(frames[::2])
+        assert r["meta"]["frame_stride"] == "2"
