@@ -149,3 +149,65 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     collide — the cheap first pass before MinHash/SimHash near-dup.
     """
     return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003): hash every character k-gram of the normalized text with a
+    rolling window of ``window`` grams, keep each window's minimum hash
+    (rightmost on ties — the standard winnowing guarantee), emit the
+    distinct selected hashes per document.
+
+    Unlike the whole-document fingerprint (md5 of the full text), the
+    winnowed set detects PARTIAL overlap: any shared substring of
+    length >= k + window - 1 contributes at least one common selected
+    hash. Everything is integer arithmetic on md5 prefixes — zero
+    floating point, so cross-engine comparison is exact by
+    construction. Scale shape: shingle explode + two window passes over
+    per-document partitions + one distinct — shuffle keys are
+    (doc, position), never all-pairs.
+    """
+    from pyspark.sql import Window as W
+
+    norm = normalize_text(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .filter(F.length("__norm") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(__norm) - {k} + 1), "
+                    f"i -> substring(__norm, i, {k}))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    # 40-bit hash packed with the reversed 20-bit position: the window
+    # MIN then selects (smallest hash, rightmost position) in one pass
+    key = (
+        F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("bigint")
+        * F.lit(1 << 20)
+        + (F.lit((1 << 20) - 1) - F.col("pos"))
+    )
+    w_count = W.partitionBy(id_col)
+    w_roll = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    selected = (
+        grams.withColumn("__key", key)
+        .withColumn("__n", F.count(F.lit(1)).over(w_count))
+        .withColumn("__sel", F.min("__key").over(w_roll))
+        # only full windows (the winnowing guarantee needs them);
+        # posexplode positions are 0-based
+        .filter(F.col("pos") <= F.col("__n") - window)
+        # integer shift, NOT division: the packed key exceeds a
+        # double's 53-bit mantissa, so "/" would corrupt the hash
+        .select(id_col, F.shiftright("__sel", 20).alias("fp"))
+        .distinct()
+    )
+    return selected

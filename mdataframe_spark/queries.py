@@ -895,6 +895,60 @@ FROM documents GROUP BY 1
 """
 
 
+def txt_winnow_overlap(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (north-star 'document
+    fingerprinting (rolling hash)'): pairs of documents sharing at
+    least 10 winnowed k-gram hashes — the partial-overlap detector a
+    whole-document hash cannot provide. Integer-only arithmetic, so the
+    SQL oracle is exact by construction."""
+    d = _t(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(d, k=8, window=8)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 10)
+    )
+
+
+TXT_WINNOW_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS nrm
+  FROM documents
+), pos AS (
+  SELECT doc_id, nrm, unnest(range(1, length(nrm) - 8 + 2)) AS i
+  FROM norm WHERE length(nrm) >= 8
+), grams AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, substr(nrm, i::INT, 8) AS gram
+  FROM pos
+), keyed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576
+           + (1048575 - pos) AS key
+  FROM grams
+), rolled AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM keyed
+), fps AS (
+  SELECT DISTINCT doc_id, (sel // 1048576)::BIGINT AS fp
+  FROM rolled WHERE pos <= n - 8
+)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 10
+"""
+
+
 def sim_ann_recall(spark, sf_dir):
     """ANN quality gate: SRP-LSH and IVF-flat vs the exact scan.
 
@@ -2253,6 +2307,7 @@ QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality": txt_quality,
     "txt_fingerprint": txt_fingerprint,
+    "txt_winnow_overlap": txt_winnow_overlap,
     "dd_exact_dedup": dd_exact_dedup,
     "dd_distinct_pairs": dd_distinct_pairs,
     "mm_payload_stats": mm_payload_stats,
@@ -2336,6 +2391,7 @@ ORACLES = {
     "txt_token_stats": TXT_TOKENS_SQL,
     "txt_quality": TXT_QUALITY_SQL,
     "txt_fingerprint": TXT_FP_SQL,
+    "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_exact_dedup": DD_EXACT_SQL,
     "dd_distinct_pairs": DD_DISTINCT_SQL,
     "mm_payload_stats": MM_STATS_SQL,

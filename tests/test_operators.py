@@ -410,3 +410,25 @@ def test_multimodal_resize_and_frame_sample(spark):
         frames = [p[i:i + 16] for i in range(0, len(p), 16)]
         assert bytes(r["payload"]) == b"".join(frames[::2])
         assert r["meta"]["frame_stride"] == "2"
+
+
+def test_winnow_partial_overlap(spark):
+    """Winnowing fingerprints detect PARTIAL overlap: two documents
+    sharing a long substring have common selected hashes; unrelated
+    documents of similar length share none."""
+    from mdataframe_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, "INTRO aaa. " + shared + " OUTRO bbb."),
+        (2, "Completely different preamble! " + shared + " And a different ending."),
+        (3, "unrelated text about spark catalyst optimizer and shuffle partitions"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=8, window=8)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert len(by_doc[1] & by_doc[2]) >= 5, len(by_doc[1] & by_doc[2])
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
