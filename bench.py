@@ -18,8 +18,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from mdataframe_spark.cache import release_caches
-from mdataframe_spark.queries import QUERIES
+from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
 from mdataframe_spark.session import get_spark
+
+QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 HEADLINE = [
     "q1_pricing_summary",

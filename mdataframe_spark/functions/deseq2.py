@@ -53,6 +53,29 @@ def size_factors(y: np.ndarray) -> np.ndarray:
     return np.exp(np.median(logs - log_geo, axis=0))
 
 
+def size_factors_distributed(df, cols) -> np.ndarray:
+    """Exact median-of-ratios size factors, distributed (DESeq2
+    estimateSizeFactors): per-sample median of (log y - rowmean log y)
+    via ``percentile`` on the genes with all counts positive. One
+    aggregation job; #samples scalars reach the driver. Shared by the
+    Wald, LRT and VST pipelines and the ``stat_deseq2_base`` oracle
+    query."""
+    cols = list(cols)
+    n = len(cols)
+    all_pos = None
+    for c in cols:
+        cond = F.col(c) > 0
+        all_pos = cond if all_pos is None else (all_pos & cond)
+    logmean = sum(F.log(F.col(c)) for c in cols) / n
+    med = (
+        df.filter(all_pos)
+        .select(*[(F.log(F.col(c)) - logmean).alias(f"r_{c}") for c in cols])
+        .agg(*[F.expr(f"percentile(`r_{c}`, 0.5)").alias(c) for c in cols])
+        .collect()[0]
+    )
+    return np.array([np.exp(float(med[c])) for c in cols])
+
+
 def wald_one_way(y, group, sf, dispersion, minmu: float = 0.5):
     """One-way NB GLM Wald test at given dispersions.
 
@@ -365,14 +388,16 @@ def fit_dispersion_trend_and_prior(curves: DataFrame, df_resid: int):
         (F.col("gene_disp") > 100 * MIN_DISP) & (F.col("base_mean") > 0)
     )
     n_usable = usable.count()
-    if n_usable <= 2_000_000:
+    if n_usable <= 500_000:
         # the gamma IRLS needs up to ~100 sequential reductions of five
-        # scalars each; below ~32 MB of pairs one collect replaces ~100
-        # scheduled jobs (identical arithmetic). The aggregation path
-        # below stays for genuinely huge gene counts.
-        pairs = usable.select("gene_disp", "base_mean").collect()
-        gd = np.array([r["gene_disp"] for r in pairs])
-        bm = np.array([r["base_mean"] for r in pairs])
+        # scalars each; for bounded gene counts one Arrow-batched
+        # toPandas (2 float64 columns, ~8 MB at the threshold — no
+        # per-Row Python object overhead) replaces ~100 scheduled jobs
+        # with identical arithmetic. The aggregation path below stays
+        # for genuinely huge gene counts.
+        pairs = usable.select("gene_disp", "base_mean").toPandas()
+        gd = pairs["gene_disp"].to_numpy(dtype=float)
+        bm = pairs["base_mean"].to_numpy(dtype=float)
         a0, a1 = _parametric_trend_numpy(gd, bm)
         resid = np.log(gd) - np.log(a0 + a1 / bm)
         med = float(np.median(resid)) if len(resid) else 0.0
@@ -546,22 +571,8 @@ class DESeq2UnpairedAB(Transformer):
         n = len(cols)
         df_resid = n - n_groups
 
-        # --- size factors: exact median-of-ratios, from one collect of
-        # per-gene log-count sums? The median is over genes — compute
-        # distributed: per-sample median of (log y - rowmean log y) via
-        # percentile on rows with all counts positive.
-        all_pos = None
-        for c in cols:
-            cond = F.col(c) > 0
-            all_pos = cond if all_pos is None else (all_pos & cond)
-        logmean = sum(F.log(F.col(c)) for c in cols) / n
-        ratios = counts.filter(all_pos).select(
-            *[(F.log(F.col(c)) - logmean).alias(f"r_{c}") for c in cols]
-        )
-        med = ratios.agg(
-            *[F.expr(f"percentile(`r_{c}`, 0.5)").alias(c) for c in cols]
-        ).collect()[0]
-        sf = np.array([np.exp(float(med[c])) for c in cols])
+        # --- size factors: exact median-of-ratios, distributed ---
+        sf = size_factors_distributed(counts, cols)
 
         base_mean_expr = sum(
             (F.col(c) / float(s) for c, s in zip(cols, sf)), F.lit(0.0)
@@ -793,19 +804,8 @@ class DESeq2LRT(Transformer):
         X_red = self._design(cols, self.reduced)
         df_lrt = X_full.shape[1] - X_red.shape[1]
 
-        # size factors (shared helper logic with the Wald path)
-        all_pos = None
-        for c in cols:
-            cond = F.col(c) > 0
-            all_pos = cond if all_pos is None else (all_pos & cond)
-        logmean = sum(F.log(F.col(c)) for c in cols) / n
-        med = (
-            counts.filter(all_pos)
-            .select(*[(F.log(F.col(c)) - logmean).alias(f"r_{c}") for c in cols])
-            .agg(*[F.expr(f"percentile(`r_{c}`, 0.5)").alias(c) for c in cols])
-            .collect()[0]
-        )
-        sf = np.array([np.exp(float(med[c])) for c in cols])
+        # size factors (shared helper with the Wald path)
+        sf = size_factors_distributed(counts, cols)
         offs = np.log(sf)
         fixed = self.dispersion
 

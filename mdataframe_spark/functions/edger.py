@@ -579,15 +579,39 @@ def equalize_lib_sizes(
 # ---------------------------------------------------------------------------
 # exact NB test (double tail) — edgeR exactTestDoubleTail, faithful
 # ---------------------------------------------------------------------------
+BINOM_BIG_TOTAL = 10_000
+
+
 def binom_test(s1: np.ndarray, s2: np.ndarray, p: float) -> np.ndarray:
     """Exact two-sided binomial split test (edgeR binomTest shape):
     given the total n = s1+s2 split with success prob p, sum the
-    probabilities of all outcomes at most as likely as the observed."""
+    probabilities of all outcomes at most as likely as the observed.
+
+    Totals above BINOM_BIG_TOTAL take a doubled-tail normal
+    approximation with continuity correction instead — the dense
+    enumeration matrix is (chunk × max_total+1); a zero-dispersion gene
+    with a multi-million total would otherwise allocate gigabytes for a
+    p-value the normal limit already gives to ~1e-4 (same regime where
+    edgeR's binomTest leaves exactness behind)."""
+    from .numerics import pnorm
+
     s1 = np.asarray(s1, dtype=float)
     s2 = np.asarray(s2, dtype=float)
     n = s1 + s2
     out = np.ones(len(s1))
-    order = np.argsort(n)
+
+    big = n > BINOM_BIG_TOTAL
+    if big.any():
+        nb, s1b = n[big], s1[big]
+        mu = nb * p
+        sd = np.sqrt(nb * p * (1.0 - p))
+        # continuity-corrected doubled smaller tail
+        lo = pnorm((s1b + 0.5 - mu) / sd)
+        hi = pnorm(-(s1b - 0.5 - mu) / sd)
+        out[big] = np.minimum(2.0 * np.minimum(lo, hi), 1.0)
+
+    small_idx = np.nonzero(~big)[0]
+    order = small_idx[np.argsort(n[small_idx])]
     for lo in range(0, len(order), 256):
         ii = order[lo:lo + 256]
         nmax = int(n[ii].max())

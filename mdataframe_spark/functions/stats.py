@@ -56,6 +56,7 @@ def bh_adjust(
     group_cols: Optional[Sequence[str]] = None,
     tiebreak_cols: Sequence[str] = (),
     allow_global: bool = False,
+    scale_safe: bool = False,
 ) -> DataFrame:
     """Benjamini-Hochberg adjusted p-values as a window computation.
 
@@ -80,7 +81,15 @@ def bh_adjust(
     the suffix-min frame agree on tie order — required when the output
     must be reproducible bit-for-bit across engines/runs. BH itself is
     tie-stable (tied p get equal adjusted values) either way.
+
+    ``scale_safe=True`` switches to the range-partitioned exact BH
+    (:func:`bh_adjust_scale_safe`) — same values, no single-reducer
+    window, no row ceiling: the path for per-document p-values on a
+    100 TB text corpus. Ignored when ``group_cols`` already partitions
+    the computation.
     """
+    if scale_safe and not group_cols:
+        return bh_adjust_scale_safe(df, p_col, out_col, tiebreak_cols=tiebreak_cols)
     parts = list(group_cols or [])
     if not parts:
         _guard_unpartitioned(df, "bh_adjust", allow_global)
@@ -100,6 +109,120 @@ def bh_adjust(
         df.withColumn("__bh_raw", raw)
         .withColumn(out_col, F.least(F.min("__bh_raw").over(w_runmin), F.lit(1.0)))
         .drop("__bh_raw")
+    )
+
+
+def bh_adjust_scale_safe(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "fdr",
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: Optional[int] = None,
+) -> DataFrame:
+    """EXACT Benjamini-Hochberg without a global window — the corpus-
+    scale path (e.g. per-document quality p-values over 100 TB), where
+    the single-reducer total order of :func:`bh_adjust` is impossible.
+
+    The global sort is replaced by the standard distributed sort-rank
+    decomposition:
+
+    1. bucket boundaries from approximate p-quantiles (balanced buckets
+       even when p mass concentrates near 0 — one pass);
+    2. per-bucket counts in ONE aggregation (also yields n); the B
+       cumulative offsets are computed on the driver and broadcast —
+       driver traffic is O(B) scalars, never rows;
+    3. within each bucket a PARTITIONED window gives local ranks (all
+       buckets sort in parallel); offset + local rank = exact global
+       rank j, so q' = p·n/j is exact;
+    4. the BH suffix-min factorizes: rows only need the running min
+       within their bucket (partitioned window, descending) combined
+       with the min q' over all HIGHER buckets — per-bucket minima are
+       one small aggregation, suffix-minimized on the driver and
+       broadcast back.
+
+    Values are identical to ``bh_adjust`` (asserted in
+    tests/test_stats.py at 10^6 rows): bucket assignment is monotone in
+    p, so tied p-values always share a bucket and the within-bucket
+    running min equalizes them exactly as the single window does.
+    Cost: three passes over the input (quantiles,
+    counts, the ranked transform) — at this scale recomputation beats
+    pinning the corpus in memory; persist upstream if the input is an
+    expensive subplan. Null p-values get a null ``out_col`` and do not
+    count toward n.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = max(spark.sparkContext.defaultParallelism * 4, 16)
+
+    nn_col = df.filter(F.col(p_col).isNotNull())
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(nn_col.approxQuantile(p_col, probs, 0.001)))
+
+    bkt = F.lit(0)
+    for i, c in enumerate(cuts):
+        bkt = F.when(F.col(p_col) > F.lit(c), F.lit(i + 1)).otherwise(bkt)
+    bkt = F.when(F.col(p_col).isNull(), F.lit(None)).otherwise(bkt)
+
+    with_b = df.withColumn("__bh_bkt", bkt)
+    counts = {
+        int(r["__bh_bkt"]): int(r["n"])
+        for r in with_b.filter(F.col("__bh_bkt").isNotNull())
+        .groupBy("__bh_bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+
+    order_asc = [F.col(p_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    order_desc = [F.col(p_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w_rank = Window.partitionBy("__bh_bkt").orderBy(*order_asc)
+    w_runmin = (
+        Window.partitionBy("__bh_bkt")
+        .orderBy(*order_desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grank = off_map[F.col("__bh_bkt")] + F.row_number().over(w_rank)
+    ranked = with_b.withColumn(
+        "__bh_q", F.when(
+            F.col("__bh_bkt").isNotNull(), F.col(p_col) * F.lit(float(n_total)) / grank
+        )
+    )
+
+    bucket_mins = {
+        int(r["__bh_bkt"]): float(r["m"])
+        for r in ranked.filter(F.col("__bh_bkt").isNotNull())
+        .groupBy("__bh_bkt")
+        .agg(F.min("__bh_q").alias("m"))
+        .collect()
+    }
+    suffix, run = {}, float("inf")
+    for b in sorted(bucket_mins, reverse=True):
+        suffix[b] = run  # min strictly ABOVE bucket b
+        run = min(run, bucket_mins[b])
+    sfx_map = F.create_map(
+        *[
+            x
+            for b, v in suffix.items()
+            for x in (F.lit(b), F.lit(v if v != float("inf") else 2.0))
+        ]
+    )
+    fdr = F.least(
+        F.min("__bh_q").over(w_runmin), sfx_map[F.col("__bh_bkt")], F.lit(1.0)
+    )
+    return (
+        ranked.withColumn(
+            out_col, F.when(F.col("__bh_bkt").isNotNull(), fdr)
+        )
+        .drop("__bh_bkt", "__bh_q")
     )
 
 

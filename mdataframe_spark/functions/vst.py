@@ -54,19 +54,18 @@ class VST(Transformer):
         cols = [c for c in df.columns if c != idx]
         n = len(cols)
 
+        # the input is typically a shuffle product (a pivot); the fit
+        # below reads it four times (size factors, candidate stats,
+        # stratified reps, phase A) and the returned transform a fifth —
+        # pin it once, released via cache.release_caches
+        from ..cache import persist_tracked
+
+        df = persist_tracked(df)
+
         # --- size factors (median-of-ratios, distributed) ---
-        all_pos = None
-        for c in cols:
-            cond = F.col(c) > 0
-            all_pos = cond if all_pos is None else (all_pos & cond)
-        logmean = sum(F.log(F.col(c)) for c in cols) / n
-        med = (
-            df.filter(all_pos)
-            .select(*[(F.log(F.col(c)) - logmean).alias(f"r_{c}") for c in cols])
-            .agg(*[F.expr(f"percentile(`r_{c}`, 0.5)").alias(c) for c in cols])
-            .collect()[0]
-        )
-        sf = np.array([np.exp(float(med[c])) for c in cols])
+        from .deseq2 import size_factors_distributed
+
+        sf = size_factors_distributed(df, cols)
 
         base_mean = sum(
             (F.col(c) / float(s) for c, s in zip(cols, sf)), F.lit(0.0)
@@ -79,20 +78,29 @@ class VST(Transformer):
         # (min (__bm, id) struct). No global row_number window (that
         # serializes every candidate through one reducer); two bounded
         # aggregations + a broadcast semi-join instead. ---
+        # one fused aggregation job: candidate count + log-range bounds
+        # (previously two separate scalar probes = two full pivot scans)
+        log_bm = F.log(F.greatest(F.col("__bm"), F.lit(1e-12)))
         candidates = df.withColumn("__bm", base_mean).filter(F.col("__bm") > 5)
-        n_cand = candidates.count()
+        stats = candidates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(log_bm).alias("lo"),
+            F.max(log_bm).alias("hi"),
+        ).collect()[0]
+        n_cand = stats["n"]
         if n_cand == 0:
             candidates = df.withColumn("__bm", base_mean)
-            n_cand = candidates.count()
+            stats = candidates.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(log_bm).alias("lo"),
+                F.max(log_bm).alias("hi"),
+            ).collect()[0]
+            n_cand = stats["n"]
         nsub = min(self.nsub, n_cand)
         if n_cand <= nsub:
             sampled = candidates
         else:
-            lo, hi = candidates.agg(
-                F.min(F.log(F.greatest(F.col("__bm"), F.lit(1e-12)))),
-                F.max(F.log(F.greatest(F.col("__bm"), F.lit(1e-12)))),
-            ).collect()[0]
-            lo, hi = float(lo), float(hi)
+            lo, hi = float(stats["lo"]), float(stats["hi"])
             if hi <= lo:
                 bkt = F.lit(1)
             else:
@@ -141,12 +149,19 @@ class VST(Transformer):
                 )
 
         # the sample is ≤ nsub rows by construction — collect the
-        # (dispersion, mean) pairs once and run the gamma IRLS in numpy
-        # (12 sequential Spark jobs on ≤1000 rows cost ~2s of pure
-        # scheduling latency; one collect costs one job)
-        pairs = sampled.select(*cols, "__bm").mapInPandas(phase_a, schema_a).collect()
-        gd = np.array([r["gene_disp"] for r in pairs])
-        bm = np.array([r["bm"] for r in pairs])
+        # (dispersion, mean) pairs once (Arrow) and run the gamma IRLS
+        # in numpy (12 sequential Spark jobs on ≤1000 rows cost ~2s of
+        # pure scheduling latency; one collect costs one job). Sorting
+        # the pairs makes the IRLS sums independent of partition order,
+        # so the fitted (a0, a1) are bit-reproducible on the same data.
+        pairs = (
+            sampled.select(*cols, "__bm")
+            .mapInPandas(phase_a, schema_a)
+            .toPandas()
+            .sort_values(["bm", "gene_disp"], kind="mergesort")
+        )
+        gd = pairs["gene_disp"].to_numpy(dtype=float)
+        bm = pairs["bm"].to_numpy(dtype=float)
         use = (gd > 1e-7) & (bm > 0)
         gd, bm = gd[use], bm[use]
         a0, a1 = 0.1, 1.0

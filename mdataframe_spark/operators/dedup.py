@@ -36,6 +36,48 @@ from ..cache import persist_tracked as _persist_tracked  # noqa: E402
 from ..cache import release_caches  # noqa: E402,F401  (re-export)
 
 
+# Document-frequency cap for candidate-generation self-joins. A bucket
+# with B members yields B(B-1)/2 candidate pairs; a single boilerplate
+# k-gram/band shared by 10^6 documents would create ~5*10^11 pairs in
+# one bucket — AQE skew-split spreads that work but cannot shrink the
+# pair count. Standard practice in web-scale dedup (CC-NET / Gopher
+# pipelines): drop keys above a frequency cap before pairing; such keys
+# carry almost no dedup signal (they match everything). 10^4 members
+# still allows ~5*10^7 pairs per bucket — far above anything a real
+# near-dup cluster produces, so recall loss is negligible.
+DEFAULT_DF_CAP = 10_000
+
+import logging  # noqa: E402
+
+_log = logging.getLogger(__name__)
+
+
+def cap_hot_keys(df: DataFrame, key_cols, cap: int, label: str = "key") -> DataFrame:
+    """Drop rows whose join key is shared by more than ``cap`` rows.
+
+    One groupBy for the key frequencies + one equi-join back on the key
+    (the same key the caller is about to self-join on, so the exchange
+    is reused). The dropped-key count is computed in the same
+    aggregation pass and LOGGED — never a silent truncation.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = _persist_tracked(
+        df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__df"))
+    )
+    hot = counts.agg(
+        F.sum(F.when(F.col("__df") > cap, 1).otherwise(0)).alias("n_hot"),
+        F.max("__df").alias("max_df"),
+    ).collect()[0]
+    if hot["n_hot"]:
+        _log.warning(
+            "cap_hot_keys: dropping %d %s key(s) with frequency > %d "
+            "(hottest: %d rows) before candidate pairing",
+            hot["n_hot"], label, cap, hot["max_df"],
+        )
+    keep = counts.filter(F.col("__df") <= cap).select(*key_cols)
+    return df.join(keep, key_cols)
+
+
 def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than cores.
 
@@ -143,9 +185,12 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
-    candidate pair (id_a < id_b, distinct)."""
+    candidate pair (id_a < id_b, distinct). Buckets with more than
+    ``df_cap`` members are dropped (logged) before pairing — see
+    DEFAULT_DF_CAP."""
     rows_per_band = num_hashes // bands
     band_struct = F.array(
         *[
@@ -172,6 +217,7 @@ def lsh_candidate_pairs(
     # once PER SIDE. The banded table is tiny (bands rows/doc, a hash +
     # id each) — persist it and join from memory.
     banded = _persist_tracked(banded)
+    banded = cap_hot_keys(banded, ["band", "key"], df_cap, "LSH band bucket")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -351,10 +397,23 @@ def simhash_signatures(
 
 
 def simhash_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Near-dup candidates: any equal 16-bit chunk (pigeonhole for
-    hamming ≤ 3), verified by exact hamming over the 4 chunks."""
+    hamming ≤ 3), verified by exact hamming over the 4 chunks. Chunk
+    buckets with more than ``df_cap`` members are dropped (logged)
+    before pairing — see DEFAULT_DF_CAP.
+
+    Scale note: 16-bit chunks give 65,536 buckets per band, so expected
+    bucket size grows as N/2^16 — beyond ~10^8 docs the AVERAGE bucket
+    approaches the cap and the pigeonhole design itself stops scaling
+    (Manku et al., WWW'07, grow the block-prefix width with log2 N for
+    this reason). At that scale pre-block the corpus (by language/
+    domain) or switch to the MinHash-LSH path, whose bucket keys are
+    full-width hashes with corpus-size-independent collision rates."""
     chunk_cols = [f"simhash_c{c}" for c in range(4)]
     banded = signatures.select(
         F.col(id_col),
@@ -369,6 +428,7 @@ def simhash_candidate_pairs(
         ).alias("bk"),
     ).select(id_col, *chunk_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     banded = _persist_tracked(banded)  # two join sides — compute the votes once
+    banded = cap_hot_keys(banded, ["band", "key"], df_cap, "SimHash chunk bucket")
     l, r = banded.alias("l"), banded.alias("r")
     hamming = sum(
         F.bit_count(

@@ -189,12 +189,18 @@ def winnow_fingerprints(
             ).alias("pos", "gram"),
         )
     )
-    # 40-bit hash packed with the reversed 20-bit position: the window
-    # MIN then selects (smallest hash, rightmost position) in one pass
+    # 32-bit hash packed with the reversed 31-bit position: the window
+    # MIN then selects (smallest hash, rightmost position) in one pass.
+    # Width audit: max key = (2^32-1)*2^31 + (2^31-1) = 2^63-1 — exactly
+    # the signed-bigint ceiling — and positions can never reach 2^31
+    # (a string column itself caps at 2^31-1 chars), so the position
+    # field cannot go negative and borrow into the hash bits at ANY
+    # document length (a 20-bit field silently corrupted keys for
+    # documents past ~1M grams).
     key = (
-        F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("bigint")
-        * F.lit(1 << 20)
-        + (F.lit((1 << 20) - 1) - F.col("pos"))
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+        * F.lit(1 << 31)
+        + (F.lit((1 << 31) - 1) - F.col("pos"))
     )
     w_count = W.partitionBy(id_col)
     w_roll = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
@@ -207,7 +213,7 @@ def winnow_fingerprints(
         .filter(F.col("pos") <= F.col("__n") - window)
         # integer shift, NOT division: the packed key exceeds a
         # double's 53-bit mantissa, so "/" would corrupt the hash
-        .select(id_col, F.shiftright("__sel", 20).alias("fp"))
+        .select(id_col, F.shiftright("__sel", 31).alias("fp"))
         .distinct()
     )
     return selected

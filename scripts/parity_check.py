@@ -17,8 +17,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb
 
-from mdataframe_spark.queries import ORACLES, QUERIES
+from mdataframe_spark.queries import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 from mdataframe_spark.session import get_spark
+
+# the driver checks QUERIES/ORACLES; the EXTRA_* registries are the
+# queries ceded from the 50-row driver record, checked here instead
+QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ORACLES = {**ORACLES, **EXTRA_ORACLES}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

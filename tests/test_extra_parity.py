@@ -1,0 +1,61 @@
+"""Driver-protocol parity for the queries ceded from the 50-row driver
+registry (queries.EXTRA_QUERIES) plus the frozen-coefficient oracles
+that are only value-exact at the driver's correctness scale factor.
+
+Uses scripts/parity_check.compare — the exact replica of the driver's
+comparison (row count, name-sorted columns, order-insensitive values) —
+so a pass here is the same evidence a green CORRECTNESS row gives.
+"""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+import parity_check  # noqa: E402
+
+from mdataframe_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_001 = "/root/testdata/sf0.01"
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in parity_check.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return _con(SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
+def test_extra_query_parity(spark, duck, name):
+    problems = parity_check.compare(name, spark, duck, SF_DIR)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", sorted(set(EXTRA_QUERIES) - set(EXTRA_ORACLES)))
+def test_extra_rows_only(spark, name):
+    # simulation/ML-summary queries without an SQL equivalent: the
+    # driver-style weak check (runs, stable schema, >=0 rows)
+    df = EXTRA_QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_stat_vst_parity_at_driver_sf(spark):
+    """stat_vst's oracle freezes the two fitted trend coefficients at
+    the driver's correctness SF (0.01) — value parity must be checked
+    there, not at sf0.001."""
+    con = _con(SF_DIR_001)
+    problems = parity_check.compare("stat_vst", spark, con, SF_DIR_001)
+    assert not problems, problems

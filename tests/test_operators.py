@@ -432,3 +432,39 @@ def test_winnow_partial_overlap(spark):
     assert len(by_doc[1] & by_doc[2]) >= 5, len(by_doc[1] & by_doc[2])
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_df_cap_bounds_pathological_boilerplate(spark):
+    """A corpus where every document is identical boilerplate: without a
+    document-frequency cap the band self-join would generate all
+    N(N-1)/2 pairs from one bucket. With the cap below N, candidate
+    generation returns ZERO pairs (the hot bucket is dropped, logged);
+    with the cap at N it returns them all — no silent truncation in
+    either direction."""
+    from mdataframe_spark.operators.dedup import (
+        cap_hot_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    n = 30
+    boiler = "all work and no play makes jack a dull boy " * 4
+    df = spark.createDataFrame([(i, boiler) for i in range(n)], ["doc_id", "text"])
+
+    sigs = minhash_signatures(df)
+    assert lsh_candidate_pairs(sigs, df_cap=n - 1).count() == 0
+    assert lsh_candidate_pairs(sigs, df_cap=n).count() == n * (n - 1) // 2
+
+    ssigs = simhash_signatures(df)
+    assert simhash_candidate_pairs(ssigs, df_cap=n - 1).count() == 0
+    assert simhash_candidate_pairs(ssigs, df_cap=n).count() == n * (n - 1) // 2
+
+    # the generic utility: multi-row keys survive up to the cap exactly
+    kv = spark.createDataFrame(
+        [(k, i) for k in ("hot", "warm") for i in range({"hot": 5, "warm": 2}[k])],
+        ["k", "i"],
+    )
+    kept = cap_hot_keys(kv, "k", 2, "test key")
+    assert sorted(r["k"] for r in kept.collect()) == ["warm", "warm"]

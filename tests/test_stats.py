@@ -76,3 +76,57 @@ def test_unpartitioned_guard(spark, monkeypatch):
         bh_adjust(mid, "p", "fdr").count()
     with pytest.raises(ValueError, match="unpartitioned window"):
         add_rank(big, "p")
+
+
+def test_bh_scale_safe_equals_window_path_1m(spark):
+    """bh_adjust(scale_safe=True) must reproduce the window-path BH
+    exactly at 10^6 rows — including heavy ties and p mass near 0 (the
+    realistic text-corpus shape) — with no unpartitioned window."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.functions.stats import bh_adjust, bh_adjust_scale_safe
+
+    n = 1_000_000
+    df = (
+        spark.range(n)
+        .withColumn(
+            "p",
+            # deterministic mix: ~half tiny p (signal-like), heavy ties
+            F.when(F.col("id") % 2 == 0, (F.col("id") % 1000) / 1.0e7)
+            .otherwise(((F.col("id") * 2654435761) % 10000) / 10000.0),
+        )
+        .repartition(32)
+    )
+    ref = bh_adjust(df, "p", "fdr_ref", tiebreak_cols=["id"], allow_global=True)
+    fast = bh_adjust_scale_safe(df, "p", "fdr_fast", tiebreak_cols=["id"])
+    joined = ref.join(fast.select("id", "fdr_fast"), "id")
+    bad = joined.filter(
+        F.abs(F.col("fdr_ref") - F.col("fdr_fast")) > 1e-12
+    ).count()
+    assert bad == 0
+
+    # dispatch through the public flag
+    via_flag = bh_adjust(df, "p", "fdr_flag", tiebreak_cols=["id"], scale_safe=True)
+    assert "fdr_flag" in via_flag.columns
+
+
+def test_bh_scale_safe_nulls_and_small(spark):
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.functions.stats import bh_adjust, bh_adjust_scale_safe
+
+    rows = [(1, 0.01), (2, 0.04), (3, None), (4, 0.03), (5, 0.5), (6, 0.04)]
+    df = spark.createDataFrame(rows, ["id", "p"])
+    ref = {
+        r["id"]: r["fdr"]
+        for r in bh_adjust(df, "p", "fdr", tiebreak_cols=["id"]).collect()
+    }
+    fast = {
+        r["id"]: r["fdr"]
+        for r in bh_adjust_scale_safe(df, "p", "fdr", tiebreak_cols=["id"]).collect()
+    }
+    for k, v in ref.items():
+        if k == 3:
+            assert fast[k] is None
+        else:
+            assert abs(fast[k] - v) < 1e-12, (k, fast[k], v)
