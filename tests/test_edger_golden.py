@@ -6,13 +6,20 @@ exactTest → topTags' on the canonical 4×6 fixture).
 
 Tolerances: the exact doubled-tail NB test, TMM, pooled-abundance
 equalization, prior-augmented logFC, fitFDist prior df and BH follow
-the published edgeR/limma algorithms step for step; the one remaining
-approximation is the locfit trend smoother (tricube local-constant
-stand-in — no R in the container to cross-check locfit's adaptive
-evaluation tree). Measured deviations on this fixture: p absolute
-< 5e-3 (log10 < 0.031), logFC < 1e-4, logCPM < 3e-4; genC's p agrees
-to 13 significant digits because its tagwise dispersion pins to the
-same grid floor R hits.
+the published edgeR/limma algorithms step for step. The residual gap
+is the ROBUST per-gene prior of estimateDisp(robust=TRUE) — limma's
+fitFDistRobustly df2.shrunk — not the locfit smoother: a faithful
+emulation of locfit's adaptive tree lands within 0.1% of our tricube
+stand-in, while inverting the golden p-values shows genA needs
+prior.n ≈ 0.240 and genB ≈ 0.279 simultaneously (no scalar prior fits
+both; the required shrinkage ratio 0.86 matches the robust
+ProbNotOutlier mixing to two digits). fitFDistRobustly's winsorized-
+moment conventions cannot be pinned without R in the container, so the
+shipped estimator stays the documented non-robust fitFDist. Full
+analysis: scripts/locfit_hunt.py. Measured deviations on this fixture:
+p absolute < 4.4e-3 (log10 < 0.031), logFC < 1e-4, logCPM < 3e-4;
+genC's p agrees to 13 significant digits because its tagwise
+dispersion pins to the same grid floor R hits.
 """
 
 import math
@@ -59,15 +66,17 @@ def test_edger_golden_tolerances(test_frame):
         np.testing.assert_allclose(r[edger.logCPM_column], lcpm, atol=1e-3)
         # logFC: abundance-based exactTest formula — near-exact
         np.testing.assert_allclose(r[edger.logFC_column], lfc, atol=5e-4)
-        # p-values: absolute < 8e-3 AND log10 < 0.05. The residual is
-        # the locfit-vs-tricube trend difference only (tagwise within
-        # ~2% per gene); every other stage matches R analytically.
-        np.testing.assert_allclose(r[edger.p_column], p, atol=8e-3)
-        assert abs(math.log10(r[edger.p_column]) - math.log10(p)) < 0.05, (
+        # p-values: absolute < 5e-3 AND log10 < 0.035. The residual is
+        # the robust per-gene prior (estimateDisp(robust=TRUE) /
+        # fitFDistRobustly) which we deliberately do not guess at —
+        # see module docstring; every other stage matches R
+        # analytically.
+        np.testing.assert_allclose(r[edger.p_column], p, atol=5e-3)
+        assert abs(math.log10(r[edger.p_column]) - math.log10(p)) < 0.035, (
             gene, r[edger.p_column], p
         )
-        np.testing.assert_allclose(r[edger.fdr_column], fdr, atol=8e-3)
-        assert abs(math.log10(r[edger.fdr_column]) - math.log10(fdr)) < 0.05
+        np.testing.assert_allclose(r[edger.fdr_column], fdr, atol=5e-3)
+        assert abs(math.log10(r[edger.fdr_column]) - math.log10(fdr)) < 0.035
     # significance calls at 0.01 agree with R exactly
     for gene, (_, _, p, fdr) in GOLDEN.items():
         assert (rows[gene][edger.fdr_column] < 0.01) == (fdr < 0.01)
