@@ -46,6 +46,10 @@ from .stats import bh_adjust
 
 GRID_LENGTH = 21
 GRID_RANGE = (-10.0, 10.0)
+# Arrow-collect bound for the prior-df regression inputs: 3 float64
+# columns, ~12 MB at the cap — one collect replaces four sequential
+# small-aggregation jobs (the distributed path remains above it)
+PRIOR_COLLECT_CAP = 500_000
 
 
 class EdgeR_Unpaired(Transformer):
@@ -217,7 +221,8 @@ class EdgeR_Unpaired(Transformer):
                 prior_df = self.prior_df
             else:
                 prior_df = _distributed_prior_df(
-                    sel_curves, cols, n_a, eff_lib, spline_pts, trend
+                    sel_curves, cols, n_a, eff_lib, spline_pts, trend,
+                    n_genes=n_genes,
                 )
             prior_n = prior_df / df_resid if np.isfinite(prior_df) else 1e8
 
@@ -283,13 +288,20 @@ class _TrendMixer:
         return w @ self.curves
 
 
-def _distributed_prior_df(sel_curves, cols, n_a, eff_lib, spline_pts, trend):
+def _distributed_prior_df(sel_curves, cols, n_a, eff_lib, spline_pts, trend,
+                          n_genes=None):
     """Prior df with one extra distributed pass: per-gene residual
     deviance at the TRENDED dispersion with zero-adjusted residual df
     (edgeR glmFit + .residDF), then the limma fitFDist moment match
     with the abundance covariate — the spline-detrended regression is
     reduced to k<=4 normal-equation aggregates, so only O(k^2) doubles
-    reach the driver regardless of gene count."""
+    reach the driver regardless of gene count.
+
+    Below ``PRIOR_COLLECT_CAP`` genes the (alc05, e, trig) triples are
+    collected ONCE via Arrow and the regression runs in numpy (sorted
+    for order-determinism) — one Spark job instead of four sequential
+    small-aggregation jobs, identical arithmetic. The aggregation path
+    below stays for genuinely huge gene counts."""
     group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
     l0_cols = [f"l0_{i}" for i in range(len(spline_pts))]
     pts = np.asarray(spline_pts)
@@ -327,9 +339,34 @@ def _distributed_prior_df(sel_curves, cols, n_a, eff_lib, spline_pts, trend):
                 }
             )
 
+    ez_plan = sel_curves.mapInPandas(s2_pass, schema)
+
+    if n_genes is not None and n_genes <= PRIOR_COLLECT_CAP:
+        pdf = (
+            ez_plan.toPandas()
+            .sort_values(["alc05", "e"], kind="mergesort")
+        )
+        n_ok = len(pdf)
+        if n_ok < 2:
+            return np.inf
+        alc = pdf["alc05"].to_numpy(dtype=float)
+        e = pdf["e"].to_numpy(dtype=float)
+        mean_trig = float(pdf["trig"].to_numpy(dtype=float).mean())
+        df_spline = edger.spline_basis_df(n_ok)
+        X = edger.natural_spline_basis(alc, df_spline)
+        rank = np.linalg.matrix_rank(X.T @ X)
+        coef = np.linalg.pinv(X.T @ X) @ (X.T @ e)
+        rss = max(float(e @ e - coef @ (X.T @ e)), 0.0)
+        if n_ok - rank <= 0:
+            return np.inf
+        evar = rss / (n_ok - rank) - mean_trig
+        if evar <= 0:
+            return np.inf
+        return 2.0 * float(edger.trigamma_inverse(np.array([evar]))[0])
+
     from ..cache import persist_tracked as _pt
 
-    ez = _pt(sel_curves.mapInPandas(s2_pass, schema))
+    ez = _pt(ez_plan)
     n_ok = ez.count()
     if n_ok < 2:
         return np.inf

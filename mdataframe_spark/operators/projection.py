@@ -3,16 +3,30 @@
 PCA runs on Spark ML (distributed covariance/SVD) and reproduces the
 reference's output-column contract ``"PC{i} (expl.var = X.X%)"``
 (projection.py:63-68). t-SNE and UMAP are inherently single-node
-algorithms; the reference runs them via sklearn/umap-learn in memory —
-those libraries are not in this container, so the transformers are
-import-gated stubs that fail with a clear message (the driver-side
-collect + cap shape is in place, swap in the fit when the lib exists).
+algorithms (the reference fits them via sklearn/umap-learn in memory,
+projection.py:71-99, with the ``"{name} dim {i}"`` column contract,
+projection.py:40-41). Here both follow the capped driver-side shape
+(collect ≤ max_rows, fit in numpy, broadcast-join the embedding back
+on the row id):
+
+- ``TSNE`` prefers sklearn when installed; otherwise it runs the
+  built-in EXACT t-SNE (van der Maaten & Hinton, JMLR 2008 —
+  perplexity-calibrated Gaussian affinities, early exaggeration,
+  adaptive-gain gradient descent) with a deterministic PCA
+  initialization, so results are reproducible with no RNG.
+- ``UMAP`` prefers umap-learn when installed; otherwise it falls back
+  to a Laplacian-eigenmap spectral embedding of the symmetrized kNN
+  graph — the standard UMAP initialization (Belkin & Niyogi 2003;
+  McInnes et al. 2018 §4 use exactly this as the starting layout).
+  The fallback is honestly reported via ``method_`` ("spectral
+  fallback", not the SGD cross-entropy optimization).
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 from pyspark.sql import DataFrame
 
 from ..transformer import Transformer
@@ -55,41 +69,226 @@ class PCA(Transformer):
         return out.drop(_VEC_COL, "__pca", "__arr", *cols)
 
 
-class _DriverReducer(Transformer):
-    """Shared shape for driver-side embeddings: collect under a cap,
-    fit in memory, join the embedding back on the row id."""
+def _pca_project(x: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic PCA projection (top-k eigenvectors of the sample
+    covariance, sign-canonicalized: largest-|loading| positive)."""
+    xc = x - x.mean(axis=0, keepdims=True)
+    cov = xc.T @ xc / max(len(x) - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    v = vecs[:, order]
+    for i in range(v.shape[1]):
+        j = int(np.argmax(np.abs(v[:, i])))
+        if v[j, i] < 0:
+            v[:, i] = -v[:, i]
+    return xc @ v
 
-    lib_hint = ""
+
+def tsne_exact(
+    x: np.ndarray,
+    n_components: int = 2,
+    perplexity: float = 30.0,
+    n_iter: int = 500,
+    learning_rate: float = 200.0,
+) -> np.ndarray:
+    """Exact t-SNE (van der Maaten & Hinton, JMLR 2008): O(n²) affinity
+    matrix, perplexity via per-point binary search on the Gaussian
+    bandwidth, early exaggeration (×12, first half of the schedule),
+    momentum 0.5→0.8, adaptive per-parameter gains. Initialization is
+    the PCA projection scaled to std 1e-4 — fully deterministic, no RNG
+    anywhere."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < 3:
+        return np.zeros((n, n_components))
+    perplexity = min(perplexity, max((n - 1) / 3.0, 1.0))
+
+    d2 = np.square(x[:, None, :] - x[None, :, :]).sum(axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    log_u = np.log(perplexity)
+    p = np.zeros((n, n))
+    for i in range(n):
+        beta, blo, bhi = 1.0, 0.0, np.inf
+        di = d2[i]
+        for _ in range(60):
+            w = np.exp(-di * beta)
+            s = w.sum()
+            if s <= 0:
+                h = 0.0
+                pi = np.zeros_like(w)
+            else:
+                pi = w / s
+                h = beta * (di[np.isfinite(di)] * pi[np.isfinite(di)]).sum() + np.log(s)
+            if abs(h - log_u) < 1e-6:
+                break
+            if h > log_u:
+                blo = beta
+                beta = beta * 2 if not np.isfinite(bhi) else (beta + bhi) / 2
+            else:
+                bhi = beta
+                beta = (beta + blo) / 2
+        p[i] = pi
+    p = (p + p.T) / (2.0 * n)
+    p = np.maximum(p, 1e-12)
+
+    y = _pca_project(x, n_components)
+    std = y.std(axis=0).max()
+    y = y / (std if std > 0 else 1.0) * 1e-4
+    vel = np.zeros_like(y)
+    gains = np.ones_like(y)
+    exag_until = n_iter // 2
+    for it in range(n_iter):
+        pp = p * 12.0 if it < exag_until else p
+        yd2 = np.square(y[:, None, :] - y[None, :, :]).sum(axis=-1)
+        num = 1.0 / (1.0 + yd2)
+        np.fill_diagonal(num, 0.0)
+        q = np.maximum(num / num.sum(), 1e-12)
+        pq = (pp - q) * num
+        grad = 4.0 * ((np.diag(pq.sum(axis=1)) - pq) @ y)
+        mom = 0.5 if it < 250 else 0.8
+        inc = np.sign(grad) != np.sign(vel)
+        gains = np.clip(np.where(inc, gains + 0.2, gains * 0.8), 0.01, None)
+        vel = mom * vel - learning_rate * gains * grad
+        y = y + vel
+        y = y - y.mean(axis=0, keepdims=True)
+    return y
+
+
+def spectral_embed(
+    x: np.ndarray, n_components: int = 2, n_neighbors: int = 15
+) -> np.ndarray:
+    """Laplacian-eigenmap embedding of the symmetrized kNN graph
+    (Belkin & Niyogi 2003): heat-kernel weights with per-point
+    bandwidth = the kth-NN distance, normalized Laplacian, bottom
+    non-trivial eigenvectors. Deterministic (dense eigh,
+    sign-canonicalized)."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < 3:
+        return np.zeros((n, n_components))
+    k = min(n_neighbors, n - 1)
+    d2 = np.square(x[:, None, :] - x[None, :, :]).sum(axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    knn_idx = np.argsort(d2, axis=1)[:, :k]
+    sigma2 = np.maximum(
+        d2[np.arange(n), knn_idx[:, -1]], 1e-12
+    )
+    w = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), k)
+    cols = knn_idx.ravel()
+    w[rows, cols] = np.exp(-d2[rows, cols] / sigma2[rows])
+    w = np.maximum(w, w.T)
+    deg = np.maximum(w.sum(axis=1), 1e-12)
+    dinv = 1.0 / np.sqrt(deg)
+    lap = np.eye(n) - (dinv[:, None] * w) * dinv[None, :]
+    vals, vecs = np.linalg.eigh(lap)
+    order = np.argsort(vals)
+    emb = vecs[:, order[1 : n_components + 1]] * dinv[:, None]
+    for i in range(emb.shape[1]):
+        j = int(np.argmax(np.abs(emb[:, i])))
+        if emb[j, i] < 0:
+            emb[:, i] = -emb[:, i]
+    return emb
+
+
+class _DriverReducer(Transformer):
+    """Shared shape for driver-side embeddings: collect under a cap
+    (these algorithms are O(n²) — the reference runs them in-memory
+    via sklearn/umap-learn, same bound), fit, broadcast-join the
+    embedding back on the row id. Output columns follow the
+    reference's ``"{name} dim {i}"`` contract (projection.py:40-41)."""
 
     def __init__(self, name: str, n_components: int = 2,
-                 index_column: str = "__row_id", max_rows: int = 50000, **kwargs):
+                 index_column: str = "__row_id", max_rows: int = 5000, **kwargs):
         super().__init__(name, n_components=n_components, **kwargs)
+        self.display_name = name
         self.n_components = n_components
         self.index_column = index_column
         self.max_rows = max_rows
+        self.method_: Optional[str] = None
 
-    def _fit_embed(self, x):  # pragma: no cover - overridden
+    def _fit_embed(self, x: np.ndarray) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        raise NotImplementedError(
-            f"{self.name} requires {self.lib_hint}, which is not available in "
-            "this environment. The distributed plumbing (cap, collect, join) "
-            "activates once the library is installed."
+        from pyspark.sql import functions as F
+
+        idx = self.index_column
+        cols = [
+            c for c, t in df.dtypes
+            if c != idx and t in ("double", "float", "bigint", "int")
+        ]
+        rows = df.select(idx, *cols).limit(self.max_rows + 1).toPandas()
+        if len(rows) > self.max_rows:
+            raise ValueError(
+                f"{self.name}: embedding {len(rows)}+ rows exceeds max_rows="
+                f"{self.max_rows}; these algorithms are O(n²) — pre-filter "
+                "(top-variance rows) or raise max_rows explicitly."
+            )
+        emb = self._fit_embed(rows[cols].to_numpy(dtype=float))
+        out_cols = [
+            f"{self.display_name} dim {i + 1}" for i in range(self.n_components)
+        ]
+        spark = df.sparkSession
+        emb_df = spark.createDataFrame(
+            [
+                (rows[idx].iloc[i], *[float(v) for v in emb[i]])
+                for i in range(len(rows))
+            ],
+            [idx, *out_cols],
         )
+        # match the PCA contract: the reduced components REPLACE the
+        # input feature columns (MFrame.reduce derives its new data
+        # matrix from the output schema)
+        return df.join(F.broadcast(emb_df), idx).drop(*cols)
 
 
 class TSNE(_DriverReducer):
-    lib_hint = "scikit-learn (sklearn.manifold.TSNE)"
+    """t-SNE (M13): sklearn when available, built-in exact t-SNE
+    otherwise (see module docstring)."""
 
     def __init__(self, name: str = "TSNE", n_components: int = 2, perplexity: float = 30,
                  **kwargs):
         super().__init__(name, n_components=n_components, perplexity=perplexity, **kwargs)
         self.perplexity = perplexity
 
+    def _fit_embed(self, x: np.ndarray) -> np.ndarray:
+        try:
+            from sklearn.manifold import TSNE as SKTSNE  # noqa: N811
+
+            self.method_ = "sklearn"
+            return SKTSNE(
+                n_components=self.n_components,
+                perplexity=min(self.perplexity, max((len(x) - 1) / 3.0, 1.0)),
+                init="pca",
+                random_state=0,
+            ).fit_transform(x)
+        except ImportError:
+            self.method_ = "native exact t-SNE"
+            return tsne_exact(x, self.n_components, self.perplexity)
+
 
 class UMAP(_DriverReducer):
-    lib_hint = "umap-learn"
+    """UMAP (M14): umap-learn when available; otherwise the spectral
+    (Laplacian eigenmap) embedding UMAP itself initializes from — the
+    fallback is reported in ``method_`` and does NOT claim to be the
+    full SGD optimization."""
 
-    def __init__(self, name: str = "UMAP", n_components: int = 2, **kwargs):
+    def __init__(self, name: str = "UMAP", n_components: int = 2,
+                 n_neighbors: int = 15, **kwargs):
         super().__init__(name, n_components=n_components, **kwargs)
+        self.n_neighbors = n_neighbors
+
+    def _fit_embed(self, x: np.ndarray) -> np.ndarray:
+        try:
+            from umap import UMAP as ULUMAP  # noqa: N811
+
+            self.method_ = "umap-learn"
+            return ULUMAP(
+                n_components=self.n_components,
+                n_neighbors=self.n_neighbors,
+                random_state=0,
+            ).fit_transform(x)
+        except ImportError:
+            self.method_ = "spectral fallback (Laplacian eigenmap)"
+            return spectral_embed(x, self.n_components, self.n_neighbors)

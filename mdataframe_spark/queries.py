@@ -1995,9 +1995,11 @@ FROM md
 
 def stat_tmm_cpm(spark, sf_dir):
     """Full TMM-normalized log2-CPM transformer (M1) on a part-count
-    matrix (rows-only: the TMM trim ranks are windowed per sample —
-    expressible in SQL but redundantly; golden parity at decimal=5 in
-    tests/test_norm_golden.py)."""
+    matrix, hash-checked: the oracle replays edgeR calcNormFactors step
+    for step (reference-sample selection, M/A/weight trim with R
+    'average' tie ranks, precision-weighted mean, geomean scaling) and
+    the prior-adjusted CPM transform in ANSI SQL. Golden parity at
+    decimal=5 in tests/test_norm_golden.py."""
     from .functions.norm import TMM
 
     li = _t(spark, sf_dir, "lineitem")

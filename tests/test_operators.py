@@ -11,7 +11,7 @@ from mdataframe_spark.operators.impute import ImputeFixed, ImputeMeanMedian
 from mdataframe_spark.operators.projection import PCA, TSNE
 from mdataframe_spark.operators.scale import ColumnScaler, ZScaler
 from mdataframe_spark.plans.checkpoint import CheckpointStore
-from mdataframe_spark.sources import read_table_file, write_tsv
+from mdataframe_spark.sources import read_table_file, write_excel, write_tsv
 from mdataframe_spark.sources.readers import annotate_from_file
 
 
@@ -113,9 +113,136 @@ def test_pca_contract(test_frame):
     assert evr[0] >= evr[1] and 0 < evr[0] <= 1
 
 
-def test_tsne_stub(test_frame):
-    with pytest.raises(NotImplementedError, match="scikit-learn"):
-        TSNE()(test_frame)
+def test_tsne_native_separates_clusters(spark):
+    """Built-in exact t-SNE: two well-separated 5-D blobs stay
+    separated in the 2-D embedding, deterministically (no RNG —
+    identical output across runs)."""
+    import numpy as np
+
+    from mdataframe_spark.operators.projection import tsne_exact
+
+    # deterministic two-blob data (hash-derived offsets, no RNG)
+    pts = []
+    for i in range(30):
+        base = 0.0 if i < 15 else 20.0
+        pts.append([base + ((i * 7 + d * 13) % 10) / 10.0 for d in range(5)])
+    x = np.array(pts)
+    y1 = tsne_exact(x, n_components=2, perplexity=8, n_iter=250)
+    y2 = tsne_exact(x, n_components=2, perplexity=8, n_iter=250)
+    np.testing.assert_array_equal(y1, y2)
+    # neighborhood purity: every embedded point's 5 nearest neighbors
+    # come from its own blob (t-SNE spreads WITHIN clusters by design,
+    # so a centroid-distance ratio is the wrong criterion)
+    lab = np.array([0] * 15 + [1] * 15)
+    d = np.square(y1[:, None] - y1[None, :]).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :5]
+    purity = (lab[nn] == lab[:, None]).mean()
+    assert purity >= 0.95, purity
+
+    # the Spark-facing transformer: contract columns + join-back
+    rows = [(f"r{i}", *map(float, p)) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["__row_id", "a", "b", "c", "d", "e"])
+    t = TSNE(perplexity=8)
+    out = t(df)
+    assert "TSNE dim 1" in out.columns and "TSNE dim 2" in out.columns
+    assert out.count() == 30
+    assert t.method_ in ("sklearn", "native exact t-SNE")
+
+
+def test_umap_spectral_fallback(spark):
+    import numpy as np
+
+    from mdataframe_spark.operators.projection import UMAP, spectral_embed
+
+    pts = []
+    for i in range(24):
+        base = 0.0 if i < 12 else 15.0
+        pts.append([base + ((i * 5 + d * 11) % 8) / 8.0 for d in range(4)])
+    x = np.array(pts)
+    e = spectral_embed(x, n_components=2, n_neighbors=6)
+    # the two blobs form disconnected kNN components, which the
+    # Laplacian separates via indicator eigenvectors — neighborhood
+    # purity is the right check
+    lab = np.array([0] * 12 + [1] * 12)
+    d = np.square(e[:, None] - e[None, :]).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :3]
+    purity = (lab[nn] == lab[:, None]).mean()
+    assert purity >= 0.95, purity
+
+    rows = [(f"r{i}", *map(float, p)) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["__row_id", "a", "b", "c", "d"])
+    u = UMAP(n_neighbors=6)
+    out = u(df)
+    assert "UMAP dim 1" in out.columns
+    assert out.count() == 24
+    assert u.method_ is not None
+
+
+def test_driver_reducer_cap(spark):
+    df = spark.range(30).selectExpr(
+        "cast(id as string) as __row_id", "cast(id as double) as v",
+        "cast(id*2 as double) as w"
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        TSNE(max_rows=10)(df)
+
+
+def test_write_excel_native_roundtrip(tmp_path, test_frame):
+    """write_excel falls back to the stdlib OOXML writer when openpyxl
+    is absent; verify by unzipping and walking the sheet XML."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    path = str(tmp_path / "out.xlsx")
+    write_excel(test_frame, path, sheet_name="genes")
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+    assert wb.find(f"{ns}sheets/{ns}sheet").get("name") == "genes"
+    rows = root.findall(f"{ns}sheetData/{ns}row")
+    assert len(rows) == 5  # header + 4 genes
+
+    def cellval(c):
+        t = c.find(f"{ns}is/{ns}t")
+        return t.text if t is not None else c.find(f"{ns}v").text
+
+    header = [cellval(c) for c in rows[0]]
+    assert header[0] == "__row_id"
+    body = {cellval(r[0]): [cellval(c) for c in r[1:]] for r in rows[1:]}
+    assert body["genA"] == ["23", "2", "21", "23", "3", "4"]
+
+
+def test_svg_render_heatmap_and_scatter(tmp_path, test_frame):
+    import xml.etree.ElementTree as ET
+
+    from mdataframe_spark.operators.plots import (
+        heatmap_data,
+        render_heatmap,
+        render_scatter,
+        scatter_data,
+    )
+
+    cols = [c for c in test_frame.columns if c != "__row_id"]
+    pages = heatmap_data(test_frame, cols, max_rows=4)
+    hm = str(tmp_path / "hm.svg")
+    files = render_heatmap(pages, hm, label_fn=lambda s: s.upper())
+    assert files == [hm]
+    svg = ET.parse(hm).getroot()
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = svg.findall(f"{ns}rect")
+    assert len(rects) >= 4 * 6  # one per cell (+ colorbar steps)
+    texts = [t.text for t in svg.findall(f"{ns}text")]
+    assert "GENA" in texts  # label_fn applied
+
+    pts = scatter_data(test_frame, "sampleA_1", "sampleB_1")
+    sc = str(tmp_path / "sc.svg")
+    render_scatter(pts, sc, "sampleA_1", "sampleB_1")
+    svg = ET.parse(sc).getroot()
+    assert len(svg.findall(f"{ns}circle")) == 4
 
 
 def test_tsv_roundtrip(spark, tmp_path, test_frame):
