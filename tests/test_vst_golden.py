@@ -52,3 +52,30 @@ def test_vst_monotone_and_stabilizing(test_frame, samples_to_group):
         order_raw = sorted(raw, key=lambda g: raw[g][s])
         order_vst = sorted(rows, key=lambda g: rows[g][s + " (VST)"])
         assert order_raw == order_vst
+
+
+def test_vst_trend_partition_invariant(spark):
+    """The stat_vst oracle freezes the fitted (a0, a1) at the driver's
+    SF — sound ONLY because the fit is bit-reproducible regardless of
+    partitioning (the IRLS reduces over sorted pairs). Guard that
+    invariant explicitly."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.functions.vst import VST
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+    def fit(src):
+        counts = (
+            src.groupBy(F.col("l_partkey").cast("string").alias("__row_id"))
+            .pivot("l_returnflag", ["A", "N", "R"])
+            .agg(F.sum("l_quantity"))
+            .fillna(0.0)
+        )
+        v = VST()
+        v(counts).count()
+        return v.trend_
+
+    t1 = fit(li)
+    t2 = fit(li.repartition(13))
+    assert t1 == t2, (t1, t2)
