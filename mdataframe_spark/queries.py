@@ -772,6 +772,53 @@ FROM events GROUP BY event_type
 """
 
 
+def j_asof_attribution(spark, sf_dir):
+    """As-of join (operators/joins.py — the time-travel join Spark has
+    no built-in for): every purchase event matched to the user's
+    LATEST click at-or-before it, with the attribution gap in seconds
+    (null when the user never clicked before buying). One shuffle on
+    the user key; the oracle takes the independent LATERAL-subquery
+    road with the identical (ts DESC, event_id DESC) tie-break."""
+    from .operators.joins import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], suffix="_click",
+        tiebreak_col="event_id",
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        F.col("event_id_click").alias("click_id"),
+        F.round((F.col("ts") - F.col("ts_click")) / 1e9, 6).alias("gap_s"),
+    )
+
+
+J_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS cts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, m.event_id AS click_id,
+       round((p.pts - m.cts) / 1e9, 6) AS gap_s
+FROM p LEFT JOIN LATERAL (
+  SELECT event_id, cts FROM c
+  WHERE c.user_id = p.user_id AND c.cts <= p.pts
+  ORDER BY c.cts DESC, c.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data extensions)
 # ---------------------------------------------------------------------------
@@ -2611,6 +2658,7 @@ QUERIES = {
 # sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
+    "j_asof_attribution": j_asof_attribution,
     "e_events_hourly": e_events_hourly,
     "dd_distinct_pairs": dd_distinct_pairs,
     "mm_payload_stats": mm_payload_stats,
@@ -2705,6 +2753,7 @@ ORACLES = {
 # Oracles for the EXTRA_QUERIES — same comparison protocol, run
 # in-repo (tests/test_extra_parity.py) instead of by the driver.
 EXTRA_ORACLES = {
+    "j_asof_attribution": J_ASOF_SQL,
     "e_events_hourly": E_HOURLY_SQL,
     "dd_distinct_pairs": DD_DISTINCT_SQL,
     "mm_payload_stats": MM_STATS_SQL,

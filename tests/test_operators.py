@@ -595,3 +595,49 @@ def test_df_cap_bounds_pathological_boilerplate(spark):
     )
     kept = cap_hot_keys(kv, "k", 2, "test key")
     assert sorted(r["k"] for r in kept.collect()) == ["warm", "warm"]
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: backward inclusive match, per-key isolation, null on
+    no-prior-row, tolerance nulling, largest-tiebreak at equal ts."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "p1"), ("u1", 205, "p2"), ("u2", 50, "p3"),
+         ("u3", 10, "p4")],
+        ["k", "ts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "r_eq_a", 1.0), ("u1", 100, "r_eq_b", 2.0),
+         ("u1", 200, "r_mid", 3.0), ("u2", 60, "r_late", 4.0)],
+        ["k", "ts", "rid", "w"],
+    )
+    out = {
+        r["pid"]: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid", "ts", "w"], tiebreak_col="w",
+        ).collect()
+    }
+    # inclusive equality + largest tie-break wins
+    assert out["p1"]["rid_asof"] == "r_eq_b"
+    # latest at-or-before, not just any earlier
+    assert out["p2"]["rid_asof"] == "r_mid"
+    # right row AFTER the left ts never matches
+    assert out["p3"]["rid_asof"] is None
+    # key with no right rows at all
+    assert out["p4"]["rid_asof"] is None
+
+    # tolerance: p2's match (ts 200 vs 205) survives a tolerance of 10
+    # but is nulled at 3
+    tol = {
+        r["pid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], tolerance=F.lit(3), tiebreak_col=None,
+        ).collect()
+    }
+    assert tol["p2"] is None
+    assert tol["p1"] is not None  # gap 0 within tolerance
