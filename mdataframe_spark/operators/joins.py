@@ -112,3 +112,61 @@ def asof_join(
         + [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]
     )
     return rows.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    validate: bool = False,
+) -> DataFrame:
+    """Interval-containment join: each left row matched to every right
+    interval with ``start <= point <= end`` on the same key (inner).
+
+    Spark's naive formulation (`join` on the BETWEEN predicate) plans a
+    nested-loop/cartesian per key. Here both sides bucket into
+    ``bin_width``-sized time bins — intervals EXPLODE into every bin
+    they overlap, points map to one bin — and the match is an ordinary
+    equi-join on (key, bin) with the exact containment filter on top.
+    Candidates are bounded by per-bin co-occupancy, never |L|x|R|.
+
+    Pick ``bin_width`` near the typical interval length: an interval
+    spanning B bins costs B replicated rows (``validate=True`` spends
+    one aggregation to raise if any interval spans more than 10,000
+    bins). Left/right non-key column names must not collide."""
+    keys = [on] if isinstance(on, str) else list(on)
+    bw = int(bin_width)
+    if validate:
+        worst = right.agg(
+            F.max(
+                (F.col(end_col) - F.col(start_col)) / F.lit(bw)
+            ).alias("m")
+        ).collect()[0]["m"]
+        if worst is not None and worst > 10_000:
+            raise ValueError(
+                f"range_join: an interval spans {worst:.0f} bins at "
+                f"bin_width={bw}; raise bin_width (replication factor "
+                "= interval length / bin_width)"
+            )
+    lb = left.withColumn("__bin", F.floor(F.col(point_col) / F.lit(bw)))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bw)),
+                F.floor(F.col(end_col) / F.lit(bw)),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, keys + ["__bin"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )

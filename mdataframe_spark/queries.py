@@ -819,6 +819,75 @@ FROM p LEFT JOIN LATERAL (
 """
 
 
+def j_range_session_errors(spark, sf_dir):
+    """Range (interval-containment) join (operators/joins.py
+    range_join): error events assigned to the click/view SESSION
+    interval containing them — the bucketed equi-join plan, never a
+    per-key nested loop. The oracle replays sessionization and joins
+    with a plain BETWEEN predicate (fine at DuckDB's scale; the point
+    of the operator is that Spark's plan stays bounded at 100 TB)."""
+    from .operators.joins import range_join
+
+    e = _events(spark, sf_dir)
+    base = e.filter(F.col("event_type").isin("click", "view"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # 24h gap: activity sessions that genuinely SPAN time, so the
+    # containment join has real intervals to hit (the 1h sessions of
+    # st_sessionize are near-degenerate points on this corpus)
+    boundary = F.when(
+        F.col("ts") - F.lag("ts").over(w) > F.lit(86_400_000_000_000), 1
+    ).otherwise(0)
+    sess = base.withColumn(
+        "__sess", F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = (
+        sess.groupBy("user_id", "__sess")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .drop("__sess")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    j = range_join(
+        errors, intervals, on="user_id", point_col="ts",
+        start_col="s_start", end_col="s_end",
+        bin_width=86_400_000_000_000,
+    )
+    return j.select(
+        "user_id",
+        "error_id",
+        F.floor(F.col("s_start") / 1e9).cast("bigint").alias("session_start"),
+        F.round((F.col("ts") - F.col("s_start")) / 1e9, 6).alias("offset_s"),
+    )
+
+
+J_RANGE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events
+), b AS (
+  SELECT user_id, event_id, tns,
+         CASE WHEN tns - lag(tns) OVER (PARTITION BY user_id
+                ORDER BY tns, event_id) > 86400000000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WHERE event_type IN ('click', 'view')
+), c AS (
+  SELECT user_id, tns,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+), iv AS (
+  SELECT user_id, min(tns) AS s_start, max(tns) AS s_end
+  FROM c GROUP BY user_id, sess
+)
+SELECT er.user_id, er.event_id AS error_id,
+       (iv.s_start // 1000000000)::BIGINT AS session_start,
+       round((er.tns - iv.s_start) / 1e9, 6) AS offset_s
+FROM e er JOIN iv ON er.user_id = iv.user_id
+ AND er.tns BETWEEN iv.s_start AND iv.s_end
+WHERE er.event_type = 'error'
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data extensions)
 # ---------------------------------------------------------------------------
@@ -2659,6 +2728,7 @@ QUERIES = {
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
     "j_asof_attribution": j_asof_attribution,
+    "j_range_session_errors": j_range_session_errors,
     "e_events_hourly": e_events_hourly,
     "dd_distinct_pairs": dd_distinct_pairs,
     "mm_payload_stats": mm_payload_stats,
@@ -2754,6 +2824,7 @@ ORACLES = {
 # in-repo (tests/test_extra_parity.py) instead of by the driver.
 EXTRA_ORACLES = {
     "j_asof_attribution": J_ASOF_SQL,
+    "j_range_session_errors": J_RANGE_SQL,
     "e_events_hourly": E_HOURLY_SQL,
     "dd_distinct_pairs": DD_DISTINCT_SQL,
     "mm_payload_stats": MM_STATS_SQL,

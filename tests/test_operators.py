@@ -641,3 +641,43 @@ def test_asof_join_semantics(spark):
     }
     assert tol["p2"] is None
     assert tol["p1"] is not None  # gap 0 within tolerance
+
+
+def test_range_join_semantics(spark):
+    """range_join: exact containment (inclusive both ends), per-key
+    isolation, multi-interval overlap yields one row per containing
+    interval, and the bin replication never duplicates matches."""
+    from mdataframe_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [("u1", 5, "p1"), ("u1", 10, "p2"), ("u1", 99, "p3"),
+         ("u2", 5, "p4")],
+        ["k", "t", "pid"],
+    )
+    iv = spark.createDataFrame(
+        # i1 spans many bins (0-50 at bin_width 7); i2 overlaps i1;
+        # u2 has no intervals covering t=5
+        [("u1", 0, 50, "i1"), ("u1", 10, 12, "i2"), ("u2", 6, 9, "i3")],
+        ["k", "s", "e", "iid"],
+    )
+    out = range_join(pts, iv, on="k", point_col="t", start_col="s",
+                     end_col="e", bin_width=7)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [("p1", "i1"), ("p2", "i1"), ("p2", "i2")]
+
+    # inclusive endpoints
+    edge = spark.createDataFrame([("u1", 0, "lo"), ("u1", 50, "hi")],
+                                 ["k", "t", "pid"])
+    got2 = sorted(r["pid"] for r in range_join(
+        edge, iv.filter("iid = 'i1'"), on="k", point_col="t",
+        start_col="s", end_col="e", bin_width=7).collect())
+    assert got2 == ["hi", "lo"]
+
+    # validate guard
+    import pytest as _pytest
+
+    wide = spark.createDataFrame([("u1", 0, 10_000_000, "w")],
+                                 ["k", "s", "e", "iid"])
+    with _pytest.raises(ValueError, match="bins"):
+        range_join(pts, wide, on="k", point_col="t", start_col="s",
+                   end_col="e", bin_width=1, validate=True)
