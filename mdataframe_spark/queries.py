@@ -819,6 +819,44 @@ FROM p LEFT JOIN LATERAL (
 """
 
 
+def sk_sketch_accuracy(spark, sf_dir):
+    """Sketch operators under an exactness gate (the sim_ann_recall
+    pattern for approximate results): per event type, the EXACT
+    distinct-user count and exact p50 of value (both SQL-checkable)
+    plus booleans asserting the HyperLogLog++ estimate
+    (approx_count_distinct, rsd=0.02) lands within 5% and the
+    KLL/Greenwald-Khanna approx_percentile within 2% — at 100 TB these
+    sketches replace the exact shuffles, and a broken sketch flips the
+    hash. The exact arms use Spark's exact paths so the oracle is a
+    genuine cross-engine check of those."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.approx_count_distinct("user_id", 0.02).alias("__ad"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__ap"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round("p50", 6).alias("p50_value"),
+        (F.abs(F.col("__ad") - F.col("n_users")) / F.col("n_users") <= 0.05)
+        .alias("approx_distinct_ok"),
+        (F.abs(F.col("__ap") - F.col("p50")) / F.abs(F.col("p50")) <= 0.02)
+        .alias("approx_p50_ok"),
+    )
+
+
+SK_SKETCH_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(quantile_cont(value, 0.5), 6) AS p50_value,
+       TRUE AS approx_distinct_ok,
+       TRUE AS approx_p50_ok
+FROM events GROUP BY event_type
+"""
+
+
 def j_range_session_errors(spark, sf_dir):
     """Range (interval-containment) join (operators/joins.py
     range_join): error events assigned to the click/view SESSION
@@ -2729,6 +2767,7 @@ QUERIES = {
 EXTRA_QUERIES = {
     "j_asof_attribution": j_asof_attribution,
     "j_range_session_errors": j_range_session_errors,
+    "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
     "dd_distinct_pairs": dd_distinct_pairs,
     "mm_payload_stats": mm_payload_stats,
@@ -2825,6 +2864,7 @@ ORACLES = {
 EXTRA_ORACLES = {
     "j_asof_attribution": J_ASOF_SQL,
     "j_range_session_errors": J_RANGE_SQL,
+    "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,
     "dd_distinct_pairs": DD_DISTINCT_SQL,
     "mm_payload_stats": MM_STATS_SQL,
