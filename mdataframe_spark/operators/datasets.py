@@ -1,0 +1,99 @@
+"""Dataset-preparation operators for training pipelines.
+
+Deterministic hash-based train/val/test splitting and grouped greedy
+sequence packing (the concat-and-chunk layout LLM training uses).
+Both are pure DataFrame expressions — no UDFs, no driver state — and
+both are SQL-replayable for the DuckDB correctness oracle.
+
+Extension surface (the reference — MarcoMernberger/mdataframe — has no
+dataset-split or packing operators; its closest analog is the
+row-slicing pagination of mdataframe.py:1128-1140).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-prefix width used for the split hash: 8 hex chars = 32 bits is
+# plenty of resolution for split fractions and parses losslessly into
+# a BIGINT on both engines (Spark conv(); DuckDB cast('0x…')).
+_HASH_HEX_CHARS = 8
+_HASH_SPACE = float(1 << (4 * _HASH_HEX_CHARS))
+
+
+def split_hash_u(key, seed: int = 42):
+    """Uniform [0,1) hash of ``key``: md5 of ``key || ':' || seed``,
+    first 8 hex chars as an integer over 2^32. Engine-portable (md5 is
+    bit-identical everywhere) and independent of row order, partition
+    count, and corpus size — a doc keeps its split forever, the
+    property that makes held-out sets stable as the corpus grows."""
+    h = F.md5(F.concat_ws(":", F.col(key).cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, _HASH_HEX_CHARS), 16, 10).cast("bigint") / F.lit(
+        _HASH_SPACE
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    fractions: Dict[str, float] = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic split label by hashed key.
+
+    ``fractions`` maps label -> fraction (must sum to <= 1; remainder
+    falls into the last label). Assignment is a pure column expression
+    over the scan — at 100 TB this is a zero-shuffle map, and the
+    filter for one split pushes down to the parquet scan.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = split_hash_u(key, seed)
+    labels = list(fractions)
+    bounds = []
+    acc = 0.0
+    for lbl in labels[:-1]:
+        acc += fractions[lbl]
+        bounds.append((lbl, acc))
+    expr = F.lit(labels[-1])
+    for lbl, b in reversed(bounds):
+        expr = F.when(u < b, F.lit(lbl)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    length_col: str,
+    order_col: str = "doc_id",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing within each group.
+
+    Documents are concatenated in ``order_col`` order inside each
+    group; the token stream is cut into bins of ``capacity``. Each doc
+    gets ``bin_id`` (the bin its FIRST token lands in) and
+    ``bin_offset`` (its start position inside that bin) — the layout a
+    packed-pretokenized training shard uses. A document longer than
+    ``capacity`` simply spans bins, as in real packing.
+
+    Scale: one window shuffle keyed by ``group_cols`` — groups are
+    shards (source/language/date buckets), so parallelism is the shard
+    count and no global ordering is ever materialized. (A single-group
+    call degenerates to one partition — use real shard keys at scale.)
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(length_col).over(w), F.lit(0)).cast("bigint")
+    return (
+        df.withColumn("__start", start)
+        .withColumn("bin_id", (F.col("__start") / capacity).cast("bigint"))
+        .withColumn("bin_offset", F.col("__start") % capacity)
+        .drop("__start")
+    )

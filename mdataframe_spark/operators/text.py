@@ -217,3 +217,154 @@ def winnow_fingerprints(
         .distinct()
     )
     return selected
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style)
+# ---------------------------------------------------------------------------
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Word n-grams of an array column as space-joined strings.
+
+    Guarded for short documents: fewer than ``n`` tokens yields an
+    empty array (``sequence(0, -k)`` would otherwise count DOWN).
+    """
+    if n == 1:
+        return ws
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(ws) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021, §A1.1) per doc:
+
+    - ``dup_word_frac``: 1 - distinct(words)/words — pure array
+      expression, no shuffle.
+    - ``top{top_n}gram_char_frac``: char coverage of the dominant
+      ``top_n``-gram — ``max(count * charlen(gram))`` over the doc's
+      grams, normalized by the doc's non-space char count. The
+      ``cnt*len`` maximand makes the statistic a scalar max (no
+      argmax tie-break to replicate cross-engine).
+    - ``dup{dup_n}gram_char_frac``: char coverage of all repeated
+      ``dup_n``-grams — ``sum(count * charlen)`` over grams with
+      count >= 2, same normalizer. (Overlapping occurrences are each
+      counted, a documented simplification of Gopher's
+      non-overlapping char coverage.)
+
+    Plan shape: one explode per n, shuffled on ``(doc, gram)`` with
+    map-side partial aggregation, reduced to one row per doc and
+    joined back — linear in corpus size, no driver state.
+    """
+    ws = tokens(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        F.length(F.regexp_replace(F.col(text_col), _WS, "")).alias("__chars"),
+    )
+
+    def gram_cover(n: int, agg_dup: bool) -> DataFrame:
+        g = base.select(
+            id_col, F.explode(_word_ngrams(F.col("__ws"), n)).alias("__g")
+        )
+        counted = g.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        cover = F.col("__c") * F.length("__g")
+        if agg_dup:
+            expr = F.sum(F.when(F.col("__c") >= 2, cover).otherwise(0))
+        else:
+            expr = F.max(cover)
+        return counted.groupBy(id_col).agg(expr.alias(f"__cover_{n}"))
+
+    top = gram_cover(top_n, agg_dup=False)
+    dup = gram_cover(dup_n, agg_dup=True)
+    out = (
+        base.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.size("__ws").cast("bigint").alias("n_tokens"),
+            (1.0 - F.size(F.array_distinct("__ws")) / F.size("__ws")).alias(
+                "dup_word_frac"
+            ),
+            (F.coalesce(F.col(f"__cover_{top_n}"), F.lit(0)) / F.col("__chars")).alias(
+                f"top{top_n}gram_char_frac"
+            ),
+            (F.coalesce(F.col(f"__cover_{dup_n}"), F.lit(0)) / F.col("__chars")).alias(
+                f"dup{dup_n}gram_char_frac"
+            ),
+        )
+    )
+    return df.join(out, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stopwords: int = 2,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021, §A1.1) as
+    boolean columns + a conjunctive ``keep``. All single-pass codegen'd
+    expressions over the scan — the 100 TB plan is a filter pushed into
+    the read, no shuffle at all.
+
+    Rules: token-count bounds, mean-word-length bounds, symbol-to-word
+    ratio (``#``/ellipsis), >=``min_stopwords`` *distinct* english
+    stopwords present, and a minimum fraction of words containing an
+    alphabetic character.
+    """
+    t = F.col(text_col)
+    ws = tokens(F.trim(t))
+    n_tok = F.size(ws)
+    mean_len = F.length(F.regexp_replace(t, _WS, "")) / n_tok
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")) / n_tok
+    distinct_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(t))),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    # fraction of words containing an alphabetic char, as one codegen'd
+    # regexp_count (a higher-order filter(ws, rlike) is interpreted —
+    # CodegenFallback). Doubling the inter-word spaces gives every
+    # token its own delimiters, so the non-overlapping regexp scan
+    # can't swallow a neighbor's boundary; lookahead-free for RE2
+    # oracle parity.
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(t), _WS, "  "), F.lit(" ")
+    )
+    non_alpha_words = F.regexp_count(spaced, F.lit(r"\s[^A-Za-z\s]+\s"))
+    alpha_frac = (n_tok - non_alpha_words) / n_tok
+    rules = {
+        "r_token_count": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "r_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "r_symbol_ratio": symbols <= max_symbol_word_ratio,
+        "r_stopwords": distinct_stops >= min_stopwords,
+        "r_alpha_words": alpha_frac >= min_alpha_word_frac,
+    }
+    out = df.withColumns({k: v for k, v in rules.items()})
+    keep = None
+    for k in rules:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.withColumn("keep", keep)

@@ -2687,6 +2687,192 @@ FROM counts c CROSS JOIN canon k
 """
 
 
+
+# ---------------------------------------------------------------------------
+# dataset-preparation + repetition extensions (training-data pipeline)
+# ---------------------------------------------------------------------------
+def txt_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (operators/text.py
+    repetition_features): duplicate-word fraction (pure array expr,
+    no shuffle), dominant-2-gram char coverage (scalar max of
+    count*charlen — no argmax tie-break to replicate), duplicated-
+    5-gram char coverage. Explodes shuffle (doc, gram) keys with
+    map-side combine; reduced to one row per doc."""
+    from .operators.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_features(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top2gram_char_frac", 6).alias("top2gram_char_frac"),
+        F.round("dup5gram_char_frac", 6).alias("dup5gram_char_frac"),
+    )
+
+
+TXT_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws,
+         length(regexp_replace(text, '\s+', '', 'g')) AS chars
+  FROM documents
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM base
+), g2c AS (
+  SELECT doc_id, max(c * length(g)) AS cover2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 3),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+  FROM base
+), g5c AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS cover5 FROM (
+    SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(ws)::BIGINT AS n_tokens,
+       round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac,
+       round(coalesce(cover2, 0) / CAST(chars AS DOUBLE), 6) AS top2gram_char_frac,
+       round(coalesce(cover5, 0) / CAST(chars AS DOUBLE), 6) AS dup5gram_char_frac
+FROM base b LEFT JOIN g2c USING (doc_id) LEFT JOIN g5c USING (doc_id)
+"""
+
+
+def txt_gopher_filter(spark, sf_dir):
+    """Gopher quality-rule battery (operators/text.py gopher_rules) —
+    one codegen'd pass over the scan, zero shuffles before the final
+    tiny groupBy; per-(lang, source) keep counts + per-rule failure
+    counts. At 100 TB the per-doc rules push into the parquet scan."""
+    from .operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_rules(docs, min_tokens=30)
+    fails = {
+        f"n_fail_{r[2:]}": F.sum((~F.col(r)).cast("bigint"))
+        for r in ("r_token_count", "r_mean_word_len", "r_symbol_ratio",
+                  "r_stopwords", "r_alpha_words")
+    }
+    return out.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+        *[v.alias(k) for k, v in fails.items()],
+    )
+
+
+TXT_GOPHER_SQL = r"""
+WITH d AS (
+  SELECT lang, source,
+         len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tok,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nospace_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+         len(list_intersect(
+           list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')),
+           ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop,
+         len(regexp_extract_all(
+           ' ' || regexp_replace(trim(text), '\s+', '  ', 'g') || ' ',
+           '\s[^A-Za-z\s]+\s')) AS n_nonalpha
+  FROM documents
+), r AS (
+  SELECT lang, source,
+         (n_tok >= 30 AND n_tok <= 100000) AS r_token_count,
+         (nospace_chars / CAST(n_tok AS DOUBLE) >= 3.0
+          AND nospace_chars / CAST(n_tok AS DOUBLE) <= 10.0) AS r_mean_word_len,
+         (n_sym / CAST(n_tok AS DOUBLE) <= 0.1) AS r_symbol_ratio,
+         (n_stop >= 2) AS r_stopwords,
+         ((n_tok - n_nonalpha) / CAST(n_tok AS DOUBLE) >= 0.8) AS r_alpha_words
+  FROM d
+)
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN r_token_count AND r_mean_word_len AND r_symbol_ratio
+                 AND r_stopwords AND r_alpha_words THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       sum(CASE WHEN r_token_count THEN 0 ELSE 1 END)::BIGINT AS n_fail_token_count,
+       sum(CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)::BIGINT AS n_fail_mean_word_len,
+       sum(CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)::BIGINT AS n_fail_symbol_ratio,
+       sum(CASE WHEN r_stopwords THEN 0 ELSE 1 END)::BIGINT AS n_fail_stopwords,
+       sum(CASE WHEN r_alpha_words THEN 0 ELSE 1 END)::BIGINT AS n_fail_alpha_words
+FROM r GROUP BY lang, source
+"""
+
+
+def ds_train_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split
+    (operators/datasets.py hash_split): md5(key:seed) prefix as a
+    uniform [0,1) draw — row-order/partition/corpus-size independent,
+    so a doc keeps its split forever. Zero-shuffle map; the summary
+    groupBy is over 15 keys."""
+    from .operators.datasets import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, key="doc_id",
+                     fractions={"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+DS_SPLIT_SQL = """
+WITH h AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM h GROUP BY 1, 2
+"""
+
+
+def ds_pack_sequences(spark, sf_dir):
+    """Greedy concat-and-chunk sequence packing
+    (operators/datasets.py pack_sequences): documents concatenated in
+    doc_id order within each (lang, source) shard, the token stream
+    cut into 512-token bins; each doc reports the bin its first token
+    lands in and its offset there. One window shuffle keyed by the
+    shard — parallelism is the shard count, no global ordering."""
+    from .operators.datasets import pack_sequences
+    from .operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("bigint")
+    )
+    out = pack_sequences(docs, ["lang", "source"], "n_tokens",
+                         order_col="doc_id", capacity=512)
+    return out.select("doc_id", "lang", "source", "n_tokens",
+                      "bin_id", "bin_offset")
+
+
+DS_PACK_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS bin_id,
+       (start % 512)::BIGINT AS bin_offset
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2766,6 +2952,10 @@ QUERIES = {
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
     "j_asof_attribution": j_asof_attribution,
+    "txt_repetition": txt_repetition,
+    "txt_gopher_filter": txt_gopher_filter,
+    "ds_train_split": ds_train_split,
+    "ds_pack_sequences": ds_pack_sequences,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -2863,6 +3053,10 @@ ORACLES = {
 # in-repo (tests/test_extra_parity.py) instead of by the driver.
 EXTRA_ORACLES = {
     "j_asof_attribution": J_ASOF_SQL,
+    "txt_repetition": TXT_REPETITION_SQL,
+    "txt_gopher_filter": TXT_GOPHER_SQL,
+    "ds_train_split": DS_SPLIT_SQL,
+    "ds_pack_sequences": DS_PACK_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,

@@ -1,0 +1,163 @@
+"""Unit tests for the dataset-preparation operators (hash split,
+sequence packing) and the Gopher repetition/quality text operators.
+
+Extension surface — the reference (MarcoMernberger/mdataframe) has no
+dataset-split, packing, or text-quality operators; its closest analog
+is row-slicing pagination (mdataframe.py:1128-1140). Cross-engine
+value parity for the corpus-level queries lives in
+tests/test_extra_parity.py (txt_repetition, txt_gopher_filter,
+ds_train_split, ds_pack_sequences).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdataframe_spark.operators.datasets import hash_split, pack_sequences
+from mdataframe_spark.operators.text import gopher_rules, repetition_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again", "en"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (3, "x x x x x x x x x x x x", "en"),
+        (4, "one two", "en"),
+        (5, "1 2 3 4 %% ## !!", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+def test_hash_split_deterministic_and_matches_md5(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()
+    }
+    # independently recompute the md5-prefix draw for every key
+    for k, lbl in out.items():
+        u = int(hashlib.md5(f"{k}:42".encode()).hexdigest()[:8], 16) / 2**32
+        expect = "train" if u < 0.9 else ("val" if u < 0.95 else "test")
+        assert lbl == expect, (k, u, lbl, expect)
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc's split never changes when the corpus grows — the property
+    that keeps held-out sets uncontaminated across dataset versions."""
+    small = hash_split(spark.range(0, 100).withColumnRenamed("id", "doc_id"))
+    big = hash_split(spark.range(0, 1000).withColumnRenamed("id", "doc_id"))
+    s = {r["doc_id"]: r["split"] for r in small.collect()}
+    b = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_hash_split_fractions_roughly_hold(spark):
+    out = (
+        hash_split(spark.range(0, 20000).withColumnRenamed("id", "doc_id"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts = {r["split"]: r["count"] for r in out}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, seed=1).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, seed=2).collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+def test_pack_sequences_contiguous_stream(spark):
+    """Offsets reconstruct the concatenated token stream exactly:
+    start(next doc) = start(prev) + len(prev) within each group."""
+    rows = [(i, "g", 100 + 7 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tok"])
+    out = (
+        pack_sequences(df, ["grp"], "n_tok", order_col="doc_id", capacity=256)
+        .orderBy("doc_id")
+        .collect()
+    )
+    pos = 0
+    for r in out:
+        assert r["bin_id"] == pos // 256
+        assert r["bin_offset"] == pos % 256
+        pos += r["n_tok"]
+
+
+def test_pack_sequences_groups_independent(spark):
+    rows = [(1, "a", 600), (2, "a", 10), (3, "b", 5), (4, "b", 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tok"])
+    out = {r["doc_id"]: r for r in pack_sequences(df, ["grp"], "n_tok", capacity=512).collect()}
+    # doc 1 spans bins (600 > 512); doc 2 starts in bin 1 at offset 88
+    assert (out[1]["bin_id"], out[1]["bin_offset"]) == (0, 0)
+    assert (out[2]["bin_id"], out[2]["bin_offset"]) == (1, 600 - 512)
+    # group b restarts from zero
+    assert (out[3]["bin_id"], out[3]["bin_offset"]) == (0, 0)
+    assert (out[4]["bin_id"], out[4]["bin_offset"]) == (0, 5)
+
+
+# ---------------------------------------------------------------------------
+# repetition_features
+# ---------------------------------------------------------------------------
+def test_repetition_known_values(spark, docs):
+    out = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    # doc 3: 12 identical tokens. dup_word_frac = 1 - 1/12.
+    r3 = out[3]
+    assert r3["n_tokens"] == 12
+    assert abs(r3["dup_word_frac"] - (1 - 1 / 12)) < 1e-9
+    # dominant 2-gram "x x" occurs 11 times, len 3; 12 non-space chars
+    assert abs(r3["top2gram_char_frac"] - (11 * 3) / 12) < 1e-9
+    # every 5-gram "x x x x x" (8 occurrences, len 9) is duplicated
+    assert abs(r3["dup5gram_char_frac"] - (8 * 9) / 12) < 1e-9
+    # doc 2: all tokens distinct -> no repetition anywhere
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup5gram_char_frac"] == 0.0
+    # doc 4: shorter than 5 tokens -> empty 5-gram set, zero not null
+    assert out[4]["dup5gram_char_frac"] == 0.0
+
+
+def test_repetition_preserves_rows(spark, docs):
+    assert repetition_features(docs).count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules
+# ---------------------------------------------------------------------------
+def test_gopher_rules_flags(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(docs, min_tokens=5, min_mean_word_len=2.0).collect()
+    }
+    # doc 1 is clean english prose-ish: passes everything
+    assert out[1]["keep"] is True
+    # doc 4: only 2 tokens -> token-count rule fails
+    assert out[4]["r_token_count"] is False and out[4]["keep"] is False
+    # doc 5: no alphabetic words at all -> alpha rule fails
+    assert out[5]["r_alpha_words"] is False
+    # doc 3: "x" tokens, mean word len 1 -> mean-word-len rule fails
+    assert out[3]["r_mean_word_len"] is False
+    # doc 2: no english stopwords -> stopword rule fails
+    assert out[2]["r_stopwords"] is False
+
+
+def test_gopher_rules_symbol_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "see ... more ... below ... now ... then"), (2, "plain words here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_tokens=1).collect()}
+    assert out[1]["r_symbol_ratio"] is False  # 4 ellipses / 8 tokens > 0.1
+    assert out[2]["r_symbol_ratio"] is True
