@@ -660,7 +660,10 @@ class DESeq2UnpairedAB(Transformer):
             result = curves.mapInPandas(phase_b, schema)
 
         joined = counts.join(result, idx)
-        out = bh_adjust(joined, "p_raw", "fdr_raw", tiebreak_cols=[idx])
+        # allow_global: per-gene frame (see EdgeR_Unpaired._transform)
+        out = bh_adjust(
+            joined, "p_raw", "fdr_raw", tiebreak_cols=[idx], allow_global=True
+        )
         return out.select(
             idx,
             *cols,
@@ -908,7 +911,10 @@ class DESeq2LRT(Transformer):
 
             result = curves.mapInPandas(phase_b, schema)
         joined = counts.join(result, idx)
-        out = bh_adjust(joined, "p_raw", "fdr_raw", tiebreak_cols=[idx])
+        # allow_global: per-gene frame (see EdgeR_Unpaired._transform)
+        out = bh_adjust(
+            joined, "p_raw", "fdr_raw", tiebreak_cols=[idx], allow_global=True
+        )
         return out.select(
             idx, *cols,
             F.col("base_mean").alias(self.baseMean_column),

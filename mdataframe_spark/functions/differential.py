@@ -117,12 +117,19 @@ class EdgeR_Unpaired(Transformer):
         counts = persist_tracked(df.select(idx, *cols))
 
         # --- stage 1: library sizes + TMM factors (distributed aggs) ---
+        # one fused agg job: lib-size sums + the 75th percentiles TMM's
+        # reference selection needs (was two separate scans)
         if self.library_sizes is not None:
             lib = {c: float(v) for c, v in zip(cols, self.library_sizes)}
+            factors = tmm_norm_factors(counts, cols, idx)
         else:
-            row = counts.select([F.sum(c).alias(c) for c in cols]).collect()[0]
-            lib = {c: float(row[c]) for c in cols}
-        factors = tmm_norm_factors(counts, cols, idx)
+            aggs = [F.sum(c).alias(f"lib_{c}") for c in cols] + [
+                F.expr(f"percentile(`{c}`, 0.75)").alias(f"q75_{c}") for c in cols
+            ]
+            row = counts.agg(*aggs).collect()[0]
+            lib = {c: float(row[f"lib_{c}"]) for c in cols}
+            f75 = {c: float(row[f"q75_{c}"]) / lib[c] for c in cols}
+            factors = tmm_norm_factors(counts, cols, idx, lib=lib, f75=f75)
         eff_lib = np.array([lib[c] * factors[c] for c in cols])
         group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
         spline_pts = np.linspace(GRID_RANGE[0], GRID_RANGE[1], GRID_LENGTH)
@@ -244,7 +251,13 @@ class EdgeR_Unpaired(Transformer):
                 _phase_b_schema(idx, counts.schema[idx].dataType),
             ).join(counts, idx)
 
-        out = bh_adjust(joined, "p_raw", "fdr_raw", tiebreak_cols=[idx])
+        # allow_global: one row per gene here (the caller built a
+        # per-gene count matrix), far under the single-reducer ceiling;
+        # skipping the guard probe avoids re-executing the exact-test
+        # lineage just to count it
+        out = bh_adjust(
+            joined, "p_raw", "fdr_raw", tiebreak_cols=[idx], allow_global=True
+        )
         return out.select(
             idx,
             *cols,

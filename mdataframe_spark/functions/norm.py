@@ -98,6 +98,8 @@ def tmm_norm_factors(
     index_column: str = ROW_ID,
     logratio_trim: float = 0.3,
     sum_trim: float = 0.05,
+    lib: Optional[Dict[str, float]] = None,
+    f75: Optional[Dict[str, float]] = None,
 ) -> Dict[str, float]:
     """Compute TMM scale factors for each sample column.
 
@@ -115,18 +117,20 @@ def tmm_norm_factors(
        scaled so their geometric mean is 1.
 
     Execution shape: one wide aggregation for libsizes/quartiles (collect:
-    #samples scalars), a melt, one co-partitioned join on the row id
+    #samples scalars; callers that already aggregated can pass ``lib``/
+    ``f75`` to skip the job), a melt, one co-partitioned join on the row id
     against the reference sample's values, windows partitioned by sample
     for the trim ranks, one groupBy(sample) — every step parallel in the
     gene dimension, driver traffic bounded by #samples.
     """
     count_cols = list(count_cols)
-    aggs = [F.sum(c).alias(f"lib_{c}") for c in count_cols] + [
-        F.expr(f"percentile(`{c}`, 0.75)").alias(f"q75_{c}") for c in count_cols
-    ]
-    row = df.agg(*aggs).collect()[0]
-    lib = {c: float(row[f"lib_{c}"]) for c in count_cols}
-    f75 = {c: float(row[f"q75_{c}"]) / lib[c] for c in count_cols}
+    if lib is None or f75 is None:
+        aggs = [F.sum(c).alias(f"lib_{c}") for c in count_cols] + [
+            F.expr(f"percentile(`{c}`, 0.75)").alias(f"q75_{c}") for c in count_cols
+        ]
+        row = df.agg(*aggs).collect()[0]
+        lib = {c: float(row[f"lib_{c}"]) for c in count_cols}
+        f75 = {c: float(row[f"q75_{c}"]) / lib[c] for c in count_cols}
 
     values = sorted(f75.values())
     median_f75 = (

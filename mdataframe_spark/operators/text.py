@@ -368,3 +368,63 @@ def gopher_rules(
     for k in rules:
         keep = F.col(k) if keep is None else (keep & F.col(k))
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination scan: flag training documents that
+    share any word ``n``-gram with an evaluation set (the GPT-3
+    appendix-C / PaLM procedure, done corpus-side).
+
+    Returns one row per training doc with ``n_grams`` (its distinct
+    n-gram count), ``n_hit_grams`` (distinct n-grams also present in
+    the eval set), ``n_eval_docs`` (distinct eval documents hit) and
+    ``contaminated``.
+
+    100 TB plan: eval suites are tiny relative to the corpus, so the
+    distinct eval-gram table is broadcast — the probe is a map-side
+    hash join on the exploded training-gram stream, and the only
+    shuffle is the per-doc count aggregation (keyed by doc id, with
+    map-side combine). Nothing quadratic, no driver state.
+    """
+    from pyspark.sql.functions import broadcast
+
+    t_grams = df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(tokens(F.trim(F.col(text_col))), n)).alias("__g"),
+    ).distinct()
+    e_grams = eval_df.select(
+        F.col(eval_id_col),
+        F.explode(
+            _word_ngrams(tokens(F.trim(F.col(eval_text_col))), n)
+        ).alias("__g"),
+    ).distinct()
+    hits = (
+        t_grams.join(broadcast(e_grams), "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("__g").alias("n_hit_grams"),
+            F.count_distinct(eval_id_col).alias("n_eval_docs"),
+        )
+    )
+    totals = t_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
+            F.coalesce("n_eval_docs", F.lit(0)).cast("bigint").alias("n_eval_docs"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

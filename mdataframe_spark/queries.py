@@ -1797,7 +1797,18 @@ def ml_kmeans_lloyd(spark, sf_dir):
     centroids are rounded to 9 dp each iteration on BOTH engines —
     F.avg's partial aggregation is partition-order-dependent in its
     last ulps, and the rounding absorbs that accumulation-order noise
-    before it can flip a near-equidistant assignment."""
+    before it can flip a near-equidistant assignment.
+
+    Plan-shape note (measured, this box): the lazy 4-iteration chain
+    (2.8s at sf0.1) beats BOTH a collect-centroids-per-iteration loop
+    (7.4s — four Python round-trips + re-broadcast cost more than the
+    tiny lineage recompute) and an unrolled 64-term codegen variant
+    (15-55s — Catalyst analysis explodes on 4 nested groupBys x 64
+    aggregate columns). At real cluster scale the collect-per-iteration
+    loop is the right shape (truncates lineage; Spark ML collects
+    centroids too) — but there the collect is amortized by minutes-long
+    iterations; here job-scheduling overhead dominates and the lazy
+    chain wins."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -2873,6 +2884,62 @@ FROM s
 """
 
 
+
+def ds_contamination(spark, sf_dir):
+    """Benchmark-decontamination scan (operators/text.py
+    ngram_contamination): training docs sharing any word 3-gram with
+    the held-out eval slice (every 97th doc, excluded from the train
+    side). Eval grams broadcast; probe is a map-side hash join on the
+    exploded train-gram stream; one per-doc count shuffle."""
+    from .operators.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = ngram_contamination(train, ev, n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_hit_grams", "n_eval_docs", "contaminated"
+    )
+
+
+DS_CONTAMINATION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), tg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+    FROM base WHERE doc_id % 97 != 0
+  )
+), eg AS (
+  SELECT DISTINCT g, eval_id FROM (
+    SELECT doc_id AS eval_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+    FROM base WHERE doc_id % 97 = 0
+  )
+), hits AS (
+  SELECT tg.doc_id,
+         count(DISTINCT g) AS n_hit_grams,
+         count(DISTINCT eval_id) AS n_eval_docs
+  FROM tg JOIN eg USING (g) GROUP BY tg.doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       n_grams::BIGINT AS n_grams,
+       coalesce(n_hit_grams, 0)::BIGINT AS n_hit_grams,
+       coalesce(n_eval_docs, 0)::BIGINT AS n_eval_docs,
+       coalesce(n_hit_grams, 0) > 0 AS contaminated
+FROM totals t LEFT JOIN hits USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2956,6 +3023,7 @@ EXTRA_QUERIES = {
     "txt_gopher_filter": txt_gopher_filter,
     "ds_train_split": ds_train_split,
     "ds_pack_sequences": ds_pack_sequences,
+    "ds_contamination": ds_contamination,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3057,6 +3125,7 @@ EXTRA_ORACLES = {
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "ds_train_split": DS_SPLIT_SQL,
     "ds_pack_sequences": DS_PACK_SQL,
+    "ds_contamination": DS_CONTAMINATION_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,
