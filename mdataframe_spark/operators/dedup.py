@@ -409,11 +409,9 @@ def simhash_candidate_pairs(
 
     Scale note: 16-bit chunks give 65,536 buckets per band, so expected
     bucket size grows as N/2^16 — beyond ~10^8 docs the AVERAGE bucket
-    approaches the cap and the pigeonhole design itself stops scaling
-    (Manku et al., WWW'07, grow the block-prefix width with log2 N for
-    this reason). At that scale pre-block the corpus (by language/
-    domain) or switch to the MinHash-LSH path, whose bucket keys are
-    full-width hashes with corpus-size-independent collision rates."""
+    approaches the cap and the 4-block pigeonhole stops scaling. That
+    is what :func:`simhash_candidate_pairs_blocked` is for: the Manku
+    et al. (WWW'07) multi-table design with wider match keys."""
     chunk_cols = [f"simhash_c{c}" for c in range(4)]
     banded = signatures.select(
         F.col(id_col),
@@ -429,6 +427,110 @@ def simhash_candidate_pairs(
     ).select(id_col, *chunk_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     banded = _persist_tracked(banded)  # two join sides — compute the votes once
     banded = cap_hot_keys(banded, ["band", "key"], df_cap, "SimHash chunk bucket")
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"l.{cc}").bitwiseXOR(F.col(f"r.{cc}")).cast("bigint")
+        )
+        for cc in chunk_cols
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _bit_slice(h1, h2, start: int, width: int):
+    """Bits [start, start+width) of a 64-bit value stored as two 32-bit
+    halves (h1 = bits 0-31, h2 = bits 32-63), as a bigint Column.
+    Pure shift/mask arithmetic — codegen'd."""
+    mask = (1 << width) - 1
+    if start >= 32:
+        return F.shiftright(h2, start - 32).bitwiseAND(F.lit(mask))
+    if start + width <= 32:
+        return F.shiftright(h1, start).bitwiseAND(F.lit(mask))
+    lo_w = 32 - start
+    lo = F.shiftright(h1, start).bitwiseAND(F.lit((1 << lo_w) - 1))
+    hi = h2.bitwiseAND(F.lit((1 << (width - lo_w)) - 1))
+    return lo.bitwiseOR(F.shiftleft(hi, lo_w))
+
+
+def simhash_candidate_pairs_blocked(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    df_cap: int = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """SimHash candidates via the Manku et al. (WWW'07, §3) multi-table
+    block design — the corpus-scale generalization of the 4-chunk
+    pigeonhole in :func:`simhash_candidate_pairs`.
+
+    The 64-bit fingerprint is split into ``n_blocks`` (m) near-equal
+    blocks. Two fingerprints within Hamming distance k differ in at
+    most k blocks, so they AGREE on some (m-k)-subset — one table per
+    C(m, m-k) subset, match key = that subset's concatenated bits.
+    Wider keys are the point: m=6, k=3 gives 20 tables with ~32-bit
+    keys (4 × 10^9 buckets), so the expected bucket occupancy stays
+    O(N / 2^32) instead of O(N / 2^16) — the design holds past 10^9
+    docs where the 4-block scheme drowns. The cost is the C(m, m-k)×
+    row replication of the (id, key) stream, the knob Manku's paper
+    tunes: m = k+1 degenerates to the banding scheme (k+1 tables,
+    narrow keys), larger m buys key width with replication.
+
+    Same plan shape as every candidate generator here: explode tables,
+    cap hot buckets (logged), self-join per (table, key), exact
+    Hamming verify over the 4 chunks. Candidate generation is
+    LOSSLESS for Hamming <= k (pigeonhole, not probabilistic) — the
+    property test brute-force checks recall = 1.
+    """
+    from itertools import combinations
+
+    if not 0 <= max_hamming < n_blocks <= 64:
+        raise ValueError("need 0 <= max_hamming < n_blocks <= 64")
+    chunk_cols = [f"simhash_c{c}" for c in range(4)]
+    h1 = (
+        F.col(chunk_cols[0]).cast("bigint")
+        .bitwiseOR(F.shiftleft(F.col(chunk_cols[1]).cast("bigint"), 16))
+    )
+    h2 = (
+        F.col(chunk_cols[2]).cast("bigint")
+        .bitwiseOR(F.shiftleft(F.col(chunk_cols[3]).cast("bigint"), 16))
+    )
+    bounds = [round(64 * i / n_blocks) for i in range(n_blocks + 1)]
+    blocks = [
+        (bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_blocks)
+    ]
+    tables = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    entries = []
+    for tid, combo in enumerate(tables):
+        key = None
+        for bi in combo:
+            start, width = blocks[bi]
+            val = _bit_slice(h1, h2, start, width)
+            key = val if key is None else F.shiftleft(key, width).bitwiseOR(val)
+        entries.append(
+            F.struct(F.lit(tid).alias("band"), key.alias("key"))
+        )
+    banded = signatures.select(
+        F.col(id_col), *chunk_cols, F.explode(F.array(*entries)).alias("bk")
+    ).select(
+        id_col, *chunk_cols,
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    banded = _persist_tracked(banded)
+    banded = cap_hot_keys(banded, ["band", "key"], df_cap, "SimHash table bucket")
     l, r = banded.alias("l"), banded.alias("r")
     hamming = sum(
         F.bit_count(

@@ -681,3 +681,60 @@ def test_range_join_semantics(spark):
     with _pytest.raises(ValueError, match="bins"):
         range_join(pts, wide, on="k", point_col="t", start_col="s",
                    end_col="e", bin_width=1, validate=True)
+
+
+def test_simhash_blocked_tables_lossless_recall(spark):
+    """The Manku multi-table generator (m=6, k=3) finds EXACTLY the
+    pairs within Hamming distance 3 — candidate generation is
+    pigeonhole-lossless and the verify filter is exact, so the result
+    equals a brute-force scan. Also: m = k+1 must reproduce the
+    4-chunk banding scheme's result."""
+    from itertools import combinations
+
+    from mdataframe_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_candidate_pairs_blocked,
+        simhash_signatures,
+    )
+
+    words = "spark shuffle catalyst codegen parquet arrow broadcast join".split()
+    rows = []
+    for i in range(40):
+        # overlapping word subsets -> a spread of Hamming distances
+        rows.append((i, " ".join(words[j % len(words)] for j in range(i, i + 5))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = simhash_signatures(df)
+
+    sig_map = {
+        r["doc_id"]: (r["simhash_c0"], r["simhash_c1"], r["simhash_c2"], r["simhash_c3"])
+        for r in sigs.collect()
+    }
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sig_map), 2)
+        if hamming(sig_map[a], sig_map[b]) <= 3
+    }
+    assert brute, "fixture must contain near pairs"
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs_blocked(
+            sigs, max_hamming=3, n_blocks=6
+        ).collect()
+    }
+    assert got == brute
+
+    # degenerate m = k+1 == the 4-chunk banding scheme
+    banding = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs(sigs, max_hamming=3).collect()
+    }
+    got4 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs_blocked(
+            sigs, max_hamming=3, n_blocks=4
+        ).collect()
+    }
+    assert got4 == banding == brute
