@@ -97,3 +97,28 @@ def pack_sequences(
         .withColumn("bin_offset", F.col("__start") % capacity)
         .drop("__start")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    rates: Dict[str, float],
+    stratum_col: str,
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep a row iff its
+    md5 key draw falls under its stratum's rate (e.g. downsample
+    boilerplate-heavy sources, upweight rare languages).
+
+    Same hash as :func:`hash_split` but a different seed namespace
+    (``seed`` is caller-chosen), so sampling composes with splitting
+    without correlation. Pure column expression — zero-shuffle filter
+    pushed at the scan; rows keep their sample decision as the corpus
+    grows, so shards can be resampled incrementally.
+    """
+    u = split_hash_u(key, seed)
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, float(r)).otherwise(rate)
+    return df.filter(u < rate)

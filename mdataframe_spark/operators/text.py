@@ -428,3 +428,52 @@ def ngram_contamination(
             (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+# Lookahead-free patterns (work identically under Java regex and RE2):
+# emails, URLs, IPv4 addresses, and international-ish phone numbers.
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\-\s()]{7,}\d",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_scrubbed",
+    kinds: Sequence[str] = ("email", "url", "ipv4", "phone"),
+) -> DataFrame:
+    """Redact PII spans in ``text_col``, replacing each match with a
+    ``<KIND>`` tag, and attach per-kind match counts
+    (``n_pii_<kind>``) plus a total.
+
+    One chained ``regexp_replace``/``regexp_count`` per kind — all
+    codegen'd, zero shuffles; at 100 TB this is a pure map over the
+    scan. Order matters and is fixed: email before phone (an email's
+    digits must not be half-eaten as a phone number), url before ipv4
+    (a URL containing an address redacts as one URL).
+    """
+    known = [k for k in ("email", "url", "ipv4", "phone") if k in kinds]
+    unknown = set(kinds) - set(known)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    scrubbed = F.col(text_col)
+    counts = {}
+    for kind in known:
+        pat = PII_PATTERNS[kind]
+        counts[f"n_pii_{kind}"] = F.regexp_count(scrubbed, F.lit(pat)).cast(
+            "bigint"
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.withColumns(
+        {**counts, "n_pii_total": total, out_col: scrubbed}
+    )

@@ -2940,6 +2940,43 @@ FROM totals t LEFT JOIN hits USING (doc_id)
 """
 
 
+
+def ds_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sampling
+    (operators/datasets.py stratified_sample): language-keyed keep
+    rates applied as one zero-shuffle hash filter; the summary groupBy
+    proves which rows survived. seed=7 so the draw decorrelates from
+    ds_train_split's seed=42."""
+    from .operators.datasets import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, key="doc_id",
+        rates={"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 1.0},
+        stratum_col="lang", seed=7,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+DS_STRATIFIED_SQL = """
+WITH h AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM h
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                    WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25
+                    WHEN 'zh' THEN 1.0 ELSE 0.0 END
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3024,6 +3061,7 @@ EXTRA_QUERIES = {
     "ds_train_split": ds_train_split,
     "ds_pack_sequences": ds_pack_sequences,
     "ds_contamination": ds_contamination,
+    "ds_stratified_sample": ds_stratified_sample,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3126,6 +3164,7 @@ EXTRA_ORACLES = {
     "ds_train_split": DS_SPLIT_SQL,
     "ds_pack_sequences": DS_PACK_SQL,
     "ds_contamination": DS_CONTAMINATION_SQL,
+    "ds_stratified_sample": DS_STRATIFIED_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,

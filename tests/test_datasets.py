@@ -161,3 +161,59 @@ def test_gopher_rules_symbol_ratio(spark):
     out = {r["doc_id"]: r for r in gopher_rules(df, min_tokens=1).collect()}
     assert out[1]["r_symbol_ratio"] is False  # 4 ellipses / 8 tokens > 0.1
     assert out[2]["r_symbol_ratio"] is True
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+def test_pii_scrub_redacts_and_counts(spark):
+    from mdataframe_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or visit https://ex.com/a?b=1 now"),
+        (2, "server at 192.168.0.1 port open, call +1 (555) 123-4567 today"),
+        (3, "nothing sensitive here at all"),
+        (4, "two mails: a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_pii_email"] == 1 and r1["n_pii_url"] == 1
+    assert "<EMAIL>" in r1["text_scrubbed"] and "<URL>" in r1["text_scrubbed"]
+    assert "bob.smith" not in r1["text_scrubbed"]
+    assert "ex.com" not in r1["text_scrubbed"]
+
+    r2 = out[2]
+    assert r2["n_pii_ipv4"] == 1 and r2["n_pii_phone"] == 1
+    assert "<IPV4>" in r2["text_scrubbed"] and "<PHONE>" in r2["text_scrubbed"]
+    assert "192.168.0.1" not in r2["text_scrubbed"]
+
+    r3 = out[3]
+    assert r3["n_pii_total"] == 0
+    assert r3["text_scrubbed"] == r3["text"]
+
+    assert out[4]["n_pii_email"] == 2
+    assert out[4]["n_pii_total"] == 2
+
+
+def test_pii_scrub_email_not_eaten_as_phone(spark):
+    """Digit-heavy emails must redact as EMAIL, not be half-consumed by
+    the phone pattern (the documented kind ordering)."""
+    from mdataframe_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail 12345678901@example.com please")], ["doc_id", "text"]
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r["n_pii_email"] == 1
+    assert r["n_pii_phone"] == 0
+    assert "<EMAIL>" in r["text_scrubbed"]
+
+
+def test_pii_scrub_unknown_kind_rejected(spark):
+    from mdataframe_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pii_scrub(df, kinds=("email", "ssn"))

@@ -236,3 +236,55 @@ def test_dedup_stream_matches_batch(spark, tmp_path_factory):
         .distinct().count()
     )
     assert batch_distinct == 100
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join drains to the same rows
+    as the identical plan on batch frames."""
+    from mdataframe_spark.streaming.joins import stream_stream_interval_join
+
+    src = tmp_path_factory.mktemp("ssj")
+    base = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1700000000_000000) + F.col("id") * 47_000_000).cast("bigint")
+        ).alias("ts"),
+        (F.col("id") % 2).cast("string").alias("event_type"),
+        (F.col("id") % 5).alias("user_id"),
+    )
+    base.coalesce(2).write.mode("overwrite").parquet(str(src / "ev"))
+    batch = spark.read.parquet(str(src / "ev"))
+    schema = batch.schema
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "0").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        )
+        buys = df.filter(F.col("event_type") == "1").select(
+            "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("bts")
+        )
+        return clicks, buys
+
+    sclicks, sbuys = split(stream_from_parquet_dir(spark, str(src / "ev"), schema))
+    joined = stream_stream_interval_join(
+        sclicks, sbuys, key="user_id", left_ts="cts", right_ts="bts",
+        max_delay="10 minutes", watermark="30 minutes",
+    )
+    assert joined.isStreaming
+    q = run_to_memory_sink(joined, "ssj_out")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    bclicks, bbuys = split(batch)
+    expected = {
+        (r["user_id"], r["click_id"], r["buy_id"])
+        for r in stream_stream_interval_join(
+            bclicks, bbuys, key="user_id", left_ts="cts", right_ts="bts",
+            max_delay="10 minutes", watermark="30 minutes",
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) > 50
