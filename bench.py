@@ -48,6 +48,12 @@ HEADLINE = [
     "mm_payload_stats",
     "st_events_window",
     "st_sessionize",
+    "txt_repetition",
+    "ds_train_split",
+    "ds_pack_sequences",
+    "ds_contamination",
+    "j_asof_attribution",
+    "j_range_session_errors",
     "n_cpm_log2",
     "stat_vst",
     "stat_edger_exact_test",

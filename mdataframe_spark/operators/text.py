@@ -227,6 +227,11 @@ def _word_ngrams(ws: Column, n: int) -> Column:
 
     Guarded for short documents: fewer than ``n`` tokens yields an
     empty array (``sequence(0, -k)`` would otherwise count DOWN).
+
+    PERF: pass a COLUMN holding the token array, not an inline
+    ``split(...)`` expression — the transform lambda's ``element_at``
+    calls each re-evaluate an inline argument in the interpreted
+    higher-order path (measured 10x on ngram_contamination).
     """
     if n == 1:
         return ws
@@ -399,16 +404,24 @@ def ngram_contamination(
     """
     from pyspark.sql.functions import broadcast
 
-    t_grams = df.select(
-        F.col(id_col),
-        F.explode(_word_ngrams(tokens(F.trim(F.col(text_col))), n)).alias("__g"),
-    ).distinct()
-    e_grams = eval_df.select(
-        F.col(eval_id_col),
-        F.explode(
-            _word_ngrams(tokens(F.trim(F.col(eval_text_col))), n)
-        ).alias("__g"),
-    ).distinct()
+    from ..cache import persist_tracked
+
+    def grams(frame, key, text):
+        # token array FIRST projected to a concrete column: inlining
+        # split() into the n-gram lambda makes every element_at
+        # re-split the text in the interpreted higher-order path —
+        # measured 10x slower on the corpus
+        ws = frame.select(
+            F.col(key), tokens(F.trim(F.col(text))).alias("__ws")
+        )
+        return ws.select(
+            key, F.explode(_word_ngrams(F.col("__ws"), n)).alias("__g")
+        ).distinct()
+
+    # both the hit join and the totals aggregation read the distinct
+    # train-gram stream — pin it so the explode runs once
+    t_grams = persist_tracked(grams(df, id_col, text_col))
+    e_grams = grams(eval_df, eval_id_col, eval_text_col)
     hits = (
         t_grams.join(broadcast(e_grams), "__g")
         .groupBy(id_col)

@@ -2887,10 +2887,13 @@ FROM s
 
 def ds_contamination(spark, sf_dir):
     """Benchmark-decontamination scan (operators/text.py
-    ngram_contamination): training docs sharing any word 3-gram with
+    ngram_contamination): training docs sharing any word 5-gram with
     the held-out eval slice (every 97th doc, excluded from the train
     side). Eval grams broadcast; probe is a map-side hash join on the
-    exploded train-gram stream; one per-doc count shuffle."""
+    exploded train-gram stream; one per-doc count shuffle. n=5 is the
+    smallest n that is near-unique on this corpus — real
+    decontamination pipelines use long n-grams (8-13) for the same
+    reason: the probe join output stays sparse."""
     from .operators.text import ngram_contamination
 
     docs = _t(spark, sf_dir, "documents")
@@ -2898,7 +2901,7 @@ def ds_contamination(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
-    out = ngram_contamination(train, ev, n=3)
+    out = ngram_contamination(train, ev, n=5)
     return out.select(
         "doc_id", "n_grams", "n_hit_grams", "n_eval_docs", "contaminated"
     )
@@ -2912,15 +2915,15 @@ WITH base AS (
 ), tg AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, len(ws) - 1),
-                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+           unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
     FROM base WHERE doc_id % 97 != 0
   )
 ), eg AS (
   SELECT DISTINCT g, eval_id FROM (
     SELECT doc_id AS eval_id,
-           unnest(list_transform(range(1, len(ws) - 1),
-                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+           unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
     FROM base WHERE doc_id % 97 = 0
   )
 ), hits AS (
