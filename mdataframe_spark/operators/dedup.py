@@ -694,3 +694,80 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (pair graph -> dedup groups)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: the step that
+    turns candidate PAIRS into transitive dedup GROUPS (keep one doc
+    per component). Returns ``(v, component)`` with component = the
+    minimum vertex id reachable from ``v``.
+
+    Algorithm: iterative min-label propagation (label(v) <-
+    min(label(v), min over neighbors)) plus one pointer-jumping step
+    per round (label(v) <- label(label(v))), which doubles the
+    propagation horizon per iteration — O(log diameter) rounds, the
+    same idea as the large-star/small-star CC of Kiveris et al.
+    (SoCC'14). Near-dup graphs are shallow (dup clusters are dense),
+    so this converges in a handful of rounds; a graph that fails to
+    converge within ``max_iter`` raises rather than returning partial
+    labels.
+
+    Plan shape per round: one edge-label join + groupBy (shuffle keyed
+    by vertex), one self-join for the jump, one decimal-sum
+    convergence probe over the persisted label frame (labels only
+    decrease, so the sum is a strictly decreasing fixpoint witness —
+    exact arithmetic, no overflow at any vertex count). Driver traffic
+    is one scalar per round.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("bigint").alias("a"), F.col(id_b).cast("bigint").alias("b")
+    )
+    edges = _persist_tracked(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    labels = _persist_tracked(
+        edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["v"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = labels.join(nbr, labels["v"] == nbr["a"], "left").select(
+            labels["v"].alias("v"),
+            F.least(labels["lbl"], F.coalesce(nbr["nlbl"], labels["lbl"])).alias(
+                "lbl"
+            ),
+        )
+        # pointer jump: adopt the label's own label (labels are vertex
+        # ids, so the self-join always matches; coalesce is belt and
+        # braces for the root vertices)
+        x, y = stepped.alias("x"), stepped.alias("y")
+        jumped = _persist_tracked(
+            x.join(y, F.col("x.lbl") == F.col("y.v"), "left").select(
+                F.col("x.v").alias("v"),
+                F.coalesce(F.col("y.lbl"), F.col("x.lbl")).alias("lbl"),
+            )
+        )
+        cur = jumped.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = jumped
+        if cur is None or (prev_sum is not None and cur == prev_sum):
+            # None: empty graph (sum over zero rows) — already done
+            return labels.select("v", F.col("lbl").alias("component"))
+        prev_sum = cur
+    raise RuntimeError(
+        f"connected_components: no fixpoint within {max_iter} rounds "
+        "(graph diameter > 2^rounds — raise max_iter)"
+    )

@@ -2980,6 +2980,50 @@ GROUP BY lang
 """
 
 
+
+def dd_dedup_groups(spark, sf_dir):
+    """Transitive dedup groups (operators/dedup.py
+    connected_components) over the MinHash-LSH candidate-pair graph —
+    the step that turns pairs into keep-one-per-cluster decisions.
+    Min-label propagation + pointer jumping, O(log diameter) rounds,
+    one scalar of driver traffic per round. The oracle replays the
+    identical pair graph (the dd_minhash_lsh SQL) and closes it with a
+    recursive CTE, so component structure is hash-checked end to end."""
+    from .operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    cc = dedup.connected_components(pairs)
+    return cc.groupBy(F.col("component").cast("bigint").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("v").cast("bigint").alias("min_v"),
+        F.max("v").cast("bigint").alias("max_v"),
+    )
+
+
+DD_CC_SQL = f"""
+WITH RECURSIVE pairs AS ({DD_MINHASH_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM edges
+), cc(v, lbl) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.a, c.lbl FROM edges e JOIN cc c ON c.v = e.b
+)
+SELECT min(lbl)::BIGINT AS component,
+       count(*)::BIGINT AS n_members,
+       min(v)::BIGINT AS min_v,
+       max(v)::BIGINT AS max_v
+FROM (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v)
+GROUP BY lbl
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3065,6 +3109,7 @@ EXTRA_QUERIES = {
     "ds_pack_sequences": ds_pack_sequences,
     "ds_contamination": ds_contamination,
     "ds_stratified_sample": ds_stratified_sample,
+    "dd_dedup_groups": dd_dedup_groups,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3168,6 +3213,7 @@ EXTRA_ORACLES = {
     "ds_pack_sequences": DS_PACK_SQL,
     "ds_contamination": DS_CONTAMINATION_SQL,
     "ds_stratified_sample": DS_STRATIFIED_SQL,
+    "dd_dedup_groups": DD_CC_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,

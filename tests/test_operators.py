@@ -738,3 +738,66 @@ def test_simhash_blocked_tables_lossless_recall(spark):
         ).collect()
     }
     assert got4 == banding == brute
+
+
+def test_connected_components_vs_union_find(spark):
+    """CC labels equal a driver-side union-find on random-ish pair
+    graphs, including a long path (deep diameter exercises the
+    pointer-jumping acceleration) and singleton-free handling."""
+    from mdataframe_spark.operators.dedup import connected_components
+
+    def union_find(pairs):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # normalize to min-id representative
+        comps = {}
+        for v in list(parent):
+            comps[v] = find(v)
+        # find() path-compresses to the root, which by construction is
+        # the min of the merged roots but not necessarily the global
+        # min; recompute exact min per root
+        groups = {}
+        for v, r in comps.items():
+            groups.setdefault(r, []).append(v)
+        out = {}
+        for members in groups.values():
+            m = min(members)
+            for v in members:
+                out[v] = m
+        return out
+
+    cases = [
+        # two triangles + a bridge doc + a separate pair
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)],
+        # a 30-long path: diameter 30 needs pointer jumping to finish
+        [(i, i + 1) for i in range(100, 130)],
+        # duplicate and reversed edges
+        [(5, 6), (6, 5), (5, 6), (7, 5)],
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        got = {
+            r["v"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == union_find(pairs), pairs
+
+
+def test_connected_components_empty(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mdataframe_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+    )
+    assert connected_components(empty).count() == 0
