@@ -234,22 +234,25 @@ class EdgeR_Unpaired(Transformer):
             prior_n = prior_df / df_resid if np.isfinite(prior_df) else 1e8
 
             # --- phase B: tagwise + exact test per gene ---
+            # the count columns ride through phase B (they are already
+            # in `curves`), so no join back to `counts` is needed — one
+            # less shuffle on the output path
             result = curves.mapInPandas(
                 _phase_b_builder(
                     idx, cols, n_a, eff_lib, spline_pts, trend,
                     prior_n, common_disp,
                 ),
-                _phase_b_schema(idx, counts.schema[idx].dataType),
+                _phase_b_schema(idx, counts.schema[idx].dataType, counts, cols),
             )
             # curves stays persisted: the EB aggregation already
             # materialized it, and phase B reads it again lazily
-            joined = counts.join(result, idx)
+            joined = result
         else:
             # fixed dispersion: single distributed pass, exact math
             joined = counts.mapInPandas(
                 _fixed_disp_builder(idx, cols, n_a, eff_lib, float(dispersion)),
-                _phase_b_schema(idx, counts.schema[idx].dataType),
-            ).join(counts, idx)
+                _phase_b_schema(idx, counts.schema[idx].dataType, counts, cols),
+            )
 
         # allow_global: one row per gene here (the caller built a
         # per-gene count matrix), far under the single-reducer ceiling;
@@ -443,10 +446,11 @@ def _ns_basis_exprs(col, knots, df):
     return exprs
 
 
-def _phase_b_schema(idx, idx_type):
+def _phase_b_schema(idx, idx_type, counts, cols):
     return T.StructType(
         [
             T.StructField(idx, idx_type),
+            *[T.StructField(c, counts.schema[c].dataType) for c in cols],
             T.StructField("logfc_raw", T.DoubleType()),
             T.StructField("logcpm_raw", T.DoubleType()),
             T.StructField("p_raw", T.DoubleType()),
@@ -480,15 +484,12 @@ def _phase_b_builder(idx, cols, n_a, eff_lib, spline_pts, trend,
             )
             lfc = edger.exact_test_logfc(y, tagwise, eff_lib, n_a)
             alc = edger.ave_log_cpm(y, eff_lib, dispersion=common_disp)
-            yield pd.DataFrame(
-                {
-                    idx: pdf[idx],
-                    "logfc_raw": lfc,
-                    "logcpm_raw": alc,
-                    "p_raw": pv,
-                    "tagwise_disp": tagwise,
-                }
-            )
+            out = pdf[[idx] + cols].copy()
+            out["logfc_raw"] = lfc
+            out["logcpm_raw"] = alc
+            out["p_raw"] = pv
+            out["tagwise_disp"] = tagwise
+            yield out
 
     return phase_b
 
@@ -504,14 +505,11 @@ def _fixed_disp_builder(idx, cols, n_a, eff_lib, dispersion):
             )
             lfc = edger.exact_test_logfc(y, disp, eff_lib, n_a)
             alc = edger.ave_log_cpm(y, eff_lib)
-            yield pd.DataFrame(
-                {
-                    idx: pdf[idx],
-                    "logfc_raw": lfc,
-                    "logcpm_raw": alc,
-                    "p_raw": pv,
-                    "tagwise_disp": disp,
-                }
-            )
+            out = pdf[[idx] + cols].copy()
+            out["logfc_raw"] = lfc
+            out["logcpm_raw"] = alc
+            out["p_raw"] = pv
+            out["tagwise_disp"] = disp
+            yield out
 
     return run

@@ -41,6 +41,39 @@ from ..transformer import Transformer
 from .norm import tmm_norm_factors
 
 
+def _dominance_counts(nm_sorted, nd_by_m, am, ad, chunk: int = 8192):
+    """For each query g: ``|{j : nm_sorted[j] <= am[g] and
+    nd_by_m[j] <= ad[g]}|`` — the 2-D dominance count of the noise
+    cloud at the gene's (|M|, |D|), with the noise pre-sorted by |M|.
+
+    Exact offline sweep instead of the naive per-gene slice-and-count
+    (O(G·N) — 8×10⁹ element ops at 20k genes × 400k noise points):
+    process genes in increasing |M| order, maintaining the noise |D|
+    values with Mn <= |M| as a sorted prefix extended in chunks; each
+    gene costs one binary search on the sorted prefix plus a brute
+    count over the < ``chunk`` not-yet-merged tail. O((N+G)·log + G·C).
+    Pure set arithmetic — bit-identical to the naive count.
+    """
+    total = len(nm_sorted)
+    g = len(am)
+    out = np.zeros(g, dtype=np.int64)
+    if total == 0 or g == 0:
+        return out
+    hi = np.searchsorted(nm_sorted, am, side="right")
+    order = np.argsort(hi, kind="stable")
+    sorted_prefix = np.empty(0)
+    boundary = 0
+    for gi in order:
+        h = hi[gi]
+        if h - boundary > chunk:
+            sorted_prefix = np.sort(np.concatenate([sorted_prefix, nd_by_m[boundary:h]]))
+            boundary = h
+        full = np.searchsorted(sorted_prefix, ad[gi], side="right")
+        partial = int((nd_by_m[boundary:h] <= ad[gi]).sum())
+        out[gi] = full + partial
+    return out
+
+
 class NOISeq(Transformer):
     """NOISeq-sim differential expression (M, D, Prob, Rank)."""
 
@@ -74,6 +107,7 @@ class NOISeq(Transformer):
         self.v = parameters.get("v", 0.02)
         self.seed = parameters.get("seed", 42)
         self.max_exact_noise = parameters.get("max_exact_noise", 2_000_000)
+        self.compute_prob = parameters.get("compute_prob", True)
         self.suffix = f" ({comparison_name})" if comparison_name else f" ({self.name})"
 
     # reference column contract (differential.py:570-600)
@@ -135,29 +169,34 @@ class NOISeq(Transformer):
         # and simulate exactly; above it, approximate with independent
         # per-gene binomials (the multinomial marginals — the coupling
         # is O(p_g) and negligible for large totals), distributed.
+        if not self.compute_prob:
+            # M/D/Rank are closed-form; callers that don't need Prob
+            # (e.g. the hash-checked deterministic layer) skip the
+            # whole noise-cloud simulation
+            out = signal.withColumn("__prob", F.lit(None).cast("double"))
+            return self._finalize(out, idx, ca, cb)
         n_genes = pair.count()
         if n_genes <= self.max_exact_noise:
-            rows = pair.select(idx, ca, cb).collect()
-            ids = [r[idx] for r in rows]
-            y = np.array([[r[ca], r[cb]] for r in rows], dtype=float)
+            pair_pdf = pair.select(idx, ca, cb).toPandas()
+            y = pair_pdf[[ca, cb]].to_numpy(dtype=float)
             nm, nd = self._simulate_noise(y, lib, scale)
             am_order = np.argsort(nm)
             nm_sorted, nd_by_m = nm[am_order], nd[am_order]
             total = len(nm_sorted)
-            sig_rows = signal.select(idx, "__m", "__d").collect()
-            probs = {}
-            for r in sig_rows:
-                am, ad = abs(r["__m"]), abs(r["__d"])
-                hi = np.searchsorted(nm_sorted, am, side="right")
-                probs[r[idx]] = float((nd_by_m[:hi] <= ad).sum()) / total if total else 0.0
+            sig_pdf = signal.select(idx, "__m", "__d").toPandas()
+            am = np.abs(sig_pdf["__m"].to_numpy(dtype=float))
+            ad = np.abs(sig_pdf["__d"].to_numpy(dtype=float))
+            dom = _dominance_counts(nm_sorted, nd_by_m, am, ad)
+            sig_pdf["__prob"] = dom / total if total else 0.0
             spark = df.sparkSession
-            prob_df = spark.createDataFrame(
-                [(i, probs[i]) for i in ids], [idx, "__prob"]
-            )
+            prob_df = spark.createDataFrame(sig_pdf[[idx, "__prob"]])
             out = signal.join(F.broadcast(prob_df), idx)
         else:  # pragma: no cover - large-scale approximate path
             out = self._prob_binomial_approx(signal, pair, idx, ca, cb, lib, scale)
 
+        return self._finalize(out, idx, ca, cb)
+
+    def _finalize(self, out, idx, ca, cb):
         return out.select(
             idx,
             ca,

@@ -212,23 +212,35 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(band_struct).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # the self-join references `banded` twice; without persisting, the
-    # whole signature pipeline (shingle explode + hashing) would execute
-    # once PER SIDE. The banded table is tiny (bands rows/doc, a hash +
-    # id each) — persist it and join from memory.
-    banded = _persist_tracked(banded)
-    banded = cap_hot_keys(banded, ["band", "key"], df_cap, "LSH band bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    # bucket-array pairing: ONE partial-aggregated shuffle collects each
+    # bucket's member ids, then pairs explode from the array — no
+    # self-join, no second pass over the signature pipeline, and the
+    # df cap is a plain array-size filter on the same aggregate.
+    # Trade-off vs the self-join: a bucket at the cap explodes its
+    # ~cap²/2 pairs inside one task (the self-join + AQE skew-split
+    # spreads them), bounded by df_cap² — the cap is what makes this
+    # shape safe at corpus scale.
+    buckets = _persist_tracked(
+        banded.groupBy("band", "key").agg(
+            F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
         )
+    )
+    hot = buckets.agg(
+        F.sum(F.when(F.size("ids") > df_cap, 1).otherwise(0)).alias("n_hot"),
+        F.max(F.size("ids")).alias("max_df"),
+    ).collect()[0]
+    if hot["n_hot"]:
+        _log.warning(
+            "lsh_candidate_pairs: dropping %d LSH band bucket(s) with "
+            "frequency > %d (hottest: %d docs) before candidate pairing",
+            hot["n_hot"], df_cap, hot["max_df"],
+        )
+    return (
+        buckets.filter(F.size("ids") <= df_cap)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            "id_a",
+            F.explode(F.filter("ids", lambda x: x > F.col("id_a"))).alias("id_b"),
         )
         .distinct()
     )
