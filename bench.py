@@ -98,6 +98,15 @@ def main():
                 # so later queries are timed without inherited cache
                 # pressure
                 release_caches()
+        # force a driver GC between query shapes so ContextCleaner
+        # reclaims dead broadcasts/shuffles NOW, not at the periodic
+        # interval — without this the single-JVM session ages and the
+        # tail queries pay 2-3x in heap pressure (outside the timers:
+        # the next query's cold pass absorbs any cleanup latency)
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         if best is not None:
             timings[name] = best
             errors.pop(name, None)

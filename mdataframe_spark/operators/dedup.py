@@ -783,3 +783,151 @@ def connected_components(
         f"connected_components: no fixpoint within {max_iter} rounds "
         "(graph diameter > 2^rounds — raise max_iter)"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    n_clusters: int = 8,
+    assign: str = "kmeans",
+    assign_round: int = 9,
+    pair_round: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark within-cluster semantic near-duplicates
+    (cosine >= ``tau``) and keep one exemplar per neighborhood.
+
+    The reference engine has no embedding surface; this is a
+    training-data extension alongside the lexical dedup family above.
+
+    Scale shape — the whole point of the cluster stage: candidate
+    pairs are generated ONLY inside a cluster (equi-join on the
+    cluster id), so the pair count is ~N²/K instead of N²; pick
+    ``n_clusters`` ~ N/target_cluster_size to bound it. Assignment is
+    a broadcast argmax over K centroid literals (one codegen'd map
+    stage, no shuffle); the per-cluster self-join shuffles on the
+    cluster id and AQE skew-splits hot clusters.
+
+    ``assign="kmeans"``: Spark ML k-means centroids (production path).
+    ``assign="seed"``: the K lowest-id vectors are the centroids — a
+    deterministic one-pass variant whose full plan is replayable in
+    ANSI SQL (used by the oracle-checked query).
+
+    Keep rule: a vector is DROPPED iff some lower-id vector in the
+    same cluster is cosine >= tau (one deterministic exemplar per
+    near-dup neighborhood; the paper's lowest-centroid-similarity
+    choice needs a second pass and changes nothing about which
+    neighborhoods collapse). ``assign_round``/``pair_round`` round the
+    cosines (9dp / 6dp) so argmax and threshold decisions are stable
+    across engines and partitionings.
+
+    Returns (id, cluster, n_neardup_lower, kept).
+    """
+    from .similarity import cosine
+
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if assign == "seed":
+        cent_rows = v.orderBy(id_col).limit(n_clusters).collect()
+        centroids = [(int(r[id_col]), list(map(float, r["__v"]))) for r in cent_rows]
+    elif assign == "kmeans":
+        from .similarity import ivf_index
+
+        _, cents = ivf_index(corpus, n_clusters, id_col, vec_col, seed)
+        centroids = list(enumerate(cents))
+    else:
+        raise ValueError(f"assign must be 'seed' or 'kmeans', got {assign!r}")
+    if not centroids:
+        return v.select(
+            F.col(id_col),
+            F.lit(None).cast("bigint").alias("cluster"),
+            F.lit(0).cast("bigint").alias("n_neardup_lower"),
+            F.lit(True).alias("kept"),
+        )
+    dim = len(centroids[0][1])
+    from .similarity import dot, l2_norm
+
+    # per-vector norm computed ONCE (the dominant cost is the within-
+    # cluster pair stage at ~N²/K pairs — recomputing both norms per
+    # pair triples the flops for identical values: sqrt(a·a)·sqrt(b·b)
+    # factored out is the same IEEE expression)
+    v = v.withColumn("__n", l2_norm(F.col("__v"), dim))
+    # argmax assignment via a BROADCAST centroid table, not K inlined
+    # literal expressions: K unrolled dots in one projection grows the
+    # codegen'd expression to K·2·dim terms (measured 3x slower at
+    # K=32 than the whole pair stage). One (vec × centroid) row per
+    # comparison keeps a single 2·dim-term dot expression, and the
+    # argmax is a partial-aggregatable min over (-cos, cid) structs
+    # (lexicographic struct order ≡ cos DESC, cid ASC — engine-stable
+    # after rounding). Centroid norms are Python-side constants with
+    # the same left-to-right summation order as the SQL replay.
+    # Scale note: the shuffle is N·K struct rows; for K beyond a few
+    # hundred, chunk the centroid broadcast or use a numpy
+    # mapInPandas argmax instead.
+    import math
+
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cid), list(c), float(math.sqrt(sum(x * x for x in c)))) for cid, c in centroids],
+        "cid long, ce array<double>, cnrm double",
+    )
+    scored = v.crossJoin(F.broadcast(cent_df)).select(
+        F.col(id_col),
+        "__v",
+        "__n",
+        F.struct(
+            (-F.round(
+                dot(F.col("__v"), F.col("ce"), dim)
+                / (F.col("__n") * F.col("cnrm")),
+                assign_round,
+            )).alias("d"),
+            F.col("cid"),
+        ).alias("__s"),
+    )
+    assigned = _persist_tracked(
+        scored.groupBy(id_col)
+        .agg(
+            F.min("__s").alias("__s"),
+            # every replicated row of a vec carries the identical
+            # vector/norm, so first() is value-deterministic here
+            F.first("__v").alias("__v"),
+            F.first("__n").alias("__n"),
+        )
+        .select(
+            F.col(id_col), "__v", "__n", F.col("__s.cid").alias("cluster")
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.round(
+        dot(F.col("a.__v"), F.col("b.__v"), dim)
+        / (F.col("a.__n") * F.col("b.__n")),
+        pair_round,
+    )
+    lower_dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(pair_cos >= F.lit(tau))
+        .groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_neardup_lower"))
+    )
+    return (
+        assigned.join(lower_dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.coalesce(F.col("n_neardup_lower"), F.lit(0))
+            .cast("bigint")
+            .alias("n_neardup_lower"),
+            (F.col("n_neardup_lower").isNull()).alias("kept"),
+        )
+    )

@@ -14,8 +14,10 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..cache import persist_tracked as _persist_tracked
 
 # small, fixed stopword lists per language: enough signal for an n-gram /
 # stopword-hit heuristic, cheap enough to inline as literals
@@ -489,4 +491,86 @@ def pii_scrub(
         total = c if total is None else total + c
     return df.withColumns(
         {**counts, "n_pii_total": total, out_col: scrubbed}
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-unigram language-model scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1 << 16,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the deterministic stand-in for CCNet's
+    wiki-LM perplexity filter (Wenzek et al. 2020): documents whose
+    tokens are unusually improbable for the corpus (gibberish, boiler-
+    plate soup, wrong-language fragments) score low.
+
+    Two passes, both shuffle-bounded by the VOCABULARY, not the corpus:
+
+    1. token counts — explode + one groupBy(token); the vocabulary is
+       truncated to the ``vocab_cap`` most frequent tokens (ties broken
+       by token string for determinism), everything else is OOV.
+    2. scoring — tokens re-joined to the vocab table (broadcast when it
+       fits; vocab_cap·~40B ≈ 2.6 MB at the default cap) and summed per
+       document: one groupBy(doc).
+
+    Probabilities are Lidstone-smoothed: p(tok) = (c + alpha) /
+    (total + alpha·(V+1)), with the +1 vocabulary slot standing for the
+    OOV class; OOV tokens score log p_oov = log(alpha / (total +
+    alpha·(V+1))). Deterministic: counts are exact integers, each
+    document's log-probs are summed per document after rounding the
+    per-token logp to 9dp, so cross-engine totals agree.
+
+    Returns (id, n_tokens, n_oov, mean_logp, oov_ratio).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, "")),
+                _WS,
+            )
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    toks = _persist_tracked(toks)
+
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # top-K via orderBy+limit: Spark compiles this to TakeOrderedAnd-
+    # Project (per-partition heaps + one driver merge of K rows), so
+    # the vocabulary selection never global-sorts the full distinct-
+    # token table. Full ordering (count desc, token asc) keeps the
+    # truncation deterministic.
+    vocab = counts.orderBy(F.col("__c").desc(), F.col("__tok").asc()).limit(
+        vocab_cap
+    )
+    vocab = _persist_tracked(vocab)
+    stats = vocab.agg(
+        F.sum("__c").alias("in_vocab"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total_row = toks.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    total = int(total_row["n"])
+    v_size = int(stats["v"] or 0)
+    denom = total + alpha * (v_size + 1)
+    import math
+
+    logp_oov = round(math.log(alpha / denom), 9) if total else 0.0
+
+    scored = toks.join(F.broadcast(vocab), "__tok", "left").select(
+        id_col,
+        F.coalesce(
+            F.round(F.log((F.col("__c") + F.lit(alpha)) / F.lit(denom)), 9),
+            F.lit(logp_oov),
+        ).alias("__logp"),
+        F.col("__c").isNull().cast("int").alias("__oov"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__oov").cast("bigint").alias("n_oov"),
+        (F.sum("__logp") / F.count(F.lit(1))).alias("mean_logp"),
+        (F.sum("__oov") / F.count(F.lit(1))).alias("oov_ratio"),
     )

@@ -2786,6 +2786,57 @@ def txt_gopher_filter(spark, sf_dir):
     )
 
 
+def txt_unigram_lm(spark, sf_dir):
+    """Corpus-unigram LM quality scoring (operators/text.py
+    unigram_lm_scores) — the deterministic stand-in for CCNet's wiki-LM
+    perplexity filter: per-doc mean token log-probability under the
+    corpus's own Lidstone-smoothed unigram distribution, plus OOV
+    ratio against a frequency-truncated vocabulary. Two shuffles, both
+    bounded by the vocabulary (one token groupBy + a distributed
+    top-K), scoring re-join broadcast."""
+    from .operators.text import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_scores(docs, vocab_cap=4096, alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("mean_logp", 6).alias("mean_logp"),
+        F.round("oov_ratio", 6).alias("oov_ratio"),
+    )
+
+
+TXT_UNIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks2 GROUP BY tok
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 4096
+), denom AS (
+  SELECT (SELECT count(*) FROM toks2) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS d
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN v.tok IS NULL
+              THEN round(ln(0.5 / (SELECT d FROM denom)), 9)
+              ELSE round(ln((v.c + 0.5) / (SELECT d FROM denom)), 9) END AS logp,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks2 t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(oov)::BIGINT AS n_oov,
+       round(sum(logp) / count(*), 6) AS mean_logp,
+       round(sum(oov) / count(*)::DOUBLE, 6) AS oov_ratio
+FROM scored GROUP BY doc_id
+"""
+
+
 TXT_GOPHER_SQL = r"""
 WITH d AS (
   SELECT lang, source,
@@ -3034,6 +3085,59 @@ GROUP BY lbl
 """
 
 
+def dd_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic near-dup pruning over the
+    embeddings table: cluster the embedding space, mark within-cluster
+    cosine>=tau near-duplicates, keep one exemplar per neighborhood
+    (operators/dedup.py semantic_dedup). The seed-centroid assignment
+    variant makes the full cluster→pair→keep plan replayable in ANSI
+    SQL; cosines are rounded (9dp argmax / 6dp threshold) so both
+    engines take identical branch decisions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.semantic_dedup(
+        emb, tau=0.9, n_clusters=32, assign="seed"
+    )
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cluster",
+        "n_neardup_lower",
+        "kept",
+    )
+
+
+DD_SEMDEDUP_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v ORDER BY vec_id LIMIT 32
+), scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 9) AS cosc
+  FROM v CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid) AS rn
+    FROM scored) t
+  WHERE rn = 1
+), dups AS (
+  SELECT a.vec_id, count(*)::BIGINT AS n_neardup_lower
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) >= 0.9
+  GROUP BY a.vec_id
+)
+SELECT asg.vec_id::BIGINT AS vec_id, asg.cluster::BIGINT AS cluster,
+       coalesce(d.n_neardup_lower, 0)::BIGINT AS n_neardup_lower,
+       d.vec_id IS NULL AS kept
+FROM assign asg LEFT JOIN dups d ON d.vec_id = asg.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3115,11 +3219,13 @@ EXTRA_QUERIES = {
     "j_asof_attribution": j_asof_attribution,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
+    "txt_unigram_lm": txt_unigram_lm,
     "ds_train_split": ds_train_split,
     "ds_pack_sequences": ds_pack_sequences,
     "ds_contamination": ds_contamination,
     "ds_stratified_sample": ds_stratified_sample,
     "dd_dedup_groups": dd_dedup_groups,
+    "dd_semantic_dedup": dd_semantic_dedup,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3219,11 +3325,13 @@ EXTRA_ORACLES = {
     "j_asof_attribution": J_ASOF_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
+    "txt_unigram_lm": TXT_UNIGRAM_SQL,
     "ds_train_split": DS_SPLIT_SQL,
     "ds_pack_sequences": DS_PACK_SQL,
     "ds_contamination": DS_CONTAMINATION_SQL,
     "ds_stratified_sample": DS_STRATIFIED_SQL,
     "dd_dedup_groups": DD_CC_SQL,
+    "dd_semantic_dedup": DD_SEMDEDUP_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,

@@ -801,3 +801,64 @@ def test_connected_components_empty(spark):
         [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
     )
     assert connected_components(empty).count() == 0
+
+
+def test_semantic_dedup_seed_and_kmeans(spark):
+    """SemDeDup: exact duplicates in the same cluster collapse to one
+    exemplar (lowest id kept); orthogonal vectors all survive. The
+    seed and kmeans assignment variants agree on which rows are kept
+    for this separable fixture."""
+    import numpy as np
+
+    from mdataframe_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(3, 8)
+    rows = []
+    # 3 well-separated directions; ids 0-2 are the "seeds"
+    for i, b in enumerate(base):
+        rows.append((i, [float(x) for x in b]))
+    # near-duplicates of direction 0 (scaled copies -> cosine 1.0)
+    rows.append((10, [float(x) for x in 2.0 * base[0]]))
+    rows.append((11, [float(x) for x in 0.5 * base[0]]))
+    # a genuinely distinct extra vector near direction 1 but below tau
+    mix = 0.6 * base[1] / np.linalg.norm(base[1]) + 0.8 * base[2] / np.linalg.norm(base[2])
+    rows.append((12, [float(x) for x in mix]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    for assign in ("seed", "kmeans"):
+        out = semantic_dedup(
+            df, tau=0.95, n_clusters=3, assign=assign
+        ).collect()
+        kept = {r["vec_id"] for r in out if r["kept"]}
+        dropped = {r["vec_id"]: r["n_neardup_lower"] for r in out if not r["kept"]}
+        assert kept == {0, 1, 2, 12}, (assign, kept)
+        # both copies of direction 0 see at least the exemplar below them
+        assert set(dropped) == {10, 11} and all(v >= 1 for v in dropped.values())
+
+
+def test_unigram_lm_scores_exact_small(spark):
+    """Hand-computable fixture: vocabulary, OOV split and Lidstone
+    log-probs match the closed form."""
+    import math
+
+    from mdataframe_spark.operators.text import unigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc")], ["doc_id", "text"]
+    )
+    # counts: aa=3, bb=1, cc=1; total=5
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df, vocab_cap=2).collect()}
+    # vocab_cap=2 keeps aa (3) and bb (1; tie with cc broken by token
+    # string: bb < cc) -> cc is OOV
+    denom = 5 + 0.5 * (2 + 1)
+    lp = {
+        "aa": round(math.log(3.5 / denom), 9),
+        "bb": round(math.log(1.5 / denom), 9),
+        "oov": round(math.log(0.5 / denom), 9),
+    }
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 0
+    assert abs(out[1]["mean_logp"] - (2 * lp["aa"] + lp["bb"]) / 3) < 1e-9
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1
+    assert abs(out[2]["mean_logp"] - (lp["aa"] + lp["oov"]) / 2) < 1e-9
+    assert abs(out[2]["oov_ratio"] - 0.5) < 1e-12
