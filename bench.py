@@ -49,6 +49,7 @@ HEADLINE = [
     "st_events_window",
     "st_sessionize",
     "txt_repetition",
+    "txt_unigram_lm",
     "ds_train_split",
     "ds_pack_sequences",
     "ds_contamination",

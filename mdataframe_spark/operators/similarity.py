@@ -65,14 +65,23 @@ def cosine_topk(
     Deterministic tiebreak: (sim desc, neighbor_id asc).
     """
     vec = (lambda c: F.col(c).cast("array<double>")) if cast_double else F.col
+    dim = len(corpus.select(vec_col).first()[0])
+    # norms once per vector, not per scored pair: sqrt(a·a)·sqrt(b·b)
+    # factored out of the pair loop is the same IEEE expression at a
+    # third of the flops
     q = queries.select(
         F.col(id_col).alias("query_id"), vec(vec_col).alias("__qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("__cv"))
-    dim = len(corpus.select(vec_col).first()[0])
+    ).withColumn("__qn", l2_norm(F.col("__qv"), dim))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv"), dim))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv"), dim))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__qv"), F.col("__cv"), dim)
+            / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

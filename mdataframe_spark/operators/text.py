@@ -574,3 +574,79 @@ def unigram_lm_scores(
         (F.sum("__logp") / F.count(F.lit(1))).alias("mean_logp"),
         (F.sum("__oov") / F.count(F.lit(1))).alias("oov_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+def bm25_scores(
+    df: DataFrame,
+    query_terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed bag of
+    query terms (Robertson & Zaragoza 2009, §3.3):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl))
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+
+    Execution shape, all bounded by |query| not the corpus:
+
+    1. one codegen'd scan pass computes per-doc length and each query
+       term's tf via word-boundary ``regexp_count`` (no explode — the
+       query bag is a handful of literals);
+    2. one aggregation produces N, avgdl and the per-term document
+       frequencies (map-side combined scalars — |query|+2 doubles to
+       the driver, broadcast back as literals);
+    3. the scoring pass is pure column arithmetic.
+
+    Per-term tf/idf contributions are rounded to 9dp so cross-engine
+    sums agree. Returns (id, dl, score) for every document;
+    compose with a top-k window or threshold filter downstream.
+    """
+    import math
+
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    tf_cols = {
+        t: F.regexp_count(norm, F.lit(r"\b" + t + r"\b")).alias(f"__tf_{i}")
+        for i, t in enumerate(terms)
+    }
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(norm, _WS)).cast("double").alias("__dl"),
+        *tf_cols.values(),
+    )
+    base = _persist_tracked(base)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n = int(stats["n"])
+    avgdl = float(stats["avgdl"]) if n else 1.0
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = int(stats[f"__df_{i}"])
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        tf = F.col(f"__tf_{i}").cast("double")
+        contrib = (
+            F.lit(idf)
+            * tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl)))
+        )
+        score = score + F.round(contrib, 9)
+    return base.select(
+        F.col(id_col),
+        F.col("__dl").cast("bigint").alias("dl"),
+        score.alias("score"),
+    )

@@ -1372,16 +1372,28 @@ WHERE bit_count(xor(l.c0, r.c0)) + bit_count(xor(l.c1, r.c1))
 # similarity search (training-data extensions)
 # ---------------------------------------------------------------------------
 def sim_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-3 for query vectors (vec_id < 5)."""
+    """Brute-force cosine top-3 for query vectors (vec_id < 5).
+
+    Norms are computed once per vector before the broadcast nested-
+    loop, not per scored pair — sqrt(a·a)·sqrt(b·b) factored out is
+    the same IEEE expression, at a third of the flops."""
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", similarity.l2_norm(F.col("e"), 64))
     q = v.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(similarity.cosine(F.col("qe"), F.col("e"), dim=64), 6).alias("cos_sim"),
+        F.round(
+            similarity.dot(F.col("qe"), F.col("e"), dim=64)
+            / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1394,13 +1406,14 @@ def sim_cosine_topk(spark, sf_dir):
 
 SIM_TOPK_SQL = """
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
+  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM v WHERE vec_id < 5
 ), scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
-         round(list_dot_product(q.qe, v.e)
-               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cos_sim
+         round(list_dot_product(q.qe, v.e) / (q.qnrm * v.nrm), 6) AS cos_sim
   FROM q JOIN v ON v.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
@@ -1929,6 +1942,8 @@ def ml_dbscan_classes(spark, sf_dir):
     neighbor counts; core/border/noise counts are hash-checkable and
     label-free. Same eps/min_samples semantics as operators
     clustering._dbscan_labels (d2 <= eps^2, self-inclusive counts)."""
+    from .cache import persist_tracked
+
     eps = 0.1
     min_samples = 4
     p = _t(spark, sf_dir, "part")
@@ -1937,8 +1952,12 @@ def ml_dbscan_classes(spark, sf_dir):
         (F.col("p_retailprice") / 1000.0).alias("x"),
         (F.col("p_size") / 10.0).alias("y"),
     )
-    cell = feats.withColumn("cx", F.floor(F.col("x") / eps)).withColumn(
-        "cy", F.floor(F.col("y") / eps)
+    # referenced by both bucketed-join passes (neighbor counts, then
+    # core-neighbor check) and on both sides of each — pin it once
+    cell = persist_tracked(
+        feats.withColumn("cx", F.floor(F.col("x") / eps)).withColumn(
+            "cy", F.floor(F.col("y") / eps)
+        )
     )
     shifted = cell.select(
         F.col("pid").alias("qid"),
@@ -2837,6 +2856,67 @@ FROM scored GROUP BY doc_id
 """
 
 
+_BM25_TERMS = ("hash", "join", "vector", "spark")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def txt_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (operators/text.py bm25_scores):
+    top-10 documents for a fixed query bag. Corpus statistics (N,
+    avgdl, per-term document frequencies) come from one aggregation;
+    scoring is pure column arithmetic; top-k is a global
+    TakeOrderedAndProject. Per-term contributions rounded to 9dp so
+    cross-engine sums agree; ties broken by doc_id."""
+    from .operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+    return (
+        out.select(
+            "doc_id", "dl", F.round("score", 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _bm25_sql() -> str:
+    tf = ",\n         ".join(
+        rf"len(regexp_extract_all(norm, '\b{t}\b')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contribs = "\n       + ".join(
+        f"round(ln((s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * base.tf_{i} * {k1 + 1.0}"
+        f" / (base.tf_{i} + {k1} * ({1.0 - b} + {b} * base.dl / s.avgdl)), 9)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(norm, '\\s+'))::DOUBLE AS dl,
+         {tf}
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')) AS norm
+        FROM documents)
+), s AS (
+  SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl, {dfs} FROM base
+)
+SELECT base.doc_id, base.dl::BIGINT AS dl,
+       round({contribs}, 6) AS bm25
+FROM base, s
+ORDER BY bm25 DESC, base.doc_id
+LIMIT 10
+"""
+
+
+TXT_BM25_SQL = _bm25_sql()
+
+
 TXT_GOPHER_SQL = r"""
 WITH d AS (
   SELECT lang, source,
@@ -3220,6 +3300,7 @@ EXTRA_QUERIES = {
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
+    "txt_bm25_topk": txt_bm25_topk,
     "ds_train_split": ds_train_split,
     "ds_pack_sequences": ds_pack_sequences,
     "ds_contamination": ds_contamination,
@@ -3326,6 +3407,7 @@ EXTRA_ORACLES = {
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,
+    "txt_bm25_topk": TXT_BM25_SQL,
     "ds_train_split": DS_SPLIT_SQL,
     "ds_pack_sequences": DS_PACK_SQL,
     "ds_contamination": DS_CONTAMINATION_SQL,

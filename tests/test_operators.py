@@ -862,3 +862,34 @@ def test_unigram_lm_scores_exact_small(spark):
     assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1
     assert abs(out[2]["mean_logp"] - (lp["aa"] + lp["oov"]) / 2) < 1e-9
     assert abs(out[2]["oov_ratio"] - 0.5) < 1e-12
+
+
+def test_bm25_scores_closed_form(spark):
+    """BM25 on a 3-doc fixture matches the hand-computed formula."""
+    import math
+
+    from mdataframe_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog dog dog dog"),
+            (3, "bird"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(df, ["cat", "dog"]).collect()}
+    n, avgdl = 3, (3 + 4 + 1) / 3
+    k1, b = 1.2, 0.75
+
+    def contrib(tf, dfreq, dl):
+        if tf == 0:
+            return 0.0
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 9)
+
+    exp1 = contrib(2, 1, 3) + contrib(1, 2, 3)
+    exp2 = contrib(0, 1, 4) + contrib(4, 2, 4)
+    assert abs(out[1]["score"] - exp1) < 1e-9
+    assert abs(out[2]["score"] - exp2) < 1e-9
+    assert out[3]["score"] == 0.0 and out[3]["dl"] == 1
