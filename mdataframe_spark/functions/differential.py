@@ -50,6 +50,12 @@ GRID_RANGE = (-10.0, 10.0)
 # columns, ~12 MB at the cap — one collect replaces four sequential
 # small-aggregation jobs (the distributed path remains above it)
 PRIOR_COLLECT_CAP = 500_000
+# Arrow-collect bound for the whole phase-A output (sel + alc05 + the
+# 21-point APL grid + counts ≈ 30 float64 columns: ≤48 MB at the cap).
+# Under it, ALL between-phase EB statistics (common dispersion, trend
+# bins, prior df) run as one collect + vectorized numpy instead of four
+# sequential Spark jobs; phases A and B stay distributed either way.
+EB_COLLECT_CAP = 200_000
 
 
 class EdgeR_Unpaired(Transformer):
@@ -119,17 +125,19 @@ class EdgeR_Unpaired(Transformer):
         # --- stage 1: library sizes + TMM factors (distributed aggs) ---
         # one fused agg job: lib-size sums + the 75th percentiles TMM's
         # reference selection needs (was two separate scans)
+        n_rows = None
         if self.library_sizes is not None:
             lib = {c: float(v) for c, v in zip(cols, self.library_sizes)}
             factors = tmm_norm_factors(counts, cols, idx)
         else:
             aggs = [F.sum(c).alias(f"lib_{c}") for c in cols] + [
                 F.expr(f"percentile(`{c}`, 0.75)").alias(f"q75_{c}") for c in cols
-            ]
+            ] + [F.count(F.lit(1)).alias("n_rows")]
             row = counts.agg(*aggs).collect()[0]
             lib = {c: float(row[f"lib_{c}"]) for c in cols}
             f75 = {c: float(row[f"q75_{c}"]) / lib[c] for c in cols}
             factors = tmm_norm_factors(counts, cols, idx, lib=lib, f75=f75)
+            n_rows = int(row["n_rows"])
         eff_lib = np.array([lib[c] * factors[c] for c in cols])
         group = np.array(["a"] * n_a + ["b"] * (len(cols) - n_a))
         spline_pts = np.linspace(GRID_RANGE[0], GRID_RANGE[1], GRID_LENGTH)
@@ -174,63 +182,138 @@ class EdgeR_Unpaired(Transformer):
             # phase B has both the APL grid and the raw counts
             curves = persist_tracked(counts.mapInPandas(phase_a, schema_a))
             sel_curves = curves.filter(F.col("sel"))
+            l0_cols = [f"l0_{i}" for i in range(GRID_LENGTH)]
 
-            # --- global EB reduction 1: common dispersion + trend bins ---
-            agg_row = sel_curves.agg(
-                *[F.sum(f"l0_{i}").alias(f"s{i}") for i in range(GRID_LENGTH)],
-                F.count(F.lit(1)).alias("n_genes"),
-            ).collect()[0]
-            n_genes = agg_row["n_genes"]
-            sum_curve = np.array([agg_row[f"s{i}"] for i in range(GRID_LENGTH)])
-            # common dispersion: argmax of the summed APL curve. Also the
-            # dispersion at which exactTest's logCPM column is evaluated
-            # (edgeR computes aveLogCPM at the common dispersion).
-            common_pt = edger._spline_argmax(spline_pts, sum_curve)
-            common_disp = 0.1 * 2.0 ** common_pt
+            if n_rows is not None and n_rows <= EB_COLLECT_CAP:
+                # --- fused driver-side EB reduction ---
+                # ONE Arrow collect of the phase-A output (~30 float64
+                # columns/gene: ≤48 MB at the cap) materializes the
+                # persist AND feeds every between-phase statistic —
+                # replacing four sequential Spark jobs (EB sum agg,
+                # approxQuantile, trend-bin groupBy, prior-df pass) with
+                # vectorized numpy on the driver. The distributed branch
+                # below remains the path for gene counts above the cap.
+                pdf = curves.select("sel", "alc05", *l0_cols, *cols).toPandas()
+                sel_m = pdf["sel"].to_numpy(dtype=bool)
+                alc_all = pdf["alc05"].to_numpy(dtype=float)
+                l0_all = pdf[l0_cols].to_numpy(dtype=float)
+                y_all = pdf[cols].to_numpy(dtype=float)
+                alc_s, l0_s, y_s = alc_all[sel_m], l0_all[sel_m], y_all[sel_m]
+                n_genes = int(sel_m.sum())
+                sum_curve = l0_s.sum(axis=0)
+                common_pt = edger._spline_argmax(spline_pts, sum_curve)
+                common_disp = 0.1 * 2.0 ** common_pt
 
-            # dispersion-trend support: quantile-bin the aveLogCPM
-            # covariate and average the APL curves per bin (one groupBy;
-            # the scalable stand-in for locfit's local regression). Phase
-            # B tricube-weights the bin curves around each gene's
-            # abundance — with #bins == #genes this IS a per-gene
-            # tricube smoother.
-            n_bins = int(min(max(n_genes, 1), 64))
-            probs = [i / n_bins for i in range(1, n_bins)]
-            cuts = (
-                sel_curves.approxQuantile("alc05", probs, 0.001)
-                if n_bins > 1
-                else []
-            )
-            bin_expr = F.lit(0)
-            for ci, cut in enumerate(cuts):
-                bin_expr = F.when(F.col("alc05") > cut, ci + 1).otherwise(bin_expr)
-            bin_rows = (
-                sel_curves.withColumn("__bin", bin_expr)
-                .groupBy("__bin")
-                .agg(
-                    *[F.avg(f"l0_{i}").alias(f"c{i}") for i in range(GRID_LENGTH)],
-                    F.avg("alc05").alias("center"),
-                    F.count(F.lit(1)).alias("n"),
+                n_bins = int(min(max(n_genes, 1), 64))
+                cuts = (
+                    np.quantile(
+                        alc_s, [i / n_bins for i in range(1, n_bins)],
+                        method="lower",
+                    )
+                    if n_bins > 1
+                    else np.array([])
                 )
-                .collect()
-            )
-            bin_centers = np.array([r["center"] for r in bin_rows])
-            bin_counts = np.array([r["n"] for r in bin_rows], dtype=float)
-            bin_curves = np.array(
-                [[r[f"c{i}"] for i in range(GRID_LENGTH)] for r in bin_rows]
-            )
-            span = (
-                1.0 if n_genes <= 50 else 0.25 + 0.75 * (50.0 / n_genes) ** 0.5
-            )
-            trend = _TrendMixer(bin_centers, bin_counts, bin_curves, span)
+                # same binning expression as the distributed branch:
+                # bin = #cuts strictly below the covariate
+                bins = np.searchsorted(np.sort(cuts), alc_s, side="left")
+                nb = int(bins.max()) + 1 if n_genes else 1
+                bin_counts = np.bincount(bins, minlength=nb).astype(float)
+                occ = bin_counts > 0
+                bin_centers = (
+                    np.bincount(bins, weights=alc_s, minlength=nb)[occ]
+                    / bin_counts[occ]
+                )
+                bin_curves = np.stack(
+                    [
+                        np.bincount(bins, weights=l0_s[:, i], minlength=nb)[occ]
+                        / bin_counts[occ]
+                        for i in range(GRID_LENGTH)
+                    ],
+                    axis=1,
+                )
+                bin_counts = bin_counts[occ]
+                span = (
+                    1.0 if n_genes <= 50 else 0.25 + 0.75 * (50.0 / n_genes) ** 0.5
+                )
+                trend = _TrendMixer(bin_centers, bin_counts, bin_curves, span)
 
-            if self.prior_df is not None:
-                prior_df = self.prior_df
+                if self.prior_df is not None:
+                    prior_df = self.prior_df
+                else:
+                    m0 = trend.mix(alc_s)
+                    trended = 0.1 * 2.0 ** edger.maximize_interpolant(
+                        np.asarray(spline_pts), m0
+                    )
+                    s2, dfres = edger.deviance_s2(
+                        y_s, group, np.log(eff_lib)[None, :], trended
+                    )
+                    ok = (dfres > 0) & (s2 > 0)
+                    d1 = dfres[ok].astype(float)
+                    e = (
+                        np.log(s2[ok])
+                        - edger.digamma(d1 / 2.0)
+                        + np.log(d1 / 2.0)
+                    )
+                    prior_df = _prior_df_from_arrays(
+                        alc_s[ok], e, edger.trigamma(d1 / 2.0)
+                    )
             else:
-                prior_df = _distributed_prior_df(
-                    sel_curves, cols, n_a, eff_lib, spline_pts, trend,
-                    n_genes=n_genes,
+                # --- global EB reduction 1: common dispersion + trend bins ---
+                agg_row = sel_curves.agg(
+                    *[F.sum(f"l0_{i}").alias(f"s{i}") for i in range(GRID_LENGTH)],
+                    F.count(F.lit(1)).alias("n_genes"),
+                ).collect()[0]
+                n_genes = agg_row["n_genes"]
+                sum_curve = np.array([agg_row[f"s{i}"] for i in range(GRID_LENGTH)])
+                # common dispersion: argmax of the summed APL curve. Also the
+                # dispersion at which exactTest's logCPM column is evaluated
+                # (edgeR computes aveLogCPM at the common dispersion).
+                common_pt = edger._spline_argmax(spline_pts, sum_curve)
+                common_disp = 0.1 * 2.0 ** common_pt
+
+                # dispersion-trend support: quantile-bin the aveLogCPM
+                # covariate and average the APL curves per bin (one groupBy;
+                # the scalable stand-in for locfit's local regression). Phase
+                # B tricube-weights the bin curves around each gene's
+                # abundance — with #bins == #genes this IS a per-gene
+                # tricube smoother.
+                n_bins = int(min(max(n_genes, 1), 64))
+                probs = [i / n_bins for i in range(1, n_bins)]
+                cuts = (
+                    sel_curves.approxQuantile("alc05", probs, 0.001)
+                    if n_bins > 1
+                    else []
                 )
+                bin_expr = F.lit(0)
+                for ci, cut in enumerate(cuts):
+                    bin_expr = F.when(F.col("alc05") > cut, ci + 1).otherwise(bin_expr)
+                bin_rows = (
+                    sel_curves.withColumn("__bin", bin_expr)
+                    .groupBy("__bin")
+                    .agg(
+                        *[F.avg(f"l0_{i}").alias(f"c{i}") for i in range(GRID_LENGTH)],
+                        F.avg("alc05").alias("center"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()
+                )
+                bin_centers = np.array([r["center"] for r in bin_rows])
+                bin_counts = np.array([r["n"] for r in bin_rows], dtype=float)
+                bin_curves = np.array(
+                    [[r[f"c{i}"] for i in range(GRID_LENGTH)] for r in bin_rows]
+                )
+                span = (
+                    1.0 if n_genes <= 50 else 0.25 + 0.75 * (50.0 / n_genes) ** 0.5
+                )
+                trend = _TrendMixer(bin_centers, bin_counts, bin_curves, span)
+
+                if self.prior_df is not None:
+                    prior_df = self.prior_df
+                else:
+                    prior_df = _distributed_prior_df(
+                        sel_curves, cols, n_a, eff_lib, spline_pts, trend,
+                        n_genes=n_genes,
+                    )
             prior_n = prior_df / df_resid if np.isfinite(prior_df) else 1e8
 
             # --- phase B: tagwise + exact test per gene ---
@@ -358,27 +441,12 @@ def _distributed_prior_df(sel_curves, cols, n_a, eff_lib, spline_pts, trend,
     ez_plan = sel_curves.mapInPandas(s2_pass, schema)
 
     if n_genes is not None and n_genes <= PRIOR_COLLECT_CAP:
-        pdf = (
-            ez_plan.toPandas()
-            .sort_values(["alc05", "e"], kind="mergesort")
+        pdf = ez_plan.toPandas()
+        return _prior_df_from_arrays(
+            pdf["alc05"].to_numpy(dtype=float),
+            pdf["e"].to_numpy(dtype=float),
+            pdf["trig"].to_numpy(dtype=float),
         )
-        n_ok = len(pdf)
-        if n_ok < 2:
-            return np.inf
-        alc = pdf["alc05"].to_numpy(dtype=float)
-        e = pdf["e"].to_numpy(dtype=float)
-        mean_trig = float(pdf["trig"].to_numpy(dtype=float).mean())
-        df_spline = edger.spline_basis_df(n_ok)
-        X = edger.natural_spline_basis(alc, df_spline)
-        rank = np.linalg.matrix_rank(X.T @ X)
-        coef = np.linalg.pinv(X.T @ X) @ (X.T @ e)
-        rss = max(float(e @ e - coef @ (X.T @ e)), 0.0)
-        if n_ok - rank <= 0:
-            return np.inf
-        evar = rss / (n_ok - rank) - mean_trig
-        if evar <= 0:
-            return np.inf
-        return 2.0 * float(edger.trigamma_inverse(np.array([evar]))[0])
 
     from ..cache import persist_tracked as _pt
 
@@ -419,6 +487,31 @@ def _distributed_prior_df(sel_curves, cols, n_a, eff_lib, spline_pts, trend,
     if n_ok - rank <= 0:
         return np.inf
     evar = rss / (n_ok - rank) - row["mean_trig"]
+    if evar <= 0:
+        return np.inf
+    return 2.0 * float(edger.trigamma_inverse(np.array([evar]))[0])
+
+
+def _prior_df_from_arrays(alc, e, trig):
+    """limma fitFDist moment match with the abundance covariate, on
+    driver-side arrays. Rows are SORTED by (alc05, e) first so the
+    regression is bit-reproducible regardless of the partitioning that
+    produced the arrays (np.argsort on the collected order would leak
+    partition order through FP summation in X.T @ e)."""
+    order = np.lexsort((e, alc))
+    alc, e, trig = alc[order], e[order], trig[order]
+    n_ok = len(e)
+    if n_ok < 2:
+        return np.inf
+    mean_trig = float(trig.mean())
+    df_spline = edger.spline_basis_df(n_ok)
+    X = edger.natural_spline_basis(alc, df_spline)
+    rank = np.linalg.matrix_rank(X.T @ X)
+    coef = np.linalg.pinv(X.T @ X) @ (X.T @ e)
+    rss = max(float(e @ e - coef @ (X.T @ e)), 0.0)
+    if n_ok - rank <= 0:
+        return np.inf
+    evar = rss / (n_ok - rank) - mean_trig
     if evar <= 0:
         return np.inf
     return 2.0 * float(edger.trigamma_inverse(np.array([evar]))[0])
