@@ -75,3 +75,26 @@ def annotate_from_file(
     if fill_value is not None:
         out = out.fillna({c: fill_value for c in columns})
     return out
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Newline-delimited JSON ingest — the lingua franca of LLM training
+    corpora (one document object per line).
+
+    With an explicit ``schema`` the reader skips the inference pass
+    (one full scan saved — at 100 TB schema inference is a job, not a
+    convenience) and unknown keys are preserved in
+    ``_corrupt_record``-free mode by simply not being selected. JSONL
+    splits by line, so the scan parallelizes like CSV; multiline JSON
+    (one array per file) does not split and is only for small side
+    inputs.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("multiLine", multiline).json(path)

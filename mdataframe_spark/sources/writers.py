@@ -153,3 +153,55 @@ def write_xlsx_native(pdf, path: str, sheet_name: str = "data") -> None:
         z.writestr("xl/workbook.xml", workbook)
         z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    partition_by=None,
+):
+    """Newline-delimited JSON sink (one object per row/line). With
+    ``compression='gzip'`` each task writes an independently-splittable
+    .json.gz part file; ``partition_by`` lays out hive-style dirs so
+    downstream scans prune partitions."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(
+            *(partition_by if isinstance(partition_by, (list, tuple)) else [partition_by])
+        )
+    w.json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 32,
+    sort_cols=None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+):
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles the data ON WRITE: two tables bucketed the
+    same way on the join key equi-join WITHOUT any Exchange at read
+    time (verified by tests/test_sources_bucketed.py asserting the
+    physical plan is exchange-free) — the standard way to amortize the
+    shuffle of a 100 TB fact table across every downstream join.
+    ``sort_cols`` additionally sorts within buckets so merge joins skip
+    their sort.
+    """
+    bucket_cols = list(bucket_cols) if isinstance(bucket_cols, (list, tuple)) else [bucket_cols]
+    w = (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        sort_cols = list(sort_cols) if isinstance(sort_cols, (list, tuple)) else [sort_cols]
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
