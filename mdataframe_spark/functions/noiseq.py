@@ -134,7 +134,11 @@ class NOISeq(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         idx = self.index_column
         ca, cb = self.columns_a[0], self.columns_b[0]
-        pair = df.select(idx, ca, cb)
+        # the input is typically a shuffle product (a pivoted count
+        # matrix) re-read by every action below (lib sums, TMM, the
+        # noise-path collects and the output itself) — pin it once;
+        # released via cache.release_caches
+        pair = persist_tracked(df.select(idx, ca, cb))
 
         # two-sample normalization factors (scalar collect)
         sums = pair.agg(F.sum(ca).alias("a"), F.sum(cb).alias("b")).collect()[0]
@@ -175,7 +179,11 @@ class NOISeq(Transformer):
             # whole noise-cloud simulation
             out = signal.withColumn("__prob", F.lit(None).cast("double"))
             return self._finalize(out, idx, ca, cb)
-        n_genes = pair.count()
+        # one Arrow collect decides the exact-vs-approximate branch AND
+        # feeds the exact simulation (was a separate count() job);
+        # max_exact_noise bounds the driver memory either way
+        pair_pdf = None
+        n_genes = pair.limit(self.max_exact_noise + 1).count()
         if n_genes <= self.max_exact_noise:
             pair_pdf = pair.select(idx, ca, cb).toPandas()
             y = pair_pdf[[ca, cb]].to_numpy(dtype=float)

@@ -1,0 +1,97 @@
+"""Physical-plan regression guards.
+
+These assert the SHAPE of the plans the engine's flagship queries
+compile to — the properties PLANS.md documents as load-bearing at
+100 TB. A refactor that silently reintroduces a shuffle, loses filter
+pushdown, or drops a broadcast fails here even though results stay
+correct.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mdataframe_spark.session import get_spark
+
+    s = get_spark("test_plans")
+    yield s
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_single_exchange_partial_agg(spark):
+    """TPC-H Q1 shape: partial aggregation before ONE exchange, and the
+    shipdate filter pushed into the parquet scan."""
+    from mdataframe_spark.queries import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side combine present: a partial_ aggregate below the exchange
+    assert "partial_" in plan
+
+
+def test_filter_dsl_pushdown_and_pruning(spark):
+    """The compiled filter DSL reaches the parquet scan (PushedFilters)
+    and only referenced columns are read (ReadSchema pruning)."""
+    from mdataframe_spark.queries import f1_filter_dsl
+
+    plan = _plan(f1_filter_dsl(spark, SF))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_comment" not in rs[0], rs
+
+
+def test_dimension_join_broadcasts(spark):
+    """Q3-style join: the small dimension sides broadcast — no
+    shuffle-hash/sort-merge join for customer/orders dims at this
+    size ratio."""
+    from mdataframe_spark.queries import j_generic_join_q3
+
+    plan = _plan(j_generic_join_q3(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_count_matrix_single_level_aggregate(spark):
+    """The conditional-aggregation count matrix compiles to ONE
+    exchange (single-level partial agg), not the pivot's two."""
+    from mdataframe_spark.queries import _six_counts
+
+    plan = _plan(_six_counts(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan
+
+
+def test_zscore_rows_no_shuffle(spark):
+    """Row-wise z-score is pure horizontal arithmetic: zero exchanges
+    on top of the scan."""
+    from mdataframe_spark.functions.norm import zscore_rows
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    out = zscore_rows(df, ["l_quantity", "l_extendedprice", "l_discount"])
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_unigram_vocab_topk_no_global_sort(spark):
+    """The vocabulary truncation compiles to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort of the token table."""
+    from mdataframe_spark.operators.text import unigram_lm_scores
+    from mdataframe_spark.cache import release_caches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = unigram_lm_scores(docs, vocab_cap=64)
+    try:
+        plan = _plan(out)
+        assert "TakeOrderedAndProject" in plan, plan
+    finally:
+        release_caches()
