@@ -386,12 +386,24 @@ class MFrame:
         value_name: str = "value",
         samples: Optional[Sequence[str]] = None,
     ) -> "MFrame":
-        """Long -> wide via pivot. Pass ``samples`` to avoid the extra
-        distinct-values job (Spark pivots need the column list)."""
+        """Long -> wide. Pass ``samples`` to avoid the extra
+        distinct-values job — with the list known the pivot compiles to
+        conditional aggregation (one single-level partial-agged
+        exchange; Spark's generic pivot plans two aggregate levels,
+        measured ~3x slower on the engine's count matrices)."""
         gb = long_df.groupBy(index_column)
-        pivoted = (
-            gb.pivot(var_name, list(samples)) if samples is not None else gb.pivot(var_name)
-        ).agg(F.first(value_name))
+        if samples is not None:
+            pivoted = gb.agg(
+                *[
+                    F.first(
+                        F.when(F.col(var_name) == s, F.col(value_name)),
+                        ignorenulls=True,
+                    ).alias(s)
+                    for s in samples
+                ]
+            )
+        else:
+            pivoted = gb.pivot(var_name).agg(F.first(value_name))
         return cls(pivoted, name=name, index_column=index_column)
 
     # -- sinks -------------------------------------------------------------

@@ -170,3 +170,45 @@ def range_join(
         )
         .drop("__bin")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: salt the (large, skewed) left side and
+    replicate the right side across the salt domain.
+
+    AQE's skew-join split handles INPUT-partition skew, but when one
+    key's rows exceed a single executor's memory on the build side, or
+    the skew is in the JOIN OUTPUT, salting is the standard remedy:
+    left rows get a random salt in [0, n_salts); right rows are
+    replicated n_salts times (one per salt value); the join key becomes
+    (key, salt), spreading each hot key over ``n_salts`` reducers.
+
+    Semantics are identical to ``left.join(right, on, how)`` for
+    ``inner`` and ``left`` joins (each left row joins exactly its
+    replicated partners once). Right/full joins would need de-dup of
+    the replicated unmatched rows — explicitly rejected rather than
+    silently wrong. Cost: right side shuffles n_salts× its size — use
+    when the right side is far smaller than the skewed left (else
+    broadcast it and skip salting entirely).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'|'left' — right/full "
+            "semantics with a replicated right side would duplicate "
+            "unmatched rows"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    lf = left.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    rt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    out = lf.join(rt, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -893,3 +893,27 @@ def test_bm25_scores_closed_form(spark):
     assert abs(out[1]["score"] - exp1) < 1e-9
     assert abs(out[2]["score"] - exp2) < 1e-9
     assert out[3]["score"] == 0.0 and out[3]["dl"] == 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join == plain join for inner/left, including a hot key
+    carrying most of the rows; right/full are rejected."""
+    import pytest as _pytest
+
+    from mdataframe_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 1), ("orphan", 2)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H1"), ("hot", "H2"), ("cold", "C")], ["k", "name"]
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", n_salts=8, how=how).collect())
+        )
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
