@@ -122,3 +122,59 @@ def stratified_sample(
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, float(r)).otherwise(rate)
     return df.filter(u < rate)
+
+
+def domain_mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: Dict[str, float],
+    budget_fraction: float = 0.5,
+    token_col: str = "n_chars",
+) -> Dict[str, float]:
+    """Per-domain sampling rates that steer the corpus toward a target
+    mixture at a token budget (the data-mixing step of an LLM
+    pretraining pipeline, cf. DoReMi / The Pile's per-source weights).
+
+    budget = budget_fraction · total_tokens; domain d's allocation is
+    ``target_weights[d] · budget`` tokens, so
+
+        rate_d = min(1, w_d · budget / tokens_d)
+
+    One aggregation job (#domains scalars to the driver). Domains
+    short of their allocation keep everything (rate capped at 1 — no
+    upsampling; renormalize weights or raise the budget if exact
+    mixture matters more than data volume). Domains absent from
+    ``target_weights`` get rate 0.
+    """
+    stats = {
+        r["d"]: float(r["t"])
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    total = sum(stats.values())
+    budget = budget_fraction * total
+    return {
+        d: min(1.0, target_weights[d] * budget / stats[d])
+        for d in stats
+        if d in target_weights and stats[d] > 0
+    }
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: Dict[str, float],
+    budget_fraction: float = 0.5,
+    token_col: str = "n_chars",
+    key: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministically sample the corpus to the mixture computed by
+    :func:`domain_mixture_rates` — the same zero-shuffle md5-threshold
+    filter as :func:`stratified_sample`, so membership is stable under
+    corpus growth and resharding."""
+    rates = domain_mixture_rates(
+        df, domain_col, target_weights, budget_fraction, token_col
+    )
+    return stratified_sample(df, key, rates, domain_col, 0.0, seed)

@@ -3121,6 +3121,64 @@ GROUP BY lang
 """
 
 
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+_MIX_BUDGET_FRACTION = 0.5
+_MIX_SEED = 11
+
+
+def ds_domain_mixture(spark, sf_dir):
+    """Data-mixing to a token budget (operators/datasets.py
+    domain_mixture_sample): per-domain sampling rates steer the corpus
+    toward target mixture weights at budget_fraction of total tokens
+    (chars as the proxy), then the zero-shuffle md5-threshold filter
+    samples deterministically. Rates derive from exact integer sums so
+    the SQL oracle reproduces them bit-for-bit in-query."""
+    from .operators.datasets import domain_mixture_rates, domain_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = domain_mixture_sample(
+        docs, "lang", _MIX_WEIGHTS, _MIX_BUDGET_FRACTION,
+        token_col="n_chars", seed=_MIX_SEED,
+    )
+    rates = domain_mixture_rates(
+        docs, "lang", _MIX_WEIGHTS, _MIX_BUDGET_FRACTION, token_col="n_chars"
+    )
+    rate_expr = F.lit(0.0)
+    for d, r in sorted(rates.items()):
+        rate_expr = F.when(F.col("lang") == d, F.lit(r)).otherwise(rate_expr)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(F.first(rate_expr), 9).alias("rate"),
+    )
+
+
+_MIX_W_SQL = "CASE lang " + " ".join(
+    f"WHEN '{d}' THEN {w}" for d, w in sorted(_MIX_WEIGHTS.items())
+) + " ELSE 0.0 END"
+
+DS_MIXTURE_SQL = f"""
+WITH stats AS (
+  SELECT lang, sum(n_chars)::BIGINT AS toks FROM documents GROUP BY lang
+), budget AS (
+  SELECT {_MIX_BUDGET_FRACTION} * sum(toks) AS b FROM stats
+), rates AS (
+  SELECT lang, least(1.0, ({_MIX_W_SQL}) * (SELECT b FROM budget) / toks) AS rate
+  FROM stats
+), h AS (
+  SELECT d.lang, d.n_chars, r.rate,
+         CAST(('0x' || substr(md5(d.doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       round(any_value(rate), 9) AS rate
+FROM h WHERE u < rate
+GROUP BY lang
+"""
+
+
+
 
 def dd_dedup_groups(spark, sf_dir):
     """Transitive dedup groups (operators/dedup.py
@@ -3305,6 +3363,7 @@ EXTRA_QUERIES = {
     "ds_pack_sequences": ds_pack_sequences,
     "ds_contamination": ds_contamination,
     "ds_stratified_sample": ds_stratified_sample,
+    "ds_domain_mixture": ds_domain_mixture,
     "dd_dedup_groups": dd_dedup_groups,
     "dd_semantic_dedup": dd_semantic_dedup,
     "j_range_session_errors": j_range_session_errors,
@@ -3412,6 +3471,7 @@ EXTRA_ORACLES = {
     "ds_pack_sequences": DS_PACK_SQL,
     "ds_contamination": DS_CONTAMINATION_SQL,
     "ds_stratified_sample": DS_STRATIFIED_SQL,
+    "ds_domain_mixture": DS_MIXTURE_SQL,
     "dd_dedup_groups": DD_CC_SQL,
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
     "j_range_session_errors": J_RANGE_SQL,

@@ -217,3 +217,34 @@ def test_pii_scrub_unknown_kind_rejected(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         pii_scrub(df, kinds=("email", "ssn"))
+
+
+def test_domain_mixture_rates_and_sample(spark):
+    """Rates hit the budget allocation exactly (capped at 1 for
+    under-allocated domains); sampling is the deterministic hash
+    filter restricted to those rates."""
+    from mdataframe_spark.operators.datasets import (
+        domain_mixture_rates,
+        domain_mixture_sample,
+    )
+
+    rows = (
+        [(f"a{i}", "A", 100) for i in range(50)]
+        + [(f"b{i}", "B", 100) for i in range(10)]
+        + [(f"c{i}", "C", 100) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    # total 10_000 chars, budget 50% = 5_000
+    # weights: A 0.5 -> 2500/5000 = 0.5; B 0.4 -> 2000/1000 capped 1.0;
+    # C absent -> dropped
+    rates = domain_mixture_rates(
+        df, "lang", {"A": 0.5, "B": 0.4}, budget_fraction=0.5
+    )
+    assert rates == {"A": 0.5, "B": 1.0}
+    got = domain_mixture_sample(
+        df, "lang", {"A": 0.5, "B": 0.4}, budget_fraction=0.5
+    )
+    langs = {r["lang"] for r in got.collect()}
+    assert "C" not in langs and "B" in langs
+    # all of B kept (rate 1.0)
+    assert got.filter("lang = 'B'").count() == 10
