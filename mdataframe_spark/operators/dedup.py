@@ -246,6 +246,73 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_pairs_against(
+    new_signatures: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    df_cap: int = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """Incremental near-dup check: candidate pairs between a NEW batch
+    of documents and an EXISTING banded signature store — the
+    ingestion-time complement to the batch self-join. Returns
+    (new_id, corpus_id) candidate pairs; a new doc with no pair is
+    clean and its bands can be appended to the store.
+
+    ``corpus_bands`` is the persisted band table (band, key, id) built
+    once by :func:`band_table` and written bucketed by (band, key) —
+    then this probe is a co-located equi-join with NO shuffle of the
+    corpus side, and the join cost scales with the BATCH, not the
+    corpus. Hot corpus buckets beyond ``df_cap`` are skipped (logged)
+    exactly like the batch path.
+    """
+    new_bands = band_table(new_signatures, id_col, num_hashes, bands)
+    capped = cap_hot_keys(corpus_bands, ["band", "key"], df_cap, "corpus band bucket")
+    return (
+        new_bands.alias("n")
+        .join(capped.alias("c"), ["band", "key"])
+        .filter(F.col(f"n.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+
+def band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(band, key, id) rows from MinHash signatures — the storable /
+    joinable form of the LSH index (write bucketed by (band, key) so
+    probes co-locate)."""
+    rows_per_band = num_hashes // bands
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"minhash_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_struct).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), id_col)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -917,3 +917,51 @@ def test_salted_join_matches_plain_join(spark):
         assert got == want, how
     with _pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_incremental_lsh_probe_against_corpus_store(spark):
+    """Ingestion-time dedup: a new batch probes the existing banded
+    signature store; near-dups of corpus docs are caught, fresh docs
+    come back clean. With the store written as a table bucketed on the
+    join key, the probe plan shuffles ONLY the new-batch side (exactly
+    one Exchange)."""
+    import shutil
+    import tempfile
+
+    from mdataframe_spark.operators.dedup import (
+        band_table,
+        lsh_pairs_against,
+        minhash_signatures,
+    )
+    from mdataframe_spark.sources.writers import write_bucketed_table
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark shuffles and joins here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, base + " ok"), (101, "entirely novel content never seen before in any shard at all")],
+        ["doc_id", "text"],
+    )
+    store = band_table(minhash_signatures(corpus))
+    pairs = lsh_pairs_against(minhash_signatures(new), store).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in pairs} == {(100, 1)}
+
+    warehouse = tempfile.mkdtemp()
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS lshtest LOCATION '{warehouse}'")
+    try:
+        write_bucketed_table(store, "lshtest.bands", ["band", "key"], n_buckets=4)
+        stored = spark.table("lshtest.bands").hint("merge")
+        probe = lsh_pairs_against(minhash_signatures(new), stored)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the invariant bucketing buys: the corpus store NEVER feeds an
+        # exchange on (band, key) — the hot-key count aggregates and
+        # the cap join all consume the bucketed scan's partitioning
+        # directly (and the small probe batch broadcasts)
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning(band") == 0, plan
+        assert {(r["new_id"], r["corpus_id"]) for r in probe.collect()} == {(100, 1)}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS lshtest CASCADE")
+        shutil.rmtree(warehouse, ignore_errors=True)
