@@ -2511,9 +2511,12 @@ def stat_deseq2(spark, sf_dir):
     (condition effect controlling for batch) on the same genes
     (rows-only: iterative NB fits; golden parity in
     tests/test_deseq2_golden.py)."""
+    from .cache import persist_tracked
     from .functions.deseq2 import DESeq2LRT, DESeq2UnpairedAB
 
-    counts = _six_counts(spark, sf_dir)
+    # both pipelines (Wald + LRT) consume the same matrix — pin it so
+    # the pivot computes once, not once per transformer
+    counts = persist_tracked(_six_counts(spark, sf_dir))
     c2c = {"grpA": ["A_F", "N_F", "N_O"], "grpB": ["R_F", "A_O", "R_O"]}
     tr = DESeq2UnpairedAB("grpA", "grpB", c2c, "flags")
     wald = tr(counts).select(
