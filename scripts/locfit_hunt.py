@@ -242,3 +242,23 @@ if __name__ == "__main__":
 #    end-to-end moved genB the wrong way (log10 err 0.20), so the
 #    non-robust fitFDist prior (documented, within 2x of the robust
 #    target) remains the shipped estimator.
+# ---------------------------------------------------------------------------
+# Round-5 addendum (second robust-prior attempt — also negative)
+# ---------------------------------------------------------------------------
+# Hypothesis tested: with n=4 genes, winsor.tail.p=c(0.05,0.1) cannot
+# winsorize a single point (n*p < 1), so fitFDistRobustly's SCALAR df2
+# may fall back to plain fitFDist (ours: 1.1399 vs inverted target
+# 1.115 — 2% off, plausibly our spline-basis vs R's ns()), leaving only
+# the per-gene ProbNotOutlier mixing to reproduce. Implemented the
+# mixing end-to-end (TailP = upper-tail F(df.residual, df2) of
+# deviance-s2 over the per-gene spline scale; EmpiricalTailProb =
+# (n-rank+0.5)/n; df2.outlier from the max-F median rule; cummax
+# monotonicity): genA's TailP comes out 0.368 >> the 0.107 needed for
+# the known 0.855 mixing weight, so NO gene is flagged and the result
+# is numerically identical to the non-robust pipeline (maxdlog10
+# 0.0301). The outlier-flagging convention (what exactly Fstat is
+# measured against) therefore also cannot be pinned without the limma
+# source — `find / -iname '*fitFDist*'` confirms no R/limma in this
+# container. Experiment: /tmp-era script preserved in git history via
+# this note; the shipped estimator remains the documented non-robust
+# fitFDist.
