@@ -998,3 +998,29 @@ def semantic_dedup(
             (F.col("n_neardup_lower").isNull()).alias("kept"),
         )
     )
+
+
+def choose_lsh_bands(num_hashes: int, target_jaccard: float):
+    """Pick (bands, rows_per_band) for :func:`lsh_candidate_pairs` so
+    the S-curve threshold sits at ``target_jaccard``.
+
+    Two documents with Jaccard similarity s collide in at least one
+    band with probability 1-(1-s^r)^b; the inflection ("threshold")
+    sits near (1/b)^(1/r). This scans the divisors of ``num_hashes``
+    and returns the (b, r) whose threshold is closest to the target —
+    raise the target to cut candidate volume (precision), lower it to
+    buy recall. Pure arithmetic; use it to parameterize the banding
+    instead of hand-picking 4x4.
+    """
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        thr = (1.0 / b) ** (1.0 / r)
+        d = abs(thr - target_jaccard)
+        if best is None or d < best[0]:
+            best = (d, b, r, thr)
+    return {"bands": best[1], "rows_per_band": best[2], "threshold": best[3]}

@@ -965,3 +965,19 @@ def test_incremental_lsh_probe_against_corpus_store(spark):
     finally:
         spark.sql("DROP DATABASE IF EXISTS lshtest CASCADE")
         shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def test_choose_lsh_bands():
+    from mdataframe_spark.operators.dedup import choose_lsh_bands
+
+    import pytest as _pytest
+
+    # 16 hashes: known S-curve thresholds — 4x4 -> (1/4)^(1/4) ~ 0.707,
+    # 8x2 -> (1/8)^(1/2) ~ 0.354, 2x8 -> (1/2)^(1/8) ~ 0.917
+    assert choose_lsh_bands(16, 0.7)["bands"] == 4
+    assert choose_lsh_bands(16, 0.35)["bands"] == 8
+    assert choose_lsh_bands(16, 0.92)["bands"] == 2
+    lo = choose_lsh_bands(16, 0.1)
+    assert lo["bands"] == 16 and lo["rows_per_band"] == 1
+    with _pytest.raises(ValueError):
+        choose_lsh_bands(16, 1.5)
