@@ -42,6 +42,7 @@ HEADLINE = [
     "ml_dbscan_classes",
     "stat_vst",
     "dd_minhash_lsh",
+    "dd_semantic_dedup",
     "sim_cosine_topk",
     "txt_repetition",
     "ds_contamination",

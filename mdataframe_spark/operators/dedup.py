@@ -865,6 +865,7 @@ def semantic_dedup(
     assign_round: int = 9,
     pair_round: int = 6,
     seed: int = 42,
+    pair_buckets: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark within-cluster semantic near-duplicates
@@ -885,6 +886,12 @@ def semantic_dedup(
     ``assign="seed"``: the K lowest-id vectors are the centroids — a
     deterministic one-pass variant whose full plan is replayable in
     ANSI SQL (used by the oracle-checked query).
+
+    ``pair_buckets`` > 1 switches the within-cluster pair stage to a
+    triangle-decomposed sub-bucketed join (pair set unchanged —
+    equality-tested): each cluster's quadratic work spreads over
+    B(B+1)/2 tasks instead of one, the remedy when a few hot clusters
+    dominate wall-clock.
 
     Keep rule: a vector is DROPPED iff some lower-id vector in the
     same cluster is cosine >= tau (one deterministic exemplar per
@@ -971,22 +978,71 @@ def semantic_dedup(
             F.col(id_col), "__v", "__n", F.col("__s.cid").alias("cluster")
         )
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pair_cos = F.round(
-        dot(F.col("a.__v"), F.col("b.__v"), dim)
-        / (F.col("a.__n") * F.col("b.__n")),
-        pair_round,
-    )
-    lower_dups = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    if pair_buckets > 1:
+        # triangle-decomposed pair generation: sub-bucket each cluster
+        # by a hash of the id into B buckets and join the (i <= j)
+        # bucket-pair grid. A pair with sub-buckets (p, q), p < q, is
+        # generated exactly once (low role of p × high role of q);
+        # same-bucket pairs are ordered by id. The join key becomes
+        # (cluster, i, j) — K·B(B+1)/2 keys instead of K, so ONE hot
+        # cluster's ~n²/2 cosine evaluations spread over B(B+1)/2
+        # tasks instead of one. Replication cost: each row appears
+        # (B+1)/2 times per side on average.
+        B = int(pair_buckets)
+        sub = assigned.withColumn(
+            "__sb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
         )
-        .filter(pair_cos >= F.lit(tau))
-        .groupBy(F.col(f"a.{id_col}").alias(id_col))
-        .agg(F.count(F.lit(1)).alias("n_neardup_lower"))
-    )
+        lo = sub.select(
+            F.col(id_col).alias("lo_id"),
+            F.col("__v").alias("lo_v"),
+            F.col("__n").alias("lo_n"),
+            "cluster",
+            F.col("__sb").alias("i"),
+            F.explode(F.sequence(F.col("__sb"), F.lit(B - 1))).alias("j"),
+        )
+        hi = sub.select(
+            F.col(id_col).alias("hi_id"),
+            F.col("__v").alias("hi_v"),
+            F.col("__n").alias("hi_n"),
+            "cluster",
+            F.explode(F.sequence(F.lit(0), F.col("__sb"))).alias("i"),
+            F.col("__sb").alias("j"),
+        )
+        tri_cos = F.round(
+            dot(F.col("lo_v"), F.col("hi_v"), dim)
+            / (F.col("lo_n") * F.col("hi_n")),
+            pair_round,
+        )
+        lower_dups = (
+            lo.join(hi, ["cluster", "i", "j"])
+            .filter(
+                (F.col("i") < F.col("j"))
+                | (F.col("hi_id") < F.col("lo_id"))
+            )
+            .filter(tri_cos >= F.lit(tau))
+            .select(
+                F.greatest(F.col("lo_id"), F.col("hi_id")).alias(id_col)
+            )
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_neardup_lower"))
+        )
+    else:
+        a, b = assigned.alias("a"), assigned.alias("b")
+        pair_cos = F.round(
+            dot(F.col("a.__v"), F.col("b.__v"), dim)
+            / (F.col("a.__n") * F.col("b.__n")),
+            pair_round,
+        )
+        lower_dups = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            )
+            .filter(pair_cos >= F.lit(tau))
+            .groupBy(F.col(f"a.{id_col}").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_neardup_lower"))
+        )
     return (
         assigned.join(lower_dups, id_col, "left")
         .select(

@@ -3236,7 +3236,7 @@ def dd_semantic_dedup(spark, sf_dir):
     engines take identical branch decisions."""
     emb = _t(spark, sf_dir, "embeddings")
     out = dedup.semantic_dedup(
-        emb, tau=0.9, n_clusters=32, assign="seed"
+        emb, tau=0.9, n_clusters=32, assign="seed", pair_buckets=8
     )
     return out.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),

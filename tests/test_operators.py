@@ -981,3 +981,26 @@ def test_choose_lsh_bands():
     assert lo["bands"] == 16 and lo["rows_per_band"] == 1
     with _pytest.raises(ValueError):
         choose_lsh_bands(16, 1.5)
+
+
+def test_semantic_dedup_triangle_pairs_equal_flat(spark):
+    """pair_buckets > 1 (triangle-decomposed pair stage) returns the
+    identical result to the flat within-cluster join."""
+    import numpy as np
+
+    from mdataframe_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for scale in (1.0, 2.0, 0.5, -1.0):  # -1: opposite direction, not a dup
+            rows.append((vid, [float(x) for x in scale * b])); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    flat = sorted(map(tuple, semantic_dedup(
+        df, tau=0.9, n_clusters=4, assign="seed", pair_buckets=1).collect()))
+    tri = sorted(map(tuple, semantic_dedup(
+        df, tau=0.9, n_clusters=4, assign="seed", pair_buckets=5).collect()))
+    assert flat == tri
+    assert any(not r[3] for r in flat)  # fixture does contain dups
