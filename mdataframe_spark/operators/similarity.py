@@ -274,3 +274,190 @@ def embedding_stats(
             F.avg(F.sqrt(dot(vec, vec))).alias("avg_l2_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+):
+    """Train per-subspace PQ codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): split the (L2-normalized) vector into ``m`` subvectors and
+    k-means each subspace to ``k`` codewords.
+
+    Training is driver-side numpy over a DETERMINISTIC sample (the
+    ``sample`` lowest-id vectors — reproducible across runs and
+    engines), with deterministic Lloyd (first-k init, lowest-index
+    tie-break). The result is an (m, k, dim/m) float array — a few KB,
+    shipped to executors inside closures; the expensive parts (encode,
+    scan) stay distributed.
+    """
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(sample)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()["v"]
+    )
+    x = np.array([np.asarray(r, dtype=float) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for mi in range(m):
+        xs = x[:, mi * sub : (mi + 1) * sub]
+        cent = xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ki in range(k):
+                mask = assign == ki
+                if mask.any():
+                    cent[ki] = xs[mask].mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-codeword indices — an
+    Arrow-batched mapInPandas pass (vectorized numpy argmin per batch;
+    dim·k flops/vector) emitting (id, codes array<int>, norm). Vectors
+    are L2-normalized before coding, so ADC inner products approximate
+    cosine directly. At 100 TB the codes are ~m bytes/vector — the
+    memory compression that lets a shard's index live in RAM."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    books = np.asarray(codebooks)
+    m, k, sub = books.shape
+
+    schema = T.StructType(
+        [
+            corpus.schema[id_col],
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("nrm", T.DoubleType()),
+        ]
+    )
+    src = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.array([np.asarray(r, dtype=float) for r in pdf["__v"]])
+            if not len(x):
+                continue
+            nrm = np.linalg.norm(x, axis=1)
+            xs = x / np.maximum(nrm, 1e-300)[:, None]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for mi in range(m):
+                seg = xs[:, mi * sub : (mi + 1) * sub]
+                d2 = ((seg[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes.tolist()),
+                    "nrm": nrm,
+                }
+            )
+
+    return src.mapInPandas(encode, schema)
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking.
+
+    The production PQ pipeline: (1) asymmetric-distance shortlist —
+    each query's similarity to a code is a lookup-table entry
+    LUT[m][code] = q_sub · codeword, so scoring a corpus vector is m
+    adds over its codes (no vector fetched); (2) the ``shortlist`` best
+    ADC candidates per query join back their TRUE vectors for exact
+    cosine re-ranking. Plan shape: codes explode to (id, m, code) and
+    equi-join the broadcast LUT — shuffle rows N·m with integer
+    payloads; only shortlist·|Q| full vectors are ever re-read.
+    """
+    books = pq_train_codebooks(corpus, id_col, vec_col, m=m, k=n_codes)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).toPandas()
+    lut_rows = []
+    mm, kk, sub = books.shape
+    for _, row in q.iterrows():
+        qv = np.asarray(row["__qv"], dtype=float)
+        qv = qv / max(np.linalg.norm(qv), 1e-300)
+        for mi in range(mm):
+            seg = qv[mi * sub : (mi + 1) * sub]
+            w = books[mi] @ seg
+            for ci in range(kk):
+                lut_rows.append((int(row["query_id"]), mi, ci, float(w[ci])))
+    spark = corpus.sparkSession
+    lut = spark.createDataFrame(lut_rows, "query_id long, m int, code int, w double")
+
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("m", "code"),
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("w").alias("adc_sim"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    short = adc.withColumn("r", F.row_number().over(w_short)).filter(
+        F.col("r") <= shortlist
+    )
+    # exact re-rank: fetch true vectors for the shortlist only
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    dim = mm * sub
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["__qv"]]) for _, r in q.iterrows()],
+        f"query_id long, __qv array<double>",
+    )
+    rer = (
+        short.join(v, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv"), dim).alias("cos_sim"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("knn_rank", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )

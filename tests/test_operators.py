@@ -1004,3 +1004,45 @@ def test_semantic_dedup_triangle_pairs_equal_flat(spark):
         df, tau=0.9, n_clusters=4, assign="seed", pair_buckets=5).collect()))
     assert flat == tri
     assert any(not r[3] for r in flat)  # fixture does contain dups
+
+
+def test_pq_encode_shapes_and_recall(spark):
+    """PQ: codes are valid codebook indices; the ADC+rerank top-k
+    recovers exact neighbors on a clustered fixture (recall 1.0 —
+    clusters are far apart, so the shortlist always contains the true
+    neighbors)."""
+    import numpy as np
+
+    from mdataframe_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(3, 16) * 5
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, [float(x) for x in c + rng.randn(16) * 0.05]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train_codebooks(df, m=4, k=8, sample=60)
+    assert books.shape == (4, 8, 4)
+    codes = pq_encode(df, books).collect()
+    assert len(codes) == 60
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
+    assert all(len(r["codes"]) == 4 for r in codes)
+
+    q = df.filter("vec_id IN (0, 20, 40)")
+    # shortlist >= cluster size: same-cluster members share identical
+    # codes, so their ADC scores tie exactly — a shorter shortlist
+    # would truncate the tie group arbitrarily (by id), which is a
+    # fixture artifact, not an accuracy property
+    pq = pq_cosine_topk(df, q, k=3, m=4, n_codes=8, shortlist=20)
+    ex = cosine_topk(df, q, k=3)
+    pq_set = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    ex_set = {(r["query_id"], r["neighbor_id"]) for r in ex.collect()}
+    assert len(pq_set & ex_set) / len(ex_set) == 1.0
