@@ -98,3 +98,56 @@ def run_to_memory_sink(
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def windowed_quality_metrics(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "payload",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Sequence[str] = (),
+    min_quality: float = 0.0,
+) -> DataFrame:
+    """Ingestion-monitoring windows over a DOCUMENT stream: per window
+    (and optional shard keys), the count, kept-fraction under a
+    quality threshold, and the mean quality / token-count / stopword
+    ratio of arriving text.
+
+    This is the streaming face of the batch quality scorer
+    (operators/text.py quality_features): the per-document features are
+    the same codegen'd expressions, so a corpus pipeline can gate its
+    ingestion on the identical signal it later filters with in batch —
+    batch/stream agreement is asserted by the parity test. Watermarked
+    grouped aggregation: state is bounded by the watermark horizon.
+    """
+    from ..operators.text import quality_features
+
+    df = docs
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    scored = quality_features(
+        df.withColumnRenamed(text_col, "text"), "text"
+    )
+    return (
+        scored.groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("quality_score").alias("avg_quality"),
+            F.avg("n_tokens").alias("avg_tokens"),
+            F.avg("stopword_ratio").alias("avg_stopword_ratio"),
+            F.avg(
+                (F.col("quality_score") >= min_quality).cast("double")
+            ).alias("keep_fraction"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_docs",
+            "avg_quality",
+            "avg_tokens",
+            "avg_stopword_ratio",
+            "keep_fraction",
+        )
+    )

@@ -288,3 +288,63 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
     }
     assert got == expected
     assert len(expected) > 50
+
+
+def test_windowed_quality_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming quality-monitoring windows produce the identical
+    result to the same plan in batch (same codegen'd per-doc features
+    as operators.text.quality_features)."""
+    from mdataframe_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_from_parquet_dir,
+        windowed_quality_metrics,
+    )
+
+    src = tmp_path_factory.mktemp("doc_stream")
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "x",
+        "a b c d e f g h i j k l m n o p q r s t the of and to in is",
+        "!!! ??? ### $$$ %%%",
+    ]
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.timestamp_micros(
+            (F.lit(1700000000_000000) + F.col("id") * 60_000_000).cast("bigint")
+        ).alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in texts]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("payload"),
+        (F.col("id") % 2).cast("string").alias("source"),
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(str(src / "docs"))
+    batch = spark.read.parquet(str(src / "docs"))
+
+    stream = stream_from_parquet_dir(spark, str(src / "docs"), batch.schema)
+    agg = windowed_quality_metrics(
+        stream, window="1 hour", group_cols=("source",), min_quality=0.3
+    )
+    q = run_to_memory_sink(agg, "win_quality")
+    q.awaitTermination(120)
+
+    def key(r):
+        return (r["window_start"], r["source"])
+
+    def val(r):
+        return (
+            r["n_docs"],
+            round(r["avg_quality"], 9),
+            round(r["avg_tokens"], 9),
+            round(r["keep_fraction"], 9),
+        )
+
+    got = {key(r): val(r) for r in spark.sql("SELECT * FROM win_quality").collect()}
+    expected = {
+        key(r): val(r)
+        for r in windowed_quality_metrics(
+            batch, window="1 hour", group_cols=("source",),
+            min_quality=0.3, watermark=None,
+        ).collect()
+    }
+    assert got == expected and got
