@@ -492,9 +492,9 @@ def simhash_candidate_pairs(
     is what :func:`simhash_candidate_pairs_blocked` is for: the Manku
     et al. (WWW'07) multi-table design with wider match keys."""
     chunk_cols = [f"simhash_c{c}" for c in range(4)]
+    member = F.struct(F.col(id_col), *[F.col(cc) for cc in chunk_cols])
     banded = signatures.select(
-        F.col(id_col),
-        *chunk_cols,
+        member.alias("m"),
         F.explode(
             F.array(
                 *[
@@ -503,26 +503,45 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, *chunk_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    banded = _persist_tracked(banded)  # two join sides — compute the votes once
-    banded = cap_hot_keys(banded, ["band", "key"], df_cap, "SimHash chunk bucket")
-    l, r = banded.alias("l"), banded.alias("r")
+    ).select("m", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # bucket-array pairing (same shape as lsh_candidate_pairs): ONE
+    # partial-agged shuffle collects each bucket's (id, chunks)
+    # members; pairs + the hamming verify explode from the array —
+    # no self-join, no second pass. array_sort orders structs by the
+    # leading id field, so `x.id > a.id` pairs each bucket once.
+    buckets = _persist_tracked(
+        banded.groupBy("band", "key").agg(
+            F.array_sort(F.collect_set("m")).alias("ms")
+        )
+    )
+    hot = buckets.agg(
+        F.sum(F.when(F.size("ms") > df_cap, 1).otherwise(0)).alias("n_hot"),
+        F.max(F.size("ms")).alias("max_df"),
+    ).collect()[0]
+    if hot["n_hot"]:
+        _log.warning(
+            "simhash_candidate_pairs: dropping %d SimHash chunk bucket(s) "
+            "with frequency > %d (hottest: %d docs) before pairing",
+            hot["n_hot"], df_cap, hot["max_df"],
+        )
     hamming = sum(
         F.bit_count(
-            F.col(f"l.{cc}").bitwiseXOR(F.col(f"r.{cc}")).cast("bigint")
+            F.col(f"a.{cc}").bitwiseXOR(F.col(f"b.{cc}")).cast("bigint")
         )
         for cc in chunk_cols
     )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        buckets.filter(F.size("ms") <= df_cap)
+        .select(F.explode("ms").alias("a"), F.col("ms"))
+        .select(
+            "a",
+            F.explode(
+                F.filter("ms", lambda x: x[id_col] > F.col("a")[id_col])
+            ).alias("b"),
         )
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
             hamming.cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
