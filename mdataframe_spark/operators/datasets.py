@@ -178,3 +178,42 @@ def domain_mixture_sample(
         df, domain_col, target_weights, budget_fraction, token_col
     )
     return stratified_sample(df, key, rates, domain_col, 0.0, seed)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    fractions: Dict[str, float] = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that keeps NEAR-DUPLICATE GROUPS together.
+
+    Splitting by per-document hash leaks: a near-copy of a training
+    document lands in the eval set with probability (1 - its split
+    fraction). Here the split hash is drawn from each document's
+    near-dup GROUP representative instead: ``pairs`` (id_a, id_b — any
+    candidate-pair output from the dedup family) is closed into
+    connected components, every member adopts the component label
+    (min id), singletons keep their own id, and :func:`hash_split`
+    assigns the label. All members of a group land on the same side —
+    by construction, never by sampling luck.
+
+    Plan shape: the component closure is the O(log diameter)
+    min-label/pointer-jump loop (dedup.connected_components); the
+    split itself stays the zero-shuffle hash map, applied to the
+    joined-in representative. One broadcast-size join when the pair
+    graph is sparse (the normal case: most docs are singletons and
+    never enter the join).
+    """
+    from .dedup import connected_components
+
+    cc = connected_components(pairs)
+    labeled = df.join(
+        cc.select(F.col("v").alias(key), F.col("component").alias("__rep")),
+        key,
+        "left",
+    ).withColumn("__rep", F.coalesce(F.col("__rep"), F.col(key)))
+    out = hash_split(labeled, key="__rep", fractions=fractions, seed=seed, out_col=out_col)
+    return out.drop("__rep")

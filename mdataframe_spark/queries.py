@@ -3237,6 +3237,86 @@ GROUP BY lbl
 """
 
 
+def ds_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/datasets.py
+    leakage_safe_split): near-dup groups (MinHash-LSH pairs closed into
+    connected components) adopt one split via the group
+    representative's hash, so no near-duplicate pair ever straddles
+    train and eval. The output certifies itself: cross_split_pairs
+    counts candidate pairs whose endpoints landed in different splits —
+    ZERO by construction, and the oracle recomputes it from scratch."""
+    from .cache import persist_tracked
+    from .operators.datasets import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, num_hashes=16)
+    # consumed by the component closure (iterative) AND the
+    # cross-split certification join — pin it
+    pairs = persist_tracked(
+        dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    )
+    out = leakage_safe_split(d, pairs, key="doc_id")
+    asg = out.select("doc_id", "split")
+    cross = (
+        pairs.join(
+            asg.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            asg.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .agg(
+            F.sum((F.col("sa") != F.col("sb")).cast("bigint")).alias(
+                "cross_split_pairs"
+            )
+        )
+        .fillna(0, ["cross_split_pairs"])
+    )
+    return (
+        asg.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(cross))
+    )
+
+
+DS_LEAKAGE_SQL = f"""
+WITH RECURSIVE pairs AS ({DD_MINHASH_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(v, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, c.lbl FROM edges e JOIN cc c ON c.v = e.b
+), rep AS (
+  SELECT v, min(lbl) AS lbl FROM cc GROUP BY v
+), labeled AS (
+  SELECT d.doc_id, coalesce(r.lbl, d.doc_id) AS rep
+  FROM documents d LEFT JOIN rep r ON r.v = d.doc_id
+), assigned AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.9 THEN 'train'
+              WHEN u < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(rep::VARCHAR || ':42'), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+    FROM labeled)
+), crossed AS (
+  SELECT coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)::BIGINT AS c
+  FROM pairs p
+  JOIN assigned a ON a.doc_id = p.id_a
+  JOIN assigned b ON b.doc_id = p.id_b
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       (SELECT c FROM crossed) AS cross_split_pairs
+FROM assigned GROUP BY split
+"""
+
+
 def dd_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning over the
     embeddings table: cluster the embedding space, mark within-cluster
@@ -3378,6 +3458,7 @@ EXTRA_QUERIES = {
     "ds_contamination": ds_contamination,
     "ds_stratified_sample": ds_stratified_sample,
     "ds_domain_mixture": ds_domain_mixture,
+    "ds_leakage_safe_split": ds_leakage_safe_split,
     "dd_dedup_groups": dd_dedup_groups,
     "dd_semantic_dedup": dd_semantic_dedup,
     "j_range_session_errors": j_range_session_errors,
@@ -3486,6 +3567,7 @@ EXTRA_ORACLES = {
     "ds_contamination": DS_CONTAMINATION_SQL,
     "ds_stratified_sample": DS_STRATIFIED_SQL,
     "ds_domain_mixture": DS_MIXTURE_SQL,
+    "ds_leakage_safe_split": DS_LEAKAGE_SQL,
     "dd_dedup_groups": DD_CC_SQL,
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
     "j_range_session_errors": J_RANGE_SQL,

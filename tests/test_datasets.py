@@ -248,3 +248,31 @@ def test_domain_mixture_rates_and_sample(spark):
     assert "C" not in langs and "B" in langs
     # all of B kept (rate 1.0)
     assert got.filter("lang = 'B'").count() == 10
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    """Every member of a near-dup component lands in the same split;
+    documents outside any pair split independently by their own id."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.datasets import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    # two components: {0,1,2} (chained) and {10, 11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    out = leakage_safe_split(docs, pairs, fractions={"train": 0.5, "test": 0.5})
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert by_id[0] == by_id[1] == by_id[2]
+    assert by_id[10] == by_id[11]
+    # singletons: identical to plain hash_split on their own id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", {"train": 0.5, "test": 0.5}).collect()
+    }
+    for i in range(40):
+        if i not in (0, 1, 2, 10, 11):
+            assert by_id[i] == plain[i]
