@@ -78,3 +78,30 @@ def test_coverage_doc_names_exist():
     }
     stale = {c for c in cited - known - not_queries if not c.startswith(("n_fail_",))}
     assert not stale, f"COVERAGE.md cites unknown query names: {sorted(stale)}"
+
+
+def test_registry_size_invariants():
+    """The driver's correctness record holds AT MOST 50 rows (observed
+    every round): the registry must stay at EXACTLY 50 entries, ordered
+    oracle-backed first, rows-only last — otherwise the tail silently
+    gets no correctness record (the round-3 regression). New queries go
+    to EXTRA_QUERIES."""
+    from mdataframe_spark.queries import (
+        EXTRA_ORACLES,
+        EXTRA_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert len(QUERIES) == 50, (
+        f"driver registry must stay at exactly 50 entries, got "
+        f"{len(QUERIES)} — move extras to EXTRA_QUERIES"
+    )
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(EXTRA_ORACLES) <= set(EXTRA_QUERIES)
+    # rows-only entries must sit AFTER every oracle-backed entry so a
+    # truncated record still covers every oracle row
+    names = list(QUERIES)
+    rows_only_idx = [i for i, n in enumerate(names) if n not in ORACLES]
+    oracle_idx = [i for i, n in enumerate(names) if n in ORACLES]
+    assert not rows_only_idx or min(rows_only_idx) > max(oracle_idx)
