@@ -1963,12 +1963,14 @@ def ml_dbscan_classes(spark, sf_dir):
         (F.col("p_retailprice") / 1000.0).alias("x"),
         (F.col("p_size") / 10.0).alias("y"),
     )
-    # referenced by both bucketed-join passes (neighbor counts, then
-    # core-neighbor check) and on both sides of each — pin it once
+    # referenced on both sides of the pair generation — pin it once.
+    # The probe side is repartitioned so the 9x-explode + broadcast join
+    # below parallelizes across all cores instead of inheriting the
+    # single-file parquet scan's 1 partition.
     cell = persist_tracked(
-        feats.withColumn("cx", F.floor(F.col("x") / eps)).withColumn(
-            "cy", F.floor(F.col("y") / eps)
-        )
+        feats.withColumn("cx", F.floor(F.col("x") / eps))
+        .withColumn("cy", F.floor(F.col("y") / eps))
+        .repartition(32, "pid")
     )
     shifted = cell.select(
         F.col("pid").alias("qid"),
@@ -1985,30 +1987,27 @@ def ml_dbscan_classes(spark, sf_dir):
     d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
         F.col("y") - F.col("qy")
     ) * (F.col("y") - F.col("qy"))
-    neigh = (
-        cell.join(shifted, ["cx", "cy"])
+    # single candidate generation: the build side (one row per point) is
+    # broadcast so the 9x-shifted probe joins map-side — the ~9 * density
+    # candidate stream is generated, filtered, and partially aggregated
+    # inside one fully-parallel stage with NO shuffle of candidate rows.
+    # The surviving within-eps pair frame is density-bounded; persist it
+    # and derive BOTH the neighbor counts and the border check from it
+    # instead of re-running the shifted explode against the core subset.
+    pairs = persist_tracked(
+        F.broadcast(cell.select("pid", "x", "y", "cx", "cy"))
+        .join(shifted, ["cx", "cy"])
         .filter(d2 <= F.lit(eps * eps))
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n_neigh"))
+        .select("pid", "qid")
     )
+    neigh = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_neigh"))
     classified = neigh.withColumn("core", F.col("n_neigh") >= min_samples)
-    # border: non-core point with at least one core neighbor — reuse the
-    # bucketed pair generation against the core subset only
-    core_pts = cell.join(classified.filter("core").select("pid"), "pid").select(
-        F.col("pid").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"),
-        "cx", "cy",
-    )
-    core_shifted = core_pts.select(
-        "qid", "qx", "qy",
-        F.explode(F.array(*[F.col("cx") + dx for dx in (-1, 0, 1)])).alias("cx"),
-        "cy",
-    ).select(
-        "qid", "qx", "qy", "cx",
-        F.explode(F.array(*[F.col("cy") + dy for dy in (-1, 0, 1)])).alias("cy"),
-    )
+    # border: non-core point with at least one core neighbor — a semi-join
+    # of the persisted pairs against the core id set (no second explode)
+    core_ids = classified.filter("core").select(F.col("pid").alias("qid"))
     has_core_neigh = (
-        cell.join(core_shifted, ["cx", "cy"])
-        .filter((d2 <= F.lit(eps * eps)) & (F.col("pid") != F.col("qid")))
+        pairs.filter(F.col("pid") != F.col("qid"))
+        .join(core_ids, "qid", "left_semi")
         .select("pid")
         .distinct()
         .withColumn("near_core", F.lit(True))
