@@ -214,29 +214,22 @@ def lsh_candidate_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # bucket-array pairing: ONE partial-aggregated shuffle collects each
     # bucket's member ids, then pairs explode from the array — no
-    # self-join, no second pass over the signature pipeline, and the
-    # df cap is a plain array-size filter on the same aggregate.
+    # self-join, no second pass over the signature pipeline. Hot buckets
+    # are dropped BEFORE the collect_set (count + join in cap_hot_keys):
+    # a degenerate bucket (e.g. millions of identical/empty docs sharing
+    # one band key) must never materialize an unbounded array in a
+    # single aggregation buffer, so the cap bounds the AGG STATE
+    # (≤ df_cap members per bucket), not just the downstream explode.
     # Trade-off vs the self-join: a bucket at the cap explodes its
     # ~cap²/2 pairs inside one task (the self-join + AQE skew-split
-    # spreads them), bounded by df_cap² — the cap is what makes this
-    # shape safe at corpus scale.
-    buckets = _persist_tracked(
-        banded.groupBy("band", "key").agg(
-            F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
-        )
+    # spreads them), bounded by df_cap² — with the pre-cap this shape
+    # is safe at corpus scale.
+    capped = cap_hot_keys(banded, ["band", "key"], df_cap, "LSH band bucket")
+    buckets = capped.groupBy("band", "key").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
     )
-    hot = buckets.agg(
-        F.sum(F.when(F.size("ids") > df_cap, 1).otherwise(0)).alias("n_hot"),
-        F.max(F.size("ids")).alias("max_df"),
-    ).collect()[0]
-    if hot["n_hot"]:
-        _log.warning(
-            "lsh_candidate_pairs: dropping %d LSH band bucket(s) with "
-            "frequency > %d (hottest: %d docs) before candidate pairing",
-            hot["n_hot"], df_cap, hot["max_df"],
-        )
     return (
-        buckets.filter(F.size("ids") <= df_cap)
+        buckets.filter(F.size("ids") >= 2)
         .select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select(
             "id_a",
@@ -509,21 +502,13 @@ def simhash_candidate_pairs(
     # members; pairs + the hamming verify explode from the array —
     # no self-join, no second pass. array_sort orders structs by the
     # leading id field, so `x.id > a.id` pairs each bucket once.
-    buckets = _persist_tracked(
-        banded.groupBy("band", "key").agg(
-            F.array_sort(F.collect_set("m")).alias("ms")
-        )
+    # Hot chunk buckets are dropped BEFORE the collect_set so a
+    # degenerate bucket never builds an unbounded struct array in one
+    # aggregation buffer — the cap bounds the agg state itself.
+    capped = cap_hot_keys(banded, ["band", "key"], df_cap, "SimHash chunk bucket")
+    buckets = capped.groupBy("band", "key").agg(
+        F.array_sort(F.collect_set("m")).alias("ms")
     )
-    hot = buckets.agg(
-        F.sum(F.when(F.size("ms") > df_cap, 1).otherwise(0)).alias("n_hot"),
-        F.max(F.size("ms")).alias("max_df"),
-    ).collect()[0]
-    if hot["n_hot"]:
-        _log.warning(
-            "simhash_candidate_pairs: dropping %d SimHash chunk bucket(s) "
-            "with frequency > %d (hottest: %d docs) before pairing",
-            hot["n_hot"], df_cap, hot["max_df"],
-        )
     hamming = sum(
         F.bit_count(
             F.col(f"a.{cc}").bitwiseXOR(F.col(f"b.{cc}")).cast("bigint")
@@ -531,7 +516,7 @@ def simhash_candidate_pairs(
         for cc in chunk_cols
     )
     return (
-        buckets.filter(F.size("ms") <= df_cap)
+        buckets.filter(F.size("ms") >= 2)
         .select(F.explode("ms").alias("a"), F.col("ms"))
         .select(
             "a",
