@@ -209,6 +209,20 @@ def leakage_safe_split(
     """
     from .dedup import connected_components
 
+    # the no-leakage guarantee rests on the rep join matching: a type
+    # mismatch between the pair ids and df's key would let every doc
+    # silently fall back to its own id (null-matched join) and put
+    # near-dup pairs on both sides — the exact failure this function
+    # exists to prevent. Fail loudly instead.
+    kt = df.schema[key].dataType
+    pt = pairs.schema["id_a"].dataType
+    if kt != pt:
+        raise TypeError(
+            f"leakage_safe_split: pairs id type {pt.simpleString()} does not "
+            f"match df[{key!r}] type {kt.simpleString()} — the group-"
+            "representative join would silently miss and leak near-dups "
+            "across splits"
+        )
     cc = connected_components(pairs)
     labeled = df.join(
         cc.select(F.col("v").alias(key), F.col("component").alias("__rep")),

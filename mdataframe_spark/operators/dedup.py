@@ -804,22 +804,31 @@ def connected_components(
     labels.
 
     Plan shape per round: one edge-label join + groupBy (shuffle keyed
-    by vertex), one self-join for the jump, one decimal-sum
-    convergence probe over the persisted label frame (labels only
-    decrease, so the sum is a strictly decreasing fixpoint witness —
-    exact arithmetic, no overflow at any vertex count). Driver traffic
-    is one scalar per round.
+    by vertex), one self-join for the jump, one exact changed-vertex
+    count over the persisted label frames as the fixpoint witness
+    (an equi-join keyed by the same vertex column the round already
+    shuffles on). Driver traffic is one scalar per round.
+
+    Id-type-generic: vertex ids may be any orderable atomic type —
+    min-label propagation needs only an ordering, so string doc ids
+    work unchanged (components are labeled by their lexicographic-min
+    member). The two pair columns must share one type; a mismatch
+    raises rather than letting an implicit cast null ids out silently.
     """
-    e = pairs.select(
-        F.col(id_a).cast("bigint").alias("a"), F.col(id_b).cast("bigint").alias("b")
-    )
+    ta = pairs.schema[id_a].dataType
+    tb = pairs.schema[id_b].dataType
+    if ta != tb:
+        raise TypeError(
+            f"connected_components: pair columns must share one id type, "
+            f"got {id_a}:{ta.simpleString()} vs {id_b}:{tb.simpleString()}"
+        )
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = _persist_tracked(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
     labels = _persist_tracked(
         edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
-    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["v"])
@@ -831,6 +840,10 @@ def connected_components(
             F.least(labels["lbl"], F.coalesce(nbr["nlbl"], labels["lbl"])).alias(
                 "lbl"
             ),
+            # carry the pre-round label so the fixpoint witness below is
+            # a plain filter+count over the persisted frame — no extra
+            # join, and id-type-generic (no numeric sum)
+            labels["lbl"].alias("prev"),
         )
         # pointer jump: adopt the label's own label (labels are vertex
         # ids, so the self-join always matches; coalesce is belt and
@@ -840,16 +853,15 @@ def connected_components(
             x.join(y, F.col("x.lbl") == F.col("y.v"), "left").select(
                 F.col("x.v").alias("v"),
                 F.coalesce(F.col("y.lbl"), F.col("x.lbl")).alias("lbl"),
+                F.col("x.prev").alias("prev"),
             )
         )
-        cur = jumped.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = jumped
-        if cur is None or (prev_sum is not None and cur == prev_sum):
-            # None: empty graph (sum over zero rows) — already done
+        # exact fixpoint witness: labels only decrease, so zero moved
+        # labels this round means converged. One scalar to the driver.
+        changed = jumped.filter(F.col("lbl") != F.col("prev")).count()
+        labels = jumped.select("v", "lbl")
+        if changed == 0:
             return labels.select("v", F.col("lbl").alias("component"))
-        prev_sum = cur
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iter} rounds "
         "(graph diameter > 2^rounds — raise max_iter)"

@@ -276,3 +276,34 @@ def test_leakage_safe_split_groups_stay_together(spark):
     for i in range(40):
         if i not in (0, 1, 2, 10, 11):
             assert by_id[i] == plain[i]
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """String doc ids keep the no-leakage guarantee end-to-end (the
+    component closure is id-type-generic; no silent bigint cast)."""
+    from mdataframe_spark.operators.datasets import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [("d000", "d001"), ("d001", "d002"), ("d010", "d011")],
+        ["id_a", "id_b"],
+    )
+    out = leakage_safe_split(docs, pairs, fractions={"train": 0.5, "test": 0.5})
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert by_id["d000"] == by_id["d001"] == by_id["d002"]
+    assert by_id["d010"] == by_id["d011"]
+
+
+def test_leakage_safe_split_type_mismatch_raises(spark):
+    import pytest
+
+    from mdataframe_spark.operators.datasets import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"doc {i}") for i in range(5)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    with pytest.raises(TypeError, match="leakage_safe_split"):
+        leakage_safe_split(docs, pairs)

@@ -792,6 +792,31 @@ def test_connected_components_vs_union_find(spark):
         assert got == union_find(pairs), pairs
 
 
+def test_connected_components_string_ids(spark):
+    """String doc ids work unchanged (min-label needs only an ordering):
+    components are labeled by their lexicographic-min member. Guards the
+    regression where a bigint cast nulled string ids out silently."""
+    from mdataframe_spark.operators.dedup import connected_components
+
+    pairs = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x",
+    }
+
+
+def test_connected_components_type_mismatch_raises(spark):
+    import pytest
+
+    from mdataframe_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(1, "a")], ["id_a", "id_b"])
+    with pytest.raises(TypeError, match="share one id type"):
+        connected_components(df)
+
+
 def test_connected_components_empty(spark):
     from pyspark.sql.types import LongType, StructField, StructType
 
