@@ -86,6 +86,7 @@ def main():
     # round's numbers — record its error type and keep timing the rest
     timings = {}
     errors = {}
+    pass_counts = {}
     for name in HEADLINE:
         best = None
         passes = 2
@@ -122,6 +123,7 @@ def main():
             pass
         if best is not None:
             timings[name] = best
+            pass_counts[name] = _attempt
             errors.pop(name, None)
     total = round(sum(timings.values()), 3)
     payload = {
@@ -130,6 +132,12 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # methodology, recorded so rounds stay comparable: per-query
+        # min over N passes (N below; queries slower than 2s get a 3rd
+        # pass), one warmup run per query at sf0.001 before timing, and
+        # a forced driver GC between query shapes
+        "passes": pass_counts,
+        "timing": "min_over_passes_after_warmup_gc_between_shapes",
     }
     if errors:
         payload["errors"] = errors

@@ -390,7 +390,11 @@ class MFrame:
         distinct-values job — with the list known the pivot compiles to
         conditional aggregation (one single-level partial-agged
         exchange; Spark's generic pivot plans two aggregate levels,
-        measured ~3x slower on the engine's count matrices)."""
+        measured ~3x slower on the engine's count matrices).
+
+        Cell semantics (identical on both paths): each (index, sample)
+        cell is the FIRST NON-NULL value among its long rows; a group
+        whose values are all null yields null."""
         gb = long_df.groupBy(index_column)
         if samples is not None:
             pivoted = gb.agg(
@@ -403,7 +407,7 @@ class MFrame:
                 ]
             )
         else:
-            pivoted = gb.pivot(var_name).agg(F.first(value_name))
+            pivoted = gb.pivot(var_name).agg(F.first(value_name, ignorenulls=True))
         return cls(pivoted, name=name, index_column=index_column)
 
     # -- sinks -------------------------------------------------------------

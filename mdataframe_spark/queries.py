@@ -2570,6 +2570,23 @@ def stat_vst(spark, sf_dir):
     from .functions.vst import VST
 
     li = _t(spark, sf_dir, "lineitem")
+    # frozen-oracle drift guard: the DuckDB oracle replays the transform
+    # with (a0, a1) frozen from the fit on THIS exact sf0.01 input. If
+    # the driver ever regenerates the parquet (different seed/rows), the
+    # live Spark fit would silently diverge from the stale constants and
+    # the hash mismatch would look like an engine bug — fail loudly and
+    # distinguishably instead. One tiny aggregate, sf0.01 only.
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        chk = li.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+        ).first()
+        if (chk["n"], float(chk["q"])) != _VST_FIT_INPUT:
+            raise RuntimeError(
+                "stat_vst: sf0.01 testdata drifted from the input the frozen "
+                f"oracle coefficients were fit on (got rows={chk['n']}, "
+                f"qty_sum={float(chk['q'])}, expected {_VST_FIT_INPUT}) — "
+                "refit _VST_A0/_VST_A1 and update _VST_FIT_INPUT"
+            )
     counts = _rf_matrix(li, F.col("l_partkey").cast("string").alias("__row_id"))
     out = VST()(counts)
     return out.select(
@@ -2585,6 +2602,9 @@ def stat_vst(spark, sf_dir):
 # — is recomputed from the parquet tables by DuckDB itself.
 _VST_A0 = 0.02188955916078782
 _VST_A1 = 28.918196876160597
+# (row count, l_quantity sum) of sf0.01 lineitem at fit time — the
+# drift guard in stat_vst() checks this before trusting the constants
+_VST_FIT_INPUT = (60000, 1524135.0)
 
 
 def _vst_expr(col: str, sf: str) -> str:

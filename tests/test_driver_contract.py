@@ -54,30 +54,35 @@ def test_query_runs_on_foreign_session(foreign_spark, oracle_columns, name):
 
 
 def test_coverage_doc_names_exist():
-    """Every query-key-shaped token cited in COVERAGE.md exists in the
-    registries — the guard against the round-3 doc-rot finding (stale
-    names in the audit trail)."""
+    """Every query-key-shaped token cited in COVERAGE.md and NOTES.md
+    exists in the registries — the guard against the round-3 doc-rot
+    finding (stale names in the audit trail), extended to NOTES.md per
+    the round-4 verdict."""
     import re
     from pathlib import Path
 
     from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
 
     known = set(QUERIES) | set(EXTRA_QUERIES)
-    text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    root = Path(__file__).resolve().parent.parent
     pat = re.compile(
         r"\b(?:q1|f[0-9]+|a2?|j1?|j|w[0-9]|o|u|g|c[0-9]+|e|st|sq|layout|"
         r"txt|dd|ds|sim|mm|n|stat|ml|sk)_[a-z0-9_]+\b"
     )
-    cited = set(pat.findall(text))
     # tokens that are legitimately not query keys (operator/function
     # names with a matching prefix)
     not_queries = {
         "n_chars", "n_chars_calc", "n_tokens", "n_docs", "n_keep",
         "n_fail", "n_hot", "n_members", "n_dups", "n_neardup_lower",
-        "o_sort", "st_events", "e_events",
+        "o_sort", "st_events", "e_events", "n_rank", "n_points",
+        "n_neigh", "n_blocks", "n_components",
     }
-    stale = {c for c in cited - known - not_queries if not c.startswith(("n_fail_",))}
-    assert not stale, f"COVERAGE.md cites unknown query names: {sorted(stale)}"
+    for doc in ("COVERAGE.md", "NOTES.md"):
+        cited = set(pat.findall(root.joinpath(doc).read_text()))
+        stale = {
+            c for c in cited - known - not_queries if not c.startswith(("n_fail_",))
+        }
+        assert not stale, f"{doc} cites unknown query names: {sorted(stale)}"
 
 
 def test_registry_size_invariants():

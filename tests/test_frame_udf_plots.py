@@ -115,3 +115,24 @@ def test_write_tsv_full_output(spark, tmp_path):
     # dicts' first-seen insertion order (group before batch — matching
     # the reference's meta_columns column order, not alphabetical)
     assert [l[0] for l in lines[1:]] == ["g1", "g2", "group", "batch"]
+
+
+def test_from_long_null_semantics_both_paths(spark):
+    """Both from_long paths (conditional agg with samples, generic pivot
+    without) agree cell-for-cell, including when a group's first long row
+    holds a null but a later one doesn't: the cell is the first NON-NULL
+    value on either path."""
+    long_df = spark.createDataFrame(
+        [
+            (1, "s1", None), (1, "s1", 7.0),   # null first, value later
+            (1, "s2", 3.0),
+            (2, "s1", None),                    # all-null group -> null
+            (2, "s2", None), (2, "s2", None),
+        ],
+        ["__row_id", "sample", "value"],
+    )
+    with_samples = MFrame.from_long(long_df, samples=["s1", "s2"]).df
+    generic = MFrame.from_long(long_df).df
+    a = {r["__row_id"]: (r["s1"], r["s2"]) for r in with_samples.collect()}
+    b = {r["__row_id"]: (r["s1"], r["s2"]) for r in generic.collect()}
+    assert a == b == {1: (7.0, 3.0), 2: (None, None)}

@@ -79,3 +79,19 @@ def test_vst_trend_partition_invariant(spark):
     t1 = fit(li)
     t2 = fit(li.repartition(13))
     assert t1 == t2, (t1, t2)
+
+
+def test_vst_frozen_oracle_drift_guard(spark, tmp_path):
+    """If the sf0.01 testdata ever drifts from the input the frozen
+    oracle coefficients were fit on, stat_vst must fail with a
+    DISTINGUISHABLE error (not a confusing driver hash mismatch)."""
+    import pytest
+
+    from mdataframe_spark.queries import stat_vst
+
+    drifted = tmp_path / "sf0.01"
+    drifted.mkdir()
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    li.limit(59999).write.parquet(str(drifted / "lineitem.parquet"))
+    with pytest.raises(RuntimeError, match="testdata drifted"):
+        stat_vst(spark, str(drifted))
