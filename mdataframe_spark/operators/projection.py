@@ -14,12 +14,14 @@ on the row id):
   perplexity-calibrated Gaussian affinities, early exaggeration,
   adaptive-gain gradient descent) with a deterministic PCA
   initialization, so results are reproducible with no RNG.
-- ``UMAP`` prefers umap-learn when installed; otherwise it falls back
-  to a Laplacian-eigenmap spectral embedding of the symmetrized kNN
-  graph — the standard UMAP initialization (Belkin & Niyogi 2003;
-  McInnes et al. 2018 §4 use exactly this as the starting layout).
-  The fallback is honestly reported via ``method_`` ("spectral
-  fallback", not the SGD cross-entropy optimization).
+- ``UMAP`` prefers umap-learn when installed; otherwise it runs the
+  built-in NATIVE UMAP (McInnes et al. 2018): fuzzy simplicial set
+  over the kNN graph (smooth-kNN-distance calibration, probabilistic
+  t-conorm symmetrization), Laplacian-eigenmap spectral initial
+  layout, and the cross-entropy optimization as negative-sampling SGD
+  with umap-learn's per-edge epoch schedule — fully deterministic
+  (seeded generator, fixed edge order, sequential scatter-adds).
+  ``method_`` reports which path ran.
 """
 
 from __future__ import annotations
@@ -191,6 +193,164 @@ def spectral_embed(
     return emb
 
 
+def _umap_fit_ab(min_dist: float = 0.1, spread: float = 1.0):
+    """Fit the UMAP low-dimensional similarity curve 1/(1 + a·d^{2b})
+    to the target offset-exponential psi(d) = 1 (d ≤ min_dist) else
+    exp(-(d - min_dist)/spread) — the same least-squares fit
+    umap-learn performs with scipy.curve_fit (McInnes et al. 2018,
+    §3.2), done here as a damped Gauss-Newton in numpy (deterministic,
+    no scipy dependency). Defaults converge to (a≈1.577, b≈0.895)."""
+    xv = np.linspace(1e-3, 3.0 * spread, 300)
+    yv = np.where(xv < min_dist, 1.0, np.exp(-(xv - min_dist) / spread))
+    a, b = 1.0, 1.0
+    lx = np.log(xv)
+    prev = np.inf
+    for _ in range(100):
+        da = xv ** (2.0 * b)
+        f = 1.0 / (1.0 + a * da)
+        r = yv - f
+        sse = float(r @ r)
+        if abs(prev - sse) < 1e-14:
+            break
+        prev = sse
+        j_a = -da * f * f
+        j_b = -2.0 * a * da * lx * f * f
+        jac = np.stack([j_a, j_b], axis=1)
+        step, *_ = np.linalg.lstsq(jac, r, rcond=None)
+        # damped update: halve until the residual does not increase
+        lam = 1.0
+        for _ in range(30):
+            na, nb = a + lam * step[0], b + lam * step[1]
+            if nb > 0:
+                nf = 1.0 / (1.0 + na * xv ** (2.0 * nb))
+                if float((yv - nf) @ (yv - nf)) <= sse:
+                    a, b = na, nb
+                    break
+            lam *= 0.5
+        else:
+            break
+    return float(a), float(b)
+
+
+def _umap_fuzzy_graph(x: np.ndarray, n_neighbors: int):
+    """UMAP's fuzzy simplicial set over the kNN graph (McInnes et al.
+    2018 §3.1): per-point connectivity offset rho_i = nearest-neighbor
+    distance, bandwidth sigma_i calibrated by binary search so the
+    smoothed neighborhood cardinality is log2(k), then the directed
+    memberships are symmetrized with the probabilistic t-conorm
+    W + Wᵀ - W∘Wᵀ. Returns the dense symmetric weight matrix (the
+    driver cap bounds n, so dense is fine and deterministic)."""
+    n = len(x)
+    k = min(n_neighbors, n - 1)
+    d = np.sqrt(np.maximum(np.square(x[:, None, :] - x[None, :, :]).sum(-1), 0.0))
+    np.fill_diagonal(d, np.inf)
+    knn_idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    knn_d = np.take_along_axis(d, knn_idx, axis=1)
+    rho = knn_d[:, 0]
+    target = np.log2(k) if k > 1 else 1.0
+    sigma = np.ones(n)
+    for i in range(n):
+        lo, hi, mid = 0.0, np.inf, 1.0
+        di = np.maximum(knn_d[i] - rho[i], 0.0)
+        for _ in range(64):
+            s = np.exp(-di / mid).sum()
+            if abs(s - target) < 1e-5:
+                break
+            if s > target:
+                hi = mid
+                mid = (lo + hi) / 2.0
+            else:
+                lo = mid
+                mid = mid * 2.0 if not np.isfinite(hi) else (lo + hi) / 2.0
+        sigma[i] = max(mid, 1e-10)
+    w = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), k)
+    cols = knn_idx.ravel()
+    vals = np.exp(
+        -np.maximum(knn_d - rho[:, None], 0.0) / sigma[:, None]
+    ).ravel()
+    w[rows, cols] = vals
+    return w + w.T - w * w.T
+
+
+def umap_native(
+    x: np.ndarray,
+    n_components: int = 2,
+    n_neighbors: int = 15,
+    min_dist: float = 0.1,
+    n_epochs: int = 300,
+    n_negative: int = 5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Native UMAP (McInnes, Healy & Melville 2018): fuzzy simplicial
+    set over the kNN graph, spectral (Laplacian-eigenmap) initial
+    layout, and the cross-entropy layout optimization as negative-
+    sampling SGD with umap-learn's edge schedule (an edge of weight w
+    is sampled every w_max/w epochs; learning rate anneals linearly).
+
+    Deterministic by construction: seeded numpy Generator for the
+    negative samples, fixed edge order, and scatter-adds via
+    np.add.at (sequential ufunc semantics) — two runs are bit-equal.
+    Batched-per-epoch updates replace umap-learn's asynchronous
+    Hogwild loop (a valid gradient scheme; Hogwild is itself an
+    approximation and non-deterministic, which the engine refuses)."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < 3:
+        return np.zeros((n, n_components))
+    a, b = _umap_fit_ab(min_dist)
+    w = _umap_fuzzy_graph(x, n_neighbors)
+
+    # directed edge list (i, j, weight); both directions present after
+    # symmetrization, so each update moves only the head (the tail's
+    # move comes from its own mirrored edge)
+    ei, ej = np.nonzero(w > 0.0)
+    ew = w[ei, ej]
+    w_max = ew.max()
+    epochs_per_sample = w_max / ew
+    next_sample = epochs_per_sample.copy()
+
+    y = spectral_embed(x, n_components, n_neighbors)
+    scale = np.abs(y).max()
+    y = y / (scale if scale > 0 else 1.0) * 10.0
+
+    rng = np.random.default_rng(seed)
+    for epoch in range(1, n_epochs + 1):
+        alpha = 1.0 * (1.0 - epoch / n_epochs) + 1e-4
+        active = next_sample <= epoch
+        if active.any():
+            ai, aj = ei[active], ej[active]
+            diff = y[ai] - y[aj]
+            d2 = np.maximum((diff * diff).sum(1), 0.0)
+            d2s = np.where(d2 > 0.0, d2, 1.0)  # avoid 0^(b-1) for b<1
+            att = np.where(
+                d2 > 0.0,
+                (-2.0 * a * b * d2s ** (b - 1.0)) / (1.0 + a * d2s ** b),
+                0.0,
+            )
+            g = np.clip(att[:, None] * diff, -4.0, 4.0)
+            np.add.at(y, ai, alpha * g)
+            np.add.at(y, aj, -alpha * g)
+            # negative sampling: repulse each active head from
+            # n_negative uniform points (self-collisions get the
+            # capped push, matching umap-learn's grad_coeff<=0 branch)
+            neg = rng.integers(0, n, size=(len(ai), n_negative))
+            hi = np.repeat(ai, n_negative)
+            nj = neg.ravel()
+            ndiff = y[hi] - y[nj]
+            nd2 = np.maximum((ndiff * ndiff).sum(1), 0.0)
+            rep = (2.0 * b) / ((0.001 + nd2) * (1.0 + a * nd2 ** b))
+            gn = np.where(
+                (nd2 > 0)[:, None],
+                np.clip(rep[:, None] * ndiff, -4.0, 4.0),
+                4.0,
+            )
+            gn[hi == nj] = 0.0
+            np.add.at(y, hi, alpha * gn)
+            next_sample[active] += epochs_per_sample[active]
+    return y - y.mean(axis=0, keepdims=True)
+
+
 class _DriverReducer(Transformer):
     """Shared shape for driver-side embeddings: collect under a cap
     (these algorithms are O(n²) — the reference runs them in-memory
@@ -269,15 +429,19 @@ class TSNE(_DriverReducer):
 
 
 class UMAP(_DriverReducer):
-    """UMAP (M14): umap-learn when available; otherwise the spectral
-    (Laplacian eigenmap) embedding UMAP itself initializes from — the
-    fallback is reported in ``method_`` and does NOT claim to be the
-    full SGD optimization."""
+    """UMAP (M14): umap-learn when available; otherwise the built-in
+    native implementation (fuzzy simplicial set + spectral init +
+    deterministic negative-sampling SGD — the full McInnes et al. 2018
+    optimization, see :func:`umap_native`), reported via ``method_``.
+    Reference surface: projection.py:91-99 (umap-learn wrapper)."""
 
     def __init__(self, name: str = "UMAP", n_components: int = 2,
-                 n_neighbors: int = 15, **kwargs):
+                 n_neighbors: int = 15, min_dist: float = 0.1,
+                 n_epochs: int = 300, **kwargs):
         super().__init__(name, n_components=n_components, **kwargs)
         self.n_neighbors = n_neighbors
+        self.min_dist = min_dist
+        self.n_epochs = n_epochs
 
     def _fit_embed(self, x: np.ndarray) -> np.ndarray:
         try:
@@ -290,5 +454,11 @@ class UMAP(_DriverReducer):
                 random_state=0,
             ).fit_transform(x)
         except ImportError:
-            self.method_ = "spectral fallback (Laplacian eigenmap)"
-            return spectral_embed(x, self.n_components, self.n_neighbors)
+            self.method_ = "native umap (fuzzy simplicial SGD)"
+            return umap_native(
+                x,
+                self.n_components,
+                self.n_neighbors,
+                self.min_dist,
+                self.n_epochs,
+            )

@@ -180,6 +180,105 @@ def test_umap_spectral_fallback(spark):
     assert u.method_ is not None
 
 
+def test_umap_native_ab_fit_matches_published_defaults():
+    """The numpy Gauss-Newton curve fit reproduces umap-learn's
+    documented (a, b) for min_dist=0.1, spread=1.0 (1.577, 0.895)."""
+    from mdataframe_spark.operators.projection import _umap_fit_ab
+
+    a, b = _umap_fit_ab(0.1, 1.0)
+    assert abs(a - 1.577) < 0.01, a
+    assert abs(b - 0.8951) < 0.005, b
+
+
+def test_umap_native_deterministic_and_trustworthy():
+    """Native UMAP SGD (M14 closure): bit-deterministic across runs,
+    and at least as trustworthy as the bare spectral initialization it
+    starts from on a clustered fixture — i.e. the optimization earns
+    its keep rather than degrading the layout."""
+    import numpy as np
+
+    from mdataframe_spark.operators.projection import spectral_embed, umap_native
+
+    # three deterministic 10-D blobs (hash-derived offsets, no RNG)
+    pts = []
+    for i in range(90):
+        c = i // 30
+        base = [0.0] * 10
+        base[c] = 12.0
+        pts.append(
+            [base[d] + ((i * 7 + d * 13) % 11) / 11.0 for d in range(10)]
+        )
+    x = np.array(pts)
+    lab = np.repeat([0, 1, 2], 30)
+
+    y1 = umap_native(x, 2, n_neighbors=10)
+    y2 = umap_native(x, 2, n_neighbors=10)
+    np.testing.assert_array_equal(y1, y2)
+
+    def trustworthiness(hx, hy, k=10):
+        n = len(hx)
+        dx = np.square(hx[:, None, :] - hx[None, :, :]).sum(-1)
+        np.fill_diagonal(dx, np.inf)
+        dy = np.square(hy[:, None, :] - hy[None, :, :]).sum(-1)
+        np.fill_diagonal(dy, np.inf)
+        rank_x = np.argsort(np.argsort(dx, axis=1), axis=1)
+        nn_y = np.argsort(dy, axis=1)[:, :k]
+        t = sum(
+            max(rank_x[i, j] - k + 1, 0) for i in range(n) for j in nn_y[i]
+        )
+        return 1.0 - 2.0 / (n * k * (2 * n - 3 * k - 1)) * t
+
+    ys = spectral_embed(x, 2, 10)
+    tu, tsp = trustworthiness(x, y1), trustworthiness(x, ys)
+    assert tu >= tsp - 1e-9, (tu, tsp)
+    # clusters stay pure in the embedding
+    d = np.square(y1[:, None] - y1[None, :]).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :5]
+    assert (lab[nn] == lab[:, None]).mean() >= 0.95
+
+
+def test_umap_transformer_reports_native_method(spark):
+    """Without umap-learn in the container, the transformer runs the
+    native SGD and says so via method_ (no silent fallback claims)."""
+    import numpy as np
+
+    from mdataframe_spark.operators.projection import UMAP
+
+    try:
+        import umap  # noqa: F401
+
+        import pytest
+
+        pytest.skip("umap-learn installed; native path not exercised")
+    except ImportError:
+        pass
+    pts = [
+        [(0.0 if i < 12 else 15.0) + ((i * 5 + d * 11) % 8) / 8.0 for d in range(4)]
+        for i in range(24)
+    ]
+    rows = [(f"r{i}", *map(float, p)) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["__row_id", "a", "b", "c", "d"])
+    u = UMAP(n_neighbors=6, n_epochs=100)
+    out = u(df)
+    assert out.count() == 24
+    assert u.method_ == "native umap (fuzzy simplicial SGD)"
+    # purity survives the optimization
+    lab = np.array([0] * 12 + [1] * 12)
+    emb = np.array(
+        [
+            [r["UMAP dim 1"], r["UMAP dim 2"]]
+            for r in out.orderBy("__row_id").collect()
+        ]
+    )
+    ids = sorted(range(24), key=lambda i: f"r{i}")
+    lab = lab[ids]
+    d = np.square(emb[:, None] - emb[None, :]).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :3]
+    assert (lab[nn] == lab[:, None]).mean() >= 0.95
+
+
 def test_driver_reducer_cap(spark):
     df = spark.range(30).selectExpr(
         "cast(id as string) as __row_id", "cast(id as double) as v",
