@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text
@@ -1096,3 +1096,132 @@ def choose_lsh_bands(num_hashes: int, target_jaccard: float):
         if best is None or d < best[0]:
             best = (d, b, r, thr)
     return {"bands": best[1], "rows_per_band": best[2], "threshold": best[3]}
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr: substring-level (span) deduplication, Lee et al. 2022
+# ---------------------------------------------------------------------------
+def duplicate_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the substring-level
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed for Spark.
+
+    Lee et al. build one suffix array over the whole corpus (single
+    machine, O(corpus) RAM). The distributed shape here reaches the
+    same marked spans without any all-pairs or per-pair work:
+
+    1. every k-token window becomes an (md5(k-gram), doc, pos) row —
+       a pure map-side explode;
+    2. a k-gram occurring >= 2 times in the corpus (across docs or
+       repeated within one) is a duplicate seed: ONE partial-agged
+       groupBy on the hash, no join of document pairs, so a
+       boilerplate k-gram shared by millions of docs costs exactly one
+       count row (no df-cap needed — there is no pair explosion to
+       cap);
+    3. seed positions join back per-doc (left-semi on the hash) and
+       their [pos, pos+k-1] cover intervals merge into maximal spans
+       with a gaps-and-islands window PARTITIONED BY DOC (never a
+       global window) — overlapping or token-adjacent intervals fuse,
+       and only spans of >= min_tokens survive.
+
+    Returns (id, span_start, span_end, span_tokens): 0-based inclusive
+    token positions. Tokenization is whitespace splitting; matching is
+    exact on the reconstructed k-gram string (single-space joined), so
+    runs of whitespace normalize away. A doc shorter than k tokens
+    yields no rows. min_tokens >= k is required (a shorter span cannot
+    contain a duplicated k-gram).
+    """
+    if min_tokens < k:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= k ({k}): a span shorter "
+            "than one k-gram window cannot be detected"
+        )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    # one row per k-token window; docs shorter than k contribute none
+    kg = toks.filter(F.size("t") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, k))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    seeds = kg.join(dup.select("h"), "h", "left_semi").select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e")
+    )
+    w = Window.partitionBy("id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = seeds.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("id", "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "span_tokens"
+        )
+    )
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    k: int = 8,
+) -> DataFrame:
+    """Rebuild each document's text with its duplicated spans (from
+    :func:`duplicate_substring_spans`) cut out — Lee et al. 2022's
+    training-data treatment. Every occurrence of a marked span is
+    removed (the practical convention for boilerplate; keeping one
+    canonical copy would need a cross-doc election for no training
+    benefit). Docs with nothing marked pass through with normalized
+    whitespace. Per-doc work only: the covered positions explode from
+    the span frame (bounded by doc length) and the surviving tokens
+    reassemble with one window sort per doc."""
+    spans = duplicate_substring_spans(docs, id_col, text_col, min_tokens, k)
+    covered = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = (
+        kept.withColumn(
+            "toks",
+            F.collect_list("tok").over(
+                Window.partitionBy("id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .groupBy("id")
+        .agg(F.concat_ws(" ", F.first("toks")).alias("__clean"))
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left")
+        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .drop("id", "__clean")
+    )

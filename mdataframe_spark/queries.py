@@ -3256,6 +3256,90 @@ GROUP BY lbl
 """
 
 
+# Fixed boilerplate sentences (12 whitespace tokens each) injected
+# deterministically into the word-soup documents table so substring-
+# level dedup has genuine duplicated spans to find — the structured
+# fixture the r4 round recorded as the blocker (NOTES.md item 5).
+_SUBSTR_BOILER_A = "the quick brown fox jumps over the lazy dog again and again"
+_SUBSTR_BOILER_B = "pack my box with five dozen liquor jugs every single day now"
+
+
+def dd_substring_spans(spark, sf_dir):
+    """Substring-level (span) dedup, Lee et al. 2022 ExactSubstr
+    (operators/dedup.py duplicate_substring_spans): every 8-gram
+    occurring >= 2x in the corpus seeds a duplicated region; seed
+    cover intervals merge per-doc into maximal spans >= 10 tokens.
+    The corpus injects two fixed boilerplate sentences into 1-in-5 /
+    1-in-7 documents (word soup has no natural shared substrings), so
+    the operator must recover exactly those spans — positions and all.
+    Scale shape: one k-gram explode + ONE hash groupBy (no doc-pair
+    join anywhere: a boilerplate 8-gram shared by 10^6 docs costs one
+    count row), islands windowed per doc. The oracle replays the whole
+    construction."""
+    from .operators.dedup import duplicate_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, _SUBSTR_BOILER_A),
+            F.when(F.col("doc_id") % 7 == 0, _SUBSTR_BOILER_B),
+        ).alias("text"),
+    )
+    spans = duplicate_substring_spans(docs, min_tokens=10, k=8)
+    return spans.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )
+
+
+DD_SUBSTR_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id % 5 = 0 THEN '{_SUBSTR_BOILER_A}' END,
+           CASE WHEN doc_id % 7 = 0 THEN '{_SUBSTR_BOILER_B}' END) AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM corpus
+), kg AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 6),
+             i -> {{'pos': i - 1, 'h': md5(array_to_string(ws[i:i+7], ' '))}})) AS u
+    FROM toks WHERE len(ws) >= 8
+  )
+), dup AS (
+  SELECT h FROM (SELECT h, count(*) AS c FROM kg GROUP BY h) WHERE c >= 2
+), seeds AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e FROM kg WHERE h IN (SELECT h FROM dup)
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM seeds
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), islands AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id::BIGINT AS doc_id,
+       min(s)::BIGINT AS span_start,
+       max(e)::BIGINT AS span_end,
+       (max(e) - min(s) + 1)::BIGINT AS span_tokens
+FROM islands GROUP BY doc_id, island
+HAVING span_tokens >= 10
+"""
+
+
 def ds_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split (operators/datasets.py
     leakage_safe_split): near-dup groups (MinHash-LSH pairs closed into
@@ -3480,6 +3564,7 @@ EXTRA_QUERIES = {
     "ds_leakage_safe_split": ds_leakage_safe_split,
     "dd_dedup_groups": dd_dedup_groups,
     "dd_semantic_dedup": dd_semantic_dedup,
+    "dd_substring_spans": dd_substring_spans,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3589,6 +3674,7 @@ EXTRA_ORACLES = {
     "ds_leakage_safe_split": DS_LEAKAGE_SQL,
     "dd_dedup_groups": DD_CC_SQL,
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
+    "dd_substring_spans": DD_SUBSTR_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,

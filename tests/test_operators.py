@@ -1170,3 +1170,71 @@ def test_pq_encode_shapes_and_recall(spark):
     pq_set = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
     ex_set = {(r["query_id"], r["neighbor_id"]) for r in ex.collect()}
     assert len(pq_set & ex_set) / len(ex_set) == 1.0
+
+
+def test_duplicate_substring_spans(spark):
+    """ExactSubstr (Lee et al. 2022): the shared 12-token sentence is
+    recovered at its exact positions in both docs, a within-doc
+    repetition is caught, unique/short docs yield nothing."""
+    from mdataframe_spark.operators.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " + boiler + " tail one"),
+            (2, "x y z " + boiler + " other stuff here"),
+            (3, "unique words only nothing shared with anyone else at all"),
+            (4, "repeat me repeat me repeat me repeat me repeat me repeat me"),
+            (5, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_substring_spans(docs, min_tokens=10, k=8).collect()
+    }
+    assert spans == {(1, 4, 15, 12), (2, 3, 14, 12), (4, 0, 11, 12)}
+
+    clean = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_substrings(docs, min_tokens=10, k=8).collect()
+    }
+    assert clean[1] == "alpha beta gamma delta tail one"
+    assert clean[2] == "x y z other stuff here"
+    assert clean[3].startswith("unique words")
+    assert clean[4] == ""  # the whole doc was one duplicated run
+    assert clean[5] == "short doc"
+
+
+def test_duplicate_substring_spans_min_tokens_guard(spark):
+    from mdataframe_spark.operators.dedup import duplicate_substring_spans
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_tokens"):
+        duplicate_substring_spans(docs, min_tokens=4, k=8)
+
+
+def test_duplicate_substring_spans_hot_boilerplate(spark):
+    """Pathological corpus: ONE boilerplate sentence shared by every
+    doc. The plan has no doc-pair join, so the hot 8-grams cost one
+    count row each (not n^2 pairs) and every doc still gets its exact
+    span — no cap, no recall loss, bounded state."""
+    from mdataframe_spark.operators.dedup import duplicate_substring_spans
+
+    boiler = "one two three four five six seven eight nine ten eleven twelve"
+    n = 500
+    docs = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"concat('prefix', id, ' filler', id, ' ', '{boiler}') as text",
+    )
+    spans = duplicate_substring_spans(docs, min_tokens=10, k=8)
+    rows = spans.collect()
+    assert len(rows) == n
+    # every span is the injected sentence: tokens 2..13 (after the two
+    # unique prefix tokens), 12 tokens long
+    assert {(r["span_start"], r["span_end"], r["span_tokens"]) for r in rows} == {
+        (2, 13, 12)
+    }
