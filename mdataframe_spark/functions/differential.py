@@ -44,6 +44,10 @@ from . import edger
 from .norm import tmm_norm_factors
 from .stats import bh_adjust
 
+import logging
+
+_log = logging.getLogger(__name__)
+
 GRID_LENGTH = 21
 GRID_RANGE = (-10.0, 10.0)
 # Arrow-collect bound for the prior-df regression inputs: 3 float64
@@ -56,6 +60,12 @@ PRIOR_COLLECT_CAP = 500_000
 # bins, prior df) run as one collect + vectorized numpy instead of four
 # sequential Spark jobs; phases A and B stay distributed either way.
 EB_COLLECT_CAP = 200_000
+# Above EB_COLLECT_CAP genes, trend-bin cuts are still computed with the
+# exact numpy quantile convention from ONE collected double column up to
+# this bound (80 MB at 10^7); only beyond it does the approx sketch take
+# over (logged) — so the fused and distributed EB branches use identical
+# bin boundaries everywhere a real genome could reach.
+ALC_EXACT_QUANTILE_CAP = 10_000_000
 
 
 class EdgeR_Unpaired(Transformer):
@@ -279,11 +289,31 @@ class EdgeR_Unpaired(Transformer):
                 # tricube smoother.
                 n_bins = int(min(max(n_genes, 1), 64))
                 probs = [i / n_bins for i in range(1, n_bins)]
-                cuts = (
-                    sel_curves.approxQuantile("alc05", probs, 0.001)
-                    if n_bins > 1
-                    else []
-                )
+                # exact rank-based cuts with the SAME numpy convention as
+                # the fused driver branch (np.quantile method='lower'), so
+                # crossing EB_COLLECT_CAP never changes the bin boundaries:
+                # only the single covariate column is collected (8 bytes/
+                # gene — 80 MB even at 10^7 genes, vs the ~30-column frame
+                # the fused branch collects). Beyond ALC_EXACT_QUANTILE_CAP
+                # the approx sketch takes over; that switch is logged and
+                # only moves a ~0.1% sliver of genes between 64 smoothed
+                # trend bins.
+                if n_bins <= 1:
+                    cuts = []
+                elif n_genes <= ALC_EXACT_QUANTILE_CAP:
+                    alc_vals = (
+                        sel_curves.select("alc05").toPandas()["alc05"]
+                        .to_numpy(dtype=float)
+                    )
+                    cuts = list(np.quantile(alc_vals, probs, method="lower"))
+                else:
+                    _log.warning(
+                        "EB trend bins: %d genes exceeds the exact-quantile "
+                        "cap (%d); using approxQuantile(0.001) cuts — bin "
+                        "boundaries may differ from the exact convention",
+                        n_genes, ALC_EXACT_QUANTILE_CAP,
+                    )
+                    cuts = sel_curves.approxQuantile("alc05", probs, 0.001)
                 bin_expr = F.lit(0)
                 for ci, cut in enumerate(cuts):
                     bin_expr = F.when(F.col("alc05") > cut, ci + 1).otherwise(bin_expr)
