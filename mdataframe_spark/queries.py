@@ -177,6 +177,77 @@ FROM lineitem
 """
 
 
+def f13_impute_median(spark, sf_dir):
+    """Statistic imputation (F13, operators/impute.py ImputeMeanMedian)
+    driven through the real operator: quantity values of 1 become NULL
+    (deterministic missingness), then the operator fills them with the
+    exact distributed median of the remaining values. Median (not mean)
+    keeps the imputed constant a data value / midpoint — bit-identical
+    on both engines with no FP-accumulation rounding games."""
+    from .operators.impute import ImputeMeanMedian
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_quantity").cast("double"), F.lit(1.0)).alias("qty"),
+    )
+    out = ImputeMeanMedian("median", columns=["qty"])(base)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("qty", 6).alias("qty_imputed")
+    )
+
+
+F13_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         nullif(l_quantity::DOUBLE, 1.0) AS qty
+  FROM lineitem
+), med AS (
+  SELECT quantile_cont(qty, 0.5) AS m FROM base
+)
+SELECT l_orderkey, l_linenumber,
+       round(coalesce(qty, m), 6) AS qty_imputed
+FROM base CROSS JOIN med
+"""
+
+
+def c2_column_scale(spark, sf_dir):
+    """Column standardization (C2, operators/scale.py ColumnScaler,
+    sklearn StandardScaler semantics: ddof=0) on the part-count
+    matrix, driven through the real operator; 6-dp rounding absorbs
+    partial-aggregation ulp noise (same convention as a2)."""
+    from .operators.scale import ColumnScaler
+
+    counts = _part_counts(spark, sf_dir).withColumnRenamed("partkey", "__row_id")
+    out = ColumnScaler(ddof=0)(counts)
+    return out.select(
+        F.col("__row_id").cast("bigint").alias("partkey"),
+        *[F.round(c, 6).alias(f"z_{c.lower()}") for c in ["A", "N", "R"]],
+    )
+
+
+C2_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0)::DOUBLE AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0)::DOUBLE AS n,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0)::DOUBLE AS r
+  FROM lineitem GROUP BY l_partkey
+), stats AS (
+  SELECT avg(a) AS ma, stddev_pop(a) AS sa,
+         avg(n) AS mn, stddev_pop(n) AS sn,
+         avg(r) AS mr, stddev_pop(r) AS sr
+  FROM counts
+)
+SELECT partkey::BIGINT AS partkey,
+       round((a - ma) / sa, 6) AS z_a,
+       round((n - mn) / sn, 6) AS z_n,
+       round((r - mr) / sr, 6) AS z_r
+FROM counts CROSS JOIN stats
+"""
+
+
 def a_column_stats(spark, sf_dir):
     """Column sums (A1) and Pearson correlation (A8) per group as one
     tagged union — one scan each, partial aggregation map-side."""
@@ -3565,6 +3636,8 @@ EXTRA_QUERIES = {
     "dd_dedup_groups": dd_dedup_groups,
     "dd_semantic_dedup": dd_semantic_dedup,
     "dd_substring_spans": dd_substring_spans,
+    "f13_impute_median": f13_impute_median,
+    "c2_column_scale": c2_column_scale,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3675,6 +3748,8 @@ EXTRA_ORACLES = {
     "dd_dedup_groups": DD_CC_SQL,
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
     "dd_substring_spans": DD_SUBSTR_SQL,
+    "f13_impute_median": F13_SQL,
+    "c2_column_scale": C2_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,

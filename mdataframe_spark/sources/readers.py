@@ -98,3 +98,11 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.option("multiLine", multiline).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """ORC ingest. Column pruning and predicate pushdown reach the ORC
+    stripe/row-group level exactly as with parquet (asserted by
+    tests/test_operators.py::test_orc_roundtrip_pushdown), so filters
+    compiled from the DSL skip non-matching stripes at any scale."""
+    return spark.read.option("mergeSchema", merge_schema).orc(path)

@@ -205,3 +205,22 @@ def write_bucketed_table(
         sort_cols = list(sort_cols) if isinstance(sort_cols, (list, tuple)) else [sort_cols]
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    partition_by=None,
+):
+    """ORC sink (columnar, predicate-pushdown-capable like parquet —
+    the interchange format for Hive/Trino-centric lakes). zstd default;
+    ``partition_by`` lays out hive-style dirs for partition pruning.
+    ORC is built into Spark, so this sink has no extra dependency."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(
+            *(partition_by if isinstance(partition_by, (list, tuple)) else [partition_by])
+        )
+    w.orc(path)

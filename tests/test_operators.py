@@ -1238,3 +1238,33 @@ def test_duplicate_substring_spans_hot_boilerplate(spark):
     assert {(r["span_start"], r["span_end"], r["span_tokens"]) for r in rows} == {
         (2, 13, 12)
     }
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC source/sink: value-exact roundtrip, partition pruning, and
+    filter pushdown into the ORC scan (PushedFilters in the plan)."""
+    from mdataframe_spark.sources import read_orc, write_orc
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path, partition_by="l_returnflag")
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(
+        map(tuple, back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").collect())
+    )
+    assert a == b
+    # partition pruning: only the matching hive dir is read
+    plan = back.filter(F.col("l_returnflag") == "A")._jdf.queryExecution().executedPlan().toString()
+    assert "l_returnflag" in plan
+    # predicate pushdown on a data column reaches the ORC scan
+    plan2 = (
+        back.filter(F.col("l_quantity") > 40.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan2 and "l_quantity" in plan2.split("PushedFilters")[1][:120]
