@@ -204,6 +204,12 @@ def salted_join(
             "unmatched rows"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    # F.rand(seed) is plan-stable but PARTITION-order-dependent: which
+    # salt a given row draws varies with the input partitioning. That
+    # is irrelevant to join RESULTS (every salt matches the same
+    # replicated right rows) — the salt only spreads reducer load — so
+    # determinism of the output is unaffected; do not rely on specific
+    # row-to-salt assignments.
     lf = left.withColumn(
         "__salt", (F.rand(seed=42) * n_salts).cast("int")
     )
