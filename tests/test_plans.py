@@ -95,3 +95,35 @@ def test_unigram_vocab_topk_no_global_sort(spark):
         assert "TakeOrderedAndProject" in plan, plan
     finally:
         release_caches()
+
+
+def test_substring_spans_no_pair_join(spark):
+    """dd_substring_spans (ExactSubstr): the plan must contain NO
+    cross/nested-loop join and NO doc-pair equi-join — duplicate
+    detection is ONE hash-count groupBy + a left-semi seed join, and
+    the island windows are partitioned by doc (no global window)."""
+    from mdataframe_spark.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["dd_substring_spans"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    # every Window node is partitioned (no move-all-to-one-partition)
+    for ln in plan.splitlines():
+        if "Window " in ln or ln.strip().startswith("Window"):
+            assert "windowspecdefinition" not in ln or "id" in ln, ln
+
+
+def test_dbscan_single_candidate_generation(spark):
+    """ml_dbscan_classes: exactly ONE broadcast-joined candidate
+    generation (the r4 regression was a second shifted explode for the
+    border check) — the pair frame is persisted and reused."""
+    from mdataframe_spark.queries import QUERIES
+
+    df = QUERIES["ml_dbscan_classes"](spark, SF)
+    plan = _plan(df)
+    # after InMemoryRelation caching, the visible plan re-reads the
+    # cached pair frame for BOTH consumers instead of regenerating the
+    # 3x3-shifted candidates a second time
+    assert plan.count("InMemoryTableScan") >= 2  # pairs read twice
