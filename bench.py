@@ -65,6 +65,7 @@ HEADLINE = [
     "ds_pack_sequences",
     "j_asof_attribution",
     "j_range_session_errors",
+    "dd_substring_spans",
 ]
 
 

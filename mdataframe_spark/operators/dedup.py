@@ -1142,7 +1142,7 @@ def duplicate_substring_spans(
             f"min_tokens ({min_tokens}) must be >= k ({k}): a span shorter "
             "than one k-gram window cannot be detected"
         )
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
     )
