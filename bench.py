@@ -92,6 +92,7 @@ def main():
         best = None
         passes = 2
         _attempt = 0
+        _ok = 0
         while _attempt < passes:
             _attempt += 1
             t0 = time.time()
@@ -99,6 +100,7 @@ def main():
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.time() - t0, 3)
+                _ok += 1
                 best = dt if best is None else min(best, dt)
                 # slow query shapes get a third pass: their min is the
                 # noisiest (GC pauses, JIT recompilation) and they
@@ -124,7 +126,9 @@ def main():
             pass
         if best is not None:
             timings[name] = best
-            pass_counts[name] = _attempt
+            # SUCCESSFUL passes only — a later failed pass must not
+            # inflate the recorded noise floor for flaky queries
+            pass_counts[name] = _ok
             errors.pop(name, None)
     total = round(sum(timings.values()), 3)
     payload = {

@@ -209,14 +209,18 @@ def leakage_safe_split(
     """
     from .dedup import connected_components
 
-    # the no-leakage guarantee rests on the rep join matching: a type
-    # mismatch between the pair ids and df's key would let every doc
-    # silently fall back to its own id (null-matched join) and put
-    # near-dup pairs on both sides — the exact failure this function
-    # exists to prevent. Fail loudly instead.
+    # the no-leakage guarantee rests on the rep join matching: a non-
+    # castable type mismatch between the pair ids and df's key (e.g.
+    # string vs bigint) would let every doc silently fall back to its
+    # own id (null-matched join) and put near-dup pairs on both sides —
+    # the exact failure this function exists to prevent. Fail loudly
+    # instead. Integral-width differences (int vs bigint) are fine:
+    # Spark's equi-join widens them losslessly with no null-miss.
+    from .dedup import _is_integral
+
     kt = df.schema[key].dataType
     pt = pairs.schema["id_a"].dataType
-    if kt != pt:
+    if kt != pt and not (_is_integral(kt) and _is_integral(pt)):
         raise TypeError(
             f"leakage_safe_split: pairs id type {pt.simpleString()} does not "
             f"match df[{key!r}] type {kt.simpleString()} — the group-"

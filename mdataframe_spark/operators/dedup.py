@@ -223,7 +223,10 @@ def lsh_candidate_pairs(
     # Trade-off vs the self-join: a bucket at the cap explodes its
     # ~cap²/2 pairs inside one task (the self-join + AQE skew-split
     # spreads them), bounded by df_cap² — with the pre-cap this shape
-    # is safe at corpus scale.
+    # is safe at corpus scale. Pin the banded table first: cap_hot_keys
+    # runs a count job AND feeds the keep-join, and without the persist
+    # both consumers would re-execute the whole signature pipeline.
+    banded = _persist_tracked(banded)
     capped = cap_hot_keys(banded, ["band", "key"], df_cap, "LSH band bucket")
     buckets = capped.groupBy("band", "key").agg(
         F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
@@ -504,7 +507,10 @@ def simhash_candidate_pairs(
     # leading id field, so `x.id > a.id` pairs each bucket once.
     # Hot chunk buckets are dropped BEFORE the collect_set so a
     # degenerate bucket never builds an unbounded struct array in one
-    # aggregation buffer — the cap bounds the agg state itself.
+    # aggregation buffer — the cap bounds the agg state itself. Pinned
+    # first: cap_hot_keys' count job and the keep-join would otherwise
+    # both re-execute the signature pipeline.
+    banded = _persist_tracked(banded)
     capped = cap_hot_keys(banded, ["band", "key"], df_cap, "SimHash chunk bucket")
     buckets = capped.groupBy("band", "key").agg(
         F.array_sort(F.collect_set("m")).alias("ms")
@@ -782,6 +788,14 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 # connected components (pair graph -> dedup groups)
 # ---------------------------------------------------------------------------
+def _is_integral(dt) -> bool:
+    """True for the integral Spark types that widen losslessly to
+    bigint (byte/short/int/long)."""
+    from pyspark.sql import types as T
+
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -812,16 +826,22 @@ def connected_components(
     Id-type-generic: vertex ids may be any orderable atomic type —
     min-label propagation needs only an ordering, so string doc ids
     work unchanged (components are labeled by their lexicographic-min
-    member). The two pair columns must share one type; a mismatch
-    raises rather than letting an implicit cast null ids out silently.
+    member). Mixed integral widths (int vs bigint) widen safely to
+    bigint; any other type mismatch raises rather than letting an
+    implicit cast null ids out silently.
     """
     ta = pairs.schema[id_a].dataType
     tb = pairs.schema[id_b].dataType
     if ta != tb:
-        raise TypeError(
-            f"connected_components: pair columns must share one id type, "
-            f"got {id_a}:{ta.simpleString()} vs {id_b}:{tb.simpleString()}"
-        )
+        if _is_integral(ta) and _is_integral(tb):
+            pairs = pairs.withColumn(id_a, F.col(id_a).cast("bigint")).withColumn(
+                id_b, F.col(id_b).cast("bigint")
+            )
+        else:
+            raise TypeError(
+                f"connected_components: pair columns must share one id type, "
+                f"got {id_a}:{ta.simpleString()} vs {id_b}:{tb.simpleString()}"
+            )
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = _persist_tracked(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -1208,17 +1228,18 @@ def remove_duplicate_substrings(
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
     )
     kept = toks.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = (
-        kept.withColumn(
-            "toks",
-            F.collect_list("tok").over(
-                Window.partitionBy("id")
-                .orderBy("pos")
-                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # reassembly is one partial-agged groupBy + an in-array sort —
+    # O(L log L) per doc. (A collect_list window over the full frame
+    # would materialize the whole token array on EVERY row first:
+    # O(L²) buffer per doc, an OOM for book-length documents.)
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
             ),
-        )
-        .groupBy("id")
-        .agg(F.concat_ws(" ", F.first("toks")).alias("__clean"))
+        ).alias("__clean")
     )
     return (
         docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left")

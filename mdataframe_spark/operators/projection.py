@@ -156,21 +156,34 @@ def tsne_exact(
     return y
 
 
+def _pairwise_d2(x: np.ndarray) -> np.ndarray:
+    """Dense squared-distance matrix with +inf diagonal (the shared
+    O(n²) input of the driver-capped embedding algorithms — computed
+    once per fit, not once per consumer)."""
+    d2 = np.square(x[:, None, :] - x[None, :, :]).sum(axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    return d2
+
+
 def spectral_embed(
-    x: np.ndarray, n_components: int = 2, n_neighbors: int = 15
+    x: np.ndarray,
+    n_components: int = 2,
+    n_neighbors: int = 15,
+    d2: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Laplacian-eigenmap embedding of the symmetrized kNN graph
     (Belkin & Niyogi 2003): heat-kernel weights with per-point
     bandwidth = the kth-NN distance, normalized Laplacian, bottom
     non-trivial eigenvectors. Deterministic (dense eigh,
-    sign-canonicalized)."""
+    sign-canonicalized). Pass a precomputed ``d2`` (inf diagonal) to
+    share the O(n²) distance matrix with other consumers."""
     x = np.asarray(x, dtype=float)
     n = len(x)
     if n < 3:
         return np.zeros((n, n_components))
     k = min(n_neighbors, n - 1)
-    d2 = np.square(x[:, None, :] - x[None, :, :]).sum(axis=-1)
-    np.fill_diagonal(d2, np.inf)
+    if d2 is None:
+        d2 = _pairwise_d2(x)
     knn_idx = np.argsort(d2, axis=1)[:, :k]
     sigma2 = np.maximum(
         d2[np.arange(n), knn_idx[:, -1]], 1e-12
@@ -232,7 +245,9 @@ def _umap_fit_ab(min_dist: float = 0.1, spread: float = 1.0):
     return float(a), float(b)
 
 
-def _umap_fuzzy_graph(x: np.ndarray, n_neighbors: int):
+def _umap_fuzzy_graph(
+    x: np.ndarray, n_neighbors: int, d2: Optional[np.ndarray] = None
+):
     """UMAP's fuzzy simplicial set over the kNN graph (McInnes et al.
     2018 §3.1): per-point connectivity offset rho_i = nearest-neighbor
     distance, bandwidth sigma_i calibrated by binary search so the
@@ -242,8 +257,9 @@ def _umap_fuzzy_graph(x: np.ndarray, n_neighbors: int):
     driver cap bounds n, so dense is fine and deterministic)."""
     n = len(x)
     k = min(n_neighbors, n - 1)
-    d = np.sqrt(np.maximum(np.square(x[:, None, :] - x[None, :, :]).sum(-1), 0.0))
-    np.fill_diagonal(d, np.inf)
+    if d2 is None:
+        d2 = _pairwise_d2(x)
+    d = np.sqrt(np.maximum(d2, 0.0))  # inf diagonal survives the sqrt
     knn_idx = np.argsort(d, axis=1, kind="stable")[:, :k]
     knn_d = np.take_along_axis(d, knn_idx, axis=1)
     rho = knn_d[:, 0]
@@ -299,18 +315,21 @@ def umap_native(
     if n < 3:
         return np.zeros((n, n_components))
     a, b = _umap_fit_ab(min_dist)
-    w = _umap_fuzzy_graph(x, n_neighbors)
+    d2_shared = _pairwise_d2(x)  # one O(n²) matrix for graph AND init
+    w = _umap_fuzzy_graph(x, n_neighbors, d2=d2_shared)
 
-    # directed edge list (i, j, weight); both directions present after
-    # symmetrization, so each update moves only the head (the tail's
-    # move comes from its own mirrored edge)
+    # directed edge list (i, j, weight); both directions are present
+    # after symmetrization. The attractive update moves BOTH endpoints
+    # (umap-learn's move_other=True) — with the mirrored edge also
+    # firing, each undirected pair attracts twice per co-active epoch,
+    # matching umap-learn's symmetric-COO + move_other accounting.
     ei, ej = np.nonzero(w > 0.0)
     ew = w[ei, ej]
     w_max = ew.max()
     epochs_per_sample = w_max / ew
     next_sample = epochs_per_sample.copy()
 
-    y = spectral_embed(x, n_components, n_neighbors)
+    y = spectral_embed(x, n_components, n_neighbors, d2=d2_shared)
     scale = np.abs(y).max()
     y = y / (scale if scale > 0 else 1.0) * 10.0
 
@@ -332,8 +351,11 @@ def umap_native(
             np.add.at(y, ai, alpha * g)
             np.add.at(y, aj, -alpha * g)
             # negative sampling: repulse each active head from
-            # n_negative uniform points (self-collisions get the
-            # capped push, matching umap-learn's grad_coeff<=0 branch)
+            # n_negative uniform points. Coincident-but-distinct points
+            # (d2 == 0, different index) get the capped 4.0 push
+            # (umap-learn's grad_coeff<=0 branch); sampling YOURSELF is
+            # skipped entirely (zeroed below), matching umap-learn's
+            # `if j == k: continue`.
             neg = rng.integers(0, n, size=(len(ai), n_negative))
             hi = np.repeat(ai, n_negative)
             nj = neg.ravel()

@@ -916,6 +916,20 @@ def test_connected_components_type_mismatch_raises(spark):
         connected_components(df)
 
 
+def test_connected_components_integral_widening(spark):
+    """Mixed integral widths (int vs bigint) widen losslessly instead
+    of raising — Spark's equi-join has no null-miss for numerics."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"]).select(
+        F.col("id_a").cast("int"), F.col("id_b").cast("bigint")
+    )
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_connected_components_empty(spark):
     from pyspark.sql.types import LongType, StructField, StructType
 
