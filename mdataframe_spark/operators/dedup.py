@@ -1162,12 +1162,21 @@ def duplicate_substring_spans(
             f"min_tokens ({min_tokens}) must be >= k ({k}): a span shorter "
             "than one k-gram window cannot be detected"
         )
+    kg = _kgram_windows(docs, id_col, text_col, k)
+    dup = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    seeds = kg.join(dup.select("h"), "h", "left_semi")
+    return _seed_islands(seeds, k, min_tokens, id_col)
+
+
+def _kgram_windows(docs, id_col, text_col, k):
+    """(id, pos, h) — one md5'd k-token window per row; pos is the
+    0-based token start. Pure map-side explode, repartitioned when the
+    scan is under-split (ensure_parallelism)."""
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
     )
-    # one row per k-token window; docs shorter than k contribute none
-    kg = toks.filter(F.size("t") >= k).select(
+    return toks.filter(F.size("t") >= k).select(
         "id",
         F.posexplode(
             F.transform(
@@ -1176,8 +1185,14 @@ def duplicate_substring_spans(
             )
         ).alias("pos", "h"),
     )
-    dup = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
-    seeds = kg.join(dup.select("h"), "h", "left_semi").select(
+
+
+def _seed_islands(seeds, k, min_tokens, id_col):
+    """Merge duplicated-window seed positions (id, pos, ...) into
+    maximal per-doc spans: cover intervals [pos, pos+k-1] fuse when
+    overlapping or token-adjacent (gaps-and-islands, windows
+    PARTITIONED BY DOC), then the length filter applies."""
+    seeds = seeds.select(
         "id", F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e")
     )
     w = Window.partitionBy("id").orderBy("s")
@@ -1200,6 +1215,58 @@ def duplicate_substring_spans(
             F.col("id").alias(id_col), "span_start", "span_end", "span_tokens"
         )
     )
+
+
+def kgram_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus k-gram count table (h, c) — the stored side of the
+    incremental substring-dedup probe (:func:`duplicate_spans_against`).
+    Write it bucketed on ``h`` (sources.write_bucketed_table) and the
+    probe's joins read the store co-located, with NO corpus-side
+    exchange — the same ingestion-time pattern as the LSH band store
+    (:func:`lsh_pairs_against`)."""
+    return (
+        _kgram_windows(docs, id_col, text_col, k)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def duplicate_spans_against(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    k: int = 8,
+) -> DataFrame:
+    """Incremental ExactSubstr: duplicated spans in a NEW batch of
+    documents, measured against an EXISTING corpus k-gram index
+    (:func:`kgram_index`) plus the batch itself — the ingestion-time
+    complement to the batch pass, costing O(batch), not O(corpus).
+
+    A window is a duplicate seed if its k-gram occurs anywhere in the
+    stored corpus (count >= 1 there) OR at least twice within the
+    batch. Matches the batch pass exactly when the index was built
+    from the union (cumulative counts >= 2). The corpus side is only
+    probed (left-semi on the hash); a clean batch appends its own
+    kgram_index increment to the store.
+    """
+    if min_tokens < k:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= k ({k}): a span shorter "
+            "than one k-gram window cannot be detected"
+        )
+    kg = _kgram_windows(new_docs, id_col, text_col, k)
+    batch_dup = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    corpus_seeds = kg.join(corpus_index.select("h"), "h", "left_semi")
+    batch_seeds = kg.join(batch_dup.select("h"), "h", "left_semi")
+    seeds = corpus_seeds.unionByName(batch_seeds).dropDuplicates(["id", "pos"])
+    return _seed_islands(seeds, k, min_tokens, id_col)
 
 
 def remove_duplicate_substrings(

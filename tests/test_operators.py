@@ -1282,3 +1282,105 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan2 and "l_quantity" in plan2.split("PushedFilters")[1][:120]
+
+
+def test_duplicate_substring_spans_verification_property(spark):
+    """Exactness on a messy deterministic corpus: the reported spans
+    equal an independent python recomputation — duplicated k-gram
+    cover intervals, merged when overlapping or token-adjacent,
+    filtered to >= min_tokens. Covers overlap merging, adjacency
+    fusing, and span maximality in one set equality."""
+    from collections import Counter
+
+    from mdataframe_spark.operators.dedup import duplicate_substring_spans
+
+    k, min_tokens = 4, 5
+    # deterministic corpus with overlapping repeats and noise
+    vocab = ["red", "blue", "green", "gold", "iron", "clay", "moss", "salt"]
+    texts = {}
+    for i in range(30):
+        toks = [vocab[(i * 3 + j * 5) % len(vocab)] for j in range(12)]
+        if i % 4 == 0:
+            toks[3:3] = ["one", "two", "three", "four", "five", "six"]
+        if i % 6 == 0:
+            toks += ["alpha", "beta", "gamma", "delta", "epsilon"]
+        texts[i] = toks
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_substring_spans(docs, min_tokens=min_tokens, k=k).collect()
+    }
+    assert got, "fixture must produce at least one span"
+
+    # independent recomputation: corpus k-gram counts -> seed intervals
+    # -> merge overlapping/adjacent -> length filter
+    kc = Counter()
+    for toks in texts.values():
+        for j in range(len(toks) - k + 1):
+            kc[tuple(toks[j : j + k])] += 1
+    expected = set()
+    for i, toks in texts.items():
+        seeds = [
+            (j, j + k - 1)
+            for j in range(len(toks) - k + 1)
+            if kc[tuple(toks[j : j + k])] >= 2
+        ]
+        merged = []
+        for s, e in seeds:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        for s, e in merged:
+            if e - s + 1 >= min_tokens:
+                expected.add((i, s, e, e - s + 1))
+    assert got == expected
+
+
+def test_duplicate_spans_against_incremental(spark):
+    """Incremental ExactSubstr: a new batch probed against a stored
+    corpus k-gram index finds (a) spans shared with the corpus,
+    (b) within-batch duplicates — and agrees exactly with the batch
+    pass run over corpus+batch together."""
+    from mdataframe_spark.operators.dedup import (
+        duplicate_spans_against,
+        duplicate_substring_spans,
+        kgram_index,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, "stored doc alpha " + boiler),
+            (2, "stored doc beta entirely unique words here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "fresh prefix " + boiler + " fresh tail"),   # dup vs corpus
+            (101, "clean doc nothing shared with anything at all"),
+            (102, "z " + "only in batch shared sentence one two three four five" + " q"),
+            (103, "y " + "only in batch shared sentence one two three four five" + " r"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = kgram_index(corpus, k=8)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans_against(batch, idx, min_tokens=10, k=8).collect()
+    }
+    # equivalence: batch pass over corpus+batch, restricted to batch ids
+    full = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_substring_spans(
+            corpus.unionByName(batch), min_tokens=10, k=8
+        ).collect()
+        if r["doc_id"] >= 100
+    }
+    assert got == full
+    assert any(d == 100 for d, *_ in got)          # corpus-shared span found
+    assert any(d == 102 for d, *_ in got) and any(d == 103 for d, *_ in got)
+    assert not any(d == 101 for d, *_ in got)      # clean doc stays clean
