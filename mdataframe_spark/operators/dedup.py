@@ -902,6 +902,7 @@ def semantic_dedup(
     pair_round: int = 6,
     seed: int = 42,
     pair_buckets: int = 1,
+    argmax_arrow_threshold: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark within-cluster semantic near-duplicates
@@ -969,51 +970,90 @@ def semantic_dedup(
     # pair triples the flops for identical values: sqrt(a·a)·sqrt(b·b)
     # factored out is the same IEEE expression)
     v = v.withColumn("__n", l2_norm(F.col("__v"), dim))
-    # argmax assignment via a BROADCAST centroid table, not K inlined
-    # literal expressions: K unrolled dots in one projection grows the
-    # codegen'd expression to K·2·dim terms (measured 3x slower at
-    # K=32 than the whole pair stage). One (vec × centroid) row per
-    # comparison keeps a single 2·dim-term dot expression, and the
-    # argmax is a partial-aggregatable min over (-cos, cid) structs
+    # argmax assignment. Two shapes, selected by K:
+    #
+    # K <= argmax_arrow_threshold — a BROADCAST centroid table, not K
+    # inlined literal expressions: K unrolled dots in one projection
+    # grows the codegen'd expression to K·2·dim terms (measured 3x
+    # slower at K=32 than the whole pair stage). One (vec × centroid)
+    # row per comparison keeps a single 2·dim-term dot expression, and
+    # the argmax is a partial-aggregatable min over (-cos, cid) structs
     # (lexicographic struct order ≡ cos DESC, cid ASC — engine-stable
     # after rounding). Centroid norms are Python-side constants with
     # the same left-to-right summation order as the SQL replay.
-    # Scale note: the shuffle is N·K struct rows; for K beyond a few
-    # hundred, chunk the centroid broadcast or use a numpy
-    # mapInPandas argmax instead.
+    #
+    # K > threshold — Arrow-batched numpy argmax: when n_clusters
+    # scales with the corpus (K ~ N/const, the knob that keeps pair
+    # work linear), the broadcast shape materializes N·K intermediate
+    # rows and assignment itself turns O(N²/const) — measured 15x
+    # wall-clock at 10x corpus (scripts/scale_stress.py). One BLAS
+    # matmul per Arrow batch does the same N·K flops with zero
+    # intermediate rows and zero shuffle; identical (cos DESC, cid ASC)
+    # tie-break (np.argmax first-max over cid-sorted columns) and the
+    # same HALF_UP rounding convention as F.round.
     import math
 
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(cid), list(c), float(math.sqrt(sum(x * x for x in c)))) for cid, c in centroids],
-        "cid long, ce array<double>, cnrm double",
-    )
-    scored = v.crossJoin(F.broadcast(cent_df)).select(
-        F.col(id_col),
-        "__v",
-        "__n",
-        F.struct(
-            (-F.round(
-                dot(F.col("__v"), F.col("ce"), dim)
-                / (F.col("__n") * F.col("cnrm")),
-                assign_round,
-            )).alias("d"),
-            F.col("cid"),
-        ).alias("__s"),
-    )
-    assigned = _persist_tracked(
-        scored.groupBy(id_col)
-        .agg(
+    if len(centroids) <= argmax_arrow_threshold:
+        cent_df = spark.createDataFrame(
+            [(int(cid), list(c), float(math.sqrt(sum(x * x for x in c)))) for cid, c in centroids],
+            "cid long, ce array<double>, cnrm double",
+        )
+        scored = v.crossJoin(F.broadcast(cent_df)).select(
+            F.col(id_col),
+            "__v",
+            "__n",
+            F.struct(
+                (-F.round(
+                    dot(F.col("__v"), F.col("ce"), dim)
+                    / (F.col("__n") * F.col("cnrm")),
+                    assign_round,
+                )).alias("d"),
+                F.col("cid"),
+            ).alias("__s"),
+        )
+        assigned = scored.groupBy(id_col).agg(
             F.min("__s").alias("__s"),
             # every replicated row of a vec carries the identical
             # vector/norm, so first() is value-deterministic here
             F.first("__v").alias("__v"),
             F.first("__n").alias("__n"),
-        )
-        .select(
+        ).select(
             F.col(id_col), "__v", "__n", F.col("__s.cid").alias("cluster")
         )
-    )
+    else:
+        import numpy as np
+        from pyspark.sql import types as T
+
+        cid_arr = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+        order = np.argsort(cid_arr, kind="stable")
+        cid_sorted = cid_arr[order]
+        cmat = np.array([centroids[int(i)][1] for i in order], dtype=float)
+        cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+        scale = 10.0 ** assign_round
+
+        def _assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vm = np.array(pdf["__v"].tolist(), dtype=float)
+                nrm = pdf["__n"].to_numpy(dtype=float)
+                cos = (vm @ cmat.T) / (nrm[:, None] * cnrm[None, :])
+                # HALF_UP (away from zero), matching Spark's F.round —
+                # np.round would apply banker's rounding
+                cos = np.copysign(
+                    np.floor(np.abs(cos) * scale + 0.5), cos
+                ) / scale
+                idx = np.argmax(cos, axis=1)  # first max ≡ min cid
+                out = pdf.copy()
+                out["cluster"] = cid_sorted[idx]
+                yield out
+
+        schema = T.StructType(
+            list(v.schema.fields) + [T.StructField("cluster", T.LongType())]
+        )
+        assigned = v.mapInPandas(_assign, schema)
+    assigned = _persist_tracked(assigned)
     if pair_buckets > 1:
         # triangle-decomposed pair generation: sub-bucket each cluster
         # by a hash of the id into B buckets and join the (i <= j)

@@ -1384,3 +1384,27 @@ def test_duplicate_spans_against_incremental(spark):
     assert any(d == 100 for d, *_ in got)          # corpus-shared span found
     assert any(d == 102 for d, *_ in got) and any(d == 103 for d, *_ in got)
     assert not any(d == 101 for d, *_ in got)      # clean doc stays clean
+
+
+def test_semantic_dedup_argmax_paths_agree(spark):
+    """The broadcast-table argmax (small K) and the Arrow-batched BLAS
+    argmax (K scaled with the corpus) assign IDENTICAL clusters and
+    keep decisions — same rounding convention, same (cos DESC, cid ASC)
+    tie-break."""
+    from mdataframe_spark.operators.dedup import semantic_dedup
+
+    # deterministic vectors with duplicate rows (forces tau decisions)
+    rows = []
+    for i in range(120):
+        base = [((i % 17) * 7 + d * 3) % 13 - 6.0 for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = semantic_dedup(
+        df, tau=0.9, n_clusters=16, assign="seed", argmax_arrow_threshold=64
+    )
+    b = semantic_dedup(
+        df, tau=0.9, n_clusters=16, assign="seed", argmax_arrow_threshold=0
+    )
+    ra = sorted(tuple(r) for r in a.select("vec_id", "cluster", "kept").collect())
+    rb = sorted(tuple(r) for r in b.select("vec_id", "cluster", "kept").collect())
+    assert ra == rb
