@@ -227,6 +227,86 @@ def c2_column_scale(spark, sf_dir):
     )
 
 
+def a7_describe(spark, sf_dir):
+    """Descriptive passthrough (A7, frame.py MFrame.describe /
+    Spark summary()) driven through the real MFrame surface with the
+    EXACT statistics subset (count/mean/stddev/min/max — the approx
+    quartiles are excluded so DuckDB can replay values bit-for-bit;
+    summary()'s string cells round-trip losslessly via Double.toString,
+    so casting back to double and rounding is exact)."""
+    from .frame import MFrame
+
+    counts = _part_counts(spark, sf_dir).withColumnRenamed("partkey", "__row_id")
+    mf = MFrame(counts.select("__row_id", *[F.col(c).cast("double") for c in ["A", "N", "R"]]))
+    summ = mf.df.select("A", "N", "R").summary(
+        "count", "mean", "stddev", "min", "max"
+    )
+    return summ.select(
+        F.col("summary").alias("stat"),
+        *[F.round(F.col(c).cast("double"), 4).alias(f"v_{c.lower()}") for c in ["A", "N", "R"]],
+    )
+
+
+A7_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0)::DOUBLE AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0)::DOUBLE AS n,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0)::DOUBLE AS r
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT 'count' AS stat, round(count(a)::DOUBLE, 4) AS v_a,
+       round(count(n)::DOUBLE, 4) AS v_n, round(count(r)::DOUBLE, 4) AS v_r
+FROM counts
+UNION ALL
+SELECT 'mean', round(avg(a), 4), round(avg(n), 4), round(avg(r), 4) FROM counts
+UNION ALL
+SELECT 'stddev', round(stddev_samp(a), 4), round(stddev_samp(n), 4),
+       round(stddev_samp(r), 4) FROM counts
+UNION ALL
+SELECT 'min', round(min(a), 4), round(min(n), 4), round(min(r), 4) FROM counts
+UNION ALL
+SELECT 'max', round(max(a), 4), round(max(n), 4), round(max(r), 4) FROM counts
+"""
+
+
+def j2_class_label(spark, sf_dir):
+    """Cluster-label join (J2/M11, operators/clustering.py ClassLabel)
+    driven through the real operator: a literal label map (partkeys
+    1..100 -> key % 3) broadcast-joins onto the part-count matrix,
+    everything else takes the fill value -1; per-label aggregates make
+    the assignment hash-checkable. The oracle replays the same map as
+    arithmetic."""
+    from .operators.clustering import ClassLabel
+
+    counts = _part_counts(spark, sf_dir).withColumnRenamed("partkey", "__row_id")
+    labels = {i: i % 3 for i in range(1, 101)}
+    out = ClassLabel(labels)(counts, sort=False)
+    return (
+        out.groupBy(F.col("ClassLabel").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("A"), 4).alias("sum_a"),
+            F.round(F.sum("N"), 4).alias("sum_n"),
+        )
+    )
+
+
+J2_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0) AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT (CASE WHEN partkey BETWEEN 1 AND 100 THEN partkey % 3 ELSE -1 END)::BIGINT AS label,
+       count(*)::BIGINT AS n,
+       round(sum(a), 4) AS sum_a,
+       round(sum(n), 4) AS sum_n
+FROM counts GROUP BY 1
+"""
+
+
 C2_SQL = """
 WITH counts AS (
   SELECT l_partkey AS partkey,
@@ -3638,6 +3718,8 @@ EXTRA_QUERIES = {
     "dd_substring_spans": dd_substring_spans,
     "f13_impute_median": f13_impute_median,
     "c2_column_scale": c2_column_scale,
+    "a7_describe": a7_describe,
+    "j2_class_label": j2_class_label,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3750,6 +3832,8 @@ EXTRA_ORACLES = {
     "dd_substring_spans": DD_SUBSTR_SQL,
     "f13_impute_median": F13_SQL,
     "c2_column_scale": C2_SQL,
+    "a7_describe": A7_SQL,
+    "j2_class_label": J2_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,
