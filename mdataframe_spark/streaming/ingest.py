@@ -1,0 +1,55 @@
+"""Ingestion-time dedup gating for document streams.
+
+The batch dedup family (operators/dedup.py) asks "which docs in this
+CORPUS are duplicates"; an ingestion pipeline asks the incremental
+question — "which parts of these NEW docs already exist" — against
+stores built once from the corpus (k-gram index, LSH band table). The
+per-micro-batch computations (within-batch duplicate detection, island
+merges) need a bounded frame, so the probes run under ``foreachBatch``:
+each micro-batch is a complete bounded DataFrame, the stored index
+side is a static (ideally bucketed) table, and results stream to the
+caller's sink. This is the standard Structured Streaming shape for
+batch-algorithm reuse — no state store, exactly the batch semantics
+per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+
+def stream_duplicate_span_probe(
+    doc_stream: DataFrame,
+    corpus_index: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    k: int = 8,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Probe a stream of NEW documents for duplicated substrings against
+    a stored corpus k-gram index (operators/dedup.kgram_index).
+
+    Every micro-batch runs :func:`duplicate_spans_against` — per batch
+    the result is EXACTLY the batch operator's (corpus hits + within-
+    micro-batch repeats; cross-micro-batch repeats are caught once the
+    clean batches' own index increments are appended to the store, the
+    same contract as the incremental LSH probe). ``sink(spans_df,
+    batch_id)`` receives each batch's span frame. Returns the started
+    streaming query (caller awaits termination).
+    """
+    from ..operators.dedup import duplicate_spans_against
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spans = duplicate_spans_against(
+            batch_df, corpus_index, id_col, text_col, min_tokens, k
+        )
+        sink(spans, batch_id)
+
+    w = doc_stream.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

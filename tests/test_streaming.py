@@ -348,3 +348,56 @@ def test_windowed_quality_stream_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == expected and got
+
+
+def test_stream_duplicate_span_probe(spark, tmp_path):
+    """Streaming ExactSubstr probe: docs arriving as micro-batches are
+    checked against a static corpus k-gram index; the union of per-batch
+    span frames equals the batch probe over all new docs at once."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.dedup import (
+        duplicate_spans_against,
+        kgram_index,
+    )
+    from mdataframe_spark.streaming.ingest import stream_duplicate_span_probe
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, "stored alpha " + boiler), (2, "stored beta unique words only here")],
+        ["doc_id", "text"],
+    )
+    idx = kgram_index(corpus, k=8)
+    new_docs = spark.createDataFrame(
+        [
+            (100, "fresh one " + boiler + " tail"),
+            (101, "clean document with nothing shared at all today"),
+            (102, boiler + " leading copy"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "stream_src"
+    new_docs.repartition(3).write.parquet(str(src))  # multiple files -> batches
+    stream = spark.readStream.schema(new_docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+
+    got = []
+
+    def sink(spans, batch_id):
+        got.extend(
+            (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
+        )
+
+    q = stream_duplicate_span_probe(
+        stream, idx, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    expect = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans_against(new_docs, idx).collect()
+    }
+    assert set(got) == expect
+    assert any(d == 100 for d, *_ in got) and any(d == 102 for d, *_ in got)
+    assert not any(d == 101 for d, *_ in got)
