@@ -245,10 +245,14 @@ class MFrame:
 
     # -- descriptive passthrough (A7; reference MDF2 pandas surface,
     # mframe.py:18-30 / tests/test_mframe.py:19-26) ------------------------
-    def describe(self) -> DataFrame:
-        """Summary statistics of the data columns (count/mean/std/min/
-        quartiles/max) — Spark's distributed `summary()`."""
-        return self.df.select(*self.data_columns).summary()
+    def describe(self, *stats: str) -> DataFrame:
+        """Summary statistics of the data columns — Spark's distributed
+        `summary()`. With no arguments: the full default set
+        (count/mean/std/min/quartiles/max; the quartiles are
+        approximate). Pass explicit stat names (e.g. "count", "mean",
+        "stddev", "min", "max") to restrict to the exact subset — the
+        form the a7_describe oracle hash-checks cross-engine."""
+        return self.df.select(*self.data_columns).summary(*stats)
 
     def mean(self) -> Dict[str, float]:
         row = self.df.agg(

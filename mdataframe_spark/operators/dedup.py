@@ -915,9 +915,12 @@ def semantic_dedup(
     pairs are generated ONLY inside a cluster (equi-join on the
     cluster id), so the pair count is ~N²/K instead of N²; pick
     ``n_clusters`` ~ N/target_cluster_size to bound it. Assignment is
-    a broadcast argmax over K centroid literals (one codegen'd map
-    stage, no shuffle); the per-cluster self-join shuffles on the
-    cluster id and AQE skew-splits hot clusters.
+    a broadcast-centroid-table argmax (one N·K-row map + partial-agged
+    groupBy) up to ``argmax_arrow_threshold`` centroids, and an
+    Arrow-batched BLAS argmax (zero intermediate rows, zero shuffle)
+    above it — see the inline comment for the cost model; the
+    per-cluster self-join shuffles on the cluster id and AQE
+    skew-splits hot clusters.
 
     ``assign="kmeans"``: Spark ML k-means centroids (production path).
     ``assign="seed"``: the K lowest-id vectors are the centroids — a
@@ -988,9 +991,18 @@ def semantic_dedup(
     # rows and assignment itself turns O(N²/const) — measured 15x
     # wall-clock at 10x corpus (scripts/scale_stress.py). One BLAS
     # matmul per Arrow batch does the same N·K flops with zero
-    # intermediate rows and zero shuffle; identical (cos DESC, cid ASC)
-    # tie-break (np.argmax first-max over cid-sorted columns) and the
-    # same HALF_UP rounding convention as F.round.
+    # intermediate rows and zero shuffle, with the same (cos DESC,
+    # cid ASC) tie-break (np.argmax first-max over cid-sorted columns)
+    # and a HALF_UP rounding emulation. NOT claimed bit-identical to
+    # the broadcast path: BLAS accumulation order differs from the SQL
+    # left-to-right dot at the last ulp, and numpy's floor(|x|·s+0.5)
+    # operates on the binary double while F.round goes through
+    # BigDecimal's shortest-decimal repr — a cosine exactly on a
+    # rounding boundary can therefore land in the other bucket. Both
+    # paths are decision-identical away from those razor edges (the
+    # path-equality test pins the convention); the SQL-replayable
+    # oracle query always runs K <= threshold, so oracle parity never
+    # depends on this path.
     import math
 
     spark = corpus.sparkSession
@@ -1029,7 +1041,11 @@ def semantic_dedup(
         order = np.argsort(cid_arr, kind="stable")
         cid_sorted = cid_arr[order]
         cmat = np.array([centroids[int(i)][1] for i in order], dtype=float)
-        cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+        # centroid norms with the SAME left-to-right Python summation as
+        # the broadcast path's literals — one less divergence source
+        cnrm = np.array(
+            [math.sqrt(sum(x * x for x in cmat[i])) for i in range(len(cmat))]
+        )
         scale = 10.0 ** assign_round
 
         def _assign(batches):
@@ -1197,15 +1213,20 @@ def duplicate_substring_spans(
     yields no rows. min_tokens >= k is required (a shorter span cannot
     contain a duplicated k-gram).
     """
+    _check_span_params(min_tokens, k)
+    kg = _kgram_windows(docs, id_col, text_col, k)
+    dup = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    seeds = kg.join(dup.select("h"), "h", "left_semi")
+    return _seed_islands(seeds, k, min_tokens, id_col)
+
+
+def _check_span_params(min_tokens: int, k: int) -> None:
+    """Shared precondition for the batch and incremental span finders."""
     if min_tokens < k:
         raise ValueError(
             f"min_tokens ({min_tokens}) must be >= k ({k}): a span shorter "
             "than one k-gram window cannot be detected"
         )
-    kg = _kgram_windows(docs, id_col, text_col, k)
-    dup = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
-    seeds = kg.join(dup.select("h"), "h", "left_semi")
-    return _seed_islands(seeds, k, min_tokens, id_col)
 
 
 def _kgram_windows(docs, id_col, text_col, k):
@@ -1295,17 +1316,17 @@ def duplicate_spans_against(
     from the union (cumulative counts >= 2). The corpus side is only
     probed (left-semi on the hash); a clean batch appends its own
     kgram_index increment to the store.
+
+    Plan shape: the k-gram explode is pinned and consumed twice (the
+    within-batch count and ONE left-semi join against the unioned
+    corpus-hash + batch-dup-hash set) — no per-source join pair and no
+    (id, pos) dedup exchange.
     """
-    if min_tokens < k:
-        raise ValueError(
-            f"min_tokens ({min_tokens}) must be >= k ({k}): a span shorter "
-            "than one k-gram window cannot be detected"
-        )
-    kg = _kgram_windows(new_docs, id_col, text_col, k)
+    _check_span_params(min_tokens, k)
+    kg = _persist_tracked(_kgram_windows(new_docs, id_col, text_col, k))
     batch_dup = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
-    corpus_seeds = kg.join(corpus_index.select("h"), "h", "left_semi")
-    batch_seeds = kg.join(batch_dup.select("h"), "h", "left_semi")
-    seeds = corpus_seeds.unionByName(batch_seeds).dropDuplicates(["id", "pos"])
+    dup_h = corpus_index.select("h").unionByName(batch_dup.select("h"))
+    seeds = kg.join(dup_h, "h", "left_semi")
     return _seed_islands(seeds, k, min_tokens, id_col)
 
 

@@ -238,9 +238,7 @@ def a7_describe(spark, sf_dir):
 
     counts = _part_counts(spark, sf_dir).withColumnRenamed("partkey", "__row_id")
     mf = MFrame(counts.select("__row_id", *[F.col(c).cast("double") for c in ["A", "N", "R"]]))
-    summ = mf.df.select("A", "N", "R").summary(
-        "count", "mean", "stddev", "min", "max"
-    )
+    summ = mf.describe("count", "mean", "stddev", "min", "max")
     return summ.select(
         F.col("summary").alias("stat"),
         *[F.round(F.col(c).cast("double"), 4).alias(f"v_{c.lower()}") for c in ["A", "N", "R"]],

@@ -29,6 +29,8 @@ def stream_duplicate_span_probe(
     min_tokens: int = 10,
     k: int = 8,
     checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+    processing_time: Optional[str] = None,
 ):
     """Probe a stream of NEW documents for duplicated substrings against
     a stored corpus k-gram index (operators/dedup.kgram_index).
@@ -40,6 +42,13 @@ def stream_duplicate_span_probe(
     same contract as the incremental LSH probe). ``sink(spans_df,
     batch_id)`` receives each batch's span frame. Returns the started
     streaming query (caller awaits termination).
+
+    Trigger: the default ``available_now=True`` drains what exists and
+    terminates — the bounded test/backfill shape. A LIVE ingestion
+    gate must pass ``available_now=False`` (continuous micro-batches;
+    optionally ``processing_time='30 seconds'`` to pace them) or the
+    query stops after the startup backlog and later documents are
+    never probed.
     """
     from ..operators.dedup import duplicate_spans_against
 
@@ -49,7 +58,11 @@ def stream_duplicate_span_probe(
         )
         sink(spans, batch_id)
 
-    w = doc_stream.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    w = doc_stream.writeStream.foreachBatch(_process)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()

@@ -54,6 +54,10 @@ def inflate_vectors(spark, factor: int):
     )
     if factor == 1:
         return base
+    # dimension read from the data, not assumed — a hardcoded slice
+    # width would silently truncate inflated copies on a different
+    # embedding layout and the measured ratios would be meaningless
+    dim = len(base.first()["embedding"])
     copies = [
         base.select(
             (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
@@ -61,7 +65,7 @@ def inflate_vectors(spark, factor: int):
             # so copies are near- but not exact duplicates
             F.concat(
                 F.array(F.col("embedding")[0] + F.lit(i * 1e-3)),
-                F.slice("embedding", 2, 63),
+                F.slice("embedding", 2, dim - 1),
             ).alias("embedding"),
         )
         for i in range(factor)
@@ -99,10 +103,7 @@ def main():
         n_docs = docs.count()
         print(f"== factor {factor}: {n_docs} docs ==", flush=True)
 
-        sigs = None
-
         def minhash_pairs():
-            nonlocal sigs
             sigs = dedup.minhash_signatures(docs)
             dedup.lsh_candidate_pairs(sigs).write.format("noop").mode(
                 "overwrite"
@@ -157,13 +158,15 @@ def main():
         "n_clusters with the corpus (K ~ N/const), the documented knob",
         "that keeps within-cluster pair work ~linear.",
         "",
-        "| operator | x1 | x4 | x10 | x10/x1 ratio (rows x10) |",
-        "|---|---|---|---|---|",
+        "| operator | x1 | x4 | x10 | x10/x1 time ratio | rows at x10 |",
+        "|---|---|---|---|---|---|",
     ]
     for op, by_f in results.items():
         t1, t4, t10 = (by_f[f][0] for f in FACTORS)
         ratio = round(t10 / t1, 1) if t1 else float("nan")
-        lines.append(f"| {op} | {t1}s | {t4}s | {t10}s | {ratio}x |")
+        lines.append(
+            f"| {op} | {t1}s | {t4}s | {t10}s | {ratio}x | {by_f[10][1]} |"
+        )
     lines += [
         "",
         "Reading: a ratio near 10x is linear scaling; meaningfully above",
