@@ -268,6 +268,53 @@ SELECT 'max', round(max(a), 4), round(max(n), 4), round(max(r), 4) FROM counts
 """
 
 
+def j4_full_output(spark, sf_dir):
+    """Full-output join (J4, frame.py MFrame.full_output — the
+    reference's write(full=True) three-way meta join): the string-cast
+    data block plus one appended row per column-meta attribute, ordered
+    by the __is_attr marker. Driven through the real MFrame with
+    literal per-sample metadata; the oracle replays the union with the
+    same string casts (integral decimal sums format identically on
+    both engines)."""
+    from .frame import MFrame
+
+    counts = _part_counts(spark, sf_dir).withColumnRenamed("partkey", "__row_id")
+    mf = MFrame(
+        counts,
+        column_meta={
+            "A": {"group": "returned", "lot": "x"},
+            "N": {"group": "kept", "lot": "y"},
+            "R": {"group": "returned", "lot": "z"},
+        },
+    )
+    out = mf.full_output(include_attributes=True)
+    return out.select(
+        F.col("__row_id").alias("row_id"),
+        F.col("A").alias("a"),
+        F.col("N").alias("n"),
+        F.col("R").alias("r"),
+        F.col("__is_attr").cast("bigint").alias("is_attr"),
+    )
+
+
+J4_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.00) AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.00) AS n,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.00) AS r
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT partkey::VARCHAR AS row_id, a::VARCHAR AS a, n::VARCHAR AS n,
+       r::VARCHAR AS r, 0::BIGINT AS is_attr
+FROM counts
+UNION ALL
+SELECT 'group', 'returned', 'kept', 'returned', 1
+UNION ALL
+SELECT 'lot', 'x', 'y', 'z', 2
+"""
+
+
 def j2_class_label(spark, sf_dir):
     """Cluster-label join (J2/M11, operators/clustering.py ClassLabel)
     driven through the real operator: a literal label map (partkeys
@@ -3718,6 +3765,7 @@ EXTRA_QUERIES = {
     "c2_column_scale": c2_column_scale,
     "a7_describe": a7_describe,
     "j2_class_label": j2_class_label,
+    "j4_full_output": j4_full_output,
     "j_range_session_errors": j_range_session_errors,
     "sk_sketch_accuracy": sk_sketch_accuracy,
     "e_events_hourly": e_events_hourly,
@@ -3832,6 +3880,7 @@ EXTRA_ORACLES = {
     "c2_column_scale": C2_SQL,
     "a7_describe": A7_SQL,
     "j2_class_label": J2_SQL,
+    "j4_full_output": J4_SQL,
     "j_range_session_errors": J_RANGE_SQL,
     "sk_sketch_accuracy": SK_SKETCH_SQL,
     "e_events_hourly": E_HOURLY_SQL,
