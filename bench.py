@@ -66,6 +66,7 @@ HEADLINE = [
     "j_asof_attribution",
     "j_range_session_errors",
     "dd_substring_spans",
+    "ml_quality_classifier",
 ]
 
 

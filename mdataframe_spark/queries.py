@@ -3669,6 +3669,128 @@ FROM assign asg LEFT JOIN dups d ON d.vec_id = asg.vec_id
 """
 
 
+def ml_logreg_suffstats(spark, sf_dir):
+    """IRLS sufficient statistics for the distributed quality
+    classifier (operators/classifier.py) at the w=0 starting point:
+    the exact one-row frame a Newton iteration ships to the driver —
+    Hessian means h_j_k = mean(p(1-p) x_j x_k) (p = 0.5 at w=0) and
+    gradient means g_j = mean((y - p) x_j) over the intercept-augmented
+    bounded feature vector, label = Gopher keep (distillation target).
+    This IS the iteration's entire cross-worker traffic (O(d^2)
+    scalars), hash-checked end to end; the solve it feeds is O(d^3)
+    driver-side scalar work covered by tests/test_classifier.py."""
+    from .operators.classifier import (
+        FEATURE_COLS,
+        classifier_features,
+        logreg_sufficient_stats,
+    )
+    from .operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = classifier_features(gopher_rules(docs, min_tokens=30))
+    stats = logreg_sufficient_stats(feats, FEATURE_COLS, "keep")
+    return stats.select(
+        "n_docs",
+        *[
+            F.round(c, 6).alias(c)
+            for c in stats.columns
+            if c != "n_docs"
+        ],
+    )
+
+
+# mirrors classifier_features + logreg_sufficient_stats at w=0
+# (p = 0.5 -> hessian weight 0.25, gradient residual y - 0.5); the
+# gopher d/r CTEs are the same expressions as TXT_GOPHER_SQL
+def _logreg_suffstats_sql() -> str:
+    xs = ["1.0", "f_tok", "f_ttr", "f_stop", "f_wlen"]
+    d = len(xs)
+    hs = ",\n       ".join(
+        f"round(avg(0.25 * {xs[j]} * {xs[k]}), 6) AS h_{j}_{k}"
+        for j in range(d)
+        for k in range(j, d)
+    )
+    gs = ",\n       ".join(
+        f"round(avg((y - 0.5) * {xs[j]}), 6) AS g_{j}" for j in range(d)
+    )
+    return rf"""
+WITH raw AS (
+  SELECT text,
+         len(string_split_regex(trim(text), '\s+'))::DOUBLE AS n_tok,
+         len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE AS n_distinct,
+         len(regexp_extract_all(lower(text), '{_STOP_RE}'))::DOUBLE AS stop_hits,
+         length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS nospace_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+         len(list_intersect(
+           list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')),
+           ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop,
+         len(regexp_extract_all(
+           ' ' || regexp_replace(trim(text), '\s+', '  ', 'g') || ' ',
+           '\s[^A-Za-z\s]+\s')) AS n_nonalpha
+  FROM documents
+), f AS (
+  SELECT least(n_tok / 100.0, 1.0) AS f_tok,
+         n_distinct / n_tok AS f_ttr,
+         least(stop_hits / n_tok * 5.0, 1.0) AS f_stop,
+         nospace_chars / n_tok / 10.0 AS f_wlen,
+         CASE WHEN n_tok >= 30 AND n_tok <= 100000
+               AND nospace_chars / n_tok >= 3.0 AND nospace_chars / n_tok <= 10.0
+               AND n_sym / n_tok <= 0.1
+               AND n_stop >= 2
+               AND (n_tok - n_nonalpha) / n_tok >= 0.8
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM raw
+)
+SELECT count(*)::BIGINT AS n_docs,
+       {hs},
+       {gs}
+FROM f
+"""
+
+
+ML_LOGREG_STATS_SQL = _logreg_suffstats_sql()
+
+
+def ml_quality_classifier(spark, sf_dir):
+    """End-to-end quality-classifier pipeline: distill the Gopher rule
+    battery into a logistic scorer (8 deterministic IRLS iterations,
+    each one codegen'd aggregation — see operators/classifier.py), then
+    score every document and return the 10-bin calibration table
+    (predicted-probability decile vs observed keep rate). Rows-only:
+    the matrix solve between iterations has no SQL form; the shipped
+    statistics layer is hash-checked via ml_logreg_suffstats and the
+    fit itself against an independent numpy IRLS in
+    tests/test_classifier.py."""
+    from .cache import persist_tracked
+    from .operators.classifier import (
+        classifier_features,
+        logreg_fit,
+        logreg_score,
+    )
+    from .operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = persist_tracked(
+        classifier_features(gopher_rules(docs, min_tokens=30)).select(
+            "doc_id", "keep", "f_tok", "f_ttr", "f_stop", "f_wlen"
+        )
+    )
+    w = logreg_fit(feats, label_col="keep")
+    scored = logreg_score(feats, w)
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p_good") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("p_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+            F.round(F.avg("p_good"), 6).alias("avg_p"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3775,6 +3897,8 @@ EXTRA_QUERIES = {
     "sim_embedding_stats": sim_embedding_stats,
     "ml_cluster_summary": ml_cluster_summary,
     "stat_noiseq": stat_noiseq,
+    "ml_logreg_suffstats": ml_logreg_suffstats,
+    "ml_quality_classifier": ml_quality_classifier,
 }
 
 
@@ -3888,4 +4012,9 @@ EXTRA_ORACLES = {
     "mm_payload_stats": MM_STATS_SQL,
     "n_zscore_rows": N_ZSCORE_SQL,
     "sim_embedding_stats": SIM_STATS_SQL,
+    "ml_logreg_suffstats": ML_LOGREG_STATS_SQL,
+    # ml_quality_classifier is rows-only: the d x d Newton solve
+    # between iterations has no SQL form; its stats layer is the
+    # hash-checked ml_logreg_suffstats and the fit is pinned to an
+    # independent numpy IRLS in tests/test_classifier.py.
 }
