@@ -124,6 +124,33 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    key: str = "doc_id",
+    rate_scale: float = 1.0,
+    seed: int = 43,
+    out_col: str = "kept",
+) -> DataFrame:
+    """Deterministic quality-weighted (importance) sampling: keep a row
+    with probability min(weight * rate_scale, 1), decided by the
+    engine-portable md5 draw — the DSIR/CCNet-style "sample
+    proportionally to a quality score" stage, e.g. with the quality
+    classifier's p_good or the composite quality_score as the weight.
+
+    The weight is rounded to 6 dp before thresholding so the keep
+    decision is identical across engines/partitionings even for rows
+    whose weight sits at the draw boundary. Pure column expression:
+    zero-shuffle, pushed to the scan at 100 TB, and a doc's decision is
+    stable as the corpus grows (same property as hash_split).
+    """
+    u = split_hash_u(key, seed)
+    p = F.round(
+        F.least(F.col(weight_col) * F.lit(float(rate_scale)), F.lit(1.0)), 6
+    )
+    return df.withColumn(out_col, u < p)
+
+
 def domain_mixture_rates(
     df: DataFrame,
     domain_col: str,

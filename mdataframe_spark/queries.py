@@ -3350,6 +3350,51 @@ GROUP BY lang
 """
 
 
+def ds_importance_sample(spark, sf_dir):
+    """Quality-weighted importance sampling (operators/datasets.py
+    importance_sample): keep each document with probability equal to
+    its composite quality_score (the hash-checked txt_quality layer),
+    decided by the engine-portable md5 draw — the DSIR/CCNet-style
+    quality-proportional downsampling stage. Zero-shuffle map; the
+    per-(lang, kept) summary is a tiny groupBy."""
+    from .operators.datasets import importance_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_features(docs)
+    out = importance_sample(q, weight_col="quality_score")
+    return out.groupBy("lang", "kept").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+DS_IMPORTANCE_SQL = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars,
+         len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS stop_hits
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+           least(n_tokens / 100.0, 1.0) * 0.4
+           + (1.0 - least(punct_chars / n_chars * 5.0, 1.0)) * 0.3
+           + least(stop_hits / n_tokens * 5.0, 1.0) * 0.3 END AS quality_score,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':43'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM q
+)
+SELECT lang, u < round(least(quality_score, 1.0), 6) AS kept,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM s GROUP BY lang, kept
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
 _MIX_BUDGET_FRACTION = 0.5
 _MIX_SEED = 11
@@ -3899,6 +3944,7 @@ EXTRA_QUERIES = {
     "stat_noiseq": stat_noiseq,
     "ml_logreg_suffstats": ml_logreg_suffstats,
     "ml_quality_classifier": ml_quality_classifier,
+    "ds_importance_sample": ds_importance_sample,
 }
 
 
@@ -4013,6 +4059,7 @@ EXTRA_ORACLES = {
     "n_zscore_rows": N_ZSCORE_SQL,
     "sim_embedding_stats": SIM_STATS_SQL,
     "ml_logreg_suffstats": ML_LOGREG_STATS_SQL,
+    "ds_importance_sample": DS_IMPORTANCE_SQL,
     # ml_quality_classifier is rows-only: the d x d Newton solve
     # between iterations has no SQL form; its stats layer is the
     # hash-checked ml_logreg_suffstats and the fit is pinned to an

@@ -307,3 +307,26 @@ def test_leakage_safe_split_type_mismatch_raises(spark):
     pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
     with pytest.raises(TypeError, match="leakage_safe_split"):
         leakage_safe_split(docs, pairs)
+
+
+def test_importance_sample_matches_independent_md5_draw(spark):
+    """Keep decision = u(key) < round(min(weight, 1), 6), recomputed
+    independently per row with hashlib."""
+    from mdataframe_spark.operators.datasets import importance_sample
+
+    rows = [(i, (i % 7) / 5.0) for i in range(400)]  # weights 0..1.2
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = {r["doc_id"]: r["kept"] for r in importance_sample(df, "w").collect()}
+    for k, w in rows:
+        u = int(hashlib.md5(f"{k}:43".encode()).hexdigest()[:8], 16) / 2**32
+        assert out[k] == (u < round(min(w, 1.0), 6)), (k, w, u)
+
+
+def test_importance_sample_stable_under_corpus_growth(spark):
+    from mdataframe_spark.operators.datasets import importance_sample
+
+    small = spark.createDataFrame([(i, 0.5) for i in range(100)], ["doc_id", "w"])
+    big = spark.createDataFrame([(i, 0.5) for i in range(1000)], ["doc_id", "w"])
+    s = {r["doc_id"]: r["kept"] for r in importance_sample(small, "w").collect()}
+    b = {r["doc_id"]: r["kept"] for r in importance_sample(big, "w").collect()}
+    assert all(b[k] == v for k, v in s.items())
