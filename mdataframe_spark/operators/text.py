@@ -576,6 +576,129 @@ def unigram_lm_scores(
     )
 
 
+def kn_bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1 << 16,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an interpolated
+    Kneser-Ney model trained on the corpus itself (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.24 at bigram order) — the next step up
+    from :func:`unigram_lm_scores` toward CCNet's KenLM perplexity
+    filter: word-order-scrambled or template-stitched documents score
+    low even when their unigram mix looks normal.
+
+        p_KN(w2|w1) = (max(c(w1,w2) - D, 0) + D·N1+(w1,•)·p_cont(w2))
+                      / c(w1·)
+        p_cont(w2)  = N1+(•,w2) / |distinct bigrams|
+
+    OOV handling mirrors the unigram operator: tokens outside the
+    ``vocab_cap`` most frequent (ties broken by token string) collapse
+    to a single ``<unk>`` class BEFORE bigrams are formed, so the model
+    tables are bounded by the capped vocabulary, never the raw corpus.
+
+    Execution shape — every shuffle bounded by model size, not corpus:
+
+    1. bigrams form INSIDE the scan via array ops (split → slice →
+       arrays_zip → explode): zero shuffle, no per-doc window;
+    2. one groupBy(token) for the vocabulary (distributed top-K via
+       TakeOrderedAndProject), broadcast back for the <unk> mapping;
+    3. one groupBy(w1, w2) yields c(w1,w2); the context totals c(w1·),
+       continuation counts N1+(w1,•) / N1+(•,w2) and |bigrams| are
+       re-aggregations of that (already vocab-bounded) count table;
+    4. scoring re-joins each document's bigrams to the model on
+       (w1,w2) — an equi-join whose build side is the model table —
+       then one groupBy(doc).
+
+    Deterministic: all counts are exact integers; each bigram's logp is
+    a single fixed-shape double expression rounded to 9dp before the
+    per-document sum, so cross-engine totals agree bit-for-bit.
+
+    Documents with fewer than two in-corpus tokens have no bigrams and
+    are absent from the output (same convention as the SQL equivalent).
+    Returns (id, n_bigrams, mean_logp).
+    """
+    arr_all = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, "")), _WS
+    )
+    arr = F.filter(arr_all, lambda t: t != "")
+    toks = df.select(F.col(id_col), F.explode(arr).alias("__tok"))
+    toks = _persist_tracked(toks)
+
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        counts.orderBy(F.col("__c").desc(), F.col("__tok").asc())
+        .limit(vocab_cap)
+        .select("__tok")
+    )
+
+    # bigrams formed scan-side; both positions mapped through the vocab
+    # (broadcast) to the <unk> class
+    m = F.greatest(F.size(arr) - F.lit(1), F.lit(0))  # 0 for <2-token docs
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, m).alias("a"),
+                F.slice(arr, 2, m).alias("b"),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.a").alias("__r1"), F.col("__p.b").alias("__r2"))
+    v1 = vocab.withColumnRenamed("__tok", "__r1").withColumn("__k1", F.lit(1))
+    v2 = vocab.withColumnRenamed("__tok", "__r2").withColumn("__k2", F.lit(1))
+    mapped = (
+        pairs.join(F.broadcast(v1), "__r1", "left")
+        .join(F.broadcast(v2), "__r2", "left")
+        .select(
+            id_col,
+            F.when(F.col("__k1").isNotNull(), F.col("__r1"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__w1"),
+            F.when(F.col("__k2").isNotNull(), F.col("__r2"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__w2"),
+        )
+    )
+    mapped = _persist_tracked(mapped)
+
+    big = mapped.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    big = _persist_tracked(big)
+    ctx = big.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"),
+        F.count(F.lit(1)).alias("__n1f"),  # N1+(w1,•)
+    )
+    cont = big.groupBy("__w2").agg(F.count(F.lit(1)).alias("__n1b"))  # N1+(•,w2)
+    n_big = big.count()  # |distinct bigrams| — one scalar to the driver
+
+    model = (
+        big.join(ctx, "__w1")
+        .join(cont, "__w2")
+        .select(
+            "__w1",
+            "__w2",
+            F.round(
+                F.log(
+                    (
+                        F.greatest(F.col("__c12") - F.lit(discount), F.lit(0.0))
+                        + F.lit(discount)
+                        * F.col("__n1f")
+                        * (F.col("__n1b") / F.lit(float(n_big)))
+                    )
+                    / F.col("__c1")
+                ),
+                9,
+            ).alias("__logp"),
+        )
+    )
+    scored = mapped.join(model, ["__w1", "__w2"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.sum("__logp") / F.count(F.lit(1))).alias("mean_logp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 ranked retrieval
 # ---------------------------------------------------------------------------

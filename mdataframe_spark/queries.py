@@ -3085,6 +3085,117 @@ FROM scored GROUP BY doc_id
 """
 
 
+def txt_bpe_word_counts(spark, sf_dir):
+    """BPE training's distributed sufficient-statistics layer
+    (operators/tokenizer.py word_counts): the capped word-frequency
+    table that is the trainer's ONLY corpus-sized computation — pair
+    frequencies, and therefore the learned merges, are a deterministic
+    function of it (the ml_logreg_suffstats evidence pattern). Top-K
+    via orderBy+limit compiles to TakeOrderedAndProject."""
+    from .operators.tokenizer import word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return word_counts(docs, word_cap=256).select(
+        "word", F.col("count").cast("bigint").alias("count")
+    )
+
+
+TXT_BPE_COUNTS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS word
+  FROM documents
+)
+SELECT word, count(*)::BIGINT AS count
+FROM toks WHERE word <> ''
+GROUP BY word
+ORDER BY count DESC, word
+LIMIT 256
+"""
+
+
+def txt_bpe_encode(spark, sf_dir):
+    """Full BPE pipeline: train merges on the corpus's capped word
+    counts (driver-side merge loop over the sufficient statistic —
+    no SQL form, hence rows-only; the stats layer is hash-checked via
+    txt_bpe_word_counts and the trainer/encoder are pinned to an
+    independent naive-recount reference in tests/test_tokenizer.py),
+    then Arrow-batched mapInPandas encoding of every document."""
+    from .operators.tokenizer import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=200, word_cap=1 << 16)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.slice("tokens", 1, 8).alias("head_tokens"),
+    )
+
+
+def txt_kn_bigram_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (operators/text.py
+    kn_bigram_lm_scores) — the word-order-sensitive upgrade of the
+    CCNet-style perplexity filter: per-doc mean bigram log-probability
+    under the corpus's own KN-smoothed bigram model, OOV collapsed to
+    <unk> against a frequency-truncated vocabulary. Bigrams form
+    scan-side (array slice+zip, zero shuffle); every shuffle after
+    that is bounded by the vocab-capped model, never the corpus."""
+    from .operators.text import kn_bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kn_bigram_lm_scores(docs, vocab_cap=1024, discount=0.75)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("mean_logp", 6).alias("mean_logp"),
+    )
+
+
+TXT_KN_BIGRAM_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+'), t -> t <> '') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok FROM arrs
+), vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+  ORDER BY c DESC, tok LIMIT 1024
+), rawpairs AS (
+  SELECT doc_id, pair[1] AS r1, pair[2] AS r2 FROM (
+    SELECT doc_id, unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS pair
+    FROM arrs
+  ) t
+), mapped AS (
+  SELECT doc_id,
+         CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE r1 END AS w1,
+         CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE r2 END AS w2
+  FROM rawpairs p
+  LEFT JOIN vocab v1 ON p.r1 = v1.tok
+  LEFT JOIN vocab v2 ON p.r2 = v2.tok
+), big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM mapped GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f FROM big GROUP BY w1
+), cont AS (
+  SELECT w2, count(*)::BIGINT AS n1b FROM big GROUP BY w2
+), nb AS (
+  SELECT count(*)::DOUBLE AS b FROM big
+), model AS (
+  SELECT b.w1, b.w2,
+         round(ln((greatest(c12 - 0.75, 0.0)
+                   + 0.75 * n1f * (n1b / (SELECT b FROM nb))) / c1), 9) AS logp
+  FROM big b JOIN ctx USING (w1) JOIN cont USING (w2)
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(sum(logp) / count(*), 6) AS mean_logp
+FROM mapped JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 _BM25_TERMS = ("hash", "join", "vector", "spark")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -3918,6 +4029,9 @@ EXTRA_QUERIES = {
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
+    "txt_kn_bigram_lm": txt_kn_bigram_lm,
+    "txt_bpe_word_counts": txt_bpe_word_counts,
+    "txt_bpe_encode": txt_bpe_encode,
     "txt_bm25_topk": txt_bm25_topk,
     "ds_train_split": ds_train_split,
     "ds_pack_sequences": ds_pack_sequences,
@@ -4036,6 +4150,12 @@ EXTRA_ORACLES = {
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,
+    "txt_kn_bigram_lm": TXT_KN_BIGRAM_SQL,
+    "txt_bpe_word_counts": TXT_BPE_COUNTS_SQL,
+    # txt_bpe_encode is rows-only: the merge loop over the word-count
+    # sufficient statistic has no SQL form; the stats layer is the
+    # hash-checked txt_bpe_word_counts and the trainer/encoder are
+    # pinned to an independent reference in tests/test_tokenizer.py.
     "txt_bm25_topk": TXT_BM25_SQL,
     "ds_train_split": DS_SPLIT_SQL,
     "ds_pack_sequences": DS_PACK_SQL,

@@ -1002,6 +1002,80 @@ def test_unigram_lm_scores_exact_small(spark):
     assert abs(out[2]["oov_ratio"] - 0.5) < 1e-12
 
 
+def test_kn_bigram_lm_matches_independent_python(spark):
+    """Interpolated KN bigram scores match an independent pure-Python
+    recomputation (counts, continuation counts and the Chen & Goodman
+    interpolation re-derived from scratch), including the <unk>
+    collapse and docs with no bigrams being absent."""
+    import math
+    from collections import Counter
+
+    from mdataframe_spark.operators.text import kn_bigram_lm_scores
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "cat and dog and bird",
+        4: "zzz",  # single token -> no bigrams -> absent from output
+    }
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    cap, d = 6, 0.75
+    out = {
+        r["doc_id"]: r
+        for r in kn_bigram_lm_scores(df, vocab_cap=cap, discount=d).collect()
+    }
+
+    # independent recomputation
+    toks = {i: t.split() for i, t in corpus.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    vocab = set(
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    )
+    mapped = {
+        i: [(w if w in vocab else "<unk>") for w in ws] for i, ws in toks.items()
+    }
+    big = Counter(
+        (ws[j], ws[j + 1])
+        for ws in mapped.values()
+        for j in range(len(ws) - 1)
+    )
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    nb = float(len(big))
+
+    def logp(w1, w2):
+        return round(
+            math.log(
+                (max(big[(w1, w2)] - d, 0.0) + d * n1f[w1] * (n1b[w2] / nb))
+                / c1[w1]
+            ),
+            9,
+        )
+
+    assert 4 not in out
+    for i, ws in mapped.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        exp = sum(logp(a, b) for a, b in pairs) / len(pairs)
+        assert out[i]["n_bigrams"] == len(pairs)
+        assert abs(out[i]["mean_logp"] - exp) < 1e-9, i
+
+    # sanity: total probability mass over a context sums to 1
+    some_ctx = "the"
+    mass = sum(
+        (max(big[(some_ctx, w2)] - d, 0.0) + d * n1f[some_ctx] * (n1b[w2] / nb))
+        / c1[some_ctx]
+        for w2 in n1b
+    )
+    assert abs(mass - 1.0) < 1e-12
+
+
 def test_bm25_scores_closed_form(spark):
     """BM25 on a 3-doc fixture matches the hand-computed formula."""
     import math
