@@ -262,3 +262,74 @@ def leakage_safe_split(
     ).withColumn("__rep", F.coalesce(F.col("__rep"), F.col(key)))
     out = hash_split(labeled, key="__rep", fractions=fractions, seed=seed, out_col=out_col)
     return out.drop("__rep")
+
+
+def balance_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str = "n_chars",
+    tiebreak_cols: Sequence[str] = ("doc_id",),
+    out_col: str = "shard",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Assign every row to one of ``n_shards`` output shards with
+    near-equal total weight (token budget) per shard — the layout step
+    before writing training shards, where unbalanced shards stall the
+    data-loader on the heaviest file.
+
+    Assignment is SERPENTINE round-robin over the weight-descending
+    order (rank r -> position r%n in even rounds, reversed in odd
+    rounds): a deterministic one-pass relative of LPT scheduling whose
+    per-round boustrophedon cancels the systematic bias plain
+    round-robin gives shard 0. Max-minus-min shard load is bounded by
+    the largest single weight (tested), and the assignment is a pure
+    function of the weight order — stable across partitionings.
+
+    Scale shape: the global weight rank uses the same range-partitioned
+    decomposition as functions/stats.bh_adjust_scale_safe — bucket cuts
+    from approxQuantile, ONE count aggregation whose O(B) offsets come
+    back to the driver, then a bucket-PARTITIONED window (all buckets
+    rank in parallel; no single-reducer global window). Bucketing is
+    monotone in weight, with weight ties sharing a bucket, so
+    offset + local rank is the exact global rank.
+
+    ``weight_col`` must be non-null numeric. Adds ``out_col`` (int).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = max(spark.sparkContext.defaultParallelism * 4, 16)
+
+    w = F.col(weight_col).cast("double")
+    base = df.withColumn("__w", w)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(base.approxQuantile("__w", probs, 0.001)))
+
+    # bucket 0 holds the LARGEST weights (descending order), and rows
+    # tied with a cut land in one bucket -> bucketing is monotone in
+    # the sort key, the exactness precondition
+    bkt = F.lit(0)
+    for i, c in enumerate(reversed(cuts)):
+        bkt = F.when(F.col("__w") < F.lit(float(c)), F.lit(i + 1)).otherwise(bkt)
+    with_b = base.withColumn("__bkt", bkt)
+
+    counts = {
+        int(r["__bkt"]): int(r["n"])
+        for r in with_b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+
+    order = [F.col("__w").desc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w_rank = Window.partitionBy("__bkt").orderBy(*order)
+    g = off_map[F.col("__bkt")] + F.row_number().over(w_rank) - F.lit(1)
+    rnd = (g / F.lit(n_shards)).cast("bigint")
+    pos = g % F.lit(n_shards)
+    shard = F.when(rnd % 2 == 0, pos).otherwise(F.lit(n_shards - 1) - pos)
+    return with_b.withColumn(out_col, shard.cast("int")).drop("__w", "__bkt")

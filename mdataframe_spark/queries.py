@@ -3461,6 +3461,31 @@ GROUP BY lang
 """
 
 
+def ds_shard_balance(spark, sf_dir):
+    """Token-budget shard balancing (operators/datasets.py
+    balance_shards): serpentine round-robin over the weight-descending
+    order, global rank computed with the range-partitioned exact-rank
+    decomposition (bucketed approxQuantile cuts + one count agg +
+    bucket-partitioned windows — no single-reducer global window)."""
+    from .operators.datasets import balance_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = balance_shards(docs, n_shards=7, weight_col="n_chars")
+    return out.select("doc_id", "n_chars", "shard")
+
+
+DS_SHARD_SQL = r"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) - 1 AS g
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       (CASE WHEN (g // 7) % 2 = 0 THEN g % 7 ELSE 6 - (g % 7) END)::INTEGER AS shard
+FROM ranked
+"""
+
+
 def ds_importance_sample(spark, sf_dir):
     """Quality-weighted importance sampling (operators/datasets.py
     importance_sample): keep each document with probability equal to
@@ -4059,6 +4084,7 @@ EXTRA_QUERIES = {
     "ml_logreg_suffstats": ml_logreg_suffstats,
     "ml_quality_classifier": ml_quality_classifier,
     "ds_importance_sample": ds_importance_sample,
+    "ds_shard_balance": ds_shard_balance,
 }
 
 
@@ -4180,6 +4206,7 @@ EXTRA_ORACLES = {
     "sim_embedding_stats": SIM_STATS_SQL,
     "ml_logreg_suffstats": ML_LOGREG_STATS_SQL,
     "ds_importance_sample": DS_IMPORTANCE_SQL,
+    "ds_shard_balance": DS_SHARD_SQL,
     # ml_quality_classifier is rows-only: the d x d Newton solve
     # between iterations has no SQL form; its stats layer is the
     # hash-checked ml_logreg_suffstats and the fit is pinned to an

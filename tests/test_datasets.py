@@ -330,3 +330,46 @@ def test_importance_sample_stable_under_corpus_growth(spark):
     s = {r["doc_id"]: r["kept"] for r in importance_sample(small, "w").collect()}
     b = {r["doc_id"]: r["kept"] for r in importance_sample(big, "w").collect()}
     assert all(b[k] == v for k, v in s.items())
+
+
+def test_balance_shards_matches_independent_serpentine(spark):
+    """The distributed bucketed-rank path reproduces a driver-side
+    serpentine assignment computed independently, and the max-min
+    shard load is bounded by the largest single weight."""
+    from mdataframe_spark.operators.datasets import balance_shards
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 500)) for i in range(400)]
+    # inject weight ties to exercise the tie-break + shared-bucket path
+    rows += [(1000 + i, 250) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"]).repartition(9)
+    n = 5
+    out = {
+        r["doc_id"]: r["shard"]
+        for r in balance_shards(df, n, weight_col="w").collect()
+    }
+
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    exp = {}
+    for g, (i, _) in enumerate(order):
+        rnd, pos = divmod(g, n)
+        exp[i] = pos if rnd % 2 == 0 else n - 1 - pos
+    assert out == exp
+
+    loads = {s: 0 for s in range(n)}
+    for i, w in rows:
+        loads[out[i]] += w
+    assert max(loads.values()) - min(loads.values()) <= max(w for _, w in rows)
+
+
+def test_balance_shards_deterministic_across_partitionings(spark):
+    from mdataframe_spark.operators.datasets import balance_shards
+
+    rows = [(i, (i * 37) % 91 + 1) for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "w"]).coalesce(1)
+    df2 = spark.createDataFrame(rows, ["doc_id", "w"]).repartition(13)
+    a = {r["doc_id"]: r["shard"] for r in balance_shards(df1, 4, "w").collect()}
+    b = {r["doc_id"]: r["shard"] for r in balance_shards(df2, 4, "w").collect()}
+    assert a == b
