@@ -67,6 +67,7 @@ HEADLINE = [
     "j_range_session_errors",
     "dd_substring_spans",
     "ml_quality_classifier",
+    "txt_kn_bigram_lm",
 ]
 
 
@@ -84,6 +85,24 @@ def main():
         except Exception:
             pass
     release_caches()
+    # second warmup at the TARGET SF, uniformly for every query: the
+    # small-SF pass compiles the codegen shapes but does not push the
+    # hot loops through HotSpot's C2 tier at production trip counts —
+    # measured on stat_edger_exact_test, passes after an sf0.1 warmup
+    # run 4.0s steady-state vs 7.8-15s while still warming. One
+    # untimed pass per query (identical treatment for fast and slow
+    # queries; methodology recorded in the output JSON).
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+        finally:
+            release_caches()
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
     # per-query error isolation: one broken query must never erase the
     # round's numbers — record its error type and keep timing the rest
     timings = {}
@@ -103,11 +122,6 @@ def main():
                 dt = round(time.time() - t0, 3)
                 _ok += 1
                 best = dt if best is None else min(best, dt)
-                # slow query shapes get a third pass: their min is the
-                # noisiest (GC pauses, JIT recompilation) and they
-                # dominate the headline total
-                if best > 2.0:
-                    passes = 3
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
                 break
@@ -139,11 +153,12 @@ def main():
         "queries": timings,
         "sf": float(sf),
         # methodology, recorded so rounds stay comparable: per-query
-        # min over N passes (N below; queries slower than 2s get a 3rd
-        # pass), one warmup run per query at sf0.001 before timing, and
-        # a forced driver GC between query shapes
+        # min over 2 passes, after TWO untimed warmups per query (one
+        # at sf0.001 for codegen shapes, one at the target SF so
+        # HotSpot C2 compiles the hot loops at production trip counts
+        # — uniform for every query), forced driver GC between shapes
         "passes": pass_counts,
-        "timing": "min_over_passes_after_warmup_gc_between_shapes",
+        "timing": "min_of_2_after_target_sf_warmup_gc_between_shapes",
     }
     if errors:
         payload["errors"] = errors

@@ -132,8 +132,13 @@ def logreg_fit(
     stat_dp: int = 9,
 ) -> np.ndarray:
     """Newton/IRLS fit; returns the (d+1,) weight vector (intercept
-    first). ``iters`` fixed iterations (no data-dependent stopping —
-    keeps the job graph static and the result deterministic); ``ridge``
+    first). At most ``iters`` iterations, stopping early when the
+    ``stat_dp``-rounded weights reach an exact fixed point — a
+    deterministic criterion (the rounded stats are partition-invariant
+    by design, so the stop fires at the same iteration everywhere) that
+    cannot change the answer: once w_{t+1} == w_t exactly, every later
+    iteration reproduces the same w, so the early exit returns the
+    identical vector the full ``iters`` loop would. ``ridge``
     regularizes the solve; stat means rounded to ``stat_dp`` before the
     solve (see module docstring)."""
     d = len(feature_cols) + 1
@@ -151,11 +156,14 @@ def logreg_fit(
                 v = round(float(row[f"h_{j}_{k}"]), stat_dp)
                 H[j, k] = H[k, j] = v
             g[j] = round(float(row[f"g_{j}"]), stat_dp)
-        w = w + np.linalg.solve(H + ridge * np.eye(d), g)
+        w_next = w + np.linalg.solve(H + ridge * np.eye(d), g)
         # re-round the weights themselves: the solve amplifies the
         # stat rounding noise by cond(H); 9 dp on weights ~ O(1) keeps
         # the NEXT iteration's p expressions bit-identical everywhere
-        w = np.round(w, stat_dp)
+        w_next = np.round(w_next, stat_dp)
+        if np.array_equal(w_next, w):
+            break
+        w = w_next
     return w
 
 

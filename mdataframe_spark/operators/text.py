@@ -576,6 +576,61 @@ def unigram_lm_scores(
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line- and page-level cleaning (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning…", §2.2): keep only
+    lines that end in a terminal punctuation mark and have at least
+    ``min_words_per_line`` words, drop lines mentioning javascript,
+    then flag whole pages for removal when the kept text has fewer
+    than ``min_sentences`` sentences, contains a curly brace (code),
+    or the phrase "lorem ipsum".
+
+    Everything is a single codegen'd projection over the scan — the
+    line filter runs INSIDE the row via split + array higher-order
+    functions (no explode, no shuffle, no re-grouping to reassemble
+    documents), so at 100 TB this is a pure map with full predicate/
+    column pushdown upstream of it.
+
+    Adds: ``out_col`` (kept lines re-joined), ``n_lines_kept``,
+    ``n_lines_dropped``, ``n_sentences`` (terminal-punct count in the
+    kept text), ``keep_doc``. Filtering is left to the caller so the
+    drop reasons stay inspectable.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        n_words = F.size(F.filter(F.split(t, _WS), lambda w: w != ""))
+        ends_ok = t.rlike(r'[.!?"]$')
+        no_js = ~F.lower(t).contains("javascript")
+        return ends_ok & (n_words >= min_words_per_line) & no_js
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    keep_doc = (
+        (n_sent >= min_sentences)
+        & ~clean.contains("{")
+        & ~clean.contains("}")
+        & ~F.lower(clean).contains("lorem ipsum")
+    )
+    return df.withColumns(
+        {
+            out_col: clean,
+            "n_lines_kept": F.size(kept).cast("bigint"),
+            "n_lines_dropped": (F.size(lines) - F.size(kept)).cast("bigint"),
+            "n_sentences": n_sent.cast("bigint"),
+            "keep_doc": keep_doc,
+        }
+    )
+
+
 def kn_bigram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -624,8 +679,10 @@ def kn_bigram_lm_scores(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, "")), _WS
     )
     arr = F.filter(arr_all, lambda t: t != "")
+    # no persist: the token stream feeds ONLY the vocabulary count —
+    # one consumer, so caching it would cost a corpus-sized
+    # materialization for zero reuse
     toks = df.select(F.col(id_col), F.explode(arr).alias("__tok"))
-    toks = _persist_tracked(toks)
 
     counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     vocab = (

@@ -3085,6 +3085,94 @@ FROM scored GROUP BY doc_id
 """
 
 
+def txt_c4_clean(spark, sf_dir):
+    """C4-style line/page cleaning (operators/text.py c4_clean). The
+    synthetic corpus is single-line punctuation-free word soup, so the
+    query first builds a realistic multi-line page per document —
+    deterministically, from text + doc_id, with the IDENTICAL
+    construction in the SQL oracle — containing kept lines, short
+    lines, a javascript line (every 5th doc) and a code-brace line
+    (every 7th doc). The cleaner itself is one codegen'd projection
+    (split + array higher-order functions; no explode, no shuffle)."""
+    from .operators.text import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.lit(".\n"),
+        F.lit("short line\n"),
+        F.lit("this sentence has enough words to keep"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("!")).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("please enable javascript in your browser now.\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("var x = {1}. this is generated code output.\n"),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+        F.lit(" again?"),
+    )
+    out = c4_clean(docs.select("doc_id", page.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_lines_dropped",
+        "n_sentences",
+        "keep_doc",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+TXT_C4_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         text || '.' || chr(10)
+           || 'short line' || chr(10)
+           || 'this sentence has enough words to keep'
+           || CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '' END || chr(10)
+           || CASE WHEN doc_id % 5 = 0
+                   THEN 'please enable javascript in your browser now.' || chr(10)
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN 'var x = {1}. this is generated code output.' || chr(10)
+                   ELSE '' END
+           || text || ' again?' AS page
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_filter(string_split(page, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(trim(l)), 'javascript')),
+             l -> trim(l)),
+           chr(10)) AS clean,
+         len(string_split(page, chr(10)))::BIGINT AS n_lines,
+         len(list_filter(string_split(page, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(trim(l)), 'javascript')))::BIGINT
+           AS n_lines_kept
+  FROM pages
+)
+SELECT doc_id,
+       n_lines_kept,
+       (n_lines - n_lines_kept)::BIGINT AS n_lines_dropped,
+       len(regexp_extract_all(clean, '[.!?]'))::BIGINT AS n_sentences,
+       (len(regexp_extract_all(clean, '[.!?]')) >= 3
+        AND NOT contains(clean, '{') AND NOT contains(clean, '}')
+        AND NOT contains(lower(clean), 'lorem ipsum')) AS keep_doc,
+       md5(clean) AS clean_md5
+FROM cleaned
+"""
+
+
 def txt_bpe_word_counts(spark, sf_dir):
     """BPE training's distributed sufficient-statistics layer
     (operators/tokenizer.py word_counts): the capped word-frequency
@@ -4055,6 +4143,7 @@ EXTRA_QUERIES = {
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
     "txt_kn_bigram_lm": txt_kn_bigram_lm,
+    "txt_c4_clean": txt_c4_clean,
     "txt_bpe_word_counts": txt_bpe_word_counts,
     "txt_bpe_encode": txt_bpe_encode,
     "txt_bm25_topk": txt_bm25_topk,
@@ -4177,6 +4266,7 @@ EXTRA_ORACLES = {
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,
     "txt_kn_bigram_lm": TXT_KN_BIGRAM_SQL,
+    "txt_c4_clean": TXT_C4_SQL,
     "txt_bpe_word_counts": TXT_BPE_COUNTS_SQL,
     # txt_bpe_encode is rows-only: the merge loop over the word-count
     # sufficient statistic has no SQL form; the stats layer is the

@@ -1482,3 +1482,40 @@ def test_semantic_dedup_argmax_paths_agree(spark):
     ra = sorted(tuple(r) for r in a.select("vec_id", "cluster", "kept").collect())
     rb = sorted(tuple(r) for r in b.select("vec_id", "cluster", "kept").collect())
     assert ra == rb
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """Raffel et al. 2020 §2.2 rules on a hand-built fixture: terminal
+    punctuation, >=5 words, javascript lines, sentence minimum, curly
+    braces, lorem ipsum."""
+    from mdataframe_spark.operators.text import c4_clean
+
+    good = "this is a perfectly fine sentence."
+    pages = [
+        # 3 good sentences -> kept page
+        (1, f"{good}\n{good}\n{good}"),
+        # line without terminal punctuation dropped; only 2 sentences -> drop page
+        (2, f"{good}\nno terminal punctuation here at all\n{good}"),
+        # short line dropped even with punctuation
+        (3, f"{good}\ntoo short.\n{good}\n{good}"),
+        # javascript line dropped
+        (4, f"{good}\nplease enable javascript to view this page.\n{good}\n{good}"),
+        # curly brace in a KEPT line kills the page
+        (5, f"{good}\nthis kept line has braces {{x}} in it ok.\n{good}"),
+        # lorem ipsum kills the page
+        (6, f"{good}\nlorem ipsum dolor sit amet consectetur adipiscing.\n{good}"),
+        # question marks / quotes count as terminal
+        (7, 'is this a question with words?\n"a quoted sentence with five words."\n' + good),
+    ]
+    df = spark.createDataFrame(pages, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    assert out[1]["n_lines_kept"] == 3 and out[1]["keep_doc"]
+    assert out[2]["n_lines_kept"] == 2 and not out[2]["keep_doc"]
+    assert out[3]["n_lines_kept"] == 3 and out[3]["n_lines_dropped"] == 1
+    assert out[4]["n_lines_kept"] == 3 and "javascript" not in out[4]["clean_text"]
+    assert out[5]["n_lines_kept"] == 3 and not out[5]["keep_doc"]
+    assert not out[6]["keep_doc"]
+    assert out[7]["n_lines_kept"] == 3 and out[7]["keep_doc"]
+    # kept text is the trimmed kept lines, newline-joined
+    assert out[1]["clean_text"] == "\n".join([good] * 3)
