@@ -1053,6 +1053,41 @@ FROM events GROUP BY event_type
 """
 
 
+def sk_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketches.py heavy_hitters):
+    every word with frequency > n/k over the corpus, with EXACT counts.
+    Candidates come from per-Arrow-batch threshold summaries (< k rows
+    per batch shuffle — never the distinct-word table); one candidate-
+    pruned aggregation verifies exactly, which is what makes the output
+    deterministic and lets DuckDB replay it as GROUP BY ... HAVING."""
+    from .operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]", "")),
+                r"\s+",
+            )
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return heavy_hitters(toks, "word", k=200)
+
+
+SK_HH_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS word
+  FROM documents
+), t2 AS (
+  SELECT word FROM toks WHERE word <> ''
+)
+SELECT word, count(*)::BIGINT AS count
+FROM t2 GROUP BY word
+HAVING count(*) > (SELECT count(*) FROM t2) / 200.0
+"""
+
+
 def j_range_session_errors(spark, sf_dir):
     """Range (interval-containment) join (operators/joins.py
     range_join): error events assigned to the click/view SESSION
@@ -4174,6 +4209,7 @@ EXTRA_QUERIES = {
     "ml_quality_classifier": ml_quality_classifier,
     "ds_importance_sample": ds_importance_sample,
     "ds_shard_balance": ds_shard_balance,
+    "sk_heavy_hitters": sk_heavy_hitters,
 }
 
 
@@ -4297,6 +4333,7 @@ EXTRA_ORACLES = {
     "ml_logreg_suffstats": ML_LOGREG_STATS_SQL,
     "ds_importance_sample": DS_IMPORTANCE_SQL,
     "ds_shard_balance": DS_SHARD_SQL,
+    "sk_heavy_hitters": SK_HH_SQL,
     # ml_quality_classifier is rows-only: the d x d Newton solve
     # between iterations has no SQL form; its stats layer is the
     # hash-checked ml_logreg_suffstats and the fit is pinned to an

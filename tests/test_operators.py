@@ -1519,3 +1519,50 @@ def test_c4_clean_line_and_page_rules(spark):
     assert out[7]["n_lines_kept"] == 3 and out[7]["keep_doc"]
     # kept text is the trimmed kept lines, newline-joined
     assert out[1]["clean_text"] == "\n".join([good] * 3)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """Output equals the exact GROUP BY ... HAVING result on a skewed
+    corpus regardless of partitioning, and the per-batch candidate
+    stage never emits a key it shouldn't keep (verification prunes)."""
+    import random
+
+    from mdataframe_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(3)
+    # zipf-ish: a few hot keys + a long uniform tail
+    rows = (
+        [("hot_a",)] * 400
+        + [("hot_b",)] * 250
+        + [("warm",)] * 60
+        + [(f"tail_{rng.randint(0, 2000)}",) for _ in range(1300)]
+    )
+    rng.shuffle(rows)
+    k = 20  # threshold = 2010/20 = 100.5
+    exact = {}
+    for (w,) in rows:
+        exact[w] = exact.get(w, 0) + 1
+    expected = {w: c for w, c in exact.items() if c > len(rows) / k}
+
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, ["word"]).repartition(parts)
+        got = {
+            r["word"]: r["count"]
+            for r in heavy_hitters(df, "word", k=k).collect()
+        }
+        assert got == expected, parts
+
+
+def test_heavy_hitters_degenerate_and_nulls(spark):
+    from mdataframe_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("x",)] * 50 + [(None,)] * 10, ["word"]
+    ).repartition(5)
+    got = {r["word"]: r["count"] for r in heavy_hitters(df, "word", k=2).collect()}
+    assert got == {"x": 50}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "word", k=1)
