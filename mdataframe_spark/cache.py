@@ -19,6 +19,8 @@ pressure).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _PERSISTED: list = []
@@ -40,3 +42,29 @@ def release_caches() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+@contextmanager
+def scoped_caches():
+    """Release exactly the intermediates persisted inside the block.
+
+    For long-running callers that invoke persist-registering builders
+    repeatedly (a Structured Streaming ``foreachBatch`` callback, a
+    driver-side loop over shards): the global :func:`release_caches`
+    never fires for them, so without a scope each invocation leaks its
+    pinned blocks. Entries registered BEFORE the block (a shared
+    corpus-side store, a loop-carried frame) are left untouched.
+
+    The consuming action must happen inside the block — after exit the
+    scoped frames are unpersisted (recomputed if read again: correct,
+    just slower).
+    """
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        while len(_PERSISTED) > mark:
+            try:
+                _PERSISTED.pop().unpersist()
+            except Exception:
+                pass

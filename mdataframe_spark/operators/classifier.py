@@ -106,10 +106,21 @@ def logreg_sufficient_stats(
     Columns: ``n_docs`` plus ``h_<j>_<k>`` (j <= k, Hessian means over
     the intercept-augmented feature vector x_0 = 1, x_1.., x_d) and
     ``g_<j>`` (gradient means). This is the ENTIRE cross-worker traffic
-    of one Newton iteration — O(d^2) scalars."""
+    of one Newton iteration — O(d^2) scalars.
+
+    Rows with any null feature or label are excluded up front
+    (complete-case): F.avg skips nulls PER COLUMN, so without the
+    filter a partially-null row would contribute to n_docs and to some
+    h/g cells but not others — mutually inconsistent means and a
+    silently biased Newton step. With the filter every mean shares one
+    denominator."""
     d = len(feature_cols) + 1
     if weights is None:
         weights = [0.0] * d
+    complete = F.lit(True)
+    for c in list(feature_cols) + [label_col]:
+        complete = complete & F.col(c).isNotNull()
+    df = df.filter(complete)
     xs: List[Column] = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
     p = _sigmoid(_margin(feature_cols, weights))
     wvar = p * (1.0 - p)

@@ -143,12 +143,21 @@ def importance_sample(
     whose weight sits at the draw boundary. Pure column expression:
     zero-shuffle, pushed to the scan at 100 TB, and a doc's decision is
     stable as the corpus grows (same property as hash_split).
+
+    Null weights: a null weight keeps the row with probability 0, and
+    the output column is two-valued (``kept`` is never null). This
+    needs an explicit guard, not a bare expression: Spark's least()
+    SKIPS nulls, so ``least(null * s, 1.0)`` is 1.0 — an unguarded
+    null weight would be silently ALWAYS kept.
     """
     u = split_hash_u(key, seed)
     p = F.round(
         F.least(F.col(weight_col) * F.lit(float(rate_scale)), F.lit(1.0)), 6
     )
-    return df.withColumn(out_col, u < p)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(weight_col).isNull(), F.lit(False)).otherwise(u < p),
+    )
 
 
 def domain_mixture_rates(

@@ -1346,21 +1346,24 @@ def remove_duplicate_substrings(
     whitespace. Per-doc work only: the covered positions explode from
     the span frame (bounded by doc length) and the surviving tokens
     reassemble with one window sort per doc."""
+    # internal join key uses a dunder alias: a bare "id" alias would
+    # make the final drop("id") remove a CALLER column named id too
+    # (DataFrame.drop drops every column with that name).
     spans = duplicate_substring_spans(docs, id_col, text_col, min_tokens, k)
     covered = spans.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("__rds_id"),
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),
     ).distinct()
     toks = docs.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("__rds_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
     )
-    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    kept = toks.join(covered, ["__rds_id", "pos"], "left_anti")
     # reassembly is one partial-agged groupBy + an in-array sort —
     # O(L log L) per doc. (A collect_list window over the full frame
     # would materialize the whole token array on EVERY row first:
     # O(L²) buffer per doc, an OOM for book-length documents.)
-    rebuilt = kept.groupBy("id").agg(
+    rebuilt = kept.groupBy("__rds_id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -1370,7 +1373,7 @@ def remove_duplicate_substrings(
         ).alias("__clean")
     )
     return (
-        docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left")
+        docs.join(rebuilt, docs[id_col] == rebuilt["__rds_id"], "left")
         .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
-        .drop("id", "__clean")
+        .drop("__rds_id", "__clean")
     )

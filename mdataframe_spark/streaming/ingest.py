@@ -40,8 +40,11 @@ def stream_duplicate_span_probe(
     micro-batch repeats; cross-micro-batch repeats are caught once the
     clean batches' own index increments are appended to the store, the
     same contract as the incremental LSH probe). ``sink(spans_df,
-    batch_id)`` receives each batch's span frame. Returns the started
-    streaming query (caller awaits termination).
+    batch_id)`` receives each batch's span frame and must CONSUME it
+    before returning (write/collect/count): the batch's pinned
+    intermediates are released when the callback exits, so a frame
+    stashed for later is recomputed from the (gone) micro-batch input.
+    Returns the started streaming query (caller awaits termination).
 
     Trigger: the default ``available_now=True`` drains what exists and
     terminates — the bounded test/backfill shape. A LIVE ingestion
@@ -50,13 +53,20 @@ def stream_duplicate_span_probe(
     query stops after the startup backlog and later documents are
     never probed.
     """
+    from ..cache import scoped_caches
     from ..operators.dedup import duplicate_spans_against
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spans = duplicate_spans_against(
-            batch_df, corpus_index, id_col, text_col, min_tokens, k
-        )
-        sink(spans, batch_id)
+        # duplicate_spans_against pins the batch's k-gram frame; on a
+        # LIVE stream (available_now=False) no caller-side
+        # release_caches() ever fires, so without this scope every
+        # micro-batch leaks its pinned blocks until executors degrade.
+        # sink() must fully consume spans inside the scope.
+        with scoped_caches():
+            spans = duplicate_spans_against(
+                batch_df, corpus_index, id_col, text_col, min_tokens, k
+            )
+            sink(spans, batch_id)
 
     w = doc_stream.writeStream.foreachBatch(_process)
     if available_now:

@@ -91,6 +91,28 @@ def test_suffstats_symmetric_layout(feats):
     assert row["n_docs"] == feats.count()
 
 
+def test_suffstats_null_features_excluded_complete_case(spark):
+    """A row with ANY null feature must contribute to NOTHING: F.avg
+    skips nulls per column, so without the complete-case filter the
+    row would inflate n_docs and some h/g cells but not others — the
+    stats must equal those of the manually-filtered frame exactly."""
+    rows = [
+        (1, 0.5, 0.4, 0.3, 0.2, 1),
+        (2, 0.9, 0.8, 0.7, 0.6, 0),
+        (3, None, 0.1, 0.2, 0.3, 1),   # null feature
+        (4, 0.2, 0.3, None, 0.5, 0),   # null feature
+        (5, 0.1, 0.2, 0.3, 0.4, None), # null label
+    ]
+    cols = ["doc_id", "f_tok", "f_ttr", "f_stop", "f_wlen", "keep"]
+    df = spark.createDataFrame(rows, cols)
+    full = logreg_sufficient_stats(df, FEATURE_COLS, "keep").collect()[0]
+    clean = logreg_sufficient_stats(
+        df.dropna(subset=list(FEATURE_COLS) + ["keep"]), FEATURE_COLS, "keep"
+    ).collect()[0]
+    assert full["n_docs"] == 2
+    assert full.asDict() == clean.asDict()
+
+
 def test_no_python_in_data_path(feats):
     """Fit + score stay JVM-side: no BatchEvalPython / PythonUDF nodes
     in either the stats aggregation or the scoring plan."""

@@ -322,6 +322,26 @@ def test_importance_sample_matches_independent_md5_draw(spark):
         assert out[k] == (u < round(min(w, 1.0), 6)), (k, w, u)
 
 
+def test_importance_sample_null_weight_is_false_not_null(spark):
+    """A null weight keeps with probability 0 AND the kept column is
+    two-valued — filter(kept) and groupBy(kept) must agree on every
+    row (a bare u < null would be null: three-valued drift)."""
+    from mdataframe_spark.operators.datasets import importance_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 0.9), (4, None)], ["doc_id", "w"]
+    )
+    out = importance_sample(df, "w")
+    rows = {r["doc_id"]: r["kept"] for r in out.collect()}
+    assert rows[2] is False and rows[4] is False  # False, never None
+    n_true = out.filter("kept").count()
+    n_false = out.filter("NOT kept").count()
+    assert n_true + n_false == 4  # no third truth value
+    by_group = {r["kept"]: r["c"] for r in out.groupBy("kept").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert by_group.get(True, 0) == n_true and by_group[False] == n_false
+
+
 def test_importance_sample_stable_under_corpus_growth(spark):
     from mdataframe_spark.operators.datasets import importance_sample
 

@@ -1297,6 +1297,27 @@ def test_duplicate_substring_spans(spark):
     assert clean[5] == "short doc"
 
 
+def test_remove_duplicate_substrings_preserves_caller_id_column(spark):
+    """A docs frame whose OWN schema has an `id` column (distinct from
+    id_col) must keep it: the operator's internal join key is
+    dunder-prefixed, so drop() cannot collide with user columns."""
+    from mdataframe_spark.operators.dedup import remove_duplicate_substrings
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "legacy-1", "alpha beta gamma delta " + boiler + " tail one"),
+            (2, "legacy-2", "x y z " + boiler + " other stuff here"),
+        ],
+        ["doc_id", "id", "text"],
+    )
+    out = remove_duplicate_substrings(docs, min_tokens=10, k=8)
+    assert "id" in out.columns
+    got = {r["doc_id"]: (r["id"], r["text"]) for r in out.collect()}
+    assert got[1] == ("legacy-1", "alpha beta gamma delta tail one")
+    assert got[2] == ("legacy-2", "x y z other stuff here")
+
+
 def test_duplicate_substring_spans_min_tokens_guard(spark):
     from mdataframe_spark.operators.dedup import duplicate_substring_spans
 

@@ -389,10 +389,19 @@ def test_stream_duplicate_span_probe(spark, tmp_path):
             (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
         )
 
+    from mdataframe_spark import cache as _cache
+
+    tracked_before = len(_cache._PERSISTED)
+    jvm_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     q = stream_duplicate_span_probe(
         stream, idx, sink, checkpoint_dir=str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
+    # a LIVE stream never reaches a caller-side release_caches(), so the
+    # probe must release each micro-batch's pinned k-gram frame itself —
+    # three batches ran; zero net pinned blocks may remain
+    assert len(_cache._PERSISTED) == tracked_before
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == jvm_before
 
     expect = {
         (r["doc_id"], r["span_start"], r["span_end"])
