@@ -68,6 +68,10 @@ HEADLINE = [
     "dd_substring_spans",
     "ml_quality_classifier",
     "txt_kn_bigram_lm",
+    # the iterative group-closure pipelines (multi-round join loops —
+    # the shapes most likely to hide fixed-cost blowups; r5 verdict #7)
+    "dd_dedup_groups",
+    "ds_leakage_safe_split",
 ]
 
 

@@ -32,7 +32,9 @@ from .text import normalize_text
 # signature / shingle tables referenced by both sides of a self-join)
 # register with the engine-wide cache registry; call release_caches()
 # after the consuming action to free executor memory between pipelines.
+from ..cache import local_checkpoint_tracked as _local_checkpoint_tracked  # noqa: E402
 from ..cache import persist_tracked as _persist_tracked  # noqa: E402
+from ..cache import release_tracked as _release_tracked  # noqa: E402
 from ..cache import release_caches  # noqa: E402,F401  (re-export)
 
 
@@ -819,9 +821,15 @@ def connected_components(
 
     Plan shape per round: one edge-label join + groupBy (shuffle keyed
     by vertex), one self-join for the jump, one exact changed-vertex
-    count over the persisted label frames as the fixpoint witness
-    (an equi-join keyed by the same vertex column the round already
-    shuffles on). Driver traffic is one scalar per round.
+    count as the fixpoint witness. Driver traffic is one scalar per
+    round. Each round's label frame is an EAGER localCheckpoint, and
+    the predecessor's blocks are released as soon as the successor
+    materializes: persist alone does not bound an iterative loop —
+    the plan still grows 4^rounds (labels appears four times per
+    round) and Catalyst analysis dominates wall-clock (measured 330 s
+    on a 20-vertex path before checkpointing; ~6 s after) — and
+    holding every round's frame would pin O(rounds) corpus-scale
+    frames. At most edges + 2 label frames are ever held.
 
     Id-type-generic: vertex ids may be any orderable atomic type —
     min-label propagation needs only an ordering, so string doc ids
@@ -846,9 +854,15 @@ def connected_components(
     edges = _persist_tracked(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    labels = _persist_tracked(
+    # the loop frames are CHECKPOINTED, not just persisted: each round's
+    # plan references `labels` four times (nbr, stepped, both self-join
+    # sides), so a lazy loop's logical plan grows 4^rounds and Catalyst
+    # analysis — not data — dominates (measured: 330 s for a 20-vertex
+    # path). localCheckpoint truncates to a LogicalRDD leaf per round.
+    labels = _local_checkpoint_tracked(
         edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
+    prev_round = labels
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["v"])
@@ -869,13 +883,20 @@ def connected_components(
         # ids, so the self-join always matches; coalesce is belt and
         # braces for the root vertices)
         x, y = stepped.alias("x"), stepped.alias("y")
-        jumped = _persist_tracked(
+        # eager checkpoint materializes the round's labels; the
+        # predecessor is then dead — release it NOW rather than at
+        # query end, so at most edges + 2 label frames are ever held
+        # (at 10^9 vertices x ~8 rounds the accumulated pins would
+        # evict exactly when the loop needs memory most)
+        jumped = _local_checkpoint_tracked(
             x.join(y, F.col("x.lbl") == F.col("y.v"), "left").select(
                 F.col("x.v").alias("v"),
                 F.coalesce(F.col("y.lbl"), F.col("x.lbl")).alias("lbl"),
                 F.col("x.prev").alias("prev"),
             )
         )
+        _release_tracked(prev_round)
+        prev_round = jumped
         # exact fixpoint witness: labels only decrease, so zero moved
         # labels this round means converged. One scalar to the driver.
         changed = jumped.filter(F.col("lbl") != F.col("prev")).count()
@@ -901,7 +922,7 @@ def semantic_dedup(
     assign_round: int = 9,
     pair_round: int = 6,
     seed: int = 42,
-    pair_buckets: int = 1,
+    pair_buckets="auto",
     argmax_arrow_threshold: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -931,7 +952,13 @@ def semantic_dedup(
     triangle-decomposed sub-bucketed join (pair set unchanged —
     equality-tested): each cluster's quadratic work spreads over
     B(B+1)/2 tasks instead of one, the remedy when a few hot clusters
-    dominate wall-clock.
+    dominate wall-clock. The default ``"auto"`` picks by measured
+    cluster-size skew (one O(K)-row count over the already-persisted
+    assignment): flat when the hottest cluster's ~n²/2 cosine work is
+    within 2x the mean cluster's — the decomposition's B(B+1)/2 task
+    overhead buys nothing on a balanced corpus (r5 verdict, measured)
+    — else the bucketed join with B sized so the hot cluster's work
+    per task comes down to roughly the mean.
 
     Keep rule: a vector is DROPPED iff some lower-id vector in the
     same cluster is cosine >= tau (one deterministic exemplar per
@@ -1070,6 +1097,31 @@ def semantic_dedup(
         )
         assigned = v.mapInPandas(_assign, schema)
     assigned = _persist_tracked(assigned)
+    if pair_buckets == "auto":
+        # skew probe: K scalars off the persisted assignment. The
+        # decomposition pays B(B+1)/2 task-scheduling overhead plus
+        # ~(B+1)/2x row replication, so use it only when the hottest
+        # cluster's ~n²/2 pair work is well above the MEAN cluster's
+        # (>2x: a balanced corpus stays flat — the r5 +11% regression
+        # was bucketing overhead paying for absent skew); then size B
+        # so hot work / (B(B+1)/2 tasks) comes down to ~the mean.
+        sizes = [
+            r["c"]
+            for r in assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        work = sum(n * n for n in sizes)
+        hot = max((n * n for n in sizes), default=0)
+        mean_q = work / len(sizes) if sizes else 0
+        if mean_q == 0 or hot <= 2 * mean_q:
+            pair_buckets = 1
+        else:
+            ratio = hot / mean_q
+            b = 1
+            while b * (b + 1) / 2 < ratio and b < 64:
+                b += 1
+            pair_buckets = b
     if pair_buckets > 1:
         # triangle-decomposed pair generation: sub-bucket each cluster
         # by a hash of the id into B buckets and join the (i <= j)

@@ -110,3 +110,24 @@ def test_registry_size_invariants():
     rows_only_idx = [i for i, n in enumerate(names) if n not in ORACLES]
     oracle_idx = [i for i, n in enumerate(names) if n in ORACLES]
     assert not rows_only_idx or min(rows_only_idx) > max(oracle_idx)
+
+    # COVERAGE.md's registry-shape paragraph must match the LIVE
+    # registries (round-5 verdict: the doc-rot guard checked names but
+    # not counts, and the audit-trail numbers drifted)
+    from pathlib import Path
+
+    cov = Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    text = cov.read_text()
+    shape = text[text.index("## Driver registry shape") :]
+    expected = [
+        f"{len(QUERIES)} registered queries",
+        f"{len(ORACLES)} oracle-backed,",
+        f"{len(EXTRA_QUERIES)} further queries in EXTRA_QUERIES "
+        f"({len(EXTRA_ORACLES)} with oracles)",
+        f"all\n{len(ORACLES) + len(EXTRA_ORACLES)} oracle-backed queries",
+    ]
+    for frag in expected:
+        assert frag in shape, (
+            f"COVERAGE.md registry-shape counts drifted from the live "
+            f"registries: expected {frag!r}"
+        )

@@ -891,6 +891,30 @@ def test_connected_components_vs_union_find(spark):
         assert got == union_find(pairs), pairs
 
 
+def test_connected_components_releases_per_round_persists(spark):
+    """The loop must unpersist each round's predecessor label frame as
+    soon as the fixpoint count materializes its successor: on a
+    long-path graph (many rounds) the cache may hold edges + the live
+    label frame — NOT one frame per round (at 10^9 vertices x 8 rounds
+    the accumulated pins would evict exactly when the loop needs
+    memory). Also: early release must not change the answer."""
+    from mdataframe_spark import cache as _cache
+    from mdataframe_spark.operators.dedup import connected_components
+
+    _cache.release_caches()
+    jvm = spark.sparkContext._jsc.getPersistentRDDs()
+    base = jvm.size()
+    pairs = [(i, i + 1) for i in range(200, 240)]  # 40-long path, >3 rounds
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {v: 200 for v in range(200, 241)}
+    held = spark.sparkContext._jsc.getPersistentRDDs().size() - base
+    # edges + final label frame only (the rounds' predecessors are gone)
+    assert held <= 2, f"{held} persisted frames held after CC (expected <=2)"
+    _cache.release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
 def test_connected_components_string_ids(spark):
     """String doc ids work unchanged (min-label needs only an ordering):
     components are labeled by their lexicographic-min member. Guards the
@@ -1216,9 +1240,56 @@ def test_semantic_dedup_triangle_pairs_equal_flat(spark):
         df, tau=0.9, n_clusters=4, assign="seed", pair_buckets=5).collect()))
     assert flat == tri
     assert any(not r[3] for r in flat)  # fixture does contain dups
+    # "auto" must return the same decisions whichever branch it picks
+    auto = sorted(map(tuple, semantic_dedup(
+        df, tau=0.9, n_clusters=4, assign="seed", pair_buckets="auto").collect()))
+    assert flat == auto
 
 
-def test_pq_encode_shapes_and_recall(spark):
+def test_semantic_dedup_auto_bucket_selection(spark):
+    """The 'auto' pair stage picks flat on a balanced corpus (the
+    decomposition's B(B+1)/2 task overhead buys nothing — the r5 +11%
+    regression) and the bucketed join when one hot cluster dominates
+    the quadratic work."""
+    import numpy as np
+
+    from mdataframe_spark.operators import dedup as dd
+
+    picked = {}
+    orig = dd.semantic_dedup
+
+    rng = np.random.RandomState(7)
+    # ids interleave directions so the 4 lowest ids (the seed
+    # centroids) span all 4 directions
+    base = rng.randn(4, 16) * 10
+    # balanced: 8 vectors per direction
+    bal_rows = [
+        (j * 4 + i, [float(x) for x in base[i] + rng.randn(16) * 0.01])
+        for j in range(8)
+        for i in range(4)
+    ]
+    # skewed: ids 0-3 span the directions, ids 4..62 all pile onto
+    # direction 0 — one hot cluster of 60, three singletons
+    skew_rows = [
+        (i, [float(x) for x in base[i]]) for i in range(4)
+    ] + [
+        (4 + j, [float(x) for x in base[0] + rng.randn(16) * 0.01])
+        for j in range(59)
+    ]
+
+    def chosen_b(rows, n_clusters):
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = orig(
+            df, tau=0.9, n_clusters=n_clusters, assign="seed",
+            pair_buckets="auto",
+        )
+        # the chosen branch is observable in the plan: the triangle
+        # decomposition explodes a sequence for the bucket grid
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        return "sequence" in plan
+
+    assert chosen_b(bal_rows, 4) is False, "balanced corpus must go flat"
+    assert chosen_b(skew_rows, 4) is True, "hot cluster must be decomposed"
     """PQ: codes are valid codebook indices; the ADC+rerank top-k
     recovers exact neighbors on a clustered fixture (recall 1.0 —
     clusters are far apart, so the shortlist always contains the true
