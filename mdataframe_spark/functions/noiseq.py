@@ -199,7 +199,8 @@ class NOISeq(Transformer):
             spark = df.sparkSession
             prob_df = spark.createDataFrame(sig_pdf[[idx, "__prob"]])
             out = signal.join(F.broadcast(prob_df), idx)
-        else:  # pragma: no cover - large-scale approximate path
+        else:  # large-scale approximate path (equivalence-tested vs
+            # the exact branch in tests/test_noiseq_golden.py)
             out = self._prob_binomial_approx(signal, pair, idx, ca, cb, lib, scale)
 
         return self._finalize(out, idx, ca, cb)

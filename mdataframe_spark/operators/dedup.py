@@ -714,25 +714,83 @@ def feature_hash_embed(
     return dense.withColumn("norm", norm).filter(F.col("norm") > 0)
 
 
+def srp_auto_sizing(
+    n: int,
+    threshold: float,
+    target_bucket: int = 64,
+    recall_target: float = 0.95,
+):
+    """Standard LSH sizing for SRP banding: (n_bands, n_planes) such
+    that the expected bucket population stays ~``target_bucket`` (r =
+    log2(n / target_bucket) planes, clamped to [6, 60] — bucket ids
+    accumulate as 1 << p in a bigint) and at least ``recall_target``
+    of true pairs at cosine ``threshold`` collide in some band
+    (per-plane agreement p = 1 - acos(t)/π; band recall 1-(1-p^r)^b).
+    Pure arithmetic — unit-testable without a corpus."""
+    import math
+
+    r = min(max(6, math.ceil(math.log2(max(n / target_bucket, 2.0)))), 60)
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pr = p**r
+    # the needed band count grows by ~1/p per extra plane (the AND-OR
+    # tradeoff); per-band work is ~n*target_bucket so bands are cheap,
+    # but cap at 256 — enough for ~10^10 docs at threshold 0.9 (r=27
+    # needs ~197 bands). Past the cap recall degrades gracefully; a
+    # larger target_bucket trades bucket size back for recall.
+    b = 1
+    while 1.0 - (1.0 - pr) ** b < recall_target and b < 256:
+        b += 1
+    return b, r
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "doc_id",
     vec_col: str = "vec",
     norm_col: str = "norm",
     threshold: float = 0.9,
-    n_bands: int = 6,
-    n_planes: int = 6,
+    n_bands="auto",
+    n_planes="auto",
     seed: int = 1042,
+    target_bucket: int = 64,
+    recall_target: float = 0.95,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-LSH banded candidate
     generation (pairs agreeing on ALL sign bits of one band's random
     hyperplanes) + exact cosine verification at ``threshold``.
 
-    Scale shape: per band one bucket equi-join — never all-pairs; at
-    cosine ~0.9 the 6x6 banding retains ~95% of true pairs while the
-    bucket join prunes the rest of the corpus. The planes are
-    deterministic (md5-derived), so results are reproducible across
-    engines and runs."""
+    Scale shape: per band one bucket equi-join — never all-pairs. A
+    FIXED plane count is inherently quadratic, though: r planes give
+    2^r buckets per band, so bucket population — and with it pair
+    volume — grows as n²/2^r no matter how large the corpus (the r5
+    SCALE.md flagged exactly this: 7.9x wall-clock at 10x input with
+    r=6's 64 buckets). The ``"auto"`` defaults apply the standard LSH
+    sizing instead: r = log2(n / target_bucket) keeps the EXPECTED
+    bucket population constant as the corpus grows (pair work ~
+    n·target_bucket·bands, sub-quadratic), and the band count is then
+    the smallest b with 1-(1-p^r)^b >= recall_target at the given
+    cosine threshold (p = 1 - acos(t)/π per plane). On small corpora
+    the autos resolve to the legacy 6x6. Costs one count() action;
+    pass explicit ints to skip it (the oracle-checked query pins 6x6
+    so its SQL replay stays frozen).
+
+    Hot buckets (e.g. a spike of identical embeddings) are capped at
+    ``df_cap`` members before pairing — same logged cap_hot_keys
+    policy as the MinHash/SimHash paths; such buckets carry no dedup
+    signal and would otherwise explode the pair join.
+
+    The planes are deterministic (md5-derived), so results are
+    reproducible across engines and runs."""
+    if n_planes == "auto" or n_bands == "auto":
+        n = emb.count()
+        auto_b, auto_p = srp_auto_sizing(
+            n, threshold, target_bucket=target_bucket, recall_target=recall_target
+        )
+        if n_planes == "auto":
+            n_planes = auto_p
+        if n_bands == "auto":
+            n_bands = auto_b
     planes = srp_plane_constants(n_bands, n_planes, seed=seed)
 
     def bucket(vc: str, band) -> Column:
@@ -761,8 +819,14 @@ def embedding_near_dup_pairs(
     ids = sig.select(id_col, *[f"b{b}" for b in range(n_bands)])
     cands = None
     for b in range(n_bands):
-        left = ids.select(F.col(id_col).alias("id_a"), F.col(f"b{b}").alias("__bk"))
-        right = ids.select(F.col(id_col).alias("id_b"), F.col(f"b{b}").alias("__bk"))
+        band_ids = cap_hot_keys(
+            ids.select(id_col, F.col(f"b{b}").alias("__bk")),
+            "__bk",
+            df_cap,
+            label=f"srp band {b}",
+        )
+        left = band_ids.select(F.col(id_col).alias("id_a"), "__bk")
+        right = band_ids.select(F.col(id_col).alias("id_b"), "__bk")
         pairs = left.join(right, "__bk").filter(F.col("id_a") < F.col("id_b"))
         pairs = pairs.select("id_a", "id_b")
         cands = pairs if cands is None else cands.unionByName(pairs)

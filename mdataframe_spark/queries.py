@@ -1983,7 +1983,12 @@ def dd_embedding_neardup(spark, sf_dir):
     bucket assignment and the threshold comparison agree bit-for-bit."""
     d = _t(spark, sf_dir, "documents")
     emb = dedup.feature_hash_embed(d)
-    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9)
+    # explicit 6x6 banding: the SQL oracle bakes these plane constants,
+    # so the query must NOT use the operator's "auto" sizing (which
+    # scales planes with corpus size and would change the pair set)
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.9, n_bands=6, n_planes=6
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )

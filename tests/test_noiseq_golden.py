@@ -88,14 +88,23 @@ def test_noiseq_approx_matches_exact(spark):
     c2c = {"A": ["ca"], "B": ["cb"]}
     exact = NOISeq("A", "B", c2c, seed=3)
     approx = NOISeq("A", "B", c2c, seed=3, max_exact_noise=0)
-    pe = {r["__row_id"]: r[exact.prob] for r in exact(df).collect()}
-    pa = {r["__row_id"]: r[approx.prob] for r in approx(df).collect()}
-    ids = sorted(pe)
-    ve = np.array([pe[i] for i in ids])
-    va = np.array([pa[i] for i in ids])
+    re = {r["__row_id"]: r for r in exact(df).collect()}
+    ra = {r["__row_id"]: r for r in approx(df).collect()}
+    ids = sorted(re)
+    ve = np.array([re[i][exact.prob] for i in ids])
+    va = np.array([ra[i][approx.prob] for i in ids])
     assert np.all((va >= 0) & (va <= 1))
     assert np.corrcoef(ve, va)[0, 1] > 0.9
-    assert np.mean(np.abs(ve - va)) < 0.1
+    # measured on this fixture: mean |d| ~ 0.013, max ~ 0.034 — the
+    # branches share the deterministic signal layer and differ only in
+    # the noise-cloud sampling (multinomial vs binomial marginals) +
+    # 1/512 histogram quantization
+    assert np.mean(np.abs(ve - va)) < 0.04
+    assert np.max(np.abs(ve - va)) < 0.10
+    # the deterministic columns must be IDENTICAL across branches
+    me = np.array([re[i][exact.logFC] for i in ids])
+    ma = np.array([ra[i][approx.logFC] for i in ids])
+    assert np.array_equal(me, ma)
 
 
 def test_noiseq_approx_scales_distributed(spark):

@@ -606,6 +606,34 @@ def test_embedding_near_dup_recall(spark):
     assert len(got) / len(true_pairs) >= 0.7, (len(got), len(true_pairs))
 
 
+def test_srp_auto_sizing():
+    """The 'auto' SRP banding follows standard LSH sizing: planes grow
+    logarithmically with the corpus (constant expected bucket
+    population — the r5 SCALE finding was r=6's fixed 64 buckets going
+    quadratic), bands keep banded recall >= the target."""
+    import math
+
+    from mdataframe_spark.operators.dedup import srp_auto_sizing
+
+    # small corpora resolve to the legacy 6x6
+    assert srp_auto_sizing(2_000, 0.9) == (6, 6)
+    # each ~2x of corpus adds a plane; bands grow to hold recall
+    b10, r10 = srp_auto_sizing(1_000_000, 0.9)
+    b12, r12 = srp_auto_sizing(100_000_000, 0.9)
+    assert r10 == math.ceil(math.log2(1_000_000 / 64)) == 14
+    assert r12 == math.ceil(math.log2(100_000_000 / 64)) == 21
+    p = 1.0 - math.acos(0.9) / math.pi
+    for b, r in ((b10, r10), (b12, r12)):
+        assert 1 - (1 - p**r) ** b >= 0.95
+    # bucket count grows with the corpus -> expected population stays
+    # ~target: pair work ~ n * target * bands, sub-quadratic
+    assert 2**r12 / 2**r10 == 2 ** (r12 - r10) >= 64
+    # plane clamp (bigint bucket accumulator) + band cap (past ~10^10
+    # docs recall degrades gracefully rather than bands exploding)
+    b_huge, r_huge = srp_auto_sizing(10**30, 0.9)
+    assert r_huge == 60 and b_huge == 256
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     """Resize / frame-sample plumbing: binary-in binary-out with
     deterministic stub transforms, meta provenance recorded, byte
