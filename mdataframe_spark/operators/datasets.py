@@ -342,3 +342,202 @@ def balance_shards(
     pos = g % F.lit(n_shards)
     shard = F.when(rnd % 2 == 0, pos).otherwise(F.lit(n_shards - 1) - pos)
     return with_b.withColumn(out_col, shard.cast("int")).drop("__w", "__bkt")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Select raw-corpus examples whose hashed-n-gram
+# distribution looks like a (small) target corpus: fit bag-of-buckets
+# multinomials over hashed n-grams for target and raw, weight each raw
+# doc by its log likelihood ratio, then draw k docs WITHOUT replacement
+# via Gumbel top-k on the log weights.
+#
+# Scale shape (100 TB): the two distribution fits are groupBy(bucket)
+# aggregations whose shuffle is bounded by ``n_buckets`` (default 8192
+# rows of (bucket, count) — kilobytes), never the corpus; the per-doc
+# weights are one broadcast join of the B-row log-ratio table against
+# the exploded features plus one groupBy(doc) with map-side partial
+# aggregation; selection is orderBy+limit, which Spark compiles to
+# TakeOrderedAndProject (per-partition top-k heaps + one k-row driver
+# merge) — no global sort. Everything is md5-deterministic and
+# SQL-replayable for the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    seed: int,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """(id, bucket) rows: unigrams + word n-grams up to ``ngram_n``,
+    each hashed into ``n_buckets`` via the engine-portable md5 prefix
+    (same convention as split_hash_u). One projection + explode — no
+    shuffle; bucketing keeps the downstream model size fixed at B no
+    matter the vocabulary (the hashing trick the DSIR paper uses)."""
+    from .text import _PUNCT, _WS, _word_ngrams
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    ws = df.select(F.col(id_col), F.split(norm, _WS).alias("__ws"))
+    gram_arrays = [_word_ngrams(F.col("__ws"), n) for n in range(1, ngram_n + 1)]
+    grams = ws.select(
+        id_col, F.explode(F.concat(*gram_arrays)).alias("__gram")
+    ).filter(F.col("__gram") != "")
+    h = F.md5(F.concat_ws(":", F.col("__gram"), F.lit(str(seed))))
+    bucket = (
+        F.conv(F.substring(h, 1, _HASH_HEX_CHARS), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+    return grams.select(id_col, bucket.alias("bucket"))
+
+
+def dsir_bucket_logratios(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: int = 11,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Per-bucket log importance ratio log p_target(b) - log p_raw(b)
+    under Laplace-smoothed multinomials: p(b) = (c_b + alpha) /
+    (total + alpha * B). Returns exactly ``n_buckets`` rows (bucket,
+    logratio) — the whole "model" is kilobytes, broadcast to scorers.
+
+    Both aggregations shuffle at most B rows; the two scalar totals
+    are collected as single-row aggregates. Per-bucket log ratios are
+    rounded to 9 dp so cross-engine sums agree bit-for-bit (the
+    unigram_lm_scores convention)."""
+    spark = raw.sparkSession
+    r_b = _dsir_buckets(raw, id_col, text_col, n_buckets, seed, ngram_n)
+    t_b = _dsir_buckets(target, id_col, text_col, n_buckets, seed, ngram_n)
+    r_counts = r_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    t_counts = t_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+
+    import math
+
+    r_total = r_b.count()
+    t_total = t_b.count()
+    r_denom = math.log(r_total + alpha * n_buckets)
+    t_denom = math.log(t_total + alpha * n_buckets)
+
+    all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        all_b.join(r_counts, "bucket", "left").join(t_counts, "bucket", "left")
+    )
+    a = F.lit(float(alpha))
+    logratio = F.round(
+        (F.log(F.coalesce(F.col("tc"), F.lit(0)) + a) - F.lit(t_denom))
+        - (F.log(F.coalesce(F.col("rc"), F.lit(0)) + a) - F.lit(r_denom)),
+        9,
+    )
+    return joined.select("bucket", logratio.alias("logratio"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    logratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    seed: int = 11,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight: the sum of its features'
+    bucket log ratios (equivalently sum_b count_b(x) * logratio_b).
+    One broadcast join (B rows) + one groupBy(doc); partial map-side
+    aggregation makes the shuffle ~one row per doc."""
+    feats = _dsir_buckets(raw, id_col, text_col, n_buckets, seed, ngram_n)
+    scored = feats.join(F.broadcast(logratios), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+    )
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_logweight",
+    seed: int = 12,
+    out_col: str = "gumbel_key",
+) -> DataFrame:
+    """Sample ``k`` rows without replacement, proportionally to
+    exp(weight), via the Gumbel top-k trick: key = weight + Gumbel
+    noise, take the k largest. The noise is the engine-portable md5
+    draw mapped through -log(-log(u)), with u offset to (h + 0.5)/2^32
+    so u is never exactly 0 or 1. orderBy+limit compiles to
+    TakeOrderedAndProject; ties (quantized keys) break by id so the
+    selected set is identical across engines and partitionings."""
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    u = (
+        F.conv(F.substring(h, 1, _HASH_HEX_CHARS), 16, 10).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(_HASH_SPACE)
+    gumbel = F.round(-F.log(-F.log(u)), 9)
+    keyed = weights.withColumn(out_col, F.round(F.col(weight_col) + gumbel, 6))
+    return keyed.orderBy(F.col(out_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: int = 11,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """End-to-end DSIR: fit both hashed-n-gram multinomials, weight
+    every raw doc by its target/raw log likelihood ratio, Gumbel-top-k
+    sample k docs without replacement. Returns (id, n_feats,
+    dsir_logweight, gumbel_key) for the selected docs."""
+    ratios = dsir_bucket_logratios(
+        raw, target, id_col, text_col, n_buckets, alpha, seed, ngram_n
+    )
+    w = dsir_weights(raw, ratios, id_col, text_col, n_buckets, seed, ngram_n)
+    return dsir_gumbel_topk(w, k, id_col=id_col, seed=seed + 1)
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_cols=("source", "lang"),
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    approximate: bool = False,
+) -> DataFrame:
+    """Data-card summary per group: document count, token/char totals,
+    mean and p50/p95 character lengths — the first report every corpus
+    audit produces and the input to mixture-rate decisions.
+
+    One groupBy whose shuffle is bounded by the number of groups (the
+    map-side partial aggregation reduces each partition to one row per
+    group). The exact ``percentile`` buffers each group's char lengths
+    inside the agg — fine at data-card cardinalities (groups are
+    sources/languages, not docs); pass ``approximate=True`` to switch
+    to ``approx_percentile`` (GK sketch, bounded state) when a single
+    group's membership is itself corpus-scale.
+    """
+    from .text import token_count
+
+    pfn = "approx_percentile" if approximate else "percentile"
+    base = df.select(
+        *group_cols,
+        F.col(chars_col).cast("double").alias("__nc"),
+        token_count(F.col(text_col)).cast("bigint").alias("__t"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("total_tokens"),
+        F.sum("__nc").cast("bigint").alias("total_chars"),
+        F.round(F.avg("__nc"), 6).alias("avg_chars"),
+        F.round(F.expr(f"{pfn}(__nc, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr(f"{pfn}(__nc, 0.95)"), 6).alias("p95_chars"),
+    )

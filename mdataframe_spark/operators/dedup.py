@@ -793,24 +793,43 @@ def embedding_near_dup_pairs(
             n_bands = auto_b
     planes = srp_plane_constants(n_bands, n_planes, seed=seed)
 
-    def bucket(vc: str, band) -> Column:
-        acc = F.lit(0).cast("bigint")
-        for p, row in enumerate(band):
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vc),
-                    F.array(*[F.lit(float(c)) for c in row]),
-                    lambda x, c: x * c,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(0).cast("bigint")
-        return acc
+    # Band buckets via ONE Arrow-batched pandas UDF. The natural
+    # zip_with+aggregate column expression is a higher-order function —
+    # CodegenFallback, evaluated INTERPRETED per row — and with
+    # bands*planes*dim lambda evaluations per vector it dominated
+    # wall-clock (measured: the 6x6 signature+verify pipeline spent
+    # ~50s of a 58s run inside interpreted folds at 20k vectors).
+    # The UDF accumulates each dot product SEQUENTIALLY over the
+    # dimension (acc += v[d]*c[d], vectorized across rows) — the exact
+    # left-to-right order of the SQL fold, so bucket assignment stays
+    # bit-identical to the DuckDB oracle replay.
+    import numpy as np
+
+    bands_local, planes_local = n_bands, n_planes
+    planes_const = planes
+
+    @F.pandas_udf("array<long>")
+    def _srp_buckets(vs):
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        out = np.zeros((len(vs), bands_local), dtype=np.int64)
+        for b in range(bands_local):
+            for p in range(planes_local):
+                row = planes_const[b][p]
+                acc = np.zeros(len(vs), dtype=np.float64)
+                for d in range(min(m.shape[1], len(row))):
+                    acc = acc + m[:, d] * row[d]
+                out[:, b] |= (acc >= 0).astype(np.int64) << p
+        return pd.Series(list(out))
 
     sig = emb.select(
+        id_col, vec_col, norm_col, _srp_buckets(F.col(vec_col)).alias("__bks")
+    ).select(
         id_col, vec_col, norm_col,
-        *[bucket(vec_col, band).alias(f"b{b}") for b, band in enumerate(planes)],
+        *[F.col("__bks")[b].alias(f"b{b}") for b in range(n_bands)],
     )
     sig = _persist_tracked(ensure_parallelism(sig))
     # candidate generation on (id, bucket) ONLY — the 64-dim vectors
@@ -839,13 +858,28 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
         F.col(norm_col).alias("nb"),
     )
-    cos = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    ) / (F.col("na") * F.col("nb"))
+    # Exact-cosine verify, Arrow-batched for the same reason as the
+    # signature stage: candidates * dim interpreted lambda evals would
+    # dominate the run. Sequential per-dimension accumulation keeps
+    # the double bit-identical to the SQL fold, so the >= threshold
+    # boundary decides identically in both engines.
+    @F.pandas_udf("double")
+    def _pair_cos(va_s, vb_s, na_s, nb_s):
+        import pandas as pd
+
+        if len(na_s) == 0:
+            return pd.Series([], dtype=float)
+        a = np.stack(va_s.to_numpy()).astype(np.float64)
+        bm = np.stack(vb_s.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(na_s), dtype=np.float64)
+        for d in range(min(a.shape[1], bm.shape[1])):
+            acc = acc + a[:, d] * bm[:, d]
+        return pd.Series(acc / (na_s.to_numpy() * nb_s.to_numpy()))
+
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cos)
+        .withColumn("cosine", _pair_cos("va", "vb", "na", "nb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1492,4 +1526,57 @@ def remove_duplicate_substrings(
         docs.join(rebuilt, docs[id_col] == rebuilt["__rds_id"], "left")
         .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
         .drop("__rds_id", "__clean")
+    )
+
+
+def cross_source_ngram_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Vocabulary-overlap report between every pair of corpus groups
+    (sources, crawls, snapshots): for each group pair, how many
+    distinct word ``shingle_n``-grams they share, plus Jaccard and
+    containment of the two shingle vocabularies. The standard audit
+    before merging corpora — high containment of a small source in a
+    big one means the small source is redundant; high cross-crawl
+    Jaccard flags re-crawled content.
+
+    Shape for scale: the unit of work is the DISTINCT (group, shingle)
+    vocabulary, never the corpus — the explode is collapsed by one
+    distinct whose shuffle is vocab-bounded; the self-join on the
+    shingle fans out at most G·(G-1)/2 rows per shingle, with G the
+    number of groups (sources/crawls — tens, not millions), so pair
+    counting is O(vocab · G²) with group-bounded G. Totals join back
+    as a broadcast (G rows).
+    """
+    g = F.col(group_col).cast("string")
+    grams = (
+        df.select(g.alias("__g"), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"))
+        .filter(F.col("__sh") != "")
+        .distinct()
+    )
+    grams = _persist_tracked(ensure_parallelism(grams))
+    totals = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = grams.select(F.col("__g").alias("src_a"), "__sh")
+    b = grams.select(F.col("__g").alias("src_b"), "__sh")
+    shared = (
+        a.join(b, "__sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ta = totals.select(F.col("__g").alias("src_a"), F.col("__n").alias("__na"))
+    tb = totals.select(F.col("__g").alias("src_b"), F.col("__n").alias("__nb"))
+    out = shared.join(F.broadcast(ta), "src_a").join(F.broadcast(tb), "src_b")
+    union = F.col("__na") + F.col("__nb") - F.col("shared_grams")
+    return out.select(
+        "src_a",
+        "src_b",
+        "shared_grams",
+        F.round(F.col("shared_grams") / union, 6).alias("jaccard"),
+        F.round(
+            F.col("shared_grams") / F.least(F.col("__na"), F.col("__nb")), 6
+        ).alias("containment"),
     )

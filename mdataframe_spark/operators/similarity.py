@@ -461,3 +461,48 @@ def pq_cosine_topk(
         rer.withColumn("knn_rank", F.row_number().over(w_final).cast("bigint"))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.5,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Cosine of every vector to its own label's centroid, with an
+    ``is_outlier`` flag below ``threshold`` — the embedding-quality
+    filter (mislabeled / degenerate vectors sit far from their class
+    centroid) and the assignment-confidence signal SemDeDup-style
+    pipelines threshold on.
+
+    Scale shape: the centroid aggregation posexplodes to (label, dim)
+    scalars — map-side partial agg reduces the shuffle to
+    labels × dim rows (kilobytes), never the vectors; the finished
+    centroids broadcast back (G·dim doubles), so scoring is a
+    broadcast join + the unrolled codegen dot product — zero further
+    shuffles. Centroid components round to 9 dp and cosines to 6 dp,
+    the cross-engine convention shared with the ANN oracles.
+    """
+    e = emb.select(
+        id_col, label_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if dim is None:
+        dim = len(e.select("__v").first()["__v"])
+    pos = e.select(label_col, F.posexplode("__v").alias("__p", "__x"))
+    cent = pos.groupBy(label_col, "__p").agg(F.round(F.avg("__x"), 9).alias("__cx"))
+    cent_arr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "__cx"))),
+            lambda s: s["__cx"],
+        ).alias("__c")
+    )
+    joined = e.join(F.broadcast(cent_arr), label_col)
+    cos = F.round(cosine(F.col("__v"), F.col("__c"), dim), 6)
+    return joined.select(
+        id_col,
+        label_col,
+        cos.alias("cos_centroid"),
+        (cos < F.lit(float(threshold))).alias("is_outlier"),
+    )

@@ -830,3 +830,163 @@ def bm25_scores(
         F.col("__dl").cast("bigint").alias("dl"),
         score.alias("score"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding token-window chunking with overlap — the
+    context-window-sized split every training/RAG pipeline applies
+    before tokenization. Windows start every ``chunk_tokens -
+    overlap`` tokens; a window is kept iff it is the first OR it adds
+    at least one token beyond the previous window's end (a trailing
+    window fully contained in its predecessor — start + overlap - 1 >=
+    n — is dropped, so no chunk is a strict suffix-duplicate of
+    another).
+
+    Pure projection + one explode: zero shuffles, the cost is linear
+    in the scan and the explode factor is ~n_tokens/step — at 100 TB
+    this is a map-only stage that pipelines into whatever shuffle
+    follows. Tokens are plain whitespace splits (content-preserving,
+    no lowercasing); ``chunk_text`` is whitespace-normalized by the
+    rejoin. Docs that are empty after trim emit no chunks.
+
+    Returns (id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    ws = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ws")
+    )
+    n = F.size(F.col("__ws"))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step)),
+        lambda s: (s == 1) | (s + F.lit(overlap - 1) < n),
+    )
+    chunks = ws.select(
+        id_col, "__ws", F.explode(starts).alias("__s")
+    )
+    piece = F.slice(F.col("__ws"), F.col("__s"), chunk_tokens)
+    return chunks.select(
+        F.col(id_col),
+        ((F.col("__s") - 1) / F.lit(step)).cast("int").alias("chunk_id"),
+        F.col("__s").cast("bigint").alias("start_token"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1 << 16,
+    alpha: float = 0.5,
+    cutoffs=(1.0 / 3.0, 2.0 / 3.0),
+    sample_rate: float = 1.0,
+    seed: int = 17,
+    keep_rates={"head": 1.0, "middle": 0.5, "tail": 0.1},
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4):
+    score every document under the corpus LM (unigram_lm_scores — the
+    deterministic wiki-LM stand-in), cut the score distribution into
+    head / middle / tail at the given quantiles, and keep each bucket
+    at its configured rate via the engine-portable md5 draw.
+
+    The two cutoff VALUES are exact percentiles of a deterministic
+    hash-sample of the scored docs — CCNet's own protocol fits cutoffs
+    on a sample, and ``sample_rate`` is the 100 TB knob: the percentile
+    aggregation buffers only the sampled scores, everything else stays
+    a zero-shuffle column map. Scores are rounded to 6 dp BEFORE the
+    percentile so both engines interpolate over identical inputs
+    (DuckDB quantile_cont and Spark percentile share the linear-
+    interpolation convention).
+
+    Higher mean_logp = more probable = CCNet's LOWER perplexity, so
+    head is the top bucket: score >= upper cutoff.
+
+    Returns (id, mean_logp, bucket, kept).
+    """
+    from .datasets import split_hash_u
+
+    scored = unigram_lm_scores(
+        df, id_col=id_col, text_col=text_col, vocab_cap=vocab_cap, alpha=alpha
+    ).select(id_col, F.round("mean_logp", 6).alias("mean_logp"))
+    scored = _persist_tracked(scored)
+
+    sample = scored
+    if sample_rate < 1.0:
+        sample = scored.filter(split_hash_u(id_col, seed) < sample_rate)
+    q_lo, q_hi = cutoffs
+    cuts = sample.agg(
+        F.round(F.expr(f"percentile(mean_logp, {q_lo!r})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(mean_logp, {q_hi!r})"), 6).alias("hi"),
+    ).collect()[0]
+    lo, hi = float(cuts["lo"]), float(cuts["hi"])
+
+    bucket = (
+        F.when(F.col("mean_logp") >= hi, F.lit("head"))
+        .when(F.col("mean_logp") >= lo, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = scored.withColumn("bucket", bucket)
+    rate = F.create_map(
+        *[x for b, r in keep_rates.items() for x in (F.lit(b), F.lit(float(r)))]
+    )
+    u = split_hash_u(id_col, seed + 1)
+    return out.withColumn("kept", u < rate[F.col("bucket")])
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the character
+    distribution — the classic compression-proxy quality signal:
+    boilerplate and repeated-template docs sit low, encrypted/garbled
+    blobs sit high, natural prose in between. Pipelines threshold both
+    tails (e.g. Gopher-style keep 2.0 <= H <= 6.0).
+
+    Implementation is ONE Arrow-batched pandas UDF over the text
+    column — zero shuffles, a pure map stage that pipelines into the
+    scan. Entropy needs a within-row char histogram, which has no
+    whole-stage-codegen form (the alternative is explode-per-char +
+    two corpus-wide groupBys: a shuffle of ~alphabet rows per doc that
+    this avoids entirely). Python-side cost is one C-speed Counter per
+    doc.
+
+    Cross-engine determinism: H = log2(n) - (sum_c round(c*log2 c, 9))/n
+    summed in char-sorted order, output rounded to 6 dp — the exact
+    formula a SQL oracle replays with group-by-char + log2. Null/empty
+    text yields null.
+    """
+    import math
+    from collections import Counter
+
+    @F.pandas_udf("double")
+    def _ent(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            counts = Counter(t)
+            n = len(t)
+            s = 0.0
+            for ch in sorted(counts):
+                s += round(counts[ch] * math.log2(counts[ch]), 9)
+            out.append(round(math.log2(n) - s / n, 6))
+        return pd.Series(out, dtype=float)
+
+    return df.withColumn(out_col, _ent(F.col(text_col)))

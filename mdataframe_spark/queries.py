@@ -4105,6 +4105,305 @@ def ml_quality_classifier(spark, sf_dir):
     )
 
 
+def ds_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, operators/datasets.py
+    dsir_select): hashed unigram+bigram bag-of-buckets multinomials
+    fitted to a target slice (lang='en') and to the raw corpus, every
+    raw doc weighted by its target/raw log likelihood ratio, then
+    k=100 docs drawn WITHOUT replacement via deterministic Gumbel
+    top-k. Model shuffles are bounded by n_buckets (1024 rows here),
+    scoring is one broadcast join + groupBy(doc), selection is
+    TakeOrderedAndProject — no global sort anywhere."""
+    from .operators.datasets import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_select(docs, target, k=100, n_buckets=1024, alpha=1.0, seed=11)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.round("dsir_logweight", 6).alias("dsir_logweight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
+DS_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, g
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(
+               t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i + 1])
+                    ELSE [] END)) AS g
+    FROM toks)
+  WHERE g <> ''
+), feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g || ':' || '11'), 1, 8))::BIGINT % 1024 AS bucket
+  FROM grams
+), rc AS (
+  SELECT bucket, count(*)::BIGINT AS rc FROM feats GROUP BY bucket
+), tc AS (
+  SELECT bucket, count(*)::BIGINT AS tc FROM feats WHERE lang = 'en'
+  GROUP BY bucket
+), totals AS (
+  SELECT (SELECT count(*) FROM feats) AS r_total,
+         (SELECT count(*) FROM feats WHERE lang = 'en') AS t_total
+), ratios AS (
+  SELECT b.range AS bucket,
+         round((ln(coalesce(tc.tc, 0) + 1.0)
+                - ln((SELECT t_total FROM totals) + 1024.0))
+             - (ln(coalesce(rc.rc, 0) + 1.0)
+                - ln((SELECT r_total FROM totals) + 1024.0)), 9) AS logratio
+  FROM range(1024) b
+  LEFT JOIN rc ON rc.bucket = b.range
+  LEFT JOIN tc ON tc.bucket = b.range
+), weights AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+         round(sum(r.logratio), 6) AS dsir_logweight
+  FROM feats f JOIN ratios r USING (bucket)
+  GROUP BY f.doc_id
+), keyed AS (
+  SELECT doc_id, n_feats, dsir_logweight,
+         round(dsir_logweight
+               + round(-ln(-ln(
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':' || '12'), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0)), 9), 6) AS gumbel_key
+  FROM weights
+)
+SELECT doc_id, n_feats, round(dsir_logweight, 6) AS dsir_logweight,
+       round(gumbel_key, 6) AS gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+def txt_chunk_windows(spark, sf_dir):
+    """Sliding token-window chunking (operators/text.py
+    chunk_documents): 40-token windows every 30 tokens (overlap 10),
+    trailing windows fully contained in their predecessor dropped.
+    One projection + one explode — zero shuffles; the map-only stage
+    every context-window pipeline runs before tokenization."""
+    from .operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=40, overlap=10)
+
+
+TXT_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), starts AS (
+  SELECT doc_id, t,
+         unnest(list_filter(range(1, len(t) + 1, 30),
+                            s -> s = 1 OR s + 9 < len(t))) AS s
+  FROM toks
+)
+SELECT doc_id,
+       ((s - 1) // 30)::INT AS chunk_id,
+       s::BIGINT AS start_token,
+       len(list_slice(t, s, least(s + 39, len(t))))::BIGINT AS n_chunk_tokens,
+       array_to_string(list_slice(t, s, least(s + 39, len(t))), ' ') AS chunk_text
+FROM starts
+"""
+
+
+def txt_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (operators/text.py
+    ccnet_perplexity_buckets): head/middle/tail cut of the corpus-LM
+    score distribution at the 1/3 and 2/3 percentiles, per-bucket keep
+    rates decided by the portable md5 draw. The only non-map stages
+    are unigram_lm_scores' vocab-bounded shuffles and the percentile
+    over the (hash-sampled) score column."""
+    from .operators.text import ccnet_perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ccnet_perplexity_buckets(docs, vocab_cap=4096, alpha=0.5)
+    return out.select("doc_id", "mean_logp", "bucket", "kept")
+
+
+TXT_CCNET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks2 GROUP BY tok
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 4096
+), denom AS (
+  SELECT (SELECT count(*) FROM toks2) + 0.5 * ((SELECT count(*) FROM vocab) + 1) AS d
+), scored_tok AS (
+  SELECT t.doc_id,
+         CASE WHEN v.tok IS NULL
+              THEN round(ln(0.5 / (SELECT d FROM denom)), 9)
+              ELSE round(ln((v.c + 0.5) / (SELECT d FROM denom)), 9) END AS logp
+  FROM toks2 t LEFT JOIN vocab v USING (tok)
+), scored AS (
+  SELECT doc_id, round(sum(logp) / count(*), 6) AS mean_logp
+  FROM scored_tok GROUP BY doc_id
+), cuts AS (
+  SELECT round(quantile_cont(mean_logp, 1.0/3.0), 6) AS lo,
+         round(quantile_cont(mean_logp, 2.0/3.0), 6) AS hi
+  FROM scored
+), bucketed AS (
+  SELECT doc_id, mean_logp,
+         CASE WHEN mean_logp >= (SELECT hi FROM cuts) THEN 'head'
+              WHEN mean_logp >= (SELECT lo FROM cuts) THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored
+)
+SELECT doc_id, mean_logp, bucket,
+       ('0x' || substr(md5(doc_id::VARCHAR || ':' || '18'), 1, 8))::BIGINT
+           / 4294967296.0
+         < CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+                       ELSE 0.1 END AS kept
+FROM bucketed
+"""
+
+
+def txt_char_entropy(spark, sf_dir):
+    """Per-doc character-entropy quality signal (operators/text.py
+    char_entropy): one Arrow-batched pandas UDF over the scan — zero
+    shuffles. The oracle replays the identical formula relationally
+    (explode per char + two groupBys) to pin the UDF's arithmetic."""
+    from .operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs).select("doc_id", "char_entropy")
+
+
+TXT_ENTROPY_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL AND len(text) > 0
+), c2 AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+), agg AS (
+  SELECT doc_id, sum(c) AS n, sum(round(c * log2(c), 9)) AS s
+  FROM c2 GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, round(log2(n) - s / n, 6) AS char_entropy FROM agg
+)
+SELECT d.doc_id, scored.char_entropy
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
+def ds_corpus_profile(spark, sf_dir):
+    """Data-card summary (operators/datasets.py corpus_profile): per
+    (source, lang) doc counts, token/char totals, mean and p50/p95
+    char lengths. One group-bounded partial-agg shuffle; the exact
+    percentile buffers per-group lengths (approximate=True is the
+    corpus-scale knob)."""
+    from .operators.datasets import corpus_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_profile(docs)
+
+
+DS_PROFILE_SQL = r"""
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars::DOUBLE), 6) AS avg_chars,
+       round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars::DOUBLE, 0.95), 6) AS p95_chars
+FROM documents
+GROUP BY source, lang
+"""
+
+
+def dd_cross_source_overlap(spark, sf_dir):
+    """Cross-source shingle-vocabulary overlap report
+    (operators/dedup.py cross_source_ngram_overlap): shared distinct
+    word 3-grams, Jaccard, and containment for every source pair. The
+    unit of work is the distinct (source, shingle) vocabulary — the
+    self-join fans out at most G(G-1)/2 rows per shingle with G the
+    (small) group count."""
+    from .operators.dedup import cross_source_ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_ngram_overlap(docs, shingle_n=3)
+
+
+DD_XSOURCE_SQL = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source, g
+  FROM (
+    SELECT source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+    FROM toks)
+  WHERE g <> ''
+), totals AS (
+  SELECT source, count(*)::BIGINT AS n FROM grams GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_grams
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, shared_grams,
+       round(shared_grams / (ta.n + tb.n - shared_grams), 6) AS jaccard,
+       round(shared_grams / least(ta.n, tb.n), 6) AS containment
+FROM shared
+JOIN totals ta ON ta.source = src_a
+JOIN totals tb ON tb.source = src_b
+"""
+
+
+def sim_centroid_outliers(spark, sf_dir):
+    """Per-label centroid cosine + outlier flag
+    (operators/similarity.py centroid_outliers): centroid agg shuffles
+    labels x dim scalars, centroids broadcast back, scoring is the
+    unrolled codegen dot — zero further shuffles."""
+    from .operators.similarity import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, threshold=0.5)
+
+
+SIM_CENTROID_SQL = r"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), pos AS (
+  SELECT label, i AS p, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+), cm AS (
+  SELECT label, p, round(avg(x), 9) AS cx FROM pos GROUP BY label, p
+), cent AS (
+  SELECT label, list(cx ORDER BY p) AS c FROM cm GROUP BY label
+), scored AS (
+  SELECT vec_id, e.label,
+         round(list_dot_product(v, c)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))),
+               6) AS cos_centroid
+  FROM e JOIN cent ON e.label = cent.label
+)
+SELECT vec_id, label, cos_centroid, cos_centroid < 0.5 AS is_outlier
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4234,6 +4533,14 @@ EXTRA_QUERIES = {
     "c9_hash_columns": c9_hash_columns,
     "e_events_json": e_events_json,
     "txt_fingerprint": txt_fingerprint,
+    # --- new in round 6 ---
+    "ds_dsir_select": ds_dsir_select,
+    "txt_chunk_windows": txt_chunk_windows,
+    "txt_ccnet_buckets": txt_ccnet_buckets,
+    "txt_char_entropy": txt_char_entropy,
+    "ds_corpus_profile": ds_corpus_profile,
+    "dd_cross_source_overlap": dd_cross_source_overlap,
+    "sim_centroid_outliers": sim_centroid_outliers,
 }
 
 
@@ -4363,4 +4670,12 @@ EXTRA_ORACLES = {
     "c9_hash_columns": C9_SQL,
     "e_events_json": E_JSON_SQL,
     "txt_fingerprint": TXT_FP_SQL,
+    # --- new in round 6 ---
+    "ds_dsir_select": DS_DSIR_SQL,
+    "txt_chunk_windows": TXT_CHUNK_SQL,
+    "txt_ccnet_buckets": TXT_CCNET_SQL,
+    "txt_char_entropy": TXT_ENTROPY_SQL,
+    "ds_corpus_profile": DS_PROFILE_SQL,
+    "dd_cross_source_overlap": DD_XSOURCE_SQL,
+    "sim_centroid_outliers": SIM_CENTROID_SQL,
 }

@@ -393,3 +393,167 @@ def test_balance_shards_deterministic_across_partitionings(spark):
     a = {r["doc_id"]: r["shard"] for r in balance_shards(df1, 4, "w").collect()}
     b = {r["doc_id"]: r["shard"] for r in balance_shards(df2, 4, "w").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+def _dsir_py_weight(text, raw_texts, target_texts, n_buckets, alpha, seed):
+    """Independent pure-Python recomputation of the DSIR log weight —
+    same published formula, none of the Spark code."""
+    import math
+    import re
+
+    def grams(t):
+        toks = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", "", t.lower()).strip()).split(" ")
+        toks = [x for x in toks if x != ""]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"{g}:{seed}".encode()).hexdigest()[:8], 16) % n_buckets
+
+    rc, tc = {}, {}
+    r_total = t_total = 0
+    for t in raw_texts:
+        for g in grams(t):
+            rc[bucket(g)] = rc.get(bucket(g), 0) + 1
+            r_total += 1
+    for t in target_texts:
+        for g in grams(t):
+            tc[bucket(g)] = tc.get(bucket(g), 0) + 1
+            t_total += 1
+    w = 0.0
+    for g in grams(text):
+        b = bucket(g)
+        lr = round(
+            (math.log(tc.get(b, 0) + alpha) - math.log(t_total + alpha * n_buckets))
+            - (math.log(rc.get(b, 0) + alpha) - math.log(r_total + alpha * n_buckets)),
+            9,
+        )
+        w += lr
+    return round(w, 6)
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    # two disjoint vocabularies: docs 0-19 "wiki-like" (the target),
+    # docs 20-39 "spam-like"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"history of science volume {i} covers physics and chemistry", "en"))
+    for i in range(20, 40):
+        rows.append((i, f"click here winner {i} free prize casino jackpot now", "xx"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_dsir_weights_separate_target_like_docs(spark, dsir_corpus):
+    from mdataframe_spark.operators.datasets import (
+        dsir_bucket_logratios,
+        dsir_weights,
+    )
+
+    target = dsir_corpus.filter(F.col("lang") == "en")
+    ratios = dsir_bucket_logratios(
+        dsir_corpus, target, n_buckets=64, alpha=1.0, seed=11
+    )
+    assert ratios.count() == 64
+    w = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_weights(dsir_corpus, ratios, n_buckets=64, seed=11).collect()
+    }
+    wiki = [w[i] for i in range(20)]
+    spam = [w[i] for i in range(20, 40)]
+    # every target-vocabulary doc outweighs every spam doc
+    assert min(wiki) > max(spam)
+
+    # pin one weight of each class to the independent recomputation
+    rows = {r["doc_id"]: r["text"] for r in dsir_corpus.collect()}
+    raw_texts = [rows[i] for i in sorted(rows)]
+    target_texts = [rows[i] for i in range(20)]
+    for probe in (3, 25):
+        expect = _dsir_py_weight(rows[probe], raw_texts, target_texts, 64, 1.0, 11)
+        assert abs(w[probe] - expect) < 2e-6, (probe, w[probe], expect)
+
+
+def test_dsir_gumbel_topk_deterministic(spark, dsir_corpus):
+    import math
+
+    from mdataframe_spark.operators.datasets import dsir_select
+
+    target = dsir_corpus.filter(F.col("lang") == "en")
+    sel = dsir_select(dsir_corpus, target, k=10, n_buckets=64, seed=11)
+    got = sel.collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 10
+    # selection is deterministic across re-execution
+    again = [r["doc_id"] for r in dsir_select(
+        dsir_corpus, target, k=10, n_buckets=64, seed=11).collect()]
+    assert ids == again
+    # gumbel key replays from the md5 draw (gumbel seed = seed + 1)
+    r0 = got[0]
+    u = (int(hashlib.md5(f"{r0['doc_id']}:12".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+    expect = round(r0["dsir_logweight"] + round(-math.log(-math.log(u)), 9), 6)
+    assert abs(r0["gumbel_key"] - expect) < 2e-6
+    # weights dominated by the target vocabulary: most picks are wiki docs
+    assert sum(1 for i in ids if i < 20) >= 8
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents / ccnet_perplexity_buckets
+# ---------------------------------------------------------------------------
+def test_chunk_documents_exact(spark):
+    from mdataframe_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(1, 11)]  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_id"], r["start_token"], r["chunk_text"]) for r in out.collect()]
+    )
+    # doc 1: starts 1,3,5,7 (9 dropped: window [7..10] already reached
+    # the end, 9+overlap-1 >= 10); doc 2 one window; doc 3 empty -> none
+    assert rows == [
+        (1, 0, 1, "t1 t2 t3 t4"),
+        (1, 1, 3, "t3 t4 t5 t6"),
+        (1, 2, 5, "t5 t6 t7 t8"),
+        (1, 3, 7, "t7 t8 t9 t10"),
+        (2, 0, 1, "a b c"),
+    ]
+    ns = {(r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"] for r in out.collect()}
+    assert ns[(2, 0)] == 3 and ns[(1, 3)] == 4
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_ccnet_buckets_partition_and_rates(spark):
+    from mdataframe_spark.operators.text import ccnet_perplexity_buckets
+
+    # 30 docs: 10 made of very common tokens, 10 mixed, 10 near-unique
+    rows = []
+    for i in range(10):
+        rows.append((i, "the the the of of and and to in is"))
+    for i in range(10, 20):
+        rows.append((i, f"the of common mixed word{i} token{i} and to"))
+    for i in range(20, 30):
+        rows.append((i, f"zzq{i} xkcd{i} qwfp{i} vbnm{i} uniq{i} rare{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ccnet_perplexity_buckets(df, vocab_cap=512, alpha=0.5).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert len(out) == 30
+    # score ordering respects bucket boundaries
+    assert min(r["mean_logp"] for r in by_bucket["head"]) >= max(
+        r["mean_logp"] for r in by_bucket["middle"]
+    )
+    assert min(r["mean_logp"] for r in by_bucket["middle"]) >= max(
+        r["mean_logp"] for r in by_bucket["tail"]
+    )
+    # the common-token docs score best; keep policy: head always kept
+    assert all(r["kept"] for r in by_bucket["head"])
+    head_ids = {r["doc_id"] for r in by_bucket["head"]}
+    assert head_ids <= set(range(10)) or len(head_ids & set(range(10))) >= 8

@@ -75,7 +75,7 @@ def test_coverage_doc_names_exist():
         "n_chars", "n_chars_calc", "n_tokens", "n_docs", "n_keep",
         "n_fail", "n_hot", "n_members", "n_dups", "n_neardup_lower",
         "o_sort", "st_events", "e_events", "n_rank", "n_points",
-        "n_neigh", "n_blocks", "n_components", "c4_clean",
+        "n_neigh", "n_blocks", "n_components", "c4_clean", "n_buckets",
     }
     for doc in ("COVERAGE.md", "NOTES.md"):
         cited = set(pat.findall(root.joinpath(doc).read_text()))

@@ -1686,3 +1686,105 @@ def test_heavy_hitters_degenerate_and_nulls(spark):
 
     with _pt.raises(ValueError):
         heavy_hitters(df, "word", k=1)
+
+
+# ---------------------------------------------------------------------------
+# round 6: char entropy / corpus profile / cross-source overlap /
+# centroid outliers
+# ---------------------------------------------------------------------------
+def test_char_entropy_exact_and_edges(spark):
+    import math
+
+    from mdataframe_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "aabb"), (4, ""), (5, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
+    assert out[1] == 0.0            # single symbol: zero entropy
+    assert out[2] == 1.0            # two equiprobable symbols: 1 bit
+    assert out[3] == 1.0
+    assert out[4] is None and out[5] is None
+    # pin against the direct definition on a mixed string
+    s = "mississippi river"
+    df2 = spark.createDataFrame([(1, s)], "doc_id int, text string")
+    got = char_entropy(df2).collect()[0]["char_entropy"]
+    from collections import Counter
+
+    n = len(s)
+    expect = round(
+        math.log2(n)
+        - sum(round(c * math.log2(c), 9) for c in Counter(s).values()) / n,
+        6,
+    )
+    assert abs(got - expect) < 1e-9
+
+
+def test_corpus_profile_stats(spark):
+    from mdataframe_spark.operators.datasets import corpus_profile
+
+    rows = [
+        (1, "a b c", "s1", "en", 5),
+        (2, "a b", "s1", "en", 3),
+        (3, "x", "s1", "de", 1),
+        (4, "p q r s", "s2", "en", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string, lang string, n_chars long")
+    out = {(r["source"], r["lang"]): r for r in corpus_profile(df).collect()}
+    r = out[("s1", "en")]
+    assert r["n_docs"] == 2 and r["total_tokens"] == 5 and r["total_chars"] == 8
+    assert r["avg_chars"] == 4.0 and r["p50_chars"] == 4.0
+    # p95 linear interpolation between 3 and 5 at fraction 0.95
+    assert abs(r["p95_chars"] - (3 + 0.95 * 2)) < 1e-9
+    assert out[("s2", "en")]["n_docs"] == 1
+    # approximate path returns the same shape
+    ap = corpus_profile(df, approximate=True)
+    assert set(ap.columns) == set(r.asDict())
+
+
+def test_cross_source_ngram_overlap_exact(spark):
+    from mdataframe_spark.operators.dedup import cross_source_ngram_overlap
+
+    # s1 and s2 share exactly one distinct 2-gram ("b c"); s3 disjoint
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s2"),
+            (3, "x y z", "s3"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in cross_source_ngram_overlap(df, shingle_n=2).collect()
+    }
+    r = out[("s1", "s2")]
+    # vocabularies: s1 {a b, b c}, s2 {b c, c d} -> shared 1, union 3
+    assert r["shared_grams"] == 1
+    assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9
+    assert abs(r["containment"] - 0.5) < 1e-9
+    # disjoint pairs produce no row (inner join on shared grams)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_centroid_outliers_flags_far_vector(spark):
+    from mdataframe_spark.operators.similarity import centroid_outliers
+
+    # label 0: three near-identical vectors + one anti-aligned outlier
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [1.0, 0.05, 0.0, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0, 0.0], 0),
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+        (6, [0.0, 0.0, 0.9, 0.1], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    out = {r["vec_id"]: r for r in centroid_outliers(df, threshold=0.5).collect()}
+    assert len(out) == 6
+    assert not out[1]["is_outlier"] and not out[2]["is_outlier"]
+    assert out[4]["is_outlier"] and out[4]["cos_centroid"] < 0
+    assert not out[5]["is_outlier"] and not out[6]["is_outlier"]
+    # cosine of an aligned member is high
+    assert out[1]["cos_centroid"] > 0.9
