@@ -541,3 +541,43 @@ def corpus_profile(
         F.round(F.expr(f"{pfn}(__nc, 0.5)"), 6).alias("p50_chars"),
         F.round(F.expr(f"{pfn}(__nc, 0.95)"), 6).alias("p95_chars"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot delta between two corpus versions (crawl N vs crawl
+    N+1): per document id, ``added`` (only in new), ``removed`` (only
+    in old), ``changed`` (both sides, content fingerprint differs) or
+    ``unchanged``. The maintenance report every recurring-ingest
+    pipeline runs before deciding what to re-process.
+
+    Content identity is the md5 of the lower/trimmed text — the same
+    fingerprint convention as exact dedup, so "changed" means the
+    normalized content moved, not that whitespace shifted.
+
+    Scale shape: ONE full-outer equi-join keyed by the document id —
+    linear, no fan-out; both inputs are reduced to (id, fingerprint)
+    projections before the join so the shuffle carries 2 columns, not
+    documents.
+    """
+    def fp(c):
+        return F.md5(F.lower(F.trim(c)))
+
+    o = old.select(
+        F.col(id_col).alias("__id"), fp(F.col(text_col)).alias("__fo")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), fp(F.col(text_col)).alias("__fn")
+    )
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -990,3 +990,74 @@ def char_entropy(
         return pd.Series(out, dtype=float)
 
     return df.withColumn(out_col, _ent(F.col(text_col)))
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 4096,
+) -> DataFrame:
+    """Zipf-law fit of each group's token-frequency distribution: OLS
+    slope/intercept/R² of log2(count) against log2(rank) over the
+    ``top_k`` most frequent tokens — the corpus-health signal (natural
+    language sits near slope -1; template spam and word soup flatten,
+    boilerplate floods steepen the head).
+
+    Scale shape: one (group, token) count whose shuffle is bounded by
+    groups × vocabulary; ranking is a per-group window over the
+    already-model-sized count table, truncated to ``top_k``; the fit
+    itself reduces each group to five scalar sums. Nothing downstream
+    of the first groupBy ever sees the corpus.
+
+    Determinism: the regression is computed from explicit sums
+    (Sx, Sy, Sxy, Sxx over log2 doubles) each rounded to 6 dp before
+    the closed-form slope/intercept/R² — the same arithmetic any SQL
+    engine replays exactly (built-in regr_slope implementations differ
+    in accumulation algorithm across engines; the explicit form does
+    not). Rank ties break by token string.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    toks = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.explode(F.split(norm, _WS)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "grp",
+            F.log2(F.col("rank").cast("double")).alias("x"),
+            F.log2(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    sums = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    # degenerate fits are NULL, not an ANSI divide-by-zero: slope needs
+    # x-variance (>= 2 ranks), R² additionally y-variance (a group
+    # whose top-k counts are all equal has none)
+    x_var = n * sxx - sx * sx
+    y_var = n * syy - sy * sy
+    slope = F.when(x_var != 0, (n * sxy - sx * sy) / x_var)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = F.when(
+        x_var * y_var != 0, (r_num * r_num) / (x_var * y_var)
+    )
+    return sums.select(
+        F.col("grp").alias(group_col),
+        n.cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("zipf_r2"),
+    )

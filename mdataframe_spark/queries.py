@@ -4404,6 +4404,103 @@ FROM scored
 """
 
 
+def txt_zipf_fit(spark, sf_dir):
+    """Per-source Zipf fit (operators/text.py zipf_fit): OLS of
+    log2(count) on log2(rank) over each source's top tokens, computed
+    from explicit rounded sums so any engine replays the arithmetic
+    exactly. Shuffles bounded by sources x vocabulary."""
+    from .operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, group_col="source", top_k=4096)
+
+
+TXT_ZIPF_SQL = r"""
+WITH toks AS (
+  SELECT source::VARCHAR AS grp,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT grp, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok <> '' GROUP BY grp, tok
+), ranked AS (
+  SELECT grp,
+         log2(row_number() OVER (PARTITION BY grp
+                                 ORDER BY c DESC, tok ASC)::DOUBLE) AS x,
+         log2(c::DOUBLE) AS y,
+         row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok ASC) AS r
+  FROM counts
+), sums AS (
+  SELECT grp, count(*)::DOUBLE AS n,
+         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+         round(sum(x * y), 6) AS sxy, round(sum(x * x), 6) AS sxx,
+         round(sum(y * y), 6) AS syy
+  FROM ranked WHERE r <= 4096 GROUP BY grp
+)
+SELECT grp AS source, n::BIGINT AS n_ranks,
+       round(CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+             6) AS zipf_slope,
+       round((sy - (CASE WHEN (n * sxx - sx * sx) <> 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
+                   * sx) / n, 6) AS zipf_intercept,
+       round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0
+                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) AS zipf_r2
+FROM sums
+"""
+
+
+def dd_corpus_diff(spark, sf_dir):
+    """Snapshot delta between two corpus versions
+    (operators/datasets.py corpus_diff): v2 is derived from the
+    documents table in-query (1-in-7 ids dropped, 1-in-5 texts
+    edited, 1-in-11 re-minted as new ids), so the report must label
+    every id added/removed/changed/unchanged. One full-outer equi-join
+    over (id, fingerprint) projections — linear, two columns on the
+    wire."""
+    from .operators.datasets import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    v2_keep = docs.filter(F.col("doc_id") % 7 != 0)
+    v2_edit = v2_keep.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("v2 revision "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    v2_new = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit("fresh crawl "), F.col("text")).alias("text"),
+    )
+    v2 = v2_edit.select("doc_id", "text").unionByName(v2_new)
+    return corpus_diff(docs, v2)
+
+
+DD_DIFF_SQL = r"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'v2 revision ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'fresh crawl ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0
+), o AS (
+  SELECT doc_id AS id, md5(lower(trim(text))) AS fo FROM documents
+), n AS (
+  SELECT doc_id AS id, md5(lower(trim(text))) AS fn FROM v2
+)
+SELECT coalesce(o.id, n.id) AS doc_id,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            WHEN fo = fn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.id = n.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4541,6 +4638,8 @@ EXTRA_QUERIES = {
     "ds_corpus_profile": ds_corpus_profile,
     "dd_cross_source_overlap": dd_cross_source_overlap,
     "sim_centroid_outliers": sim_centroid_outliers,
+    "txt_zipf_fit": txt_zipf_fit,
+    "dd_corpus_diff": dd_corpus_diff,
 }
 
 
@@ -4678,4 +4777,6 @@ EXTRA_ORACLES = {
     "ds_corpus_profile": DS_PROFILE_SQL,
     "dd_cross_source_overlap": DD_XSOURCE_SQL,
     "sim_centroid_outliers": SIM_CENTROID_SQL,
+    "txt_zipf_fit": TXT_ZIPF_SQL,
+    "dd_corpus_diff": DD_DIFF_SQL,
 }

@@ -1788,3 +1788,53 @@ def test_centroid_outliers_flags_far_vector(spark):
     assert not out[5]["is_outlier"] and not out[6]["is_outlier"]
     # cosine of an aligned member is high
     assert out[1]["cos_centroid"] > 0.9
+
+
+def test_zipf_fit_recovers_powerlaw(spark):
+    import math
+
+    from mdataframe_spark.operators.text import zipf_fit
+
+    # construct a corpus whose token counts follow count = 64 / rank
+    # exactly: token t_r appears round(64/r) times, r = 1..8
+    words = []
+    for r in range(1, 9):
+        words += [f"tok{r:02d}"] * round(64 / r)
+    df = spark.createDataFrame([(1, " ".join(words), "s1")],
+                               "doc_id int, text string, source string")
+    out = zipf_fit(df, top_k=8).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_ranks"] == 8
+    # slope should be near -1 (rounding of 64/r makes it inexact)
+    assert -1.1 < row["zipf_slope"] < -0.9
+    assert row["zipf_r2"] > 0.99
+    # intercept near log2(64) = 6
+    assert abs(row["zipf_intercept"] - 6.0) < 0.2
+    # rank ties break by token: equal-count tokens get deterministic ranks
+    df2 = spark.createDataFrame(
+        [(1, "b b a a c c", "s1")], "doc_id int, text string, source string"
+    )
+    twice = [zipf_fit(df2, top_k=3).collect()[0]["zipf_slope"] for _ in range(2)]
+    assert twice[0] == twice[1]
+
+
+def test_corpus_diff_statuses(spark):
+    from mdataframe_spark.operators.datasets import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "Delta  ")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta CHANGED"), (4, "delta"), (9, "new doc")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # fingerprint is lower(trim(...)): whitespace/case-insensitive
+        9: "added",
+    }

@@ -102,9 +102,11 @@ def test_substring_spans_no_pair_join(spark):
     cross/nested-loop join and NO doc-pair equi-join — duplicate
     detection is ONE hash-count groupBy + a left-semi seed join, and
     the island windows are partitioned by doc (no global window)."""
-    from mdataframe_spark.queries import EXTRA_QUERIES
+    # registry-rotation-proof lookup: the query may sit in the driver
+    # registry or EXTRA depending on the round's rotation
+    from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
 
-    df = EXTRA_QUERIES["dd_substring_spans"](spark, SF)
+    df = {**QUERIES, **EXTRA_QUERIES}["dd_substring_spans"](spark, SF)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
