@@ -1061,3 +1061,65 @@ def zipf_fit(
         F.round(intercept, 6).alias("zipf_intercept"),
         F.round(r2, 6).alias("zipf_r2"),
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    entropy_band=(2.0, 6.0),
+    allowed_langs=("en", "de", "es", "fr"),
+    **gopher_kwargs,
+) -> DataFrame:
+    """ONE-SCAN fused quality gate: Gopher rule battery + char-entropy
+    band + regexp stopword-rate language ID, combined into a single
+    ``keep_quality`` decision with every per-rule flag retained for
+    audit. The production shape for 100 TB filtering — three signal
+    families that would naively be three passes (and one of them a
+    token explode + groupBy + join) fuse into ONE projection over the
+    scan: the Gopher rules and per-language stopword rates are pure
+    codegen'd regexp expressions, entropy is the Arrow-batched UDF, and
+    nothing shuffles (plan: FileScan -> ArrowEvalPython -> Project,
+    asserted in tests).
+
+    Language ID here is the zero-shuffle variant: per-language
+    word-boundary stopword regexp_count per token (the
+    :func:`language_scores` explode form is for when the full
+    score table matters); prediction = argmax rate, ties broken by
+    language code order, rates rounded to 9 dp for cross-engine parity.
+
+    Null/edge semantics: every rule flag is coalesced to False before
+    the conjunction, so empty/degenerate docs are dropped, never
+    three-valued.
+    """
+    lo, hi = entropy_band
+    g = gopher_rules(df, text_col=text_col, **gopher_kwargs)
+    g = char_entropy(g, id_col=id_col, text_col=text_col)
+    nt = token_count(F.col(text_col))
+    rates = {
+        lang: F.round(stopword_hits(F.col(text_col), lang) / nt, 9)
+        for lang in STOPWORDS
+    }
+    best = F.greatest(*rates.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(STOPWORDS):
+        pred = F.when(pred.isNull() & (rates[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    r_entropy = (F.col("char_entropy") >= F.lit(float(lo))) & (
+        F.col("char_entropy") <= F.lit(float(hi))
+    )
+    r_lang = pred.isin(*[str(x) for x in allowed_langs]) & (best > 0)
+    out = g.withColumns(
+        {
+            "predicted_lang": F.when(best > 0, pred),
+            "r_entropy": F.coalesce(r_entropy, F.lit(False)),
+            "r_lang": F.coalesce(r_lang, F.lit(False)),
+        }
+    )
+    return out.withColumn(
+        "keep_quality",
+        F.coalesce(F.col("keep"), F.lit(False))
+        & F.col("r_entropy")
+        & F.col("r_lang"),
+    )

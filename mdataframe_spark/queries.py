@@ -4501,6 +4501,92 @@ FROM o FULL OUTER JOIN n ON o.id = n.id
 """
 
 
+def txt_quality_gate(spark, sf_dir):
+    """ONE-SCAN fused quality gate (operators/text.py quality_gate):
+    Gopher rules + char-entropy band + zero-shuffle stopword-rate
+    language ID combined into keep_quality in a single projection
+    (FileScan -> ArrowEvalPython -> Project, no exchange — plan
+    asserted in tests/test_plans.py)."""
+    from .operators.text import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_gate(
+        docs, entropy_band=(4.1, 6.0), min_tokens=10, min_stopwords=1
+    )
+    return out.select(
+        "doc_id",
+        "char_entropy",
+        "predicted_lang",
+        F.col("keep").alias("keep_gopher"),
+        "r_entropy",
+        "r_lang",
+        "keep_quality",
+    )
+
+
+TXT_GATE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nospace_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+         len(list_intersect(
+           list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+           ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop,
+         len(regexp_extract_all(
+           ' ' || regexp_replace(trim(text), '\s+', '  ', 'g') || ' ',
+           '\s[^A-Za-z\s]+\s')) AS n_nonalpha
+  FROM documents
+), g AS (
+  SELECT doc_id, text, n_tok,
+         ((n_tok >= 10 AND n_tok <= 100000)
+          AND (nospace_chars / CAST(n_tok AS DOUBLE) >= 3.0
+               AND nospace_chars / CAST(n_tok AS DOUBLE) <= 10.0)
+          AND (n_sym / CAST(n_tok AS DOUBLE) <= 0.1)
+          AND (n_stop >= 1)
+          AND ((n_tok - n_nonalpha) / CAST(n_tok AS DOUBLE) >= 0.8)) AS keep_gopher
+  FROM d
+), chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL AND len(text) > 0
+), c2 AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+), ent AS (
+  SELECT doc_id, round(log2(sum(c)) - sum(round(c * log2(c), 9)) / sum(c), 6)
+           AS char_entropy
+  FROM c2 GROUP BY doc_id
+), rates AS (
+  SELECT doc_id,
+    round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|and|to|in|is|that|it|for)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_en,
+    round(len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|von|zu|mit|den|ein)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_de,
+    round(len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|es|se|no)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_es,
+    round(len(regexp_extract_all(lower(text), '\b(?:le|la|de|et|les|des|est|un|une|du)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_fr
+  FROM g
+), lang AS (
+  SELECT doc_id, greatest(r_en, r_de, r_es, r_fr) AS best,
+         CASE WHEN r_de = greatest(r_en, r_de, r_es, r_fr) THEN 'de'
+              WHEN r_en = greatest(r_en, r_de, r_es, r_fr) THEN 'en'
+              WHEN r_es = greatest(r_en, r_de, r_es, r_fr) THEN 'es'
+              ELSE 'fr' END AS pred
+  FROM rates
+)
+SELECT g.doc_id, ent.char_entropy,
+       CASE WHEN lang.best > 0 THEN lang.pred END AS predicted_lang,
+       g.keep_gopher,
+       coalesce(ent.char_entropy >= 4.1 AND ent.char_entropy <= 6.0, false)
+         AS r_entropy,
+       coalesce(lang.pred IN ('en','de','es','fr') AND lang.best > 0, false)
+         AS r_lang,
+       coalesce(g.keep_gopher, false)
+         AND coalesce(ent.char_entropy >= 4.1 AND ent.char_entropy <= 6.0, false)
+         AND coalesce(lang.pred IN ('en','de','es','fr') AND lang.best > 0, false)
+         AS keep_quality
+FROM g
+JOIN lang USING (doc_id)
+LEFT JOIN ent USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4640,6 +4726,7 @@ EXTRA_QUERIES = {
     "sim_centroid_outliers": sim_centroid_outliers,
     "txt_zipf_fit": txt_zipf_fit,
     "dd_corpus_diff": dd_corpus_diff,
+    "txt_quality_gate": txt_quality_gate,
 }
 
 
@@ -4779,4 +4866,5 @@ EXTRA_ORACLES = {
     "sim_centroid_outliers": SIM_CENTROID_SQL,
     "txt_zipf_fit": TXT_ZIPF_SQL,
     "dd_corpus_diff": DD_DIFF_SQL,
+    "txt_quality_gate": TXT_GATE_SQL,
 }

@@ -1838,3 +1838,31 @@ def test_corpus_diff_statuses(spark):
         4: "unchanged",  # fingerprint is lower(trim(...)): whitespace/case-insensitive
         9: "added",
     }
+
+
+def test_quality_gate_rules_compose(spark):
+    from mdataframe_spark.operators.text import quality_gate
+
+    rows = [
+        # healthy english prose: passes everything
+        (1, "the history of science is that it covers the motion of the "
+            "planets and the nature of light in a way that is clear to all"),
+        # too few tokens -> gopher fails
+        (2, "the short one"),
+        # repeated single char -> entropy floor fails
+        (3, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa"),
+        # empty -> everything coalesces to False, never null
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in quality_gate(
+            df, entropy_band=(2.0, 6.0), min_tokens=10, min_stopwords=1
+        ).collect()
+    }
+    assert out[1]["keep_quality"] is True and out[1]["predicted_lang"] == "en"
+    assert out[2]["keep_quality"] is False and out[2]["r_entropy"] is True
+    assert out[3]["keep_quality"] is False and out[3]["r_entropy"] is False
+    assert out[4]["keep_quality"] is False  # coalesced, not null
+    assert all(isinstance(r["keep_quality"], bool) for r in out.values())

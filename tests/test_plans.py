@@ -129,3 +129,17 @@ def test_dbscan_single_candidate_generation(spark):
     # cached pair frame for BOTH consumers instead of regenerating the
     # 3x3-shifted candidates a second time
     assert plan.count("InMemoryTableScan") >= 2  # pairs read twice
+
+
+def test_quality_gate_single_scan_no_exchange(spark):
+    """txt_quality_gate fuses Gopher rules + entropy + language ID into
+    ONE projection: the plan must contain exactly one parquet scan and
+    ZERO exchanges (the whole gate is FileScan -> ArrowEvalPython ->
+    Project)."""
+    from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
+
+    df = {**QUERIES, **EXTRA_QUERIES}["txt_quality_gate"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan

@@ -410,3 +410,41 @@ def test_stream_duplicate_span_probe(spark, tmp_path):
     assert set(got) == expect
     assert any(d == 100 for d, *_ in got) and any(d == 102 for d, *_ in got)
     assert not any(d == 101 for d, *_ in got)
+
+
+def test_char_entropy_stream_matches_batch(spark, tmp_path_factory):
+    """char_entropy is a stateless Arrow-batched map, so it must apply
+    to a readStream frame unchanged and agree with batch exactly —
+    the plumbing check for running the quality-signal family inside a
+    streaming ingest pipeline."""
+    from mdataframe_spark.operators.text import char_entropy
+    from mdataframe_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_from_parquet_dir,
+    )
+
+    src = tmp_path_factory.mktemp("docs_stream")
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc "), F.col("id").cast("string"),
+            F.lit(" mississippi river "), F.repeat(F.lit("ab"), (F.col("id") % 5).cast("int")),
+        ).alias("text"),
+    )
+    docs.coalesce(2).write.mode("overwrite").parquet(str(src / "docs"))
+    batch = spark.read.parquet(str(src / "docs"))
+
+    stream = stream_from_parquet_dir(spark, str(src / "docs"), batch.schema)
+    scored = char_entropy(stream).select("doc_id", "char_entropy")
+    q = run_to_memory_sink(scored, "stream_entropy")
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["char_entropy"]
+        for r in spark.sql("SELECT * FROM stream_entropy").collect()
+    }
+    expected = {
+        r["doc_id"]: r["char_entropy"]
+        for r in char_entropy(batch).select("doc_id", "char_entropy").collect()
+    }
+    assert got == expected and len(got) == 200
