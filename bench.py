@@ -72,6 +72,11 @@ HEADLINE = [
     # the shapes most likely to hide fixed-cost blowups; r5 verdict #7)
     "dd_dedup_groups",
     "ds_leakage_safe_split",
+    # round-6 selection/quality operators: the fused one-scan gate, the
+    # DSIR selection pipeline, and the zero-shuffle entropy signal
+    "txt_quality_gate",
+    "ds_dsir_select",
+    "txt_char_entropy",
 ]
 
 

@@ -412,16 +412,32 @@ def dsir_bucket_logratios(
     are collected as single-row aggregates. Per-bucket log ratios are
     rounded to 9 dp so cross-engine sums agree bit-for-bit (the
     unigram_lm_scores convention)."""
-    spark = raw.sparkSession
     r_b = _dsir_buckets(raw, id_col, text_col, n_buckets, seed, ngram_n)
     t_b = _dsir_buckets(target, id_col, text_col, n_buckets, seed, ngram_n)
-    r_counts = r_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    t_counts = t_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    return _dsir_logratios_from_feats(r_b, t_b, n_buckets, alpha)
+
+
+def _dsir_logratios_from_feats(
+    r_b: DataFrame, t_b: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """Log-ratio table from precomputed (id, bucket) feature frames.
+    Each corpus is scanned ONCE: the totals are one-row re-aggregations
+    of the (already persisted, B-row) bucket-count frames rather than
+    separate count() actions over the raw explode."""
+    from ..cache import persist_tracked as _persist_tracked
+
+    spark = r_b.sparkSession
+    r_counts = _persist_tracked(
+        r_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    )
+    t_counts = _persist_tracked(
+        t_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    )
 
     import math
 
-    r_total = r_b.count()
-    t_total = t_b.count()
+    r_total = r_counts.agg(F.sum("rc")).collect()[0][0] or 0
+    t_total = t_counts.agg(F.sum("tc")).collect()[0][0] or 0
     r_denom = math.log(r_total + alpha * n_buckets)
     t_denom = math.log(t_total + alpha * n_buckets)
 
@@ -452,6 +468,12 @@ def dsir_weights(
     One broadcast join (B rows) + one groupBy(doc); partial map-side
     aggregation makes the shuffle ~one row per doc."""
     feats = _dsir_buckets(raw, id_col, text_col, n_buckets, seed, ngram_n)
+    return _dsir_weights_from_feats(feats, logratios, id_col)
+
+
+def _dsir_weights_from_feats(
+    feats: DataFrame, logratios: DataFrame, id_col: str
+) -> DataFrame:
     scored = feats.join(F.broadcast(logratios), "bucket")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_feats"),
@@ -498,11 +520,28 @@ def dsir_select(
     """End-to-end DSIR: fit both hashed-n-gram multinomials, weight
     every raw doc by its target/raw log likelihood ratio, Gumbel-top-k
     sample k docs without replacement. Returns (id, n_feats,
-    dsir_logweight, gumbel_key) for the selected docs."""
-    ratios = dsir_bucket_logratios(
-        raw, target, id_col, text_col, n_buckets, alpha, seed, ngram_n
+    dsir_logweight, gumbel_key) for the selected docs.
+
+    Docs that produce no n-gram features (empty/whitespace-only text)
+    have no weight row and are therefore never selected — they carry
+    zero evidence under the model, and a selection pipeline that wants
+    them must route them separately.
+
+    The raw corpus is EXPLODED ONCE: the (id, bucket) feature frame is
+    persisted (memory-and-disk) and reused for both the multinomial
+    fit and the per-doc scoring — the fit-then-score composition would
+    otherwise pay three full corpus passes (fit count, fit agg,
+    scoring re-explode). At 100 TB the cached explode spills to local
+    disk; callers who cannot afford the cache can call the
+    fit/score functions separately on fresh frames."""
+    from ..cache import persist_tracked as _persist_tracked
+
+    feats_raw = _persist_tracked(
+        _dsir_buckets(raw, id_col, text_col, n_buckets, seed, ngram_n)
     )
-    w = dsir_weights(raw, ratios, id_col, text_col, n_buckets, seed, ngram_n)
+    feats_t = _dsir_buckets(target, id_col, text_col, n_buckets, seed, ngram_n)
+    ratios = _dsir_logratios_from_feats(feats_raw, feats_t, n_buckets, alpha)
+    w = _dsir_weights_from_feats(feats_raw, ratios, id_col)
     return dsir_gumbel_topk(w, k, id_col=id_col, seed=seed + 1)
 
 
@@ -563,6 +602,11 @@ def corpus_diff(
     linear, no fan-out; both inputs are reduced to (id, fingerprint)
     projections before the join so the shuffle carries 2 columns, not
     documents.
+
+    ``id_col`` is assumed unique WITHIN each version (it is the join
+    key): a duplicated id fans the join out and yields one status row
+    per (old, new) occurrence pair — run exact dedup first if ids can
+    repeat.
     """
     def fp(c):
         return F.md5(F.lower(F.trim(c)))
