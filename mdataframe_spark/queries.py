@@ -4587,6 +4587,93 @@ LEFT JOIN ent USING (doc_id)
 """
 
 
+def _rt_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(format, sf) scratch dir for the IO roundtrip
+    queries — overwrite mode keeps re-runs idempotent."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"mds_rt_{kind}_{tag}")
+
+
+def io_tsv_roundtrip(spark, sf_dir):
+    """SURVEY S5/S6 (TSV scan + sink), upgraded from unit-roundtrip to
+    oracle-backed: documents -> write_tsv -> read_tsv, hash-matched
+    against the direct oracle SELECT — a green hash proves the sink/
+    scan pair is lossless including quoting. Read-back uses explicit
+    casts (inferSchema off: at 100 TB inference is an extra full scan,
+    and inferred types are data-dependent)."""
+    from .sources.readers import read_tsv
+    from .sources.writers import write_tsv
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _rt_dir("tsv", sf_dir)
+    write_tsv(docs, path)
+    back = read_tsv(spark, path, infer_schema=False)
+    return back.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+IO_RT_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def io_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink + scan roundtrip (the lingua-franca corpus format),
+    oracle-backed like the TSV pair. Read-back passes the explicit
+    schema — no inference scan."""
+    from .sources.readers import read_jsonl
+    from .sources.writers import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _rt_dir("jsonl", sf_dir)
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema=docs.schema)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def io_checkpoint_roundtrip(spark, sf_dir):
+    """SURVEY S2/S9 (deferred source + cache sink/scan), upgraded to
+    oracle-backed: quality_features runs through the content-addressed
+    CheckpointStore (invalidate -> compute+persist -> read back from
+    parquet), and the CACHED frame must hash-match the direct oracle —
+    the store provably round-trips exact values, not just row
+    counts."""
+    from .operators.text import quality_features
+    from .plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(_rt_dir("ckpt", sf_dir))
+    key = store.source_key(f"documents|{sf_dir}|quality_features_v1")
+    store.invalidate(key)
+
+    def compute():
+        docs = _t(spark, sf_dir, "documents")
+        q = quality_features(docs)
+        return q.select(
+            "doc_id",
+            F.col("n_tokens"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("quality_score", 6).alias("quality_score"),
+        )
+
+    return store.get_or_compute(spark, key, compute)
+
+
+# the checkpoint roundtrip must reproduce the direct quality oracle
+IO_CKPT_SQL = TXT_QUALITY_SQL
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4727,6 +4814,9 @@ EXTRA_QUERIES = {
     "txt_zipf_fit": txt_zipf_fit,
     "dd_corpus_diff": dd_corpus_diff,
     "txt_quality_gate": txt_quality_gate,
+    "io_tsv_roundtrip": io_tsv_roundtrip,
+    "io_jsonl_roundtrip": io_jsonl_roundtrip,
+    "io_checkpoint_roundtrip": io_checkpoint_roundtrip,
 }
 
 
@@ -4867,4 +4957,7 @@ EXTRA_ORACLES = {
     "txt_zipf_fit": TXT_ZIPF_SQL,
     "dd_corpus_diff": DD_DIFF_SQL,
     "txt_quality_gate": TXT_GATE_SQL,
+    "io_tsv_roundtrip": IO_RT_SQL,
+    "io_jsonl_roundtrip": IO_RT_SQL,
+    "io_checkpoint_roundtrip": IO_CKPT_SQL,
 }
