@@ -4674,6 +4674,27 @@ def io_checkpoint_roundtrip(spark, sf_dir):
 IO_CKPT_SQL = TXT_QUALITY_SQL
 
 
+def io_excel_roundtrip(spark, sf_dir):
+    """SURVEY S7 (Excel sink), upgraded from XML-walk unit test to
+    oracle-backed: documents -> write_excel (stdlib OOXML writer in
+    this container) -> read_excel (stdlib reader) -> hash-match vs the
+    direct SELECT. Excel is a bounded driver-side format on both
+    legs — write_excel's max_rows guard stands and the read-back is
+    one createDataFrame."""
+    import os
+
+    from .sources.readers import read_excel
+    from .sources.writers import write_excel
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = os.path.join(_rt_dir("xlsx", sf_dir), "docs.xlsx")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_excel(docs, path)
+    return read_excel(spark, path, docs.schema)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4817,6 +4838,7 @@ EXTRA_QUERIES = {
     "io_tsv_roundtrip": io_tsv_roundtrip,
     "io_jsonl_roundtrip": io_jsonl_roundtrip,
     "io_checkpoint_roundtrip": io_checkpoint_roundtrip,
+    "io_excel_roundtrip": io_excel_roundtrip,
 }
 
 
@@ -4960,4 +4982,5 @@ EXTRA_ORACLES = {
     "io_tsv_roundtrip": IO_RT_SQL,
     "io_jsonl_roundtrip": IO_RT_SQL,
     "io_checkpoint_roundtrip": IO_CKPT_SQL,
+    "io_excel_roundtrip": IO_RT_SQL,
 }

@@ -106,3 +106,78 @@ def read_orc(spark: SparkSession, path: str, merge_schema: bool = False) -> Data
     tests/test_operators.py::test_orc_roundtrip_pushdown), so filters
     compiled from the DSL skip non-matching stripes at any scale."""
     return spark.read.option("mergeSchema", merge_schema).orc(path)
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """A1-style cell ref -> 0-based column index ('C7' -> 2)."""
+    i = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        i = i * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return i - 1
+
+
+def read_xlsx_rows(path: str):
+    """Minimal OOXML (.xlsx) reader on the standard library only — the
+    scan half of the Excel sink pair (write_xlsx_native). Parses
+    xl/worksheets/sheet1.xml with ElementTree, honouring cell refs
+    (missing cells come back as None), inline strings, shared strings
+    (openpyxl-written files), booleans, and numbers (int when the
+    stored lexical form has no fraction). Returns (header, rows).
+
+    Excel is a bounded driver-side format here exactly as in the
+    writer: this never touches the cluster."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(
+                "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"))
+                for si in sroot.findall("m:si", ns)]
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+
+    def value(c):
+        t = c.get("t")
+        if t == "inlineStr":
+            tx = c.find("m:is/m:t", ns)
+            return tx.text if tx is not None and tx.text is not None else ""
+        v = c.find("m:v", ns)
+        if v is None or v.text is None:
+            return None
+        if t == "s":
+            return shared[int(v.text)]
+        if t == "b":
+            return v.text == "1"
+        if t == "str":
+            return v.text
+        txt = v.text
+        return float(txt) if ("." in txt or "e" in txt.lower()) else int(txt)
+
+    out = []
+    for row in root.findall("m:sheetData/m:row", ns):
+        cells = {}
+        for c in row.findall("m:c", ns):
+            cells[_xlsx_col_index(c.get("r", "A"))] = value(c)
+        width = max(cells) + 1 if cells else 0
+        out.append([cells.get(j) for j in range(width)])
+    if not out:
+        return [], []
+    width = max(len(r) for r in out)
+    out = [r + [None] * (width - len(r)) for r in out]
+    return [str(h) for h in out[0]], out[1:]
+
+
+def read_excel(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Excel scan -> DataFrame: driver-side stdlib parse + one
+    createDataFrame. ``schema`` is required (Excel cells carry no
+    column types); header names are matched to the schema's fields and
+    reordered if needed."""
+    header, rows = read_xlsx_rows(path)
+    order = [header.index(f.name) for f in schema.fields]
+    data = [tuple(r[j] for j in order) for r in rows]
+    return spark.createDataFrame(data, schema)

@@ -1866,3 +1866,36 @@ def test_quality_gate_rules_compose(spark):
     assert out[3]["keep_quality"] is False and out[3]["r_entropy"] is False
     assert out[4]["keep_quality"] is False  # coalesced, not null
     assert all(isinstance(r["keep_quality"], bool) for r in out.values())
+
+
+def test_read_xlsx_rows_handles_shared_strings_and_gaps(tmp_path):
+    """The stdlib xlsx reader's branches that the native-writer
+    roundtrip can't reach: sharedStrings indirection (openpyxl-style
+    files), missing cells inside a row, booleans and floats."""
+    import zipfile
+
+    from mdataframe_spark.sources.readers import read_xlsx_rows
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c></row>'
+        # A2 missing, B2 bool, C2 float
+        '<row r="2"><c r="B2" t="b"><v>1</v></c><c r="C2"><v>2.5</v></c></row>'
+        '<row r="3"><c r="A3"><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>ca</t></si><si><t>cb</t></si><si><t>cc</t></si></sst>"
+    )
+    path = tmp_path / "t.xlsx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", shared)
+    header, rows = read_xlsx_rows(str(path))
+    assert header == ["ca", "cb", "cc"]
+    assert rows == [[None, True, 2.5], [7, None, None]]
