@@ -4642,6 +4642,23 @@ def io_jsonl_roundtrip(spark, sf_dir):
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def io_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan roundtrip, oracle-backed like the TSV/JSONL
+    pairs — completes the format family (parquet is exercised by every
+    query's scan)."""
+    from .sources.readers import read_orc
+    from .sources.writers import write_orc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _rt_dir("orc", sf_dir)
+    write_orc(docs, path)
+    return read_orc(spark, path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def io_checkpoint_roundtrip(spark, sf_dir):
     """SURVEY S2/S9 (deferred source + cache sink/scan), upgraded to
     oracle-backed: quality_features runs through the content-addressed
@@ -4839,6 +4856,7 @@ EXTRA_QUERIES = {
     "io_jsonl_roundtrip": io_jsonl_roundtrip,
     "io_checkpoint_roundtrip": io_checkpoint_roundtrip,
     "io_excel_roundtrip": io_excel_roundtrip,
+    "io_orc_roundtrip": io_orc_roundtrip,
 }
 
 
@@ -4983,4 +5001,5 @@ EXTRA_ORACLES = {
     "io_jsonl_roundtrip": IO_RT_SQL,
     "io_checkpoint_roundtrip": IO_CKPT_SQL,
     "io_excel_roundtrip": IO_RT_SQL,
+    "io_orc_roundtrip": IO_RT_SQL,
 }

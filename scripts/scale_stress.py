@@ -126,6 +126,25 @@ def main():
 
         record("simhash_pairs", factor, timed(simhash), n_docs)
 
+        def dsir():
+            from mdataframe_spark.operators.datasets import dsir_select
+
+            target = docs.filter(F.col("doc_id") % 10 == 0)
+            dsir_select(
+                docs, target, k=100, n_buckets=1024
+            ).write.format("noop").mode("overwrite").save()
+
+        record("dsir_select", factor, timed(dsir), n_docs)
+
+        def gate():
+            from mdataframe_spark.operators.text import quality_gate
+
+            quality_gate(docs, min_tokens=10, min_stopwords=1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("quality_gate", factor, timed(gate), n_docs)
+
         vecs = inflate_vectors(spark, factor)
         n_vecs = vecs.count()
 
