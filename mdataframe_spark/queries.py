@@ -4589,13 +4589,16 @@ LEFT JOIN ent USING (doc_id)
 
 def _rt_dir(kind: str, sf_dir: str) -> str:
     """Deterministic per-(format, sf) scratch dir for the IO roundtrip
-    queries — overwrite mode keeps re-runs idempotent."""
+    queries — overwrite mode keeps re-runs idempotent. Lives under the
+    repo's own .scratch/ (git-ignored), never outside the repo."""
     import hashlib
     import os
-    import tempfile
+    from pathlib import Path
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"mds_rt_{kind}_{tag}")
+    root = Path(__file__).resolve().parent.parent / ".scratch"
+    os.makedirs(root, exist_ok=True)
+    return str(root / f"mds_rt_{kind}_{tag}")
 
 
 def io_tsv_roundtrip(spark, sf_dir):
