@@ -625,3 +625,59 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 4,
+    seed: int = 7,
+    out_col: str = "neg_id",
+) -> DataFrame:
+    """``k`` deterministic pseudo-random NEGATIVE ids per row — the
+    contrastive-training companion to the positive near-dup pairs: for
+    every anchor, k other corpus members drawn uniformly by the
+    engine-portable md5 hash, self-collisions shifted away by +1 mod n.
+
+    Requires a DENSE 0..n-1 id space (the draw maps a hash straight to
+    an id — no rank shuffle, no sampling join): verified up front with
+    one min/max/count aggregate and a loud error otherwise, because a
+    sparse id space would silently sample nonexistent negatives.
+
+    Scale shape: one scalar density probe, then a pure projection +
+    explode (k rows per anchor) — zero shuffles; joining the negatives
+    back to their payloads is the caller's (broadcast or shuffle) join
+    and is not forced here.
+    """
+    lo, hi, n = df.agg(
+        F.min(id_col), F.max(id_col), F.count(F.lit(1))
+    ).collect()[0]
+    if n == 0:
+        raise ValueError("negative_samples: empty input")
+    if lo != 0 or hi != n - 1:
+        raise ValueError(
+            f"negative_samples: id space must be dense 0..n-1 "
+            f"(got min={lo}, max={hi}, n={n}) — re-key with a dense rank "
+            "first, or the hash draw would sample nonexistent ids"
+        )
+    if k < 1 or (n < 2 and k >= 1):
+        raise ValueError("negative_samples: need n >= 2 and k >= 1")
+
+    def draw(i: int):
+        h = F.md5(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(str(i)), F.lit(str(seed))
+            )
+        )
+        j = (
+            F.conv(F.substring(h, 1, _HASH_HEX_CHARS), 16, 10).cast("bigint")
+            % F.lit(n)
+        )
+        # self-collision: shift one forward (stays uniform over the
+        # other n-1 ids for the colliding draw)
+        return F.when(j == F.col(id_col), (j + 1) % F.lit(n)).otherwise(j)
+
+    negs = F.array(*[draw(i) for i in range(k)])
+    return df.select(
+        id_col, F.posexplode(negs).alias("neg_rank", out_col)
+    )

@@ -4715,6 +4715,43 @@ def io_excel_roundtrip(spark, sf_dir):
     return read_excel(spark, path, docs.schema)
 
 
+def ds_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (operators/datasets.py negative_samples): k=3 md5-drawn negative
+    ids per anchor over the dense id space, self-collisions shifted by
+    +1 mod n; one scalar density probe then a zero-shuffle projection
+    + explode. The label join back is the caller's — here one
+    broadcast-size join to expose neg_label for the hash."""
+    from .operators.datasets import negative_samples
+
+    emb = _t(spark, sf_dir, "embeddings")
+    negs = negative_samples(emb.select("vec_id"), k=3, seed=7)
+    lab = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return negs.join(lab, "neg_id").select(
+        "vec_id", "neg_rank", "neg_id", "neg_label"
+    )
+
+
+DS_NEG_SQL = r"""
+WITH tot AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+d AS (
+  SELECT vec_id, i::INT AS neg_rank,
+         ('0x' || substr(md5(vec_id::VARCHAR || ':' || i::VARCHAR || ':' || '7'),
+                         1, 8))::BIGINT % (SELECT n FROM tot) AS j
+  FROM embeddings, unnest([0, 1, 2]) AS t(i)
+), neg AS (
+  SELECT vec_id, neg_rank,
+         CASE WHEN j = vec_id THEN (j + 1) % (SELECT n FROM tot) ELSE j END
+           AS neg_id
+  FROM d
+)
+SELECT neg.vec_id, neg_rank, neg_id, e.label AS neg_label
+FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4860,6 +4897,7 @@ EXTRA_QUERIES = {
     "io_checkpoint_roundtrip": io_checkpoint_roundtrip,
     "io_excel_roundtrip": io_excel_roundtrip,
     "io_orc_roundtrip": io_orc_roundtrip,
+    "ds_negative_samples": ds_negative_samples,
 }
 
 
@@ -5005,4 +5043,5 @@ EXTRA_ORACLES = {
     "io_checkpoint_roundtrip": IO_CKPT_SQL,
     "io_excel_roundtrip": IO_RT_SQL,
     "io_orc_roundtrip": IO_RT_SQL,
+    "ds_negative_samples": DS_NEG_SQL,
 }

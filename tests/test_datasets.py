@@ -557,3 +557,28 @@ def test_ccnet_buckets_partition_and_rates(spark):
     assert all(r["kept"] for r in by_bucket["head"])
     head_ids = {r["doc_id"] for r in by_bucket["head"]}
     assert head_ids <= set(range(10)) or len(head_ids & set(range(10))) >= 8
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from mdataframe_spark.operators.datasets import negative_samples
+
+    df = spark.range(10).select(F.col("id").alias("vec_id"))
+    out = negative_samples(df, k=4, seed=7).collect()
+    # k rows per anchor, no self-negatives, ids in range
+    assert len(out) == 40
+    for r in out:
+        assert r["neg_id"] != r["vec_id"]
+        assert 0 <= r["neg_id"] < 10
+    # deterministic across re-execution and partitionings
+    again = negative_samples(df.repartition(7), k=4, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # md5 replay of one draw
+    r0 = sorted(out)[0]
+    h = int(hashlib.md5(f"{r0['vec_id']}:{r0['neg_rank']}:7".encode()).hexdigest()[:8], 16) % 10
+    expect = (h + 1) % 10 if h == r0["vec_id"] else h
+    assert r0["neg_id"] == expect
+
+    # sparse id space fails loudly
+    sparse = spark.createDataFrame([(0,), (5,)], "vec_id int")
+    with pytest.raises(ValueError, match="dense"):
+        negative_samples(sparse, k=2)
