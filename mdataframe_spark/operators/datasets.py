@@ -681,3 +681,71 @@ def negative_samples(
     return df.select(
         id_col, F.posexplode(negs).alias("neg_rank", out_col)
     )
+
+
+def group_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key: str = "doc_id",
+    seed: int = 7,
+    prefilter_overshoot: float = 0.0,
+    out_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling (distributed
+    reservoir): within each group, keep the k rows with the SMALLEST
+    md5 draw — uniform without replacement, and a row's selection is a
+    pure function of (key, seed, the group's membership), so reruns and
+    resharding reproduce the sample bit-for-bit. Groups smaller than k
+    keep everything. Output carries ``out_col`` (1-based rank within
+    the group's draw order).
+
+    Plan shape: one per-group window over the draw order — bounded by
+    group size. For corpus-scale groups set ``prefilter_overshoot``
+    (e.g. 4.0): rows with draw above ``overshoot*k/|group|`` are
+    discarded BEFORE the window (zero-shuffle filter against the
+    broadcast group sizes), so the window sorts ~overshoot*k rows per
+    group instead of the whole group. The prefilter is verified, not
+    trusted: one aggregation checks every group still holds min(k, n)
+    candidates, and a shortfall (binomially rare at overshoot >= 4)
+    falls back to the unfiltered rows FOR THOSE GROUPS ONLY — results
+    are identical with and without the prefilter by construction.
+    """
+    if k < 1:
+        raise ValueError("group_topk_sample: k must be >= 1")
+    u = split_hash_u(key, seed)
+    base = df.withColumn("__u", u)
+    cand = base
+    if prefilter_overshoot and prefilter_overshoot > 0:
+        sizes = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+        bound = F.least(
+            F.lit(1.0), F.lit(float(prefilter_overshoot) * k) / F.col("__gn")
+        )
+        with_n = base.join(F.broadcast(sizes), group_col)
+        cand = with_n.filter(F.col("__u") < bound)
+        # anchor the shortfall check on SIZES, not on the candidates: a
+        # group whose every row fell above the bound has no candidate
+        # rows at all and would silently vanish from a cand-side groupBy
+        ccnt = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+        short = (
+            sizes.join(ccnt, group_col, "left")
+            .filter(
+                F.coalesce(F.col("__c"), F.lit(0))
+                < F.least(F.lit(k), F.col("__gn"))
+            )
+            .select(group_col)
+        )
+        short_groups = [r[0] for r in short.collect()]
+        if short_groups:
+            # shortfall groups (binomially rare) take the unfiltered
+            # path; everything else keeps the cheap pre-filter
+            cand = with_n.filter(
+                (F.col("__u") < bound) | F.col(group_col).isin(short_groups)
+            )
+        cand = cand.drop("__gn")
+    w = Window.partitionBy(group_col).orderBy("__u", F.col(key))
+    return (
+        cand.withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= k)
+        .drop("__u")
+    )

@@ -1,0 +1,54 @@
+"""Data-ops diagnostics: the profiling queries an engineer runs BEFORE
+picking a partitioning/join strategy at scale.
+
+Skewed keys are the dominant failure mode of 100 TB joins and
+aggregations (one hot key serializes a whole stage); key_skew_profile
+is the measurement that decides between a plain shuffle join, a
+broadcast, and salting (operators/joins.py salted_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` heaviest keys with their corpus share, cumulative
+    share, and skew factor (count / mean-count-per-key — 1.0 means
+    perfectly uniform; a salting candidate shows double digits).
+
+    Plan shape: ONE partial-agged groupBy collapses the corpus to the
+    key-count table; the global totals are a single two-scalar
+    aggregate (the permitted scalar probe); the top-N selection
+    compiles to TakeOrderedAndProject (no global sort materializes);
+    the cumulative-share window runs over the returned N rows only.
+    All shares derive from integer counts, so both engines round the
+    same exact ratios.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total, n_keys = counts.agg(F.sum("cnt"), F.count(F.lit(1))).first()
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return top.select(
+        "key",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("key").asc()))
+        .alias("rank"),
+        F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+        F.round(F.sum("cnt").over(w) / F.lit(float(total)), 6).alias(
+            "cum_share"
+        ),
+        F.round(
+            F.col("cnt") * F.lit(float(n_keys)) / F.lit(float(total)), 6
+        ).alias("skew_vs_mean"),
+    )

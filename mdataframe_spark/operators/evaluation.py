@@ -1,0 +1,235 @@
+"""Model-evaluation operators: AUC, calibration, cluster silhouette.
+
+A training-data pipeline that fits quality classifiers
+(operators/classifier.py) and clusterings (operators/clustering.py)
+needs the matching distributed evaluation metrics. Each operator here
+reduces the corpus to a model-sized frame in ONE partial-aggregated
+pass and keeps all arithmetic engine-portable (integer rank sums,
+explicit rounded accumulations), so a SQL oracle replays the results
+bit-for-bit.
+
+Extends the reference's capability surface (MarcoMernberger/mdataframe
+delegates evaluation to sklearn driver-side, e.g. silhouette usage in
+its clustering tests); here the metrics are distributed plans.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import dot
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Distributed ROC AUC via the tie-aware Mann-Whitney rank sum.
+
+    AUC = (R_pos - P(P+1)/2) / (P*N) with R_pos the sum of average
+    ranks of the positives. Decomposition: ONE groupBy(score) bounds
+    everything downstream by the number of DISTINCT scores — per tied
+    block the doubled average rank is the integer ``2*cum - n + 1``
+    (cum = running row count through this block), so the whole rank sum
+    is exact integer arithmetic until the final division: any engine
+    replays it bit-for-bit.
+
+    Scale shape: the corpus-sized input collapses in the first
+    partial-agged groupBy; the running-count window then runs over the
+    distinct-score table only. For continuous scores pass
+    ``score_decimals`` to quantize (the 100 TB knob: 6 dp caps the
+    window input at a few million rows regardless of corpus size —
+    same single-partition-window discipline as functions/stats.py
+    bh_adjust, which documents the bucketed exact alternative).
+
+    Null scores/labels are excluded up front (complete-case, loudly
+    consistent denominators — the operators/classifier.py convention).
+    Returns ONE row: (n_pos, n_neg, auc) — auc NULL when either class
+    is empty.
+    """
+    s = F.col(score_col).cast("double")
+    if score_decimals is not None:
+        s = F.round(s, score_decimals)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    g = base.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("__p"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = g.withColumn("__cum", F.sum("__n").over(w))
+    acc = ranked.agg(
+        F.sum(
+            F.col("__p") * (2 * F.col("__cum") - F.col("__n") + 1)
+        ).alias("__r2"),
+        F.sum("__p").alias("n_pos"),
+        F.sum(F.col("__n") - F.col("__p")).alias("n_neg"),
+    )
+    p, n = F.col("n_pos"), F.col("n_neg")
+    return acc.select(
+        p,
+        n,
+        F.round(
+            F.when(
+                (p > 0) & (n > 0),
+                (F.col("__r2") - p * (p + 1)) / (2.0 * p * n),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram of a probabilistic score in [0, 1]: per
+    equal-width bin, row count, positive count, mean confidence, and
+    empirical accuracy — the per-bin layer of expected calibration
+    error (ECE = Σ n_b/N · gap_b, one more tiny-frame sum for the
+    caller).
+
+    One partial-agged groupBy; output bounded by ``n_bins``.
+    Determinism: the score sum is rounded (6 dp) BEFORE the division
+    so partial-aggregation order cannot leak into the quotient, and
+    accuracy is an integer ratio — both engine-portable. Nulls are
+    excluded complete-case, as in :func:`auc`.
+    """
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    g = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("n_pos"),
+        F.round(F.sum(s), 6).alias("__ssum"),
+    )
+    conf = F.round(F.col("__ssum") / F.col("n"), 6)
+    acc = F.round(F.col("n_pos") / F.col("n"), 6)
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("mean_confidence"),
+        acc.alias("positive_rate"),
+        F.round(F.abs(acc - conf), 6).alias("calibration_gap"),
+    )
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_labels: int = 64,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per point: a = distance
+    to the OWN label centroid, b = distance to the nearest OTHER
+    centroid, s = (b - a) / max(a, b) — the O(N·K) silhouette used at
+    scale in place of the O(N²) pairwise original (Hruschka et al.'s
+    simplified silhouette; the standard kmeans-quality signal).
+
+    Plan shape: one labels x dim partial-agged centroid aggregation
+    (O(K·dim) scalars to the driver — the ml_kmeans_lloyd convention),
+    then scoring is a ZERO-shuffle codegen projection: each centroid is
+    embedded as literals, every distance an unrolled left-to-right
+    expression via d² = v·v − 2·v·c + c·c, so both engines produce
+    bit-identical doubles (centroids rounded to 9 dp first — the
+    established cross-engine centroid convention).
+
+    Raises when the label count exceeds ``max_labels``: beyond that the
+    unrolled K·dim expression tree stops being the right plan and a
+    join against a centroid table should be used instead.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        v.alias("__v"),
+    )
+    cent_rows = (
+        pts.select(
+            "__lbl", *[F.col("__v")[i].alias(f"x{i}") for i in range(dim)]
+        )
+        .groupBy("__lbl")
+        .agg(*[F.round(F.avg(f"x{i}"), 9).alias(f"c{i}") for i in range(dim)])
+        .collect()
+    )
+    if len(cent_rows) > max_labels:
+        raise ValueError(
+            f"{len(cent_rows)} labels > max_labels={max_labels}: use a "
+            "centroid-table join instead of literal unrolling"
+        )
+    cents = {
+        r["__lbl"]: [float(r[f"c{i}"]) for i in range(dim)] for r in cent_rows
+    }
+
+    def _lit_dot(c: List[float]) -> Column:
+        # left-to-right v·c against literal centroid components — the
+        # association order DuckDB's list_dot_product replays exactly
+        expr = F.col("__v")[0] * F.lit(c[0])
+        for i in range(1, dim):
+            expr = expr + F.col("__v")[i] * F.lit(c[i])
+        return expr
+
+    def _py_dot(c: List[float]) -> float:
+        acc = c[0] * c[0]
+        for x in c[1:]:
+            acc += x * x
+        return acc
+
+    # staged projections: each K·dim distance is computed ONCE into a
+    # named column and later stages reference the column — inlining the
+    # d² expressions into a2/b2/silhouette would duplicate every
+    # 3·dim-term tree ~6x and melt Catalyst analysis on wide K·dim
+    vv = dot(F.col("__v"), F.col("__v"), dim)
+    labels = list(cents)
+    staged = pts.select(
+        "__id",
+        "__lbl",
+        *[
+            (vv - 2.0 * _lit_dot(cents[lbl]) + F.lit(_py_dot(cents[lbl])))
+            .alias(f"__d2_{i}")
+            for i, lbl in enumerate(labels)
+        ],
+    )
+    a2 = F.coalesce(
+        *[
+            F.when(F.col("__lbl") == F.lit(lbl), F.col(f"__d2_{i}"))
+            for i, lbl in enumerate(labels)
+        ]
+    )
+    # F.least skips NULLs, so masking the own label with NULL leaves
+    # exactly the min over OTHER centroids
+    b2 = F.least(
+        *[
+            F.when(F.col("__lbl") != F.lit(lbl), F.col(f"__d2_{i}"))
+            for i, lbl in enumerate(labels)
+        ]
+    )
+    dists = staged.select(
+        "__id",
+        "__lbl",
+        F.sqrt(F.greatest(a2, F.lit(0.0))).alias("__a"),
+        F.sqrt(F.greatest(b2, F.lit(0.0))).alias("__b"),
+    )
+    a, b = F.col("__a"), F.col("__b")
+    denom = F.greatest(a, b)
+    sil = F.when(denom > 0, (b - a) / denom).otherwise(F.lit(0.0))
+    return dists.select(
+        F.col("__id").alias(id_col),
+        F.col("__lbl").alias(label_col),
+        F.round(a, 6).alias("a_dist"),
+        F.round(b, 6).alias("b_dist"),
+        F.round(sil, 6).alias("silhouette"),
+    )

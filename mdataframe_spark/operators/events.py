@@ -1,0 +1,234 @@
+"""Event-stream analytics operators: funnels, cohort retention, rate
+anomalies.
+
+The engine's events surface (windowed counts, sessionization, as-of /
+range joins, streaming parity) gains the three classic product-
+analytics queries, each shaped for corpus scale: every shuffle is
+bounded by users, (type x bucket) cells, or the step count — never by
+raw event volume past the first partial-agged pass.
+
+Timestamps follow the repo-wide events contract (queries._events):
+epoch-nanosecond BIGINT, so all bucketing is timezone-free integer
+arithmetic; a timestamp-typed column is canonicalized on entry.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..cache import persist_tracked as _persist_tracked
+
+_NS_PER_S = 1_000_000_000
+
+
+def _ns(df: DataFrame, ts_col: str) -> DataFrame:
+    """Canonicalize ``ts_col`` to epoch-ns BIGINT (the _events contract)."""
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype.startswith("timestamp"):
+        return df.withColumn(
+            ts_col,
+            (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast(
+                "bigint"
+            ),
+        )
+    if dtype != "bigint":
+        return df.withColumn(ts_col, F.col(ts_col).cast("bigint"))
+    return df
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: how many users complete each prefix
+    of ``steps`` IN ORDER (step k counts a user iff some step-k event
+    strictly follows their earliest qualifying step-(k-1) completion —
+    the earliest-completion greedy, which is exact for subsequence
+    reachability).
+
+    Plan shape: the relevant events project once (persisted — each of
+    the K stages filters the same frame); stage k is one user-keyed
+    min-aggregation plus an equi-join against the (users-bounded)
+    stage-(k-1) frame, so event volume is touched K times map-side but
+    every shuffle is user-bounded. No per-user event arrays are ever
+    collected (the collect_list alternative buffers a hot user's whole
+    history in one task). The result is K rows; conversion ratios are
+    a window over that K-row frame.
+
+    Returns (step_idx, step, users, conv_from_first, conv_from_prev).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = _persist_tracked(
+        _ns(df, ts_col)
+        .filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__t"),
+            F.col(ts_col).alias("__ts"),
+        )
+    )
+    reached = ev.filter(F.col("__t") == steps[0]).groupBy("__u").agg(
+        F.min("__ts").alias("__at")
+    )
+    counts = [
+        reached.agg(
+            F.lit(0).alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).alias("users"),
+        )
+    ]
+    for k, step in enumerate(steps[1:], start=1):
+        reached = (
+            ev.filter(F.col("__t") == step)
+            .join(reached.select("__u", F.col("__at").alias("__prev")), "__u")
+            .filter(F.col("__ts") > F.col("__prev"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__at"))
+        )
+        counts.append(
+            reached.agg(
+                F.lit(k).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("users"),
+            )
+        )
+    out = reduce(DataFrame.unionByName, counts)
+    # K-row frame: a single-partition window here is free
+    w = Window.orderBy("step_idx")
+    first = F.first("users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("users").over(w)
+    return out.select(
+        "step_idx",
+        "step",
+        "users",
+        F.round(
+            F.when(first > 0, F.col("users") / first).otherwise(F.lit(0.0)), 6
+        ).alias("conv_from_first"),
+        F.round(
+            F.when(prev > 0, F.col("users") / prev).otherwise(
+                F.when(prev.isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("conv_from_prev"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-active
+    period; for each (cohort, period offset), how many are active and
+    what fraction of the cohort that is.
+
+    Plan shape: one distinct over (user, period) — the only corpus-
+    bounded shuffle, partial-agged; first-active periods are one more
+    user-bounded aggregation; the matrix itself is (cohorts x offsets)
+    cells and the cohort-size join broadcasts. Counting after the
+    distinct makes ``count(*)`` an exact distinct-user count without a
+    second distinct aggregation.
+
+    Returns (cohort_epoch, offset_periods, active_users, cohort_size,
+    retention_rate); cohort_epoch is the period start in epoch seconds.
+    """
+    period_ns = period_s * _NS_PER_S
+    act = (
+        _ns(df, ts_col)
+        .select(
+            F.col(user_col).alias("__u"),
+            F.floor(F.col(ts_col) / F.lit(period_ns)).alias("__d"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("__u").agg(F.min("__d").alias("__cohort"))
+    ret = (
+        act.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("__c"),
+            (F.col("__d") - F.col("__cohort")).alias("offset_periods"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    size = ret.filter(F.col("offset_periods") == 0).select(
+        "__c", F.col("active_users").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(size), "__c")
+        .select(
+            (F.col("__c") * period_s).cast("bigint").alias("cohort_epoch"),
+            F.col("offset_periods").cast("bigint"),
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
+def rate_anomaly(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-type event-rate anomaly flags: bucket counts z-scored
+    against that type's own mean/std across buckets, |z| >= threshold
+    flagged — the standard ops alarm on ingestion volume.
+
+    Plan shape: ONE partial-agged groupBy((type, bucket)) collapses the
+    corpus; per-type moments come from integer sums (n, Σc, Σc²) over
+    the (types x buckets)-bounded count table, broadcast back. Because
+    every input to the z expression is an exactly-representable
+    integer, both engines compute bit-identical doubles (the
+    rate-anomaly analog of the zipf_fit explicit-sums convention).
+
+    z is NULL (and the flag false) for a type with zero count variance
+    — a constant-rate type has no scale to be anomalous on.
+    """
+    bucket_ns = bucket_s * _NS_PER_S
+    counts = (
+        _ns(df, ts_col)
+        .groupBy(
+            F.col(type_col).alias("__t"),
+            (F.floor(F.col(ts_col) / F.lit(bucket_ns)) * bucket_s)
+            .cast("bigint")
+            .alias("bucket_epoch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = counts.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_events").alias("__s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__ss"),
+    )
+    c = F.col("n_events")
+    n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
+    mean = s / n
+    var = ss / n - mean * mean
+    z = F.when(var > 0, (c - mean) / F.sqrt(var))
+    return (
+        counts.join(F.broadcast(stats), "__t")
+        .select(
+            F.col("__t").alias(type_col),
+            "bucket_epoch",
+            "n_events",
+            F.round(z, 6).alias("z_score"),
+            F.coalesce(
+                F.abs(z) >= F.lit(float(threshold)), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+    )

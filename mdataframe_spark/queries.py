@@ -4777,6 +4777,303 @@ FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
 # EXTRA_QUERIES with their oracles — same protocol, verified in-repo
 # every round; over rounds the rotation gives every query a
 # driver-green record.
+# ---------------------------------------------------------------------------
+# evaluation & observability wave (round 6 continuation): ML evaluation
+# metrics, event analytics, data-ops diagnostics
+# ---------------------------------------------------------------------------
+def ml_auc_value(spark, sf_dir):
+    """Distributed tie-aware ROC AUC (operators/evaluation.py auc):
+    does an event's value predict a purchase? One groupBy(score)
+    collapses the corpus; the rank sum is exact integer arithmetic
+    until the final division, so the oracle replays it bit-for-bit."""
+    from .operators.evaluation import auc
+
+    e = _events(spark, sf_dir).withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("int")
+    )
+    return auc(e, "value", "is_purchase")
+
+
+ML_AUC_SQL = """
+WITH base AS (
+  SELECT value AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT s, count(*)::BIGINT AS n, sum(l)::BIGINT AS p FROM base GROUP BY s
+), r AS (
+  SELECT n, p, sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum FROM g
+), acc AS (
+  SELECT sum(p * (2 * cum - n + 1))::BIGINT AS r2,
+         sum(p)::BIGINT AS n_pos, sum(n - p)::BIGINT AS n_neg
+  FROM r
+)
+SELECT n_pos, n_neg,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN (r2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)
+             END, 6) AS auc
+FROM acc
+"""
+
+
+def ml_calibration(spark, sf_dir):
+    """Reliability bins of a min-max-normalized score against the
+    purchase label (operators/evaluation.py calibration_bins): one
+    partial-agged groupBy, output bounded by the bin count; the score
+    sum is rounded before division so aggregation order cannot leak."""
+    from .operators.evaluation import calibration_bins
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    lo, hi = e.agg(F.min("value"), F.max("value")).first()
+    scored = e.select(
+        ((F.col("value") - F.lit(float(lo))) / F.lit(float(hi - lo))).alias(
+            "score"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
+ML_CALIBRATION_SQL = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+base AS (
+  SELECT (value - lo) / (hi - lo) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+  FROM events, mm WHERE value IS NOT NULL
+), g AS (
+  SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+         count(*)::BIGINT AS n, sum(l)::BIGINT AS n_pos,
+         round(sum(s), 6) AS ssum
+  FROM base GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       round(ssum / n, 6) AS mean_confidence,
+       round(n_pos / CAST(n AS DOUBLE), 6) AS positive_rate,
+       round(abs(round(n_pos / CAST(n AS DOUBLE), 6)
+                 - round(ssum / n, 6)), 6) AS calibration_gap
+FROM g
+"""
+
+
+def ml_silhouette(spark, sf_dir):
+    """Simplified (centroid) silhouette per embedding
+    (operators/evaluation.py centroid_silhouette): one labels x dim
+    centroid aggregation, then zero-shuffle codegen scoring with the
+    centroids embedded as literals; d^2 = v.v - 2 v.c + c.c keeps both
+    engines on identical left-to-right double arithmetic."""
+    from .operators.evaluation import centroid_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_silhouette(emb)
+
+
+ML_SILHOUETTE_SQL = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), pos AS (
+  SELECT label, i AS p, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+), cm AS (
+  SELECT label, p, round(avg(x), 9) AS cx FROM pos GROUP BY label, p
+), cent AS (
+  SELECT label AS clabel, list(cx ORDER BY p) AS c FROM cm GROUP BY label
+), d AS (
+  SELECT vec_id, e.label, clabel,
+         list_dot_product(v, v) - 2 * list_dot_product(v, c)
+           + list_dot_product(c, c) AS d2
+  FROM e CROSS JOIN cent
+), ab AS (
+  SELECT vec_id, label,
+         sqrt(greatest(min(CASE WHEN clabel = label THEN d2 END), 0))
+           AS a_raw,
+         sqrt(greatest(min(CASE WHEN clabel <> label THEN d2 END), 0))
+           AS b_raw
+  FROM d GROUP BY vec_id, label
+)
+SELECT vec_id, label, round(a_raw, 6) AS a_dist, round(b_raw, 6) AS b_dist,
+       round(CASE WHEN greatest(a_raw, b_raw) > 0
+                  THEN (b_raw - a_raw) / greatest(a_raw, b_raw)
+                  ELSE 0.0 END, 6) AS silhouette
+FROM ab
+"""
+
+
+def e_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase (operators/events.py
+    funnel): K user-bounded min-aggregations chained by equi-joins —
+    no per-user event arrays; conversion ratios are a window over the
+    K-row result."""
+    from .operators.events import funnel
+
+    return funnel(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+E_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS tns
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), s0 AS (
+  SELECT u, min(tns) AS at FROM ev WHERE t = 'view' GROUP BY u
+), s1 AS (
+  SELECT ev.u, min(ev.tns) AS at
+  FROM ev JOIN s0 ON ev.u = s0.u AND ev.tns > s0.at
+  WHERE ev.t = 'click' GROUP BY ev.u
+), s2 AS (
+  SELECT ev.u, min(ev.tns) AS at
+  FROM ev JOIN s1 ON ev.u = s1.u AND ev.tns > s1.at
+  WHERE ev.t = 'purchase' GROUP BY ev.u
+), c AS (
+  SELECT 0 AS step_idx, 'view' AS step, count(*)::BIGINT AS users FROM s0
+  UNION ALL
+  SELECT 1, 'click', count(*)::BIGINT FROM s1
+  UNION ALL
+  SELECT 2, 'purchase', count(*)::BIGINT FROM s2
+)
+SELECT step_idx, step, users,
+       round(CASE WHEN first_value(users) OVER w > 0
+                  THEN users / CAST(first_value(users) OVER w AS DOUBLE)
+                  ELSE 0.0 END, 6) AS conv_from_first,
+       round(CASE WHEN lag(users) OVER w > 0
+                  THEN users / CAST(lag(users) OVER w AS DOUBLE)
+                  WHEN lag(users) OVER w IS NULL THEN 1.0
+                  ELSE 0.0 END, 6) AS conv_from_prev
+FROM c
+WINDOW w AS (ORDER BY step_idx ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def e_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix (operators/events.py
+    cohort_retention): one distinct over (user, day), user-bounded
+    first-active agg, (cohorts x offsets) matrix with a broadcast
+    cohort-size join."""
+    from .operators.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+E_COHORT_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, epoch_ns(ts) // 86400000000000 AS d
+  FROM events
+), f AS (
+  SELECT u, min(d) AS cohort FROM act GROUP BY u
+), ret AS (
+  SELECT cohort, (d - cohort) AS offset_periods,
+         count(*)::BIGINT AS active_users
+  FROM act JOIN f USING (u) GROUP BY 1, 2
+), sz AS (
+  SELECT cohort, active_users AS cohort_size FROM ret
+  WHERE offset_periods = 0
+)
+SELECT (ret.cohort * 86400)::BIGINT AS cohort_epoch,
+       offset_periods::BIGINT AS offset_periods,
+       active_users, cohort_size,
+       round(active_users / CAST(cohort_size AS DOUBLE), 6)
+         AS retention_rate
+FROM ret JOIN sz USING (cohort)
+"""
+
+
+def e_rate_anomaly(spark, sf_dir):
+    """Hourly per-type event-rate z-scores with anomaly flags
+    (operators/events.py rate_anomaly): one partial-agged (type, hour)
+    count, per-type integer moment sums broadcast back — every input
+    to the z expression is an exactly-representable integer, so both
+    engines compute identical doubles."""
+    from .operators.events import rate_anomaly
+
+    return rate_anomaly(_events(spark, sf_dir))
+
+
+E_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 3600000000000 * 3600)::BIGINT AS bucket_epoch,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s,
+         sum(n_events * n_events)::BIGINT AS ss
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, bucket_epoch, n_events,
+       round(CASE WHEN ss / CAST(n AS DOUBLE)
+                       - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) > 0
+                  THEN (n_events - s / CAST(n AS DOUBLE))
+                       / sqrt(ss / CAST(n AS DOUBLE)
+                              - (s / CAST(n AS DOUBLE))
+                                * (s / CAST(n AS DOUBLE)))
+             END, 6) AS z_score,
+       coalesce(
+         abs((n_events - s / CAST(n AS DOUBLE))
+             / sqrt(ss / CAST(n AS DOUBLE)
+                    - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))))
+           >= 2.5
+         AND ss / CAST(n AS DOUBLE)
+             - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) > 0,
+         false) AS is_anomaly
+FROM c JOIN st USING (event_type)
+"""
+
+
+def ds_group_topk(spark, sf_dir):
+    """Exactly-k-per-group deterministic sampling (operators/datasets
+    group_topk_sample): keep each language's 5 smallest md5 draws —
+    uniform without replacement, reproducible under resharding; the
+    prefilter_overshoot knob bounds the per-group window at scale."""
+    from .operators.datasets import group_topk_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return group_topk_sample(docs, "lang", k=5, key="doc_id", seed=7)
+
+
+DS_GROUP_TOPK_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rnk
+  FROM h
+)
+SELECT doc_id, lang, n_chars, rnk::INT AS sample_rank
+FROM r WHERE rnk <= 5
+"""
+
+
+def dq_key_skew(spark, sf_dir):
+    """Key-skew diagnostic over the events user distribution
+    (operators/diagnostics.py key_skew_profile): one partial-agged
+    key-count groupBy, a two-scalar totals probe, TakeOrderedAndProject
+    top-N, cumulative shares over the N returned rows only."""
+    from .operators.diagnostics import key_skew_profile
+
+    return key_skew_profile(_events(spark, sf_dir), "user_id", top_n=20)
+
+
+DQ_KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id AS key, count(*)::BIGINT AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c
+), r AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk,
+         sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT key, cnt, rnk::INT AS rank,
+       round(cnt / CAST(total AS DOUBLE), 6) AS share,
+       round(cum / CAST(total AS DOUBLE), 6) AS cum_share,
+       round(cnt * CAST(n_keys AS DOUBLE) / total, 6) AS skew_vs_mean
+FROM r, t WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -4898,6 +5195,15 @@ EXTRA_QUERIES = {
     "io_excel_roundtrip": io_excel_roundtrip,
     "io_orc_roundtrip": io_orc_roundtrip,
     "ds_negative_samples": ds_negative_samples,
+    # --- evaluation & observability wave (round 6 continuation) ---
+    "ml_auc_value": ml_auc_value,
+    "ml_calibration": ml_calibration,
+    "ml_silhouette": ml_silhouette,
+    "e_funnel": e_funnel,
+    "e_cohort_retention": e_cohort_retention,
+    "e_rate_anomaly": e_rate_anomaly,
+    "ds_group_topk": ds_group_topk,
+    "dq_key_skew": dq_key_skew,
 }
 
 
@@ -5044,4 +5350,13 @@ EXTRA_ORACLES = {
     "io_excel_roundtrip": IO_RT_SQL,
     "io_orc_roundtrip": IO_RT_SQL,
     "ds_negative_samples": DS_NEG_SQL,
+    # --- evaluation & observability wave (round 6 continuation) ---
+    "ml_auc_value": ML_AUC_SQL,
+    "ml_calibration": ML_CALIBRATION_SQL,
+    "ml_silhouette": ML_SILHOUETTE_SQL,
+    "e_funnel": E_FUNNEL_SQL,
+    "e_cohort_retention": E_COHORT_SQL,
+    "e_rate_anomaly": E_ANOMALY_SQL,
+    "ds_group_topk": DS_GROUP_TOPK_SQL,
+    "dq_key_skew": DQ_KEY_SKEW_SQL,
 }
