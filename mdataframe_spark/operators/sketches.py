@@ -34,7 +34,9 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -93,3 +95,126 @@ def heavy_hitters(
         .filter(F.col(out_count) > F.lit(thresh))
     )
     return verified.select(F.col("__key").alias(key_col), out_count)
+
+
+# md5-prefix width for Bloom positions: 15 hex chars = 60 bits parses
+# losslessly into BIGINT on Spark (conv), Python (int(h,16)) and DuckDB
+# (CAST('0x…')), and modulo-m keeps the three implementations
+# bit-identical.
+_BLOOM_HEX_CHARS = 15
+
+
+def bloom_bit_positions(gram: Column, m: int, n_hashes: int) -> list:
+    """The k Bloom positions of a gram as JVM-side column expressions:
+    position_i = int(md5(gram ':' i)[:15 hex], 16) mod m — the same
+    formula the Python probe and the SQL oracle replay."""
+    out = []
+    for i in range(n_hashes):
+        h = F.md5(F.concat_ws(":", gram, F.lit(str(i))))
+        out.append(
+            (
+                F.conv(F.substring(h, 1, _BLOOM_HEX_CHARS), 16, 10).cast(
+                    "bigint"
+                )
+                % F.lit(m)
+            )
+        )
+    return out
+
+
+def bloom_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    m: int = 1 << 20,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: flag training documents
+    sharing any word ``n``-gram with the eval set, probing an m-bit
+    Bloom filter instead of joining the eval-gram table.
+
+    Why at 100 TB: text.ngram_contamination broadcasts the DISTINCT
+    eval-gram STRINGS — fine for one benchmark, but a combined
+    decontamination suite reaches 10^8+ grams (GBs of strings). The
+    Bloom index compresses membership to m bits (128 KiB per 2^20 at
+    any gram count), the classic space/precision trade: zero false
+    NEGATIVES by construction (every true hit probes set bits), false
+    positives at ~(1-e^{-kn/m})^k, i.e. over-flagging only — the safe
+    direction for decontamination.
+
+    Build: eval grams explode to k=``n_hashes`` md5 positions JVM-side
+    (:func:`bloom_bit_positions`), ONE distinct on integer positions,
+    collected as a packed numpy bitset and broadcast. Probe: the
+    distinct (doc, gram) stream maps through an Arrow-batched pandas
+    UDF testing the k bits — no join, no shuffle except the final
+    per-doc count. Every hash is md5 over ``gram:i``, so the probe,
+    the JVM build, and a SQL engine agree bit-for-bit — the oracle
+    replays the whole filter relationally (the dd_embedding_neardup
+    pattern: approximate ALGORITHM, deterministic RESULT).
+
+    Returns per training doc: n_grams, n_hit_grams_bloom,
+    bloom_contaminated.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ..cache import persist_tracked
+    from .text import _word_ngrams, tokens
+
+    def grams(frame, key, text):
+        ws = frame.select(
+            F.col(key), tokens(F.trim(F.col(text))).alias("__ws")
+        )
+        return ws.select(
+            key, F.explode(_word_ngrams(F.col("__ws"), n)).alias("__g")
+        ).distinct()
+
+    e_grams = grams(eval_df, eval_id_col, eval_text_col).select("__g").distinct()
+    pos_rows = (
+        e_grams.select(
+            F.explode(F.array(*bloom_bit_positions(F.col("__g"), m, n_hashes))).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m, dtype=bool)
+    bits[[r["pos"] for r in pos_rows]] = True
+    bc = df.sparkSession.sparkContext.broadcast(np.packbits(bits))
+
+    k_hashes, m_bits = n_hashes, m
+
+    @F.pandas_udf("boolean")
+    def probe(gs: pd.Series) -> pd.Series:
+        packed = bc.value
+
+        def hit(g):
+            for i in range(k_hashes):
+                p = (
+                    int(
+                        hashlib.md5(f"{g}:{i}".encode()).hexdigest()[
+                            :_BLOOM_HEX_CHARS
+                        ],
+                        16,
+                    )
+                    % m_bits
+                )
+                if not (packed[p >> 3] >> (7 - (p & 7))) & 1:
+                    return False
+            return True
+
+        return gs.map(hit)
+
+    t_grams = persist_tracked(grams(df, id_col, text_col))
+    flagged = t_grams.withColumn("__hit", probe(F.col("__g")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("__hit").cast("bigint")).alias("n_hit_grams_bloom"),
+        F.max("__hit").alias("bloom_contaminated"),
+    )

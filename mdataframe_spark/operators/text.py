@@ -1123,3 +1123,114 @@ def quality_gate(
         & F.col("r_entropy")
         & F.col("r_lang"),
     )
+
+
+def source_token_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Lidstone-smoothed KL(group ‖ corpus) of each group's unigram
+    distribution over the corpus top-``top_k`` vocabulary — the
+    data-mixing health signal: a source whose token distribution
+    diverges from the blend is over/under-represented or off-domain
+    (the distribution-matching quantity behind DSIR/DoReMi-style
+    reweighting, reported per source instead of per doc).
+
+    Scale shape: one (group, token) count bounds everything downstream
+    by groups x vocabulary; the vocabulary itself is a distributed
+    top-K (TakeOrderedAndProject, no global sort); the KL grid is the
+    (groups x top_k) cross join of two MODEL-sized frames — the corpus
+    never flows past the first groupBy. Two scalar probes (corpus
+    token total, realized vocab size).
+
+    Determinism: p and q are exact ratios of integer counts; the only
+    double accumulation is the final per-group KL sum, rounded to 6 dp
+    (the zipf_fit convention — ln() ulp differences across libm
+    implementations sit ~9 orders below the rounding grid).
+    """
+    a = float(alpha)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    toks = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.explode(F.split(norm, _WS)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = _persist_tracked(
+        toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        counts.groupBy("tok")
+        .agg(F.sum("c").alias("cc"))
+        .orderBy(F.col("cc").desc(), F.col("tok").asc())
+        .limit(top_k)
+    )
+    vocab = _persist_tracked(vocab)
+    big_n, v_size = vocab.agg(F.sum("cc"), F.count(F.lit(1))).first()
+    grid = vocab.crossJoin(counts.select("grp").distinct())
+    joined = grid.join(counts, ["grp", "tok"], "left").select(
+        "grp",
+        "cc",
+        F.coalesce(F.col("c"), F.lit(0)).alias("cg"),
+    )
+    totals = joined.groupBy("grp").agg(F.sum("cg").alias("ng"))
+    scored = joined.join(F.broadcast(totals), "grp")
+    p = (F.col("cg") + a) / (F.col("ng") + a * v_size)
+    q = (F.col("cc") + a) / (float(big_n) + a * v_size)
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.first("ng").alias("__ng"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("__ng").cast("bigint").alias("n_vocab_tokens"),
+            "kl_vs_corpus",
+        )
+    )
+
+
+def normalization_collisions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Groups of documents whose texts become IDENTICAL after
+    normalization (lowercase, punctuation stripped, whitespace
+    collapsed) — the dedup-pipeline audit for how much exact dedup
+    misses to trivial formatting variants, and the standard first
+    canonicalization step before fingerprinting (e.g. RefinedWeb's
+    exact-dedup preprocessing).
+
+    Returns one row per post-normalization fingerprint shared by >= 2
+    docs: member count, distinct RAW fingerprints among them
+    (newly_merged = the group only exists BECAUSE of normalization),
+    and the minimum doc id as the canonical representative.
+
+    Scale shape: two md5s per doc map-side, ONE fingerprint groupBy —
+    the same cost envelope as exact_dedup; no joins, no explode.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""),
+            _WS,
+            " ",
+        )
+    )
+    fps = df.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(text_col)).alias("__raw_fp"),
+        F.md5(norm).alias("norm_fp"),
+    )
+    return (
+        fps.groupBy("norm_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__raw_fp").alias("n_raw_variants"),
+            F.min("__id").alias("rep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .withColumn("newly_merged", F.col("n_raw_variants") >= 2)
+    )

@@ -4778,6 +4778,224 @@ FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
 # every round; over rounds the rotation gives every query a
 # driver-green record.
 # ---------------------------------------------------------------------------
+# corpus-health & sketch wave (round 6 continuation)
+# ---------------------------------------------------------------------------
+def txt_source_kl(spark, sf_dir):
+    """Per-source Lidstone-smoothed KL divergence against the corpus
+    unigram distribution (operators/text.py source_token_divergence):
+    the data-mixing health signal. Everything past the first (group,
+    token) groupBy is bounded by groups x top-k vocabulary."""
+    from .operators.text import source_token_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_token_divergence(docs, group_col="source", top_k=4096)
+
+
+TXT_SOURCE_KL_SQL = r"""
+WITH toks AS (
+  SELECT source::VARCHAR AS grp,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT grp, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok <> '' GROUP BY grp, tok
+), vocab AS (
+  SELECT tok, cc FROM (
+    SELECT tok, sum(c)::BIGINT AS cc,
+           row_number() OVER (ORDER BY sum(c) DESC, tok ASC) AS r
+    FROM counts GROUP BY tok
+  ) WHERE r <= 4096
+), tot AS (
+  SELECT sum(cc)::BIGINT AS big_n, count(*)::BIGINT AS v FROM vocab
+), grid AS (
+  SELECT g.grp, vocab.tok, vocab.cc
+  FROM vocab CROSS JOIN (SELECT DISTINCT grp FROM counts) g
+), joined AS (
+  SELECT grid.grp, grid.cc, coalesce(counts.c, 0)::BIGINT AS cg
+  FROM grid LEFT JOIN counts
+    ON grid.grp = counts.grp AND grid.tok = counts.tok
+), totals AS (
+  SELECT grp, sum(cg)::BIGINT AS ng FROM joined GROUP BY grp
+)
+SELECT j.grp AS source, totals.ng AS n_vocab_tokens,
+       round(sum(((cg + 0.5) / (ng + 0.5 * v))
+                 * ln(((cg + 0.5) / (ng + 0.5 * v))
+                      / ((cc + 0.5) / (big_n + 0.5 * v)))), 6)
+         AS kl_vs_corpus
+FROM joined j JOIN totals USING (grp), tot
+GROUP BY j.grp, totals.ng
+"""
+
+
+def dd_norm_collisions(spark, sf_dir):
+    """Normalization-collision audit (operators/text.py
+    normalization_collisions): docs whose texts merge after lowercase /
+    punctuation-strip / whitespace-collapse. The corpus has no exact
+    duplicates, so formatting variants are synthesized DETERMINISTICALLY
+    in both engines (the txt_c4_clean convention): every 13th doc gains
+    an uppercased twin — each must surface as a newly-merged group."""
+    from .operators.text import normalization_collisions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    return normalization_collisions(docs.unionByName(variants))
+
+
+DD_NORM_COLLISIONS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 13 = 0
+), fps AS (
+  SELECT doc_id, md5(text) AS raw_fp,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+  FROM corpus
+)
+SELECT norm_fp, count(*)::BIGINT AS n_docs,
+       count(DISTINCT raw_fp)::BIGINT AS n_raw_variants,
+       min(doc_id) AS rep_id,
+       count(DISTINCT raw_fp) >= 2 AS newly_merged
+FROM fps GROUP BY norm_fp HAVING count(*) >= 2
+"""
+
+
+def sk_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination vs the exact scan
+    (operators/sketches.py bloom_contamination): the eval suite
+    compresses to an m-bit broadcast bitset (128 KiB at 2^20 — the
+    scale path when combined eval suites reach 10^8 grams), probed by
+    an Arrow-batched UDF; zero false negatives by construction. The
+    exact join runs alongside so the output certifies the guarantee
+    per doc (is_false_positive isolates the over-flagging). md5
+    positions make the filter deterministic: the oracle replays the
+    whole bitset relationally."""
+    from .operators.sketches import bloom_contamination
+    from .operators.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    bloom = bloom_contamination(train, ev, n=5)
+    exact = ngram_contamination(train, ev, n=5).select(
+        "doc_id", F.col("contaminated").alias("contaminated_exact")
+    )
+    return (
+        bloom.join(exact, "doc_id")
+        .withColumn(
+            "is_false_positive",
+            F.col("bloom_contaminated") & ~F.col("contaminated_exact"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit_grams_bloom",
+            "bloom_contaminated",
+            "contaminated_exact",
+            "is_false_positive",
+        )
+    )
+
+
+SK_BLOOM_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), tg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+    FROM base WHERE doc_id % 97 != 0
+  )
+), eg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+    FROM base WHERE doc_id % 97 = 0
+  )
+), hs AS (SELECT unnest(range(0, 3)) AS i),
+epos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(g || ':' || i::VARCHAR), 1, 15)) AS BIGINT)
+           % 1048576 AS pos
+  FROM eg, hs
+), tpos AS (
+  SELECT doc_id, g,
+         CAST(('0x' || substr(md5(g || ':' || i::VARCHAR), 1, 15)) AS BIGINT)
+           % 1048576 AS pos
+  FROM tg, hs
+), gram_hit AS (
+  SELECT doc_id, g,
+         min(CASE WHEN pos IN (SELECT pos FROM epos) THEN 1 ELSE 0 END)
+           AS hit
+  FROM tpos GROUP BY doc_id, g
+), bloom AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(hit)::BIGINT AS n_hit_grams_bloom,
+         max(hit) = 1 AS bloom_contaminated
+  FROM gram_hit GROUP BY doc_id
+), exact AS (
+  SELECT tg.doc_id, count(DISTINCT tg.g) AS n_hits
+  FROM tg JOIN eg USING (g) GROUP BY tg.doc_id
+)
+SELECT b.doc_id, b.n_grams, b.n_hit_grams_bloom, b.bloom_contaminated,
+       coalesce(e.n_hits, 0) > 0 AS contaminated_exact,
+       b.bloom_contaminated AND NOT (coalesce(e.n_hits, 0) > 0)
+         AS is_false_positive
+FROM bloom b LEFT JOIN exact e USING (doc_id)
+"""
+
+
+def j_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17-style correlated-average filter: revenue impact of
+    small-quantity lineitems (quantity under 20% of the part's own
+    mean), per brand. The per-part mean is the minimal partkey-bounded
+    shuffle; both the mean table and the part dimension broadcast back.
+    Quantities are integer-valued doubles, so the partial sums — and
+    therefore the mean and the 0.2x threshold — are bit-identical
+    across engines without rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg"))
+    small = li.join(F.broadcast(pa), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg")
+    )
+    return (
+        small.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            small["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+J_Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS a FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN pa USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.2 * a
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # evaluation & observability wave (round 6 continuation): ML evaluation
 # metrics, event analytics, data-ops diagnostics
 # ---------------------------------------------------------------------------
@@ -5204,6 +5422,10 @@ EXTRA_QUERIES = {
     "e_rate_anomaly": e_rate_anomaly,
     "ds_group_topk": ds_group_topk,
     "dq_key_skew": dq_key_skew,
+    "txt_source_kl": txt_source_kl,
+    "dd_norm_collisions": dd_norm_collisions,
+    "sk_bloom_decontaminate": sk_bloom_decontaminate,
+    "j_q17_small_quantity": j_q17_small_quantity,
 }
 
 
@@ -5359,4 +5581,8 @@ EXTRA_ORACLES = {
     "e_rate_anomaly": E_ANOMALY_SQL,
     "ds_group_topk": DS_GROUP_TOPK_SQL,
     "dq_key_skew": DQ_KEY_SKEW_SQL,
+    "txt_source_kl": TXT_SOURCE_KL_SQL,
+    "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
+    "sk_bloom_decontaminate": SK_BLOOM_SQL,
+    "j_q17_small_quantity": J_Q17_SQL,
 }
