@@ -52,3 +52,44 @@ def key_skew_profile(
             F.col("cnt") * F.lit(float(n_keys)) / F.lit(float(total)), 6
         ).alias("skew_vs_mean"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column — the distribution
+    profile behind data cards and drift dashboards. Returns one row
+    per non-empty bin: (bin, bin_lo, bin_hi, n).
+
+    Plan shape: an optional two-scalar min/max probe, then ONE
+    partial-agged groupBy on the bin index — output bounded by
+    ``n_bins``. The max value clamps into the last bin (least), and
+    bin bounds derive from the same (lo, width) literals both engines
+    compute, rounded at 6 dp for the output.
+    """
+    x = F.col(col).cast("double")
+    if lo is None or hi is None:
+        mn, mx = df.agg(F.min(x), F.max(x)).first()
+        lo = float(mn if lo is None else lo)
+        hi = float(mx if hi is None else hi)
+    if not hi > lo:
+        raise ValueError(f"histogram: need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    b = F.least(F.floor((x - lo) / width), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )

@@ -232,3 +232,40 @@ def rate_anomaly(
             ).alias("is_anomaly"),
         )
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 5,
+) -> DataFrame:
+    """Trailing ``window_rows``-row moving sum/count/mean of
+    ``value_col`` per partition — the smoothing layer for per-entity
+    rate/spend series (§2.5 window frames, the ROWS BETWEEN face of
+    the rank/lag windows elsewhere).
+
+    One window shuffle keyed by the partition column, bounded by
+    per-entity row counts. Determinism: the frame sum is rounded
+    (4 dp — the decimal-grid convention) BEFORE the mean division, so
+    sliding-accumulator implementation differences between engines
+    cannot leak into the quotient. ``order_cols`` must be a per-
+    partition UNIQUE key (e.g. ts + id): a tie would make the frame
+    contents engine-dependent.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    msum = F.round(F.sum(value_col).over(w), 4)
+    cnt = F.count(F.lit(1)).over(w)
+    return df.select(
+        partition_col,
+        *order_cols,
+        value_col,
+        msum.alias("moving_sum"),
+        cnt.alias("moving_n"),
+        F.round(msum / cnt, 6).alias("moving_avg"),
+    )

@@ -1,0 +1,198 @@
+"""Distributed two-sample / independence tests: chi-square,
+Mann-Whitney U, Kolmogorov-Smirnov.
+
+The drift-monitoring battery of a production ML pipeline (is this
+week's feature distribution the same as last week's? does the label
+depend on the source?), and the nonparametric counterparts of the
+engine's parametric differential tests (functions/edger.py,
+functions/deseq2.py — the reference delegates such testing to R;
+these are native distributed plans).
+
+Every statistic here reduces the corpus to a model-sized table in ONE
+partial-aggregated pass (contingency cells, distinct-value rank
+blocks) and derives the result from exact integer sums, so any SQL
+engine replays the arithmetic bit-for-bit. P-values are deliberately
+NOT emitted: their special functions (igamma/erfc/Kolmogorov Q) have
+no cross-engine-exact form — callers threshold the statistic or z
+directly, as monitoring systems do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square statistic of independence between two
+    categorical columns, with Cramér's V effect size.
+
+    One (a, b) cell count collapses the corpus; row/column margins
+    aggregate the cell table (categories-bounded); expected counts are
+    computed as (row/N)·col — dividing FIRST keeps every intermediate
+    in double range at any corpus size (row·col overflows int64 near
+    10^10 rows per margin). Returns ONE row: (n, dof, chi2,
+    cramers_v); dof = (R-1)(C-1); V is NULL for a degenerate (single
+    row or column) table.
+    """
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = base.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rt = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    ct = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    n = cells.agg(F.sum("__o").alias("__n")).first()["__n"]
+    joined = cells.join(F.broadcast(rt), "__a").join(F.broadcast(ct), "__b")
+    e = (F.col("__r") / F.lit(float(n))) * F.col("__c")
+    term = (F.col("__o") - e) * (F.col("__o") - e) / e
+    return joined.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        (
+            (F.countDistinct("__a") - 1) * (F.countDistinct("__b") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(F.sum(term), 6).alias("chi2"),
+        # degenerate (single-row or single-column) tables have no
+        # association scale: V is NULL, not an ANSI divide-by-zero
+        F.round(
+            F.when(
+                F.least(
+                    F.countDistinct("__a") - 1, F.countDistinct("__b") - 1
+                )
+                > 0,
+                F.sqrt(
+                    F.sum(term)
+                    / (
+                        n
+                        * F.least(
+                            F.countDistinct("__a") - 1,
+                            F.countDistinct("__b") - 1,
+                        )
+                    )
+                ),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def _rank_blocks(df: DataFrame, value_col: str, flag):
+    """(value, n, p) distinct-value blocks plus the running pooled
+    count — the shared tie-aware rank decomposition of AUC, U and KS:
+    one partial-agged groupBy bounds everything downstream by the
+    number of DISTINCT values."""
+    g = df.groupBy(F.col(value_col).cast("double").alias("__v")).agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(flag.cast("bigint")).alias("__t1"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    return g.withColumn("__cum", F.sum("__t").over(w)).withColumn(
+        "__cum1", F.sum("__t1").over(w)
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney U (Wilcoxon rank-sum): does the
+    boolean ``group_col`` split ``value_col`` into stochastically
+    different samples? Returns ONE row: (n1, n2, u1, z) — u1 for the
+    TRUE group; z is the normal approximation with the standard tie
+    correction, NULL when the variance degenerates (all values tied).
+
+    Decomposition: the same distinct-value rank blocks as
+    :func:`auc <..operators.evaluation.auc>` — the doubled rank sum
+    2·R1 = Σ t1·(2·cum − t + 1) and the tie term Σ(t³−t) are exact
+    integer sums, so the statistic replays bit-for-bit in SQL. Like
+    AUC, quantize continuous values upstream if the distinct-value
+    table must stay model-sized at 100 TB.
+    """
+    flag = F.col(group_col).cast("boolean")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    blocks = _rank_blocks(base, value_col, flag)
+    acc = blocks.agg(
+        F.sum(
+            F.col("__t1") * (2 * F.col("__cum") - F.col("__t") + 1)
+        ).alias("__r2"),
+        F.sum("__t1").alias("n1"),
+        F.sum(F.col("__t") - F.col("__t1")).alias("n2"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1 = F.col("__r2") / 2.0 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    # tie-corrected variance: n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1)));
+    # guarded against n <= 1 (ANSI divide-by-zero) and all-tied input
+    # (zero variance). The t³ tie sum stays in int64 for tie blocks up
+    # to ~2·10⁶ rows — quantize upstream past that (same knob that
+    # keeps the distinct-value table model-sized).
+    var = F.when(
+        n > 1,
+        n1 * n2 / 12.0 * ((n + 1) - F.col("__ties") / (n * (n - 1))),
+    )
+    return acc.select(
+        n1,
+        n2,
+        F.round(u1, 1).alias("u1"),
+        F.round(F.when(var > 0, (u1 - mu) / F.sqrt(var)), 6).alias("z"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D: the max gap between the two
+    empirical CDFs — THE distribution-drift test for continuous
+    features. Returns ONE row: (n1, n2, d, ks_stat) with ks_stat =
+    sqrt(n1·n2/(n1+n2))·D, the scale-free quantity monitoring systems
+    threshold (1.36 ≈ α 0.05).
+
+    Same distinct-value decomposition as :func:`mannwhitney_u`; both
+    CDFs are exact integer ratios evaluated at every distinct pooled
+    value, so D is engine-exact before the final rounding.
+    """
+    flag = F.col(group_col).cast("boolean")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    blocks = _rank_blocks(base, value_col, flag)
+    tot = blocks.agg(
+        F.sum("__t1").alias("__n1"),
+        F.sum(F.col("__t") - F.col("__t1")).alias("__n2"),
+    )
+    n1, n2 = F.col("__n1"), F.col("__n2")
+    # an empty group has no CDF to compare: D is NULL, not an ANSI
+    # divide-by-zero
+    gap = F.when(
+        (n1 > 0) & (n2 > 0),
+        F.abs(
+            F.col("__cum1") / n1 - (F.col("__cum") - F.col("__cum1")) / n2
+        ),
+    )
+    # the n1·n2 product is computed in DOUBLE on both engines: int64
+    # would overflow near 10^10 rows per group
+    n1d = F.first("__n1").cast("double")
+    return blocks.crossJoin(F.broadcast(tot)).agg(
+        F.first("__n1").alias("n1"),
+        F.first("__n2").alias("n2"),
+        F.round(F.max(gap), 6).alias("d"),
+        F.round(
+            F.max(gap)
+            * F.sqrt(
+                n1d * F.first("__n2") / (n1d + F.first("__n2"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )

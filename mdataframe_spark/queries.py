@@ -4778,6 +4778,185 @@ FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
 # every round; over rounds the rotation gives every query a
 # driver-green record.
 # ---------------------------------------------------------------------------
+# distribution-test & profiling wave (round 6 continuation)
+# ---------------------------------------------------------------------------
+def stat_chi2_independence(spark, sf_dir):
+    """Pearson chi-square of lang x source independence
+    (operators/stats_tests.py chi2_independence): one cell-count
+    groupBy collapses the corpus; margins and the statistic live on
+    the categories-bounded cell table. Expected counts divide BEFORE
+    multiplying so nothing overflows at corpus scale."""
+    from .operators.stats_tests import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+STAT_CHI2_SQL = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, count(*)::BIGINT AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), rt AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY b),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+cd AS (SELECT (SELECT count(*) FROM rt)::BIGINT AS ra,
+              (SELECT count(*) FROM ct)::BIGINT AS rb),
+j AS (SELECT o, r, c FROM cells JOIN rt USING (a) JOIN ct USING (b))
+SELECT tot.n AS n, ((ra - 1) * (rb - 1))::BIGINT AS dof,
+       round(sum((o - (r / CAST(tot.n AS DOUBLE)) * c)
+                 * (o - (r / CAST(tot.n AS DOUBLE)) * c)
+                 / ((r / CAST(tot.n AS DOUBLE)) * c)), 6) AS chi2,
+       round(CASE WHEN least(ra - 1, rb - 1) > 0 THEN
+               sqrt(sum((o - (r / CAST(tot.n AS DOUBLE)) * c)
+                        * (o - (r / CAST(tot.n AS DOUBLE)) * c)
+                        / ((r / CAST(tot.n AS DOUBLE)) * c))
+                    / (tot.n * least(ra - 1, rb - 1)))
+             END, 6) AS cramers_v
+FROM j, tot, cd GROUP BY tot.n, ra, rb
+"""
+
+
+def stat_mannwhitney_u(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U: does purchase spend differ
+    distributionally from other event values?
+    (operators/stats_tests.py mannwhitney_u — integer rank sums over
+    the distinct-value table; the AUC decomposition.)"""
+    from .operators.stats_tests import mannwhitney_u
+
+    e = _events(spark, sf_dir).withColumn(
+        "is_purchase", F.col("event_type") == "purchase"
+    )
+    return mannwhitney_u(e, "value", "is_purchase")
+
+
+STAT_MWU_SQL = """
+WITH base AS (
+  SELECT value::DOUBLE AS v,
+         (event_type = 'purchase') AS f
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), g AS (
+  SELECT v, count(*)::BIGINT AS t,
+         sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS t1
+  FROM base GROUP BY v
+), r AS (
+  SELECT t, t1, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), acc AS (
+  SELECT sum(t1 * (2 * cum - t + 1))::BIGINT AS r2,
+         sum(t1)::BIGINT AS n1, sum(t - t1)::BIGINT AS n2,
+         sum(t * t * t - t)::BIGINT AS ties
+  FROM r
+)
+SELECT n1, n2,
+       round(r2 / 2.0 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+       round(CASE WHEN (n1 + n2) > 1 THEN
+               (CASE WHEN n1 * n2 / 12.0 * (((n1 + n2) + 1)
+                          - ties / ((n1 + n2) * ((n1 + n2) - 1))) > 0
+                THEN ((r2 / 2.0 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+                     / sqrt(n1 * n2 / 12.0 * (((n1 + n2) + 1)
+                            - ties / ((n1 + n2) * ((n1 + n2) - 1))))
+                END)
+             END, 6) AS z
+FROM acc
+"""
+
+
+def stat_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D of error-event values vs the
+    rest (operators/stats_tests.py ks_two_sample): both empirical CDFs
+    are exact integer ratios on the distinct-value table — THE
+    drift-monitoring statistic."""
+    from .operators.stats_tests import ks_two_sample
+
+    e = _events(spark, sf_dir).withColumn(
+        "is_error", F.col("event_type") == "error"
+    )
+    return ks_two_sample(e, "value", "is_error")
+
+
+STAT_KS_SQL = """
+WITH base AS (
+  SELECT value::DOUBLE AS v, (event_type = 'error') AS f
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), g AS (
+  SELECT v, count(*)::BIGINT AS t,
+         sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS t1
+  FROM base GROUP BY v
+), r AS (
+  SELECT t1,
+         sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(t1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1
+  FROM g
+), tot AS (
+  SELECT sum(t1)::BIGINT AS n1, sum(t - t1)::BIGINT AS n2 FROM g
+)
+SELECT n1, n2,
+       round(max(CASE WHEN n1 > 0 AND n2 > 0
+                      THEN abs(cum1 / n1 - (cum - cum1) / n2) END), 6)
+         AS d,
+       round(max(CASE WHEN n1 > 0 AND n2 > 0
+                      THEN abs(cum1 / n1 - (cum - cum1) / n2) END)
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2)),
+             6) AS ks_stat
+FROM r, tot GROUP BY n1, n2
+"""
+
+
+def e_moving_stats(spark, sf_dir):
+    """Trailing 5-event moving spend per user (operators/events.py
+    rolling_stats): the §2.5 ROWS-frame window face. One user-keyed
+    window shuffle; the frame sum rounds before the mean division so
+    sliding-accumulator differences cannot leak."""
+    from .operators.events import rolling_stats
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return rolling_stats(
+        e, "user_id", ["ts", "event_id"], "value", window_rows=5
+    )
+
+
+E_MOVING_SQL = """
+SELECT user_id, epoch_ns(ts) AS ts, event_id, value,
+       round(sum(value) OVER w, 4) AS moving_sum,
+       count(*) OVER w AS moving_n,
+       round(round(sum(value) OVER w, 4) / (count(*) OVER w), 6)
+         AS moving_avg
+FROM events WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def dq_histogram(spark, sf_dir):
+    """Equal-width price histogram over lineitem
+    (operators/diagnostics.py histogram): two-scalar min/max probe +
+    one bin-index groupBy, output bounded by the bin count."""
+    from .operators.diagnostics import histogram
+
+    return histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 20)
+
+
+DQ_HISTOGRAM_SQL = """
+WITH mm AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+  FROM lineitem
+), b AS (
+  SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20)),
+                    19) AS INT) AS bin,
+         lo, hi
+  FROM lineitem, mm WHERE l_extendedprice IS NOT NULL
+)
+SELECT bin,
+       round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+       round(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+       count(*)::BIGINT AS n
+FROM b GROUP BY bin, lo, hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus-health & sketch wave (round 6 continuation)
 # ---------------------------------------------------------------------------
 def txt_source_kl(spark, sf_dir):
@@ -5426,6 +5605,11 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "sk_bloom_decontaminate": sk_bloom_decontaminate,
     "j_q17_small_quantity": j_q17_small_quantity,
+    "stat_chi2_independence": stat_chi2_independence,
+    "stat_mannwhitney_u": stat_mannwhitney_u,
+    "stat_ks_two_sample": stat_ks_two_sample,
+    "e_moving_stats": e_moving_stats,
+    "dq_histogram": dq_histogram,
 }
 
 
@@ -5585,4 +5769,9 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "sk_bloom_decontaminate": SK_BLOOM_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
+    "stat_chi2_independence": STAT_CHI2_SQL,
+    "stat_mannwhitney_u": STAT_MWU_SQL,
+    "stat_ks_two_sample": STAT_KS_SQL,
+    "e_moving_stats": E_MOVING_SQL,
+    "dq_histogram": DQ_HISTOGRAM_SQL,
 }

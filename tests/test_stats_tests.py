@@ -1,0 +1,122 @@
+"""Semantics tests for the distribution-test wave
+(operators/stats_tests.py) plus rolling stats and histogram: every
+statistic pinned to an independent hand/naive computation. Cross-engine
+hash parity runs in the EXTRA registry.
+"""
+
+import math
+
+import pytest
+
+from mdataframe_spark.operators.diagnostics import histogram
+from mdataframe_spark.operators.events import rolling_stats
+from mdataframe_spark.operators.stats_tests import (
+    chi2_independence,
+    ks_two_sample,
+    mannwhitney_u,
+)
+
+NS = 1_000_000_000
+
+
+def test_chi2_hand_computed_2x2(spark):
+    # contingency: a=[10, 20; 30, 40]
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = chi2_independence(df, "a", "b").first()
+    n = 100.0
+    expect = 0.0
+    for o, r, c in [(10, 30, 40), (20, 30, 60), (30, 70, 40), (40, 70, 60)]:
+        e = r * c / n
+        expect += (o - e) ** 2 / e
+    assert got["n"] == 100 and got["dof"] == 1
+    assert got["chi2"] == pytest.approx(expect, abs=1e-5)
+    assert got["cramers_v"] == pytest.approx(math.sqrt(expect / 100), abs=1e-5)
+
+
+def test_chi2_independent_columns_near_zero(spark):
+    # perfectly proportional table -> chi2 exactly 0
+    rows = [("x", "p")] * 10 + [("x", "q")] * 10 + [("y", "p")] * 20 + [("y", "q")] * 20
+    got = chi2_independence(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).first()
+    assert got["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mannwhitney_hand_computed_with_ties(spark):
+    # group1: [1, 2, 2], group2: [2, 3, 4]
+    rows = [(1.0, True), (2.0, True), (2.0, True), (2.0, False), (3.0, False), (4.0, False)]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    got = mannwhitney_u(df, "v", "g").first()
+    # ranks: 1 -> 1; three 2s -> avg 3; 3 -> 5; 4 -> 6
+    # R1 = 1 + 3 + 3 = 7; U1 = 7 - 3*4/2 = 1
+    assert got["n1"] == 3 and got["n2"] == 3
+    assert got["u1"] == 1.0
+    n = 6
+    ties = (3**3 - 3)  # one tie block of size 3
+    var = 3 * 3 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (1 - 4.5) / math.sqrt(var)
+    assert got["z"] == pytest.approx(z, abs=1e-5)
+
+
+def test_mannwhitney_all_tied_is_null_z(spark):
+    df = spark.createDataFrame(
+        [(5.0, True), (5.0, False), (5.0, True)], ["v", "g"]
+    )
+    got = mannwhitney_u(df, "v", "g").first()
+    assert got["z"] is None
+
+
+def test_ks_hand_computed(spark):
+    # g1 = [1, 2, 3], g2 = [4, 5, 6]: disjoint supports -> D = 1
+    rows = [(float(v), True) for v in (1, 2, 3)] + [
+        (float(v), False) for v in (4, 5, 6)
+    ]
+    got = ks_two_sample(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g"
+    ).first()
+    assert got["d"] == 1.0
+    assert got["ks_stat"] == pytest.approx(math.sqrt(9 / 6), abs=1e-5)
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [(float(v), True) for v in (1, 2, 3)] + [
+        (float(v), False) for v in (1, 2, 3)
+    ]
+    got = ks_two_sample(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g"
+    ).first()
+    assert got["d"] == 0.0
+
+
+def test_rolling_stats_fixture(spark):
+    rows = [(1, t * NS, t, float(t)) for t in range(1, 7)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, event_id bigint, value double")
+    out = {
+        r["event_id"]: r
+        for r in rolling_stats(
+            df, "user_id", ["ts", "event_id"], "value", window_rows=3
+        ).collect()
+    }
+    assert out[1]["moving_n"] == 1 and out[1]["moving_avg"] == 1.0
+    assert out[3]["moving_sum"] == 6.0 and out[3]["moving_avg"] == 2.0
+    # trailing frame: rows 4,5,6 -> mean 5
+    assert out[6]["moving_n"] == 3 and out[6]["moving_avg"] == 5.0
+
+
+def test_histogram_bins_and_clamp(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(0, 101)], ["x"])
+    out = {r["bin"]: r for r in histogram(df, "x", n_bins=10).collect()}
+    # width 10: bins 0..9; the max value (100) clamps into bin 9
+    assert set(out) == set(range(10))
+    assert out[0]["n"] == 10 and out[9]["n"] == 11
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 10.0
+    assert out[9]["bin_hi"] == 100.0
+
+
+def test_histogram_degenerate_range_raises(spark):
+    df = spark.createDataFrame([(1.0,), (1.0,)], ["x"])
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "x")
