@@ -1636,3 +1636,75 @@ def cross_source_ngram_overlap(
             F.col("shared_grams") / F.least(F.col("__na"), F.col("__nb")), 6
         ).alias("containment"),
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    str_col: str = "name",
+    max_distance: int = 2,
+    q: int = 3,
+    df_cap: int = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """Edit-distance string matching (entity resolution / typo-level
+    near-dup): pairs of rows whose normalized strings are within
+    ``max_distance`` Levenshtein edits, candidates generated by shared
+    character ``q``-grams — the Gravano et al. (VLDB'01) q-gram filter,
+    never an all-pairs product.
+
+    Completeness bound (count filtering): strings of length L within k
+    edits share at least L - q + 1 - k·q q-grams, so recall is exact
+    whenever L > q·(k+1) - 1 for the shorter string; below that a pair
+    can escape candidate generation (documented trade — same contract
+    as the banded LSH recall).
+
+    Plan shape: one (id, gram) explode (per-row array_distinct keeps a
+    repeated gram from double-counting a row toward the cap); hot
+    grams dropped BEFORE pairing via the logged df-cap (cap_hot_keys —
+    a stopword-like gram must never explode the pair count); the
+    bucket-array pairing of lsh_candidate_pairs (ONE partial-agged
+    shuffle, no self-join); the Levenshtein verify is a JVM-codegen
+    per-pair expression. Returns (id_a, id_b, name_a, name_b,
+    edit_distance), id_a < id_b, distinct.
+    """
+    s = F.lower(F.trim(F.col(str_col)))
+    base = df.select(F.col(id_col).alias("__fid"), s.alias("__fs")).filter(
+        F.length("__fs") >= q
+    )
+    grams = base.select(
+        "__fid",
+        "__fs",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__fs") - q + 1),
+                    lambda i: F.col("__fs").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("__g"),
+    )
+    grams = _persist_tracked(grams)
+    capped = cap_hot_keys(grams, ["__g"], df_cap, "q-gram")
+    buckets = capped.groupBy("__g").agg(
+        F.array_sort(F.collect_set(F.struct("__fid", "__fs"))).alias("ms")
+    )
+    pairs = (
+        buckets.filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("a"), F.col("ms"))
+        .select(
+            "a",
+            F.explode(
+                F.filter("ms", lambda x: x["__fid"] > F.col("a.__fid"))
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.__fid").alias("id_a"),
+            F.col("b.__fid").alias("id_b"),
+            F.col("a.__fs").alias("name_a"),
+            F.col("b.__fs").alias("name_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "edit_distance", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("edit_distance") <= max_distance)

@@ -93,3 +93,45 @@ def histogram(
             "n",
         )
     )
+
+
+def expectations(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """Declarative data-quality assertion battery (the
+    expectations/great-expectations pattern as ONE distributed pass):
+    each rule is a boolean Column; the report is one row per rule with
+    pass/fail counts and the pass rate.
+
+    Plan shape: a SINGLE aggregation evaluates every rule map-side —
+    the corpus is scanned once no matter how many rules run (K
+    separate filter-counts would scan it K times). A NULL rule result
+    counts as FAILED (three-valued logic must not silently pass rows).
+    Output is K rows via an unpivot of the one-row aggregate.
+    """
+    if not rules:
+        raise ValueError("expectations: need at least one rule")
+    names = list(rules)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(F.coalesce(rules[r], F.lit(False)), 1).otherwise(0)
+            ).alias(f"__p{i}")
+            for i, r in enumerate(names)
+        ],
+    )
+    stacked = agg.select(
+        F.col("__n"),
+        F.expr(
+            "stack({}, {}) as (rule, passed)".format(
+                len(names),
+                ", ".join(f"'{r}', __p{i}" for i, r in enumerate(names)),
+            )
+        ),
+    )
+    return stacked.select(
+        "rule",
+        F.col("__n").alias("n"),
+        F.col("passed").cast("bigint").alias("passed"),
+        (F.col("__n") - F.col("passed")).cast("bigint").alias("failed"),
+        F.round(F.col("passed") / F.col("__n"), 6).alias("pass_rate"),
+    )

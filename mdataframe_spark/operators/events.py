@@ -269,3 +269,48 @@ def rolling_stats(
         cnt.alias("moving_n"),
         F.round(msum / cnt, 6).alias("moving_avg"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_s: int = 86400,
+) -> DataFrame:
+    """Period-over-period change per event type: bucket counts and
+    value sums with their previous-period deltas and percent change —
+    the daily-movers report.
+
+    One (type, period) partial-agged groupBy collapses the corpus;
+    the lag window runs over the (types x periods)-bounded count table
+    PARTITIONED BY TYPE (never global). Percent change derives from
+    integer counts (engine-exact); it is NULL for a period with no
+    predecessor and for a zero-count predecessor.
+    """
+    period_ns = period_s * _NS_PER_S
+    counts = (
+        _ns(df, ts_col)
+        .groupBy(
+            F.col(type_col).alias("__t"),
+            (F.floor(F.col(ts_col) / F.lit(period_ns)) * period_s)
+            .cast("bigint")
+            .alias("period_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+    )
+    w = Window.partitionBy("__t").orderBy("period_epoch")
+    prev = F.lag("n_events").over(w)
+    return counts.select(
+        F.col("__t").alias(type_col),
+        "period_epoch",
+        "n_events",
+        "sum_value",
+        (F.col("n_events") - prev).alias("delta_events"),
+        F.round(
+            F.when(prev > 0, (F.col("n_events") - prev) / prev), 6
+        ).alias("pct_change"),
+    )

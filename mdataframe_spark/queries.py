@@ -4778,6 +4778,144 @@ FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
 # every round; over rounds the rotation gives every query a
 # driver-green record.
 # ---------------------------------------------------------------------------
+# entity-matching & data-ops wave (round 6 continuation)
+# ---------------------------------------------------------------------------
+def dd_fuzzy_match(spark, sf_dir):
+    """Edit-distance entity matching (operators/dedup.py
+    fuzzy_string_pairs): q-gram candidate generation + Levenshtein
+    verify over the part-name vocabulary plus DETERMINISTIC typo twins
+    (4th char deleted — the txt_c4_clean synthesized-fixture
+    convention, identical construction in both engines); every twin
+    must pair with its original at distance 1."""
+    from .operators.dedup import fuzzy_string_pairs
+
+    names = (
+        _t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    )
+    originals = names.select(
+        F.concat(F.lit("o:"), F.col("name")).alias("id"), "name"
+    )
+    variants = names.filter(F.length("name") > 4).select(
+        F.concat(F.lit("v:"), F.col("name")).alias("id"),
+        F.concat(
+            F.substring("name", 1, 3),
+            F.col("name").substr(F.lit(5), F.length("name")),
+        ).alias("name"),
+    )
+    return fuzzy_string_pairs(
+        originals.unionByName(variants), "id", "name", max_distance=2, q=3
+    )
+
+
+DD_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+corpus AS (
+  SELECT 'o:' || name AS id, name FROM names
+  UNION ALL
+  SELECT 'v:' || name, substr(name, 1, 3) || substr(name, 5)
+  FROM names WHERE length(name) > 4
+), base AS (
+  SELECT id, lower(trim(name)) AS s FROM corpus
+  WHERE length(lower(trim(name))) >= 3
+), grams AS (
+  SELECT DISTINCT id, s, g FROM (
+    SELECT id, s,
+           unnest(list_transform(range(1, length(s) - 1),
+                                 i -> substr(s, i, 3))) AS g
+    FROM base
+  )
+), keep AS (
+  -- replays cap_hot_keys at DEFAULT_DF_CAP (dedup.py)
+  SELECT g FROM grams GROUP BY g HAVING count(*) <= 10000
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS name_a, b.s AS name_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+  JOIN keep ON a.g = keep.g
+)
+SELECT id_a, id_b, name_a, name_b,
+       levenshtein(name_a, name_b)::INT AS edit_distance
+FROM pairs WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality assertions over events
+    (operators/diagnostics.py expectations): every rule evaluated in
+    ONE map-side aggregation pass — the corpus is scanned once no
+    matter how many rules run; null rule results count as failed."""
+    from .operators.diagnostics import expectations
+
+    e = _events(spark, sf_dir)
+    v, t = F.col("value"), F.col("ts")
+    rules = {
+        "value_not_null": v.isNotNull(),
+        "value_in_range": (v >= 0) & (v <= 1000),
+        "known_event_type": F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"
+        ),
+        "ts_in_2024": (t >= 1704067200 * 10**9) & (t < 1735689600 * 10**9),
+        "user_id_nonneg": F.col("user_id") >= 0,
+    }
+    return expectations(e, rules)
+
+
+DQ_EXPECTATIONS_SQL = """
+WITH a AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS p0,
+    sum(CASE WHEN coalesce(value >= 0 AND value <= 1000, false)
+             THEN 1 ELSE 0 END)::BIGINT AS p1,
+    sum(CASE WHEN coalesce(event_type IN
+               ('view', 'click', 'purchase', 'signup', 'error'), false)
+             THEN 1 ELSE 0 END)::BIGINT AS p2,
+    sum(CASE WHEN coalesce(epoch_ns(ts) >= 1704067200000000000
+                  AND epoch_ns(ts) < 1735689600000000000, false)
+             THEN 1 ELSE 0 END)::BIGINT AS p3,
+    sum(CASE WHEN coalesce(user_id >= 0, false)
+             THEN 1 ELSE 0 END)::BIGINT AS p4
+  FROM events
+)
+SELECT 'value_not_null' AS rule, n, p0 AS passed, (n - p0)::BIGINT AS failed,
+       round(p0 / CAST(n AS DOUBLE), 6) AS pass_rate FROM a
+UNION ALL SELECT 'value_in_range', n, p1, (n - p1)::BIGINT,
+       round(p1 / CAST(n AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'known_event_type', n, p2, (n - p2)::BIGINT,
+       round(p2 / CAST(n AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'ts_in_2024', n, p3, (n - p3)::BIGINT,
+       round(p3 / CAST(n AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'user_id_nonneg', n, p4, (n - p4)::BIGINT,
+       round(p4 / CAST(n AS DOUBLE), 6) FROM a
+"""
+
+
+def e_period_over_period(spark, sf_dir):
+    """Daily movers per event type (operators/events.py
+    period_over_period): one (type, day) partial-agg count; the lag
+    window runs over the model-sized count table PARTITIONED BY TYPE."""
+    from .operators.events import period_over_period
+
+    return period_over_period(_events(spark, sf_dir))
+
+
+E_POP_SQL = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 86400000000000 * 86400)::BIGINT AS period_epoch,
+         count(*)::BIGINT AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, period_epoch, n_events, sum_value,
+       n_events - lag(n_events) OVER w AS delta_events,
+       round(CASE WHEN lag(n_events) OVER w > 0
+                  THEN (n_events - lag(n_events) OVER w)
+                       / CAST(lag(n_events) OVER w AS DOUBLE)
+             END, 6) AS pct_change
+FROM c WINDOW w AS (PARTITION BY event_type ORDER BY period_epoch)
+"""
+
+
+# ---------------------------------------------------------------------------
 # distribution-test & profiling wave (round 6 continuation)
 # ---------------------------------------------------------------------------
 def stat_chi2_independence(spark, sf_dir):
@@ -5610,6 +5748,9 @@ EXTRA_QUERIES = {
     "stat_ks_two_sample": stat_ks_two_sample,
     "e_moving_stats": e_moving_stats,
     "dq_histogram": dq_histogram,
+    "dd_fuzzy_match": dd_fuzzy_match,
+    "dq_expectations": dq_expectations,
+    "e_period_over_period": e_period_over_period,
 }
 
 
@@ -5774,4 +5915,7 @@ EXTRA_ORACLES = {
     "stat_ks_two_sample": STAT_KS_SQL,
     "e_moving_stats": E_MOVING_SQL,
     "dq_histogram": DQ_HISTOGRAM_SQL,
+    "dd_fuzzy_match": DD_FUZZY_SQL,
+    "dq_expectations": DQ_EXPECTATIONS_SQL,
+    "e_period_over_period": E_POP_SQL,
 }

@@ -48,6 +48,30 @@ def inflate_docs(spark, factor: int):
     return out
 
 
+def inflate_events(spark, factor: int):
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    if factor == 1:
+        return base
+    copies = [
+        base.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            # user offsets: copies are NEW users (more groups), the
+            # realistic growth axis for funnel/cohort shuffles
+            (F.col("user_id") + F.lit(i * 100_000)).alias("user_id"),
+            "event_type",
+            "ts",
+            "value",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def inflate_vectors(spark, factor: int):
     base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -144,6 +168,59 @@ def main():
             ).mode("overwrite").save()
 
         record("quality_gate", factor, timed(gate), n_docs)
+
+        def bloom():
+            from mdataframe_spark.operators.sketches import (
+                bloom_contamination,
+            )
+
+            ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+                F.col("doc_id").alias("eval_id"), "text"
+            )
+            train = docs.filter(F.col("doc_id") % 97 != 0)
+            bloom_contamination(train, ev, n=5).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("bloom_decontaminate", factor, timed(bloom), n_docs)
+
+        def source_kl():
+            from mdataframe_spark.operators.text import (
+                source_token_divergence,
+            )
+
+            srcd = docs.withColumn(
+                "source", F.concat(F.lit("src"), F.col("doc_id") % 20)
+            )
+            source_token_divergence(srcd).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("source_token_divergence", factor, timed(source_kl), n_docs)
+
+        def group_topk():
+            from mdataframe_spark.operators.datasets import group_topk_sample
+
+            grouped = docs.withColumn(
+                "grp", (F.col("doc_id") % 50).cast("string")
+            )
+            group_topk_sample(
+                grouped, "grp", k=100, key="doc_id", prefilter_overshoot=4.0
+            ).write.format("noop").mode("overwrite").save()
+
+        record("group_topk_sample", factor, timed(group_topk), n_docs)
+
+        events = inflate_events(spark, factor)
+        n_events = events.count()
+
+        def funnel_case():
+            from mdataframe_spark.operators.events import funnel
+
+            funnel(events, ["view", "click", "purchase"]).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("funnel", factor, timed(funnel_case), n_events)
 
         vecs = inflate_vectors(spark, factor)
         n_vecs = vecs.count()

@@ -120,3 +120,83 @@ def test_histogram_degenerate_range_raises(spark):
     df = spark.createDataFrame([(1.0,), (1.0,)], ["x"])
     with pytest.raises(ValueError, match="hi > lo"):
         histogram(df, "x")
+
+
+# ---------------------------------------------------------------------------
+# entity-matching & data-ops wave
+# ---------------------------------------------------------------------------
+def test_fuzzy_string_pairs_finds_typos(spark):
+    from mdataframe_spark.operators.dedup import fuzzy_string_pairs
+
+    rows = [
+        (1, "acme widgets inc"),
+        (2, "acme widgets inc."),   # distance 1
+        (3, "acme wigdets inc"),    # transposition = 2 edits
+        (4, "globex corporation"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_string_pairs(df, "id", "name").collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    # 2 vs 3 is THREE edits (swap + trailing dot): must be filtered
+    assert (2, 3) not in got
+    assert not any(4 in k for k in got)
+
+
+def test_fuzzy_string_pairs_case_and_space_normalized(spark):
+    from mdataframe_spark.operators.dedup import fuzzy_string_pairs
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello world ")], ["id", "name"]
+    )
+    got = fuzzy_string_pairs(df, "id", "name").collect()
+    assert len(got) == 1 and got[0]["edit_distance"] == 0
+
+
+def test_expectations_battery(spark):
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.diagnostics import expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id bigint, v double"
+    )
+    out = {
+        r["rule"]: r
+        for r in expectations(
+            df,
+            {
+                "v_not_null": F.col("v").isNotNull(),
+                "v_nonneg": F.col("v") >= 0,
+            },
+        ).collect()
+    }
+    assert out["v_not_null"]["passed"] == 2
+    assert out["v_not_null"]["failed"] == 1
+    # the NULL row must count as FAILED for v_nonneg, not vanish
+    assert out["v_nonneg"]["passed"] == 1 and out["v_nonneg"]["failed"] == 2
+    assert out["v_nonneg"]["pass_rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_period_over_period_fixture(spark):
+    from mdataframe_spark.operators.events import period_over_period
+
+    day = 86400
+    rows = (
+        [(i, "click", (0 * day + i) * NS, 1.0) for i in range(10)]
+        + [(100 + i, "click", (1 * day + i) * NS, 1.0) for i in range(15)]
+        + [(200 + i, "click", (2 * day + i) * NS, 1.0) for i in range(6)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts bigint, value double"
+    )
+    out = {
+        r["period_epoch"]: r for r in period_over_period(df).collect()
+    }
+    assert out[0]["delta_events"] is None and out[0]["pct_change"] is None
+    assert out[day]["delta_events"] == 5
+    assert out[day]["pct_change"] == pytest.approx(0.5)
+    assert out[2 * day]["pct_change"] == pytest.approx(-0.6)
