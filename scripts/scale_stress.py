@@ -288,6 +288,18 @@ def main():
         "its x4 point and plan shape (Hamming-ball band join, capped hot",
         "buckets) are stable.",
         "",
+        "",
+        "Round-6-continuation entries: `bloom_decontaminate` is",
+        "near-flat because the probe is a map over the gram stream",
+        "against a constant-size broadcast bitset (eval positions grow,",
+        "bits don't); `source_token_divergence` is flat because",
+        "everything past the first (group, token) groupBy is bounded by",
+        "groups x top-k vocabulary; `group_topk_sample` runs with the",
+        "verified prefilter (overshoot 4.0), so the per-group window",
+        "sorts ~overshoot*k rows regardless of group size; `funnel`'s",
+        "stages are user-bounded min-aggs (users scale with the corpus",
+        "here — the worst case for it — and it still holds ~2x at 10x).",
+        "",
         "```json",
         json.dumps(
             {
