@@ -1,0 +1,159 @@
+"""Market-basket analytics: co-occurrence pairs with lift, and
+PageRank over the resulting item graph.
+
+The recommendation-adjacent face of the engine: "customers who bought
+X also bought Y" (co-occurrence + lift) and "which items sit central
+in the co-purchase network" (PageRank). Both reduce the corpus to a
+model-sized item graph in one pass and are exactly replayable in SQL
+(counts are integers; PageRank rounds each iteration's ranks so any
+engine reproduces the fixpoint trajectory bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import local_checkpoint_tracked as _local_checkpoint_tracked
+from ..cache import persist_tracked as _persist_tracked
+from .dedup import DEFAULT_DF_CAP, cap_hot_keys
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    basket_cap: int = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """Item pairs co-occurring in the same basket, with support counts
+    and lift = N·co(a,b) / (n(a)·n(b)) — lift > 1 means the pair
+    co-occurs more than independence predicts.
+
+    Plan shape: one (basket, item) distinct; baskets larger than
+    ``basket_cap`` are dropped with a logged warning BEFORE pairing
+    (one degenerate mega-basket would contribute cap² pairs — the same
+    guarantee as the LSH df-cap); the bucket-array pairing makes pair
+    generation ONE partial-agged shuffle. Item totals and the basket
+    count are one aggregation + one scalar probe. Lift derives from
+    integer counts with the N·co product in DOUBLE (int64 would
+    overflow at 10^10 baskets).
+    """
+    items = _persist_tracked(
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        ).distinct()
+    )
+    capped = cap_hot_keys(items, ["__b"], basket_cap, "basket")
+    n_baskets = items.select("__b").distinct().count()
+    totals = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    buckets = capped.groupBy("__b").agg(
+        F.array_sort(F.collect_set("__i")).alias("ms")
+    )
+    pairs = (
+        buckets.filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("item_a"), F.col("ms"))
+        .select(
+            "item_a",
+            F.explode(
+                F.filter("ms", lambda x: x > F.col("item_a"))
+            ).alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_count)
+    )
+    ta = totals.select(
+        F.col("__i").alias("item_a"), F.col("__n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("__i").alias("item_b"), F.col("__n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "item_a")
+        .join(F.broadcast(tb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.lit(float(n_baskets))
+                * F.col("n_co")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+    iter_decimals: int = 9,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED pair graph, fixed iteration count —
+    centrality scoring for item/near-dup graphs (which product anchors
+    the co-purchase network; which document is the hub of a dup
+    cluster).
+
+    r_{k+1}(v) = (1−d)/N + d·Σ_{u∈nbr(v)} r_k(u)/deg(u), with each
+    round's ranks rounded to ``iter_decimals`` — the ml_kmeans_lloyd
+    convention that makes the whole trajectory engine-exact, so a SQL
+    engine replays all ``iterations`` rounds bit-for-bit (fixed
+    iterations, not convergence detection: no driver round-trips at
+    all). Undirected edges mean no dangling vertices by construction
+    (every vertex has degree >= 1).
+
+    Plan shape per round: one edge join + one vertex-keyed groupBy over
+    the MODEL-sized pair graph (pairs come from the bounded dedup /
+    basket generators, not the corpus). Returns (v, rank) with rank
+    rounded to 6 dp.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # EAGER checkpoint, not just persist: the edge frame's lineage
+    # (often a whole candidate-pair pipeline) is re-embedded in every
+    # iteration's logical plan otherwise, and Catalyst analysis — not
+    # data — dominates (the connected_components lesson). One
+    # truncation up front keeps the per-iteration plan a leaf join.
+    edges = _local_checkpoint_tracked(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    ranks = deg.select(
+        F.col("a").alias("v"),
+        F.round(F.lit(1.0 / n), iter_decimals).alias("rank"),
+        "deg",
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("v").alias("b"),
+                    (F.col("rank") / F.col("deg")).alias("__c"),
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            ranks.select("v", "deg")
+            .join(contrib.withColumnRenamed("a", "v"), "v")
+            .select(
+                "v",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.col("__in"),
+                    iter_decimals,
+                ).alias("rank"),
+                "deg",
+            )
+        )
+    return ranks.select("v", F.round("rank", 6).alias("rank"))

@@ -749,3 +749,106 @@ def group_topk_sample(
         .filter(F.col(out_col) <= k)
         .drop("__u")
     )
+
+
+# Poisson(1) CDF thresholds for the distributed bootstrap: cum(k) =
+# e^-1 * sum_{i<=k} 1/i!. Frozen as repr'd double literals so the SQL
+# oracle parses the EXACT same doubles (decimal repr round-trips).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key: str = "doc_id",
+    n_replicates: int = 100,
+    alpha: float = 0.05,
+    seed: int = 19,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al., Google 2012 — the distributed
+    bootstrap: resampling-with-replacement is unshardable, but each
+    row's multiplicity in replicate b is ~Poisson(1) independently, so
+    a pure map assigns every (row, replicate) an md5-drawn weight and
+    the replicate means drop out of one groupBy).
+
+    Plan shape: one explode (x n_replicates — the bounded fan-out), one
+    partial-agged groupBy(replicate) producing B rows, a B-row window
+    for the order statistics. Deterministic end to end: the md5 draw,
+    the frozen Poisson CDF thresholds (decimal literals both engines
+    parse to identical doubles), and replicate sums rounded before the
+    mean division. CI bounds are exact order statistics (ceil-indexed),
+    not interpolated percentiles — interpolation conventions differ
+    across engines; order statistics cannot.
+
+    Returns ONE row: (mean, ci_lo, ci_hi, n_replicates).
+    """
+    import math as _math
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(key).isNotNull()
+    ).select(
+        F.col(key).cast("string").alias("__k"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    overall = base.agg(
+        F.round(
+            F.round(F.sum("__x"), 4) / F.count(F.lit(1)), 6
+        ).alias("mean")
+    )
+    reps = base.select(
+        "__k",
+        "__x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("__b"),
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("__k"), F.col("__b").cast("string"), F.lit(str(seed))
+        )
+    )
+    u = F.conv(F.substring(h, 1, _HASH_HEX_CHARS), 16, 10).cast(
+        "bigint"
+    ) / F.lit(_HASH_SPACE)
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("__w", w)
+        .groupBy("__b")
+        .agg(
+            F.round(F.sum(F.col("__w") * F.col("__x")), 4).alias("__s"),
+            F.sum("__w").alias("__n"),
+        )
+        .select(
+            F.when(
+                F.col("__n") > 0, F.round(F.col("__s") / F.col("__n"), 6)
+            ).alias("__m")
+        )
+    )
+    rk = F.row_number().over(Window.orderBy("__m"))
+    ranked = means.withColumn("__r", rk)
+    lo_idx = _math.ceil(alpha / 2 * n_replicates)
+    hi_idx = _math.ceil((1 - alpha / 2) * n_replicates)
+    lo = ranked.filter(F.col("__r") == lo_idx).select(
+        F.col("__m").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("__r") == hi_idx).select(
+        F.col("__m").alias("ci_hi")
+    )
+    return (
+        overall.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .withColumn("n_replicates", F.lit(int(n_replicates)))
+    )

@@ -4778,6 +4778,232 @@ FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
 # every round; over rounds the rotation gives every query a
 # driver-green record.
 # ---------------------------------------------------------------------------
+# basket-analytics & graph wave (round 6 continuation)
+# ---------------------------------------------------------------------------
+def rec_copurchase(spark, sf_dir):
+    """Market-basket co-occurrence with lift (operators/baskets.py
+    co_occurrence_pairs): 'bought X also bought Y' over the lineitem
+    baskets — one (order, part) distinct, capped bucket-array pairing
+    (no self-join), lift from integer counts with the N*co product in
+    double."""
+    from .operators.baskets import co_occurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return co_occurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+
+
+REC_COPURCHASE_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), tot AS (
+  SELECT i, count(*)::BIGINT AS n FROM items GROUP BY i
+), nb AS (
+  SELECT count(DISTINCT b)::BIGINT AS nbk FROM items
+), p AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_co
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b, n_co, ta.n AS n_a, tb.n AS n_b,
+       round(CAST(nbk AS DOUBLE) * n_co / (ta.n * tb.n), 6) AS lift
+FROM p JOIN tot ta ON item_a = ta.i JOIN tot tb ON item_b = tb.i, nb
+"""
+
+
+def gr_pagerank(spark, sf_dir):
+    """PageRank centrality over the co-purchase item graph
+    (operators/baskets.py pagerank): 5 fixed iterations, each round's
+    ranks rounded to 9 dp (the kmeans trajectory convention) so the
+    oracle replays ALL rounds bit-for-bit — no convergence detection,
+    no driver round-trips; per round one edge join + one vertex
+    groupBy over the model-sized pair graph."""
+    from .operators.baskets import co_occurrence_pairs, pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return pagerank(pairs)
+
+
+GR_PAGERANK_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), p AS (
+  SELECT a.i AS item_a, b.i AS item_b
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), edges AS (
+  SELECT item_a AS a, item_b AS bb FROM p
+  UNION
+  SELECT item_b, item_a FROM p
+), deg AS (
+  SELECT a, count(*)::BIGINT AS deg FROM edges GROUP BY a
+), nv AS (
+  SELECT count(*)::BIGINT AS n FROM deg
+), r0 AS (
+  SELECT a AS v, round(1.0 / n, 9) AS rank, deg FROM deg, nv
+), r1 AS (
+  SELECT e.a AS v, round((1.0 - 0.85) / nv.n + 0.85 * sum(r.rank / r.deg), 9) AS rank, d.deg AS deg
+  FROM edges e JOIN r0 r ON e.bb = r.v JOIN deg d ON d.a = e.a, nv
+  GROUP BY e.a, d.deg, nv.n
+), r2 AS (
+  SELECT e.a AS v, round((1.0 - 0.85) / nv.n + 0.85 * sum(r.rank / r.deg), 9) AS rank, d.deg AS deg
+  FROM edges e JOIN r1 r ON e.bb = r.v JOIN deg d ON d.a = e.a, nv
+  GROUP BY e.a, d.deg, nv.n
+), r3 AS (
+  SELECT e.a AS v, round((1.0 - 0.85) / nv.n + 0.85 * sum(r.rank / r.deg), 9) AS rank, d.deg AS deg
+  FROM edges e JOIN r2 r ON e.bb = r.v JOIN deg d ON d.a = e.a, nv
+  GROUP BY e.a, d.deg, nv.n
+), r4 AS (
+  SELECT e.a AS v, round((1.0 - 0.85) / nv.n + 0.85 * sum(r.rank / r.deg), 9) AS rank, d.deg AS deg
+  FROM edges e JOIN r3 r ON e.bb = r.v JOIN deg d ON d.a = e.a, nv
+  GROUP BY e.a, d.deg, nv.n
+), r5 AS (
+  SELECT e.a AS v, round((1.0 - 0.85) / nv.n + 0.85 * sum(r.rank / r.deg), 9) AS rank, d.deg AS deg
+  FROM edges e JOIN r4 r ON e.bb = r.v JOIN deg d ON d.a = e.a, nv
+  GROUP BY e.a, d.deg, nv.n
+)
+SELECT v, round(rank, 6) AS rank FROM r5
+"""
+
+
+def ds_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap percentile CI for the mean event value
+    (operators/datasets.py bootstrap_mean_ci): the distributed
+    bootstrap — each (row, replicate) draws an md5 Poisson(1) weight
+    (frozen CDF literals both engines parse identically), replicate
+    means fall out of one groupBy, CI bounds are exact order
+    statistics on the B-row mean table."""
+    from .operators.datasets import bootstrap_mean_ci
+
+    e = _events(spark, sf_dir)
+    return bootstrap_mean_ci(
+        e, "value", key="event_id", n_replicates=100, alpha=0.05, seed=19
+    )
+
+
+DS_BOOTSTRAP_SQL = """
+WITH base AS (
+  SELECT event_id::VARCHAR AS k, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+), ov AS (
+  SELECT round(round(sum(x), 4) / count(*), 6) AS mean FROM base
+), reps AS (
+  SELECT k, x, unnest(range(0, 100)) AS b FROM base
+), uu AS (
+  SELECT x, b,
+         CAST(('0x' || substr(md5(k || ':' || b::VARCHAR || ':19'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM reps
+), ww AS (
+  SELECT x, b,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238463 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.999916758850712 THEN 6
+              WHEN u < 0.9999897508033253 THEN 7
+              WHEN u < 0.999998874797402 THEN 8
+              ELSE 9 END AS w
+  FROM uu
+), m AS (
+  SELECT b, CASE WHEN sum(w) > 0
+                 THEN round(round(sum(w * x), 4) / sum(w), 6) END AS mm
+  FROM ww GROUP BY b
+), r AS (
+  SELECT mm, row_number() OVER (ORDER BY mm) AS rk FROM m
+)
+SELECT ov.mean AS mean,
+       (SELECT mm FROM r WHERE rk = 3) AS ci_lo,
+       (SELECT mm FROM r WHERE rk = 98) AS ci_hi,
+       100 AS n_replicates
+FROM ov
+"""
+
+
+def dim_scd2_merge(spark, sf_dir):
+    """SCD2 dimension merge (operators/scd.py scd2_merge): an updates
+    snapshot synthesized DETERMINISTICALLY from customer (every 7th
+    key changes its balance, every 11th arrives unchanged, every 13th
+    spawns a new key) merges into the versioned dimension — changed
+    rows close at the batch stamp and reopen, unchanged and absent
+    rows pass through; one full-outer key join, three projections."""
+    from .operators.scd import scd2_merge
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    current = c.select(
+        "*",
+        F.lit(20240101).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    k = F.col("c_custkey")
+    changed = c.filter(k % 7 == 0).select(
+        k.alias("c_custkey"),
+        "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    unchanged = c.filter((k % 11 == 0) & (k % 7 != 0))
+    new = c.filter(k % 13 == 0).select(
+        (k + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new "), F.col("c_name")).alias("c_name"),
+        "c_acctbal",
+        "c_nationkey",
+    )
+    updates = changed.unionByName(unchanged).unionByName(new)
+    return scd2_merge(
+        current,
+        updates,
+        "c_custkey",
+        ["c_name", "c_acctbal", "c_nationkey"],
+        batch_id=20240201,
+    )
+
+
+DIM_SCD2_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+         20240101 AS valid_from, CAST(NULL AS INT) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_nationkey
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey
+  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new ' || c_name, c_acctbal, c_nationkey
+  FROM customer WHERE c_custkey % 13 = 0
+), j AS (
+  SELECT coalesce(c.c_custkey, u.c_custkey) AS k,
+         c.c_custkey IS NOT NULL AS op, u.c_custkey IS NOT NULL AS up,
+         c.c_name AS o_name, c.c_acctbal AS o_bal,
+         c.c_nationkey AS o_nk, c.valid_from AS o_from,
+         u.c_name AS u_name, u.c_acctbal AS u_bal, u.c_nationkey AS u_nk,
+         (c.c_name IS NOT DISTINCT FROM u.c_name
+          AND c.c_acctbal IS NOT DISTINCT FROM u.c_acctbal
+          AND c.c_nationkey IS NOT DISTINCT FROM u.c_nationkey) AS same
+  FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey
+)
+SELECT k AS c_custkey, o_name AS c_name, o_bal AS c_acctbal,
+       o_nk AS c_nationkey, o_from AS valid_from,
+       CAST(NULL AS INT) AS valid_to
+FROM j WHERE op AND (NOT up OR same)
+UNION ALL
+SELECT k, o_name, o_bal, o_nk, o_from, 20240201
+FROM j WHERE op AND up AND NOT same
+UNION ALL
+SELECT k, u_name, u_bal, u_nk, 20240201, CAST(NULL AS INT)
+FROM j WHERE up AND (NOT op OR NOT same)
+"""
+
+
+# ---------------------------------------------------------------------------
 # entity-matching & data-ops wave (round 6 continuation)
 # ---------------------------------------------------------------------------
 def dd_fuzzy_match(spark, sf_dir):
@@ -5751,6 +5977,10 @@ EXTRA_QUERIES = {
     "dd_fuzzy_match": dd_fuzzy_match,
     "dq_expectations": dq_expectations,
     "e_period_over_period": e_period_over_period,
+    "rec_copurchase": rec_copurchase,
+    "gr_pagerank": gr_pagerank,
+    "ds_bootstrap_ci": ds_bootstrap_ci,
+    "dim_scd2_merge": dim_scd2_merge,
 }
 
 
@@ -5918,4 +6148,8 @@ EXTRA_ORACLES = {
     "dd_fuzzy_match": DD_FUZZY_SQL,
     "dq_expectations": DQ_EXPECTATIONS_SQL,
     "e_period_over_period": E_POP_SQL,
+    "rec_copurchase": REC_COPURCHASE_SQL,
+    "gr_pagerank": GR_PAGERANK_SQL,
+    "ds_bootstrap_ci": DS_BOOTSTRAP_SQL,
+    "dim_scd2_merge": DIM_SCD2_SQL,
 }

@@ -200,3 +200,128 @@ def test_period_over_period_fixture(spark):
     assert out[day]["delta_events"] == 5
     assert out[day]["pct_change"] == pytest.approx(0.5)
     assert out[2 * day]["pct_change"] == pytest.approx(-0.6)
+
+
+# ---------------------------------------------------------------------------
+# basket-analytics & graph wave
+# ---------------------------------------------------------------------------
+def test_co_occurrence_counts_and_lift(spark):
+    from mdataframe_spark.operators.baskets import co_occurrence_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "z"),
+        (5, "x"), (5, "x"),  # duplicate item in a basket counts once
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in co_occurrence_pairs(df, "basket", "item", min_count=2).collect()
+    }
+    # (x, y) co-occurs 3 times; x in 4 baskets, y in 3; N = 5
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert r["n_co"] == 3 and r["n_a"] == 4 and r["n_b"] == 3
+    assert r["lift"] == pytest.approx(5 * 3 / (4 * 3), abs=1e-6)
+
+
+def test_pagerank_star_graph(spark):
+    from mdataframe_spark.operators.baskets import pagerank
+
+    # star: hub 0 connected to 1..4 — hub must outrank the leaves,
+    # leaves symmetric; total mass conserved (undirected, no dangling)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["id_a", "id_b"]
+    )
+    out = {r["v"]: r["rank"] for r in pagerank(pairs).collect()}
+    assert len(out) == 5
+    assert out[0] > out[1]
+    leaf_ranks = {out[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_regular_graph_uniform(spark):
+    from mdataframe_spark.operators.baskets import pagerank
+
+    # a 4-cycle is 2-regular: PageRank must stay uniform at 1/4
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["id_a", "id_b"]
+    )
+    out = {r["v"]: r["rank"] for r in pagerank(pairs).collect()}
+    assert all(v == pytest.approx(0.25, abs=1e-6) for v in out.values())
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from mdataframe_spark.operators.datasets import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i % 20)) for i in range(400)], ["event_id", "value"]
+    )
+    r1 = bootstrap_mean_ci(df, "value", key="event_id").first()
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    assert r1["ci_lo"] < r1["ci_hi"]
+    assert r1["n_replicates"] == 100
+    # deterministic under repartitioning (md5 draw, order-free sums)
+    r2 = bootstrap_mean_ci(df.repartition(13), "value", key="event_id").first()
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+    # interval width shrinks with sample size (sanity of the method)
+    big = spark.createDataFrame(
+        [(i, float(i % 20)) for i in range(4000)], ["event_id", "value"]
+    )
+    r3 = bootstrap_mean_ci(big, "value", key="event_id").first()
+    assert (r3["ci_hi"] - r3["ci_lo"]) < (r1["ci_hi"] - r1["ci_lo"])
+
+
+def test_scd2_merge_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            # closed history row: must pass through untouched
+            (1, "alice", 10.0, 100, 200),
+            # open rows
+            (1, "alice2", 11.0, 200, None),
+            (2, "bob", 20.0, 100, None),
+            (3, "carol", 30.0, 100, None),
+        ],
+        "k bigint, name string, bal double, valid_from int, valid_to int",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "alice2", 99.0),   # changed -> close + reopen
+            (2, "bob", 20.0),      # unchanged -> keep
+            (9, "zoe", 5.0),       # new key -> insert
+            # key 3 absent -> keep open
+        ],
+        "k bigint, name string, bal double",
+    )
+    out = scd2_merge(current, updates, "k", ["name", "bal"], 300).collect()
+    rows = {(r["k"], r["valid_from"], r["valid_to"]): r for r in out}
+    assert len(out) == 6
+    # history untouched
+    assert rows[(1, 100, 200)]["name"] == "alice"
+    # changed: old version closed at 300, new version open from 300
+    assert rows[(1, 200, 300)]["bal"] == 11.0
+    assert rows[(1, 300, None)]["bal"] == 99.0
+    # unchanged + absent keys keep their open rows
+    assert rows[(2, 100, None)]["bal"] == 20.0
+    assert rows[(3, 100, None)]["name"] == "carol"
+    # new key inserted open
+    assert rows[(9, 300, None)]["name"] == "zoe"
+
+
+def test_scd2_merge_null_safe_attr_compare(spark):
+    from mdataframe_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [(1, None, 100, None)], "k bigint, name string, valid_from int, valid_to int"
+    )
+    updates = spark.createDataFrame([(1, None)], "k bigint, name string")
+    out = scd2_merge(current, updates, "k", ["name"], 200).collect()
+    # NULL == NULL must be UNCHANGED (eqNullSafe), not a new version
+    assert len(out) == 1 and out[0]["valid_to"] is None
