@@ -77,6 +77,15 @@ HEADLINE = [
     "txt_quality_gate",
     "ds_dsir_select",
     "txt_char_entropy",
+    # round-6 continuation: the heaviest new shapes — the Bloom
+    # decontamination probe, q-gram fuzzy matching, the co-purchase
+    # pair generator, the fixed-iteration PageRank trajectory, and the
+    # x100-fanout Poisson bootstrap
+    "sk_bloom_decontaminate",
+    "dd_fuzzy_match",
+    "rec_copurchase",
+    "gr_pagerank",
+    "ds_bootstrap_ci",
 ]
 
 

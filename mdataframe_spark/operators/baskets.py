@@ -39,9 +39,13 @@ def co_occurrence_pairs(
     integer counts with the N·co product in DOUBLE (int64 would
     overflow at 10^10 baskets).
     """
+    from .dedup import ensure_parallelism
+
     items = _persist_tracked(
-        df.select(
-            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        ensure_parallelism(
+            df.select(
+                F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+            )
         ).distinct()
     )
     capped = cap_hot_keys(items, ["__b"], basket_cap, "basket")
@@ -88,6 +92,34 @@ def co_occurrence_pairs(
     )
 
 
+def _pagerank_driver(
+    edge_rows, iterations: int, damping: float, iter_decimals: int
+) -> dict:
+    """Driver arm of :func:`pagerank`: the same trajectory (identical
+    per-round rounding) over collected edges. Neighbor contributions
+    accumulate in sorted order; the 9-dp round absorbs association
+    noise exactly as it does between Spark's partial aggregation and
+    the SQL oracle."""
+    nbrs: dict = {}
+    for a, b in edge_rows:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    n = len(nbrs)
+    base = (1.0 - damping) / n
+    ranks = {v: round(1.0 / n, iter_decimals) for v in nbrs}
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    for _ in range(iterations):
+        ranks = {
+            v: round(
+                base
+                + damping * sum(ranks[u] / deg[u] for u in sorted(ns)),
+                iter_decimals,
+            )
+            for v, ns in nbrs.items()
+        }
+    return ranks
+
+
 def pagerank(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -95,6 +127,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     iter_decimals: int = 9,
+    small_graph_max: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED pair graph, fixed iteration count —
     centrality scoring for item/near-dup graphs (which product anchors
@@ -115,6 +148,33 @@ def pagerank(
     rounded to 6 dp.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # size-gated driver arm (the connected_components hybrid): pair
+    # graphs are model-sized by construction (bounded candidate
+    # generators), and each distributed round costs fixed scheduler
+    # overhead that dwarfs the driver arithmetic. small_graph_max=0
+    # forces the distributed loop.
+    if small_graph_max and small_graph_max > 0:
+        e = _persist_tracked(e)
+        if e.count() <= small_graph_max:
+            from pyspark.sql import types as T
+
+            ranks_map = _pagerank_driver(
+                [(r["a"], r["b"]) for r in e.collect()],
+                iterations,
+                damping,
+                iter_decimals,
+            )
+            vt = e.schema["a"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("v", vt),
+                    T.StructField("rank", T.DoubleType()),
+                ]
+            )
+            return e.sparkSession.createDataFrame(
+                sorted((v, round(r, 6)) for v, r in ranks_map.items()),
+                schema,
+            )
     # EAGER checkpoint, not just persist: the edge frame's lineage
     # (often a whole candidate-pair pipeline) is re-embedded in every
     # iteration's logical plan otherwise, and Catalyst analysis — not
@@ -144,7 +204,10 @@ def pagerank(
             .groupBy("a")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
+        # each round materializes eagerly (the connected_components
+        # discipline): a lazy 5-deep join nest re-analyzes and
+        # re-executes the whole prefix at the final action
+        ranks = _local_checkpoint_tracked(
             ranks.select("v", "deg")
             .join(contrib.withColumnRenamed("a", "v"), "v")
             .select(

@@ -795,11 +795,18 @@ def bootstrap_mean_ci(
     """
     import math as _math
 
-    base = df.filter(
-        F.col(value_col).isNotNull() & F.col(key).isNotNull()
-    ).select(
-        F.col(key).cast("string").alias("__k"),
-        F.col(value_col).cast("double").alias("__x"),
+    from .dedup import ensure_parallelism
+
+    # the x n_replicates explode + per-row md5 below is the CPU stage:
+    # it inherits the scan's split count, and a single-file parquet
+    # would serialize 100x the corpus through one core
+    base = ensure_parallelism(
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(key).isNotNull()
+        ).select(
+            F.col(key).cast("string").alias("__k"),
+            F.col(value_col).cast("double").alias("__x"),
+        )
     )
     overall = base.agg(
         F.round(

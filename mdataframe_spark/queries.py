@@ -5838,23 +5838,13 @@ FROM r, t WHERE rnk <= 20
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
-    "f6_filter_abs_or": f6_filter_abs_or,
-    "a_column_stats": a_column_stats,
-    "a2_group_zscore": a2_group_zscore,
     "j_generic_join_q3": j_generic_join_q3,
     "j1_annotation_join": j1_annotation_join,
     "j_q5_multijoin": j_q5_multijoin,
     "sq_correlated": sq_correlated,
-    "g_grouping_sets": g_grouping_sets,
-    "c_array_functions": c_array_functions,
-    "c_date_arithmetic": c_date_arithmetic,
     "w1_bh_fdr": w1_bh_fdr,
-    "w2_rank_window": w2_rank_window,
-    "layout_pivot_wide": layout_pivot_wide,
     "st_events_window": st_events_window,
     "st_sessionize": st_sessionize,
-    "txt_token_stats": txt_token_stats,
-    "txt_quality": txt_quality,
     "txt_winnow_overlap": txt_winnow_overlap,
     "dd_exact_dedup": dd_exact_dedup,
     "n_cpm_log2": n_cpm_log2,
@@ -5884,6 +5874,16 @@ QUERIES = {
     "stat_vst": stat_vst,
     "stat_edger_norm": stat_edger_norm,
     "stat_deseq2_base": stat_deseq2_base,
+    "ml_auc_value": ml_auc_value,
+    "ml_silhouette": ml_silhouette,
+    "e_funnel": e_funnel,
+    "stat_ks_two_sample": stat_ks_two_sample,
+    "stat_chi2_independence": stat_chi2_independence,
+    "sk_bloom_decontaminate": sk_bloom_decontaminate,
+    "gr_pagerank": gr_pagerank,
+    "ds_bootstrap_ci": ds_bootstrap_ci,
+    "dim_scd2_merge": dim_scd2_merge,
+    "dd_fuzzy_match": dd_fuzzy_match,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
     "stat_edger_exact_test": stat_edger_exact_test,
     "stat_deseq2": stat_deseq2,
@@ -5939,6 +5939,18 @@ EXTRA_QUERIES = {
     "c9_hash_columns": c9_hash_columns,
     "e_events_json": e_events_json,
     "txt_fingerprint": txt_fingerprint,
+    # --- rotated out of the driver registry late round 6 (driver-green
+    # r1-r6; same oracle protocol in-repo from here on) ---
+    "f6_filter_abs_or": f6_filter_abs_or,
+    "a_column_stats": a_column_stats,
+    "a2_group_zscore": a2_group_zscore,
+    "g_grouping_sets": g_grouping_sets,
+    "c_array_functions": c_array_functions,
+    "c_date_arithmetic": c_date_arithmetic,
+    "layout_pivot_wide": layout_pivot_wide,
+    "txt_token_stats": txt_token_stats,
+    "txt_quality": txt_quality,
+    "w2_rank_window": w2_rank_window,
     # --- new in round 6 ---
     "ds_dsir_select": ds_dsir_select,
     "txt_chunk_windows": txt_chunk_windows,
@@ -5957,30 +5969,20 @@ EXTRA_QUERIES = {
     "io_orc_roundtrip": io_orc_roundtrip,
     "ds_negative_samples": ds_negative_samples,
     # --- evaluation & observability wave (round 6 continuation) ---
-    "ml_auc_value": ml_auc_value,
     "ml_calibration": ml_calibration,
-    "ml_silhouette": ml_silhouette,
-    "e_funnel": e_funnel,
     "e_cohort_retention": e_cohort_retention,
     "e_rate_anomaly": e_rate_anomaly,
     "ds_group_topk": ds_group_topk,
     "dq_key_skew": dq_key_skew,
     "txt_source_kl": txt_source_kl,
     "dd_norm_collisions": dd_norm_collisions,
-    "sk_bloom_decontaminate": sk_bloom_decontaminate,
     "j_q17_small_quantity": j_q17_small_quantity,
-    "stat_chi2_independence": stat_chi2_independence,
     "stat_mannwhitney_u": stat_mannwhitney_u,
-    "stat_ks_two_sample": stat_ks_two_sample,
     "e_moving_stats": e_moving_stats,
     "dq_histogram": dq_histogram,
-    "dd_fuzzy_match": dd_fuzzy_match,
     "dq_expectations": dq_expectations,
     "e_period_over_period": e_period_over_period,
     "rec_copurchase": rec_copurchase,
-    "gr_pagerank": gr_pagerank,
-    "ds_bootstrap_ci": ds_bootstrap_ci,
-    "dim_scd2_merge": dim_scd2_merge,
 }
 
 
@@ -6012,23 +6014,13 @@ EXTRA_QUERIES = {name: _with_cache_release(fn) for name, fn in EXTRA_QUERIES.ite
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "f1_filter_dsl": F1_SQL,
-    "f6_filter_abs_or": F6_OR_SQL,
-    "a_column_stats": A_STATS_SQL,
-    "a2_group_zscore": A2_SQL,
     "j_generic_join_q3": J_Q3_SQL,
     "j1_annotation_join": J1_SQL,
     "j_q5_multijoin": J_Q5_SQL,
     "sq_correlated": SQ_CORR_SQL,
-    "g_grouping_sets": G_SETS_SQL,
-    "c_array_functions": C_ARRAY_SQL,
-    "c_date_arithmetic": C_DATE_SQL,
     "w1_bh_fdr": W1_SQL,
-    "w2_rank_window": W2_SQL,
-    "layout_pivot_wide": PIVOT_SQL,
     "st_events_window": ST_WINDOW_SQL,
     "st_sessionize": ST_SESSION_SQL,
-    "txt_token_stats": TXT_TOKENS_SQL,
-    "txt_quality": TXT_QUALITY_SQL,
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_exact_dedup": DD_EXACT_SQL,
     "n_cpm_log2": N_CPM_SQL,
@@ -6058,6 +6050,16 @@ ORACLES = {
     "stat_vst": STAT_VST_SQL,
     "stat_edger_norm": STAT_EDGER_NORM_SQL,
     "stat_deseq2_base": STAT_DESEQ2_BASE_SQL,
+    "ml_auc_value": ML_AUC_SQL,
+    "ml_silhouette": ML_SILHOUETTE_SQL,
+    "e_funnel": E_FUNNEL_SQL,
+    "stat_ks_two_sample": STAT_KS_SQL,
+    "stat_chi2_independence": STAT_CHI2_SQL,
+    "sk_bloom_decontaminate": SK_BLOOM_SQL,
+    "gr_pagerank": GR_PAGERANK_SQL,
+    "ds_bootstrap_ci": DS_BOOTSTRAP_SQL,
+    "dim_scd2_merge": DIM_SCD2_SQL,
+    "dd_fuzzy_match": DD_FUZZY_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent. Their
     # numeric parity is asserted against the reference's R goldens in
@@ -6110,6 +6112,17 @@ EXTRA_ORACLES = {
     "c9_hash_columns": C9_SQL,
     "e_events_json": E_JSON_SQL,
     "txt_fingerprint": TXT_FP_SQL,
+    # --- rotated out of the driver registry late round 6 ---
+    "f6_filter_abs_or": F6_OR_SQL,
+    "a_column_stats": A_STATS_SQL,
+    "a2_group_zscore": A2_SQL,
+    "g_grouping_sets": G_SETS_SQL,
+    "c_array_functions": C_ARRAY_SQL,
+    "c_date_arithmetic": C_DATE_SQL,
+    "layout_pivot_wide": PIVOT_SQL,
+    "txt_token_stats": TXT_TOKENS_SQL,
+    "txt_quality": TXT_QUALITY_SQL,
+    "w2_rank_window": W2_SQL,
     # --- new in round 6 ---
     "ds_dsir_select": DS_DSIR_SQL,
     "txt_chunk_windows": TXT_CHUNK_SQL,
@@ -6128,28 +6141,18 @@ EXTRA_ORACLES = {
     "io_orc_roundtrip": IO_RT_SQL,
     "ds_negative_samples": DS_NEG_SQL,
     # --- evaluation & observability wave (round 6 continuation) ---
-    "ml_auc_value": ML_AUC_SQL,
     "ml_calibration": ML_CALIBRATION_SQL,
-    "ml_silhouette": ML_SILHOUETTE_SQL,
-    "e_funnel": E_FUNNEL_SQL,
     "e_cohort_retention": E_COHORT_SQL,
     "e_rate_anomaly": E_ANOMALY_SQL,
     "ds_group_topk": DS_GROUP_TOPK_SQL,
     "dq_key_skew": DQ_KEY_SKEW_SQL,
     "txt_source_kl": TXT_SOURCE_KL_SQL,
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
-    "sk_bloom_decontaminate": SK_BLOOM_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
-    "stat_chi2_independence": STAT_CHI2_SQL,
     "stat_mannwhitney_u": STAT_MWU_SQL,
-    "stat_ks_two_sample": STAT_KS_SQL,
     "e_moving_stats": E_MOVING_SQL,
     "dq_histogram": DQ_HISTOGRAM_SQL,
-    "dd_fuzzy_match": DD_FUZZY_SQL,
     "dq_expectations": DQ_EXPECTATIONS_SQL,
     "e_period_over_period": E_POP_SQL,
     "rec_copurchase": REC_COPURCHASE_SQL,
-    "gr_pagerank": GR_PAGERANK_SQL,
-    "ds_bootstrap_ci": DS_BOOTSTRAP_SQL,
-    "dim_scd2_merge": DIM_SCD2_SQL,
 }

@@ -241,6 +241,13 @@ def test_pagerank_star_graph(spark):
     leaf_ranks = {out[i] for i in range(1, 5)}
     assert len(leaf_ranks) == 1
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+    # the size-gated driver arm (default) and the distributed loop
+    # (small_graph_max=0) must produce identical trajectories
+    loop = {
+        r["v"]: r["rank"]
+        for r in pagerank(pairs, small_graph_max=0).collect()
+    }
+    assert loop == out
 
 
 def test_pagerank_regular_graph_uniform(spark):
