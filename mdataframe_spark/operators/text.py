@@ -1234,3 +1234,73 @@ def normalization_collisions(
         .filter(F.col("n_docs") >= 2)
         .withColumn("newly_merged", F.col("n_raw_variants") >= 2)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent word pairs
+    whose co-occurrence beats the independence prediction —
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) with p from corpus counts
+    (Church & Hanks 1990; the classic phrase/collocation extractor).
+
+    Plan shape: bigrams form SCAN-SIDE from each document's token
+    array (slice+zip — the kn_bigram_lm_scores construction, zero
+    shuffle), then ONE bigram groupBy and ONE unigram groupBy bound
+    everything downstream by vocabulary; unigram totals broadcast back
+    twice; corpus totals are two scalar probes. PMI derives from exact
+    integer counts — any engine replays it; ln() ulp noise sits far
+    below the 6 dp output rounding.
+
+    Returns (word_a, word_b, n_ab, n_a, n_b, pmi) for pairs with
+    ``n_ab >= min_count``.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    toks = df.select(F.split(norm, _WS).alias("t")).filter(
+        (F.size("t") > 0) & (F.col("t")[0] != "")
+    )
+    toks = _persist_tracked(toks)
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    uni = _persist_tracked(uni)
+    n_uni = uni.agg(F.sum("n")).first()[0]
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("a"),
+                    F.slice("t", 2, F.size("t") - 1).alias("b"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    n_bi_row = (
+        toks.filter(F.size("t") >= 2)
+        .agg(F.sum(F.size("t") - 1))
+        .first()
+    )
+    n_bi = int(n_bi_row[0])
+    ua = uni.select(F.col("w").alias("word_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("word_b"), F.col("n").alias("n_b"))
+    p_ab = F.col("n_ab") / F.lit(float(n_bi))
+    p_a = F.col("n_a") / F.lit(float(n_uni))
+    p_b = F.col("n_b") / F.lit(float(n_uni))
+    return (
+        bi.join(F.broadcast(ua), "word_a")
+        .join(F.broadcast(ub), "word_b")
+        .select(
+            "word_a",
+            "word_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
+        )
+    )

@@ -4868,6 +4868,47 @@ SELECT v, round(rank, 6) AS rank FROM r5
 """
 
 
+def txt_pmi_collocations(spark, sf_dir):
+    """Bigram PMI collocations (operators/text.py pmi_collocations):
+    scan-side bigram construction, two vocabulary-bounded groupBys,
+    broadcast unigram joins, PMI from exact integer counts."""
+    from .operators.text import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+TXT_PMI_SQL = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+') AS t
+  FROM documents
+  WHERE len(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) > 0
+    AND string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')[1] <> ''
+), uni AS (
+  SELECT w, count(*)::BIGINT AS n
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), nu AS (SELECT sum(n)::BIGINT AS n_uni FROM uni),
+nb AS (
+  SELECT sum(len(t) - 1)::BIGINT AS n_bi FROM toks WHERE len(t) >= 2
+), bi AS (
+  SELECT a AS word_a, b AS word_b, count(*)::BIGINT AS n_ab FROM (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM toks, unnest(range(1, len(t))) AS r(i)
+    WHERE len(t) >= 2
+  ) GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT word_a, word_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+       round(ln((n_ab / CAST(n_bi AS DOUBLE))
+                / ((ua.n / CAST(n_uni AS DOUBLE))
+                   * (ub.n / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+FROM bi JOIN uni ua ON word_a = ua.w JOIN uni ub ON word_b = ub.w, nu, nb
+"""
+
+
 def ds_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap percentile CI for the mean event value
     (operators/datasets.py bootstrap_mean_ci): the distributed
@@ -5983,6 +6024,7 @@ EXTRA_QUERIES = {
     "dq_expectations": dq_expectations,
     "e_period_over_period": e_period_over_period,
     "rec_copurchase": rec_copurchase,
+    "txt_pmi_collocations": txt_pmi_collocations,
 }
 
 
@@ -6155,4 +6197,5 @@ EXTRA_ORACLES = {
     "dq_expectations": DQ_EXPECTATIONS_SQL,
     "e_period_over_period": E_POP_SQL,
     "rec_copurchase": REC_COPURCHASE_SQL,
+    "txt_pmi_collocations": TXT_PMI_SQL,
 }

@@ -149,3 +149,29 @@ def test_bloom_counts_match_exact_when_no_fp(spark):
     for d in (1, 2):
         assert bloom[d]["n_grams"] == exact[d]["n_grams"]
         assert bloom[d]["n_hit_grams_bloom"] == exact[d]["n_hit_grams"]
+
+
+def test_pmi_collocations_detects_fixed_phrase(spark):
+    from mdataframe_spark.operators.text import pmi_collocations
+
+    # "hong kong" always adjacent; filler words shuffled around it
+    rows = [
+        (i, f"alpha hong kong beta w{i % 3} gamma hong kong delta")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["word_a"], r["word_b"]): r
+        for r in pmi_collocations(df, min_count=5).collect()
+    }
+    assert ("hong", "kong") in out
+    hk = out[("hong", "kong")]
+    assert hk["n_ab"] == 20 and hk["n_a"] == 20 and hk["n_b"] == 20
+    # the fixed phrase must out-PMI any filler-word bigram
+    assert all(
+        hk["pmi"] >= r["pmi"] for r in out.values()
+    )
+    import math
+    # closed-form: 10 docs x 9 tokens -> n_uni = 90, n_bi = 80
+    expect = math.log((20 / 80) / ((20 / 90) * (20 / 90)))
+    assert hk["pmi"] == pytest.approx(expect, abs=1e-5)
