@@ -164,23 +164,45 @@ def main():
             pass_counts[name] = _ok
             errors.pop(name, None)
     total = round(sum(timings.values()), 3)
+    # The driver records only the LAST ~2000 characters of stdout
+    # (BENCH_r06 lost its headline total to a >2000-char JSON line).
+    # Two lines, shortest-essential LAST:
+    #   1. a short totals-first summary (survives head-capture and
+    #      human eyeballs),
+    #   2. the full per-query payload, compact-serialized with the
+    #      `passes` map reduced to exceptions-only (normally empty) and
+    #      the methodology tag abbreviated, sized to fit the window —
+    #      test_bench_payload_fits_driver_capture guards the budget.
+    summary = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+    }
+    if errors:
+        summary["n_errors"] = len(errors)
+    print(json.dumps(summary))
     payload = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        # methodology, recorded so rounds stay comparable: per-query
-        # min over 2 passes, after TWO untimed warmups per query (one
-        # at sf0.001 for codegen shapes, one at the target SF so
-        # HotSpot C2 compiles the hot loops at production trip counts
-        # — uniform for every query), forced driver GC between shapes
-        "passes": pass_counts,
-        "timing": "min_of_2_after_target_sf_warmup_gc_between_shapes",
+        # methodology (rounds stay comparable): per-query min over 2
+        # passes, after TWO untimed warmups per query (one at sf0.001
+        # for codegen shapes, one at the target SF so HotSpot C2
+        # compiles the hot loops at production trip counts), forced
+        # driver GC between shapes
+        "timing": "min2_warm2_gc",
     }
+    # exceptions only: a query that did NOT get its 2 clean passes
+    odd_passes = {k: v for k, v in pass_counts.items() if v != 2}
+    if odd_passes:
+        payload["passes"] = odd_passes
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

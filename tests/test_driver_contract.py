@@ -131,3 +131,31 @@ def test_registry_size_invariants():
             f"COVERAGE.md registry-shape counts drifted from the live "
             f"registries: expected {frag!r}"
         )
+
+
+def test_bench_payload_fits_driver_capture():
+    """The driver records only the LAST ~2000 characters of bench.py's
+    stdout; BENCH_r06's single JSON line outgrew that window and the
+    round's official record came back `parsed: null`. Guard: the full
+    per-query payload line, serialized exactly as bench.py emits it
+    with worst-case 7-char timings for every headline query, must fit
+    the capture window with margin."""
+    import json as _json
+
+    import bench
+
+    worst = {name: 999.999 for name in bench.HEADLINE}
+    payload = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(worst.values()), 3),
+        "unit": "sec",
+        "queries": worst,
+        "sf": 0.1,
+        "timing": "min2_warm2_gc",
+    }
+    line = _json.dumps(payload, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"bench payload line is {len(line)} chars — exceeds the "
+        f"driver's ~2000-char tail capture; trim the headline list or "
+        f"the serialization"
+    )
