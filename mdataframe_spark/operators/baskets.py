@@ -35,9 +35,12 @@ def co_occurrence_pairs(
     (one degenerate mega-basket would contribute cap² pairs — the same
     guarantee as the LSH df-cap); the bucket-array pairing makes pair
     generation ONE partial-agged shuffle. Item totals and the basket
-    count are one aggregation + one scalar probe. Lift derives from
-    integer counts with the N·co product in DOUBLE (int64 would
-    overflow at 10^10 baskets).
+    count are one aggregation + one scalar probe — computed from the
+    CAPPED frame, so lift's denominators describe exactly the
+    population that generated the pairs (denominators from the raw
+    frame would systematically deflate lift the moment any basket is
+    dropped). Lift derives from integer counts with the N·co product
+    in DOUBLE (int64 would overflow at 10^10 baskets).
     """
     from .dedup import ensure_parallelism
 
@@ -48,9 +51,13 @@ def co_occurrence_pairs(
             )
         ).distinct()
     )
-    capped = cap_hot_keys(items, ["__b"], basket_cap, "basket")
-    n_baskets = items.select("__b").distinct().count()
-    totals = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    # cap_hot_keys scans items twice (frequency agg + keep join);
+    # capped feeds three consumers below — pin both
+    capped = _persist_tracked(
+        cap_hot_keys(items, ["__b"], basket_cap, "basket")
+    )
+    n_baskets = capped.select("__b").distinct().count()
+    totals = capped.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     buckets = capped.groupBy("__b").agg(
         F.array_sort(F.collect_set("__i")).alias("ms")
     )

@@ -64,9 +64,14 @@ def auc(
     )
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
     ranked = g.withColumn("__cum", F.sum("__n").over(w))
+    # the rank-sum terms scale as N²: accumulate in decimal(38,0)
+    # (exact, order-independent, mirrors DuckDB's SUM(BIGINT)→HUGEINT)
+    # — a bigint accumulator wraps silently near 3·10^9 rows; p·(p+1)
+    # and 2·p·n likewise run in decimal/double past int64 range
+    dec = "decimal(38,0)"
     acc = ranked.agg(
         F.sum(
-            F.col("__p") * (2 * F.col("__cum") - F.col("__n") + 1)
+            F.col("__p").cast(dec) * (2 * F.col("__cum") - F.col("__n") + 1)
         ).alias("__r2"),
         F.sum("__p").alias("n_pos"),
         F.sum(F.col("__n") - F.col("__p")).alias("n_neg"),
@@ -78,7 +83,8 @@ def auc(
         F.round(
             F.when(
                 (p > 0) & (n > 0),
-                (F.col("__r2") - p * (p + 1)) / (2.0 * p * n),
+                (F.col("__r2") - p.cast(dec) * (p + 1))
+                / (2.0 * p.cast("double") * n),
             ),
             6,
         ).alias("auc"),

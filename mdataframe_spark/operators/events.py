@@ -26,9 +26,16 @@ _NS_PER_S = 1_000_000_000
 
 
 def _ns(df: DataFrame, ts_col: str) -> DataFrame:
-    """Canonicalize ``ts_col`` to epoch-ns BIGINT (the _events contract)."""
+    """Canonicalize ``ts_col`` to epoch-ns BIGINT (the _events contract).
+
+    Pins the session timezone to UTC first — the NTZ→TIMESTAMP cast is
+    timezone-sensitive, and standalone operator use in a non-UTC
+    session would otherwise shift every epoch (and every bucket)
+    relative to the repo-wide epoch-ns contract (mirrors
+    queries._events)."""
     dtype = dict(df.dtypes)[ts_col]
     if dtype.startswith("timestamp"):
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn(
             ts_col,
             (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast(
@@ -38,6 +45,17 @@ def _ns(df: DataFrame, ts_col: str) -> DataFrame:
     if dtype != "bigint":
         return df.withColumn(ts_col, F.col(ts_col).cast("bigint"))
     return df
+
+
+def _bucket(ts_col: str, period_ns: int):
+    """Exact integer floor-bucket of a NON-NEGATIVE epoch-ns column:
+    SQL ``div`` (bigint integer division), NOT F.floor(a / b) — Spark
+    evaluates ``bigint / bigint`` as double division, and epoch-ns
+    values (~1.7e18) exceed 2^53, so a timestamp within ~128 ns of a
+    boundary can round across it while the DuckDB oracles' integer
+    ``//`` does not. ``div`` truncates toward zero, which equals floor
+    for the contract's non-negative epochs."""
+    return F.expr(f"`{ts_col}` div {int(period_ns)}")
 
 
 def funnel(
@@ -148,7 +166,7 @@ def cohort_retention(
         _ns(df, ts_col)
         .select(
             F.col(user_col).alias("__u"),
-            F.floor(F.col(ts_col) / F.lit(period_ns)).alias("__d"),
+            _bucket(ts_col, period_ns).alias("__d"),
         )
         .distinct()
     )
@@ -204,7 +222,7 @@ def rate_anomaly(
         _ns(df, ts_col)
         .groupBy(
             F.col(type_col).alias("__t"),
-            (F.floor(F.col(ts_col) / F.lit(bucket_ns)) * bucket_s)
+            (_bucket(ts_col, bucket_ns) * bucket_s)
             .cast("bigint")
             .alias("bucket_epoch"),
         )
@@ -293,7 +311,7 @@ def period_over_period(
         _ns(df, ts_col)
         .groupBy(
             F.col(type_col).alias("__t"),
-            (F.floor(F.col(ts_col) / F.lit(period_ns)) * period_s)
+            (_bucket(ts_col, period_ns) * period_s)
             .cast("bigint")
             .alias("period_epoch"),
         )

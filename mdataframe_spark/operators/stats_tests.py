@@ -37,7 +37,10 @@ def chi2_independence(
     in double range at any corpus size (row·col overflows int64 near
     10^10 rows per margin). Returns ONE row: (n, dof, chi2,
     cramers_v); dof = (R-1)(C-1); V is NULL for a degenerate (single
-    row or column) table.
+    row or column) table. Degenerate INPUT (empty, or every row null
+    in either column) returns the NULL-guarded row (0, 0, NULL, NULL)
+    — the mannwhitney_u / ks_two_sample convention — instead of
+    crashing on the scalar probe.
     """
     base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = base.groupBy(
@@ -45,7 +48,15 @@ def chi2_independence(
     ).agg(F.count(F.lit(1)).alias("__o"))
     rt = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
     ct = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
-    n = cells.agg(F.sum("__o").alias("__n")).first()["__n"]
+    row = cells.agg(F.sum("__o").alias("__n")).first()
+    n = row["__n"] or 0
+    if n == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0).cast("bigint").alias("dof"),
+            F.lit(None).cast("double").alias("chi2"),
+            F.lit(None).cast("double").alias("cramers_v"),
+        )
     joined = cells.join(F.broadcast(rt), "__a").join(F.broadcast(ct), "__b")
     e = (F.col("__r") / F.lit(float(n))) * F.col("__c")
     term = (F.col("__o") - e) * (F.col("__o") - e) / e
@@ -111,34 +122,48 @@ def mannwhitney_u(
     integer sums, so the statistic replays bit-for-bit in SQL. Like
     AUC, quantize continuous values upstream if the distinct-value
     table must stay model-sized at 100 TB.
+
+    Overflow discipline: the rank-sum terms scale as N², so the
+    accumulations run in ``decimal(38,0)`` — exact and
+    order-independent to ~10^38 (DuckDB's SUM(BIGINT) promotes to
+    HUGEINT the same way), where a bigint accumulator would wrap
+    silently near 3·10^9 rows with ANSI off. The n1·n2-scale products
+    feeding the double statistics are computed in double (they exceed
+    int64 near 10^10 rows per group).
     """
     flag = F.col(group_col).cast("boolean")
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     )
     blocks = _rank_blocks(base, value_col, flag)
+    dec = "decimal(38,0)"
     acc = blocks.agg(
         F.sum(
-            F.col("__t1") * (2 * F.col("__cum") - F.col("__t") + 1)
+            F.col("__t1").cast(dec)
+            * (2 * F.col("__cum") - F.col("__t") + 1)
         ).alias("__r2"),
         F.sum("__t1").alias("n1"),
         F.sum(F.col("__t") - F.col("__t1")).alias("n2"),
         F.sum(
-            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            F.col("__t").cast(dec) * F.col("__t") * F.col("__t")
+            - F.col("__t")
         ).alias("__ties"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
     n = n1 + n2
-    u1 = F.col("__r2") / 2.0 - n1 * (n1 + 1) / 2.0
-    mu = n1 * n2 / 2.0
+    # u1 = (2·R1 − n1(n1+1)) / 2 entirely in decimal before the final
+    # double division — exact at any n1
+    u1 = (F.col("__r2") - n1.cast(dec) * (n1 + 1)) / 2.0
+    mu = n1.cast("double") * n2 / 2.0
     # tie-corrected variance: n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1)));
     # guarded against n <= 1 (ANSI divide-by-zero) and all-tied input
-    # (zero variance). The t³ tie sum stays in int64 for tie blocks up
-    # to ~2·10⁶ rows — quantize upstream past that (same knob that
-    # keeps the distinct-value table model-sized).
+    # (zero variance).
     var = F.when(
         n > 1,
-        n1 * n2 / 12.0 * ((n + 1) - F.col("__ties") / (n * (n - 1))),
+        n1.cast("double")
+        * n2
+        / 12.0
+        * ((n + 1) - F.col("__ties") / (n.cast("double") * (n - 1))),
     )
     return acc.select(
         n1,

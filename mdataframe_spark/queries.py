@@ -931,7 +931,11 @@ def _events(spark, sf_dir):
 def e_events_hourly(spark, sf_dir):
     """Timestamp bucketing on the events table (§2.8 date functions)."""
     e = _events(spark, sf_dir)
-    hour = (F.floor(F.col("ts") / F.lit(3_600_000_000_000)) * 3600).cast("bigint")
+    # exact integer division (`div`): floor(bigint / bigint) evaluates
+    # as DOUBLE division and epoch-ns exceeds 2^53, so a ts within
+    # ~128 ns of an hour boundary could round across it while the
+    # oracle's integer `//` does not
+    hour = (F.expr("ts div 3600000000000") * 3600).cast("bigint")
     return (
         e.groupBy(hour.alias("hour_epoch"), "event_type")
         .agg(
@@ -1125,7 +1129,7 @@ def j_range_session_errors(spark, sf_dir):
     return j.select(
         "user_id",
         "error_id",
-        F.floor(F.col("s_start") / 1e9).cast("bigint").alias("session_start"),
+        F.expr("s_start div 1000000000").cast("bigint").alias("session_start"),
         F.round((F.col("ts") - F.col("s_start")) / 1e9, 6).alias("offset_s"),
     )
 
@@ -1804,8 +1808,8 @@ def st_sessionize(spark, sf_dir):
     return (
         sess.groupBy("user_id", "__sess")
         .agg(
-            F.floor(F.min("ts") / 1e9).cast("bigint").alias("session_start"),
-            F.floor(F.max("ts") / 1e9).cast("bigint").alias("session_end"),
+            F.expr("min(ts) div 1000000000").cast("bigint").alias("session_start"),
+            F.expr("max(ts) div 1000000000").cast("bigint").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
@@ -4793,8 +4797,13 @@ def rec_copurchase(spark, sf_dir):
 
 
 REC_COPURCHASE_SQL = """
-WITH items AS (
+WITH raw AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  -- mirrors operators/baskets.py basket_cap: baskets with more than
+  -- 10000 distinct items are dropped BEFORE pairing AND before the
+  -- lift denominators (denominators describe the pairing population)
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
 ), tot AS (
   SELECT i, count(*)::BIGINT AS n FROM items GROUP BY i
 ), nb AS (

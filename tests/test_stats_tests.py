@@ -332,3 +332,85 @@ def test_scd2_merge_null_safe_attr_compare(spark):
     out = scd2_merge(current, updates, "k", ["name"], 200).collect()
     # NULL == NULL must be UNCHANGED (eqNullSafe), not a new version
     assert len(out) == 1 and out[0]["valid_to"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-7 ADVICE regression tests
+# ---------------------------------------------------------------------------
+def test_chi2_degenerate_input_null_guarded(spark):
+    """Empty input (or all-null in either column) returns the
+    NULL-guarded (0, 0, NULL, NULL) row — the mannwhitney/ks
+    convention — instead of crashing on the scalar probe."""
+    empty = spark.createDataFrame([], "a string, b string")
+    row = chi2_independence(empty, "a", "b").first()
+    assert (row["n"], row["dof"]) == (0, 0)
+    assert row["chi2"] is None and row["cramers_v"] is None
+
+    all_null = spark.createDataFrame(
+        [("x", None), (None, "y")], "a string, b string"
+    )
+    row = chi2_independence(all_null, "a", "b").first()
+    assert (row["n"], row["dof"]) == (0, 0)
+
+
+def test_mannwhitney_rank_sum_is_decimal_exact(spark):
+    """The N²-scaling rank-sum accumulation must run in decimal(38,0)
+    (exact, order-independent, mirrors DuckDB's SUM(BIGINT)→HUGEINT),
+    never a silently-wrapping int64 — asserted on the analyzed plan's
+    aggregate expressions."""
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, False), (2.0, True)], "v double, g boolean"
+    )
+    out = mannwhitney_u(df, "v", "g")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in plan
+
+
+def test_cohort_bucket_boundary_is_integer_exact(spark):
+    """Epoch-ns one tick below a period boundary must land in the
+    EARLIER bucket: floor(bigint/bigint) runs as double division and
+    epoch-ns (~1.7e18) exceeds 2^53, so a ts within ~128 ns of the
+    boundary could round across it. The operators bucket with integer
+    `div` (matching the oracles' integer //)."""
+    from mdataframe_spark.operators.events import cohort_retention
+
+    day_ns = 86400 * NS
+    # a realistic 2024-era epoch where double rounding bites:
+    # k*day_ns - 1 is NOT representable as a double (1.7e18 > 2^53)
+    k = 19_900
+    rows = [
+        (1, (k * day_ns) - 1),  # one tick before the boundary
+        (1, k * day_ns),        # exactly on it
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint")
+    out = {
+        r["offset_periods"]: r["active_users"]
+        for r in cohort_retention(df).collect()
+    }
+    # two DIFFERENT buckets: cohort day k-1 (offset 0) and day k (offset 1)
+    assert out == {0: 1, 1: 1}
+
+
+def test_co_occurrence_lift_denominators_from_capped_population(spark):
+    """When a basket exceeds basket_cap it is dropped BEFORE pairing —
+    and the lift denominators (n_baskets, item totals) must describe
+    that same capped population, not the raw frame (raw denominators
+    systematically deflate lift)."""
+    from mdataframe_spark.operators.baskets import co_occurrence_pairs
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    # basket 3 is a mega-basket over the cap: items c0..c4 plus a, b
+    rows += [(3, f"c{i}") for i in range(5)] + [(3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in co_occurrence_pairs(
+            df, "basket", "item", min_count=2, basket_cap=4
+        ).collect()
+    }
+    r = got[("a", "b")]
+    # capped population: baskets {1, 2} only → n=2, n_a=n_b=2, co=2
+    assert (r["n_co"], r["n_a"], r["n_b"]) == (2, 2, 2)
+    # lift = N·co/(n_a·n_b) = 2·2/(2·2) = 1.0 — raw denominators would
+    # have produced 3·2/(3·3) ≈ 0.667
+    assert r["lift"] == 1.0
