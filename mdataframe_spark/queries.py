@@ -5889,16 +5889,12 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
     "j_generic_join_q3": j_generic_join_q3,
-    "j1_annotation_join": j1_annotation_join,
     "j_q5_multijoin": j_q5_multijoin,
-    "sq_correlated": sq_correlated,
     "w1_bh_fdr": w1_bh_fdr,
     "st_events_window": st_events_window,
     "st_sessionize": st_sessionize,
-    "txt_winnow_overlap": txt_winnow_overlap,
     "dd_exact_dedup": dd_exact_dedup,
     "n_cpm_log2": n_cpm_log2,
-    "txt_lang_id": txt_lang_id,
     "txt_c4_clean": txt_c4_clean,
     "txt_bm25_topk": txt_bm25_topk,
     "txt_kn_bigram_lm": txt_kn_bigram_lm,
@@ -5908,19 +5904,13 @@ QUERIES = {
     "ds_leakage_safe_split": ds_leakage_safe_split,
     "ml_logreg_suffstats": ml_logreg_suffstats,
     "dd_minhash_lsh": dd_minhash_lsh,
-    "dd_ngram_jaccard": dd_ngram_jaccard,
-    "dd_simhash_pairs": dd_simhash_pairs,
     "dd_substring_spans": dd_substring_spans,
     "dd_semantic_dedup": dd_semantic_dedup,
-    "mm_features": mm_features,
-    "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_recall": sim_ann_recall,
     "stat_tmm_cpm": stat_tmm_cpm,
     "dd_embedding_neardup": dd_embedding_neardup,
-    "stat_noiseq_md": stat_noiseq_md,
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
     "ml_dbscan_classes": ml_dbscan_classes,
-    "ml_pca_embed": ml_pca_embed,
     "stat_vst": stat_vst,
     "stat_edger_norm": stat_edger_norm,
     "stat_deseq2_base": stat_deseq2_base,
@@ -5934,6 +5924,18 @@ QUERIES = {
     "ds_bootstrap_ci": ds_bootstrap_ci,
     "dim_scd2_merge": dim_scd2_merge,
     "dd_fuzzy_match": dd_fuzzy_match,
+    # --- rotated in round 7 (driver records for the round-6
+    # continuation waves) ---
+    "rec_copurchase": rec_copurchase,
+    "txt_pmi_collocations": txt_pmi_collocations,
+    "e_cohort_retention": e_cohort_retention,
+    "e_rate_anomaly": e_rate_anomaly,
+    "stat_mannwhitney_u": stat_mannwhitney_u,
+    "dq_expectations": dq_expectations,
+    "dq_histogram": dq_histogram,
+    "e_period_over_period": e_period_over_period,
+    "ds_dsir_select": ds_dsir_select,
+    "txt_quality_gate": txt_quality_gate,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
     "stat_edger_exact_test": stat_edger_exact_test,
     "stat_deseq2": stat_deseq2,
@@ -6002,7 +6004,6 @@ EXTRA_QUERIES = {
     "txt_quality": txt_quality,
     "w2_rank_window": w2_rank_window,
     # --- new in round 6 ---
-    "ds_dsir_select": ds_dsir_select,
     "txt_chunk_windows": txt_chunk_windows,
     "txt_ccnet_buckets": txt_ccnet_buckets,
     "txt_char_entropy": txt_char_entropy,
@@ -6011,7 +6012,6 @@ EXTRA_QUERIES = {
     "sim_centroid_outliers": sim_centroid_outliers,
     "txt_zipf_fit": txt_zipf_fit,
     "dd_corpus_diff": dd_corpus_diff,
-    "txt_quality_gate": txt_quality_gate,
     "io_tsv_roundtrip": io_tsv_roundtrip,
     "io_jsonl_roundtrip": io_jsonl_roundtrip,
     "io_checkpoint_roundtrip": io_checkpoint_roundtrip,
@@ -6020,20 +6020,24 @@ EXTRA_QUERIES = {
     "ds_negative_samples": ds_negative_samples,
     # --- evaluation & observability wave (round 6 continuation) ---
     "ml_calibration": ml_calibration,
-    "e_cohort_retention": e_cohort_retention,
-    "e_rate_anomaly": e_rate_anomaly,
     "ds_group_topk": ds_group_topk,
     "dq_key_skew": dq_key_skew,
     "txt_source_kl": txt_source_kl,
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
-    "stat_mannwhitney_u": stat_mannwhitney_u,
     "e_moving_stats": e_moving_stats,
-    "dq_histogram": dq_histogram,
-    "dq_expectations": dq_expectations,
-    "e_period_over_period": e_period_over_period,
-    "rec_copurchase": rec_copurchase,
-    "txt_pmi_collocations": txt_pmi_collocations,
+    # --- rotated out of the driver registry in round 7 (driver-green
+    # r1-r6; same oracle protocol in-repo from here on) ---
+    "txt_winnow_overlap": txt_winnow_overlap,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "mm_features": mm_features,
+    "stat_noiseq_md": stat_noiseq_md,
+    "ml_pca_embed": ml_pca_embed,
+    "txt_lang_id": txt_lang_id,
+    "j1_annotation_join": j1_annotation_join,
+    "sq_correlated": sq_correlated,
+    "sim_cosine_topk": sim_cosine_topk,
 }
 
 
@@ -6066,16 +6070,12 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "f1_filter_dsl": F1_SQL,
     "j_generic_join_q3": J_Q3_SQL,
-    "j1_annotation_join": J1_SQL,
     "j_q5_multijoin": J_Q5_SQL,
-    "sq_correlated": SQ_CORR_SQL,
     "w1_bh_fdr": W1_SQL,
     "st_events_window": ST_WINDOW_SQL,
     "st_sessionize": ST_SESSION_SQL,
-    "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_exact_dedup": DD_EXACT_SQL,
     "n_cpm_log2": N_CPM_SQL,
-    "txt_lang_id": TXT_LANG_SQL,
     "txt_c4_clean": TXT_C4_SQL,
     "txt_bm25_topk": TXT_BM25_SQL,
     "txt_kn_bigram_lm": TXT_KN_BIGRAM_SQL,
@@ -6087,15 +6087,9 @@ ORACLES = {
     "dd_substring_spans": DD_SUBSTR_SQL,
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
     "dd_minhash_lsh": DD_MINHASH_SQL,
-    "dd_ngram_jaccard": DD_JACCARD_SQL,
-    "dd_simhash_pairs": DD_SIMHASH_SQL,
-    "mm_features": MM_FEATURES_SQL,
-    "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_ann_recall": SIM_ANN_SQL,
     "stat_tmm_cpm": STAT_TMM_SQL,
-    "ml_pca_embed": ML_PCA_SQL,
     "dd_embedding_neardup": DD_EMB_NEARDUP_SQL,
-    "stat_noiseq_md": STAT_NOISEQ_MD_SQL,
     "ml_kmeans_lloyd": ML_KMEANS_SQL,
     "ml_dbscan_classes": ML_DBSCAN_SQL,
     "stat_vst": STAT_VST_SQL,
@@ -6111,6 +6105,16 @@ ORACLES = {
     "ds_bootstrap_ci": DS_BOOTSTRAP_SQL,
     "dim_scd2_merge": DIM_SCD2_SQL,
     "dd_fuzzy_match": DD_FUZZY_SQL,
+    "rec_copurchase": REC_COPURCHASE_SQL,
+    "txt_pmi_collocations": TXT_PMI_SQL,
+    "e_cohort_retention": E_COHORT_SQL,
+    "e_rate_anomaly": E_ANOMALY_SQL,
+    "stat_mannwhitney_u": STAT_MWU_SQL,
+    "dq_expectations": DQ_EXPECTATIONS_SQL,
+    "dq_histogram": DQ_HISTOGRAM_SQL,
+    "e_period_over_period": E_POP_SQL,
+    "ds_dsir_select": DS_DSIR_SQL,
+    "txt_quality_gate": TXT_GATE_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent. Their
     # numeric parity is asserted against the reference's R goldens in
@@ -6175,7 +6179,6 @@ EXTRA_ORACLES = {
     "txt_quality": TXT_QUALITY_SQL,
     "w2_rank_window": W2_SQL,
     # --- new in round 6 ---
-    "ds_dsir_select": DS_DSIR_SQL,
     "txt_chunk_windows": TXT_CHUNK_SQL,
     "txt_ccnet_buckets": TXT_CCNET_SQL,
     "txt_char_entropy": TXT_ENTROPY_SQL,
@@ -6184,7 +6187,6 @@ EXTRA_ORACLES = {
     "sim_centroid_outliers": SIM_CENTROID_SQL,
     "txt_zipf_fit": TXT_ZIPF_SQL,
     "dd_corpus_diff": DD_DIFF_SQL,
-    "txt_quality_gate": TXT_GATE_SQL,
     "io_tsv_roundtrip": IO_RT_SQL,
     "io_jsonl_roundtrip": IO_RT_SQL,
     "io_checkpoint_roundtrip": IO_CKPT_SQL,
@@ -6193,18 +6195,21 @@ EXTRA_ORACLES = {
     "ds_negative_samples": DS_NEG_SQL,
     # --- evaluation & observability wave (round 6 continuation) ---
     "ml_calibration": ML_CALIBRATION_SQL,
-    "e_cohort_retention": E_COHORT_SQL,
-    "e_rate_anomaly": E_ANOMALY_SQL,
     "ds_group_topk": DS_GROUP_TOPK_SQL,
     "dq_key_skew": DQ_KEY_SKEW_SQL,
     "txt_source_kl": TXT_SOURCE_KL_SQL,
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
-    "stat_mannwhitney_u": STAT_MWU_SQL,
     "e_moving_stats": E_MOVING_SQL,
-    "dq_histogram": DQ_HISTOGRAM_SQL,
-    "dq_expectations": DQ_EXPECTATIONS_SQL,
-    "e_period_over_period": E_POP_SQL,
-    "rec_copurchase": REC_COPURCHASE_SQL,
-    "txt_pmi_collocations": TXT_PMI_SQL,
+    # --- rotated out of the driver registry in round 7 ---
+    "txt_winnow_overlap": TXT_WINNOW_SQL,
+    "dd_ngram_jaccard": DD_JACCARD_SQL,
+    "dd_simhash_pairs": DD_SIMHASH_SQL,
+    "mm_features": MM_FEATURES_SQL,
+    "stat_noiseq_md": STAT_NOISEQ_MD_SQL,
+    "ml_pca_embed": ML_PCA_SQL,
+    "txt_lang_id": TXT_LANG_SQL,
+    "j1_annotation_join": J1_SQL,
+    "sq_correlated": SQ_CORR_SQL,
+    "sim_cosine_topk": SIM_TOPK_SQL,
 }
