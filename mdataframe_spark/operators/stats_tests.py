@@ -11,22 +11,91 @@ these are native distributed plans).
 Every statistic here reduces the corpus to a model-sized table in ONE
 partial-aggregated pass (contingency cells, distinct-value rank
 blocks) and derives the result from exact integer sums, so any SQL
-engine replays the arithmetic bit-for-bit. P-values are deliberately
-NOT emitted: their special functions (igamma/erfc/Kolmogorov Q) have
-no cross-engine-exact form — callers threshold the statistic or z
-directly, as monitoring systems do.
+engine replays the arithmetic bit-for-bit.
+
+P-values (``with_p=True``, the default) ride OUTSIDE the hashed
+oracle column set: their special functions (igamma/erfc/Kolmogorov Q,
+functions/numerics.py) have no cross-engine-exact form, so the
+registered oracle queries pass ``with_p=False`` and the p columns are
+instead pinned to independent closed-form computations in
+tests/test_stats_tests.py (documented tolerance 1e-6 — the p is an
+Arrow-batched evaluation over the already-one-row result, rounded to
+6 dp). The reference ships p/FDR for its whole differential suite
+(reference src/mdataframe/differential.py:26-48); a monitoring battery
+without p-values makes every user reimplement them.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _chi2_p(chi2_col, dof_col):
+    """Upper-tail chi-square p = Q(dof/2, chi2/2) as an Arrow-batched
+    expression (runs over the single aggregated row)."""
+
+    @F.pandas_udf("double")
+    def _p(chi2: pd.Series, dof: pd.Series) -> pd.Series:
+        from ..functions.numerics import pgamma
+
+        def one(c, d):
+            if c is None or d is None or pd.isna(c) or d <= 0:
+                return None
+            return round(
+                float(pgamma(float(c), shape=float(d) / 2.0, scale=2.0,
+                             lower_tail=False)),
+                6,
+            )
+
+        return pd.Series(
+            [one(c, d) for c, d in zip(chi2, dof)], dtype="float64"
+        )
+
+    return _p(chi2_col, dof_col)
+
+
+def _z_p(z_col):
+    """Two-sided normal p = 2·Φ(−|z|), Arrow-batched."""
+
+    @F.pandas_udf("double")
+    def _p(z: pd.Series) -> pd.Series:
+        from ..functions.numerics import pnorm
+
+        def one(v):
+            if v is None or pd.isna(v):
+                return None
+            return round(float(2.0 * pnorm(-abs(float(v)))), 6)
+
+        return pd.Series([one(v) for v in z], dtype="float64")
+
+    return _p(z_col)
+
+
+def _ks_p(stat_col):
+    """Asymptotic KS p = Q_Kolmogorov(λ) at λ = sqrt(n_eff)·D,
+    Arrow-batched."""
+
+    @F.pandas_udf("double")
+    def _p(lam: pd.Series) -> pd.Series:
+        from ..functions.numerics import pkolmogorov
+
+        def one(v):
+            if v is None or pd.isna(v):
+                return None
+            return round(float(pkolmogorov(float(v))[0]), 6)
+
+        return pd.Series([one(v) for v in lam], dtype="float64")
+
+    return _p(stat_col)
 
 
 def chi2_independence(
     df: DataFrame,
     col_a: str,
     col_b: str,
+    with_p: bool = True,
 ) -> DataFrame:
     """Pearson chi-square statistic of independence between two
     categorical columns, with Cramér's V effect size.
@@ -51,16 +120,19 @@ def chi2_independence(
     row = cells.agg(F.sum("__o").alias("__n")).first()
     n = row["__n"] or 0
     if n == 0:
-        return df.sparkSession.range(1).select(
+        out = df.sparkSession.range(1).select(
             F.lit(0).cast("bigint").alias("n"),
             F.lit(0).cast("bigint").alias("dof"),
             F.lit(None).cast("double").alias("chi2"),
             F.lit(None).cast("double").alias("cramers_v"),
         )
+        if with_p:
+            out = out.withColumn("p_value", F.lit(None).cast("double"))
+        return out
     joined = cells.join(F.broadcast(rt), "__a").join(F.broadcast(ct), "__b")
     e = (F.col("__r") / F.lit(float(n))) * F.col("__c")
     term = (F.col("__o") - e) * (F.col("__o") - e) / e
-    return joined.agg(
+    agged = joined.agg(
         F.lit(n).cast("bigint").alias("n"),
         (
             (F.countDistinct("__a") - 1) * (F.countDistinct("__b") - 1)
@@ -88,6 +160,11 @@ def chi2_independence(
             6,
         ).alias("cramers_v"),
     )
+    if with_p:
+        agged = agged.withColumn(
+            "p_value", _chi2_p(F.col("chi2"), F.col("dof"))
+        )
+    return agged
 
 
 def _rank_blocks(df: DataFrame, value_col: str, flag):
@@ -109,6 +186,7 @@ def mannwhitney_u(
     df: DataFrame,
     value_col: str,
     group_col: str,
+    with_p: bool = True,
 ) -> DataFrame:
     """Tie-corrected Mann-Whitney U (Wilcoxon rank-sum): does the
     boolean ``group_col`` split ``value_col`` into stochastically
@@ -165,18 +243,22 @@ def mannwhitney_u(
         / 12.0
         * ((n + 1) - F.col("__ties") / (n.cast("double") * (n - 1))),
     )
-    return acc.select(
+    out = acc.select(
         n1,
         n2,
         F.round(u1, 1).alias("u1"),
         F.round(F.when(var > 0, (u1 - mu) / F.sqrt(var)), 6).alias("z"),
     )
+    if with_p:
+        out = out.withColumn("p_value", _z_p(F.col("z")))
+    return out
 
 
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
     group_col: str,
+    with_p: bool = True,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D: the max gap between the two
     empirical CDFs — THE distribution-drift test for continuous
@@ -209,7 +291,7 @@ def ks_two_sample(
     # the n1·n2 product is computed in DOUBLE on both engines: int64
     # would overflow near 10^10 rows per group
     n1d = F.first("__n1").cast("double")
-    return blocks.crossJoin(F.broadcast(tot)).agg(
+    out = blocks.crossJoin(F.broadcast(tot)).agg(
         F.first("__n1").alias("n1"),
         F.first("__n2").alias("n2"),
         F.round(F.max(gap), 6).alias("d"),
@@ -221,3 +303,6 @@ def ks_two_sample(
             6,
         ).alias("ks_stat"),
     )
+    if with_p:
+        out = out.withColumn("p_value", _ks_p(F.col("ks_stat")))
+    return out

@@ -5202,8 +5202,12 @@ def stat_chi2_independence(spark, sf_dir):
     multiplying so nothing overflows at corpus scale."""
     from .operators.stats_tests import chi2_independence
 
+    # with_p=False: the companion p_value column has no cross-engine-
+    # exact SQL form (igamma), so it stays outside the hashed oracle
+    # set — pinned instead to independent closed forms in
+    # tests/test_stats_tests.py
     return chi2_independence(
-        _t(spark, sf_dir, "documents"), "lang", "source"
+        _t(spark, sf_dir, "documents"), "lang", "source", with_p=False
     )
 
 
@@ -5242,7 +5246,9 @@ def stat_mannwhitney_u(spark, sf_dir):
     e = _events(spark, sf_dir).withColumn(
         "is_purchase", F.col("event_type") == "purchase"
     )
-    return mannwhitney_u(e, "value", "is_purchase")
+    # with_p=False: p_value rides outside the hashed set (see
+    # stat_chi2_independence)
+    return mannwhitney_u(e, "value", "is_purchase", with_p=False)
 
 
 STAT_MWU_SQL = """
@@ -5287,7 +5293,9 @@ def stat_ks_two_sample(spark, sf_dir):
     e = _events(spark, sf_dir).withColumn(
         "is_error", F.col("event_type") == "error"
     )
-    return ks_two_sample(e, "value", "is_error")
+    # with_p=False: p_value rides outside the hashed set (see
+    # stat_chi2_independence)
+    return ks_two_sample(e, "value", "is_error", with_p=False)
 
 
 STAT_KS_SQL = """

@@ -414,3 +414,75 @@ def test_co_occurrence_lift_denominators_from_capped_population(spark):
     # lift = N·co/(n_a·n_b) = 2·2/(2·2) = 1.0 — raw denominators would
     # have produced 3·2/(3·3) ≈ 0.667
     assert r["lift"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# companion p-values (round 7): pinned to INDEPENDENT closed forms —
+# stdlib math.erfc and direct theta-series loops, not the numerics
+# module the operators call
+# ---------------------------------------------------------------------------
+def test_chi2_p_value_closed_form(spark):
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = chi2_independence(df, "a", "b").first()
+    # dof = 1: survival = erfc(sqrt(chi2/2)) exactly
+    expect = math.erfc(math.sqrt(got["chi2"] / 2.0))
+    assert got["p_value"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_chi2_p_value_dof2_exponential_form(spark):
+    # 2x3 table → dof = 2: survival = exp(-chi2/2) exactly
+    rows = (
+        [("x", "p")] * 5 + [("x", "q")] * 9 + [("x", "r")] * 14
+        + [("y", "p")] * 16 + [("y", "q")] * 8 + [("y", "r")] * 3
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = chi2_independence(df, "a", "b").first()
+    assert got["dof"] == 2
+    assert got["p_value"] == pytest.approx(
+        math.exp(-got["chi2"] / 2.0), abs=2e-6
+    )
+
+
+def test_mannwhitney_p_value_two_sided_normal(spark):
+    rows = [(float(v), v % 3 == 0) for v in range(40)]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    got = mannwhitney_u(df, "v", "g").first()
+    expect = math.erfc(abs(got["z"]) / math.sqrt(2.0))
+    assert got["p_value"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_ks_p_value_theta_series(spark):
+    rows = [(float(v), v % 2 == 0) for v in range(30)] + [
+        (float(v) + 7.5, False) for v in range(12)
+    ]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    got = ks_two_sample(df, "v", "g").first()
+    lam = got["ks_stat"]
+    # independent evaluation: pick the representation by magnitude
+    if lam >= 1.18:
+        expect = 2.0 * sum(
+            (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+            for k in range(1, 60)
+        )
+    else:
+        expect = 1.0 - (math.sqrt(2.0 * math.pi) / lam) * sum(
+            math.exp(-((2 * k - 1) ** 2) * math.pi**2 / (8.0 * lam * lam))
+            for k in range(1, 20)
+        )
+    assert got["p_value"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_p_values_excluded_from_registered_oracle_queries(spark):
+    """The driver hash compares every output column, and the special
+    functions have no cross-engine-exact form: the registered queries
+    must NOT emit p_value."""
+    from mdataframe_spark.queries import QUERIES
+
+    for name in (
+        "stat_chi2_independence", "stat_mannwhitney_u", "stat_ks_two_sample"
+    ):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert "p_value" not in df.columns, name
