@@ -4,20 +4,165 @@ Engine extension for multimodal training data. The convention: media
 lives in a ``binary`` column, typed metadata (modality, codec, shape)
 in sibling columns or a struct. Cheap byte-level operations (length,
 content hash, magic-byte sniffing) are pure column expressions; the
-decode/feature-extract path is Arrow-batched ``mapInPandas`` with a
-STUBBED decoder (image/audio libraries are not in this container) —
-the Spark-side plumbing (schema, batching, partition shape) is real
-and tested; swap `_decode_stub` for a real decoder in production.
+decode/feature-extract path is Arrow-batched ``mapInPandas``.
+
+Decoders: PNG is decoded FOR REAL, stdlib-only (zlib/struct — chunk
+walk with CRC32 validation, IHDR parse, full IDAT inflate + scanline
+unfiltering for 8-bit gray/RGB/RGBA, per-channel pixel means as
+features; ``encode_png`` synthesizes real files for fixtures). Other
+media formats (JPEG/audio/video codecs need external libraries absent
+from this container) fall back to the deterministic byte-sum feature
+path, which is also the documented behavior for non-media payloads.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color_type -> samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib/struct): 8-bit depth,
+    non-interlaced; ``pixels`` is row-major samples
+    (width*height*channels bytes). Produces spec-valid files any PNG
+    reader accepts — used to synthesize fixture media."""
+    ch = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError(
+            f"pixels must be width*height*{ch} bytes, got {len(pixels)}"
+        )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse the per-scanline filters (PNG spec §9: None/Sub/Up/
+    Average/Paeth) — the real decode step, byte-exact."""
+    stride = width * ch
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for r in range(height):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r * stride : (r + 1) * stride] = line
+        prev = line
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL stdlib PNG decoder: validates the signature, walks chunks
+    verifying every CRC32, parses IHDR, inflates IDAT and reverses the
+    scanline filters. Supports the dominant training-data shape (8-bit
+    depth, non-interlaced, gray/gray+alpha/RGB/RGBA); palette/16-bit/
+    interlaced raise ValueError (honestly unsupported, not silently
+    wrong). Returns {width, height, bit_depth, color_type, channels,
+    pixels: bytearray}.
+    """
+    if payload is None or not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    idat = b""
+    saw_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace}): only 8-bit non-interlaced "
+                    f"gray/RGB/alpha variants are decoded"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard compression/filter method")
+            ihdr = (w, h, depth, ctype)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if not saw_iend:
+        raise ValueError("truncated PNG: no IEND chunk")
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype = ihdr
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": ctype,
+        "channels": ch,
+        "pixels": _png_unfilter(raw, w, h, ch),
+    }
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -62,11 +207,11 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(payload: bytes, dim: int = 8) -> list:
-    """Deterministic fake feature extraction (STUB — no media libs in
-    this container). Produces a stable ``dim``-dim vector from strided
-    byte sums so tests are reproducible. Replace with a real decoder
-    (PIL/torchaudio/ffmpeg) in production.
+def _byte_sum_features(payload: bytes, dim: int = 8) -> list:
+    """Deterministic byte-sum features — the fallback for payloads
+    that are not a decodable media format (and for text payloads,
+    where byte statistics ARE the signal). Stable ``dim``-dim vector
+    from strided byte sums.
 
     The accumulator is an INTEGER byte sum (exact in float64 up to 2^53),
     so the result is independent of summation order and reproducible
@@ -82,12 +227,49 @@ def _decode_stub(payload: bytes, dim: int = 8) -> list:
     return [round(a / 255.0 / n * dim, 9) for a in acc]
 
 
+def _png_features(payload: bytes, dim: int = 8) -> list:
+    """REAL image features from a decoded PNG: [width, height,
+    channels, overall mean/255, per-channel means/255 (up to 4,
+    zero-padded)], truncated/padded to ``dim``. Means come from exact
+    integer pixel sums (order-independent, engine-portable)."""
+    img = decode_png(payload)
+    px, ch = img["pixels"], img["channels"]
+    n_px = img["width"] * img["height"]
+    csum = [0] * ch
+    for i, b in enumerate(px):
+        csum[i % ch] += b
+    feats = [
+        float(img["width"]),
+        float(img["height"]),
+        float(ch),
+        round(sum(csum) / 255.0 / max(n_px * ch, 1), 9),
+    ]
+    for c in range(4):
+        feats.append(
+            round(csum[c] / 255.0 / max(n_px, 1), 9) if c < ch else 0.0
+        )
+    return (feats + [0.0] * dim)[:dim]
+
+
+def decode_features(payload: bytes, dim: int = 8) -> list:
+    """Per-payload dispatch: PNG magic → real decode (CRC-validated,
+    unfiltered pixel means); anything else → byte-sum fallback."""
+    if payload is None:
+        return None
+    if payload.startswith(PNG_MAGIC):
+        return _png_features(payload, dim)
+    return _byte_sum_features(payload, dim)
+
+
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over media payloads.
 
     mapInPandas: each Arrow batch of (media_id, payload) becomes
     (media_id, n_bytes, feature) — the real distributed decode shape.
-    Executor-parallel; batch size bounded by Arrow's maxRecordsPerBatch.
+    Executor-parallel; batch size bounded by Arrow's
+    maxRecordsPerBatch. PNG payloads are decoded for real
+    (:func:`decode_png`); other payloads take the deterministic
+    byte-sum path.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -98,7 +280,9 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else None
                     ),
-                    "feature": pdf["payload"].map(lambda p: _decode_stub(p, dim)),
+                    "feature": pdf["payload"].map(
+                        lambda p: decode_features(p, dim)
+                    ),
                 }
             )
 

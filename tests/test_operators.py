@@ -1912,3 +1912,138 @@ def test_read_xlsx_rows_handles_shared_strings_and_gaps(tmp_path):
     header, rows = read_xlsx_rows(str(path))
     assert header == ["ca", "cb", "cc"]
     assert rows == [[None, True, 2.5], [7, None, None]]
+
+
+# ---------------------------------------------------------------------------
+# round 7: REAL stdlib PNG decoder (multimodal decode is no longer a
+# stub for PNG payloads)
+# ---------------------------------------------------------------------------
+def _filter_scanlines(pixels, width, height, ch, ftype):
+    """INDEPENDENT forward PNG filtering (spec §9) written in the test,
+    so decode_png's unfilter is checked against a second
+    implementation, not itself."""
+    stride = width * ch
+    out = b""
+    prev = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride:(r + 1) * stride]
+        f = bytearray([ftype])
+        for i in range(stride):
+            x = line[i]
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = (x - a) & 0xFF
+            elif ftype == 2:
+                v = (x - b) & 0xFF
+            elif ftype == 3:
+                v = (x - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pr) & 0xFF
+            f.append(v)
+        out += bytes(f)
+        prev = line
+    return out
+
+
+def test_png_roundtrip_all_color_types():
+    from mdataframe_spark.operators.multimodal import decode_png, encode_png
+
+    for ctype, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 7, 5
+        px = bytes((i * 37 + ctype * 11) % 256 for i in range(w * h * ch))
+        img = decode_png(encode_png(w, h, px, color_type=ctype))
+        assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+        assert img["bit_depth"] == 8
+        assert bytes(img["pixels"]) == px
+
+
+def test_png_unfilter_against_independent_forward_filter():
+    """Hand-assemble PNGs whose IDAT uses each filter type (the stdlib
+    encoder only emits filter 0, so this is the only way the
+    Sub/Up/Average/Paeth branches get real coverage)."""
+    import struct
+    import zlib
+
+    from mdataframe_spark.operators.multimodal import PNG_MAGIC, decode_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    w, h, ch, ctype = 6, 4, 3, 2
+    px = bytes((i * 113 + 29) % 256 for i in range(w * h * ch))
+    for ftype in (0, 1, 2, 3, 4):
+        raw = _filter_scanlines(px, w, h, ch, ftype)
+        payload = (
+            PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        img = decode_png(payload)
+        assert bytes(img["pixels"]) == px, f"filter {ftype}"
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from mdataframe_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(4, 3, bytes(range(12)), color_type=0)
+    # flip one IDAT byte -> CRC must catch it
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + good)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    # 16-bit depth is honestly unsupported
+    deep = bytearray(good)
+    ihdr_at = good.index(b"IHDR")
+    deep[ihdr_at + 12] = 16
+    data = bytes(deep[ihdr_at : ihdr_at + 17])
+    import zlib as _zlib
+    crc = _zlib.crc32(data) & 0xFFFFFFFF
+    deep[ihdr_at + 17 : ihdr_at + 21] = struct.pack(">I", crc)
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(deep))
+
+
+def test_extract_features_real_png_and_text_mixed(spark):
+    """extract_features dispatches per payload: real PNG decode for
+    PNG bytes (width/height/channel means from unfiltered pixels),
+    byte-sum fallback for text — in ONE Arrow-batched pass."""
+    from mdataframe_spark.operators.multimodal import (
+        _byte_sum_features,
+        encode_png,
+        extract_features,
+    )
+
+    w, h = 8, 4
+    gray = bytes((i * 5) % 256 for i in range(w * h))
+    png = encode_png(w, h, gray, color_type=0)
+    txt = b"hello multimodal world"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(txt)), (3, None)],
+        "media_id bigint, payload binary",
+    )
+    got = {r["media_id"]: r for r in extract_features(df, dim=8).collect()}
+    f1 = got[1]["feature"]
+    assert f1[0] == float(w) and f1[1] == float(h) and f1[2] == 1.0
+    expect_mean = round(sum(gray) / 255.0 / (w * h), 9)
+    assert f1[3] == expect_mean and f1[4] == expect_mean
+    assert got[1]["n_bytes"] == len(png)
+    assert list(got[2]["feature"]) == _byte_sum_features(txt, 8)
+    assert got[3]["feature"] is None and got[3]["n_bytes"] is None
