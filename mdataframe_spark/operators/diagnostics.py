@@ -135,3 +135,160 @@ def expectations(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
         (F.col("__n") - F.col("passed")).cast("bigint").alias("failed"),
         F.round(F.col("passed") / F.col("__n"), 6).alias("pass_rate"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier summary via median/MAD — the
+    drift-resistant alternative to mean/std z-scoring (a single wild
+    batch inflates a std enough to hide itself; the median and MAD
+    have a 50% breakdown point). Flags |x − med| > k·1.4826·MAD
+    (1.4826 makes MAD a consistent σ estimator under normality;
+    k = 3.5 is the conventional Iglewicz-Hoban cut).
+
+    Plan shape: one per-group median aggregation (exact ``percentile``
+    — the f13_impute_median precedent, interpolation-matched to
+    DuckDB's quantile_cont), broadcast back; one per-group MAD
+    aggregation over |x − med|; one counting pass. Output is
+    groups-bounded. med/MAD are rounded (6 dp) BEFORE the threshold
+    comparison so both engines compare against identical on-grid
+    constants. Degenerate groups (MAD = 0: over half the values
+    identical) report NULL rate and zero outliers rather than flagging
+    everything off-median.
+    """
+    g = F.col(group_col) if group_col else F.lit("all")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        g.alias("grp"), F.col(value_col).cast("double").alias("__v")
+    )
+    med = base.groupBy("grp").agg(
+        F.round(F.expr("percentile(__v, 0.5)"), 6).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    from ..cache import persist_tracked as _persist_tracked
+
+    # dev feeds both the MAD aggregation and the counting pass: pin it
+    # (3 narrow columns per row — columnar-cheap) so the scan + median
+    # join run once
+    dev = _persist_tracked(
+        base.join(F.broadcast(med), "grp").withColumn(
+            "__ad", F.abs(F.col("__v") - F.col("med"))
+        )
+    )
+    mad = dev.groupBy("grp").agg(
+        F.round(F.expr("percentile(__ad, 0.5)"), 6).alias("mad")
+    )
+    cut = F.lit(float(k)) * 1.4826 * F.col("mad")
+    flagged = (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0) & (F.col("__ad") > cut), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        "grp",
+        "n",
+        "med",
+        "mad",
+        "n_outliers",
+        F.round(
+            F.when(F.col("mad") > 0, F.col("n_outliers") / F.col("n")), 6
+        ).alias("outlier_rate"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): every row's quasi-identifier
+    combination should be shared by at least ``k`` rows; re-identified
+    rows are the ones in smaller equivalence classes. The release gate
+    a training-data pipeline runs AFTER pii_scrub — redaction removes
+    literal identifiers, this measures whether the remaining attribute
+    combinations still single people out.
+
+    Plan shape: ONE partial-agged groupBy over the quasi-identifier
+    tuple collapses the corpus to the equivalence-class table; the
+    summary is a second aggregation over that (classes-bounded) table.
+    All outputs are exact integers. Returns ONE row: (k, n_rows,
+    n_classes, min_class_size, n_classes_below_k, n_rows_at_risk,
+    at_risk_rate).
+    """
+    quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__cs"))
+    return g.agg(
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.sum("__cs").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__cs").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("__cs") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_classes_below_k"),
+        F.sum(F.when(F.col("__cs") < k, F.col("__cs")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("__cs") < k, F.col("__cs")).otherwise(0))
+            / F.sum("__cs"),
+            6,
+        ).alias("at_risk_rate"),
+    )
+
+
+def referential_integrity(edges) -> DataFrame:
+    """Foreign-key orphan audit over one or more FK edges: for each
+    ``(name, child_df, fk_col, parent_df, pk_col)``, count child rows
+    whose FK value exists nowhere in the parent's key set — the
+    join-loss diagnostic to run BEFORE an inner join silently drops
+    rows at scale.
+
+    Plan shape per edge: the parent's distinct key set is BROADCAST
+    (dimension tables are broadcastable by definition — if the parent
+    is corpus-sized the caller should flip the roles) and probed by a
+    single left join + conditional aggregation: n_child, n_null_fk
+    (NULL FKs are not orphans under SQL semantics; they are counted
+    separately), n_orphans, n_orphan_keys. Output: one row per edge.
+    """
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        keys = (
+            parent.select(F.col(pk).alias("__fk"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        j = child.select(F.col(fk).alias("__fk")).join(
+            F.broadcast(keys), "__fk", "left"
+        )
+        miss = F.col("__fk").isNotNull() & F.col("__hit").isNull()
+        outs.append(
+            j.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null_fk"),
+                F.sum(F.when(miss, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+                F.count_distinct(F.when(miss, F.col("__fk")))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

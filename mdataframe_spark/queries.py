@@ -5893,6 +5893,250 @@ FROM r, t WHERE rnk <= 20
 """
 
 
+def txt_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/text.py pii_scrub): chained
+    regexp_count/regexp_replace per kind, all codegen'd, zero shuffles
+    — a pure map over the scan at 100 TB. The synthetic corpus has no
+    PII, so deterministic spans (email/URL/IPv4/phone built from
+    doc_id) are injected first, mirrored in the oracle; the patterns
+    are lookahead-free so Java regex (Spark) and RE2 (DuckDB) match
+    identically, and the oracle replays the SAME sequential
+    scrub order (each kind counts on the previous kind's output)."""
+    from .operators.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" see https://ex.org/p/"), sid),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" node 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1 555-014"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("2 now"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(injected).select(
+        "doc_id",
+        "n_pii_email",
+        "n_pii_url",
+        "n_pii_ipv4",
+        "n_pii_phone",
+        "n_pii_total",
+        "text_scrubbed",
+    )
+
+
+TXT_PII_SCRUB_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' see https://ex.org/p/' || doc_id::VARCHAR
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' node 10.0.' || (doc_id % 256)::VARCHAR || '.7 up'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call +1 555-014' || (doc_id % 10)::VARCHAR || '2 now'
+            ELSE '' END AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t0,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+      AS n_pii_email,
+    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+  FROM inj
+), s2 AS (
+  SELECT doc_id, n_pii_email,
+    len(regexp_extract_all(t1, 'https?://[^\s]+'))::BIGINT AS n_pii_url,
+    regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_pii_email, n_pii_url,
+    len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT
+      AS n_pii_ipv4,
+    regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_pii_email, n_pii_url, n_pii_ipv4,
+    len(regexp_extract_all(t3, '\+?\d[\d\-\s()]{7,}\d'))::BIGINT
+      AS n_pii_phone,
+    regexp_replace(t3, '\+?\d[\d\-\s()]{7,}\d', '<PHONE>', 'g') AS t4
+  FROM s3
+)
+SELECT doc_id, n_pii_email, n_pii_url, n_pii_ipv4, n_pii_phone,
+       (n_pii_email + n_pii_url + n_pii_ipv4 + n_pii_phone)::BIGINT
+         AS n_pii_total,
+       t4 AS text_scrubbed
+FROM s4
+"""
+
+
+def dq_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier summary of event values per type
+    (operators/diagnostics.py robust_outliers): two exact-percentile
+    aggregations (the f13_impute_median interpolation-parity
+    precedent) broadcast back, one counting pass, groups-bounded
+    output; med/MAD rounded before the threshold compare so both
+    engines test identical on-grid constants. The events value column
+    is heavy-tailed (max deviation ~19 MAD at sf0.01), so the default
+    Iglewicz-Hoban cut genuinely fires — a fixture that exercises the
+    flagging arithmetic, not just the degenerate zero path."""
+    from .operators.diagnostics import robust_outliers
+
+    return robust_outliers(
+        _t(spark, sf_dir, "events"), "value",
+        group_col="event_type", k=3.5,
+    )
+
+
+DQ_ROBUST_SQL = """
+WITH base AS (
+  SELECT event_type AS grp, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT grp, round(quantile_cont(v, 0.5), 6) AS med,
+         count(*)::BIGINT AS n
+  FROM base GROUP BY grp
+), dev AS (
+  SELECT b.grp, abs(v - med) AS ad, med, n
+  FROM base b JOIN med USING (grp)
+), mad AS (
+  SELECT grp, round(quantile_cont(ad, 0.5), 6) AS mad
+  FROM dev GROUP BY grp
+), fl AS (
+  SELECT d.grp, any_value(d.n) AS n, any_value(d.med) AS med,
+         any_value(m.mad) AS mad,
+         sum(CASE WHEN m.mad > 0 AND d.ad > 3.5 * 1.4826 * m.mad
+                  THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+  FROM dev d JOIN mad m USING (grp) GROUP BY d.grp
+)
+SELECT grp, n, med, mad, n_outliers,
+       round(CASE WHEN mad > 0
+                  THEN n_outliers / CAST(n AS DOUBLE) END, 6)
+         AS outlier_rate
+FROM fl
+"""
+
+
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over customer quasi-identifiers
+    (operators/diagnostics.py k_anonymity): nation x market segment x
+    name suffix — one QI-tuple groupBy collapses the corpus, the
+    summary aggregates the classes-bounded table; exact integers
+    throughout."""
+    from .operators.diagnostics import k_anonymity
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "name_suffix", F.substring("c_name", -2, 2)
+    )
+    return k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "name_suffix"], k=5
+    )
+
+
+DQ_KANON_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, right(c_name, 2) AS pp,
+         count(*)::BIGINT AS cs
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT 5::BIGINT AS k,
+       sum(cs)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_classes,
+       min(cs)::BIGINT AS min_class_size,
+       sum(CASE WHEN cs < 5 THEN 1 ELSE 0 END)::BIGINT AS n_classes_below_k,
+       sum(CASE WHEN cs < 5 THEN cs ELSE 0 END)::BIGINT AS n_rows_at_risk,
+       round(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END)
+             / CAST(sum(cs) AS DOUBLE), 6) AS at_risk_rate
+FROM g
+"""
+
+
+def dq_referential_integrity(spark, sf_dir):
+    """FK orphan audit (operators/diagnostics.py referential_integrity)
+    over two edges: a deterministically CORRUPTED lineitem→part edge
+    (every 997th order's partkeys negated — the synthesized-defect
+    fixture convention) and the clean orders→customer edge (the
+    zero-orphan case). Parent key sets broadcast; one left join +
+    conditional aggregation per edge."""
+    from .operators.diagnostics import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_partkey",
+        F.when(
+            F.col("l_orderkey") % 997 == 0, -F.col("l_partkey")
+        ).otherwise(F.col("l_partkey")),
+    )
+    return referential_integrity(
+        [
+            ("lineitem.part", li, "l_partkey", _t(spark, sf_dir, "part"),
+             "p_partkey"),
+            ("orders.customer", _t(spark, sf_dir, "orders"), "o_custkey",
+             _t(spark, sf_dir, "customer"), "c_custkey"),
+        ]
+    )
+
+
+DQ_REFINT_SQL = """
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % 997 = 0 THEN -l_partkey
+              ELSE l_partkey END AS fk
+  FROM lineitem
+), e1 AS (
+  SELECT 'lineitem.part' AS edge,
+         count(*)::BIGINT AS n_child,
+         sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
+         sum(CASE WHEN fk IS NOT NULL
+                  AND fk NOT IN (SELECT p_partkey FROM part)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+         count(DISTINCT CASE WHEN fk IS NOT NULL
+                  AND fk NOT IN (SELECT p_partkey FROM part)
+                  THEN fk END)::BIGINT AS n_orphan_keys
+  FROM li
+), e2 AS (
+  SELECT 'orders.customer' AS edge,
+         count(*)::BIGINT AS n_child,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_null_fk,
+         sum(CASE WHEN o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+         count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                  THEN o_custkey END)::BIGINT AS n_orphan_keys
+  FROM orders
+)
+SELECT * FROM e1 UNION ALL SELECT * FROM e2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -6034,6 +6278,11 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 7 ---
+    "txt_pii_scrub": txt_pii_scrub,
+    "dq_robust_outliers": dq_robust_outliers,
+    "dq_k_anonymity": dq_k_anonymity,
+    "dq_referential_integrity": dq_referential_integrity,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6209,6 +6458,11 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 7 ---
+    "txt_pii_scrub": TXT_PII_SCRUB_SQL,
+    "dq_robust_outliers": DQ_ROBUST_SQL,
+    "dq_k_anonymity": DQ_KANON_SQL,
+    "dq_referential_integrity": DQ_REFINT_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

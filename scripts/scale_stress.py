@@ -72,6 +72,29 @@ def inflate_events(spark, factor: int):
     return out
 
 
+def inflate_lineitem(spark, factor: int):
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    if factor == 1:
+        return base
+    copies = [
+        base.select(
+            # new orders (baskets), same part catalog: co-occurrence
+            # counts and per-item totals grow with the corpus while the
+            # item-graph node set stays fixed — the realistic axis for
+            # basket analytics (catalogs grow far slower than orders)
+            (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("l_orderkey"),
+            "l_partkey",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def inflate_vectors(spark, factor: int):
     base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -210,6 +233,38 @@ def main():
 
         record("group_topk_sample", factor, timed(group_topk), n_docs)
 
+        li = inflate_lineitem(spark, factor)
+        n_li = li.count()
+
+        def copurchase():
+            from mdataframe_spark.operators.baskets import co_occurrence_pairs
+
+            co_occurrence_pairs(
+                li, "l_orderkey", "l_partkey", min_count=3
+            ).write.format("noop").mode("overwrite").save()
+
+        record("copurchase_pairs", factor, timed(copurchase), n_li)
+
+        def pagerank_dist():
+            from mdataframe_spark.operators.baskets import (
+                co_occurrence_pairs,
+                pagerank,
+            )
+
+            pairs = co_occurrence_pairs(
+                li, "l_orderkey", "l_partkey", min_count=3
+            ).select(
+                F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b")
+            )
+            # small_graph_max=0 FORCES the distributed fixed-iteration
+            # loop (the driver union-find-style arm would collect) —
+            # this row certifies the per-round join+groupBy cost claim
+            pagerank(pairs, small_graph_max=0).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("pagerank_distributed", factor, timed(pagerank_dist), n_li)
+
         events = inflate_events(spark, factor)
         n_events = events.count()
 
@@ -288,6 +343,25 @@ def main():
         "its x4 point and plan shape (Hamming-ball band join, capped hot",
         "buckets) are stable.",
         "",
+        "",
+        "`copurchase_pairs` grows with order volume (new baskets, fixed",
+        "part catalog — the realistic axis): the distinct + capped",
+        "bucket-array pairing shuffles (basket, item) keys once; co",
+        "counts grow but the output pair/item space saturates at the",
+        "catalog's co-occurrence structure. `pagerank_distributed` runs",
+        "with small_graph_max=0, i.e. the DISTRIBUTED fixed-iteration",
+        "loop (per round: one edge join + one vertex groupBy over the",
+        "model-sized item graph, eagerly checkpointed) — its cost is",
+        "dominated by pair GENERATION; the rank loop itself is bounded",
+        "by the item-graph size, which is why the ratio tracks",
+        "copurchase_pairs, not the corpus. Crossover: below",
+        "small_graph_max (default 2M edge rows) the driver arm collects",
+        "the pair list once and replays the identical rounded",
+        "trajectory in-process — at sf0.1 that saves ~1-2s of scheduler",
+        "overhead per query; above it the distributed loop's per-round",
+        "cost is flat in iterations and linear in edges, so 100 TB",
+        "corpora pay ~iterations x (one co-located join + groupBy) on",
+        "an item graph that grows with the CATALOG, not the corpus.",
         "",
         "Round-6-continuation entries: `bloom_decontaminate` is",
         "near-flat because the probe is a map over the gram stream",

@@ -486,3 +486,81 @@ def test_p_values_excluded_from_registered_oracle_queries(spark):
     ):
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
         assert "p_value" not in df.columns, name
+
+
+# ---------------------------------------------------------------------------
+# robust outliers (round 7)
+# ---------------------------------------------------------------------------
+def test_robust_outliers_hand_computed(spark):
+    from mdataframe_spark.operators.diagnostics import robust_outliers
+
+    # group a: median 10, MAD 1 -> cut (k=2) = 2*1.4826 = 2.9652;
+    # 50 is 40 off -> flagged; 12.9 is 2.9 off -> not flagged
+    rows = [("a", v) for v in [8.0, 9.0, 10.0, 11.0, 12.9, 50.0, 10.0]]
+    # group b: all identical -> MAD 0 -> NULL rate, zero outliers
+    rows += [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["grp"]: r for r in robust_outliers(df, "v", "g", k=2.0).collect()}
+    a = got["a"]
+    assert a["n"] == 7 and a["med"] == 10.0 and a["mad"] == 1.0
+    assert a["n_outliers"] == 1
+    assert a["outlier_rate"] == pytest.approx(1 / 7, abs=1e-6)
+    b = got["b"]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 0
+    assert b["outlier_rate"] is None
+
+
+def test_robust_outliers_null_values_excluded(spark):
+    from mdataframe_spark.operators.diagnostics import robust_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0)], "g string, v double"
+    )
+    r = robust_outliers(df, "v", "g").first()
+    assert r["n"] == 3 and r["med"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# data-governance wave (round 7): k-anonymity + referential integrity
+# ---------------------------------------------------------------------------
+def test_k_anonymity_hand_computed(spark):
+    from mdataframe_spark.operators.diagnostics import k_anonymity
+
+    # classes: (a,x):3 rows, (a,y):1, (b,x):2 -> with k=2: one class
+    # below k, 1 row at risk
+    rows = [("a", "x")] * 3 + [("a", "y")] + [("b", "x")] * 2
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    r = k_anonymity(df, ["q1", "q2"], k=2).first()
+    assert (r["n_rows"], r["n_classes"], r["min_class_size"]) == (6, 3, 1)
+    assert (r["n_classes_below_k"], r["n_rows_at_risk"]) == (1, 1)
+    assert r["at_risk_rate"] == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    from mdataframe_spark.operators.diagnostics import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (None,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    r = referential_integrity([("edge", child, "fk", parent, "pk")]).first()
+    # 99 appears twice (2 orphan rows, 1 orphan key); NULL fk is
+    # counted separately, never as an orphan
+    assert r["edge"] == "edge"
+    assert (r["n_child"], r["n_null_fk"]) == (6, 1)
+    assert (r["n_orphans"], r["n_orphan_keys"]) == (2, 1)
+
+
+def test_referential_integrity_multi_edge_union(spark):
+    from mdataframe_spark.operators.diagnostics import referential_integrity
+
+    c1 = spark.createDataFrame([(1,), (5,)], "fk bigint")
+    c2 = spark.createDataFrame([(7,)], "fk bigint")
+    p = spark.createDataFrame([(1,), (7,)], "pk bigint")
+    got = {
+        r["edge"]: r
+        for r in referential_integrity(
+            [("a", c1, "fk", p, "pk"), ("b", c2, "fk", p, "pk")]
+        ).collect()
+    }
+    assert got["a"]["n_orphans"] == 1 and got["b"]["n_orphans"] == 0
