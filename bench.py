@@ -86,6 +86,11 @@ HEADLINE = [
     "rec_copurchase",
     "gr_pagerank",
     "ds_bootstrap_ci",
+    # round-7: the 4-pattern regex scrub (pure codegen map over full
+    # text — the regex-throughput signal) and the median/MAD triple
+    # aggregation
+    "txt_pii_scrub",
+    "dq_robust_outliers",
 ]
 
 

@@ -216,6 +216,52 @@ def domain_mixture_sample(
     return stratified_sample(df, key, rates, domain_col, 0.0, seed)
 
 
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 2.0,
+    token_col: str = "n_chars",
+    decimals: int = 9,
+) -> Dict[str, float]:
+    """Temperature-scaled mixture weights w_d ∝ share_d^(1/T) — the
+    standard low-resource-upweighting scheme for multi-source corpora
+    (mBERT/XLM-R exponential smoothing, T5's T=... mixing, UniMax's
+    motivation): T = 1 reproduces natural proportions, T → ∞ tends to
+    uniform, so minority sources gain share without hand-tuned
+    per-source weights.
+
+    One aggregation job (#domains scalars to the driver); the
+    power/normalize arithmetic runs driver-side on SORTED domains with
+    a ``decimals`` round (the kmeans determinism convention — the
+    result is a reproducible constant any engine replays). Feed the
+    result straight into :func:`domain_mixture_rates` /
+    :func:`domain_mixture_sample`.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    stats = {
+        r["d"]: float(r["t"])
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+        if r["d"] is not None and r["t"]
+    }
+    import math
+
+    total = sum(stats.values())
+    # T=2 goes through IEEE sqrt (correctly rounded everywhere — SQL
+    # engines replay it bit-for-bit); general T uses libm pow
+    if temperature == 2.0:
+        powered = {d: math.sqrt(stats[d] / total) for d in sorted(stats)}
+    else:
+        powered = {
+            d: (stats[d] / total) ** (1.0 / temperature)
+            for d in sorted(stats)
+        }
+    z = sum(powered.values())
+    return {d: round(p / z, decimals) for d, p in powered.items()}
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

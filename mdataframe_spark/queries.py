@@ -6045,6 +6045,51 @@ FROM fl
 """
 
 
+def ds_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source mixture (operators/datasets.py
+    temperature_weights, T=2): w_d ∝ share_d^(1/T) — the standard
+    low-resource upweighting (mBERT/XLM-R exponential smoothing).
+    One aggregation job; T=2 runs through IEEE sqrt (correctly
+    rounded everywhere) so the oracle replays the whole
+    power/normalize chain; weights double-rounded 9→6 dp."""
+    from .operators.datasets import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    w = temperature_weights(
+        docs, "source", temperature=2.0, token_col="n_chars"
+    )
+    w_expr = F.lit(None).cast("double")
+    for d, v in sorted(w.items()):
+        w_expr = F.when(F.col("source") == d, F.lit(v)).otherwise(w_expr)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(F.first(w_expr), 6).alias("temp_weight"),
+    )
+
+
+DS_TEMPERATURE_SQL = """
+WITH g AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sum_chars
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), t AS (
+  SELECT sum(sum_chars)::BIGINT AS tot FROM g
+), p AS (
+  SELECT source, n_docs, sum_chars,
+         sqrt(sum_chars / CAST(tot AS DOUBLE)) AS pw
+  FROM g, t
+), z AS (
+  SELECT sum(pw) AS z FROM p
+)
+SELECT source, n_docs, sum_chars,
+       round(round(pw / z, 9), 6) AS temp_weight
+FROM p, z
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6283,6 +6328,7 @@ EXTRA_QUERIES = {
     "dq_robust_outliers": dq_robust_outliers,
     "dq_k_anonymity": dq_k_anonymity,
     "dq_referential_integrity": dq_referential_integrity,
+    "ds_temperature_mixture": ds_temperature_mixture,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6463,6 +6509,7 @@ EXTRA_ORACLES = {
     "dq_robust_outliers": DQ_ROBUST_SQL,
     "dq_k_anonymity": DQ_KANON_SQL,
     "dq_referential_integrity": DQ_REFINT_SQL,
+    "ds_temperature_mixture": DS_TEMPERATURE_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

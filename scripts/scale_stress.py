@@ -362,6 +362,12 @@ def main():
         "cost is flat in iterations and linear in edges, so 100 TB",
         "corpora pay ~iterations x (one co-located join + groupBy) on",
         "an item graph that grows with the CATALOG, not the corpus.",
+        "The distributed loop's absolute numbers swing run-to-run (a",
+        "non-monotone x4 > x10 has been observed): 5 iterations x",
+        "(join + groupBy + eager localCheckpoint) is ~15 scheduler",
+        "round-trips of fixed overhead on a single JVM, which dwarfs",
+        "the model-sized data movement — exactly the overhead the",
+        "driver arm removes below the gate.",
         "",
         "Round-6-continuation entries: `bloom_decontaminate` is",
         "near-flat because the probe is a map over the gram stream",

@@ -582,3 +582,42 @@ def test_negative_samples_deterministic_and_self_free(spark):
     sparse = spark.createDataFrame([(0,), (5,)], "vec_id int")
     with pytest.raises(ValueError, match="dense"):
         negative_samples(sparse, k=2)
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture weights (round 7)
+# ---------------------------------------------------------------------------
+def test_temperature_weights_hand_computed(spark):
+    import math
+
+    from mdataframe_spark.operators.datasets import temperature_weights
+
+    # shares: a=0.8, b=0.2
+    rows = [("a", 80), ("b", 20)]
+    df = spark.createDataFrame(rows, "src string, n_chars bigint")
+    w = temperature_weights(df, "src", temperature=2.0, token_col="n_chars")
+    pa, pb = math.sqrt(0.8), math.sqrt(0.2)
+    assert w["a"] == round(pa / (pa + pb), 9)
+    assert w["b"] == round(pb / (pa + pb), 9)
+    assert abs(sum(w.values()) - 1.0) < 1e-8
+    # minority upweighted vs natural share, majority downweighted
+    assert w["b"] > 0.2 and w["a"] < 0.8
+
+
+def test_temperature_weights_limits(spark):
+    import pytest as _pytest
+
+    from mdataframe_spark.operators.datasets import temperature_weights
+
+    rows = [("a", 90), ("b", 10)]
+    df = spark.createDataFrame(rows, "src string, n_chars bigint")
+    # T=1 reproduces natural proportions
+    w1 = temperature_weights(df, "src", temperature=1.0, token_col="n_chars")
+    assert w1["a"] == 0.9 and w1["b"] == 0.1
+    # large T tends to uniform
+    w100 = temperature_weights(
+        df, "src", temperature=100.0, token_col="n_chars"
+    )
+    assert abs(w100["a"] - 0.5) < 0.01
+    with _pytest.raises(ValueError):
+        temperature_weights(df, "src", temperature=0.0, token_col="n_chars")
