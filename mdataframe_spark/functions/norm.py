@@ -312,3 +312,122 @@ class TMM(Transformer):
                 corrected[s] = expr
             out = out.withColumns(corrected)
         return self._apply_suffix(out, count_cols)
+
+
+# ---------------------------------------------------------------------------
+# upper-quartile normalization (edgeR calcNormFactors method="upperquartile")
+# ---------------------------------------------------------------------------
+def upper_quartile_factors(
+    df: DataFrame,
+    count_cols: Sequence[str],
+    p: float = 0.75,
+    decimals: int = 9,
+    lib: Optional[Dict[str, float]] = None,
+    q: Optional[Dict[str, float]] = None,
+) -> Dict[str, float]:
+    """Upper-quartile scale factors (Bullard et al. 2010; edgeR's
+    calcNormFactors(method="upperquartile")): per sample,
+    f_s = quantile_p(counts_s) / libsize_s, then factors scaled so
+    their geometric mean is 1.
+
+    One wide aggregation (2·#samples scalars to the driver); the
+    power/normalize runs driver-side over sorted samples and rounds at
+    ``decimals`` (the reproducible-constant convention). Raises when a
+    sample's p-quantile is zero (edgeR warns and refuses there too —
+    the factor would be degenerate).
+    """
+    count_cols = list(count_cols)
+    if lib is None or q is None:
+        aggs = [F.sum(c).alias(f"lib_{c}") for c in count_cols] + [
+            F.expr(f"percentile(`{c}`, {p})").alias(f"q_{c}")
+            for c in count_cols
+        ]
+        row = df.agg(*aggs).collect()[0]
+        lib = {c: float(row[f"lib_{c}"]) for c in count_cols}
+        q = {c: float(row[f"q_{c}"]) for c in count_cols}
+    f = {}
+    for c in count_cols:
+        if q[c] <= 0:
+            raise ValueError(
+                f"upper_quartile_factors: sample {c!r} has a zero "
+                f"{p}-quantile — upper-quartile normalization is "
+                f"undefined (edgeR refuses here as well)"
+            )
+        f[c] = q[c] / lib[c]
+    gm = math.exp(sum(math.log(f[c]) for c in sorted(f)) / len(f))
+    return {c: round(f[c] / gm, decimals) for c in count_cols}
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization (limma normalizeQuantiles / preprocessCore)
+# ---------------------------------------------------------------------------
+def quantile_normalize(
+    df: DataFrame,
+    count_cols: Sequence[str],
+    index_column: str = ROW_ID,
+    suffix: str = "_qn",
+) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003; limma
+    normalizeQuantiles): force every sample column onto the SAME
+    empirical distribution — the k-th smallest value in each sample is
+    replaced by the mean of the k-th smallest values across samples;
+    tied values receive the mean target over their rank range (ties
+    stay tied, limma's ties=TRUE behavior — which also makes the
+    result independent of the arbitrary tie-break order).
+
+    Execution shape (the scale-out answer to the in-memory
+    sort-matrix): melt to (row, sample, value); rank with ONE window
+    per sample (each sample's vector sorts in parallel); the target
+    distribution is ONE groupBy(rank) over samples (genes-bounded);
+    tie collapse is ONE groupBy((sample, value)); the matrix pivots
+    back via conditional aggregation. Rounding: targets at 9 dp (the
+    cross-sample mean is the only FP accumulation), tie means at 6 dp.
+
+    Requires a COMPLETE matrix (no nulls — ranks would silently shift
+    across samples): raises if any rank row is short a sample.
+    """
+    count_cols = list(count_cols)
+    n = len(count_cols)
+    melted = df.select(
+        F.col(index_column).alias("__i"),
+        F.expr(
+            "stack({}, {}) as (__s, __v)".format(
+                n,
+                ", ".join(
+                    f"'{c}', cast(`{c}` as double)" for c in count_cols
+                ),
+            )
+        ),
+    )
+    # drop nulls BEFORE ranking: stack() emits them, they would sort
+    # first and be silently "normalized"; the per-rank count guard
+    # below then catches the resulting column-length mismatch
+    melted = melted.filter(F.col("__v").isNotNull())
+    w = Window.partitionBy("__s").orderBy(F.col("__v").asc(), F.col("__i").asc())
+    ranked = melted.withColumn("__rn", F.row_number().over(w))
+    targets = ranked.groupBy("__rn").agg(
+        F.round(F.avg("__v"), 9).alias("__t"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    from ..cache import persist_tracked as _persist_tracked
+
+    targets = _persist_tracked(targets)
+    bad = targets.filter(F.col("__cnt") != n).count()
+    if bad:
+        raise ValueError(
+            f"quantile_normalize: {bad} rank row(s) are short a sample — "
+            f"the matrix has nulls/unequal column lengths; ranks would "
+            f"silently misalign"
+        )
+    tied = (
+        ranked.join(targets.select("__rn", "__t"), "__rn")
+        .groupBy("__s", "__v")
+        .agg(F.round(F.avg("__t"), 6).alias("__q"))
+    )
+    normed = ranked.join(tied, ["__s", "__v"])
+    return normed.groupBy(F.col("__i").alias(index_column)).agg(
+        *[
+            F.max(F.when(F.col("__s") == c, F.col("__q"))).alias(c + suffix)
+            for c in count_cols
+        ]
+    )

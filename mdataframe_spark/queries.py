@@ -6090,6 +6090,106 @@ FROM p, z
 """
 
 
+def n_quantile_norm(spark, sf_dir):
+    """Quantile normalization (limma normalizeQuantiles / Bolstad 2003;
+    functions/norm.py quantile_normalize) of the part-count matrix:
+    every sample forced onto the same empirical distribution; ties
+    receive the mean target over their rank range (order-independent).
+    One window per sample + two genes-bounded groupBys + pivot-back —
+    the scale-out form of the in-memory sort-matrix."""
+    from .functions.norm import quantile_normalize
+
+    counts = _part_counts(spark, sf_dir)
+    out = quantile_normalize(counts, ["A", "N", "R"], index_column="partkey")
+    return out.select(
+        "partkey",
+        F.col("A_qn").alias("qn_a"),
+        F.col("N_qn").alias("qn_n"),
+        F.col("R_qn").alias("qn_r"),
+    )
+
+
+N_QNORM_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0)::DOUBLE AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0)::DOUBLE AS n,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0)::DOUBLE AS r
+  FROM lineitem GROUP BY l_partkey
+), m AS (
+  SELECT partkey AS i, 'A' AS s, a AS v FROM counts
+  UNION ALL SELECT partkey, 'N', n FROM counts
+  UNION ALL SELECT partkey, 'R', r FROM counts
+), rk AS (
+  SELECT i, s, v,
+         row_number() OVER (PARTITION BY s ORDER BY v ASC, i ASC) AS rn
+  FROM m
+), tg AS (
+  SELECT rn, round(avg(v), 9) AS t FROM rk GROUP BY rn
+), tied AS (
+  SELECT s, v, round(avg(t), 6) AS q
+  FROM rk JOIN tg USING (rn) GROUP BY s, v
+)
+SELECT i AS partkey,
+       max(CASE WHEN rk.s = 'A' THEN q END) AS qn_a,
+       max(CASE WHEN rk.s = 'N' THEN q END) AS qn_n,
+       max(CASE WHEN rk.s = 'R' THEN q END) AS qn_r
+FROM rk JOIN tied ON rk.s = tied.s AND rk.v = tied.v
+GROUP BY i
+"""
+
+
+def n_uq_factors(spark, sf_dir):
+    """Upper-quartile normalization factors (Bullard 2010; edgeR
+    calcNormFactors(method="upperquartile"); functions/norm.py
+    upper_quartile_factors) on the part-count matrix: ONE wide
+    aggregation (2·#samples scalars), driver-side geometric-mean
+    scaling over sorted samples — reproducible constants any engine
+    replays."""
+    from .functions.norm import upper_quartile_factors
+
+    counts = _part_counts(spark, sf_dir)
+    cols = ["A", "N", "R"]
+    aggs = [F.sum(c).alias(f"lib_{c}") for c in cols] + [
+        F.expr(f"percentile(`{c}`, 0.75)").alias(f"q_{c}") for c in cols
+    ]
+    row = counts.agg(*aggs).collect()[0]
+    lib = {c: float(row[f"lib_{c}"]) for c in cols}
+    q = {c: float(row[f"q_{c}"]) for c in cols}
+    factors = upper_quartile_factors(counts, cols, lib=lib, q=q)
+    data = [
+        (c.lower(), round(lib[c], 4), round(q[c], 6), factors[c])
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        data, "sample string, lib_size double, q75 double, uq_factor double"
+    )
+
+
+N_UQ_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS partkey,
+         coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0)::DOUBLE AS a,
+         coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0)::DOUBLE AS n,
+         coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0)::DOUBLE AS r
+  FROM lineitem GROUP BY l_partkey
+), s AS (
+  SELECT 'a' AS sample, sum(a) AS lib, quantile_cont(a, 0.75) AS q FROM counts
+  UNION ALL
+  SELECT 'n', sum(n), quantile_cont(n, 0.75) FROM counts
+  UNION ALL
+  SELECT 'r', sum(r), quantile_cont(r, 0.75) FROM counts
+), f AS (
+  SELECT sample, lib, q, q / lib AS fr FROM s
+), g AS (
+  SELECT exp(avg(ln(fr))) AS gm FROM f
+)
+SELECT sample, round(lib, 4) AS lib_size, round(q, 6) AS q75,
+       round(fr / gm, 9) AS uq_factor
+FROM f, g
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6329,6 +6429,8 @@ EXTRA_QUERIES = {
     "dq_k_anonymity": dq_k_anonymity,
     "dq_referential_integrity": dq_referential_integrity,
     "ds_temperature_mixture": ds_temperature_mixture,
+    "n_quantile_norm": n_quantile_norm,
+    "n_uq_factors": n_uq_factors,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6510,6 +6612,8 @@ EXTRA_ORACLES = {
     "dq_k_anonymity": DQ_KANON_SQL,
     "dq_referential_integrity": DQ_REFINT_SQL,
     "ds_temperature_mixture": DS_TEMPERATURE_SQL,
+    "n_quantile_norm": N_QNORM_SQL,
+    "n_uq_factors": N_UQ_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

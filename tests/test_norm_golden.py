@@ -83,3 +83,103 @@ def test_zscore_constant_row_is_zero(spark):
     df = spark.createDataFrame([("r1", 5.0, 5.0, 5.0)], ["__row_id", "a", "b", "c"])
     row = zscore_rows(df, ["a", "b", "c"]).collect()[0]
     assert row["a"] == row["b"] == row["c"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# round 7: quantile normalization + upper-quartile factors
+# ---------------------------------------------------------------------------
+def test_quantile_normalize_vs_independent_numpy(spark):
+    """Pinned to an independent numpy recomputation of limma's
+    normalizeQuantiles (ties receive the mean target over their rank
+    range), written here with argsort/where — not the window/groupBy
+    path the operator uses."""
+    import numpy as np
+    import pytest
+
+    from mdataframe_spark.functions.norm import quantile_normalize
+
+    X = np.array(
+        [
+            [5.0, 4.0, 3.0],
+            [2.0, 1.0, 4.0],
+            [3.0, 4.0, 6.0],
+            [4.0, 2.0, 8.0],
+            [3.0, 3.0, 1.0],  # ties in columns 0 and 1
+        ]
+    )
+    means = np.sort(X, axis=0).mean(axis=1)
+    expect = np.empty_like(X)
+    for j in range(X.shape[1]):
+        sc = np.sort(X[:, j])
+        for i, v in enumerate(X[:, j]):
+            expect[i, j] = means[np.where(sc == v)[0]].mean()
+
+    rows = [(i, *(float(x) for x in X[i])) for i in range(X.shape[0])]
+    df = spark.createDataFrame(
+        rows, "gid bigint, s1 double, s2 double, s3 double"
+    )
+    out = {
+        r["gid"]: r
+        for r in quantile_normalize(
+            df, ["s1", "s2", "s3"], index_column="gid"
+        ).collect()
+    }
+    for i in range(X.shape[0]):
+        for j, c in enumerate(["s1_qn", "s2_qn", "s3_qn"]):
+            assert out[i][c] == pytest.approx(expect[i, j], abs=1e-5), (i, c)
+    # a tie-free column lands EXACTLY on the target distribution (the
+    # defining property; tied columns deviate by construction — their
+    # tied values share the averaged target, as in limma ties=TRUE)
+    vals = sorted(out[i]["s3_qn"] for i in range(X.shape[0]))
+    assert vals == pytest.approx(sorted(means), abs=1e-5)
+
+
+def test_quantile_normalize_rejects_nulls(spark):
+    import pytest as _pytest
+
+    from mdataframe_spark.functions.norm import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, None, 3.0)], "gid bigint, s1 double, s2 double"
+    )
+    with _pytest.raises(ValueError, match="short a sample"):
+        quantile_normalize(df, ["s1", "s2"], index_column="gid")
+
+
+def test_upper_quartile_factors_hand_computed(spark):
+    import math
+
+    from mdataframe_spark.functions.norm import upper_quartile_factors
+
+    rows = [
+        (10.0, 100.0), (20.0, 200.0), (30.0, 300.0), (40.0, 400.0),
+    ]
+    import pytest
+
+    df = spark.createDataFrame(rows, "s1 double, s2 double")
+    got = upper_quartile_factors(df, ["s1", "s2"])
+    # q75 (type-7): 32.5 / 325; lib: 100 / 1000 -> f = 0.325 for both
+    # -> geometric mean 0.325 -> factors 1.0, 1.0
+    assert got == {"s1": 1.0, "s2": 1.0}
+    # asymmetric: s2 upper quartile inflated
+    df2 = spark.createDataFrame(
+        [(10.0, 10.0), (20.0, 20.0), (30.0, 30.0), (40.0, 140.0)],
+        "s1 double, s2 double",
+    )
+    g2 = upper_quartile_factors(df2, ["s1", "s2"])
+    f1, f2 = 32.5 / 100.0, 57.5 / 200.0
+    gm = math.exp((math.log(f1) + math.log(f2)) / 2)
+    assert g2["s1"] == pytest.approx(f1 / gm, abs=1e-9)
+    assert g2["s2"] == pytest.approx(f2 / gm, abs=1e-9)
+
+
+def test_upper_quartile_zero_quantile_raises(spark):
+    import pytest as _pytest
+
+    from mdataframe_spark.functions.norm import upper_quartile_factors
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0)] * 10, "s1 double, s2 double"
+    )
+    with _pytest.raises(ValueError, match="zero"):
+        upper_quartile_factors(df, ["s1", "s2"])
