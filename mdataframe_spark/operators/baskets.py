@@ -227,3 +227,93 @@ def pagerank(
             )
         )
     return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient over
+    an UNDIRECTED pair graph — the cohesion metric for item/near-dup
+    graphs (a high-coefficient vertex sits in a dense clique: a
+    product bundle, a template family).
+
+    Plan shape (the node-iterator++ orientation, Schank & Wagner
+    2005): edges orient from the LOWER (degree, id) endpoint to the
+    higher, so every wedge is enumerated exactly once from its
+    lowest-degree corner and the wedge join fan-out is Σ outdeg² with
+    outdeg ≤ O(√m) — the standard bound that keeps hub vertices from
+    exploding the join (a raw a<b<c self-join fans out Σ deg² on the
+    hub). One wedge join + one closing semi-shaped join + one explode
+    groupBy; the graph is model-sized by construction (bounded pair
+    generators). Returns (v, degree, n_triangles, clustering_coeff) —
+    coefficient NULL for degree < 2.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e = _persist_tracked(e)
+    deg = _persist_tracked(
+        e.select(F.col("a").alias("x"))
+        .unionAll(e.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, id) -> higher (deg, id); ties broken by id
+    da = deg.select(F.col("x").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("x").alias("b"), F.col("deg").alias("__db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("__da"), F.col("a")) < F.struct(
+        F.col("__db"), F.col("b")
+    )
+    oriented = _persist_tracked(
+        ed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    # wedges from each low corner; canonical (w1 < w2) kills mirror dups
+    w = (
+        oriented.alias("p")
+        .join(oriented.alias("q"), F.col("p.src") == F.col("q.src"))
+        .filter(F.col("p.dst") < F.col("q.dst"))
+        .select(
+            F.col("p.src").alias("corner"),
+            F.col("p.dst").alias("w1"),
+            F.col("q.dst").alias("w2"),
+        )
+    )
+    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    tris = w.join(closing, ["w1", "w2"])
+    per_v = (
+        tris.select(
+            F.explode(F.array("corner", "w1", "w2")).alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_v, "x", "left")
+        .select(
+            F.col("x").alias("v"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -6190,6 +6190,129 @@ FROM f, g
 """
 
 
+def gr_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts + clustering coefficients over the
+    co-purchase item graph (operators/baskets.py triangle_count):
+    degree-oriented wedge enumeration (Schank-Wagner node-iterator++)
+    bounds the wedge join by Σ outdeg² with outdeg ≤ O(√m) — hub
+    vertices cannot explode the join the way a raw a<b<c self-join
+    would."""
+    from .operators.baskets import co_occurrence_pairs, triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return triangle_count(pairs)
+
+
+GR_TRIANGLE_SQL = """
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
+), p AS (
+  SELECT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), deg AS (
+  SELECT v, count(*)::BIGINT AS degree FROM (
+    SELECT x AS v FROM p UNION ALL SELECT y AS v FROM p
+  ) GROUP BY v
+), tri AS (
+  -- canonical a<b<c: p is a<b everywhere, the chain preserves order
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM p e1
+  JOIN p e2 ON e1.y = e2.x
+  JOIN p e3 ON e3.x = e1.x AND e3.y = e2.y
+), perv AS (
+  SELECT v, count(*)::BIGINT AS n FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+  ) GROUP BY v
+)
+SELECT deg.v, degree, coalesce(n, 0)::BIGINT AS n_triangles,
+       round(CASE WHEN degree >= 2
+                  THEN 2.0 * coalesce(n, 0) / (degree * (degree - 1.0))
+             END, 6) AS clustering_coeff
+FROM deg LEFT JOIN perv USING (v)
+"""
+
+
+def j_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21's EXISTS / NOT-EXISTS correlation skeleton adapted to
+    the available columns: suppliers who were the ONLY supplier with a
+    returned line ('R') on a finished multi-supplier order. The shape
+    under test: filtered fact join + left-SEMI (another supplier
+    exists) + left-ANTI (no OTHER supplier returned) with mixed
+    equi/inequality conditions, then the deterministic top-100
+    (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    exists_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("__ok"))
+        & (F.col("l_suppkey") != F.col("__sk")),
+        "left_semi",
+    )
+    r_others = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    only_r = exists_other.join(
+        r_others,
+        (F.col("l_orderkey") == F.col("__ok"))
+        & (F.col("l_suppkey") != F.col("__sk")),
+        "left_anti",
+    )
+    return (
+        only_r.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+J_Q21_SQL = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6431,6 +6554,8 @@ EXTRA_QUERIES = {
     "ds_temperature_mixture": ds_temperature_mixture,
     "n_quantile_norm": n_quantile_norm,
     "n_uq_factors": n_uq_factors,
+    "gr_triangle_count": gr_triangle_count,
+    "j_q21_waiting_suppliers": j_q21_waiting_suppliers,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6614,6 +6739,8 @@ EXTRA_ORACLES = {
     "ds_temperature_mixture": DS_TEMPERATURE_SQL,
     "n_quantile_norm": N_QNORM_SQL,
     "n_uq_factors": N_UQ_SQL,
+    "gr_triangle_count": GR_TRIANGLE_SQL,
+    "j_q21_waiting_suppliers": J_Q21_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

@@ -564,3 +564,47 @@ def test_referential_integrity_multi_edge_union(spark):
         ).collect()
     }
     assert got["a"]["n_orphans"] == 1 and got["b"]["n_orphans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (round 7)
+# ---------------------------------------------------------------------------
+def test_triangle_count_k4_and_path(spark):
+    from mdataframe_spark.operators.baskets import triangle_count
+
+    # K4: every vertex in 3 triangles, coefficient exactly 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "id_a bigint, id_b bigint")
+    got = {r["v"]: r for r in triangle_count(df).collect()}
+    assert all(got[v]["n_triangles"] == 3 for v in range(4))
+    assert all(got[v]["clustering_coeff"] == 1.0 for v in range(4))
+    assert all(got[v]["degree"] == 3 for v in range(4))
+
+    # path 0-1-2-3: zero triangles; endpoints have NULL coefficient
+    path = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(path, "id_a bigint, id_b bigint")
+    got = {r["v"]: r for r in triangle_count(df).collect()}
+    assert all(got[v]["n_triangles"] == 0 for v in range(4))
+    assert got[0]["clustering_coeff"] is None  # degree 1
+    assert got[1]["clustering_coeff"] == 0.0
+
+
+def test_triangle_count_hub_orientation_exact(spark):
+    """A hub wheel (center joined to a cycle) — the degree-oriented
+    wedge enumeration must count exactly the rim triangles despite the
+    hub's high degree, and duplicate/reversed input edges must not
+    inflate counts."""
+    from mdataframe_spark.operators.baskets import triangle_count
+
+    n = 8
+    edges = [(100, i) for i in range(n)] + [(i, (i + 1) % n) for i in range(n)]
+    # noise: reversed + duplicate edges
+    edges += [(i, 100) for i in range(0, n, 2)] + [(0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["v"]: r for r in triangle_count(df).collect()}
+    # wheel W8: 8 triangles, all containing the hub
+    assert got[100]["n_triangles"] == n and got[100]["degree"] == n
+    assert all(got[i]["n_triangles"] == 2 for i in range(n))
+    # hub coefficient: 2*8/(8*7)
+    import pytest as _p
+    assert got[100]["clustering_coeff"] == _p.approx(16 / 56, abs=1e-6)
