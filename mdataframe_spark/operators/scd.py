@@ -100,3 +100,53 @@ def scd2_merge(
         .unionByName(close_old)
         .unionByName(new_versions)
     )
+
+
+def merge_aggregates(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a DELTA batch's partial
+    aggregate into a STORED per-key aggregate — the warehouse pattern
+    that turns a nightly full recompute into a scan of only the new
+    data (at 100 TB the stored aggregate is key-bounded; the full fact
+    history is never re-read).
+
+    Both inputs carry ``keys`` + ``count_col`` + ``sum_cols`` (sums and
+    counts are the mergeable sufficient statistics; averages derive as
+    sum/n downstream — a stored AVERAGE cannot be merged, which is why
+    this contract refuses to carry one). ONE full-outer join on the
+    keys, null-coalesced adds. Merging the delta's partial aggregate
+    is exact (integer/decimal sums are associative), so the result is
+    provably identical to re-aggregating the union — the property the
+    oracle checks.
+    """
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    s = stored.select(
+        *keys,
+        F.col(count_col).alias("__sn"),
+        *[F.col(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    d = delta.select(
+        *keys,
+        F.col(count_col).alias("__dn"),
+        *[F.col(c).alias(f"__d_{c}") for c in sum_cols],
+    )
+    j = s.join(d, keys, "full_outer")
+    zero = F.lit(0)
+    out_cols = [
+        (F.coalesce(F.col("__sn"), zero) + F.coalesce(F.col("__dn"), zero))
+        .cast("bigint")
+        .alias(count_col)
+    ] + [
+        (
+            F.coalesce(F.col(f"__s_{c}"), zero)
+            + F.coalesce(F.col(f"__d_{c}"), zero)
+        ).alias(c)
+        for c in sum_cols
+    ]
+    return j.select(*keys, *out_cols)

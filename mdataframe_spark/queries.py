@@ -6313,6 +6313,43 @@ LIMIT 100
 """
 
 
+def dim_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/scd.py
+    merge_aggregates): a stored per-customer aggregate (3/4 of orders)
+    merged with a delta batch's partial aggregate (the remaining 1/4)
+    — ONE full-outer key join with coalesced adds. The oracle is the
+    FULL recompute over all orders: exactness of the merge IS the
+    assertion (sums/counts are the mergeable sufficient statistics; at
+    100 TB only the delta is ever re-scanned)."""
+    from .operators.scd import merge_aggregates
+
+    o = _t(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+
+    stored = agg(o.filter(F.col("o_orderkey") % 4 != 0))
+    delta = agg(o.filter(F.col("o_orderkey") % 4 == 0))
+    merged = merge_aggregates(
+        stored, delta, ["o_custkey"], ["sum_price"], count_col="n"
+    )
+    return merged.select(
+        "o_custkey",
+        "n",
+        F.round(F.col("sum_price").cast("double"), 4).alias("sum_price"),
+    )
+
+
+DIM_INCR_AGG_SQL = """
+SELECT o_custkey, count(*)::BIGINT AS n,
+       round(sum(o_totalprice)::DOUBLE, 4) AS sum_price
+FROM orders GROUP BY o_custkey
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6556,6 +6593,7 @@ EXTRA_QUERIES = {
     "n_uq_factors": n_uq_factors,
     "gr_triangle_count": gr_triangle_count,
     "j_q21_waiting_suppliers": j_q21_waiting_suppliers,
+    "dim_incremental_agg": dim_incremental_agg,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6741,6 +6779,7 @@ EXTRA_ORACLES = {
     "n_uq_factors": N_UQ_SQL,
     "gr_triangle_count": GR_TRIANGLE_SQL,
     "j_q21_waiting_suppliers": J_Q21_SQL,
+    "dim_incremental_agg": DIM_INCR_AGG_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

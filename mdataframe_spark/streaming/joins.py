@@ -55,3 +55,26 @@ def stream_stream_interval_join(
     out = lw.join(rw, cond, how)
     # drop the duplicate right-side key column
     return out.drop(rw[key])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a streaming fact
+    against a BATCH dimension table — the standard lookup pattern
+    (events x user profile, lineitems x part catalog).
+
+    Spark re-evaluates the static side per micro-batch (so a dimension
+    refreshed in place is picked up batch-by-batch) and, because the
+    static side is batch, no watermark or state store is involved —
+    the join is stateless per micro-batch. The dimension is explicitly
+    broadcast: at 100 TB the fact stream should never shuffle for a
+    lookup-sized build side; a corpus-sized dimension belongs in a
+    stream-stream join or a pre-bucketed table instead. Accepts a
+    batch frame for ``stream`` too (identical plan), which is how the
+    parity test checks semantics.
+    """
+    return stream.join(F.broadcast(dim), key, how)

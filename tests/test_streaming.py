@@ -448,3 +448,67 @@ def test_char_entropy_stream_matches_batch(spark, tmp_path_factory):
         for r in char_entropy(batch).select("doc_id", "char_entropy").collect()
     }
     assert got == expected and len(got) == 200
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static dimension enrichment (streaming/joins.py
+    stream_static_enrich): a streaming fact joined to a broadcast
+    batch dimension must be stateless per micro-batch and agree with
+    the batch join exactly — including left-join rows whose key has no
+    dimension match."""
+    from mdataframe_spark.streaming.joins import stream_static_enrich
+
+    batch = spark.read.parquet(events_dir)
+    # dimension covers only 2 of the 3 event types: the left join's
+    # null arm is exercised
+    dim = spark.createDataFrame(
+        [("0", "browse"), ("1", "buy")], "event_type string, label string"
+    )
+    stream = stream_from_parquet_dir(spark, events_dir, batch.schema)
+    enriched = stream_static_enrich(stream, dim, "event_type").select(
+        "event_id", "event_type", "label"
+    )
+    assert enriched.isStreaming
+    q = run_to_memory_sink(enriched, "enriched_events")
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: (r["event_type"], r["label"])
+        for r in spark.sql("SELECT * FROM enriched_events").collect()
+    }
+    expected = {
+        r["event_id"]: (r["event_type"], r["label"])
+        for r in stream_static_enrich(batch, dim, "event_type")
+        .select("event_id", "event_type", "label")
+        .collect()
+    }
+    assert got == expected and len(got) == 1000
+    assert any(v[1] is None for v in got.values())  # unmatched type "2"
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    from mdataframe_spark.operators.scd import merge_aggregates
+
+    rows = [(k % 5, float(k)) for k in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+
+    stored = agg(df.filter(F.col("v") < 70))
+    delta = agg(df.filter(F.col("v") >= 70))
+    merged = {
+        r["k"]: (r["n"], r["sv"])
+        for r in merge_aggregates(stored, delta, ["k"], ["sv"]).collect()
+    }
+    full = {r["k"]: (r["n"], r["sv"]) for r in agg(df).collect()}
+    assert merged == full
+    # delta-only keys survive the full-outer (new keys appear)
+    stored2 = agg(df.filter(F.col("k") != 4).filter(F.col("v") < 70))
+    merged2 = {
+        r["k"]: r["n"]
+        for r in merge_aggregates(stored2, delta, ["k"], ["sv"]).collect()
+    }
+    assert 4 in merged2
