@@ -6350,6 +6350,39 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def ds_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey)
+    (operators/layout.py zorder_value): pure codegen bit interleave —
+    the data-skipping layout behind OPTIMIZE ZORDER BY; the oracle
+    replays the full 42-term shift/mask sum. The range-repartition
+    write path and the measured multi-column locality property are
+    covered in tests/test_operators.py."""
+    from .operators.layout import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value(["l_partkey", "l_suppkey"]).alias("zval"),
+    )
+
+
+def _zorder_sql_terms(col: str, idx: int, n: int, bits: int = 21) -> str:
+    mask = (1 << bits) - 1
+    v = f"least(greatest({col}, 0), {mask})"
+    return " + ".join(
+        f"((({v} >> {b}) & 1) << {b * n + idx})" for b in range(bits)
+    )
+
+
+DS_ZORDER_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       ({_zorder_sql_terms('l_partkey', 0, 2)}
+        + {_zorder_sql_terms('l_suppkey', 1, 2)})::BIGINT AS zval
+FROM lineitem
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6594,6 +6627,7 @@ EXTRA_QUERIES = {
     "gr_triangle_count": gr_triangle_count,
     "j_q21_waiting_suppliers": j_q21_waiting_suppliers,
     "dim_incremental_agg": dim_incremental_agg,
+    "ds_zorder_layout": ds_zorder_layout,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6780,6 +6814,7 @@ EXTRA_ORACLES = {
     "gr_triangle_count": GR_TRIANGLE_SQL,
     "j_q21_waiting_suppliers": J_Q21_SQL,
     "dim_incremental_agg": DIM_INCR_AGG_SQL,
+    "ds_zorder_layout": DS_ZORDER_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,
