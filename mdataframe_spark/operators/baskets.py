@@ -25,6 +25,7 @@ def co_occurrence_pairs(
     item_col: str,
     min_count: int = 2,
     basket_cap: int = DEFAULT_DF_CAP,
+    with_stats: bool = True,
 ) -> DataFrame:
     """Item pairs co-occurring in the same basket, with support counts
     and lift = N·co(a,b) / (n(a)·n(b)) — lift > 1 means the pair
@@ -41,6 +42,11 @@ def co_occurrence_pairs(
     frame would systematically deflate lift the moment any basket is
     dropped). Lift derives from integer counts with the N·co product
     in DOUBLE (int64 would overflow at 10^10 baskets).
+
+    ``with_stats=False`` returns only (item_a, item_b, n_co) and skips
+    the totals/n_baskets machinery entirely — graph consumers
+    (pagerank, triangle_count) need just the edge set, and the lift
+    joins cannot be pruned by Catalyst (they are inner joins).
     """
     from .dedup import ensure_parallelism
 
@@ -51,16 +57,24 @@ def co_occurrence_pairs(
             )
         ).distinct()
     )
-    # cap_hot_keys scans items twice (frequency agg + keep join);
-    # capped feeds three consumers below — pin both
-    capped = _persist_tracked(
-        cap_hot_keys(items, ["__b"], basket_cap, "basket")
-    )
-    n_baskets = capped.select("__b").distinct().count()
-    totals = capped.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    # cap BEFORE collect_set so a degenerate basket cannot grow an
+    # unbounded array in one aggregation buffer (the r5 LSH lesson);
+    # cap_hot_keys scans items twice (frequency agg + keep join) — the
+    # persisted items frame serves both
+    capped = cap_hot_keys(items, ["__b"], basket_cap, "basket")
+    # ONE corpus-side shuffle: the bucket frame. n_baskets and the
+    # item totals both derive from it (explode(ms) reproduces capped's
+    # rows exactly — the pairs are distinct, so the set IS the basket),
+    # saving two more corpus-wide aggregations per call
     buckets = capped.groupBy("__b").agg(
         F.array_sort(F.collect_set("__i")).alias("ms")
     )
+    if with_stats:
+        buckets = _persist_tracked(buckets)
+        n_baskets = buckets.count()
+        totals = buckets.select(
+            F.explode("ms").alias("__i")
+        ).groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     pairs = (
         buckets.filter(F.size("ms") >= 2)
         .select(F.explode("ms").alias("item_a"), F.col("ms"))
@@ -74,6 +88,8 @@ def co_occurrence_pairs(
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= min_count)
     )
+    if not with_stats:
+        return pairs
     ta = totals.select(
         F.col("__i").alias("item_a"), F.col("__n").alias("n_a")
     )

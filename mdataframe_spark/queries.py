@@ -4830,7 +4830,7 @@ def gr_pagerank(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     pairs = co_occurrence_pairs(
-        li, "l_orderkey", "l_partkey", min_count=3
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
     ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
     return pagerank(pairs)
 
@@ -6201,7 +6201,7 @@ def gr_triangle_count(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     pairs = co_occurrence_pairs(
-        li, "l_orderkey", "l_partkey", min_count=3
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
     ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
     return triangle_count(pairs)
 
