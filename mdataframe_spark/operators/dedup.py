@@ -1708,3 +1708,80 @@ def fuzzy_string_pairs(
     return pairs.withColumn(
         "edit_distance", F.levenshtein("name_a", "name_b")
     ).filter(F.col("edit_distance") <= max_distance)
+
+
+# ---------------------------------------------------------------------------
+# dedup retention policies: what to DO with the groups
+# ---------------------------------------------------------------------------
+def _group_labels(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Every row labeled with its near-dup group: pair-graph vertices
+    adopt their component label; documents outside the pair graph are
+    singletons labeled by their own id. One left join against the
+    (sparse) component frame — most docs are singletons and never
+    enter the closure."""
+    cc = connected_components(pairs).withColumnRenamed("v", id_col)
+    return df.join(cc, id_col, "left").withColumn(
+        "grp", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    decimals: int = 9,
+) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, weight
+    each document by 1/|its dedup group| so every group contributes
+    ONE document's worth of training mass (the count-based
+    downweighting alternative to hard removal — repeated data loses
+    value, cf. data-constrained scaling studies; soft weights keep the
+    diversity within the group).
+
+    Plan shape: the component closure over the sparse pair graph + one
+    group-keyed count + one join back. Weights are exact reciprocals
+    of integer counts, rounded at ``decimals``. Returns
+    (id, grp, group_size, weight).
+    """
+    lab = _group_labels(df.select(id_col), pairs, id_col)
+    sizes = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return lab.join(sizes, "grp").select(
+        id_col,
+        F.col("grp").cast("bigint").alias("grp"),
+        "group_size",
+        F.round(F.lit(1.0) / F.col("group_size"), decimals).alias("weight"),
+    )
+
+
+def select_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    keep: str = "max",
+) -> DataFrame:
+    """Quality-aware representative selection: per near-dup group keep
+    the best-scoring document (tie-break: smallest id) — the retention
+    policy that replaces connected_components' min-id convention when
+    a quality signal exists (keep the LONGEST/cleanest copy, not the
+    one with the smallest key).
+
+    One per-group window bounded by group size. Returns every input
+    row with (grp, is_representative); filter on the flag to apply the
+    policy. ``keep`` is "max" or "min".
+    """
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+    lab = _group_labels(df.select(id_col, score_col), pairs, id_col)
+    order = (
+        F.col(score_col).desc() if keep == "max" else F.col(score_col).asc()
+    )
+    w = Window.partitionBy("grp").orderBy(order, F.col(id_col).asc())
+    return lab.select(
+        id_col,
+        F.col("grp").cast("bigint").alias("grp"),
+        score_col,
+        (F.row_number().over(w) == 1).alias("is_representative"),
+    )

@@ -6383,6 +6383,88 @@ FROM lineitem
 """
 
 
+def dd_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup (operators/dedup.py soft_dedup_weights): every doc
+    weighted 1/|near-dup group| over the MinHash-LSH pair graph, so
+    each group contributes one document's training mass without hard
+    removal. Oracle: the recursive-CTE closure of the identical pair
+    SQL, left-joined to documents (singletons weight 1)."""
+    from .operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    return dedup.soft_dedup_weights(d, pairs, id_col="doc_id")
+
+
+DD_SOFT_DEDUP_SQL = f"""
+WITH RECURSIVE pairs AS ({DD_MINHASH_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM edges
+), cc(v, lbl) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.a, c.lbl FROM edges e JOIN cc c ON c.v = e.b
+), labels AS (
+  SELECT v, min(lbl) AS lbl FROM cc GROUP BY v
+), lab AS (
+  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS grp
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.v
+), sizes AS (
+  SELECT grp, count(*)::BIGINT AS group_size FROM lab GROUP BY grp
+)
+SELECT doc_id, lab.grp::BIGINT AS grp, group_size,
+       round(1.0 / group_size, 9) AS weight
+FROM lab JOIN sizes USING (grp)
+"""
+
+
+def dd_best_representative(spark, sf_dir):
+    """Quality-aware dedup retention (operators/dedup.py
+    select_representatives): per near-dup group keep the LONGEST
+    document (n_chars, tie-break min id) — the policy that replaces
+    the min-id convention when a quality signal exists. One per-group
+    window bounded by group size."""
+    from .operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    return dedup.select_representatives(
+        d, pairs, id_col="doc_id", score_col="n_chars", keep="max"
+    )
+
+
+DD_BEST_REP_SQL = f"""
+WITH RECURSIVE pairs AS ({DD_MINHASH_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM edges
+), cc(v, lbl) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.a, c.lbl FROM edges e JOIN cc c ON c.v = e.b
+), labels AS (
+  SELECT v, min(lbl) AS lbl FROM cc GROUP BY v
+), lab AS (
+  SELECT d.doc_id, d.n_chars, coalesce(l.lbl, d.doc_id) AS grp
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.v
+)
+SELECT doc_id, grp::BIGINT AS grp, n_chars,
+       (row_number() OVER (
+          PARTITION BY grp ORDER BY n_chars DESC, doc_id ASC) = 1)
+         AS is_representative
+FROM lab
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6628,6 +6710,8 @@ EXTRA_QUERIES = {
     "j_q21_waiting_suppliers": j_q21_waiting_suppliers,
     "dim_incremental_agg": dim_incremental_agg,
     "ds_zorder_layout": ds_zorder_layout,
+    "dd_soft_dedup_weights": dd_soft_dedup_weights,
+    "dd_best_representative": dd_best_representative,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6815,6 +6899,8 @@ EXTRA_ORACLES = {
     "j_q21_waiting_suppliers": J_Q21_SQL,
     "dim_incremental_agg": DIM_INCR_AGG_SQL,
     "ds_zorder_layout": DS_ZORDER_SQL,
+    "dd_soft_dedup_weights": DD_SOFT_DEDUP_SQL,
+    "dd_best_representative": DD_BEST_REP_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

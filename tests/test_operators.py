@@ -2107,3 +2107,47 @@ def test_zorder_repartition_improves_multicolumn_locality(spark):
     assert zy < by / 2, (zy, by)
     zx = total_span(z, "x")
     assert zx <= 16 * (side - 1)  # each file covers a bounded x window
+
+
+# ---------------------------------------------------------------------------
+# round 7: dedup retention policies
+# ---------------------------------------------------------------------------
+def test_soft_dedup_weights_hand_computed(spark):
+    from mdataframe_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    got = {r["doc_id"]: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert got[1]["group_size"] == 3 and got[1]["weight"] == round(1 / 3, 9)
+    assert got[1]["grp"] == got[2]["grp"] == got[3]["grp"] == 1
+    for s in (4, 5):  # singletons: own group, full weight
+        assert got[s]["group_size"] == 1 and got[s]["weight"] == 1.0
+        assert got[s]["grp"] == s
+    # training mass conservation: sum of weights == number of groups
+    # (up to the 9-dp weight rounding: 3 * round(1/3, 9))
+    import pytest as _p
+    assert sum(r["weight"] for r in got.values()) == _p.approx(3.0, abs=1e-8)
+
+
+def test_select_representatives_keeps_best_scorer(spark):
+    from mdataframe_spark.operators.dedup import select_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7)], "doc_id bigint, n_chars bigint"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    got = {
+        r["doc_id"]: r["is_representative"]
+        for r in select_representatives(docs, pairs).collect()
+    }
+    # group {1,2,3}: max score 99 tied between 2 and 3 -> min id 2 wins
+    assert got == {1: False, 2: True, 3: False, 4: True}
+    # keep="min": lowest scorer wins (doc 1, score 10 < 99)
+    got_min = {
+        r["doc_id"]: r["is_representative"]
+        for r in select_representatives(docs, pairs, keep="min").collect()
+    }
+    assert got_min[1] is True and got_min[2] is False
+    import pytest as _p
+    with _p.raises(ValueError):
+        select_representatives(docs, pairs, keep="median")
