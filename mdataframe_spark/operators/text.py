@@ -1304,3 +1304,62 @@ def pmi_collocations(
             F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms (round 7)
+# ---------------------------------------------------------------------------
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic salient-term
+    extraction (document keywords, weak topic labels) complementing
+    the query-side BM25 ranker.
+
+    idf = ln(N/df) with df the DOCUMENT frequency (distinct docs
+    containing the term); terms below ``min_df`` are dropped (hapax
+    noise, and the df table is what bounds the broadcast). Plan shape:
+    one (doc, term) count collapses the corpus; df is one
+    vocab-bounded groupBy of the DISTINCT (doc, term) projection; idf
+    broadcasts back; the top-k window is per-doc (doc-bounded).
+    Determinism: idf rounded 9 dp BEFORE the product, tfidf rounded
+    6 dp; ties break on the term.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    tf = toks.groupBy("__d", "__t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = dfreq.withColumn(
+        "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    )
+    scored = tf.join(F.broadcast(idf), "__t").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("__d").orderBy(
+        F.col("tfidf").desc(), F.col("__t").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__d").alias(id_col),
+            F.col("__t").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

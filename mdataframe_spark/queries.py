@@ -6465,6 +6465,100 @@ FROM lab
 """
 
 
+def txt_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (operators/text.py tfidf_topk):
+    one (doc, term) count collapses the corpus, document frequencies
+    bound the broadcast idf table, per-doc top-k window. idf rounded
+    9 dp before the product so both engines multiply identical
+    constants."""
+    from .operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5, min_df=2)
+
+
+TXT_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS d, unnest(string_split(
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+), tf AS (
+  SELECT d, t, count(*)::BIGINT AS tf FROM toks WHERE t <> '' GROUP BY d, t
+), n AS (
+  SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents
+), dfreq AS (
+  SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t HAVING count(*) >= 2
+), idf AS (
+  SELECT t, df, round(ln(n_docs / df), 9) AS idf FROM dfreq, n
+), scored AS (
+  SELECT d, tf.t, tf, df, round(tf * idf, 6) AS tfidf
+  FROM tf JOIN idf ON tf.t = idf.t
+), ranked AS (
+  SELECT d, t, tf, df, tfidf,
+         row_number() OVER (
+           PARTITION BY d ORDER BY tfidf DESC, t ASC) AS rank
+  FROM scored
+)
+SELECT d AS doc_id, t AS term, tf, df, tfidf, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def w3_window_suite(spark, sf_dir):
+    """The remaining ranking-window family in one result (§2.5):
+    ntile quartiles, cume_dist, percent_rank of extended price per
+    return flag — deterministic total order (price, orderkey,
+    linenumber) so peer groups are singletons and both engines agree
+    exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+W3_WINDOW_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       ntile(4) OVER w::BIGINT AS quartile,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)
+"""
+
+
+def e_latency_percentiles(spark, sf_dir):
+    """Per-type P50/P95/P99 of event values (exact percentiles — the
+    observability dashboard staple): one group-bounded aggregation;
+    the quantile_cont interpolation-parity pair proven by
+    f13_impute_median."""
+    e = _events(spark, sf_dir)
+    return e.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+E_LATENCY_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(quantile_cont(value::DOUBLE, 0.5), 6) AS p50,
+       round(quantile_cont(value::DOUBLE, 0.95), 6) AS p95,
+       round(quantile_cont(value::DOUBLE, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6712,6 +6806,9 @@ EXTRA_QUERIES = {
     "ds_zorder_layout": ds_zorder_layout,
     "dd_soft_dedup_weights": dd_soft_dedup_weights,
     "dd_best_representative": dd_best_representative,
+    "txt_tfidf_topk": txt_tfidf_topk,
+    "w3_window_suite": w3_window_suite,
+    "e_latency_percentiles": e_latency_percentiles,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6901,6 +6998,9 @@ EXTRA_ORACLES = {
     "ds_zorder_layout": DS_ZORDER_SQL,
     "dd_soft_dedup_weights": DD_SOFT_DEDUP_SQL,
     "dd_best_representative": DD_BEST_REP_SQL,
+    "txt_tfidf_topk": TXT_TFIDF_SQL,
+    "w3_window_suite": W3_WINDOW_SQL,
+    "e_latency_percentiles": E_LATENCY_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

@@ -2151,3 +2151,31 @@ def test_select_representatives_keeps_best_scorer(spark):
     import pytest as _p
     with _p.raises(ValueError):
         select_representatives(docs, pairs, keep="median")
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from mdataframe_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana cherry cherry date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = [
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["tfidf"], r["rank"])
+        for r in tfidf_topk(docs, k=2, min_df=2).collect()
+    ]
+    got = {(d, t): (tf, df, s) for d, t, tf, df, s, _ in out}
+    # df: apple 2, banana 2, cherry 2; date df=1 -> dropped by min_df
+    assert all(t != "date" for _, t in got)
+    idf = round(math.log(3 / 2), 9)
+    assert got[(1, "apple")] == (2, 2, round(2 * idf, 6))
+    assert got[(3, "cherry")] == (2, 2, round(2 * idf, 6))
+    # rank 1 per doc is the highest-tfidf term (ties -> lexicographic)
+    rank1 = {d: t for d, t, _, _, _, r in out if r == 1}
+    assert rank1 == {1: "apple", 2: "apple", 3: "cherry"}
