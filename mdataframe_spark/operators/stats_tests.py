@@ -306,3 +306,71 @@ def ks_two_sample(
     if with_p:
         out = out.withColumn("p_value", _ks_p(F.col("ks_stat")))
     return out
+
+
+def population_stability_index(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between the two populations named by
+    boolean ``split_col`` (False = baseline, True = current):
+    PSI = Σ_bins (p_cur − p_base)·ln(p_cur/p_base) — THE model-ops
+    drift score (rule of thumb: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted), complementing KS (max CDF gap) with a
+    magnitude-weighted whole-distribution summary.
+
+    Equal-width bins over [lo, hi] (two-scalar probe when omitted, the
+    histogram convention; max clamps into the last bin); bin shares
+    are Lidstone-smoothed with ``alpha`` so empty bins cannot produce
+    infinite ratios (the txt_source_kl convention). ONE partial-agged
+    (bin, split) groupBy collapses the corpus; everything downstream
+    is bins-bounded, from exact integer counts. Returns one row per
+    bin (bin, n_base, n_cur, p_base, p_cur, psi_term) plus the caller
+    sums psi_term — shares rounded 9 dp before the ln so both engines
+    transform identical constants.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(split_col).isNotNull())
+    if lo is None or hi is None:
+        mn, mx = base.agg(F.min(x), F.max(x)).first()
+        lo = float(mn if lo is None else lo)
+        hi = float(mx if hi is None else hi)
+    if not hi > lo:
+        raise ValueError(f"psi: need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    b = F.least(F.floor((x - lo) / width), F.lit(n_bins - 1)).cast("int")
+    cells = base.groupBy(b.alias("bin")).agg(
+        F.sum(
+            F.when(~F.col(split_col).cast("boolean"), 1).otherwise(0)
+        ).alias("n_base"),
+        F.sum(
+            F.when(F.col(split_col).cast("boolean"), 1).otherwise(0)
+        ).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    a = float(alpha)
+    k = float(n_bins)
+    pb = F.round(
+        (F.col("n_base") + a) / (F.col("__tb") + a * k), 9
+    )
+    pc = F.round(
+        (F.col("n_cur") + a) / (F.col("__tc") + a * k), 9
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin"),
+            F.col("n_base").cast("bigint").alias("n_base"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            pb.alias("p_base"),
+            pc.alias("p_cur"),
+            F.round((pc - pb) * F.log(pc / pb), 9).alias("psi_term"),
+        )
+    )

@@ -6559,6 +6559,47 @@ FROM events WHERE value IS NOT NULL GROUP BY event_type
 """
 
 
+def stat_psi(spark, sf_dir):
+    """Population Stability Index of purchase values vs all other
+    event values (operators/stats_tests.py population_stability_index):
+    ONE (bin, split) groupBy collapses the corpus; Lidstone-smoothed
+    shares rounded before the ln so both engines transform identical
+    constants. The dashboard drift score complementing KS."""
+    from .operators.stats_tests import population_stability_index
+
+    e = _events(spark, sf_dir).withColumn(
+        "is_purchase", F.col("event_type") == "purchase"
+    )
+    return population_stability_index(
+        e, "value", "is_purchase", n_bins=10
+    )
+
+
+STAT_PSI_SQL = """
+WITH base AS (
+  SELECT value::DOUBLE AS v, (event_type = 'purchase') AS cur
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), rng AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM base
+), cells AS (
+  SELECT least(floor((v - lo) / ((hi - lo) / 10)), 9)::INT AS bin,
+         sum(CASE WHEN NOT cur THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM base, rng GROUP BY 1
+), tot AS (
+  SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM cells
+), sh AS (
+  SELECT bin, n_base, n_cur,
+         round((n_base + 0.5) / (tb + 0.5 * 10), 9) AS p_base,
+         round((n_cur + 0.5) / (tc + 0.5 * 10), 9) AS p_cur
+  FROM cells, tot
+)
+SELECT bin, n_base, n_cur, p_base, p_cur,
+       round((p_cur - p_base) * ln(p_cur / p_base), 9) AS psi_term
+FROM sh
+"""
+
+
 def dq_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (operators/diagnostics.py k_anonymity): nation x market segment x
@@ -6809,6 +6850,7 @@ EXTRA_QUERIES = {
     "txt_tfidf_topk": txt_tfidf_topk,
     "w3_window_suite": w3_window_suite,
     "e_latency_percentiles": e_latency_percentiles,
+    "stat_psi": stat_psi,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -7001,6 +7043,7 @@ EXTRA_ORACLES = {
     "txt_tfidf_topk": TXT_TFIDF_SQL,
     "w3_window_suite": W3_WINDOW_SQL,
     "e_latency_percentiles": E_LATENCY_SQL,
+    "stat_psi": STAT_PSI_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,

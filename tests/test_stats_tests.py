@@ -608,3 +608,43 @@ def test_triangle_count_hub_orientation_exact(spark):
     # hub coefficient: 2*8/(8*7)
     import pytest as _p
     assert got[100]["clustering_coeff"] == _p.approx(16 / 56, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# population stability index (round 7)
+# ---------------------------------------------------------------------------
+def test_psi_identical_populations_near_zero(spark):
+    from mdataframe_spark.operators.stats_tests import (
+        population_stability_index,
+    )
+
+    rows = [(float(v % 20), v % 2 == 0) for v in range(400)]
+    df = spark.createDataFrame(rows, "v double, cur boolean")
+    out = population_stability_index(df, "v", "cur", n_bins=10).collect()
+    psi = sum(r["psi_term"] for r in out)
+    assert abs(psi) < 1e-6  # identical distributions -> PSI ~ 0
+
+
+def test_psi_shifted_population_flags_drift(spark):
+    import math
+
+    from mdataframe_spark.operators.stats_tests import (
+        population_stability_index,
+    )
+
+    # baseline uniform on [0, 10); current uniform on [5, 15) — a
+    # gross shift: PSI must exceed the 0.25 "shifted" rule of thumb
+    rows = [(float(v % 10), False) for v in range(300)]
+    rows += [(5.0 + (v % 10), True) for v in range(300)]
+    df = spark.createDataFrame(rows, "v double, cur boolean")
+    out = population_stability_index(
+        df, "v", "cur", n_bins=10, lo=0.0, hi=15.0
+    ).collect()
+    psi = sum(r["psi_term"] for r in out)
+    assert psi > 0.25
+    # independent recomputation of one populated bin's term
+    r = {x["bin"]: x for x in out}[0]
+    pb = round((r["n_base"] + 0.5) / (300 + 0.5 * 10), 9)
+    pc = round((r["n_cur"] + 0.5) / (300 + 0.5 * 10), 9)
+    assert r["psi_term"] == round((pc - pb) * math.log(pc / pb), 9)
+    assert r["n_base"] > 0 and r["n_cur"] == 0  # smoothing kept it finite
