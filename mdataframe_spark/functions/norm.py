@@ -400,24 +400,36 @@ def quantile_normalize(
         ),
     )
     # drop nulls BEFORE ranking: stack() emits them, they would sort
-    # first and be silently "normalized"; the per-rank count guard
-    # below then catches the resulting column-length mismatch
+    # first and be silently "normalized"; the guards below catch the
+    # resulting column-length mismatches
     melted = melted.filter(F.col("__v").isNotNull())
+    from ..cache import persist_tracked as _persist_tracked
+
     w = Window.partitionBy("__s").orderBy(F.col("__v").asc(), F.col("__i").asc())
-    ranked = melted.withColumn("__rn", F.row_number().over(w))
+    # ranked feeds targets, the tie collapse AND the final join — pin
+    # it once so the per-sample sort windows (the dominant cost)
+    # execute once, not three times
+    ranked = _persist_tracked(melted.withColumn("__rn", F.row_number().over(w)))
     targets = ranked.groupBy("__rn").agg(
         F.round(F.avg("__v"), 9).alias("__t"),
         F.count(F.lit(1)).alias("__cnt"),
     )
-    from ..cache import persist_tracked as _persist_tracked
-
     targets = _persist_tracked(targets)
-    bad = targets.filter(F.col("__cnt") != n).count()
-    if bad:
+    row = targets.agg(
+        F.sum(F.when(F.col("__cnt") != n, 1).otherwise(0)).alias("bad"),
+        F.sum("__cnt").alias("tot"),
+    ).first()
+    # two guards: unequal column lengths (a rank row short a sample)
+    # AND equal-but-nonzero null counts per sample (rank rows all full
+    # width, yet fewer melted rows than rows x samples — ranks shifted
+    # identically in every column, still a silent misalignment)
+    n_rows = df.count()
+    if row["bad"] or (row["tot"] or 0) != n_rows * n:
         raise ValueError(
-            f"quantile_normalize: {bad} rank row(s) are short a sample — "
-            f"the matrix has nulls/unequal column lengths; ranks would "
-            f"silently misalign"
+            f"quantile_normalize: the matrix has nulls/unequal column "
+            f"lengths ({row['bad']} rank row(s) short a sample; "
+            f"{row['tot']} non-null cells for {n_rows} x {n} matrix) — "
+            f"ranks would silently misalign"
         )
     tied = (
         ranked.join(targets.select("__rn", "__t"), "__rn")

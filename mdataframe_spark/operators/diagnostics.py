@@ -262,6 +262,13 @@ def referential_integrity(edges) -> DataFrame:
     (NULL FKs are not orphans under SQL semantics; they are counted
     separately), n_orphans, n_orphan_keys. Output: one row per edge.
     """
+    edges = list(edges)
+    if not edges:
+        raise ValueError(
+            "referential_integrity: edges must be non-empty — a caller "
+            "filtering a config of FK edges down to present tables "
+            "should skip the call, not audit nothing"
+        )
     outs = []
     for name, child, fk, parent, pk in edges:
         keys = (

@@ -28,20 +28,27 @@ _NS_PER_S = 1_000_000_000
 def _ns(df: DataFrame, ts_col: str) -> DataFrame:
     """Canonicalize ``ts_col`` to epoch-ns BIGINT (the _events contract).
 
-    Pins the session timezone to UTC first — the NTZ→TIMESTAMP cast is
-    timezone-sensitive, and standalone operator use in a non-UTC
-    session would otherwise shift every epoch (and every bucket)
-    relative to the repo-wide epoch-ns contract (mirrors
-    queries._events)."""
+    Pins the session timezone to UTC AROUND the cast and restores the
+    caller's setting — the NTZ→TIMESTAMP cast binds the session zone
+    at analysis time (DataFrame creation), so the scoped set/restore
+    keeps the repo-wide epoch-ns contract without leaking UTC into the
+    caller's unrelated timestamp queries (mirrors queries._events,
+    which pins the DRIVER session deliberately)."""
     dtype = dict(df.dtypes)[ts_col]
     if dtype.startswith("timestamp"):
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        return df.withColumn(
-            ts_col,
-            (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast(
-                "bigint"
-            ),
-        )
+        conf = df.sparkSession.conf
+        prev = conf.get("spark.sql.session.timeZone")
+        conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            return df.withColumn(
+                ts_col,
+                (
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    * F.lit(1000)
+                ).cast("bigint"),
+            )
+        finally:
+            conf.set("spark.sql.session.timeZone", prev)
     if dtype != "bigint":
         return df.withColumn(ts_col, F.col(ts_col).cast("bigint"))
     return df

@@ -325,13 +325,16 @@ def population_stability_index(
     magnitude-weighted whole-distribution summary.
 
     Equal-width bins over [lo, hi] (two-scalar probe when omitted, the
-    histogram convention; max clamps into the last bin); bin shares
-    are Lidstone-smoothed with ``alpha`` so empty bins cannot produce
-    infinite ratios (the txt_source_kl convention). ONE partial-agged
-    (bin, split) groupBy collapses the corpus; everything downstream
-    is bins-bounded, from exact integer counts. Returns one row per
-    bin (bin, n_base, n_cur, p_base, p_cur, psi_term) plus the caller
-    sums psi_term — shares rounded 9 dp before the ln so both engines
+    histogram convention; values outside an EXPLICIT [lo, hi] clamp
+    into the edge bins — both sides, never a negative bin index); bin
+    shares are Lidstone-smoothed with ``alpha`` so empty bins cannot
+    produce infinite ratios (the txt_source_kl convention). ONE
+    partial-agged (bin, split) groupBy collapses the corpus;
+    everything downstream is bins-bounded, from exact integer counts.
+    Returns EXACTLY ``n_bins`` rows — bins empty in both splits are
+    zero-filled, because their smoothed psi_terms are nonzero and
+    belong in the caller's sum (bin, n_base, n_cur, p_base, p_cur,
+    psi_term). Shares rounded 9 dp before the ln so both engines
     transform identical constants.
     """
     x = F.col(value_col).cast("double")
@@ -343,14 +346,28 @@ def population_stability_index(
     if not hi > lo:
         raise ValueError(f"psi: need hi > lo, got [{lo}, {hi}]")
     width = (hi - lo) / n_bins
-    b = F.least(F.floor((x - lo) / width), F.lit(n_bins - 1)).cast("int")
-    cells = base.groupBy(b.alias("bin")).agg(
+    b = F.least(
+        F.greatest(F.floor((x - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    observed = base.groupBy(b.alias("bin")).agg(
         F.sum(
             F.when(~F.col(split_col).cast("boolean"), 1).otherwise(0)
         ).alias("n_base"),
         F.sum(
             F.when(F.col(split_col).cast("boolean"), 1).otherwise(0)
         ).alias("n_cur"),
+    )
+    spectrum = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    cells = (
+        spectrum.join(F.broadcast(observed), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
     )
     tot = cells.agg(
         F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")

@@ -1768,7 +1768,10 @@ def st_events_window(spark, sf_dir):
     epoch nanos (see _events); convert to a real timestamp for
     F.window, then back to epoch seconds for timezone-free compare."""
     e = _events(spark, sf_dir).withColumn(
-        "ts_t", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
+        # exact integer div: float(epoch-ns) rounds by up to ~128 ns
+        # (> 2^53), enough to flip the microsecond — and with it the
+        # window — at an hour boundary
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000").cast("bigint"))
     )
     return (
         e.groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
@@ -6581,11 +6584,19 @@ WITH base AS (
   FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ), rng AS (
   SELECT min(v) AS lo, max(v) AS hi FROM base
-), cells AS (
-  SELECT least(floor((v - lo) / ((hi - lo) / 10)), 9)::INT AS bin,
+), observed AS (
+  SELECT least(greatest(floor((v - lo) / ((hi - lo) / 10)), 0), 9)::INT
+           AS bin,
          sum(CASE WHEN NOT cur THEN 1 ELSE 0 END)::BIGINT AS n_base,
          sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS n_cur
   FROM base, rng GROUP BY 1
+), cells AS (
+  -- every bin appears (zero-filled): empty bins still carry nonzero
+  -- smoothed psi terms
+  SELECT s.bin, coalesce(n_base, 0)::BIGINT AS n_base,
+         coalesce(n_cur, 0)::BIGINT AS n_cur
+  FROM (SELECT unnest(generate_series(0, 9))::INT AS bin) s
+  LEFT JOIN observed USING (bin)
 ), tot AS (
   SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM cells
 ), sh AS (

@@ -2179,3 +2179,39 @@ def test_tfidf_topk_hand_computed(spark):
     # rank 1 per doc is the highest-tfidf term (ties -> lexicographic)
     rank1 = {d: t for d, t, _, _, _, r in out if r == 1}
     assert rank1 == {1: "apple", 2: "apple", 3: "cherry"}
+
+
+def test_decode_features_falls_back_on_bad_png(spark):
+    """A payload that LOOKS like a PNG but fails to decode must
+    degrade to byte-sum features, never raise (one bad blob must not
+    kill the whole mapInPandas task)."""
+    from mdataframe_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _byte_sum_features,
+        decode_features,
+        encode_png,
+    )
+
+    bad = PNG_MAGIC + b"garbage-after-the-magic"
+    assert decode_features(bad) == _byte_sum_features(bad)
+    # CRC-corrupt real PNG also falls back
+    good = encode_png(4, 3, bytes(range(12)), color_type=0)
+    corrupt = bytearray(good)
+    corrupt[good.index(b"IDAT") + 4] ^= 0xFF
+    corrupt = bytes(corrupt)
+    assert decode_features(corrupt) == _byte_sum_features(corrupt)
+
+
+def test_quantile_normalize_rejects_equal_null_counts(spark):
+    """Equal per-sample null counts pass the per-rank width check but
+    still misalign ranks — the total-cell guard must catch them."""
+    import pytest as _p
+
+    from mdataframe_spark.functions.norm import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(0, None, 1.0), (1, 2.0, None), (2, 3.0, 4.0)],
+        "gid bigint, s1 double, s2 double",
+    )
+    with _p.raises(ValueError, match="misalign"):
+        quantile_normalize(df, ["s1", "s2"], index_column="gid")

@@ -648,3 +648,68 @@ def test_psi_shifted_population_flags_drift(spark):
     pc = round((r["n_cur"] + 0.5) / (300 + 0.5 * 10), 9)
     assert r["psi_term"] == round((pc - pb) * math.log(pc / pb), 9)
     assert r["n_base"] > 0 and r["n_cur"] == 0  # smoothing kept it finite
+
+
+# ---------------------------------------------------------------------------
+# round-7 self-review regression tests
+# ---------------------------------------------------------------------------
+def test_psi_emits_full_bin_spectrum_and_clamps_lo(spark):
+    """Bins empty in BOTH splits still carry nonzero smoothed psi
+    terms and must appear (zero-filled); values below an explicit lo
+    clamp into bin 0, never a negative index."""
+    from mdataframe_spark.operators.stats_tests import (
+        population_stability_index,
+    )
+
+    rows = [(10.0, False)] * 10 + [(90.0, True)] * 90
+    df = spark.createDataFrame(rows, "v double, cur boolean")
+    out = {r["bin"]: r for r in population_stability_index(
+        df, "v", "cur", n_bins=10, lo=0.0, hi=100.0).collect()}
+    assert sorted(out) == list(range(10))  # all ten bins present
+    # an everywhere-empty bin still contributes its smoothed term
+    empty = out[5]
+    assert empty["n_base"] == 0 and empty["n_cur"] == 0
+    assert empty["psi_term"] != 0.0
+    # below-lo values clamp into bin 0
+    low = spark.createDataFrame([(-50.0, False), (5.0, True)],
+                                "v double, cur boolean")
+    got = {r["bin"]: r for r in population_stability_index(
+        low, "v", "cur", n_bins=10, lo=0.0, hi=100.0).collect()}
+    assert got[0]["n_base"] == 1  # -50 clamped, not bin -5
+
+
+def test_referential_integrity_empty_edges_raises(spark):
+    import pytest as _p
+
+    from mdataframe_spark.operators.diagnostics import referential_integrity
+
+    with _p.raises(ValueError, match="non-empty"):
+        referential_integrity([])
+
+
+def test_ns_timezone_pin_is_scoped(spark):
+    """_ns must canonicalize NTZ timestamps against UTC WITHOUT
+    leaking spark.sql.session.timeZone=UTC into the caller's session
+    (the cast binds the zone at analysis time)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.operators.events import _ns
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        df = spark.createDataFrame([("2024-01-01 00:00:00",)], "s string").select(
+            F.col("s").cast("timestamp_ntz").alias("ts")
+        )
+        out = _ns(df, "ts")
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        expect = int(
+            datetime.datetime(
+                2024, 1, 1, tzinfo=datetime.timezone.utc
+            ).timestamp() * 1e9
+        )
+        assert out.first()["ts"] == expect
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
