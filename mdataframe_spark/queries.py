@@ -6707,29 +6707,12 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
     "j_generic_join_q3": j_generic_join_q3,
-    "j_q5_multijoin": j_q5_multijoin,
-    "w1_bh_fdr": w1_bh_fdr,
-    "st_events_window": st_events_window,
-    "st_sessionize": st_sessionize,
     "dd_exact_dedup": dd_exact_dedup,
-    "n_cpm_log2": n_cpm_log2,
-    "txt_c4_clean": txt_c4_clean,
-    "txt_bm25_topk": txt_bm25_topk,
-    "txt_kn_bigram_lm": txt_kn_bigram_lm,
     "j_asof_attribution": j_asof_attribution,
-    "sk_heavy_hitters": sk_heavy_hitters,
-    "ds_shard_balance": ds_shard_balance,
     "ds_leakage_safe_split": ds_leakage_safe_split,
-    "ml_logreg_suffstats": ml_logreg_suffstats,
-    "dd_minhash_lsh": dd_minhash_lsh,
-    "dd_substring_spans": dd_substring_spans,
     "dd_semantic_dedup": dd_semantic_dedup,
-    "sim_ann_recall": sim_ann_recall,
-    "stat_tmm_cpm": stat_tmm_cpm,
-    "dd_embedding_neardup": dd_embedding_neardup,
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
     "ml_dbscan_classes": ml_dbscan_classes,
-    "stat_vst": stat_vst,
     "stat_edger_norm": stat_edger_norm,
     "stat_deseq2_base": stat_deseq2_base,
     "ml_auc_value": ml_auc_value,
@@ -6754,6 +6737,26 @@ QUERIES = {
     "e_period_over_period": e_period_over_period,
     "ds_dsir_select": ds_dsir_select,
     "txt_quality_gate": txt_quality_gate,
+    # --- rotated in round 8 (driver records for the round-7 waves;
+    # 17 veterans green since r1-r5 ceded their slots and keep the
+    # identical oracle protocol in EXTRA_QUERIES) ---
+    "txt_pii_scrub": txt_pii_scrub,
+    "dq_robust_outliers": dq_robust_outliers,
+    "dq_k_anonymity": dq_k_anonymity,
+    "dq_referential_integrity": dq_referential_integrity,
+    "ds_temperature_mixture": ds_temperature_mixture,
+    "n_quantile_norm": n_quantile_norm,
+    "n_uq_factors": n_uq_factors,
+    "gr_triangle_count": gr_triangle_count,
+    "j_q21_waiting_suppliers": j_q21_waiting_suppliers,
+    "dim_incremental_agg": dim_incremental_agg,
+    "ds_zorder_layout": ds_zorder_layout,
+    "dd_soft_dedup_weights": dd_soft_dedup_weights,
+    "dd_best_representative": dd_best_representative,
+    "txt_tfidf_topk": txt_tfidf_topk,
+    "w3_window_suite": w3_window_suite,
+    "e_latency_percentiles": e_latency_percentiles,
+    "stat_psi": stat_psi,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
     "stat_edger_exact_test": stat_edger_exact_test,
     "stat_deseq2": stat_deseq2,
@@ -6844,24 +6847,25 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
-    # --- new in round 7 ---
-    "txt_pii_scrub": txt_pii_scrub,
-    "dq_robust_outliers": dq_robust_outliers,
-    "dq_k_anonymity": dq_k_anonymity,
-    "dq_referential_integrity": dq_referential_integrity,
-    "ds_temperature_mixture": ds_temperature_mixture,
-    "n_quantile_norm": n_quantile_norm,
-    "n_uq_factors": n_uq_factors,
-    "gr_triangle_count": gr_triangle_count,
-    "j_q21_waiting_suppliers": j_q21_waiting_suppliers,
-    "dim_incremental_agg": dim_incremental_agg,
-    "ds_zorder_layout": ds_zorder_layout,
-    "dd_soft_dedup_weights": dd_soft_dedup_weights,
-    "dd_best_representative": dd_best_representative,
-    "txt_tfidf_topk": txt_tfidf_topk,
-    "w3_window_suite": w3_window_suite,
-    "e_latency_percentiles": e_latency_percentiles,
-    "stat_psi": stat_psi,
+    # --- rotated out of the driver registry in round 8 (driver-green
+    # r1-r7; same oracle protocol in-repo from here on) ---
+    "j_q5_multijoin": j_q5_multijoin,
+    "w1_bh_fdr": w1_bh_fdr,
+    "st_events_window": st_events_window,
+    "st_sessionize": st_sessionize,
+    "n_cpm_log2": n_cpm_log2,
+    "txt_c4_clean": txt_c4_clean,
+    "txt_bm25_topk": txt_bm25_topk,
+    "txt_kn_bigram_lm": txt_kn_bigram_lm,
+    "sk_heavy_hitters": sk_heavy_hitters,
+    "ds_shard_balance": ds_shard_balance,
+    "ml_logreg_suffstats": ml_logreg_suffstats,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_substring_spans": dd_substring_spans,
+    "sim_ann_recall": sim_ann_recall,
+    "stat_tmm_cpm": stat_tmm_cpm,
+    "dd_embedding_neardup": dd_embedding_neardup,
+    "stat_vst": stat_vst,
     # --- rotated out of the driver registry in round 7 (driver-green
     # r1-r6; same oracle protocol in-repo from here on) ---
     "txt_winnow_overlap": txt_winnow_overlap,
@@ -6906,29 +6910,12 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "f1_filter_dsl": F1_SQL,
     "j_generic_join_q3": J_Q3_SQL,
-    "j_q5_multijoin": J_Q5_SQL,
-    "w1_bh_fdr": W1_SQL,
-    "st_events_window": ST_WINDOW_SQL,
-    "st_sessionize": ST_SESSION_SQL,
     "dd_exact_dedup": DD_EXACT_SQL,
-    "n_cpm_log2": N_CPM_SQL,
-    "txt_c4_clean": TXT_C4_SQL,
-    "txt_bm25_topk": TXT_BM25_SQL,
-    "txt_kn_bigram_lm": TXT_KN_BIGRAM_SQL,
     "j_asof_attribution": J_ASOF_SQL,
-    "sk_heavy_hitters": SK_HH_SQL,
-    "ds_shard_balance": DS_SHARD_SQL,
     "ds_leakage_safe_split": DS_LEAKAGE_SQL,
-    "ml_logreg_suffstats": ML_LOGREG_STATS_SQL,
-    "dd_substring_spans": DD_SUBSTR_SQL,
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
-    "dd_minhash_lsh": DD_MINHASH_SQL,
-    "sim_ann_recall": SIM_ANN_SQL,
-    "stat_tmm_cpm": STAT_TMM_SQL,
-    "dd_embedding_neardup": DD_EMB_NEARDUP_SQL,
     "ml_kmeans_lloyd": ML_KMEANS_SQL,
     "ml_dbscan_classes": ML_DBSCAN_SQL,
-    "stat_vst": STAT_VST_SQL,
     "stat_edger_norm": STAT_EDGER_NORM_SQL,
     "stat_deseq2_base": STAT_DESEQ2_BASE_SQL,
     "ml_auc_value": ML_AUC_SQL,
@@ -6951,6 +6938,24 @@ ORACLES = {
     "e_period_over_period": E_POP_SQL,
     "ds_dsir_select": DS_DSIR_SQL,
     "txt_quality_gate": TXT_GATE_SQL,
+    # --- rotated in round 8 ---
+    "txt_pii_scrub": TXT_PII_SCRUB_SQL,
+    "dq_robust_outliers": DQ_ROBUST_SQL,
+    "dq_k_anonymity": DQ_KANON_SQL,
+    "dq_referential_integrity": DQ_REFINT_SQL,
+    "ds_temperature_mixture": DS_TEMPERATURE_SQL,
+    "n_quantile_norm": N_QNORM_SQL,
+    "n_uq_factors": N_UQ_SQL,
+    "gr_triangle_count": GR_TRIANGLE_SQL,
+    "j_q21_waiting_suppliers": J_Q21_SQL,
+    "dim_incremental_agg": DIM_INCR_AGG_SQL,
+    "ds_zorder_layout": DS_ZORDER_SQL,
+    "dd_soft_dedup_weights": DD_SOFT_DEDUP_SQL,
+    "dd_best_representative": DD_BEST_REP_SQL,
+    "txt_tfidf_topk": TXT_TFIDF_SQL,
+    "w3_window_suite": W3_WINDOW_SQL,
+    "e_latency_percentiles": E_LATENCY_SQL,
+    "stat_psi": STAT_PSI_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent. Their
     # numeric parity is asserted against the reference's R goldens in
@@ -7037,24 +7042,24 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
-    # --- new in round 7 ---
-    "txt_pii_scrub": TXT_PII_SCRUB_SQL,
-    "dq_robust_outliers": DQ_ROBUST_SQL,
-    "dq_k_anonymity": DQ_KANON_SQL,
-    "dq_referential_integrity": DQ_REFINT_SQL,
-    "ds_temperature_mixture": DS_TEMPERATURE_SQL,
-    "n_quantile_norm": N_QNORM_SQL,
-    "n_uq_factors": N_UQ_SQL,
-    "gr_triangle_count": GR_TRIANGLE_SQL,
-    "j_q21_waiting_suppliers": J_Q21_SQL,
-    "dim_incremental_agg": DIM_INCR_AGG_SQL,
-    "ds_zorder_layout": DS_ZORDER_SQL,
-    "dd_soft_dedup_weights": DD_SOFT_DEDUP_SQL,
-    "dd_best_representative": DD_BEST_REP_SQL,
-    "txt_tfidf_topk": TXT_TFIDF_SQL,
-    "w3_window_suite": W3_WINDOW_SQL,
-    "e_latency_percentiles": E_LATENCY_SQL,
-    "stat_psi": STAT_PSI_SQL,
+    # --- rotated out of the driver registry in round 8 ---
+    "j_q5_multijoin": J_Q5_SQL,
+    "w1_bh_fdr": W1_SQL,
+    "st_events_window": ST_WINDOW_SQL,
+    "st_sessionize": ST_SESSION_SQL,
+    "n_cpm_log2": N_CPM_SQL,
+    "txt_c4_clean": TXT_C4_SQL,
+    "txt_bm25_topk": TXT_BM25_SQL,
+    "txt_kn_bigram_lm": TXT_KN_BIGRAM_SQL,
+    "sk_heavy_hitters": SK_HH_SQL,
+    "ds_shard_balance": DS_SHARD_SQL,
+    "ml_logreg_suffstats": ML_LOGREG_STATS_SQL,
+    "dd_minhash_lsh": DD_MINHASH_SQL,
+    "dd_substring_spans": DD_SUBSTR_SQL,
+    "sim_ann_recall": SIM_ANN_SQL,
+    "stat_tmm_cpm": STAT_TMM_SQL,
+    "dd_embedding_neardup": DD_EMB_NEARDUP_SQL,
+    "stat_vst": STAT_VST_SQL,
     # --- rotated out of the driver registry in round 7 ---
     "txt_winnow_overlap": TXT_WINNOW_SQL,
     "dd_ngram_jaccard": DD_JACCARD_SQL,
