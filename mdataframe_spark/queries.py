@@ -6703,6 +6703,331 @@ SELECT * FROM e1 UNION ALL SELECT * FROM e2
 """
 
 
+# ---------------------------------------------------------------------------
+# Relational-completeness wave (round 8): the remaining canonical
+# decision-support join/agg shapes (TPC-H Q4/Q7/Q9/Q13/Q15/Q18/Q22),
+# adapted to the available columns (no partsupp/commitdate/receiptdate
+# in the synthetic schema — each docstring states the adaptation).
+# Reference parity: the reference's verb chain composes arbitrary
+# relational pipelines over pandas (ref src/mdataframe/mdataframe.py
+# MDF.__getattr__ passthrough); these pin the engine's distributed
+# planner on the shapes a decision-support user would actually run.
+
+
+def j_q4_priority(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted: count orders per
+    priority in one quarter having at least one line shipped more than
+    60 days after the order date (the schema has no commitdate /
+    receiptdate — late shipment stands in for late receipt). Shape
+    under test: correlated EXISTS = left-semi join whose condition
+    mixes the equi key with an inequality on BOTH sides' columns."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+J_Q4_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def j_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue between a nation PAIR in
+    both directions, by shipping year. Shape under test: the same
+    dimension (nation) joined twice under different roles, with a
+    symmetric pair predicate — broadcast both tiny sides, one shuffle
+    on the fact keys."""
+    n1 = "NATION_1"
+    n2 = "NATION_2"
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nat.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+J_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def j_q9_profit(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: discounted revenue (the
+    schema has no partsupp/supplycost to subtract) on 'widget' parts,
+    rolled up by supplier nation and order year. Shape under test:
+    selective broadcast dim filter reaching the fact scan + two-level
+    rollup key built from different join branches."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+J_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def j_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join with a
+    non-key predicate folded into the join condition (customers keep a
+    row even when every order is filtered away), then a second
+    aggregation over the first's result. Shape under test: the
+    two-level distribution agg — the first groupBy carries the join,
+    the second is model-bounded (≤ max orders per customer bins)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+J_Q13_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def j_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) whose revenue equals the global max. Shape under
+    test: scalar-subquery-by-broadcast — the max is a 1-row broadcast
+    joined back on equality (never an unpartitioned window), revenue
+    rounded to 4dp BEFORE the equality so both engines compare the
+    same literal."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+J_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def j_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300, joined back to customer detail. Shape under test:
+    HAVING-gated IN-subquery = aggregate → filter → semi join back to
+    the fact; quantities sum exactly (integer-valued doubles) so the
+    300 threshold is cross-engine stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select(F.col("l_orderkey").alias("__big_ok"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("__big_ok"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+J_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 4) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def j_q22_lapsed_customers(spark, sf_dir):
+    """TPC-H Q22 (global-sales opportunity), adapted: above-average-
+    balance customers with NO order since 2000-01-01 ('lapsed' stands
+    in for 'never ordered' — every synthetic customer has orders),
+    grouped by nation. Shape under test: global scalar threshold
+    (1-row broadcast, avg rounded to 4dp before the comparison) +
+    anti join against a filtered fact."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("__avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+J_Q22_SQL = """
+SELECT n_name, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -6847,6 +7172,14 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: relational-completeness wave ---
+    "j_q4_priority": j_q4_priority,
+    "j_q7_volume_shipping": j_q7_volume_shipping,
+    "j_q9_profit": j_q9_profit,
+    "j_q13_order_distribution": j_q13_order_distribution,
+    "j_q15_top_supplier": j_q15_top_supplier,
+    "j_q18_large_orders": j_q18_large_orders,
+    "j_q22_lapsed_customers": j_q22_lapsed_customers,
     # --- rotated out of the driver registry in round 8 (driver-green
     # r1-r7; same oracle protocol in-repo from here on) ---
     "j_q5_multijoin": j_q5_multijoin,
@@ -7042,6 +7375,14 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: relational-completeness wave ---
+    "j_q4_priority": J_Q4_SQL,
+    "j_q7_volume_shipping": J_Q7_SQL,
+    "j_q9_profit": J_Q9_SQL,
+    "j_q13_order_distribution": J_Q13_SQL,
+    "j_q15_top_supplier": J_Q15_SQL,
+    "j_q18_large_orders": J_Q18_SQL,
+    "j_q22_lapsed_customers": J_Q22_SQL,
     # --- rotated out of the driver registry in round 8 ---
     "j_q5_multijoin": J_Q5_SQL,
     "w1_bh_fdr": W1_SQL,
