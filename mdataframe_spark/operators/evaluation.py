@@ -239,3 +239,130 @@ def centroid_silhouette(
         F.round(b, 6).alias("b_dist"),
         F.round(sil, 6).alias("silhouette"),
     )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class confusion-matrix metrics for a classifier run:
+    (class, tp, fp, fn, n_true, n_pred, precision, recall, f1), one row
+    per class seen in either column, ordered by class.
+
+    Scale shape: the corpus collapses in ONE partial-agged
+    groupBy(label, pred) — everything downstream runs on the
+    classes² confusion matrix (model-bounded). The per-class sums are
+    two tiny re-aggregations of that matrix; ratios are exact integer
+    quotients rounded to 6 dp, so any engine replays them.
+
+    Null labels/predictions are excluded up front (complete-case, one
+    denominator everywhere — the classifier.py convention).
+    """
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("__l"),
+        F.col(pred_col).cast("string").alias("__p"),
+    )
+    cm = base.groupBy("__l", "__p").agg(F.count(F.lit(1)).alias("__n"))
+    tp = cm.filter(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("class"), F.col("__n").alias("tp")
+    )
+    by_true = cm.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__n").alias("n_true")
+    )
+    by_pred = cm.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").alias("n_pred")
+    )
+    out = (
+        by_true.join(by_pred, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint").alias("n_pred"),
+        )
+        .withColumn("fp", (F.col("n_pred") - F.col("tp")).cast("bigint"))
+        .withColumn("fn", (F.col("n_true") - F.col("tp")).cast("bigint"))
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    f1 = F.when(
+        F.col("n_pred") + F.col("n_true") > 0,
+        2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")),
+    )
+    return out.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        "n_true",
+        "n_pred",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("class")
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-group NDCG@k for a scored ranking against graded relevance:
+    (group, n_items, dcg, idcg, ndcg). DCG = Σ_{r≤k} rel_r/log2(r+1)
+    over the score-descending order; IDCG is the same sum over the
+    relevance-descending (ideal) order of the SAME group.
+
+    Scale shape: both rankings are group-partitioned windows — no
+    global sort, no single-partition window; the per-group sums are
+    one partial-agged groupBy. Each gain term is rounded to 9 dp
+    before summing and the final ratio to 6 dp (≤ k terms per group,
+    so ordering noise is far below the rounding granularity — the
+    cross-engine FP discipline of the ANN oracles).
+
+    ``tiebreak_col`` makes the ranking total (deterministic across
+    engines); it defaults to the relevance column for DCG and the
+    score for IDCG plus the group, which is only safe when ties
+    cannot occur — pass an id column in practice.
+    """
+    g, s, r = F.col(group_col), F.col(score_col), F.col(rel_col)
+    base = df.filter(g.isNotNull() & s.isNotNull() & r.isNotNull()).select(
+        g.alias("__g"),
+        s.cast("double").alias("__s"),
+        r.cast("double").alias("__r"),
+        *( [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else [] ),
+    )
+    tb = [F.col("__tb").asc()] if tiebreak_col else []
+    w_dcg = Window.partitionBy("__g").orderBy(F.col("__s").desc(), *tb)
+    w_ideal = Window.partitionBy("__g").orderBy(F.col("__r").desc(), *tb)
+    ranked = base.withColumn("__rank", F.row_number().over(w_dcg)).withColumn(
+        "__irank", F.row_number().over(w_ideal)
+    )
+    gain = F.when(
+        F.col("__rank") <= k,
+        F.round(F.col("__r") / F.log2(F.col("__rank") + 1.0), 9),
+    ).otherwise(F.lit(0.0))
+    igain = F.when(
+        F.col("__irank") <= k,
+        F.round(F.col("__r") / F.log2(F.col("__irank") + 1.0), 9),
+    ).otherwise(F.lit(0.0))
+    per_group = ranked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(gain), 6).alias("dcg"),
+        F.round(F.sum(igain), 6).alias("idcg"),
+    )
+    return per_group.select(
+        group_col,
+        "n_items",
+        "dcg",
+        "idcg",
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg"),
+    )

@@ -506,3 +506,57 @@ def centroid_outliers(
         cos.alias("cos_centroid"),
         (cos < F.lit(float(threshold))).alias("is_outlier"),
     )
+
+
+def nearest_centroid_predict(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Nearest-centroid classification: fit per-label centroids (one
+    labels×dim partial-agged pass, the centroid_outliers plan) and
+    assign every vector to its highest-cosine centroid — returns
+    (id, label, pred, cos_pred). The natural evaluation partner of
+    :func:`..operators.evaluation.confusion_metrics`: mislabeled or
+    boundary vectors land on a different class's centroid.
+
+    Scale shape: centroids broadcast back (G·dim doubles) and the
+    scoring is a broadcast nested-loop over G centroids with the
+    unrolled codegen dot — zero shuffles after the centroid agg except
+    the final per-id argmax groupBy. Cosines round to 6 dp before the
+    argmax and ties break on the LOWER class id, so the assignment is
+    total and cross-engine deterministic.
+    """
+    e = emb.select(
+        id_col, label_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if dim is None:
+        dim = len(e.select("__v").first()["__v"])
+    pos = e.select(label_col, F.posexplode("__v").alias("__p", "__x"))
+    cent = pos.groupBy(label_col, "__p").agg(F.round(F.avg("__x"), 9).alias("__cx"))
+    cent_arr = cent.groupBy(F.col(label_col).alias("__cl")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "__cx"))),
+            lambda s: s["__cx"],
+        ).alias("__c")
+    )
+    scored = e.crossJoin(F.broadcast(cent_arr)).select(
+        id_col,
+        label_col,
+        F.col("__cl"),
+        F.round(cosine(F.col("__v"), F.col("__c"), dim), 6).alias("__cos"),
+    )
+    # lexicographic struct max = (highest cosine, then lowest class id)
+    best = scored.groupBy(id_col, label_col).agg(
+        F.max(F.struct(F.col("__cos"), (-F.col("__cl")).alias("__negcl"))).alias(
+            "__best"
+        )
+    )
+    return best.select(
+        id_col,
+        label_col,
+        (-F.col("__best.__negcl")).cast("integer").alias("pred"),
+        F.col("__best.__cos").alias("cos_pred"),
+    )

@@ -391,3 +391,162 @@ def population_stability_index(
             F.round((pc - pb) * F.log(pc / pb), 9).alias("psi_term"),
         )
     )
+
+
+def _t_p(t_col, df_col):
+    """Two-sided Student-t p = I_{df/(df+t²)}(df/2, 1/2), Arrow-batched
+    over the single aggregated row."""
+
+    @F.pandas_udf("double")
+    def _p(t: pd.Series, dof: pd.Series) -> pd.Series:
+        from ..functions.numerics import betainc
+
+        def one(tv, d):
+            if tv is None or d is None or pd.isna(tv) or pd.isna(d) or d <= 0:
+                return None
+            x = float(d) / (float(d) + float(tv) * float(tv))
+            return round(float(betainc(float(d) / 2.0, 0.5, x)), 6)
+
+        return pd.Series([one(tv, d) for tv, d in zip(t, dof)], dtype="float64")
+
+    return _p(t_col, df_col)
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Welch's unequal-variance t-test: does the boolean ``group_col``
+    split ``value_col`` into samples with different MEANS? Returns ONE
+    row: (n1, n2, mean1, mean2, t, dof) — dof is the
+    Welch-Satterthwaite effective degrees of freedom; t/means NULL when
+    a group is empty or a variance degenerates.
+
+    Decomposition: one partial-agged pass collects per-group
+    (n, Σx, Σx²); the sums are rounded to 4 dp BEFORE the moment
+    arithmetic (the cross-engine convention — both engines then
+    compute means/variances from identical literals, so the statistic
+    replays bit-for-bit in SQL). Complete-case on nulls.
+
+    The p column (``with_p``) uses the exact Student-t CDF via the
+    regularized incomplete beta (functions/numerics.py betainc) —
+    outside the hashed oracle set, pinned in tests.
+    """
+    flag = F.col(group_col).cast("boolean")
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    per = base.groupBy(flag.alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.sum(v), 4).alias("__s1"),
+        F.round(F.sum(v * v), 4).alias("__s2"),
+    )
+    one = per.agg(
+        F.sum(F.when(F.col("__g"), F.col("__n"))).alias("n1"),
+        F.sum(F.when(F.col("__g"), F.col("__s1"))).alias("__s1a"),
+        F.sum(F.when(F.col("__g"), F.col("__s2"))).alias("__s2a"),
+        F.sum(F.when(~F.col("__g"), F.col("__n"))).alias("n2"),
+        F.sum(F.when(~F.col("__g"), F.col("__s1"))).alias("__s1b"),
+        F.sum(F.when(~F.col("__g"), F.col("__s2"))).alias("__s2b"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("__s1a") / n1
+    m2 = F.col("__s1b") / n2
+    # unbiased variance from the rounded sums; guarded n >= 2
+    v1 = F.when(n1 > 1, (F.col("__s2a") - F.col("__s1a") * m1) / (n1 - 1))
+    v2 = F.when(n2 > 1, (F.col("__s2b") - F.col("__s1b") * m2) / (n2 - 1))
+    se2 = v1 / n1 + v2 / n2
+    t = F.when(se2 > 0, (m1 - m2) / F.sqrt(se2))
+    dof = F.when(
+        (v1 > 0) | (v2 > 0),
+        (se2 * se2)
+        / (
+            F.when(n1 > 1, (v1 / n1) * (v1 / n1) / (n1 - 1)).otherwise(0.0)
+            + F.when(n2 > 1, (v2 / n2) * (v2 / n2) / (n2 - 1)).otherwise(0.0)
+        ),
+    )
+    out = one.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(m1, 6).alias("mean1"),
+        F.round(m2, 6).alias("mean2"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 4).alias("dof"),
+    )
+    if with_p:
+        out = out.withColumn("p_value", _t_p(F.col("t"), F.col("dof")))
+    return out
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation with average-rank tie handling.
+    Returns ONE row: (n, n_distinct_x, n_distinct_y, rho).
+
+    Decomposition: per axis, ONE partial-agged groupBy builds the
+    distinct-value blocks; the doubled average rank of a block is the
+    integer 2·cum − t + 1 (the shared tie-aware rank identity of
+    auc/mannwhitney_u), joined back to the pairs by value — two equi
+    joins, bounded by the distinct-value tables. Pearson on the
+    doubled ranks then runs entirely in ``decimal(38,0)`` (exact,
+    order-independent; terms scale as N³ so int64 would wrap near
+    2·10⁶ rows — decimal38 holds to ~10¹² rows), with ONE final
+    cast-to-double division rounded to 6 dp: bit-for-bit replayable
+    in any engine with exact decimal/HUGEINT sums.
+
+    Continuous inputs: quantize upstream (like auc's score_decimals)
+    if the distinct-value tables must stay model-sized at 100 TB; the
+    joins themselves shuffle only (value, rank) pairs.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+
+    def doubled_ranks(col):
+        g = base.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__t")
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+        return g.withColumn(
+            f"__u{col[-1]}",
+            (2 * F.sum("__t").over(w) - F.col("__t") + 1).cast("bigint"),
+        ).select(F.col("__v").alias(col), F.col(f"__u{col[-1]}"))
+
+    rx = doubled_ranks("__x")
+    ry = doubled_ranks("__y")
+    paired = base.join(rx, "__x").join(ry, "__y")
+    dec = "decimal(38,0)"
+    acc = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__ux").cast(dec)).alias("__su"),
+        F.sum(F.col("__uy").cast(dec)).alias("__sv"),
+        F.sum(F.col("__ux").cast(dec) * F.col("__ux")).alias("__suu"),
+        F.sum(F.col("__uy").cast(dec) * F.col("__uy")).alias("__svv"),
+        F.sum(F.col("__ux").cast(dec) * F.col("__uy")).alias("__suv"),
+    )
+    n = F.col("n").cast(dec)
+    cov = (n * F.col("__suv") - F.col("__su") * F.col("__sv")).cast("double")
+    varu = (n * F.col("__suu") - F.col("__su") * F.col("__su")).cast("double")
+    varv = (n * F.col("__svv") - F.col("__sv") * F.col("__sv")).cast("double")
+    rho = F.when(
+        (varu > 0) & (varv > 0), cov / F.sqrt(varu * varv)
+    )
+    counts = (
+        rx.agg(F.count(F.lit(1)).alias("n_distinct_x"))
+        .crossJoin(ry.agg(F.count(F.lit(1)).alias("n_distinct_y")))
+    )
+    return acc.crossJoin(F.broadcast(counts)).select(
+        F.col("n").cast("bigint").alias("n"),
+        "n_distinct_x",
+        "n_distinct_y",
+        F.round(rho, 6).alias("rho"),
+    )

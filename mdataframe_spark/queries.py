@@ -7028,6 +7028,297 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Evaluation & statistics wave (round 8): distributed OLS with the
+# solve in-plan, nearest-centroid confusion metrics, ranking NDCG,
+# Welch t, Spearman rho. The reference delegates every such fit/test
+# to sklearn/R driver-side; these are distributed plans with
+# cross-engine-exact arithmetic.
+
+
+def ml_confusion_nc(spark, sf_dir):
+    """Nearest-centroid classifier (operators/similarity.py
+    nearest_centroid_predict) evaluated with per-class confusion
+    metrics (operators/evaluation.py confusion_metrics): centroid agg
+    shuffles labels x dim scalars, broadcast argmax scoring, then the
+    corpus collapses in one groupBy(label, pred) — metrics run on the
+    10x10 matrix."""
+    from .operators.evaluation import confusion_metrics
+    from .operators.similarity import nearest_centroid_predict
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = nearest_centroid_predict(emb)
+    return confusion_metrics(pred, "label", "pred")
+
+
+ML_CONFUSION_SQL = r"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), pos AS (
+  SELECT label, i AS p, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+), cm AS (
+  SELECT label, p, round(avg(x), 9) AS cx FROM pos GROUP BY label, p
+), cent AS (
+  SELECT label AS cl, list(cx ORDER BY p) AS c FROM cm GROUP BY label
+), scored AS (
+  SELECT vec_id, e.label, cl,
+         round(list_dot_product(v, c)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))),
+               6) AS cos_c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(list_dot_product(v, c)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))),
+               6) DESC, cl ASC) AS rn
+  FROM e CROSS JOIN cent
+), pred AS (
+  SELECT label::VARCHAR AS l, cl::VARCHAR AS p FROM scored WHERE rn = 1
+), mat AS (
+  SELECT l, p, count(*)::BIGINT AS n FROM pred GROUP BY l, p
+), by_true AS (
+  SELECT l AS class, sum(n)::BIGINT AS n_true FROM mat GROUP BY l
+), by_pred AS (
+  SELECT p AS class, sum(n)::BIGINT AS n_pred FROM mat GROUP BY p
+), tp AS (
+  SELECT l AS class, n AS tp FROM mat WHERE l = p
+), j AS (
+  SELECT coalesce(by_true.class, by_pred.class) AS class,
+         coalesce(tp, 0)::BIGINT AS tp,
+         coalesce(n_true, 0)::BIGINT AS n_true,
+         coalesce(n_pred, 0)::BIGINT AS n_pred
+  FROM by_true
+  FULL OUTER JOIN by_pred ON by_true.class = by_pred.class
+  LEFT JOIN tp ON coalesce(by_true.class, by_pred.class) = tp.class
+)
+SELECT class, tp, (n_pred - tp)::BIGINT AS fp, (n_true - tp)::BIGINT AS fn,
+       n_true, n_pred,
+       round(CASE WHEN n_pred > 0 THEN tp / n_pred::DOUBLE END, 6) AS precision,
+       round(CASE WHEN n_true > 0 THEN tp / n_true::DOUBLE END, 6) AS recall,
+       round(CASE WHEN n_pred + n_true > 0
+                  THEN 2.0 * tp / (n_pred + n_true) END, 6) AS f1
+FROM j
+ORDER BY class
+"""
+
+
+def ml_ndcg_events(spark, sf_dir):
+    """Per-user NDCG@10 (operators/evaluation.py ndcg_at_k) of the
+    value-descending event ranking against graded engagement relevance
+    (purchase 3 > signup 2 > click 1 > rest 0) — group-partitioned
+    windows only, gains rounded before the one partial-agged sum."""
+    from .operators.evaluation import ndcg_at_k
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "rel",
+        F.when(F.col("event_type") == "purchase", 3.0)
+        .when(F.col("event_type") == "signup", 2.0)
+        .when(F.col("event_type") == "click", 1.0)
+        .otherwise(0.0),
+    )
+    return ndcg_at_k(
+        ev, "user_id", "value", "rel", k=10, tiebreak_col="event_id"
+    )
+
+
+ML_NDCG_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, value::DOUBLE AS s,
+         CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.0
+              WHEN 'click' THEN 1.0 ELSE 0.0 END AS r
+  FROM events
+), ranked AS (
+  SELECT user_id, r,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY s DESC, event_id ASC) AS rnk,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY r DESC, event_id ASC) AS irnk
+  FROM base
+), sums AS (
+  SELECT user_id, count(*)::BIGINT AS n_items,
+         round(sum(CASE WHEN rnk <= 10
+                        THEN round(r / log2(rnk + 1.0), 9) ELSE 0.0 END),
+               6) AS dcg,
+         round(sum(CASE WHEN irnk <= 10
+                        THEN round(r / log2(irnk + 1.0), 9) ELSE 0.0 END),
+               6) AS idcg
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id, n_items, dcg, idcg,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+FROM sums
+"""
+
+
+def ml_ols_fit(spark, sf_dir):
+    """Distributed two-feature OLS with the normal-equation solve IN
+    the plan (operators/regression.py ols_closed_form): price (k$)
+    regressed on quantity and discount over lineitem — one
+    partial-agged moment pass, Cramer's rule on the rounded moments
+    (the identical expression strings drive both engines), R² from the
+    same identities."""
+    from .operators.regression import ols_closed_form
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_discount") * 10).alias("disc"),
+        (F.col("l_extendedprice") / 1000.0).alias("price_k"),
+    )
+    return ols_closed_form(li, "price_k", ["qty", "disc"])
+
+
+def _ols_fit_sql() -> str:
+    from .operators.regression import cramer2_exprs
+
+    exprs = cramer2_exprs("qty", "disc")
+    det = (
+        "(1.0) * ((m_qty_qty) * (m_disc_disc) - (m_qty_disc) * (m_qty_disc))"
+        " - (m_qty) * ((m_qty) * (m_disc_disc) - (m_qty_disc) * (m_disc))"
+        " + (m_disc) * ((m_qty) * (m_qty_disc) - (m_qty_qty) * (m_disc))"
+    )
+    cols = ",\n       ".join(
+        f"round(CASE WHEN ({det}) <> 0 THEN {e} END, 6) AS {name}"
+        for name, e in exprs.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS qty, (l_discount * 10)::DOUBLE AS disc,
+         (l_extendedprice / 1000.0)::DOUBLE AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+), m AS (
+  SELECT count(*)::BIGINT AS n,
+         round(avg(qty), 6) AS m_qty,
+         round(avg(disc), 6) AS m_disc,
+         round(avg(y), 6) AS m_y,
+         round(avg(qty * qty), 6) AS m_qty_qty,
+         round(avg(qty * disc), 6) AS m_qty_disc,
+         round(avg(disc * disc), 6) AS m_disc_disc,
+         round(avg(qty * y), 6) AS m_qty_y,
+         round(avg(disc * y), 6) AS m_disc_y,
+         round(avg(y * y), 6) AS m_y_y
+  FROM base
+)
+SELECT n, m_qty, m_disc, m_y, m_qty_qty, m_qty_disc, m_disc_disc,
+       m_qty_y, m_disc_y, m_y_y,
+       {cols}
+FROM m
+"""
+
+
+ML_OLS_SQL = _ols_fit_sql()
+
+
+def stat_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test (operators/stats_tests.py
+    welch_ttest): do purchase events carry a different mean value than
+    click events? One partial-agged pass to per-group rounded
+    (n, Σx, Σx²); the statistic replays bit-for-bit from those
+    literals. Oracle hashes the statistic columns; the exact
+    Student-t p (incomplete beta) is pinned in tests."""
+    from .operators.stats_tests import welch_ttest
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return welch_ttest(
+        ev.withColumn("is_purchase", F.col("event_type") == "purchase"),
+        "value",
+        "is_purchase",
+        with_p=False,
+    )
+
+
+STAT_WELCH_SQL = """
+WITH base AS (
+  SELECT value::DOUBLE AS v, event_type = 'purchase' AS g
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), per AS (
+  SELECT g, count(*)::BIGINT AS n,
+         round(sum(v), 4) AS s1, round(sum(v * v), 4) AS s2
+  FROM base GROUP BY g
+), one AS (
+  SELECT sum(CASE WHEN g THEN n END)::BIGINT AS n1,
+         sum(CASE WHEN g THEN s1 END) AS s1a,
+         sum(CASE WHEN g THEN s2 END) AS s2a,
+         sum(CASE WHEN NOT g THEN n END)::BIGINT AS n2,
+         sum(CASE WHEN NOT g THEN s1 END) AS s1b,
+         sum(CASE WHEN NOT g THEN s2 END) AS s2b
+  FROM per
+), stats AS (
+  SELECT n1, n2,
+         s1a / n1 AS m1, s1b / n2 AS m2,
+         CASE WHEN n1 > 1 THEN (s2a - s1a * (s1a / n1)) / (n1 - 1) END AS v1,
+         CASE WHEN n2 > 1 THEN (s2b - s1b * (s1b / n2)) / (n2 - 1) END AS v2
+  FROM one
+)
+SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+       round(CASE WHEN (v1 / n1 + v2 / n2) > 0
+                  THEN (m1 - m2) / sqrt(v1 / n1 + v2 / n2) END, 6) AS t,
+       round(CASE WHEN v1 > 0 OR v2 > 0 THEN
+             ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / (CASE WHEN n1 > 1 THEN (v1 / n1) * (v1 / n1) / (n1 - 1)
+                     ELSE 0.0 END
+              + CASE WHEN n2 > 1 THEN (v2 / n2) * (v2 / n2) / (n2 - 1)
+                     ELSE 0.0 END) END, 4) AS dof
+FROM stats
+"""
+
+
+def stat_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators/stats_tests.py
+    spearman_rho) between quantity and extended price: tie-aware
+    doubled average ranks from the distinct-value blocks (integer
+    identity 2·cum − t + 1), Pearson on the doubled ranks entirely in
+    decimal(38,0) — one final double division."""
+    from .operators.stats_tests import spearman_rho
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_rho(li, "l_quantity", "l_extendedprice")
+
+
+STAT_SPEARMAN_SQL = """
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), gx AS (
+  SELECT x, count(*)::BIGINT AS t FROM base GROUP BY x
+), rx AS (
+  SELECT x, (2 * sum(t) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - t + 1)::BIGINT AS ux
+  FROM gx
+), gy AS (
+  SELECT y, count(*)::BIGINT AS t FROM base GROUP BY y
+), ry AS (
+  SELECT y, (2 * sum(t) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - t + 1)::BIGINT AS uy
+  FROM gy
+), paired AS (
+  SELECT ux, uy FROM base JOIN rx USING (x) JOIN ry USING (y)
+), acc AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(ux::HUGEINT) AS su, sum(uy::HUGEINT) AS sv,
+         sum(ux::HUGEINT * ux) AS suu, sum(uy::HUGEINT * uy) AS svv,
+         sum(ux::HUGEINT * uy) AS suv
+  FROM paired
+)
+SELECT n::BIGINT AS n,
+       (SELECT count(*) FROM gx)::BIGINT AS n_distinct_x,
+       (SELECT count(*) FROM gy)::BIGINT AS n_distinct_y,
+       round(CASE WHEN (n * suu - su * su) > 0 AND (n * svv - sv * sv) > 0
+                  THEN (n * suv - su * sv)::DOUBLE
+                       / sqrt((n * suu - su * su)::DOUBLE
+                              * (n * svv - sv * sv)::DOUBLE) END,
+             6) AS rho
+FROM acc
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -7172,6 +7463,12 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: evaluation & statistics wave ---
+    "ml_confusion_nc": ml_confusion_nc,
+    "ml_ndcg_events": ml_ndcg_events,
+    "ml_ols_fit": ml_ols_fit,
+    "stat_welch_ttest": stat_welch_ttest,
+    "stat_spearman": stat_spearman,
     # --- new in round 8: relational-completeness wave ---
     "j_q4_priority": j_q4_priority,
     "j_q7_volume_shipping": j_q7_volume_shipping,
@@ -7375,6 +7672,12 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: evaluation & statistics wave ---
+    "ml_confusion_nc": ML_CONFUSION_SQL,
+    "ml_ndcg_events": ML_NDCG_SQL,
+    "ml_ols_fit": ML_OLS_SQL,
+    "stat_welch_ttest": STAT_WELCH_SQL,
+    "stat_spearman": STAT_SPEARMAN_SQL,
     # --- new in round 8: relational-completeness wave ---
     "j_q4_priority": J_Q4_SQL,
     "j_q7_volume_shipping": J_Q7_SQL,

@@ -1,0 +1,215 @@
+"""Round-8 evaluation & statistics wave: hand-computed / independently
+recomputed fixtures for the new operators (the oracle parity sweep in
+test_extra_parity.py covers the registered queries; these pin the
+NUMERICS to references outside both engines)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mdataframe_spark.operators.evaluation import confusion_metrics, ndcg_at_k
+from mdataframe_spark.operators.regression import ols_closed_form, ols_moments
+from mdataframe_spark.operators.similarity import nearest_centroid_predict
+from mdataframe_spark.operators.stats_tests import spearman_rho, welch_ttest
+
+
+def _t_cdf_upper2(t, dof, steps=400_000):
+    """Two-sided Student-t p by direct Simpson integration of the
+    density — independent of both engines and of numerics.betainc."""
+    t = abs(float(t))
+    c = math.exp(
+        math.lgamma((dof + 1) / 2.0)
+        - math.lgamma(dof / 2.0)
+        - 0.5 * math.log(dof * math.pi)
+    )
+
+    def pdf(x):
+        return c * (1.0 + x * x / dof) ** (-(dof + 1) / 2.0)
+
+    # integrate 0..t, p = 2 * (0.5 - integral)
+    h = t / steps
+    s = pdf(0.0) + pdf(t)
+    for i in range(1, steps):
+        s += pdf(i * h) * (4 if i % 2 else 2)
+    integral = s * h / 3.0
+    return 2.0 * (0.5 - integral)
+
+
+def test_welch_ttest_hand(spark):
+    a = [2.1, 2.5, 2.3, 2.9, 2.7, 2.2]
+    b = [1.1, 1.8, 1.4, 1.2, 1.9, 1.6, 1.3]
+    df = spark.createDataFrame(
+        [(x, True) for x in a] + [(x, False) for x in b], ["v", "g"]
+    )
+    row = welch_ttest(df, "v", "g").collect()[0]
+    # independent recomputation from the same rounded sums
+    s1a, s2a = round(sum(a), 4), round(sum(x * x for x in a), 4)
+    s1b, s2b = round(sum(b), 4), round(sum(x * x for x in b), 4)
+    n1, n2 = len(a), len(b)
+    m1, m2 = s1a / n1, s1b / n2
+    v1 = (s2a - s1a * m1) / (n1 - 1)
+    v2 = (s2b - s1b * m2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["mean1"] == pytest.approx(round(m1, 6), abs=1e-9)
+    assert row["t"] == pytest.approx(round(t, 6), abs=1e-9)
+    assert row["dof"] == pytest.approx(round(dof, 4), abs=1e-9)
+    assert row["p_value"] == pytest.approx(
+        _t_cdf_upper2(round(t, 6), round(dof, 4)), abs=2e-6
+    )
+
+
+def test_welch_ttest_degenerate(spark):
+    # constant values in both groups: zero variance -> NULL t/dof/p
+    df = spark.createDataFrame(
+        [(1.0, True)] * 3 + [(1.0, False)] * 3, ["v", "g"]
+    )
+    row = welch_ttest(df, "v", "g").collect()[0]
+    assert row["t"] is None and row["p_value"] is None
+
+
+def _spearman_ref(xs, ys):
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    return cov / math.sqrt(vx * vy)
+
+
+def test_spearman_rho_ties(spark):
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 6.0, 7.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    row = spearman_rho(df, "x", "y").collect()[0]
+    assert row["n"] == 8
+    assert row["n_distinct_x"] == 5 and row["n_distinct_y"] == 7
+    assert row["rho"] == pytest.approx(_spearman_ref(xs, ys), abs=1e-6)
+
+
+def test_spearman_perfect_monotone(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 20)], ["x", "y"]
+    )
+    assert spearman_rho(df, "x", "y").collect()[0]["rho"] == pytest.approx(
+        1.0, abs=1e-9
+    )
+
+
+def test_ols_closed_form_vs_numpy(spark):
+    rng = np.random.RandomState(7)
+    x1 = rng.uniform(0, 10, 200)
+    x2 = rng.uniform(0, 5, 200)
+    y = 3.0 + 1.5 * x1 - 2.0 * x2 + rng.normal(0, 0.3, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        ["x1", "x2", "y"],
+    )
+    row = ols_closed_form(df, "y", ["x1", "x2"]).collect()[0]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    # moments are rounded to 6dp before the solve — tolerance reflects it
+    assert row["b0"] == pytest.approx(beta[0], abs=1e-3)
+    assert row["b1"] == pytest.approx(beta[1], abs=1e-3)
+    assert row["b2"] == pytest.approx(beta[2], abs=1e-3)
+    resid = y - X @ beta
+    r2 = 1.0 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert row["r2"] == pytest.approx(r2, abs=1e-3)
+    assert 0.9 < row["r2"] <= 1.0
+
+
+def test_ols_singular_design_null(spark):
+    # x2 = 2*x1 exactly -> singular normal equations -> NULL betas
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(i)) for i in range(1, 30)],
+        ["x1", "x2", "y"],
+    )
+    row = ols_closed_form(df, "y", ["x1", "x2"]).collect()[0]
+    assert row["b0"] is None and row["b1"] is None and row["b2"] is None
+
+
+def test_ols_moments_rejects_nothing_and_counts_complete_case(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (None, 2.0, 3.0), (1.0, 2.0, None)],
+        ["x1", "x2", "y"],
+    )
+    assert ols_moments(df, "y", ["x1", "x2"]).collect()[0]["n"] == 1
+    with pytest.raises(ValueError):
+        ols_closed_form(df, "y", ["x1"])
+
+
+def test_confusion_metrics_hand(spark):
+    rows = [("a", "a")] * 5 + [("a", "b")] * 2 + [("b", "b")] * 3 + [
+        ("b", "c")
+    ] * 1 + [("c", "a")] * 2
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    out = {r["class"]: r for r in confusion_metrics(df, "label", "pred").collect()}
+    assert out["a"]["tp"] == 5 and out["a"]["fn"] == 2 and out["a"]["fp"] == 2
+    assert out["a"]["precision"] == pytest.approx(5 / 7)
+    assert out["a"]["recall"] == pytest.approx(5 / 7)
+    assert out["b"]["tp"] == 3 and out["b"]["fp"] == 2 and out["b"]["fn"] == 1
+    assert out["b"]["f1"] == pytest.approx(round(2 * 3 / (5 + 4), 6))
+    # class c: never predicted correctly — precision NULL when n_pred>0? c predicted once
+    assert out["c"]["tp"] == 0 and out["c"]["n_pred"] == 1 and out["c"]["n_true"] == 2
+    assert out["c"]["precision"] == 0.0 and out["c"]["recall"] == 0.0
+
+
+def test_ndcg_hand(spark):
+    # one user; relevance 3,2,0 ranked by score puts rel=2 first
+    rows = [(1, 10.0, 2.0, 1), (1, 5.0, 3.0, 2), (1, 1.0, 0.0, 3)]
+    df = spark.createDataFrame(rows, ["u", "s", "r", "id"])
+    row = ndcg_at_k(df, "u", "s", "r", k=10, tiebreak_col="id").collect()[0]
+    dcg = round(2.0 / math.log2(2), 9) + round(3.0 / math.log2(3), 9)
+    idcg = round(3.0 / math.log2(2), 9) + round(2.0 / math.log2(3), 9)
+    assert row["dcg"] == pytest.approx(round(dcg, 6), abs=1e-9)
+    assert row["idcg"] == pytest.approx(round(idcg, 6), abs=1e-9)
+    assert row["ndcg"] == pytest.approx(round(round(dcg, 6) / round(idcg, 6), 6), abs=1e-9)
+
+
+def test_ndcg_k_cutoff(spark):
+    # 3 items, k=1: only the top-ranked item contributes
+    rows = [(1, 10.0, 1.0, 1), (1, 5.0, 3.0, 2), (1, 1.0, 2.0, 3)]
+    df = spark.createDataFrame(rows, ["u", "s", "r", "id"])
+    row = ndcg_at_k(df, "u", "s", "r", k=1, tiebreak_col="id").collect()[0]
+    assert row["dcg"] == pytest.approx(1.0)
+    assert row["idcg"] == pytest.approx(3.0)
+    assert row["ndcg"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_nearest_centroid_predict_hand(spark):
+    # two tight clusters; one vector mislabeled -> predicted to other class
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (5, [0.05, 1.0], 0),  # sits in cluster 1's region but labeled 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r["pred"] for r in nearest_centroid_predict(df).collect()}
+    assert out[3] == 1 and out[4] == 1
+    assert out[1] == 0 and out[2] == 0
+    # the mislabeled point's own-class centroid is dragged toward it,
+    # but the cosine to class 1's centroid is still higher
+    assert out[5] == 1
