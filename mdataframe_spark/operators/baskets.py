@@ -333,3 +333,81 @@ def triangle_count(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def jaccard_link_prediction(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_degree: int = 1000,
+    top_k: int = 200,
+) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over an UNDIRECTED pair
+    graph: for every NON-adjacent vertex pair at distance 2, score =
+    |N(x)∩N(y)| / |N(x)∪N(y)| — the classic "customers who bought
+    these also bought" candidate generator. Returns the deterministic
+    top-k by (score desc, x asc, y asc):
+    (id_x, id_y, common_neighbors, degree_x, degree_y, jaccard).
+
+    Plan shape: common-neighbor counting needs BOTH wedge orientations
+    through the shared vertex (unlike triangle_count's one-sided
+    orientation), so the wedge join fans out Σ deg(v)² — hubs above
+    ``max_degree`` are dropped up front (logged cap, the df-cap
+    discipline of dedup.py: a 10⁶-degree hub would contribute 10¹²
+    wedges and its recommendations are meaningless anyway). Union
+    size is deg(x)+deg(y)−cn computed from the degree table — never a
+    neighbor-set materialization. Exact integer arithmetic end to end;
+    the ratio rounds to 6 dp."""
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e = _persist_tracked(e)
+    deg = _persist_tracked(
+        e.select(F.col("a").alias("x"))
+        .unionAll(e.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") <= max_degree)
+    )
+    # both directions, hub-capped via the degree semi joins
+    adj = _persist_tracked(
+        e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .join(deg.select(F.col("x").alias("v")), "v", "left_semi")
+        .join(deg.select(F.col("x").alias("w")), "w", "left_semi")
+    )
+    wedges = (
+        adj.alias("p")
+        .join(adj.alias("q"), F.col("p.v") == F.col("q.v"))
+        .filter(F.col("p.w") < F.col("q.w"))
+        .select(F.col("p.w").alias("x"), F.col("q.w").alias("y"))
+    )
+    cn = wedges.groupBy("x", "y").agg(F.count(F.lit(1)).alias("common_neighbors"))
+    # distance exactly 2: drop candidate pairs that are already edges
+    cand = cn.join(
+        e,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("x"), F.col("deg").alias("degree_x"))
+    dy = deg.select(F.col("x").alias("y"), F.col("deg").alias("degree_y"))
+    scored = cand.join(dx, "x").join(dy, "y")
+    union_size = (
+        F.col("degree_x") + F.col("degree_y") - F.col("common_neighbors")
+    )
+    out = scored.select(
+        F.col("x").alias("id_x"),
+        F.col("y").alias("id_y"),
+        "common_neighbors",
+        "degree_x",
+        "degree_y",
+        F.round(F.col("common_neighbors") / union_size, 6).alias("jaccard"),
+    )
+    return out.orderBy(
+        F.col("jaccard").desc(), F.col("id_x").asc(), F.col("id_y").asc()
+    ).limit(top_k)

@@ -339,3 +339,41 @@ def period_over_period(
             F.when(prev > 0, (F.col("n_events") - prev) / prev), 6
         ).alias("pct_change"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    streams: (from_type, to_type, n, prob) with prob the row-normalized
+    transition probability. The behavioral-analytics counterpart of
+    funnel/retention: which step follows which, and how often.
+
+    Plan shape: ONE user-partitioned lead window (no global sort) +
+    one partial-agged groupBy on the types² pair space; probabilities
+    derive from a window sum over that model-bounded table. The
+    ordering is total via ``tiebreak_col``, so the pair counts are
+    cross-engine deterministic."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        df.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("prob"),
+    ).orderBy("from_type", "to_type")

@@ -150,3 +150,100 @@ def merge_aggregates(
         for c in sum_cols
     ]
     return j.select(*keys, *out_cols)
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Collapse an insert/update/delete change log to its final state:
+    per key, the highest-sequence change wins; a final ``delete_op``
+    removes the key entirely. Returns the surviving keys with every
+    non-key/non-seq payload column at its last value.
+
+    Plan shape: ONE partial-agged groupBy(key) taking the
+    lexicographic max of struct(seq…, op, payload…) — no per-key
+    window sort, no driver MERGE loop; the shuffle carries one struct
+    per input row and combines map-side. The sequence must be total
+    per key (compose a tiebreaker into ``seq_cols`` — e.g. the log
+    offset); ties would otherwise resolve by payload comparison.
+    """
+    key_cols = list(key_cols)
+    seq_cols = list(seq_cols)
+    payload = [
+        c
+        for c in changes.columns
+        if c not in key_cols and c not in seq_cols and c != op_col
+    ]
+    packed = changes.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(
+                *[F.col(c) for c in seq_cols],
+                F.col(op_col).alias("__op"),
+                *[F.col(c) for c in payload],
+            )
+        ).alias("__last")
+    )
+    alive = packed.filter(F.col("__last.__op") != F.lit(delete_op))
+    return alive.select(
+        *key_cols,
+        *[F.col(f"__last.{c}").alias(c) for c in seq_cols],
+        *[F.col(f"__last.{c}").alias(c) for c in payload],
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Classify every key across two snapshots: ``added`` (new only),
+    ``removed`` (old only), ``changed`` (present in both, any compare
+    column differs NULL-safely) — unchanged keys are dropped. Output:
+    key columns, ``change_type``, and ``old_<c>`` / ``new_<c>`` for
+    each compare column.
+
+    Plan shape: ONE full-outer equi-join on the key (the scd2_merge
+    discipline); the classification is a projection — no window, no
+    second pass. At 100 TB both snapshots shuffle once on the key;
+    pre-bucketed snapshot tables make it exchange-free.
+    """
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    same = reduce(
+        lambda x, y: x & y,
+        [
+            F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare_cols
+        ],
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

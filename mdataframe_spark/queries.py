@@ -7319,6 +7319,176 @@ FROM acc
 """
 
 
+# ---------------------------------------------------------------------------
+# Warehouse & pipeline wave (round 8): CDC log collapse, snapshot
+# diffing, link prediction, Markov transitions.
+
+
+def dim_cdc_apply(spark, sf_dir):
+    """CDC change-log collapse (operators/scd.py cdc_apply): the
+    per-customer order stream read as an upsert/delete log ('F' status
+    = tombstone), final state = highest-(date, orderkey) change per
+    key, deletes dropped — ONE partial-agged max-struct groupBy, no
+    per-key window sort."""
+    from .operators.scd import cdc_apply
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return cdc_apply(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], op_col="op"
+    )
+
+
+DIM_CDC_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op,
+         o_totalprice, o_orderpriority
+  FROM orders
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM c
+)
+SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice, o_orderpriority
+FROM r WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def dim_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/scd.py snapshot_diff): the 1997 vs
+    1999 per-customer order profiles classified added / removed /
+    changed in ONE full-outer key join — unchanged keys drop out."""
+    from .operators.scd import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(year):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total"),
+            )
+        )
+
+    return snapshot_diff(
+        snap(1997), snap(1999), ["o_custkey"], ["n_orders", "total"]
+    )
+
+
+DIM_SNAPDIFF_SQL = """
+WITH old AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         round(sum(o_totalprice), 4) AS total
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+), new AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         round(sum(o_totalprice), 4) AS total
+  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY o_custkey
+), j AS (
+  SELECT coalesce(old.o_custkey, new.o_custkey) AS o_custkey,
+         CASE WHEN old.o_custkey IS NULL THEN 'added'
+              WHEN new.o_custkey IS NULL THEN 'removed'
+              WHEN old.n_orders IS DISTINCT FROM new.n_orders
+                OR old.total IS DISTINCT FROM new.total THEN 'changed'
+         END AS change_type,
+         old.n_orders AS old_n_orders, old.total AS old_total,
+         new.n_orders AS new_n_orders, new.total AS new_total
+  FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
+)
+SELECT * FROM j WHERE change_type IS NOT NULL
+"""
+
+
+def gr_jaccard_linkpred(spark, sf_dir):
+    """Common-neighbor Jaccard link prediction (operators/baskets.py
+    jaccard_link_prediction) over the co-purchase item graph:
+    hub-capped two-sided wedge join, distance-2 anti filter, exact
+    integer intersection/union counts, deterministic top-200."""
+    from .operators.baskets import co_occurrence_pairs, jaccard_link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return jaccard_link_prediction(pairs, max_degree=1000, top_k=200)
+
+
+GR_LINKPRED_SQL = """
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS bkt, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT bkt, i FROM raw QUALIFY count(*) OVER (PARTITION BY bkt) <= 10000
+), p AS (
+  SELECT a.i AS a, b.i AS b
+  FROM items a JOIN items b ON a.bkt = b.bkt AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), deg AS (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p
+  ) GROUP BY v HAVING count(*) <= 1000
+), adj AS (
+  SELECT v, w FROM (
+    SELECT a AS v, b AS w FROM p UNION ALL SELECT b, a FROM p
+  ) WHERE v IN (SELECT v FROM deg) AND w IN (SELECT v FROM deg)
+), cn AS (
+  SELECT q1.w AS x, q2.w AS y, count(*)::BIGINT AS common_neighbors
+  FROM adj q1 JOIN adj q2 ON q1.v = q2.v AND q1.w < q2.w
+  GROUP BY 1, 2
+), cand AS (
+  SELECT * FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = cn.x AND p.b = cn.y)
+)
+SELECT x AS id_x, y AS id_y, common_neighbors,
+       dx.deg AS degree_x, dy.deg AS degree_y,
+       round(common_neighbors
+             / (dx.deg + dy.deg - common_neighbors)::DOUBLE, 6) AS jaccard
+FROM cand
+JOIN deg dx ON cand.x = dx.v
+JOIN deg dy ON cand.y = dy.v
+ORDER BY jaccard DESC, id_x ASC, id_y ASC
+LIMIT 200
+"""
+
+
+def e_event_transitions(spark, sf_dir):
+    """Per-user Markov transition matrix (operators/events.py
+    event_transitions): one user-partitioned lead window + one
+    groupBy on the types² pair space, probabilities row-normalized
+    over the model-bounded table."""
+    from .operators.events import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+E_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / (sum(n) OVER (PARTITION BY from_type))::DOUBLE, 6) AS prob
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -7463,6 +7633,11 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: warehouse & pipeline wave ---
+    "dim_cdc_apply": dim_cdc_apply,
+    "dim_snapshot_diff": dim_snapshot_diff,
+    "gr_jaccard_linkpred": gr_jaccard_linkpred,
+    "e_event_transitions": e_event_transitions,
     # --- new in round 8: evaluation & statistics wave ---
     "ml_confusion_nc": ml_confusion_nc,
     "ml_ndcg_events": ml_ndcg_events,
@@ -7672,6 +7847,11 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: warehouse & pipeline wave ---
+    "dim_cdc_apply": DIM_CDC_SQL,
+    "dim_snapshot_diff": DIM_SNAPDIFF_SQL,
+    "gr_jaccard_linkpred": GR_LINKPRED_SQL,
+    "e_event_transitions": E_TRANSITIONS_SQL,
     # --- new in round 8: evaluation & statistics wave ---
     "ml_confusion_nc": ML_CONFUSION_SQL,
     "ml_ndcg_events": ML_NDCG_SQL,

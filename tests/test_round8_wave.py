@@ -213,3 +213,88 @@ def test_nearest_centroid_predict_hand(spark):
     # the mislabeled point's own-class centroid is dragged toward it,
     # but the cosine to class 1's centroid is still higher
     assert out[5] == 1
+
+
+def test_cdc_apply_hand(spark):
+    from mdataframe_spark.operators.scd import cdc_apply
+
+    rows = [
+        # key 1: upsert then delete -> gone
+        (1, 1, "upsert", 10.0),
+        (1, 2, "delete", None),
+        # key 2: delete then upsert -> alive at the later value
+        (2, 1, "delete", None),
+        (2, 2, "upsert", 20.0),
+        (2, 3, "upsert", 25.0),
+        # key 3: single insert
+        (3, 1, "upsert", 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "op", "val"])
+    out = {r["k"]: r for r in cdc_apply(df, ["k"], ["seq"]).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["val"] == 25.0 and out[2]["seq"] == 3
+    assert out[3]["val"] == 30.0
+
+
+def test_snapshot_diff_hand(spark):
+    from mdataframe_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, 21.0), (3, None), (4, 40.0)], ["k", "v"]
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out[1]["change_type"] == "removed"
+    assert out[2]["change_type"] == "changed"
+    assert out[2]["old_v"] == 20.0 and out[2]["new_v"] == 21.0
+    assert out[4]["change_type"] == "added"
+    assert 3 not in out  # NULL == NULL is unchanged (null-safe compare)
+
+
+def test_jaccard_link_prediction_hand(spark):
+    from mdataframe_spark.operators.baskets import jaccard_link_prediction
+
+    # path graph 1-2-3 plus edge 2-4: candidates at distance 2 through 2
+    edges = [(1, 2), (2, 3), (2, 4)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {(r["id_x"], r["id_y"]): r for r in
+           jaccard_link_prediction(df).collect()}
+    # neighbors: N(1)={2}, N(3)={2}, N(4)={2} -> all pairs share exactly {2}
+    assert set(out) == {(1, 3), (1, 4), (3, 4)}
+    for r in out.values():
+        assert r["common_neighbors"] == 1
+        assert r["jaccard"] == 1.0  # 1 / (1 + 1 - 1)
+
+
+def test_jaccard_link_prediction_hub_cap(spark):
+    from mdataframe_spark.operators.baskets import jaccard_link_prediction
+
+    # star around 0 with 5 leaves; cap degree below 5 kills every wedge
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    assert jaccard_link_prediction(df, max_degree=4).count() == 0
+    # uncapped: all leaf pairs score 1.0
+    assert jaccard_link_prediction(df, max_degree=5).count() == 10
+
+
+def test_event_transitions_hand(spark):
+    from mdataframe_spark.operators.events import event_transitions
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, t.replace(hour=1), "a", 1),
+        (1, t.replace(hour=2), "b", 2),
+        (1, t.replace(hour=3), "a", 3),
+        (2, t.replace(hour=1), "a", 4),
+        (2, t.replace(hour=2), "b", 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {(r["from_type"], r["to_type"]): r for r in
+           event_transitions(df).collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "b")]["prob"] == 1.0  # a always goes to b
+    assert out[("b", "a")]["prob"] == 1.0
