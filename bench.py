@@ -91,6 +91,17 @@ HEADLINE = [
     # aggregation
     "txt_pii_scrub",
     "dq_robust_outliers",
+    # round-8: the heaviest new shapes — the two-sided wedge join
+    # (link prediction), the broadcast-argmax centroid classifier,
+    # the max-struct CDC collapse, the in-plan OLS solve, the
+    # decimal-exact doubled-rank correlation, and the HAVING-IN
+    # large-orders semi join
+    "gr_jaccard_linkpred",
+    "ml_confusion_nc",
+    "dim_cdc_apply",
+    "ml_ols_fit",
+    "stat_spearman",
+    "j_q18_large_orders",
 ]
 
 

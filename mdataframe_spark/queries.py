@@ -7419,7 +7419,7 @@ def gr_jaccard_linkpred(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     pairs = co_occurrence_pairs(
-        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
+        li, "l_orderkey", "l_partkey", min_count=2, with_stats=False
     ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
     return jaccard_link_prediction(pairs, max_degree=1000, top_k=200)
 
@@ -7432,7 +7432,7 @@ WITH raw AS (
 ), p AS (
   SELECT a.i AS a, b.i AS b
   FROM items a JOIN items b ON a.bkt = b.bkt AND a.i < b.i
-  GROUP BY 1, 2 HAVING count(*) >= 3
+  GROUP BY 1, 2 HAVING count(*) >= 2
 ), deg AS (
   SELECT v, count(*)::BIGINT AS deg FROM (
     SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p
