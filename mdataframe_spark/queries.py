@@ -7320,6 +7320,377 @@ FROM acc
 
 
 # ---------------------------------------------------------------------------
+# Relational completeness, second half (round 8): the remaining TPC-H
+# shapes (Q6/Q8/Q10/Q12/Q14/Q16/Q19/Q20 adapted — no partsupp /
+# shipmode / commitdate in the synthetic schema; docstrings state each
+# adaptation).
+
+
+def j_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): one-row conditional
+    revenue aggregate whose THREE range predicates all reach the
+    parquet scan (PushedFilters) — the pure filter-pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+J_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def j_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted: NATION_3's share of
+    supply volume to ASIA-region customers by order year (no p_type
+    restriction — the part dimension is exercised by Q9/Q14/Q16/Q19).
+    Shape under test: conditional-sum share over a 5-table join with
+    the same dimension in two roles."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("__cn"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("__cn")
+    ).select("c_custkey")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)), 4
+            ).alias("nation_volume"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(
+                F.col("nation_volume") / F.col("total_volume"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+J_Q8_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+  )
+), s AS (
+  SELECT o_year,
+         round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END), 4)
+           AS nation_volume,
+         round(sum(vol), 4) AS total_volume
+  FROM j GROUP BY o_year
+)
+SELECT o_year, nation_volume, total_volume,
+       round(nation_volume / total_volume, 6) AS mkt_share
+FROM s ORDER BY o_year
+"""
+
+
+def j_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    revenue from returned lines in one quarter, with nation detail —
+    fact filters pushed, dims broadcast, deterministic top-k."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+J_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def j_q12_late_lines(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority), adapted: per line status,
+    how many LATE lines (shipped > 60 days after ordering — the Q4
+    lateness standin; no shipmode/commitdate columns) belong to
+    urgent-priority orders vs not. Shape under test: join + two
+    conditional counts in one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent.cast("bigint")).alias("high_line_count"),
+            F.sum((~urgent).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+J_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def j_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): PROMO-type share of one month's
+    revenue — broadcast part dimension, one conditional-sum row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agged = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)), 4
+            ).alias("promo_revenue"),
+            F.round(F.sum(vol), 4).alias("total_revenue"),
+        )
+    )
+    return agged.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+J_Q14_SQL = """
+WITH s AS (
+  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END), 4) AS promo_revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+FROM s
+"""
+
+
+def j_q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: distinct
+    supplier counts per (brand, type, size) from the lineitem
+    relationship (no partsupp table), excluding negative-balance
+    suppliers via NOT IN = left-anti. Deterministic top-50."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("__bad")
+    )
+    return (
+        li.join(bad, F.col("l_suppkey") == F.col("__bad"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(50)
+    )
+
+
+J_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 50
+"""
+
+
+def j_q19_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): revenue under THREE disjunctive
+    brand/size/quantity brackets — the multi-clause OR predicate that
+    only prunes if the planner pushes the shared part join key and
+    evaluates the brackets post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 15))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(5, 20))
+        & (F.col("l_quantity").between(10, 25))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(15, 40))
+        & (F.col("l_quantity").between(20, 35))
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+J_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def j_q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: suppliers whose
+    1996 shipped quantity of 'widget' parts exceeds 1.5x the average
+    per-supplier widget quantity (no partsupp availqty — the nested
+    aggregate plays the threshold role). Shape under test: aggregate →
+    1-row global scalar broadcast → filter → broadcast name join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    per_supp = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("widget_qty"))
+    )
+    thresh = per_supp.agg(
+        F.round(F.avg("widget_qty") * 1.5, 4).alias("__thr")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(thresh))
+        .filter(F.col("widget_qty") > F.col("__thr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("widget_qty", 4).alias("widget_qty")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+J_Q20_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_quantity) AS widget_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(widget_qty, 4) AS widget_qty
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE widget_qty > (
+  SELECT round(avg(widget_qty) * 1.5, 4) FROM per_supp
+)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Warehouse & pipeline wave (round 8): CDC log collapse, snapshot
 # diffing, link prediction, Markov transitions.
 
@@ -7633,6 +8004,15 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: relational completeness, second half ---
+    "j_q6_forecast_revenue": j_q6_forecast_revenue,
+    "j_q8_market_share": j_q8_market_share,
+    "j_q10_returned_items": j_q10_returned_items,
+    "j_q12_late_lines": j_q12_late_lines,
+    "j_q14_promo_share": j_q14_promo_share,
+    "j_q16_supplier_count": j_q16_supplier_count,
+    "j_q19_bracket_revenue": j_q19_bracket_revenue,
+    "j_q20_excess_suppliers": j_q20_excess_suppliers,
     # --- new in round 8: warehouse & pipeline wave ---
     "dim_cdc_apply": dim_cdc_apply,
     "dim_snapshot_diff": dim_snapshot_diff,
@@ -7847,6 +8227,15 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: relational completeness, second half ---
+    "j_q6_forecast_revenue": J_Q6_SQL,
+    "j_q8_market_share": J_Q8_SQL,
+    "j_q10_returned_items": J_Q10_SQL,
+    "j_q12_late_lines": J_Q12_SQL,
+    "j_q14_promo_share": J_Q14_SQL,
+    "j_q16_supplier_count": J_Q16_SQL,
+    "j_q19_bracket_revenue": J_Q19_SQL,
+    "j_q20_excess_suppliers": J_Q20_SQL,
     # --- new in round 8: warehouse & pipeline wave ---
     "dim_cdc_apply": DIM_CDC_SQL,
     "dim_snapshot_diff": DIM_SNAPDIFF_SQL,

@@ -95,6 +95,30 @@ def inflate_lineitem(spark, factor: int):
     return out
 
 
+def inflate_liqty(spark, factor: int):
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice"
+    )
+    if factor == 1:
+        return base
+    copies = [
+        # price offsets create NEW distinct values per copy: the
+        # distinct-value rank table (spearman's only non-key-bounded
+        # structure) grows with the corpus — the honest stress axis
+        base.select(
+            "l_quantity",
+            (F.col("l_extendedprice") + F.lit(i * 0.003)).alias(
+                "l_extendedprice"
+            ),
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def inflate_vectors(spark, factor: int):
     base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -282,6 +306,39 @@ def main():
 
         record("triangle_count", factor, timed(triangles), n_li)
 
+        def linkpred():
+            from mdataframe_spark.operators.baskets import (
+                co_occurrence_pairs,
+                jaccard_link_prediction,
+            )
+
+            pairs = co_occurrence_pairs(
+                li, "l_orderkey", "l_partkey", min_count=2, with_stats=False
+            ).select(
+                F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b")
+            )
+            # the adversarial axis: new baskets over the SAME catalog
+            # densify the graph, so degrees (and the two-sided wedge
+            # fan-out Σ deg²) grow with the corpus — the hub cap is
+            # what must hold the line here
+            jaccard_link_prediction(pairs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("jaccard_linkpred", factor, timed(linkpred), n_li)
+
+        liq = inflate_liqty(spark, factor)
+        n_liq = liq.count()
+
+        def spearman():
+            from mdataframe_spark.operators.stats_tests import spearman_rho
+
+            spearman_rho(
+                liq, "l_quantity", "l_extendedprice"
+            ).write.format("noop").mode("overwrite").save()
+
+        record("spearman_rho", factor, timed(spearman), n_liq)
+
         events = inflate_events(spark, factor)
         n_events = events.count()
 
@@ -390,6 +447,24 @@ def main():
         "round-trips of fixed overhead on a single JVM, which dwarfs",
         "the model-sized data movement — exactly the overhead the",
         "driver arm removes below the gate.",
+        "",
+        "Round-8 entries: `jaccard_linkpred` is the deliberately",
+        "adversarial case — new baskets over a FIXED catalog densify",
+        "the item graph (co-counts cross min_count, degrees grow with",
+        "the corpus), and common-neighbor counting needs BOTH wedge",
+        "orientations, so wedge work grows as Σ min(deg, max_degree)²:",
+        "the observed non-monotone x4 > x10 is the max_degree=1000 hub",
+        "cap ENGAGING at x10 (dense hubs get dropped, wedge volume",
+        "falls) — exactly the designed safety valve. On a realistic",
+        "100 TB axis the catalog grows with the corpus and degrees",
+        "stay sparse; on a densifying graph, set max_degree to the",
+        "wedge-work budget (work ≤ m·max_degree) — the cap is the",
+        "documented knob, the same df-cap discipline as dedup.py.",
+        "`spearman_rho` grows with the DISTINCT-value tables (the",
+        "inflation mints new prices per copy — worst case): the rank",
+        "windows are single-partition over those tables, so quantize",
+        "continuous inputs upstream (the auc score_decimals knob) to",
+        "keep them model-sized; the per-pair join work is linear.",
         "",
         "Round-6-continuation entries: `bloom_decontaminate` is",
         "near-flat because the probe is a map over the gram stream",
