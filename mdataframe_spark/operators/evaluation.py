@@ -366,3 +366,77 @@ def ndcg_at_k(
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
         ).alias("ndcg"),
     )
+
+
+def gain_deciles(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Cumulative gain / lift table: rank by score descending, cut into
+    ``n_buckets`` equal-count buckets (ntile), and report per bucket
+    the positives captured, cumulative capture rate, and lift vs the
+    base rate — the model-ops view of "how much of the target does the
+    top decile catch". Returns n_buckets rows: (bucket, n, n_pos,
+    cum_pos, capture_rate, cum_capture_rate, lift).
+
+    Exact equal-count buckets require a TOTAL global order, so the
+    ntile window is unpartitioned — the bh_adjust discipline: fine for
+    the model-sized scored frames this reads (a classifier's eval
+    split), and the documented scale alternative is bucketing on
+    approx score quantiles before the window. ``tiebreak_col`` makes
+    the order total (cross-engine deterministic); rates are exact
+    integer quotients rounded 6 dp.
+    """
+    s = F.col(score_col).cast("double")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        s.alias("__s"),
+        F.col(label_col).cast("bigint").alias("__y"),
+        *( [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else [] ),
+    )
+    order = [F.col("__s").desc()] + (
+        [F.col("__tb").asc()] if tiebreak_col else []
+    )
+    w = Window.orderBy(*order)
+    bucketed = base.withColumn("bucket", F.ntile(n_buckets).over(w))
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n_pos").over(tot).alias("__total_pos"),
+        F.sum("n").over(wc).alias("__cum_n"),
+        F.sum("n").over(tot).alias("__total_n"),
+    )
+    capture = F.when(
+        F.col("__total_pos") > 0, F.col("n_pos") / F.col("__total_pos")
+    )
+    cum_capture = F.when(
+        F.col("__total_pos") > 0, F.col("cum_pos") / F.col("__total_pos")
+    )
+    base_rate = F.col("__total_pos") / F.col("__total_n")
+    lift = F.when(
+        F.col("__total_pos") > 0,
+        (F.col("cum_pos") / F.col("__cum_n")) / base_rate,
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "n_pos",
+        "cum_pos",
+        F.round(capture, 6).alias("capture_rate"),
+        F.round(cum_capture, 6).alias("cum_capture_rate"),
+        F.round(lift, 6).alias("lift"),
+    ).orderBy("bucket")

@@ -550,3 +550,122 @@ def spearman_rho(
         "n_distinct_y",
         F.round(rho, 6).alias("rho"),
     )
+
+
+def _f_p(f_col, d1_col, d2_col):
+    """Upper-tail F p = I_{d2/(d2+d1·F)}(d2/2, d1/2), Arrow-batched
+    over the single aggregated row."""
+
+    @F.pandas_udf("double")
+    def _p(fv: pd.Series, d1: pd.Series, d2: pd.Series) -> pd.Series:
+        from ..functions.numerics import betainc
+
+        def one(f, a, b):
+            if any(v is None or pd.isna(v) for v in (f, a, b)) or a <= 0 or b <= 0:
+                return None
+            x = float(b) / (float(b) + float(a) * float(f))
+            return round(float(betainc(float(b) / 2.0, float(a) / 2.0, x)), 6)
+
+        return pd.Series(
+            [one(f, a, b) for f, a, b in zip(fv, d1, d2)], dtype="float64"
+        )
+
+    return _p(f_col, d1_col, d2_col)
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """One-way ANOVA across the k levels of ``group_col``: do the
+    groups share a MEAN? Returns ONE row: (n_groups, n, ss_between,
+    ss_within, f_stat, eta_sq) — F NULL when the within-variance
+    degenerates (all groups constant) or k < 2; eta² = SSB/SST is the
+    effect size.
+
+    Decomposition: one partial-agged pass to per-group (n, Σx, Σx²)
+    with the sums rounded 4 dp (the welch_ttest discipline — both
+    engines derive the sums of squares from identical literals); the
+    second aggregation runs over the k-row group table. The exact
+    upper-tail F p-value (regularized incomplete beta) rides outside
+    the hashed oracle set.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    per = base.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.sum(v), 4).alias("__s1"),
+        F.round(F.sum(v * v), 4).alias("__s2"),
+    )
+    # per-group within-SS and the global moments in one tiny agg
+    acc = per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("__n").alias("n"),
+        F.sum("__s1").alias("__t1"),
+        F.sum("__s2").alias("__t2"),
+        F.sum(
+            F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n")
+        ).alias("__ssw"),
+    )
+    n = F.col("n").cast("double")
+    sst = F.col("__t2") - F.col("__t1") * F.col("__t1") / n
+    ssb = sst - F.col("__ssw")
+    k = F.col("n_groups").cast("double")
+    fstat = F.when(
+        (k > 1) & (n > k) & (F.col("__ssw") > 0),
+        (ssb / (k - 1)) / (F.col("__ssw") / (n - k)),
+    )
+    out = acc.select(
+        "n_groups",
+        "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(F.col("__ssw"), 4).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(F.when(sst > 0, ssb / sst), 6).alias("eta_sq"),
+    )
+    if with_p:
+        out = out.withColumn(
+            "p_value",
+            _f_p(
+                F.col("f_stat"),
+                (F.col("n_groups") - 1).cast("double"),
+                (F.col("n") - F.col("n_groups")).cast("double"),
+            ),
+        )
+    return out
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Brown-Forsythe variance-equality test (Levene with the robust
+    MEDIAN center): one-way ANOVA on the absolute deviations from each
+    group's median. The companion to :func:`anova_oneway` — run it
+    first; a significant result says the groups differ in SPREAD, so a
+    mean test alone under-describes the drift.
+
+    Decomposition: per-group exact medians in ONE group-bounded
+    percentile aggregation (the f13/e_latency interpolation-parity
+    convention), rounded 6 dp and broadcast back; the deviation frame
+    then feeds the anova_oneway moment pass unchanged. Two corpus
+    passes total (median probe + moments), both partial-agged; swap to
+    approx_percentile per group at extreme per-group cardinality.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    med = base.groupBy("__g").agg(
+        F.round(F.expr("percentile(__v, 0.5)"), 6).alias("__med")
+    )
+    dev = base.join(F.broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__med")).alias("__dev")
+    )
+    return anova_oneway(dev, "__dev", "__g", with_p=with_p)

@@ -7691,6 +7691,146 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Model-ops completion wave (round 8): one-way ANOVA, Brown-Forsythe,
+# gain/lift deciles.
+
+
+def stat_anova_oneway(spark, sf_dir):
+    """One-way ANOVA (operators/stats_tests.py anova_oneway) of event
+    value across the five event types: per-group rounded (n, Σx, Σx²)
+    in one partial-agged pass, sums of squares over the 5-row group
+    table. Statistic columns hashed; the exact F p-value (incomplete
+    beta) rides outside (with_p=False here), pinned in tests."""
+    from .operators.stats_tests import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "value", "event_type", with_p=False)
+
+
+STAT_ANOVA_SQL = """
+WITH base AS (
+  SELECT value::DOUBLE AS v, event_type AS g
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), per AS (
+  SELECT g, count(*)::BIGINT AS n,
+         round(sum(v), 4) AS s1, round(sum(v * v), 4) AS s2
+  FROM base GROUP BY g
+), acc AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n,
+         sum(s1) AS t1, sum(s2) AS t2,
+         sum(s2 - s1 * s1 / n) AS ssw
+  FROM per
+)
+SELECT n_groups, n,
+       round((t2 - t1 * t1 / n) - ssw, 4) AS ss_between,
+       round(ssw, 4) AS ss_within,
+       round(CASE WHEN n_groups > 1 AND n > n_groups AND ssw > 0
+                  THEN (((t2 - t1 * t1 / n) - ssw) / (n_groups - 1))
+                       / (ssw / (n - n_groups)) END, 6) AS f_stat,
+       round(CASE WHEN (t2 - t1 * t1 / n) > 0
+                  THEN ((t2 - t1 * t1 / n) - ssw) / (t2 - t1 * t1 / n)
+             END, 6) AS eta_sq
+FROM acc
+"""
+
+
+def stat_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-equality test (operators/stats_tests.py
+    brown_forsythe): ANOVA on absolute deviations from each type's
+    exact median — the spread counterpart of stat_anova_oneway; the
+    median probe is the percentile ≡ quantile_cont proven pair."""
+    from .operators.stats_tests import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe(ev, "value", "event_type", with_p=False)
+
+
+STAT_BF_SQL = """
+WITH src AS (
+  SELECT value::DOUBLE AS v0, event_type AS g0
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), med AS (
+  SELECT g0 AS gm, round(quantile_cont(v0, 0.5), 6) AS m
+  FROM src GROUP BY g0
+), base AS (
+  SELECT abs(v0 - m) AS v, g0 AS g
+  FROM src JOIN med ON g0 = gm
+), per AS (
+  SELECT g, count(*)::BIGINT AS n,
+         round(sum(v), 4) AS s1, round(sum(v * v), 4) AS s2
+  FROM base GROUP BY g
+), acc AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n,
+         sum(s1) AS t1, sum(s2) AS t2,
+         sum(s2 - s1 * s1 / n) AS ssw
+  FROM per
+)
+SELECT n_groups, n,
+       round((t2 - t1 * t1 / n) - ssw, 4) AS ss_between,
+       round(ssw, 4) AS ss_within,
+       round(CASE WHEN n_groups > 1 AND n > n_groups AND ssw > 0
+                  THEN (((t2 - t1 * t1 / n) - ssw) / (n_groups - 1))
+                       / (ssw / (n - n_groups)) END, 6) AS f_stat,
+       round(CASE WHEN (t2 - t1 * t1 / n) > 0
+                  THEN ((t2 - t1 * t1 / n) - ssw) / (t2 - t1 * t1 / n)
+             END, 6) AS eta_sq
+FROM acc
+"""
+
+
+def ml_gain_deciles(spark, sf_dir):
+    """Cumulative gain / lift deciles (operators/evaluation.py
+    gain_deciles): events ranked by value, label = purchase — how much
+    of the target the top deciles capture. Exact equal-count buckets
+    need the one unpartitioned ntile window (the bh_adjust discipline,
+    documented scale knob: pre-bucket on approx quantiles)."""
+    from .operators.evaluation import gain_deciles
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("int")
+    )
+    return gain_deciles(
+        ev, "value", "is_purchase", n_buckets=10, tiebreak_col="event_id"
+    )
+
+
+ML_GAIN_SQL = """
+WITH base AS (
+  SELECT value::DOUBLE AS s,
+         (event_type = 'purchase')::BIGINT AS y, event_id
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT ntile(10) OVER (ORDER BY s DESC, event_id ASC)::INTEGER AS bucket, y
+  FROM base
+), per AS (
+  SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+  FROM b GROUP BY bucket
+), o AS (
+  SELECT bucket, n, n_pos,
+         sum(n_pos) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_pos,
+         sum(n_pos) OVER ()::BIGINT AS total_pos,
+         sum(n) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_n,
+         sum(n) OVER ()::BIGINT AS total_n
+  FROM per
+)
+SELECT bucket, n, n_pos, cum_pos,
+       round(CASE WHEN total_pos > 0 THEN n_pos / total_pos::DOUBLE END, 6)
+         AS capture_rate,
+       round(CASE WHEN total_pos > 0 THEN cum_pos / total_pos::DOUBLE END, 6)
+         AS cum_capture_rate,
+       round(CASE WHEN total_pos > 0
+                  THEN (cum_pos / cum_n::DOUBLE)
+                       / (total_pos / total_n::DOUBLE) END, 6) AS lift
+FROM o
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Warehouse & pipeline wave (round 8): CDC log collapse, snapshot
 # diffing, link prediction, Markov transitions.
 
@@ -8004,6 +8144,10 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: model-ops completion wave ---
+    "stat_anova_oneway": stat_anova_oneway,
+    "stat_brown_forsythe": stat_brown_forsythe,
+    "ml_gain_deciles": ml_gain_deciles,
     # --- new in round 8: relational completeness, second half ---
     "j_q6_forecast_revenue": j_q6_forecast_revenue,
     "j_q8_market_share": j_q8_market_share,
@@ -8227,6 +8371,10 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: model-ops completion wave ---
+    "stat_anova_oneway": STAT_ANOVA_SQL,
+    "stat_brown_forsythe": STAT_BF_SQL,
+    "ml_gain_deciles": ML_GAIN_SQL,
     # --- new in round 8: relational completeness, second half ---
     "j_q6_forecast_revenue": J_Q6_SQL,
     "j_q8_market_share": J_Q8_SQL,

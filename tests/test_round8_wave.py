@@ -298,3 +298,107 @@ def test_event_transitions_hand(spark):
     assert out[("b", "a")]["n"] == 1
     assert out[("a", "b")]["prob"] == 1.0  # a always goes to b
     assert out[("b", "a")]["prob"] == 1.0
+
+
+def _anova_ref(groups):
+    """Independent one-way ANOVA from the same rounded per-group sums."""
+    stats = []
+    for vals in groups:
+        stats.append(
+            (len(vals), round(sum(vals), 4), round(sum(v * v for v in vals), 4))
+        )
+    k = len(stats)
+    n = sum(s[0] for s in stats)
+    t1 = sum(s[1] for s in stats)
+    t2 = sum(s[2] for s in stats)
+    ssw = sum(s2 - s1 * s1 / ng for ng, s1, s2 in stats)
+    sst = t2 - t1 * t1 / n
+    ssb = sst - ssw
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return k, n, ssb, ssw, f, ssb / sst
+
+
+def test_anova_oneway_hand(spark):
+    from mdataframe_spark.operators.stats_tests import anova_oneway
+
+    groups = {
+        "a": [2.1, 2.5, 2.3, 2.9],
+        "b": [1.1, 1.8, 1.4, 1.2, 1.9],
+        "c": [3.0, 3.4, 3.2],
+    }
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    row = anova_oneway(df, "v", "g").collect()[0]
+    k, n, ssb, ssw, f, eta = _anova_ref(list(groups.values()))
+    assert row["n_groups"] == k and row["n"] == n
+    assert row["ss_between"] == pytest.approx(round(ssb, 4), abs=1e-9)
+    assert row["ss_within"] == pytest.approx(round(ssw, 4), abs=1e-9)
+    assert row["f_stat"] == pytest.approx(round(f, 6), abs=1e-9)
+    assert row["eta_sq"] == pytest.approx(round(eta, 6), abs=1e-9)
+    assert 0 < row["p_value"] < 0.01  # clearly separated means
+
+
+def test_anova_f_p_matches_t_squared(spark):
+    """For d1 = 1 (two groups), the F(1, d2) upper tail equals the
+    two-sided t p at t = sqrt(F) — an independent closed-form check of
+    the incomplete-beta p path."""
+    from mdataframe_spark.operators.stats_tests import anova_oneway
+
+    a = [2.1, 2.5, 2.3, 2.9, 2.7]
+    b = [1.9, 1.8, 2.4, 2.2]
+    df = spark.createDataFrame(
+        [(v, "a") for v in a] + [(v, "b") for v in b], ["v", "g"]
+    )
+    row = anova_oneway(df, "v", "g").collect()[0]
+    d2 = row["n"] - row["n_groups"]
+    expected = _t_cdf_upper2(math.sqrt(row["f_stat"]), d2)
+    assert row["p_value"] == pytest.approx(expected, abs=2e-6)
+
+
+def test_anova_degenerate_constant(spark):
+    from mdataframe_spark.operators.stats_tests import anova_oneway
+
+    df = spark.createDataFrame(
+        [(1.0, "a")] * 3 + [(1.0, "b")] * 3, ["v", "g"]
+    )
+    row = anova_oneway(df, "v", "g").collect()[0]
+    assert row["f_stat"] is None and row["p_value"] is None
+
+
+def test_brown_forsythe_detects_spread(spark):
+    from mdataframe_spark.operators.stats_tests import brown_forsythe
+
+    # same median, wildly different spread
+    tight = [10.0 + d for d in (-0.1, -0.05, 0.0, 0.05, 0.1) * 4]
+    wide = [10.0 + d for d in (-5.0, -2.5, 0.0, 2.5, 5.0) * 4]
+    df = spark.createDataFrame(
+        [(v, "tight") for v in tight] + [(v, "wide") for v in wide],
+        ["v", "g"],
+    )
+    row = brown_forsythe(df, "v", "g").collect()[0]
+    assert row["f_stat"] > 10
+    assert row["p_value"] < 0.01
+    # identical groups: no spread difference
+    df2 = spark.createDataFrame(
+        [(v, "x") for v in wide] + [(v, "y") for v in wide], ["v", "g"]
+    )
+    assert brown_forsythe(df2, "v", "g").collect()[0]["f_stat"] == pytest.approx(
+        0.0, abs=1e-6
+    )
+
+
+def test_gain_deciles_hand(spark):
+    from mdataframe_spark.operators.evaluation import gain_deciles
+
+    # 20 rows, scores descending 20..1; positives are the top 5 scores
+    rows = [(float(s), 1 if s > 15 else 0, s) for s in range(1, 21)]
+    df = spark.createDataFrame(rows, ["score", "y", "id"])
+    out = {r["bucket"]: r for r in
+           gain_deciles(df, "score", "y", n_buckets=4, tiebreak_col="id").collect()}
+    # 4 buckets of 5; all positives land in bucket 1
+    assert out[1]["n"] == 5 and out[1]["n_pos"] == 5
+    assert out[1]["cum_capture_rate"] == 1.0
+    assert out[1]["lift"] == pytest.approx(4.0)  # 100% vs base rate 25%
+    assert out[2]["n_pos"] == 0
+    assert out[4]["cum_capture_rate"] == 1.0
+    assert out[4]["lift"] == pytest.approx(1.0)
