@@ -21,7 +21,7 @@ from typing import Dict, List, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ols_moments", "ols_closed_form", "cramer2_exprs"]
+__all__ = ["ols_moments", "ols_closed_form", "cramer2_exprs", "det_guard_expr"]
 
 
 def ols_moments(
@@ -102,7 +102,26 @@ def cramer2_exprs(x1: str, x2: str) -> Dict[str, str]:
         f"(1.0 - ({myy} - ({betas['b0']}) * {my} - ({betas['b1']}) * {m1y}"
         f" - ({betas['b2']}) * {m2y}) / ({myy} - {my} * {my}))"
     )
-    return {**betas, "r2": r2}
+    return {**betas, "r2": r2, "det": det}
+
+
+def det_guard_expr(x1: str, x2: str, decimals: int = 6) -> str:
+    """Singularity guard for the Cramer solve, as an expression string
+    shared by both engines: the determinant of a COLLINEAR design is
+    not exactly zero once the moments are rounded — it is
+    rounding-noise-sized, bounded by ~cofactor magnitudes × the
+    10^-decimals rounding step. The guard therefore tests |det| against
+    100·10^-decimals scaled by the dominant second-moment product
+    (floored at 1 for sub-unit features); a conditioned design's det
+    carries the variance product and sits orders of magnitude above.
+    """
+    exprs = cramer2_exprs(x1, x2)
+    m11, m22 = f"m_{x1}_{x1}", f"m_{x2}_{x2}"
+    tol = 100.0 * (10.0 ** -decimals)
+    return (
+        f"(abs({exprs['det']}) > {tol!r} * "
+        f"greatest(1.0, abs({m11} * {m22})))"
+    )
 
 
 def ols_closed_form(
@@ -113,8 +132,11 @@ def ols_closed_form(
 ) -> DataFrame:
     """Distributed two-feature OLS with the solve inside the plan:
     moments → Cramer's rule → (n, moments…, b0, b1, b2, r2), one row,
-    one corpus pass, zero Python. Degenerate (singular) designs yield
-    NULL coefficients via the determinant guard."""
+    one corpus pass, zero Python. Degenerate (collinear) designs yield
+    NULL coefficients via the tolerance determinant guard
+    (:func:`det_guard_expr` — rounded moments make a singular design's
+    det tiny-but-nonzero, so an exact-zero test would pass garbage
+    coefficients through)."""
     if len(x_cols) != 2:
         raise ValueError(
             "ols_closed_form solves the 2-feature normal equations in-plan; "
@@ -122,16 +144,10 @@ def ols_closed_form(
         )
     mom = ols_moments(df, y_col, x_cols, decimals=decimals)
     exprs = cramer2_exprs(*x_cols)
-    a = [
-        ["1.0", f"m_{x_cols[0]}", f"m_{x_cols[1]}"],
-        [f"m_{x_cols[0]}", f"m_{x_cols[0]}_{x_cols[0]}", f"m_{x_cols[0]}_{x_cols[1]}"],
-        [f"m_{x_cols[1]}", f"m_{x_cols[0]}_{x_cols[1]}", f"m_{x_cols[1]}_{x_cols[1]}"],
-    ]
-    det = _det3(a)
-    guarded = mom.withColumn("__det", F.expr(det))
-    out = guarded
-    for name, e in exprs.items():
+    ok = F.expr(det_guard_expr(*x_cols, decimals=decimals))
+    out = mom.withColumn("__ok", ok)
+    for name in ("b0", "b1", "b2", "r2"):
         out = out.withColumn(
-            name, F.round(F.when(F.col("__det") != 0, F.expr(e)), 6)
+            name, F.round(F.when(F.col("__ok"), F.expr(exprs[name])), decimals)
         )
-    return out.drop("__det")
+    return out.drop("__ok")

@@ -187,7 +187,12 @@ def cdc_apply(
             )
         ).alias("__last")
     )
-    alive = packed.filter(F.col("__last.__op") != F.lit(delete_op))
+    # NULL-safe: a winning change with op=NULL (malformed upstream
+    # extract) is KEPT, not silently treated as a delete — a key must
+    # only vanish on an explicit tombstone
+    alive = packed.filter(
+        ~F.col("__last.__op").eqNullSafe(F.lit(delete_op))
+    )
     return alive.select(
         *key_cols,
         *[F.col(f"__last.{c}").alias(c) for c in seq_cols],
@@ -225,12 +230,15 @@ def snapshot_diff(
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
     )
     j = o.join(n, key_cols, "full_outer")
+    # empty compare_cols is a legitimate key-presence-only diff:
+    # everything in both snapshots counts as unchanged (dropped)
     same = reduce(
         lambda x, y: x & y,
         [
             F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
             for c in compare_cols
         ],
+        F.lit(True),
     )
     change_type = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))

@@ -533,7 +533,13 @@ def nearest_centroid_predict(
         id_col, label_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     if dim is None:
-        dim = len(e.select("__v").first()["__v"])
+        row = e.select("__v").first()
+        if row is None:
+            raise ValueError(
+                "nearest_centroid_predict: empty input frame — pass dim "
+                "explicitly if the frame may legitimately be empty"
+            )
+        dim = len(row["__v"])
     pos = e.select(label_col, F.posexplode("__v").alias("__p", "__x"))
     cent = pos.groupBy(label_col, "__p").agg(F.round(F.avg("__x"), 9).alias("__cx"))
     cent_arr = cent.groupBy(F.col(label_col).alias("__cl")).agg(
@@ -548,15 +554,17 @@ def nearest_centroid_predict(
         F.col("__cl"),
         F.round(cosine(F.col("__v"), F.col("__c"), dim), 6).alias("__cos"),
     )
-    # lexicographic struct max = (highest cosine, then lowest class id)
+    # lexicographic struct MIN of (−cosine, class) = highest cosine,
+    # ties to the LOWEST class under the label type's natural order —
+    # works for string/any orderable labels, not just numeric ids
     best = scored.groupBy(id_col, label_col).agg(
-        F.max(F.struct(F.col("__cos"), (-F.col("__cl")).alias("__negcl"))).alias(
-            "__best"
-        )
+        F.min(
+            F.struct((-F.col("__cos")).alias("__negcos"), F.col("__cl"))
+        ).alias("__best")
     )
     return best.select(
         id_col,
         label_col,
-        (-F.col("__best.__negcl")).cast("integer").alias("pred"),
-        F.col("__best.__cos").alias("cos_pred"),
+        F.col("__best.__cl").alias("pred"),
+        (-F.col("__best.__negcos")).alias("cos_pred"),
     )

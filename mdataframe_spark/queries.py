@@ -7168,17 +7168,16 @@ def ml_ols_fit(spark, sf_dir):
 
 
 def _ols_fit_sql() -> str:
-    from .operators.regression import cramer2_exprs
+    # the guard and the Cramer expressions are the SAME strings the
+    # Spark side hands to F.expr (operators/regression.py) — one
+    # source, so the engines cannot diverge
+    from .operators.regression import cramer2_exprs, det_guard_expr
 
     exprs = cramer2_exprs("qty", "disc")
-    det = (
-        "(1.0) * ((m_qty_qty) * (m_disc_disc) - (m_qty_disc) * (m_qty_disc))"
-        " - (m_qty) * ((m_qty) * (m_disc_disc) - (m_qty_disc) * (m_disc))"
-        " + (m_disc) * ((m_qty) * (m_qty_disc) - (m_qty_qty) * (m_disc))"
-    )
+    guard = det_guard_expr("qty", "disc", decimals=6)
     cols = ",\n       ".join(
-        f"round(CASE WHEN ({det}) <> 0 THEN {e} END, 6) AS {name}"
-        for name, e in exprs.items()
+        f"round(CASE WHEN {guard} THEN {exprs[name]} END, 6) AS {name}"
+        for name in ("b0", "b1", "b2", "r2")
     )
     return f"""
 WITH base AS (

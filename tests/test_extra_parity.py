@@ -37,7 +37,11 @@ def duck():
     return _con(SF_DIR)
 
 
-@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
+# stat_vst is excluded from the sf0.001 sweep: its oracle freezes the
+# fitted trend coefficients at the driver's correctness SF (0.01) —
+# the same skip parity_check.main applies at other SFs; its value
+# parity runs below in test_stat_vst_parity_at_driver_sf.
+@pytest.mark.parametrize("name", sorted(set(EXTRA_ORACLES) - {"stat_vst"}))
 def test_extra_query_parity(spark, duck, name):
     problems = parity_check.compare(name, spark, duck, SF_DIR)
     assert not problems, problems

@@ -402,3 +402,75 @@ def test_gain_deciles_hand(spark):
     assert out[2]["n_pos"] == 0
     assert out[4]["cum_capture_rate"] == 1.0
     assert out[4]["lift"] == pytest.approx(1.0)
+
+
+def test_ols_collinear_noninteger_null(spark):
+    """Review fix: a collinear design on NON-integer data has a
+    rounding-noise-sized (not exactly zero) determinant — the
+    tolerance guard must still yield NULLs."""
+    rng = np.random.RandomState(11)
+    x1 = rng.uniform(0, 10, 100)
+    df = spark.createDataFrame(
+        [(float(a), float(2.0 * a), float(1.0 + 0.5 * a)) for a in x1],
+        ["x1", "x2", "y"],
+    )
+    row = ols_closed_form(df, "y", ["x1", "x2"]).collect()[0]
+    assert row["b0"] is None and row["b1"] is None and row["b2"] is None
+    assert row["r2"] is None
+
+
+def test_ols_decimals_respected(spark):
+    rng = np.random.RandomState(3)
+    x1 = rng.uniform(0, 10, 100)
+    x2 = rng.uniform(0, 5, 100)
+    y = 1.0 + 2.0 * x1 + 3.0 * x2
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        ["x1", "x2", "y"],
+    )
+    row = ols_closed_form(df, "y", ["x1", "x2"], decimals=4).collect()[0]
+    # coefficients rounded at the REQUESTED precision (4 dp grid)
+    for name in ("b0", "b1", "b2"):
+        assert row[name] == round(row[name], 4)
+    assert row["b1"] == pytest.approx(2.0, abs=1e-2)
+
+
+def test_nearest_centroid_string_labels(spark):
+    rows = [
+        (1, [1.0, 0.0], "red"),
+        (2, [0.9, 0.1], "red"),
+        (3, [0.0, 1.0], "blue"),
+        (4, [0.1, 0.9], "blue"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r["pred"] for r in nearest_centroid_predict(df).collect()}
+    assert out[1] == "red" and out[3] == "blue"
+
+
+def test_nearest_centroid_empty_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError, match="empty input"):
+        nearest_centroid_predict(df)
+
+
+def test_cdc_apply_null_op_kept(spark):
+    """Review fix: a winning change with op=NULL must not be silently
+    treated as a delete."""
+    from mdataframe_spark.operators.scd import cdc_apply
+
+    df = spark.createDataFrame(
+        [(1, 1, "upsert", 10.0), (1, 2, None, 11.0)],
+        "k int, seq int, op string, val double",
+    )
+    out = cdc_apply(df, ["k"], ["seq"]).collect()
+    assert len(out) == 1 and out[0]["val"] == 11.0
+
+
+def test_snapshot_diff_empty_compare_cols(spark):
+    from mdataframe_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], ["k"])
+    new = spark.createDataFrame([(2,), (3,)], ["k"])
+    out = {r["k"]: r["change_type"] for r in
+           snapshot_diff(old, new, ["k"], []).collect()}
+    assert out == {1: "removed", 3: "added"}
