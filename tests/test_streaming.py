@@ -76,16 +76,19 @@ def test_st_sessionize_query_matches_stream_on_events(spark, tmp_path_factory):
     session at sf0.001 — the streaming run only withholds the final
     still-open session per user (availableNow ends before its timeout
     fires)."""
-    from mdataframe_spark.queries import QUERIES
+    # st_sessionize rotated to EXTRA_QUERIES in round 8 — look it up
+    # across both registries so future rotations cannot break this test
+    from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
     from mdataframe_spark.streaming.sessionize import sessionize_stream
 
     sf_dir = "/root/testdata/sf0.001"
+    all_q = {**QUERIES, **EXTRA_QUERIES}
     expected = {
         (r["user_id"], r["session_start"], r["session_end"]): (
             r["n_events"],
             r["sum_value"],
         )
-        for r in QUERIES["st_sessionize"](spark, sf_dir).collect()
+        for r in all_q["st_sessionize"](spark, sf_dir).collect()
     }
     assert len(expected) > 10
 
