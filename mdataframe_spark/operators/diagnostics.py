@@ -299,3 +299,47 @@ def referential_integrity(edges) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def candidate_keys(df: DataFrame, candidates) -> DataFrame:
+    """Uniqueness audit over candidate key combinations: for each
+    column list, (candidate, n_rows, n_distinct, n_duplicate_rows,
+    is_unique) — the schema-discovery primitive behind 'can this
+    column set serve as a join/merge key?'.
+
+    Plan shape: ONE aggregation pass computes count(*) plus one
+    count_distinct(struct(cols)) per candidate (Catalyst expands
+    multiple distinct aggregates in a single Expand stage — k
+    candidates never re-scan the input k times); the per-candidate
+    report rows are a constant-width unpivot of the 1-row result.
+    NULL components make a tuple distinct-able (struct equality is
+    null-safe), matching the SQL (a, b) tuple semantics.
+    """
+    candidates = [list(c) for c in candidates]
+    if not candidates:
+        raise ValueError("candidate_keys: empty candidate list")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for idx, cols in enumerate(candidates):
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(c) for c in cols])).alias(
+                f"__d{idx}"
+            )
+        )
+    one = df.agg(*aggs)
+    parts = []
+    for idx, cols in enumerate(candidates):
+        parts.append(
+            one.select(
+                F.lit("+".join(cols)).alias("candidate"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__d{idx}").cast("bigint").alias("n_distinct"),
+                (F.col("__n") - F.col(f"__d{idx}"))
+                .cast("bigint")
+                .alias("n_duplicate_rows"),
+                (F.col("__n") == F.col(f"__d{idx}")).alias("is_unique"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

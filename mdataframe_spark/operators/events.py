@@ -377,3 +377,44 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("prob"),
     ).orderBy("from_type", "to_type")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: (event_type,
+    hour_of_day, n, mean_value, seasonal_index) with the index the
+    hour's mean over the type's overall mean — the baseline shape a
+    monitoring stack compares live traffic against (rate_anomaly's
+    value-seasonality counterpart).
+
+    Plan shape: the corpus collapses in ONE (type, hour) partial-agged
+    groupBy (hour extracted TZ-free from epoch-ns by exact integer
+    `div` — the repo-wide events contract); the per-type roll-up and
+    index division run on the types×24 table. Sums round 4 dp before
+    the divisions so both engines derive identical means."""
+    e = _ns(df, ts_col)
+    h = (
+        F.expr(f"({ts_col} div 3600000000000) % 24")
+        .cast("bigint")
+        .alias("hour_of_day")
+    )
+    per = e.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(type_col).alias("event_type"), h
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col(value_col).cast("double")), 4).alias("__s"),
+    )
+    w = Window.partitionBy("event_type")
+    mean_hour = F.col("__s") / F.col("n")
+    mean_type = F.sum("__s").over(w) / F.sum("n").over(w)
+    return per.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(mean_hour, 6).alias("mean_value"),
+        F.round(mean_hour / mean_type, 6).alias("seasonal_index"),
+    ).orderBy("event_type", "hour_of_day")

@@ -218,3 +218,70 @@ def bloom_contamination(
         F.sum(F.col("__hit").cast("bigint")).alias("n_hit_grams_bloom"),
         F.max("__hit").alias("bloom_contaminated"),
     )
+
+
+def count_min_positions(key: Column, depth: int, width: int) -> list:
+    """The d Count-Min (row, bucket) positions of a key as JVM-side
+    column expressions: bucket_i = int(md5(key ':' i)[:15 hex], 16)
+    mod width — the bloom_bit_positions hash family, so a SQL engine
+    replays the whole sketch."""
+    out = []
+    for i in range(depth):
+        h = F.md5(F.concat_ws(":", key, F.lit(str(i))))
+        out.append(
+            (
+                F.conv(F.substring(h, 1, _BLOOM_HEX_CHARS), 16, 10).cast(
+                    "bigint"
+                )
+                % F.lit(width)
+            )
+        )
+    return out
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates: build a depth×width
+    counter table over ``df[key_col]`` and estimate the count of every
+    key in ``probes`` (a frame with the same-named key column) as the
+    MIN over its depth cells. Returns (key, cm_estimate).
+
+    Why at 100 TB: an exact per-key count table is key-cardinality-
+    sized (billions of rows for ids); the sketch is depth×width cells
+    REGARDLESS of cardinality, mergeable across partitions/streams
+    (counter addition), with the classic one-sided guarantee —
+    estimates NEVER undercount, and overcount ≤ e·N/width with
+    probability 1−(1/2)^depth.
+
+    Plan shape: each input row explodes to depth (row, bucket) pairs
+    map-side (md5 arithmetic, zero Python) and ONE partial-agged
+    groupBy builds the cell table; probes join the broadcast cells on
+    (row, bucket) and one model-bounded groupBy takes the min. Every
+    hash is md5 over ``key ':' i`` — approximate ALGORITHM,
+    deterministic RESULT (the bloom_contamination convention), so an
+    oracle replays the sketch relationally.
+    """
+    k = F.col(key_col).cast("string")
+    pos = count_min_positions(k, depth, width)
+    exploded = df.select(
+        F.posexplode(F.array(*pos)).alias("__row", "__b")
+    )
+    cells = exploded.groupBy("__row", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    pk = F.col(key_col).cast("string")
+    ppos = count_min_positions(pk, depth, width)
+    probe_cells = probes.select(
+        key_col, F.posexplode(F.array(*ppos)).alias("__row", "__b")
+    )
+    joined = probe_cells.join(F.broadcast(cells), ["__row", "__b"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("__c"), F.lit(0))).cast("bigint").alias(
+            "cm_estimate"
+        )
+    )

@@ -12,6 +12,8 @@ left exact (identical IEEE ops ⇒ identical bits).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7690,6 +7692,147 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Sketch & profiling wave (round 8, second half): Count-Min gate,
+# seasonal profile, candidate-key audit.
+
+
+def sk_countmin_gate(spark, sf_dir):
+    """Count-Min sketch certification (operators/sketches.py
+    count_min_estimates): estimate part frequencies from a 3×1024-cell
+    sketch and certify against the exact counts of the 30 heaviest
+    parts — cm_ge_exact must ALWAYS hold (one-sided error) and
+    within_bound checks the e·N/width overcount guarantee. md5 cell
+    hashing makes the sketch deterministic, so the oracle replays it
+    relationally (the sk_bloom_decontaminate pattern)."""
+    from .operators.sketches import count_min_estimates
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("l_partkey").asc()
+    ).limit(30)
+    est = count_min_estimates(li, "l_partkey", top.select("l_partkey"))
+    n_total = li.count()
+    bound = int(math.ceil(3.0 * n_total / 1024.0))
+    return (
+        top.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_count")).alias("cm_ge_exact"),
+            (
+                (F.col("cm_estimate") - F.col("exact_count")) <= F.lit(bound)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("l_partkey").asc())
+    )
+
+
+SK_COUNTMIN_SQL = r"""
+WITH hs AS (SELECT unnest(range(0, 3)) AS i),
+cells AS (
+  SELECT i AS r,
+         CAST(('0x' || substr(md5(l_partkey::VARCHAR || ':' || i::VARCHAR),
+                              1, 15)) AS BIGINT) % 1024 AS b,
+         count(*)::BIGINT AS c
+  FROM lineitem, hs GROUP BY 1, 2
+), exact AS (
+  SELECT l_partkey, count(*)::BIGINT AS exact_count
+  FROM lineitem GROUP BY l_partkey
+), top AS (
+  SELECT * FROM exact ORDER BY exact_count DESC, l_partkey ASC LIMIT 30
+), probe AS (
+  SELECT l_partkey, i AS r,
+         CAST(('0x' || substr(md5(l_partkey::VARCHAR || ':' || i::VARCHAR),
+                              1, 15)) AS BIGINT) % 1024 AS b
+  FROM top, hs
+), est AS (
+  SELECT l_partkey, min(coalesce(c, 0))::BIGINT AS cm_estimate
+  FROM probe LEFT JOIN cells USING (r, b) GROUP BY l_partkey
+)
+SELECT l_partkey, exact_count, cm_estimate,
+       cm_estimate >= exact_count AS cm_ge_exact,
+       (cm_estimate - exact_count)
+         <= ceil(3.0 * (SELECT count(*) FROM lineitem) / 1024.0)
+         AS within_bound
+FROM top JOIN est USING (l_partkey)
+ORDER BY exact_count DESC, l_partkey ASC
+"""
+
+
+def e_seasonal_profile(spark, sf_dir):
+    """Hour-of-day value seasonality per event type (operators/events.py
+    seasonal_profile): one (type, hour) partial-agged groupBy, TZ-free
+    integer-div hour extraction, index over the types×24 table."""
+    from .operators.events import seasonal_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_profile(ev)
+
+
+E_SEASONAL_SQL = """
+WITH per AS (
+  SELECT event_type, (epoch_ns(ts) // 3600000000000 % 24)::BIGINT AS hour_of_day,
+         count(*)::BIGINT AS n, round(sum(value::DOUBLE), 4) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n,
+       round(s / n, 6) AS mean_value,
+       round((s / n) / (sum(s) OVER (PARTITION BY event_type)
+                        / sum(n) OVER (PARTITION BY event_type)), 6)
+         AS seasonal_index
+FROM per
+ORDER BY event_type, hour_of_day
+"""
+
+
+def dq_candidate_keys(spark, sf_dir):
+    """Candidate-key uniqueness audit (operators/diagnostics.py
+    candidate_keys) over orders: one Expand-stage aggregation computes
+    every tuple count-distinct; the report is a constant unpivot."""
+    from .operators.diagnostics import candidate_keys
+
+    o = _t(spark, sf_dir, "orders")
+    return candidate_keys(
+        o,
+        [
+            ["o_orderkey"],
+            ["o_custkey"],
+            ["o_custkey", "o_orderdate"],
+            ["o_custkey", "o_orderdate", "o_orderkey"],
+        ],
+    )
+
+
+DQ_CANDKEYS_SQL = """
+WITH one AS (
+  -- row() wrapping matches the engine's struct semantics: a NULL
+  -- component still forms a countable tuple (plain count(DISTINCT col)
+  -- would drop it)
+  SELECT count(*)::BIGINT AS n,
+         count(DISTINCT row(o_orderkey))::BIGINT AS d0,
+         count(DISTINCT row(o_custkey))::BIGINT AS d1,
+         count(DISTINCT (o_custkey, o_orderdate))::BIGINT AS d2,
+         count(DISTINCT (o_custkey, o_orderdate, o_orderkey))::BIGINT AS d3
+  FROM orders
+)
+SELECT 'o_orderkey' AS candidate, n AS n_rows, d0 AS n_distinct,
+       (n - d0)::BIGINT AS n_duplicate_rows, n = d0 AS is_unique FROM one
+UNION ALL
+SELECT 'o_custkey', n, d1, (n - d1)::BIGINT, n = d1 FROM one
+UNION ALL
+SELECT 'o_custkey+o_orderdate', n, d2, (n - d2)::BIGINT, n = d2 FROM one
+UNION ALL
+SELECT 'o_custkey+o_orderdate+o_orderkey', n, d3, (n - d3)::BIGINT, n = d3
+FROM one
+"""
+
+
+# ---------------------------------------------------------------------------
 # Model-ops completion wave (round 8): one-way ANOVA, Brown-Forsythe,
 # gain/lift deciles.
 
@@ -8143,6 +8286,10 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: sketch & profiling wave ---
+    "sk_countmin_gate": sk_countmin_gate,
+    "e_seasonal_profile": e_seasonal_profile,
+    "dq_candidate_keys": dq_candidate_keys,
     # --- new in round 8: model-ops completion wave ---
     "stat_anova_oneway": stat_anova_oneway,
     "stat_brown_forsythe": stat_brown_forsythe,
@@ -8370,6 +8517,10 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: sketch & profiling wave ---
+    "sk_countmin_gate": SK_COUNTMIN_SQL,
+    "e_seasonal_profile": E_SEASONAL_SQL,
+    "dq_candidate_keys": DQ_CANDKEYS_SQL,
     # --- new in round 8: model-ops completion wave ---
     "stat_anova_oneway": STAT_ANOVA_SQL,
     "stat_brown_forsythe": STAT_BF_SQL,

@@ -474,3 +474,56 @@ def test_snapshot_diff_empty_compare_cols(spark):
     out = {r["k"]: r["change_type"] for r in
            snapshot_diff(old, new, ["k"], []).collect()}
     assert out == {1: "removed", 3: "added"}
+
+
+def test_count_min_never_undercounts(spark):
+    from mdataframe_spark.operators.sketches import count_min_estimates
+
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + list("defghij")]
+    df = spark.createDataFrame(rows, ["k"])
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], ["k"])
+    # width=4 forces collisions: estimates must still never undercount
+    out = {r["k"]: r["cm_estimate"] for r in
+           count_min_estimates(df, "k", probes, depth=3, width=4).collect()}
+    assert out["a"] >= 50 and out["b"] >= 20 and out["c"] >= 5
+    assert out["z"] >= 0  # absent key: min over cells, never negative
+    # a generous width makes the heavy key exact
+    wide = {r["k"]: r["cm_estimate"] for r in
+            count_min_estimates(df, "k", probes, depth=3, width=4096).collect()}
+    assert wide["a"] == 50 and wide["b"] == 20 and wide["c"] == 5
+
+
+def test_seasonal_profile_hand(spark):
+    from datetime import datetime
+
+    from mdataframe_spark.operators.events import seasonal_profile
+
+    rows = []
+    # type 'x': hour 1 values avg 10, hour 2 values avg 30 -> type mean 20
+    for d in (1, 2, 3):
+        rows.append((datetime(2024, 1, d, 1, 0), "x", 10.0))
+        rows.append((datetime(2024, 1, d, 2, 0), "x", 30.0))
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = {r["hour_of_day"]: r for r in seasonal_profile(df).collect()}
+    assert out[1]["mean_value"] == 10.0 and out[2]["mean_value"] == 30.0
+    assert out[1]["seasonal_index"] == pytest.approx(0.5)
+    assert out[2]["seasonal_index"] == pytest.approx(1.5)
+    assert out[1]["n"] == 3
+
+
+def test_candidate_keys_hand(spark):
+    from mdataframe_spark.operators.diagnostics import candidate_keys
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (3, "b"), (4, None), (5, None)],
+        "id int, grp string",
+    )
+    out = {r["candidate"]: r for r in
+           candidate_keys(df, [["id"], ["grp"], ["id", "grp"]]).collect()}
+    assert out["id"]["n_distinct"] == 5 and not out["id"]["is_unique"]
+    # NULL counts as a groupable tuple value for key purposes
+    assert out["grp"]["n_distinct"] == 3
+    assert out["id+grp"]["n_distinct"] == 5
+    assert out["id+grp"]["n_duplicate_rows"] == 1
+    with pytest.raises(ValueError):
+        candidate_keys(df, [])
