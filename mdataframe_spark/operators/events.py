@@ -397,11 +397,16 @@ def seasonal_profile(
     index division run on the types×24 table. Sums round 4 dp before
     the divisions so both engines derive identical means."""
     e = _ns(df, ts_col)
-    h = (
-        F.expr(f"({ts_col} div 3600000000000) % 24")
-        .cast("bigint")
-        .alias("hour_of_day")
+    # FLOOR-division hour with a non-negative modulus: `div` truncates
+    # toward zero, so a pre-1970 timestamp would land one hour off and
+    # plain % would emit negative hours — pmod over the floored
+    # quotient keeps the 0..23 domain for ANY epoch sign, and the
+    # oracle replays the same two-step formula
+    ns_per_h = 3_600_000_000_000
+    floor_h = F.expr(
+        f"({ts_col} - pmod({ts_col}, {ns_per_h})) div {ns_per_h}"
     )
+    h = F.pmod(floor_h, F.lit(24)).cast("bigint").alias("hour_of_day")
     per = e.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(type_col).alias("event_type"), h
     ).agg(

@@ -221,22 +221,11 @@ def bloom_contamination(
 
 
 def count_min_positions(key: Column, depth: int, width: int) -> list:
-    """The d Count-Min (row, bucket) positions of a key as JVM-side
-    column expressions: bucket_i = int(md5(key ':' i)[:15 hex], 16)
-    mod width — the bloom_bit_positions hash family, so a SQL engine
-    replays the whole sketch."""
-    out = []
-    for i in range(depth):
-        h = F.md5(F.concat_ws(":", key, F.lit(str(i))))
-        out.append(
-            (
-                F.conv(F.substring(h, 1, _BLOOM_HEX_CHARS), 16, 10).cast(
-                    "bigint"
-                )
-                % F.lit(width)
-            )
-        )
-    return out
+    """The d Count-Min (row, bucket) positions of a key: exactly the
+    bloom_bit_positions hash family (ONE implementation — the Spark
+    build, the Python probe, and the SQL oracle must stay
+    bit-identical, so the formula lives in one place)."""
+    return bloom_bit_positions(key, width, depth)
 
 
 def count_min_estimates(
@@ -266,9 +255,13 @@ def count_min_estimates(
     deterministic RESULT (the bloom_contamination convention), so an
     oracle replays the sketch relationally.
     """
+    # NULL keys are dropped on BOTH sides (concat_ws would otherwise
+    # hash a NULL key as md5("i") Spark-side while the SQL replay's
+    # `key || ':' || i` yields NULL buckets — divergent sketches); a
+    # NULL count is not a frequency query
     k = F.col(key_col).cast("string")
     pos = count_min_positions(k, depth, width)
-    exploded = df.select(
+    exploded = df.filter(F.col(key_col).isNotNull()).select(
         F.posexplode(F.array(*pos)).alias("__row", "__b")
     )
     cells = exploded.groupBy("__row", "__b").agg(
@@ -276,7 +269,7 @@ def count_min_estimates(
     )
     pk = F.col(key_col).cast("string")
     ppos = count_min_positions(pk, depth, width)
-    probe_cells = probes.select(
+    probe_cells = probes.filter(F.col(key_col).isNotNull()).select(
         key_col, F.posexplode(F.array(*ppos)).alias("__row", "__b")
     )
     joined = probe_cells.join(F.broadcast(cells), ["__row", "__b"], "left")

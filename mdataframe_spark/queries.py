@@ -12,8 +12,6 @@ left exact (identical IEEE ops ⇒ identical bits).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7706,6 +7704,7 @@ def sk_countmin_gate(spark, sf_dir):
     relationally (the sk_bloom_decontaminate pattern)."""
     from .operators.sketches import count_min_estimates
 
+    depth, width = 3, 1024
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     exact = (
         li.groupBy("l_partkey")
@@ -7714,18 +7713,25 @@ def sk_countmin_gate(spark, sf_dir):
     top = exact.orderBy(
         F.col("exact_count").desc(), F.col("l_partkey").asc()
     ).limit(30)
-    est = count_min_estimates(li, "l_partkey", top.select("l_partkey"))
-    n_total = li.count()
-    bound = int(math.ceil(3.0 * n_total / 1024.0))
+    est = count_min_estimates(
+        li, "l_partkey", top.select("l_partkey"), depth=depth, width=width
+    )
+    # total rows derived LAZILY from the already-computed exact table
+    # (the oracle's scalar subquery), never an eager count() at
+    # query-construction time; 3.0 is the conservative integer-friendly
+    # stand-in for the classic e·N/width overcount bound
+    total = exact.agg(F.sum("exact_count").alias("__n_total"))
+    bound = F.ceil(3.0 * F.col("__n_total") / F.lit(float(width)))
     return (
         top.join(est, "l_partkey")
+        .crossJoin(F.broadcast(total))
         .select(
             "l_partkey",
             "exact_count",
             "cm_estimate",
             (F.col("cm_estimate") >= F.col("exact_count")).alias("cm_ge_exact"),
             (
-                (F.col("cm_estimate") - F.col("exact_count")) <= F.lit(bound)
+                (F.col("cm_estimate") - F.col("exact_count")) <= bound
             ).alias("within_bound"),
         )
         .orderBy(F.col("exact_count").desc(), F.col("l_partkey").asc())
@@ -7775,10 +7781,18 @@ def e_seasonal_profile(spark, sf_dir):
 
 
 E_SEASONAL_SQL = """
-WITH per AS (
-  SELECT event_type, (epoch_ns(ts) // 3600000000000 % 24)::BIGINT AS hour_of_day,
+WITH ns AS (
+  -- the engine's two-step floor-div + pmod hour (0..23 for ANY epoch
+  -- sign), replayed literally: non-negative remainder first, floored
+  -- hour quotient second
+  SELECT event_type, value,
+         ((epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000 + 3600000000000)
+                           % 3600000000000)) // 3600000000000) AS fh
+  FROM events WHERE value IS NOT NULL
+), per AS (
+  SELECT event_type, ((fh % 24 + 24) % 24)::BIGINT AS hour_of_day,
          count(*)::BIGINT AS n, round(sum(value::DOUBLE), 4) AS s
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM ns GROUP BY 1, 2
 )
 SELECT event_type, hour_of_day, n,
        round(s / n, 6) AS mean_value,

@@ -527,3 +527,31 @@ def test_candidate_keys_hand(spark):
     assert out["id+grp"]["n_duplicate_rows"] == 1
     with pytest.raises(ValueError):
         candidate_keys(df, [])
+
+
+def test_count_min_null_keys_dropped(spark):
+    from mdataframe_spark.operators.sketches import count_min_estimates
+
+    df = spark.createDataFrame([("a",), ("a",), (None,)], "k string")
+    probes = spark.createDataFrame([("a",), (None,)], "k string")
+    out = {r["k"]: r["cm_estimate"] for r in
+           count_min_estimates(df, "k", probes, depth=3, width=64).collect()}
+    # NULL keys dropped on both sides: no NULL probe row, 'a' unpolluted
+    assert out == {"a": 2}
+
+
+def test_seasonal_profile_pre_epoch_hour_domain(spark):
+    from datetime import datetime
+
+    from mdataframe_spark.operators.events import seasonal_profile
+
+    rows = [
+        (datetime(1969, 12, 31, 20, 30), "x", 1.0),  # pre-epoch
+        (datetime(2024, 1, 1, 20, 30), "x", 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = seasonal_profile(df).collect()
+    # both land in hour 20 (floor-div + pmod keeps the 0..23 domain
+    # across the epoch sign change)
+    assert [r["hour_of_day"] for r in out] == [20]
+    assert out[0]["n"] == 2
