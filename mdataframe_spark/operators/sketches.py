@@ -228,6 +228,30 @@ def count_min_positions(key: Column, depth: int, width: int) -> list:
     return bloom_bit_positions(key, width, depth)
 
 
+def count_min_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """The Count-Min counter table: (__row, __b, __c) cells, one
+    partial-agged groupBy over the md5-position explode. NULL keys are
+    dropped (concat_ws would otherwise hash a NULL key as md5("i")
+    Spark-side while the SQL replay's `key || ':' || i` yields NULL
+    buckets — divergent sketches); a NULL count is not a frequency
+    query. Cells are ADDITIVE — two sketches over disjoint data merge
+    by summing cells, which is what the streaming twin
+    (streaming/sketches.py count_min_stream) exploits."""
+    k = F.col(key_col).cast("string")
+    pos = count_min_positions(k, depth, width)
+    exploded = df.filter(F.col(key_col).isNotNull()).select(
+        F.posexplode(F.array(*pos)).alias("__row", "__b")
+    )
+    return exploded.groupBy("__row", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+
+
 def count_min_estimates(
     df: DataFrame,
     key_col: str,
@@ -255,18 +279,7 @@ def count_min_estimates(
     deterministic RESULT (the bloom_contamination convention), so an
     oracle replays the sketch relationally.
     """
-    # NULL keys are dropped on BOTH sides (concat_ws would otherwise
-    # hash a NULL key as md5("i") Spark-side while the SQL replay's
-    # `key || ':' || i` yields NULL buckets — divergent sketches); a
-    # NULL count is not a frequency query
-    k = F.col(key_col).cast("string")
-    pos = count_min_positions(k, depth, width)
-    exploded = df.filter(F.col(key_col).isNotNull()).select(
-        F.posexplode(F.array(*pos)).alias("__row", "__b")
-    )
-    cells = exploded.groupBy("__row", "__b").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    cells = count_min_cells(df, key_col, depth=depth, width=width)
     pk = F.col(key_col).cast("string")
     ppos = count_min_positions(pk, depth, width)
     probe_cells = probes.filter(F.col(key_col).isNotNull()).select(

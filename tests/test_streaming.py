@@ -515,3 +515,56 @@ def test_merge_aggregates_equals_full_recompute(spark):
         for r in merge_aggregates(stored2, delta, ["k"], ["sv"]).collect()
     }
     assert 4 in merged2
+
+
+def test_count_min_stream_matches_batch(spark, tmp_path_factory):
+    """The streaming Count-Min's running cell state after consuming the
+    whole source equals the batch sketch over the same rows (cells are
+    additive; state bounded at depth*width by construction, no
+    watermark)."""
+    from mdataframe_spark.operators.sketches import (
+        count_min_cells,
+        count_min_estimates,
+    )
+    from mdataframe_spark.streaming.sketches import count_min_stream
+
+    src = tmp_path_factory.mktemp("cm_stream") / "events"
+    df = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        # zipf-ish key skew so some cells collide
+        (F.col("id") % 37 * (F.col("id") % 3)).cast("string").alias("key"),
+    )
+    df.coalesce(4).write.mode("overwrite").parquet(str(src))
+    batch = spark.read.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        count_min_stream(stream, "key", depth=3, width=64)
+        .writeStream.format("memory").queryName("cm_cells")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["__row"], r["__b"]): r["__c"]
+        for r in spark.sql("SELECT * FROM cm_cells").collect()
+    }
+    expected = {
+        (r["__row"], r["__b"]): r["__c"]
+        for r in count_min_cells(batch, "key", depth=3, width=64).collect()
+    }
+    assert streamed == expected and len(expected) > 10
+
+    # estimates from either sketch agree (same cells, same probe math)
+    probes = batch.select("key").distinct().limit(10)
+    batch_est = {
+        r["key"]: r["cm_estimate"]
+        for r in count_min_estimates(
+            batch, "key", probes, depth=3, width=64
+        ).collect()
+    }
+    exact = {
+        r["key"]: r["n"]
+        for r in batch.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    for k, est in batch_est.items():
+        assert est >= exact[k]
