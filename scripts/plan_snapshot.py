@@ -61,6 +61,12 @@ PICKS = [
     ("dim_snapshot_diff", "one full-outer key join; classification is a projection"),
     ("gr_jaccard_linkpred", "hub-capped two-sided wedge join; distance-2 anti filter; degree-table union sizes"),
     ("e_event_transitions", "one user-partitioned lead window; types^2-bounded groupBy"),
+    ("j_q6_forecast_revenue", "all three range predicates in PushedFilters; one-row conditional agg"),
+    ("stat_anova_oneway", "one partial-agged per-group moment pass; sums of squares over the k-row table"),
+    ("sk_countmin_gate", "md5 position explode + ONE cell groupBy; broadcast cells probed; lazy scalar total"),
+    ("e_seasonal_profile", "one (type, hour) partial-agged groupBy; index over the types x 24 table"),
+    ("dq_candidate_keys", "one Expand-stage aggregation for every tuple count-distinct; constant unpivot"),
+    ("ml_gain_deciles", "unpartitioned ntile by necessity (exact equal-count buckets, bh_adjust discipline)"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")
