@@ -102,6 +102,13 @@ HEADLINE = [
     "ml_ols_fit",
     "stat_spearman",
     "j_q18_large_orders",
+    # round-8 second half: the sketch certification (builds CM and the
+    # exact side), the two-pass spread test, the seasonal profile, and
+    # the multi-distinct Expand aggregation
+    "sk_countmin_gate",
+    "stat_brown_forsythe",
+    "e_seasonal_profile",
+    "dq_candidate_keys",
 ]
 
 
