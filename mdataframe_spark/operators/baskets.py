@@ -335,12 +335,52 @@ def triangle_count(
     )
 
 
+def _jaccard_driver(edges, max_degree, top_k):
+    """Driver-arm common-neighbor Jaccard over a collected edge list —
+    label-identical to the distributed wedge plan (equality-tested).
+    Rounds with decimal HALF_UP to match Spark's F.round (Python's
+    built-in round is banker's and diverges on exact .5 ties)."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    keep = {v for v, ns in nbrs.items() if len(ns) <= max_degree}
+    # wedges run over the KEPT subgraph, but reported degrees are the
+    # ORIGINAL ones — mirroring the distributed plan, whose degree
+    # table is counted before the hub filter
+    adj = {v: sorted(w for w in ns if w in keep)
+           for v, ns in nbrs.items() if v in keep}
+    cn = defaultdict(int)
+    for v, ns in adj.items():
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn[(ns[i], ns[j])] += 1
+    edge_set = {(min(a, b), max(a, b)) for a, b in edges}
+    out = []
+    for (x, y), c in cn.items():
+        if (x, y) in edge_set:
+            continue
+        dx, dy = len(nbrs[x]), len(nbrs[y])
+        jac = float(
+            Decimal(repr(c / (dx + dy - c))).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP
+            )
+        )
+        out.append((x, y, c, dx, dy, jac))
+    out.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return out[:top_k]
+
+
 def jaccard_link_prediction(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_degree: int = 1000,
     top_k: int = 200,
+    small_graph_max: int = 2_000_000,
 ) -> DataFrame:
     """Common-neighbor Jaccard link prediction over an UNDIRECTED pair
     graph: for every NON-adjacent vertex pair at distance 2, score =
@@ -367,6 +407,30 @@ def jaccard_link_prediction(
         .distinct()
     )
     e = _persist_tracked(e)
+    # size-gated driver arm (the pagerank/connected_components hybrid):
+    # the candidate graphs are model-sized by construction and the
+    # distributed path costs ~8 small sequential jobs of fixed
+    # scheduler overhead; small_graph_max=0 forces the distributed
+    # wedge plan (both arms label-identical, equality-tested).
+    if small_graph_max and small_graph_max > 0:
+        if e.count() <= small_graph_max:
+            from pyspark.sql import types as T
+
+            rows = _jaccard_driver(
+                [(r["a"], r["b"]) for r in e.collect()], max_degree, top_k
+            )
+            vt = e.schema["a"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("id_x", vt),
+                    T.StructField("id_y", vt),
+                    T.StructField("common_neighbors", T.LongType()),
+                    T.StructField("degree_x", T.LongType()),
+                    T.StructField("degree_y", T.LongType()),
+                    T.StructField("jaccard", T.DoubleType()),
+                ]
+            )
+            return e.sparkSession.createDataFrame(rows, schema)
     deg = _persist_tracked(
         e.select(F.col("a").alias("x"))
         .unionAll(e.select(F.col("b").alias("x")))

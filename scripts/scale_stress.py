@@ -320,10 +320,13 @@ def main():
             # the adversarial axis: new baskets over the SAME catalog
             # densify the graph, so degrees (and the two-sided wedge
             # fan-out Σ deg²) grow with the corpus — the hub cap is
-            # what must hold the line here
-            jaccard_link_prediction(pairs).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # what must hold the line here. small_graph_max=0 FORCES
+            # the distributed wedge plan (the driver arm would collect
+            # below the gate) — this row certifies the distributed
+            # cost, the pagerank_distributed convention.
+            jaccard_link_prediction(
+                pairs, small_graph_max=0
+            ).write.format("noop").mode("overwrite").save()
 
         record("jaccard_linkpred", factor, timed(linkpred), n_li)
 
