@@ -13,7 +13,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import persist_tracked as _persist_tracked
@@ -254,4 +254,58 @@ def snapshot_diff(
             *[f"old_{c}" for c in compare_cols],
             *[f"new_{c}" for c in compare_cols],
         )
+    )
+
+
+def scd2_compact(
+    dim: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Compact an SCD2 history: merge runs of CONTIGUOUS versions with
+    identical attributes (the artifact batch re-stamping leaves behind:
+    a row closed and immediately reopened unchanged) into one row
+    spanning the run — [min valid_from, max valid_to], an open version
+    (NULL valid_to) keeping the run open.
+
+    Plan shape: one key-partitioned window pass marks run starts (lag
+    attribute change NULL-safely OR a gap valid_from ≠ lag(valid_to)),
+    a running sum numbers the runs, and one (key, run) groupBy emits
+    the spans — no self-join, no driver loop; at 100 TB the window and
+    groupBy share the key partitioning, so the whole compaction is one
+    shuffle.
+    """
+    attr_cols = list(attr_cols)
+    w = Window.partitionBy(key_col).orderBy(F.col(from_col).asc())
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    gap = ~F.col(from_col).eqNullSafe(F.lag(to_col).over(w))
+    is_start = (
+        F.when(F.lag(from_col).over(w).isNull(), F.lit(True))
+        .otherwise(changed | gap)
+        .cast("int")
+    )
+    runs = dim.withColumn(
+        "__run",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy(key_col, "__run", *attr_cols)
+        .agg(
+            F.min(from_col).alias(from_col),
+            # an open version (NULL valid_to) keeps the run open —
+            # max() skips NULLs, so count the NULLs explicitly
+            F.when(
+                F.sum(F.col(to_col).isNull().cast("int")) > 0, F.lit(None)
+            )
+            .otherwise(F.max(to_col))
+            .alias(to_col),
+        )
+        .drop("__run")
+        .select(key_col, *attr_cols, from_col, to_col)
     )

@@ -568,3 +568,63 @@ def nearest_centroid_predict(
         F.col("__best.__cl").alias("pred"),
         (-F.col("__best.__negcos")).alias("cos_pred"),
     )
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Per-label embedding drift between two corpus snapshots: the
+    cosine between each label's centroid in A and in B — the
+    vector-space member of the drift battery (PSI for scalar features,
+    KS/MWU for distributions, source-KL for text). Returns (label,
+    n_a, n_b, centroid_cosine, drift) with drift = 1 − cosine; labels
+    present in only one snapshot carry NULL cosine/drift.
+
+    Scale shape: two labels×dim centroid aggregations (the
+    centroid_outliers plan — partial-agged, kilobyte shuffles), one
+    labels-bounded join, codegen dot on the centroid arrays. Centroid
+    components round to 9 dp and cosines to 6 dp (the ANN-oracle
+    convention), so a SQL engine replays the drift exactly.
+    """
+    def centroids(emb, n_name):
+        e = emb.select(
+            label_col, F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        pos = e.select(label_col, F.posexplode("__v").alias("__p", "__x"))
+        cent = pos.groupBy(label_col, "__p").agg(
+            F.round(F.avg("__x"), 9).alias("__cx"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        return cent.groupBy(label_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__cx"))),
+                lambda s: s["__cx"],
+            ).alias(f"__c_{n_name}"),
+            # every dim position of a label carries the same vector
+            # count — max avoids an FP division entirely
+            F.max("__n").cast("bigint").alias(n_name),
+        )
+
+    if dim is None:
+        row = emb_a.select(vec_col).first() or emb_b.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "embedding_drift: both snapshots empty — pass dim explicitly"
+            )
+        dim = len(row[vec_col])
+    ca = centroids(emb_a, "n_a")
+    cb = centroids(emb_b, "n_b")
+    j = ca.join(cb, label_col, "full_outer")
+    cos = F.round(cosine(F.col("__c_n_a"), F.col("__c_n_b"), dim), 6)
+    both = F.col("__c_n_a").isNotNull() & F.col("__c_n_b").isNotNull()
+    return j.select(
+        label_col,
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.when(both, cos).alias("centroid_cosine"),
+        F.round(F.when(both, 1.0 - cos), 6).alias("drift"),
+    ).orderBy(label_col)

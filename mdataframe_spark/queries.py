@@ -7690,6 +7690,110 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Drift & history wave (round 8, second half): embedding drift,
+# SCD2 history compaction.
+
+
+def sim_embedding_drift(spark, sf_dir):
+    """Per-label centroid drift between two snapshot halves of the
+    embedding corpus (operators/similarity.py embedding_drift —
+    vec_id parity split): two labels×dim centroid aggregations, one
+    labels-bounded join, codegen cosine. Completes the drift battery
+    (PSI scalars / KS·MWU distributions / source-KL text / THIS for
+    vectors)."""
+    from .operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(a, b)
+
+
+SIM_DRIFT_SQL = r"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id % 2 AS half, label, i AS p, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+), cm AS (
+  SELECT half, label, p, round(avg(x), 9) AS cx,
+         count(*)::BIGINT AS nv
+  FROM pos GROUP BY half, label, p
+), cent AS (
+  SELECT half, label, list(cx ORDER BY p) AS c, max(nv) AS n
+  FROM cm GROUP BY half, label
+), j AS (
+  SELECT coalesce(a.label, b.label) AS label,
+         coalesce(a.n, 0)::BIGINT AS n_a, coalesce(b.n, 0)::BIGINT AS n_b,
+         CASE WHEN a.label IS NOT NULL AND b.label IS NOT NULL THEN
+           round(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 6)
+         END AS centroid_cosine
+  FROM (SELECT * FROM cent WHERE half = 0) a
+  FULL OUTER JOIN (SELECT * FROM cent WHERE half = 1) b
+    ON a.label = b.label
+)
+SELECT label, n_a, n_b, centroid_cosine,
+       round(1.0 - centroid_cosine, 6) AS drift
+FROM j ORDER BY label
+"""
+
+
+def dim_scd2_history_compact(spark, sf_dir):
+    """SCD2 history compaction (operators/scd.py scd2_compact): a
+    synthetic per-customer version history (one version per order,
+    priority as the tracked attribute, contiguous integer validity)
+    collapses runs of identical adjacent versions — one key-partitioned
+    window pass + one (key, run) groupBy, single shuffle."""
+    from .operators.scd import scd2_compact
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    hist = (
+        o.withColumn("valid_from", F.row_number().over(w).cast("bigint"))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .select("o_custkey", "o_orderpriority", "valid_from", "valid_to")
+    )
+    return scd2_compact(hist, "o_custkey", ["o_orderpriority"])
+
+
+DIM_COMPACT_SQL = """
+WITH rn AS (
+  SELECT o_custkey AS k, o_orderpriority AS attr,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC)::BIGINT AS vf
+  FROM orders
+), v AS (
+  SELECT k, attr, vf,
+         lead(vf) OVER (PARTITION BY k ORDER BY vf ASC) AS vt
+  FROM rn
+), marked AS (
+  SELECT k, attr, vf, vt,
+         CASE WHEN lag(vf) OVER w IS NULL THEN 1
+              WHEN attr IS DISTINCT FROM lag(attr) OVER w THEN 1
+              WHEN vf IS DISTINCT FROM lag(vt) OVER w THEN 1
+              ELSE 0 END AS is_start
+  FROM v
+  WINDOW w AS (PARTITION BY k ORDER BY vf ASC)
+), runs AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY k ORDER BY vf ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM marked
+)
+SELECT k AS o_custkey, attr AS o_orderpriority,
+       min(vf)::BIGINT AS valid_from,
+       CASE WHEN sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) > 0
+            THEN NULL ELSE max(vt) END::BIGINT AS valid_to
+FROM runs
+GROUP BY k, attr, run
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sketch & profiling wave (round 8, second half): Count-Min gate,
 # seasonal profile, candidate-key audit.
 
@@ -8300,6 +8404,9 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: drift & history wave ---
+    "sim_embedding_drift": sim_embedding_drift,
+    "dim_scd2_history_compact": dim_scd2_history_compact,
     # --- new in round 8: sketch & profiling wave ---
     "sk_countmin_gate": sk_countmin_gate,
     "e_seasonal_profile": e_seasonal_profile,
@@ -8531,6 +8638,9 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: drift & history wave ---
+    "sim_embedding_drift": SIM_DRIFT_SQL,
+    "dim_scd2_history_compact": DIM_COMPACT_SQL,
     # --- new in round 8: sketch & profiling wave ---
     "sk_countmin_gate": SK_COUNTMIN_SQL,
     "e_seasonal_profile": E_SEASONAL_SQL,

@@ -579,3 +579,72 @@ def test_jaccard_driver_arm_matches_distributed(spark):
     driver = rows(2_000_000)
     dist = rows(0)
     assert driver == dist and len(driver) > 0
+
+
+def test_embedding_drift_hand(spark):
+    from mdataframe_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    # label 0 rotated 90 degrees in snapshot B; label 2 only in B
+    b = spark.createDataFrame(
+        [(4, [0.0, 1.0], 0), (5, [0.5, 0.5], 2)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r["label"]: r for r in embedding_drift(a, b).collect()}
+    assert out[0]["centroid_cosine"] == pytest.approx(0.0, abs=1e-9)
+    assert out[0]["drift"] == pytest.approx(1.0, abs=1e-9)
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 1
+    # one-sided labels carry NULL cosine, zero count on the empty side
+    assert out[1]["centroid_cosine"] is None and out[1]["n_b"] == 0
+    assert out[2]["centroid_cosine"] is None and out[2]["n_a"] == 0
+
+
+def test_embedding_drift_identical_snapshots(spark):
+    from mdataframe_spark.operators.similarity import embedding_drift
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), 2.0], i % 2) for i in range(10)],
+        ["vec_id", "embedding", "label"],
+    )
+    for r in embedding_drift(e, e).collect():
+        assert r["drift"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_scd2_compact_hand(spark):
+    from mdataframe_spark.operators.scd import scd2_compact
+
+    rows = [
+        # key 1: A,A,B,A with contiguous validity -> 3 runs
+        (1, "A", 1, 2), (1, "A", 2, 3), (1, "B", 3, 4), (1, "A", 4, None),
+        # key 2: identical attrs but a GAP between versions -> 2 runs
+        (2, "X", 1, 2), (2, "X", 5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, attr string, valid_from int, valid_to int"
+    )
+    out = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_compact(df, "k", ["attr"]).collect()
+    )
+    assert out == [
+        (1, "A", 1, 3),
+        (1, "A", 4, None),
+        (1, "B", 3, 4),
+        (2, "X", 1, 2),
+        (2, "X", 5, None),
+    ]
+
+
+def test_scd2_compact_open_run_stays_open(spark):
+    from mdataframe_spark.operators.scd import scd2_compact
+
+    df = spark.createDataFrame(
+        [(1, "A", 1, 2), (1, "A", 2, None)],
+        "k int, attr string, valid_from int, valid_to int",
+    )
+    out = scd2_compact(df, "k", ["attr"]).collect()
+    assert len(out) == 1
+    assert out[0]["valid_from"] == 1 and out[0]["valid_to"] is None
