@@ -59,7 +59,7 @@ PICKS = [
     ("stat_spearman", "two distinct-value rank blocks joined back by value; decimal-exact Pearson on doubled ranks"),
     ("dim_cdc_apply", "ONE partial-agged max-struct groupBy — no per-key window sort"),
     ("dim_snapshot_diff", "one full-outer key join; classification is a projection"),
-    ("gr_jaccard_linkpred", "hub-capped two-sided wedge join; distance-2 anti filter; degree-table union sizes"),
+    ("gr_jaccard_linkpred", "HYBRID: the size-gated driver arm fires at this scale (collected model-sized edge list -> ExistingRDD scan); above small_graph_max=2M the distributed hub-capped wedge plan runs — certified by SCALE.md, which forces small_graph_max=0"),
     ("e_event_transitions", "one user-partitioned lead window; types^2-bounded groupBy"),
     ("j_q6_forecast_revenue", "all three range predicates in PushedFilters; one-row conditional agg"),
     ("stat_anova_oneway", "one partial-agged per-group moment pass; sums of squares over the k-row table"),
@@ -67,6 +67,8 @@ PICKS = [
     ("e_seasonal_profile", "one (type, hour) partial-agged groupBy; index over the types x 24 table"),
     ("dq_candidate_keys", "one Expand-stage aggregation for every tuple count-distinct; constant unpivot"),
     ("ml_gain_deciles", "unpartitioned ntile by necessity (exact equal-count buckets, bh_adjust discipline)"),
+    ("sim_embedding_drift", "two labels x dim centroid aggs; labels-bounded full-outer join; codegen dot"),
+    ("dim_scd2_history_compact", "one key-partitioned window island pass + one (key, run) groupBy — single shuffle"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")
