@@ -440,3 +440,64 @@ def gain_deciles(
         F.round(cum_capture, 6).alias("cum_capture_rate"),
         F.round(lift, 6).alias("lift"),
     ).orderBy("bucket")
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Precision-recall curve points at every distinct score threshold
+    (predict positive when score ≥ threshold): (threshold, n_ge,
+    pos_ge, precision, recall, f1), descending thresholds. Completes
+    the classifier evaluation family — auc summarizes ranking quality
+    in one number; THIS is what you threshold on in production.
+
+    Decomposition: the auc discipline — ONE partial-agged
+    groupBy(score) collapses the corpus to distinct-score blocks; the
+    cumulative window runs over that model-bounded table only (pass
+    ``score_decimals`` to quantize continuous scores — the 100 TB
+    knob). Ratios are exact integer quotients rounded 6 dp.
+    Complete-case on nulls.
+    """
+    s = F.col(score_col).cast("double")
+    if score_decimals is not None:
+        s = F.round(s, score_decimals)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        s.alias("__s"), F.col(label_col).cast("bigint").alias("__y")
+    )
+    blocks = base.groupBy(F.col("__s").alias("threshold")).agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum("__y").alias("__t1"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = blocks.select(
+        "threshold",
+        F.sum("__t").over(w).cast("bigint").alias("n_ge"),
+        F.sum("__t1").over(w).cast("bigint").alias("pos_ge"),
+        F.sum("__t1").over(tot).cast("bigint").alias("__total_pos"),
+    )
+    prec = F.col("pos_ge") / F.col("n_ge")
+    rec = F.when(
+        F.col("__total_pos") > 0, F.col("pos_ge") / F.col("__total_pos")
+    )
+    f1 = F.when(
+        F.col("pos_ge") + F.col("__total_pos") > 0,
+        2.0 * F.col("pos_ge") / (F.col("n_ge") + F.col("__total_pos")),
+    )
+    return cum.select(
+        "threshold",
+        "n_ge",
+        "pos_ge",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy(F.col("threshold").desc())

@@ -423,3 +423,51 @@ def seasonal_profile(
         F.round(mean_hour, 6).alias("mean_value"),
         F.round(mean_hour / mean_type, 6).alias("seasonal_index"),
     ).orderBy("event_type", "hour_of_day")
+
+
+def top_event_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    length: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Most common length-``length`` event paths across users:
+    (path, n), deterministic top-k — the product-analytics "what do
+    users do next-next" view, the multi-step extension of
+    :func:`event_transitions`.
+
+    Plan shape: ONE user-partitioned window computes all
+    ``length − 1`` leads in a single pass (same window spec — Spark
+    collapses them into one WindowExec), paths groupBy-count with
+    map-side partial agg (pair space bounded by types^length), top-k
+    compiles to TakeOrderedAndProject."""
+    if length < 2:
+        raise ValueError("top_event_paths: length must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    # materialize the leads as columns first — window expressions are
+    # not allowed inside a filter
+    stepped = df.select(
+        F.col(type_col).alias("__s0"),
+        *[
+            F.lead(type_col, i).over(w).alias(f"__s{i}")
+            for i in range(1, length)
+        ],
+    )
+    cond = F.lit(True)
+    for i in range(1, length):
+        cond = cond & F.col(f"__s{i}").isNotNull()
+    paths = (
+        stepped.filter(cond)
+        .groupBy(
+            F.concat_ws(
+                ">", *[F.col(f"__s{i}") for i in range(length)]
+            ).alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(top_k)

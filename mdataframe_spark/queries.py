@@ -7690,6 +7690,82 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Classifier-ops & paths wave (round 8, second half): PR curve,
+# top event paths.
+
+
+def ml_pr_curve(spark, sf_dir):
+    """Precision-recall curve points (operators/evaluation.py
+    pr_curve) of the value score against the purchase label — the auc
+    decomposition reused: one distinct-score groupBy collapses the
+    corpus, cumulative windows over the model-bounded block table,
+    exact integer quotients."""
+    from .operators.evaluation import pr_curve
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("int")
+    )
+    return pr_curve(ev, "value", "is_purchase", score_decimals=2)
+
+
+ML_PR_SQL = """
+WITH base AS (
+  SELECT round(value::DOUBLE, 2) AS s,
+         (event_type = 'purchase')::BIGINT AS y
+  FROM events WHERE value IS NOT NULL
+), blocks AS (
+  SELECT s AS threshold, count(*)::BIGINT AS t, sum(y)::BIGINT AS t1
+  FROM base GROUP BY s
+), cum AS (
+  SELECT threshold,
+         sum(t) OVER (ORDER BY threshold DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS n_ge,
+         sum(t1) OVER (ORDER BY threshold DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS pos_ge,
+         sum(t1) OVER ()::BIGINT AS total_pos
+  FROM blocks
+)
+SELECT threshold, n_ge, pos_ge,
+       round(pos_ge / n_ge::DOUBLE, 6) AS precision,
+       round(CASE WHEN total_pos > 0
+                  THEN pos_ge / total_pos::DOUBLE END, 6) AS recall,
+       round(CASE WHEN pos_ge + total_pos > 0
+                  THEN 2.0 * pos_ge / (n_ge + total_pos) END, 6) AS f1
+FROM cum
+ORDER BY threshold DESC
+"""
+
+
+def e_top_paths(spark, sf_dir):
+    """Top length-3 event paths (operators/events.py top_event_paths):
+    one user-partitioned window computes both leads in a single pass,
+    the path space is types³-bounded, top-50 is
+    TakeOrderedAndProject."""
+    from .operators.events import top_event_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return top_event_paths(ev, length=3, top_k=50)
+
+
+E_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*)::BIGINT AS n
+FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # Drift & history wave (round 8, second half): embedding drift,
 # SCD2 history compaction.
 
@@ -8404,6 +8480,9 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
+    # --- new in round 8: classifier-ops & paths wave ---
+    "ml_pr_curve": ml_pr_curve,
+    "e_top_paths": e_top_paths,
     # --- new in round 8: drift & history wave ---
     "sim_embedding_drift": sim_embedding_drift,
     "dim_scd2_history_compact": dim_scd2_history_compact,
@@ -8638,6 +8717,9 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
+    # --- new in round 8: classifier-ops & paths wave ---
+    "ml_pr_curve": ML_PR_SQL,
+    "e_top_paths": E_PATHS_SQL,
     # --- new in round 8: drift & history wave ---
     "sim_embedding_drift": SIM_DRIFT_SQL,
     "dim_scd2_history_compact": DIM_COMPACT_SQL,

@@ -648,3 +648,51 @@ def test_scd2_compact_open_run_stays_open(spark):
     out = scd2_compact(df, "k", ["attr"]).collect()
     assert len(out) == 1
     assert out[0]["valid_from"] == 1 and out[0]["valid_to"] is None
+
+
+def test_pr_curve_hand(spark):
+    from mdataframe_spark.operators.evaluation import pr_curve
+
+    # scores 4,3,2,1 with labels 1,0,1,0
+    rows = [(4.0, 1), (3.0, 0), (2.0, 1), (1.0, 0)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {r["threshold"]: r for r in pr_curve(df, "s", "y").collect()}
+    assert out[4.0]["precision"] == 1.0 and out[4.0]["recall"] == 0.5
+    assert out[3.0]["precision"] == 0.5 and out[3.0]["recall"] == 0.5
+    assert out[2.0]["precision"] == pytest.approx(round(2 / 3, 6))
+    assert out[2.0]["recall"] == 1.0
+    assert out[1.0]["precision"] == 0.5 and out[1.0]["recall"] == 1.0
+    # f1 at the best threshold: 2*2/(3+2)
+    assert out[2.0]["f1"] == 0.8
+
+
+def test_pr_curve_ties_collapse(spark):
+    from mdataframe_spark.operators.evaluation import pr_curve
+
+    rows = [(1.0, 1), (1.0, 0), (0.5, 1)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = pr_curve(df, "s", "y").collect()
+    assert len(out) == 2  # one row per DISTINCT score
+    assert out[0]["n_ge"] == 2 and out[0]["pos_ge"] == 1
+
+
+def test_top_event_paths_hand(spark):
+    from datetime import datetime
+
+    from mdataframe_spark.operators.events import top_event_paths
+
+    t = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i, ty in enumerate(["a", "b", "c", "b"]):
+            eid += 1
+            rows.append((u, t.replace(hour=i + 1), ty, eid))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {r["path"]: r["n"] for r in top_event_paths(df).collect()}
+    # each user contributes a>b>c and b>c>b
+    assert out == {"a>b>c": 2, "b>c>b": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_event_paths(df, length=1)
