@@ -381,6 +381,7 @@ def jaccard_link_prediction(
     max_degree: int = 1000,
     top_k: int = 200,
     small_graph_max: int = 2_000_000,
+    driver_wedge_max: int = 20_000_000,
 ) -> DataFrame:
     """Common-neighbor Jaccard link prediction over an UNDIRECTED pair
     graph: for every NON-adjacent vertex pair at distance 2, score =
@@ -414,23 +415,40 @@ def jaccard_link_prediction(
     # wedge plan (both arms label-identical, equality-tested).
     if small_graph_max and small_graph_max > 0:
         if e.count() <= small_graph_max:
-            from pyspark.sql import types as T
+            edge_rows = [(r["a"], r["b"]) for r in e.collect()]
+            # unlike pagerank's LINEAR driver arm, this one's cost is
+            # the wedge fan-out Σ C(deg, 2) — an edge-count gate alone
+            # would admit a dense graph whose wedge loop runs for
+            # hours on the driver. Estimate the fan-out from the
+            # (conservative: original) degrees and fall through to the
+            # distributed wedge plan when it exceeds the budget.
+            from collections import defaultdict
 
-            rows = _jaccard_driver(
-                [(r["a"], r["b"]) for r in e.collect()], max_degree, top_k
+            deg_py = defaultdict(int)
+            for a, b in edge_rows:
+                deg_py[a] += 1
+                deg_py[b] += 1
+            wedge_est = sum(
+                d * (d - 1) // 2
+                for d in deg_py.values()
+                if d <= max_degree
             )
-            vt = e.schema["a"].dataType
-            schema = T.StructType(
-                [
-                    T.StructField("id_x", vt),
-                    T.StructField("id_y", vt),
-                    T.StructField("common_neighbors", T.LongType()),
-                    T.StructField("degree_x", T.LongType()),
-                    T.StructField("degree_y", T.LongType()),
-                    T.StructField("jaccard", T.DoubleType()),
-                ]
-            )
-            return e.sparkSession.createDataFrame(rows, schema)
+            if wedge_est <= driver_wedge_max:
+                from pyspark.sql import types as T
+
+                rows = _jaccard_driver(edge_rows, max_degree, top_k)
+                vt = e.schema["a"].dataType
+                schema = T.StructType(
+                    [
+                        T.StructField("id_x", vt),
+                        T.StructField("id_y", vt),
+                        T.StructField("common_neighbors", T.LongType()),
+                        T.StructField("degree_x", T.LongType()),
+                        T.StructField("degree_y", T.LongType()),
+                        T.StructField("jaccard", T.DoubleType()),
+                    ]
+                )
+                return e.sparkSession.createDataFrame(rows, schema)
     deg = _persist_tracked(
         e.select(F.col("a").alias("x"))
         .unionAll(e.select(F.col("b").alias("x")))

@@ -458,8 +458,11 @@ def top_event_paths(
             for i in range(1, length)
         ],
     )
+    # the FIRST element must be non-null too: concat_ws would silently
+    # skip it and count a truncated path (the oracle's || form
+    # NULL-propagates instead — both now drop the row)
     cond = F.lit(True)
-    for i in range(1, length):
+    for i in range(0, length):
         cond = cond & F.col(f"__s{i}").isNotNull()
     paths = (
         stepped.filter(cond)

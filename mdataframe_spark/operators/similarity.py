@@ -610,10 +610,14 @@ def embedding_drift(
         )
 
     if dim is None:
-        row = emb_a.select(vec_col).first() or emb_b.select(vec_col).first()
+        row = (
+            emb_a.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+            or emb_b.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
         if row is None:
             raise ValueError(
-                "embedding_drift: both snapshots empty — pass dim explicitly"
+                "embedding_drift: no non-null vectors in either snapshot "
+                "— pass dim explicitly"
             )
         dim = len(row[vec_col])
     ca = centroids(emb_a, "n_a")

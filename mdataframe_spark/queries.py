@@ -7712,7 +7712,7 @@ ML_PR_SQL = """
 WITH base AS (
   SELECT round(value::DOUBLE, 2) AS s,
          (event_type = 'purchase')::BIGINT AS y
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ), blocks AS (
   SELECT s AS threshold, count(*)::BIGINT AS t, sum(y)::BIGINT AS t1
   FROM base GROUP BY s
@@ -7758,7 +7758,7 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*)::BIGINT AS n
-FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+FROM seq WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
 GROUP BY 1
 ORDER BY n DESC, path ASC
 LIMIT 50

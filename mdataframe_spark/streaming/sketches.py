@@ -15,9 +15,8 @@ the live one by summing cells.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from ..operators.sketches import count_min_positions
+from ..operators.sketches import count_min_cells
 
 
 def count_min_stream(
@@ -30,14 +29,8 @@ def count_min_stream(
 
     Use ``outputMode("complete")`` (the state is the whole
     model-sized sketch) or fold the update stream into a store.
-    Identical md5 positions to the batch builder — a probe against
-    streamed cells returns the same estimates the batch sketch gives.
+    DELEGATES to the batch builder — filter/explode/groupBy are all
+    streaming-safe, and one implementation is what guarantees the
+    streamed and batch sketches can never diverge.
     """
-    k = F.col(key_col).cast("string")
-    pos = count_min_positions(k, depth, width)
-    exploded = events.filter(F.col(key_col).isNotNull()).select(
-        F.posexplode(F.array(*pos)).alias("__row", "__b")
-    )
-    return exploded.groupBy("__row", "__b").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    return count_min_cells(events, key_col, depth=depth, width=width)

@@ -696,3 +696,58 @@ def test_top_event_paths_hand(spark):
 
     with _pytest.raises(ValueError):
         top_event_paths(df, length=1)
+
+
+def test_top_paths_null_first_element_dropped(spark):
+    from datetime import datetime
+
+    from mdataframe_spark.operators.events import top_event_paths
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, t.replace(hour=1), None, 1),  # NULL first element
+        (1, t.replace(hour=2), "b", 2),
+        (1, t.replace(hour=3), "c", 3),
+        (1, t.replace(hour=4), "d", 4),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {r["path"]: r["n"] for r in top_event_paths(df).collect()}
+    # the NULL-headed window must NOT surface as a truncated 'b>c' path
+    assert out == {"b>c>d": 1}
+
+
+def test_embedding_drift_null_first_vector(spark):
+    from mdataframe_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, None, 0), (2, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    b = spark.createDataFrame(
+        [(3, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = embedding_drift(a, b).collect()
+    assert out[0]["drift"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_jaccard_wedge_budget_falls_back_to_distributed(spark):
+    from mdataframe_spark.operators.baskets import jaccard_link_prediction
+
+    # star graph: center degree 9 -> wedge estimate C(9,2)=36
+    edges = [(0, i) for i in range(1, 10)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    dist = sorted(
+        tuple(r)
+        for r in jaccard_link_prediction(
+            df, max_degree=100, driver_wedge_max=10
+        ).collect()
+    )
+    drv = sorted(
+        tuple(r)
+        for r in jaccard_link_prediction(
+            df, max_degree=100, driver_wedge_max=10_000
+        ).collect()
+    )
+    # over-budget path (distributed) and driver path agree
+    assert dist == drv and len(dist) == 36
