@@ -189,13 +189,20 @@ def main():
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST ~2000 characters of stdout
     # (BENCH_r06 lost its headline total to a >2000-char JSON line).
-    # Two lines, shortest-essential LAST:
-    #   1. a short totals-first summary (survives head-capture and
-    #      human eyeballs),
-    #   2. the full per-query payload, compact-serialized with the
-    #      `passes` map reduced to exceptions-only (normally empty) and
-    #      the methodology tag abbreviated, sized to fit the window —
-    #      test_bench_payload_fits_driver_capture guards the budget.
+    # Two lines; the GUARANTEED-PARSEABLE payload prints LAST (the
+    # tail capture preserves the end of stdout, so the first line is
+    # the sacrificial one):
+    #   1. a human-oriented summary FIRST — totals plus the full error
+    #      diagnostics (messages value-truncated at 200 chars AND
+    #      count-capped at 10, so even this sacrificial line stays
+    #      bounded under mass failure),
+    #   2. the full per-query payload LAST, compact-serialized with the
+    #      `passes` map reduced to exceptions-only (normally empty),
+    #      errors reduced to a count + a names-only list capped at 8
+    #      (names identify WHAT failed; the messages live on line 1 and
+    #      in manual runs), sized to fit the window —
+    #      test_bench_payload_fits_driver_capture guards the budget
+    #      including the worst mass-failure shape.
     summary = {
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -205,6 +212,10 @@ def main():
     }
     if errors:
         summary["n_errors"] = len(errors)
+        capped = dict(list(errors.items())[:10])
+        if len(errors) > 10:
+            capped["__omitted__"] = f"+{len(errors) - 10} more"
+        summary["errors"] = capped
     print(json.dumps(summary))
     payload = {
         "metric": "headline_queries_wall_clock",
@@ -224,7 +235,11 @@ def main():
     if odd_passes:
         payload["passes"] = odd_passes
     if errors:
-        payload["errors"] = errors
+        payload["n_errors"] = len(errors)
+        failed = sorted(errors)
+        payload["failed"] = failed[:8] + (
+            [f"+{len(failed) - 8} more"] if len(failed) > 8 else []
+        )
     print(json.dumps(payload, separators=(",", ":")))
 
 

@@ -342,10 +342,14 @@ def pkolmogorov(x):
     - λ ≥ 1.18:  Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} exp(−2k²λ²)
     - λ < 1.18:  Q(λ) = 1 − (√(2π)/λ) Σ_{k≥1} exp(−(2k−1)²π²/(8λ²))
 
-    Vectorized like the rest of this module; Q(0) = 1.
+    Vectorized like the rest of this module; Q(0) = 1; NaN inputs
+    propagate as NaN (they match neither theta branch, so without the
+    explicit mask they would keep the `ones` initializer and
+    misreport certainty).
     """
     lam = np.atleast_1d(np.asarray(x, dtype=float))
     out = np.ones_like(lam)
+    out[np.isnan(lam)] = np.nan
     big = lam >= 1.18
     if np.any(big):
         lb = lam[big]

@@ -28,27 +28,34 @@ _NS_PER_S = 1_000_000_000
 def _ns(df: DataFrame, ts_col: str) -> DataFrame:
     """Canonicalize ``ts_col`` to epoch-ns BIGINT (the _events contract).
 
-    Pins the session timezone to UTC AROUND the cast and restores the
-    caller's setting — the NTZ→TIMESTAMP cast binds the session zone
-    at analysis time (DataFrame creation), so the scoped set/restore
-    keeps the repo-wide epoch-ns contract without leaking UTC into the
-    caller's unrelated timestamp queries (mirrors queries._events,
-    which pins the DRIVER session deliberately)."""
+    Zone-free by construction — no session-config mutation (a
+    set/restore of ``spark.sql.session.timeZone`` around analysis
+    would race with concurrent plan construction on a shared session):
+
+    - TIMESTAMP holds an instant, so ``unix_micros`` reads it without
+      consulting the session zone at all.
+    - TIMESTAMP_NTZ holds a wall clock; the contract interprets it as
+      UTC, which ``timestampdiff(MICROSECOND, ntz-epoch, col)``
+      computes as pure calendar arithmetic between two NTZ values —
+      the session zone never enters (a cast to TIMESTAMP would bind
+      it at analysis time)."""
     dtype = dict(df.dtypes)[ts_col]
+    if dtype == "timestamp_ntz":
+        return df.withColumn(
+            ts_col,
+            (
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    f"timestamp_ntz'1970-01-01 00:00:00', `{ts_col}`)"
+                )
+                * F.lit(1000)
+            ).cast("bigint"),
+        )
     if dtype.startswith("timestamp"):
-        conf = df.sparkSession.conf
-        prev = conf.get("spark.sql.session.timeZone")
-        conf.set("spark.sql.session.timeZone", "UTC")
-        try:
-            return df.withColumn(
-                ts_col,
-                (
-                    F.unix_micros(F.col(ts_col).cast("timestamp"))
-                    * F.lit(1000)
-                ).cast("bigint"),
-            )
-        finally:
-            conf.set("spark.sql.session.timeZone", prev)
+        return df.withColumn(
+            ts_col,
+            (F.unix_micros(F.col(ts_col)) * F.lit(1000)).cast("bigint"),
+        )
     if dtype != "bigint":
         return df.withColumn(ts_col, F.col(ts_col).cast("bigint"))
     return df

@@ -341,6 +341,12 @@ def population_stability_index(
     base = df.filter(x.isNotNull() & F.col(split_col).isNotNull())
     if lo is None or hi is None:
         mn, mx = base.agg(F.min(x), F.max(x)).first()
+        if mn is None or mx is None:
+            raise ValueError(
+                f"psi: no non-NULL {value_col!r}/{split_col!r} rows to "
+                "probe bin edges from — pass explicit lo/hi or supply "
+                "non-empty populations"
+            )
         lo = float(mn if lo is None else lo)
         hi = float(mx if hi is None else hi)
     if not hi > lo:

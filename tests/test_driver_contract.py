@@ -160,3 +160,24 @@ def test_bench_payload_fits_driver_capture():
         f"driver's ~2000-char tail capture; trim the headline list or "
         f"the serialization"
     )
+    # Mass-failure shape (round-7 advice): errors are reduced on the
+    # guaranteed line to a count + an 8-name cap, so even "everything
+    # but the fast half failed" stays within the capture. Model the
+    # WORST mix: all but 8 queries timed, the 8 longest names failed
+    # (failed names appear in BOTH `failed` and, absent from timings,
+    # free nothing extra) plus the odd-passes map for those 8.
+    longest = sorted(bench.HEADLINE, key=len, reverse=True)[:9]
+    worst_fail = {
+        **payload,
+        "queries": {
+            n: 999.999 for n in bench.HEADLINE if n not in longest
+        },
+        "passes": {n: 1 for n in longest},
+        "n_errors": len(longest),
+        "failed": sorted(longest)[:8] + ["+1 more"],
+    }
+    line2 = _json.dumps(worst_fail, separators=(",", ":"))
+    assert len(line2) <= 1950, (
+        f"bench mass-failure payload line is {len(line2)} chars — "
+        f"exceeds the driver's ~2000-char tail capture"
+    )

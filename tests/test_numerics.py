@@ -94,3 +94,17 @@ def test_pbeta_qbeta_analytic():
     p = np.linspace(0.01, 0.99, 15)
     for a, b in ((2.0, 5.0), (30.0, 12.0), (0.7, 3.3)):
         np.testing.assert_allclose(pbeta(qbeta(p, a, b), a, b), p, atol=1e-9)
+
+
+def test_pkolmogorov_nan_propagates():
+    """pkolmogorov(NaN) must return NaN, not the `ones` initializer
+    (round-7 advice: NaN matches neither theta branch, so without the
+    explicit mask the public function misreports certainty)."""
+    import numpy as np
+
+    from mdataframe_spark.functions.numerics import pkolmogorov
+
+    out = pkolmogorov([float("nan"), 0.0, 1.5])
+    assert np.isnan(out[0])
+    assert out[1] == 1.0
+    assert 0.0 < out[2] < 1.0

@@ -711,5 +711,46 @@ def test_ns_timezone_pin_is_scoped(spark):
             ).timestamp() * 1e9
         )
         assert out.first()["ts"] == expect
+        # fractional seconds survive the NTZ wall-clock arithmetic
+        frac = spark.createDataFrame(
+            [("2024-01-01 00:00:00.123456",)], "s string"
+        ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+        assert _ns(frac, "ts").first()["ts"] == expect + 123456000
+        # plain TIMESTAMP holds an instant: unix_micros reads it
+        # zone-free regardless of the session zone
+        inst = spark.sql(
+            "SELECT timestamp'2024-01-01 00:00:00 UTC' AS ts"
+        )
+        assert _ns(inst, "ts").first()["ts"] == expect
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_psi_empty_input_raises_descriptive(spark):
+    """PSI on empty/all-NULL input must raise a descriptive ValueError
+    from the lo/hi probe, not a bare TypeError from float(None)
+    (round-7 advice; matches the NULL-guarded degenerate paths of
+    chi-squared/MWU/KS in this module)."""
+    import pytest as _p
+
+    from mdataframe_spark.operators.stats_tests import (
+        population_stability_index,
+    )
+
+    empty = spark.createDataFrame([], "v double, is_cur boolean")
+    with _p.raises(ValueError, match="no non-NULL"):
+        population_stability_index(empty, "v", "is_cur")
+
+    all_null = spark.createDataFrame(
+        [(None, True), (None, False)], "v double, is_cur boolean"
+    )
+    with _p.raises(ValueError, match="no non-NULL"):
+        population_stability_index(all_null, "v", "is_cur")
+
+    # explicit lo/hi skip the probe entirely and keep working on the
+    # degenerate input: the full smoothed zero-spectrum comes back
+    out = population_stability_index(
+        empty, "v", "is_cur", n_bins=4, lo=0.0, hi=1.0
+    ).collect()
+    assert len(out) == 4
+    assert all(r["n_base"] == 0 and r["n_cur"] == 0 for r in out)
