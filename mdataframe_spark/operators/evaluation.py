@@ -368,12 +368,86 @@ def ndcg_at_k(
     )
 
 
+def _ntile_scale_safe(base, order, n_buckets, num_partitions):
+    """Exact ntile over (``__s`` desc, optional ``__tb`` asc) WITHOUT a
+    global window: approx-quantile partition cuts on the score, one
+    per-partition count aggregation (offsets broadcast as O(P)
+    scalars — driver traffic is never rows), a partitioned row_number
+    for local ranks, then Spark's ntile replayed arithmetically from
+    the exact global rank j over N rows: with q = N div n, r = N mod n,
+    buckets 1..r hold q+1 rows and buckets r+1..n hold q, so
+    bucket(j) = (j-1) div (q+1) + 1 while j ≤ r(q+1), else
+    r + (j - r(q+1) - 1) div q + 1.
+
+    Tied scores always share a partition (assignment depends only on
+    the score value), so the partitioned row_number equals the global
+    window's ordering wherever the caller's order is total."""
+    spark = base.sparkSession
+    if num_partitions is None:
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism * 4, 16
+        )
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    cuts = sorted(set(base.approxQuantile("__s", probs, 0.001)))
+    # ascending quantile partition: pbkt = #cuts strictly below score
+    pbkt = F.lit(0)
+    for i, c in enumerate(cuts):
+        pbkt = F.when(F.col("__s") > F.lit(c), F.lit(i + 1)).otherwise(
+            pbkt
+        )
+    with_p = base.withColumn("__pbkt", pbkt)
+    counts = {
+        int(r["__pbkt"]): int(r["n"])
+        for r in with_p.groupBy("__pbkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return with_p.drop("__pbkt").withColumn(
+            "bucket", F.lit(None).cast("int")
+        )
+    # global order is score DESC: a partition's rank offset is the row
+    # count of all HIGHER partitions
+    offsets = {}
+    acc = 0
+    for b in sorted(counts, reverse=True):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+    lw = Window.partitionBy("__pbkt").orderBy(*order)
+    j = (off_map[F.col("__pbkt")] + F.row_number().over(lw)).cast(
+        "bigint"
+    )
+    q = n_total // n_buckets
+    r = n_total % n_buckets
+    head = r * (q + 1)
+    # exact bigint `div` (never double division — ranks can exceed
+    # 2^53 at corpus scale); the q==0 case never reaches the otherwise
+    # branch because then j ≤ N = r(q+1)
+    bucket = F.when(
+        F.col("__j") <= F.lit(head),
+        F.expr(f"(__j - 1) div {q + 1}") + 1,
+    ).otherwise(
+        F.expr(f"{r} + ((__j - {head} - 1) div {max(q, 1)})") + 1
+    )
+    return (
+        with_p.withColumn("__j", j)
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("__pbkt", "__j")
+    )
+
+
 def gain_deciles(
     df: DataFrame,
     score_col: str,
     label_col: str,
     n_buckets: int = 10,
     tiebreak_col: str | None = None,
+    approx_buckets: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Cumulative gain / lift table: rank by score descending, cut into
     ``n_buckets`` equal-count buckets (ntile), and report per bucket
@@ -382,13 +456,27 @@ def gain_deciles(
     top decile catch". Returns n_buckets rows: (bucket, n, n_pos,
     cum_pos, capture_rate, cum_capture_rate, lift).
 
-    Exact equal-count buckets require a TOTAL global order, so the
-    ntile window is unpartitioned — the bh_adjust discipline: fine for
-    the model-sized scored frames this reads (a classifier's eval
-    split), and the documented scale alternative is bucketing on
-    approx score quantiles before the window. ``tiebreak_col`` makes
-    the order total (cross-engine deterministic); rates are exact
-    integer quotients rounded 6 dp.
+    Exact equal-count buckets require a TOTAL global order. Two arms:
+
+    - ``approx_buckets=False`` (default): one unpartitioned ntile
+      window — the bh_adjust discipline, fine for model-sized scored
+      frames (a classifier's eval split).
+    - ``approx_buckets=True``: the corpus-scale path (an eval split of
+      a 100 TB corpus need not be model-sized) — the same distributed
+      sort-rank decomposition as
+      :func:`mdataframe_spark.functions.stats.bh_adjust_scale_safe`:
+      partition boundaries from approx score quantiles (ties always
+      share a partition because assignment depends only on the score
+      value), per-partition counts broadcast as O(P) offsets, a
+      PARTITIONED row_number gives local ranks, offset + local rank =
+      exact global rank, and Spark's ntile is replayed arithmetically
+      from that rank (first ``N mod n`` buckets get ``ceil(N/n)``
+      rows). Values are IDENTICAL to the exact arm (asserted in
+      tests/test_evaluation.py) whenever the order is total —
+      pass ``tiebreak_col`` to make it so.
+
+    ``tiebreak_col`` makes the order total (cross-engine
+    deterministic); rates are exact integer quotients rounded 6 dp.
     """
     s = F.col(score_col).cast("double")
     base = df.filter(
@@ -401,8 +489,15 @@ def gain_deciles(
     order = [F.col("__s").desc()] + (
         [F.col("__tb").asc()] if tiebreak_col else []
     )
-    w = Window.orderBy(*order)
-    bucketed = base.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if approx_buckets:
+        bucketed = _ntile_scale_safe(
+            base, order, n_buckets, num_partitions
+        )
+    else:
+        w = Window.orderBy(*order)
+        bucketed = base.withColumn(
+            "bucket", F.ntile(n_buckets).over(w)
+        )
     per = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__y").alias("n_pos"),

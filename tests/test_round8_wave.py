@@ -751,3 +751,58 @@ def test_jaccard_wedge_budget_falls_back_to_distributed(spark):
     )
     # over-budget path (distributed) and driver path agree
     assert dist == drv and len(dist) == 36
+
+
+def test_gain_deciles_scale_safe_equals_exact(spark):
+    """The approx_buckets arm (distributed sort-rank ntile, no global
+    window) must reproduce the exact arm row-for-row whenever the
+    order is total — including ties broken by tiebreak_col, N not
+    divisible by n_buckets, and few enough partition cuts that several
+    quantile buckets collapse."""
+    from mdataframe_spark.operators.evaluation import gain_deciles
+
+    rng = np.random.RandomState(7)
+    # 237 rows (not divisible by 10), heavy score ties (quantized)
+    rows = [
+        (round(float(rng.uniform(0, 1)), 1), int(rng.rand() < 0.3), i)
+        for i in range(237)
+    ]
+    df = spark.createDataFrame(rows, ["score", "y", "id"])
+    for nb in (4, 10):
+        exact = gain_deciles(
+            df, "score", "y", n_buckets=nb, tiebreak_col="id"
+        ).collect()
+        safe = gain_deciles(
+            df,
+            "score",
+            "y",
+            n_buckets=nb,
+            tiebreak_col="id",
+            approx_buckets=True,
+            num_partitions=8,
+        ).collect()
+        assert [r.asDict() for r in exact] == [r.asDict() for r in safe]
+
+
+def test_gain_deciles_scale_safe_fewer_rows_than_buckets(spark):
+    """q = N div n = 0: every row gets its own bucket 1..N and the
+    arithmetic replay must not divide by zero."""
+    from mdataframe_spark.operators.evaluation import gain_deciles
+
+    df = spark.createDataFrame(
+        [(0.9, 1, 1), (0.5, 0, 2), (0.1, 1, 3)], ["score", "y", "id"]
+    )
+    exact = gain_deciles(
+        df, "score", "y", n_buckets=10, tiebreak_col="id"
+    ).collect()
+    safe = gain_deciles(
+        df,
+        "score",
+        "y",
+        n_buckets=10,
+        tiebreak_col="id",
+        approx_buckets=True,
+        num_partitions=4,
+    ).collect()
+    assert [r.asDict() for r in exact] == [r.asDict() for r in safe]
+    assert [r["bucket"] for r in safe] == [1, 2, 3]
