@@ -8339,28 +8339,13 @@ ORDER BY from_type, to_type
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
-    "j_generic_join_q3": j_generic_join_q3,
     "dd_exact_dedup": dd_exact_dedup,
-    "j_asof_attribution": j_asof_attribution,
     "ds_leakage_safe_split": ds_leakage_safe_split,
     "dd_semantic_dedup": dd_semantic_dedup,
-    "ml_kmeans_lloyd": ml_kmeans_lloyd,
-    "ml_dbscan_classes": ml_dbscan_classes,
     "stat_edger_norm": stat_edger_norm,
     "stat_deseq2_base": stat_deseq2_base,
-    "ml_auc_value": ml_auc_value,
-    "ml_silhouette": ml_silhouette,
-    "e_funnel": e_funnel,
-    "stat_ks_two_sample": stat_ks_two_sample,
-    "stat_chi2_independence": stat_chi2_independence,
-    "sk_bloom_decontaminate": sk_bloom_decontaminate,
-    "gr_pagerank": gr_pagerank,
-    "ds_bootstrap_ci": ds_bootstrap_ci,
-    "dim_scd2_merge": dim_scd2_merge,
-    "dd_fuzzy_match": dd_fuzzy_match,
     # --- rotated in round 7 (driver records for the round-6
     # continuation waves) ---
-    "rec_copurchase": rec_copurchase,
     "txt_pmi_collocations": txt_pmi_collocations,
     "e_cohort_retention": e_cohort_retention,
     "e_rate_anomaly": e_rate_anomaly,
@@ -8368,8 +8353,6 @@ QUERIES = {
     "dq_expectations": dq_expectations,
     "dq_histogram": dq_histogram,
     "e_period_over_period": e_period_over_period,
-    "ds_dsir_select": ds_dsir_select,
-    "txt_quality_gate": txt_quality_gate,
     # --- rotated in round 8 (driver records for the round-7 waves;
     # 17 veterans green since r1-r5 ceded their slots and keep the
     # identical oracle protocol in EXTRA_QUERIES) ---
@@ -8390,6 +8373,26 @@ QUERIES = {
     "w3_window_suite": w3_window_suite,
     "e_latency_percentiles": e_latency_percentiles,
     "stat_psi": stat_psi,
+    # --- rotated in round 9 (driver records for the round-8 waves;
+    # 17 veterans green 2+ rounds ceded their slots and keep the
+    # identical oracle protocol in EXTRA_QUERIES) ---
+    "j_q4_priority": j_q4_priority,
+    "j_q7_volume_shipping": j_q7_volume_shipping,
+    "j_q9_profit": j_q9_profit,
+    "j_q12_late_lines": j_q12_late_lines,
+    "j_q15_top_supplier": j_q15_top_supplier,
+    "j_q18_large_orders": j_q18_large_orders,
+    "j_q22_lapsed_customers": j_q22_lapsed_customers,
+    "ml_ols_fit": ml_ols_fit,
+    "ml_confusion_nc": ml_confusion_nc,
+    "ml_pr_curve": ml_pr_curve,
+    "stat_welch_ttest": stat_welch_ttest,
+    "stat_spearman": stat_spearman,
+    "dim_cdc_apply": dim_cdc_apply,
+    "dim_snapshot_diff": dim_snapshot_diff,
+    "gr_jaccard_linkpred": gr_jaccard_linkpred,
+    "sk_countmin_gate": sk_countmin_gate,
+    "sim_embedding_drift": sim_embedding_drift,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
     "stat_edger_exact_test": stat_edger_exact_test,
     "stat_deseq2": stat_deseq2,
@@ -8481,13 +8484,10 @@ EXTRA_QUERIES = {
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
     # --- new in round 8: classifier-ops & paths wave ---
-    "ml_pr_curve": ml_pr_curve,
     "e_top_paths": e_top_paths,
     # --- new in round 8: drift & history wave ---
-    "sim_embedding_drift": sim_embedding_drift,
     "dim_scd2_history_compact": dim_scd2_history_compact,
     # --- new in round 8: sketch & profiling wave ---
-    "sk_countmin_gate": sk_countmin_gate,
     "e_seasonal_profile": e_seasonal_profile,
     "dq_candidate_keys": dq_candidate_keys,
     # --- new in round 8: model-ops completion wave ---
@@ -8498,30 +8498,16 @@ EXTRA_QUERIES = {
     "j_q6_forecast_revenue": j_q6_forecast_revenue,
     "j_q8_market_share": j_q8_market_share,
     "j_q10_returned_items": j_q10_returned_items,
-    "j_q12_late_lines": j_q12_late_lines,
     "j_q14_promo_share": j_q14_promo_share,
     "j_q16_supplier_count": j_q16_supplier_count,
     "j_q19_bracket_revenue": j_q19_bracket_revenue,
     "j_q20_excess_suppliers": j_q20_excess_suppliers,
     # --- new in round 8: warehouse & pipeline wave ---
-    "dim_cdc_apply": dim_cdc_apply,
-    "dim_snapshot_diff": dim_snapshot_diff,
-    "gr_jaccard_linkpred": gr_jaccard_linkpred,
     "e_event_transitions": e_event_transitions,
     # --- new in round 8: evaluation & statistics wave ---
-    "ml_confusion_nc": ml_confusion_nc,
     "ml_ndcg_events": ml_ndcg_events,
-    "ml_ols_fit": ml_ols_fit,
-    "stat_welch_ttest": stat_welch_ttest,
-    "stat_spearman": stat_spearman,
     # --- new in round 8: relational-completeness wave ---
-    "j_q4_priority": j_q4_priority,
-    "j_q7_volume_shipping": j_q7_volume_shipping,
-    "j_q9_profit": j_q9_profit,
     "j_q13_order_distribution": j_q13_order_distribution,
-    "j_q15_top_supplier": j_q15_top_supplier,
-    "j_q18_large_orders": j_q18_large_orders,
-    "j_q22_lapsed_customers": j_q22_lapsed_customers,
     # --- rotated out of the driver registry in round 8 (driver-green
     # r1-r7; same oracle protocol in-repo from here on) ---
     "j_q5_multijoin": j_q5_multijoin,
@@ -8553,6 +8539,25 @@ EXTRA_QUERIES = {
     "j1_annotation_join": j1_annotation_join,
     "sq_correlated": sq_correlated,
     "sim_cosine_topk": sim_cosine_topk,
+    # --- rotated out of the driver registry in round 9 (driver-green
+    # r1-r8; same oracle protocol in-repo from here on) ---
+    "j_generic_join_q3": j_generic_join_q3,
+    "j_asof_attribution": j_asof_attribution,
+    "ml_kmeans_lloyd": ml_kmeans_lloyd,
+    "ml_dbscan_classes": ml_dbscan_classes,
+    "ml_auc_value": ml_auc_value,
+    "ml_silhouette": ml_silhouette,
+    "e_funnel": e_funnel,
+    "stat_ks_two_sample": stat_ks_two_sample,
+    "stat_chi2_independence": stat_chi2_independence,
+    "sk_bloom_decontaminate": sk_bloom_decontaminate,
+    "gr_pagerank": gr_pagerank,
+    "ds_bootstrap_ci": ds_bootstrap_ci,
+    "dim_scd2_merge": dim_scd2_merge,
+    "dd_fuzzy_match": dd_fuzzy_match,
+    "rec_copurchase": rec_copurchase,
+    "ds_dsir_select": ds_dsir_select,
+    "txt_quality_gate": txt_quality_gate,
 }
 
 
@@ -8584,26 +8589,11 @@ EXTRA_QUERIES = {name: _with_cache_release(fn) for name, fn in EXTRA_QUERIES.ite
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "f1_filter_dsl": F1_SQL,
-    "j_generic_join_q3": J_Q3_SQL,
     "dd_exact_dedup": DD_EXACT_SQL,
-    "j_asof_attribution": J_ASOF_SQL,
     "ds_leakage_safe_split": DS_LEAKAGE_SQL,
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
-    "ml_kmeans_lloyd": ML_KMEANS_SQL,
-    "ml_dbscan_classes": ML_DBSCAN_SQL,
     "stat_edger_norm": STAT_EDGER_NORM_SQL,
     "stat_deseq2_base": STAT_DESEQ2_BASE_SQL,
-    "ml_auc_value": ML_AUC_SQL,
-    "ml_silhouette": ML_SILHOUETTE_SQL,
-    "e_funnel": E_FUNNEL_SQL,
-    "stat_ks_two_sample": STAT_KS_SQL,
-    "stat_chi2_independence": STAT_CHI2_SQL,
-    "sk_bloom_decontaminate": SK_BLOOM_SQL,
-    "gr_pagerank": GR_PAGERANK_SQL,
-    "ds_bootstrap_ci": DS_BOOTSTRAP_SQL,
-    "dim_scd2_merge": DIM_SCD2_SQL,
-    "dd_fuzzy_match": DD_FUZZY_SQL,
-    "rec_copurchase": REC_COPURCHASE_SQL,
     "txt_pmi_collocations": TXT_PMI_SQL,
     "e_cohort_retention": E_COHORT_SQL,
     "e_rate_anomaly": E_ANOMALY_SQL,
@@ -8611,8 +8601,6 @@ ORACLES = {
     "dq_expectations": DQ_EXPECTATIONS_SQL,
     "dq_histogram": DQ_HISTOGRAM_SQL,
     "e_period_over_period": E_POP_SQL,
-    "ds_dsir_select": DS_DSIR_SQL,
-    "txt_quality_gate": TXT_GATE_SQL,
     # --- rotated in round 8 ---
     "txt_pii_scrub": TXT_PII_SCRUB_SQL,
     "dq_robust_outliers": DQ_ROBUST_SQL,
@@ -8631,6 +8619,24 @@ ORACLES = {
     "w3_window_suite": W3_WINDOW_SQL,
     "e_latency_percentiles": E_LATENCY_SQL,
     "stat_psi": STAT_PSI_SQL,
+    # --- rotated in round 9 ---
+    "j_q4_priority": J_Q4_SQL,
+    "j_q7_volume_shipping": J_Q7_SQL,
+    "j_q9_profit": J_Q9_SQL,
+    "j_q12_late_lines": J_Q12_SQL,
+    "j_q15_top_supplier": J_Q15_SQL,
+    "j_q18_large_orders": J_Q18_SQL,
+    "j_q22_lapsed_customers": J_Q22_SQL,
+    "ml_ols_fit": ML_OLS_SQL,
+    "ml_confusion_nc": ML_CONFUSION_SQL,
+    "ml_pr_curve": ML_PR_SQL,
+    "stat_welch_ttest": STAT_WELCH_SQL,
+    "stat_spearman": STAT_SPEARMAN_SQL,
+    "dim_cdc_apply": DIM_CDC_SQL,
+    "dim_snapshot_diff": DIM_SNAPDIFF_SQL,
+    "gr_jaccard_linkpred": GR_LINKPRED_SQL,
+    "sk_countmin_gate": SK_COUNTMIN_SQL,
+    "sim_embedding_drift": SIM_DRIFT_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent. Their
     # numeric parity is asserted against the reference's R goldens in
@@ -8718,13 +8724,10 @@ EXTRA_ORACLES = {
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
     # --- new in round 8: classifier-ops & paths wave ---
-    "ml_pr_curve": ML_PR_SQL,
     "e_top_paths": E_PATHS_SQL,
     # --- new in round 8: drift & history wave ---
-    "sim_embedding_drift": SIM_DRIFT_SQL,
     "dim_scd2_history_compact": DIM_COMPACT_SQL,
     # --- new in round 8: sketch & profiling wave ---
-    "sk_countmin_gate": SK_COUNTMIN_SQL,
     "e_seasonal_profile": E_SEASONAL_SQL,
     "dq_candidate_keys": DQ_CANDKEYS_SQL,
     # --- new in round 8: model-ops completion wave ---
@@ -8735,30 +8738,16 @@ EXTRA_ORACLES = {
     "j_q6_forecast_revenue": J_Q6_SQL,
     "j_q8_market_share": J_Q8_SQL,
     "j_q10_returned_items": J_Q10_SQL,
-    "j_q12_late_lines": J_Q12_SQL,
     "j_q14_promo_share": J_Q14_SQL,
     "j_q16_supplier_count": J_Q16_SQL,
     "j_q19_bracket_revenue": J_Q19_SQL,
     "j_q20_excess_suppliers": J_Q20_SQL,
     # --- new in round 8: warehouse & pipeline wave ---
-    "dim_cdc_apply": DIM_CDC_SQL,
-    "dim_snapshot_diff": DIM_SNAPDIFF_SQL,
-    "gr_jaccard_linkpred": GR_LINKPRED_SQL,
     "e_event_transitions": E_TRANSITIONS_SQL,
     # --- new in round 8: evaluation & statistics wave ---
-    "ml_confusion_nc": ML_CONFUSION_SQL,
     "ml_ndcg_events": ML_NDCG_SQL,
-    "ml_ols_fit": ML_OLS_SQL,
-    "stat_welch_ttest": STAT_WELCH_SQL,
-    "stat_spearman": STAT_SPEARMAN_SQL,
     # --- new in round 8: relational-completeness wave ---
-    "j_q4_priority": J_Q4_SQL,
-    "j_q7_volume_shipping": J_Q7_SQL,
-    "j_q9_profit": J_Q9_SQL,
     "j_q13_order_distribution": J_Q13_SQL,
-    "j_q15_top_supplier": J_Q15_SQL,
-    "j_q18_large_orders": J_Q18_SQL,
-    "j_q22_lapsed_customers": J_Q22_SQL,
     # --- rotated out of the driver registry in round 8 ---
     "j_q5_multijoin": J_Q5_SQL,
     "w1_bh_fdr": W1_SQL,
@@ -8788,4 +8777,22 @@ EXTRA_ORACLES = {
     "j1_annotation_join": J1_SQL,
     "sq_correlated": SQ_CORR_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
+    # --- rotated out of the driver registry in round 9 ---
+    "j_generic_join_q3": J_Q3_SQL,
+    "j_asof_attribution": J_ASOF_SQL,
+    "ml_kmeans_lloyd": ML_KMEANS_SQL,
+    "ml_dbscan_classes": ML_DBSCAN_SQL,
+    "ml_auc_value": ML_AUC_SQL,
+    "ml_silhouette": ML_SILHOUETTE_SQL,
+    "e_funnel": E_FUNNEL_SQL,
+    "stat_ks_two_sample": STAT_KS_SQL,
+    "stat_chi2_independence": STAT_CHI2_SQL,
+    "sk_bloom_decontaminate": SK_BLOOM_SQL,
+    "gr_pagerank": GR_PAGERANK_SQL,
+    "ds_bootstrap_ci": DS_BOOTSTRAP_SQL,
+    "dim_scd2_merge": DIM_SCD2_SQL,
+    "dd_fuzzy_match": DD_FUZZY_SQL,
+    "rec_copurchase": REC_COPURCHASE_SQL,
+    "ds_dsir_select": DS_DSIR_SQL,
+    "txt_quality_gate": TXT_GATE_SQL,
 }

@@ -121,9 +121,9 @@ def test_dbscan_single_candidate_generation(spark):
     """ml_dbscan_classes: exactly ONE broadcast-joined candidate
     generation (the r4 regression was a second shifted explode for the
     border check) — the pair frame is persisted and reused."""
-    from mdataframe_spark.queries import QUERIES
+    from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
 
-    df = QUERIES["ml_dbscan_classes"](spark, SF)
+    df = {**QUERIES, **EXTRA_QUERIES}["ml_dbscan_classes"](spark, SF)
     plan = _plan(df)
     # after InMemoryRelation caching, the visible plan re-reads the
     # cached pair frame for BOTH consumers instead of regenerating the

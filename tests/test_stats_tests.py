@@ -479,12 +479,12 @@ def test_p_values_excluded_from_registered_oracle_queries(spark):
     """The driver hash compares every output column, and the special
     functions have no cross-engine-exact form: the registered queries
     must NOT emit p_value."""
-    from mdataframe_spark.queries import QUERIES
+    from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
 
     for name in (
         "stat_chi2_independence", "stat_mannwhitney_u", "stat_ks_two_sample"
     ):
-        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        df = {**QUERIES, **EXTRA_QUERIES}[name](spark, "/root/testdata/sf0.001")
         assert "p_value" not in df.columns, name
 
 

@@ -568,3 +568,82 @@ def test_count_min_stream_matches_batch(spark, tmp_path_factory):
     }
     for k, est in batch_est.items():
         assert est >= exact[k]
+
+
+def test_cdc_stream_matches_batch_and_continues_from_checkpoint(
+    spark, tmp_path_factory
+):
+    """The streaming CDC twin's running state equals the batch
+    cdc_apply collapse after ANY prefix: (a) consuming change-log file
+    A alone matches the batch collapse of A; (b) restarting from the
+    SAME checkpoint after file B lands merges the new changes into the
+    existing per-key max state and matches the batch collapse of A+B —
+    max(struct) is associative/commutative, so checkpointed state +
+    new micro-batches = one big batch."""
+    from mdataframe_spark.operators.scd import cdc_apply
+    from mdataframe_spark.streaming.cdc import cdc_stream
+
+    root = tmp_path_factory.mktemp("cdc_stream")
+    src = root / "changes"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "k bigint, seq bigint, op string, v string"
+
+    def write_log(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # file A: inserts/updates for keys 1-4, delete for key 3
+    a_rows = [
+        (1, 1, "insert", "a1"),
+        (1, 2, "update", "a2"),
+        (2, 1, "insert", "b1"),
+        (3, 1, "insert", "c1"),
+        (3, 2, "delete", None),
+        (4, 1, "insert", "d1"),
+    ]
+    write_log(a_rows, "a")
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            cdc_stream(stream, ["k"], ["seq"])
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["k"]: (r["seq"], r["v"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_state(rows):
+        return {
+            r["k"]: (r["seq"], r["v"])
+            for r in cdc_apply(
+                spark.createDataFrame(rows, schema), ["k"], ["seq"]
+            ).collect()
+        }
+
+    got_a = run_stream("cdc_state_a")
+    assert got_a == batch_state(a_rows)
+    assert 3 not in got_a and got_a[1] == (2, "a2")
+
+    # file B: key 3 reborn, key 4 tombstoned, key 1 late LOSING update
+    b_rows = [
+        (3, 3, "insert", "c2"),
+        (4, 2, "delete", None),
+        (1, 1, "update", "late-loser"),
+        (5, 1, "insert", "e1"),
+    ]
+    write_log(b_rows, "b")
+    got_ab = run_stream("cdc_state_ab")
+    assert got_ab == batch_state(a_rows + b_rows)
+    assert got_ab[3] == (3, "c2") and 4 not in got_ab
+    # the late change with a lower seq must NOT displace key 1's state
+    assert got_ab[1] == (2, "a2")
