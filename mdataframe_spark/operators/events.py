@@ -481,3 +481,173 @@ def top_event_paths(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(top_k)
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 5,
+    approx_buckets: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """RFM segmentation: per-user Recency (seconds since last event,
+    measured from the corpus max timestamp), Frequency (event count)
+    and Monetary (value sum, NULLs as 0, rounded 4 dp), each scored
+    into ``n_buckets`` equal-count tiles with score ``n_buckets`` =
+    best (most recent / most frequent / highest spend). Ties break on
+    the user id, so the order is total and cross-engine deterministic.
+    Returns (user, recency_s, frequency, monetary, r_score, f_score,
+    m_score, rfm) with rfm = r·100 + f·10 + m.
+
+    Scale shape: the corpus collapses in ONE partial-agged
+    groupBy(user); scoring runs on the user table. Two arms for the
+    tiling (the gain_deciles convention):
+
+    - ``approx_buckets=False``: three ntile windows over the user
+      table — fine while users are model-sized relative to events.
+    - ``approx_buckets=True``: the corpus-scale path — each metric is
+      tiled by :func:`..operators.evaluation._ntile_scale_safe`
+      (approx-quantile partition cuts + exact global-rank arithmetic,
+      never a global window), equality-tested against the exact arm.
+    """
+    d = _ns(df, ts_col)
+    per_user = d.groupBy(user_col).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(
+            F.sum(F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))), 4
+        ).alias("monetary"),
+    )
+    ref = d.agg(F.max(ts_col).alias("__ref"))
+    base = (
+        per_user.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_s",
+            F.expr("(__ref - __last) div 1000000000").cast("bigint"),
+        )
+        .drop("__last", "__ref")
+    )
+    # higher score = better: metric sorted best-first, tile 1 = best,
+    # score = n_buckets + 1 - tile. "Best-first" = recency ASC,
+    # frequency DESC, monetary DESC — expressed uniformly as DESC on
+    # the signed metric below so both arms share one code path.
+    metrics = {
+        "r_score": (-F.col("recency_s")).cast("double"),
+        "f_score": F.col("frequency").cast("double"),
+        "m_score": F.col("monetary").cast("double"),
+    }
+    if not approx_buckets:
+        out = base
+        for name, m in metrics.items():
+            w = Window.orderBy(m.desc(), F.col(user_col).asc())
+            out = out.withColumn(
+                name,
+                (F.lit(n_buckets + 1) - F.ntile(n_buckets).over(w)).cast(
+                    "int"
+                ),
+            )
+    else:
+        from .evaluation import _ntile_scale_safe
+
+        out = base
+        for name, m in metrics.items():
+            tiled = _ntile_scale_safe(
+                base.select(user_col, m.alias("__s")),
+                [F.col("__s").desc(), F.col(user_col).asc()],
+                n_buckets,
+                num_partitions,
+            ).select(
+                user_col,
+                (F.lit(n_buckets + 1) - F.col("bucket")).cast("int").alias(
+                    name
+                ),
+            )
+            out = out.join(tiled, user_col)
+    return out.select(
+        user_col,
+        "recency_s",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("rfm"),
+    ).orderBy(user_col)
+
+
+def attribution_credit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    conv_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_ns: int = 7 * 24 * 3_600_000_000_000,
+) -> DataFrame:
+    """Multi-touch attribution: every conversion event distributes
+    credit over the same user's preceding touch events inside the
+    lookback window (touch strictly BEFORE the conversion), under the
+    three classic models at once — first-touch (all credit to the
+    earliest touch), last-touch (to the latest), linear (1/n each).
+    Conversions with no in-window touch get no attribution row
+    (organic — report them via funnel counts, not here). Returns per
+    touch type: (event_type, n_touches, first_touch, last_touch,
+    linear_credit) ordered by type.
+
+    Scale shape: conversions ⋈ touches is an equi-join on the user
+    plus a range predicate — per-user event counts bound the fan-out
+    (the j_range_session_errors pattern); the two row_number windows
+    partition by CONVERSION (bounded by the lookback fan-in) and share
+    one shuffle; the final groupBy is touch-type-bounded. first/last
+    credits are COUNTS (exact bigints); linear credit accumulates
+    round(1/n, 9) as DECIMAL(20,9) — exactly representable in both
+    engines (1e9/n is never a half-integer for n < 1024, so the
+    double→decimal rounding cannot straddle a tie), summed exactly,
+    reported as double.
+    """
+    d = _ns(df, ts_col)
+    conv = d.filter(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.col(tiebreak_col).alias("__cid"),
+    )
+    touch = d.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(tiebreak_col).alias("__tid"),
+        F.col(type_col).alias("__tt"),
+    )
+    joined = conv.join(touch, "__u").filter(
+        (F.col("__tts") < F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - F.lit(int(lookback_ns)))
+    )
+    w_asc = Window.partitionBy("__cid").orderBy(
+        F.col("__tts").asc(), F.col("__tid").asc()
+    )
+    w_desc = Window.partitionBy("__cid").orderBy(
+        F.col("__tts").desc(), F.col("__tid").desc()
+    )
+    w_cnt = Window.partitionBy("__cid")
+    credited = joined.select(
+        "__tt",
+        (F.row_number().over(w_asc) == 1).cast("int").alias("__is_first"),
+        (F.row_number().over(w_desc) == 1).cast("int").alias("__is_last"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w_cnt), 9)
+        .cast("decimal(20,9)")
+        .alias("__lin"),
+    )
+    return (
+        credited.groupBy(F.col("__tt").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("__is_first").cast("bigint").alias("first_touch"),
+            F.sum("__is_last").cast("bigint").alias("last_touch"),
+            F.round(F.sum("__lin").cast("double"), 6).alias("linear_credit"),
+        )
+        .orderBy("event_type")
+    )

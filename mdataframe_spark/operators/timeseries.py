@@ -1,0 +1,270 @@
+"""Time-series analytics over bucketed event streams: autocorrelation,
+CUSUM changepoint scan, truncated exponentially-weighted smoothing.
+
+These close the classic "is my metric drifting / periodic / smoothed"
+battery that product-analytics engines expose next to funnels and
+rate anomalies (reference scope: mdataframe's transformation verbs,
+ref transformations.py, have no time-series surface — this is part of
+the large-scale pipeline extension, same status as operators/events.py).
+
+Scale shape shared by all three: the corpus collapses in ONE
+partial-agged groupBy(bucket) — everything downstream runs on the
+series table, whose size is time-span/period (model-bounded: a year of
+hourly buckets is 8,760 rows no matter how many trillion events fed
+them). The only windows are over that bounded series (the spearman
+rank-table justification); joins are lag-explodes of a constant-size
+lag list.
+
+Determinism contract (the OLS/spearman discipline): per-bucket values
+are EXACT DECIMALS (counts, or value sums rounded to 4 dp), every
+accumulation is a decimal sum (order-independent, replayed exactly by
+the DuckDB oracles), and mean-centering is algebraically eliminated
+(Σ(x−m)(y−m) = Σxy − m·Σx − m·Σy + n·m²) so no engine ever subtracts
+a float mean inside an aggregate. Final statistics are scalar double
+arithmetic on identical decimal inputs, rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .events import _bucket, _ns
+
+_NS_PER_HOUR = 3_600_000_000_000
+
+
+def bucket_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+) -> DataFrame:
+    """Collapse an event stream to its bucketed series: (bucket, x)
+    with x = row count (``value_col=None``) or the per-bucket value sum
+    rounded to 4 dp — in BOTH cases an exact DECIMAL(18,4), so every
+    downstream accumulation is order-independent. Empty/NULL-value rows
+    are excluded when a value column is used (complete-case, one
+    denominator — the events.py convention). The ONE corpus-scale
+    shuffle of the whole module happens here (partial-agged groupBy)."""
+    d = _ns(df, ts_col)
+    b = _bucket(ts_col, period_ns).alias("bucket")
+    if value_col is None:
+        agg = d.groupBy(b).agg(
+            F.count(F.lit(1)).cast("decimal(18,4)").alias("x")
+        )
+    else:
+        agg = (
+            d.filter(F.col(value_col).isNotNull())
+            .groupBy(b)
+            .agg(
+                F.round(F.sum(F.col(value_col).cast("double")), 4)
+                .cast("decimal(18,4)")
+                .alias("x")
+            )
+        )
+    return agg
+
+
+def acf_lags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation of the bucketed series at lags 1..k:
+    r_k = Σ(x_t − m)(x_{t+k} − m) / Σ(x_t − m)² with m the full-series
+    mean (the standard ACF estimator; pairs where bucket t+k has no
+    events are skipped — gaps are absent rows, not zeros). Returns
+    (lag, n_pairs, acf) ordered by lag.
+
+    Mean-centering is expanded algebraically: the per-lag pieces
+    (Σx_t·x_{t+k}, Σx_t, Σx_{t+k}, n_pairs over the joined pairs) and
+    the global pieces (n, Σx, Σx²) are all exact decimal sums; the
+    final r_k is one scalar double expression over them. The lag join
+    is series ⋈ series on bucket+k — the series is model-bounded, so
+    Catalyst broadcasts it."""
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    glob = s.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("x").alias("__sx"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+    )
+    lags = s.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = s.select(F.col("bucket").alias("__ba"), F.col("x").alias("__xa"))
+    b = s.select(F.col("bucket").alias("__bb"), F.col("x").alias("__xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("__bb") == F.col("__ba") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("__np"),
+            F.sum(F.col("__xa") * F.col("__xb")).alias("__sab"),
+            F.sum("__xa").alias("__sa"),
+            F.sum("__xb").alias("__sb"),
+        )
+    )
+    m = F.col("__sx").cast("double") / F.col("__n")
+    num = (
+        F.col("__sab").cast("double")
+        - m * F.col("__sa").cast("double")
+        - m * F.col("__sb").cast("double")
+        + F.col("__np") * m * m
+    )
+    den = F.col("__sxx").cast("double") - F.col("__n") * m * m
+    return (
+        pairs.crossJoin(F.broadcast(glob))
+        .select(
+            "lag",
+            F.col("__np").cast("bigint").alias("n_pairs"),
+            F.when(den > 0, F.round(num / den, 6)).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+) -> DataFrame:
+    """CUSUM changepoint scan: S_t = Σ_{i≤t} x_i − t·m over the
+    bucketed series (m = series mean). The bucket with the largest |S_t|
+    is the classic single-changepoint estimate (Page's CUSUM / binary
+    segmentation's first cut). Returns per-bucket
+    (bucket, x, cusum, is_changepoint) ordered by bucket, with
+    is_changepoint true exactly once (max |S_t|, ties → lowest bucket).
+
+    The cumulative sum is an exact decimal window over the
+    model-bounded series (single-partition by construction — the
+    spearman rank-table justification: the series, not the corpus);
+    t·m is rank × (Σx/n) in scalar double arithmetic, so both engines
+    replay S_t identically."""
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    glob = s.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("x").alias("__sx")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = F.col("__sx").cast("double") / F.col("__n")
+    cum = (
+        s.crossJoin(F.broadcast(glob))
+        .withColumn("__cs", F.sum("x").over(w))
+        .withColumn("__t", F.row_number().over(Window.orderBy("bucket")))
+        .select(
+            "bucket",
+            F.col("x").cast("double").alias("x"),
+            F.round(F.col("__cs").cast("double") - F.col("__t") * m, 6).alias(
+                "cusum"
+            ),
+        )
+    )
+    peak = cum.agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("cusum"))).alias("__negabs"),
+                F.col("bucket").alias("__b"),
+            )
+        ).alias("__peak")
+    )
+    return (
+        cum.crossJoin(F.broadcast(peak))
+        .select(
+            "bucket",
+            "x",
+            "cusum",
+            (F.col("bucket") == F.col("__peak.__b")).alias("is_changepoint"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ewma_weights(alpha: float, max_lag: int) -> list[str]:
+    """The truncated-EWMA weight ladder (1−α)^k for k = 0..max_lag as
+    EXACT decimal strings (α must have ≤4 decimal digits so the powers
+    stay exact). ONE implementation shared by the Spark plan and the
+    SQL-oracle builder — both sides embed the same literals, so there
+    is no pow()-ulp divergence between engines."""
+    base = Decimal(str(alpha))
+    if base != base.quantize(Decimal("0.0001")):
+        raise ValueError("alpha must have at most 4 decimal digits")
+    one = Decimal(1)
+    w = one - base
+    out = []
+    for k in range(max_lag + 1):
+        out.append(str(w**k))
+    return out
+
+
+def ewma_smooth(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+    alpha: float = 0.3,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of the bucketed
+    series: y_b = Σ_{k=0..L} w_k·x_{b−k} / Σ_{k present} w_k with
+    w_k = (1−α)^k, the adjust=True EWM estimator cut off at L lags
+    (beyond L=12 at α=0.3 the dropped tail weight is (1−α)^13 < 1%).
+    Missing buckets contribute neither numerator nor denominator.
+    Returns (bucket, n_terms, ewma) ordered by bucket.
+
+    Truncation is what makes this distributable AND exact: the full
+    recursive EWM needs either a sequential scan or (1−α)^(−i) rescaling
+    that overflows doubles, while the truncated form is a constant-size
+    lag-explode join — per-term products of exact decimals (weights from
+    :func:`ewma_weights`, x from :func:`bucket_series`), summed as
+    decimals, one double division at the end."""
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    weights = ewma_weights(alpha, max_lag)
+    # minimal decimal type for the ladder: product precision is
+    # 18 (x) + prec (w), and Spark silently ROUNDS decimal products
+    # past precision 38 (DuckDB keeps them exact) — so the ladder must
+    # stay narrow enough that both engines multiply exactly
+    frac = max(len(w.split(".")[1]) if "." in w else 0 for w in weights)
+    prec = frac + 2
+    if 18 + prec > 38:
+        raise ValueError(
+            f"ewma_smooth: weight ladder needs DECIMAL({prec},{frac}); "
+            f"the x*w product would exceed decimal precision 38 — lower "
+            f"max_lag or use an alpha with fewer decimal digits"
+        )
+    wlad = s.sparkSession.createDataFrame(
+        [(k, Decimal(w)) for k, w in enumerate(weights)],
+        f"lag INT, w DECIMAL({prec},{frac})",
+    )
+    targets = s.select(F.col("bucket").alias("__tb"))
+    contrib = (
+        s.crossJoin(F.broadcast(wlad))
+        .select(
+            (F.col("bucket") + F.col("lag")).alias("__tb"),
+            (F.col("x") * F.col("w")).alias("__wx"),
+            F.col("w").alias("__w"),
+        )
+        .join(F.broadcast(targets), "__tb")
+        .groupBy("__tb")
+        .agg(
+            F.count(F.lit(1)).alias("__nt"),
+            F.sum("__wx").alias("__swx"),
+            F.sum("__w").alias("__sw"),
+        )
+    )
+    return contrib.select(
+        F.col("__tb").alias("bucket"),
+        F.col("__nt").cast("bigint").alias("n_terms"),
+        F.round(
+            F.col("__swx").cast("double") / F.col("__sw").cast("double"), 6
+        ).alias("ewma"),
+    ).orderBy("bucket")

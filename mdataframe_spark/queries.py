@@ -8336,6 +8336,223 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series wave (round 9): autocorrelation, CUSUM changepoint,
+# truncated EWMA — the "is my metric periodic / drifting / smoothed"
+# battery over bucketed event streams (operators/timeseries.py).
+
+
+def ts_acf_hourly(spark, sf_dir):
+    """Hourly-count autocorrelation at lags 1..6 (operators/
+    timeseries.py acf_lags): the corpus collapses in ONE
+    groupBy(bucket); the lag join and scalar broadcast run on the
+    ~720-row series. All accumulations are exact decimals; the ACF is
+    one scalar double expression both engines replay bit-for-bit."""
+    from .operators.timeseries import acf_lags
+
+    ev = _events(spark, sf_dir)
+    return acf_lags(ev, max_lag=6)
+
+
+TS_ACF_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         CAST(count(*) AS DECIMAL(18,4)) AS x
+  FROM ns GROUP BY 1
+), g AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM s
+), lp AS (
+  SELECT l.lag::INT AS lag, count(*) AS np,
+         sum(a.x * b.x) AS sab, sum(a.x) AS sa, sum(b.x) AS sb
+  FROM range(1, 7) l(lag)
+  CROSS JOIN s a
+  JOIN s b ON b.bucket = a.bucket + l.lag
+  GROUP BY 1
+)
+SELECT lag, np::BIGINT AS n_pairs,
+       CASE WHEN (sxx::DOUBLE - n * (sx::DOUBLE / n) * (sx::DOUBLE / n)) > 0
+            THEN round(
+              (((sab::DOUBLE - (sx::DOUBLE / n) * sa::DOUBLE)
+                - (sx::DOUBLE / n) * sb::DOUBLE)
+               + (np * (sx::DOUBLE / n)) * (sx::DOUBLE / n))
+              / (sxx::DOUBLE - (n * (sx::DOUBLE / n)) * (sx::DOUBLE / n)),
+              6)
+       END AS acf
+FROM lp CROSS JOIN g
+ORDER BY lag
+"""
+
+
+def ts_cusum_errors(spark, sf_dir):
+    """CUSUM changepoint scan over hourly error counts
+    (operators/timeseries.py cusum_changepoint): S_t = cumsum(x) − t·m
+    as an exact decimal window over the model-bounded series; the max
+    |S_t| bucket is flagged (ties → lowest bucket)."""
+    from .operators.timeseries import cusum_changepoint
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    return cusum_changepoint(ev)
+
+
+TS_CUSUM_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events WHERE event_type = 'error'
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         CAST(count(*) AS DECIMAL(18,4)) AS x
+  FROM ns GROUP BY 1
+), g AS (
+  SELECT count(*) AS n, sum(x) AS sx FROM s
+), cum AS (
+  SELECT bucket::BIGINT AS bucket, x::DOUBLE AS x,
+         round((sum(x) OVER (ORDER BY bucket))::DOUBLE
+               - (row_number() OVER (ORDER BY bucket))
+                 * (sx::DOUBLE / n), 6) AS cusum
+  FROM s CROSS JOIN g
+)
+SELECT bucket, x, cusum,
+       bucket = (SELECT bucket FROM cum
+                 ORDER BY abs(cusum) DESC, bucket ASC LIMIT 1)
+         AS is_changepoint
+FROM cum ORDER BY bucket
+"""
+
+
+def ts_ewma_purchases(spark, sf_dir):
+    """Truncated EWMA (α=0.3, 12 lags) of hourly purchase value
+    (operators/timeseries.py ewma_smooth): per-term products of exact
+    decimals — the weight ladder literals come from ewma_weights, the
+    SAME function that builds this oracle's weight CTE, so there is no
+    pow()-ulp divergence between engines."""
+    from .operators.timeseries import ewma_smooth
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return ewma_smooth(ev, value_col="value", alpha=0.3, max_lag=12)
+
+
+def _ewma_weight_cte(alpha: float, max_lag: int) -> str:
+    from .operators.timeseries import ewma_weights
+
+    weights = ewma_weights(alpha, max_lag)
+    frac = max(len(w.split(".")[1]) if "." in w else 0 for w in weights)
+    prec = frac + 2
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS lag, CAST('{w}' AS DECIMAL({prec},{frac})) AS w"
+        for k, w in enumerate(weights)
+    )
+    return rows
+
+
+TS_EWMA_SQL = f"""
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t, value FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         CAST(round(sum(value::DOUBLE), 4) AS DECIMAL(18,4)) AS x
+  FROM ns GROUP BY 1
+), w AS (
+  {_ewma_weight_cte(0.3, 12)}
+), c AS (
+  -- widen x before the multiply: DuckDB executes DECIMAL(18)*DECIMAL(14)
+  -- in int64 and overflows; DECIMAL(24,4) forces hugeint, value unchanged
+  SELECT s.bucket + w.lag AS tb, CAST(s.x AS DECIMAL(24,4)) * w.w AS wx, w.w AS w
+  FROM s CROSS JOIN w
+), agg AS (
+  SELECT tb, count(*) AS nt, sum(wx) AS swx, sum(w) AS sw
+  FROM c JOIN (SELECT bucket FROM s) t ON t.bucket = c.tb
+  GROUP BY tb
+)
+SELECT tb::BIGINT AS bucket, nt::BIGINT AS n_terms,
+       round(swx::DOUBLE / sw::DOUBLE, 6) AS ewma
+FROM agg ORDER BY bucket
+"""
+
+
+def e_rfm_scores(spark, sf_dir):
+    """RFM segmentation (operators/events.py rfm_scores): the corpus
+    collapses in one groupBy(user); quintile scores via exact ntile
+    over the user-bounded table (the approx_buckets arm is the
+    corpus-scale path, equality-tested in
+    tests/test_rfm_attribution.py)."""
+    from .operators.events import rfm_scores
+
+    ev = _events(spark, sf_dir)
+    return rfm_scores(ev)
+
+
+E_RFM_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, value FROM events
+), pu AS (
+  SELECT user_id, max(t) AS last_t, count(*)::BIGINT AS frequency,
+         round(sum(coalesce(value, 0)::DOUBLE), 4) AS monetary
+  FROM ns GROUP BY 1
+), ref AS (
+  SELECT max(t) AS rt FROM ns
+), base AS (
+  SELECT user_id, ((rt - last_t) // 1000000000)::BIGINT AS recency_s,
+         frequency, monetary
+  FROM pu CROSS JOIN ref
+), scored AS (
+  SELECT user_id, recency_s, frequency, monetary,
+    (6 - ntile(5) OVER (ORDER BY (-recency_s)::DOUBLE DESC, user_id ASC))::INT
+      AS r_score,
+    (6 - ntile(5) OVER (ORDER BY frequency::DOUBLE DESC, user_id ASC))::INT
+      AS f_score,
+    (6 - ntile(5) OVER (ORDER BY monetary DESC, user_id ASC))::INT
+      AS m_score
+  FROM base
+)
+SELECT user_id, recency_s, frequency, monetary,
+       r_score, f_score, m_score,
+       (r_score * 100 + f_score * 10 + m_score)::INT AS rfm
+FROM scored ORDER BY user_id
+"""
+
+
+def e_attribution_credit(spark, sf_dir):
+    """Multi-touch attribution (operators/events.py attribution_credit):
+    purchases credit view/click touches in a 7-day lookback under
+    first/last/linear models at once. Per-user range join bounds the
+    fan-out; per-conversion windows share one shuffle; linear credits
+    accumulate as exact decimals."""
+    from .operators.events import attribution_credit
+
+    ev = _events(spark, sf_dir)
+    return attribution_credit(ev)
+
+
+E_ATTRIBUTION_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type FROM events
+), conv AS (
+  SELECT user_id, t AS cts, event_id AS cid FROM ns
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, t AS tts, event_id AS tid, event_type AS tt FROM ns
+  WHERE event_type IN ('view', 'click')
+), j AS (
+  SELECT cid, tt,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY tts ASC, tid ASC) AS ra,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY tts DESC, tid DESC) AS rd,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM conv JOIN touch USING (user_id)
+  WHERE tts < cts AND tts >= cts - 604800000000000
+)
+SELECT tt AS event_type, count(*)::BIGINT AS n_touches,
+       sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+       sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END)::BIGINT AS last_touch,
+       round(sum(CAST(round(1.0 / n, 9) AS DECIMAL(20,9)))::DOUBLE, 6)
+         AS linear_credit
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -8409,6 +8626,11 @@ QUERIES = {
 # sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
+    "ts_acf_hourly": ts_acf_hourly,
+    "ts_cusum_errors": ts_cusum_errors,
+    "ts_ewma_purchases": ts_ewma_purchases,
+    "e_rfm_scores": e_rfm_scores,
+    "e_attribution_credit": e_attribution_credit,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
@@ -8647,6 +8869,11 @@ ORACLES = {
 # Oracles for the EXTRA_QUERIES — same comparison protocol, run
 # in-repo (tests/test_extra_parity.py) instead of by the driver.
 EXTRA_ORACLES = {
+    "ts_acf_hourly": TS_ACF_SQL,
+    "ts_cusum_errors": TS_CUSUM_SQL,
+    "ts_ewma_purchases": TS_EWMA_SQL,
+    "e_rfm_scores": E_RFM_SQL,
+    "e_attribution_credit": E_ATTRIBUTION_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,

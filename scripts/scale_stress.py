@@ -330,6 +330,21 @@ def main():
 
         record("jaccard_linkpred", factor, timed(linkpred), n_li)
 
+        def countmin():
+            from mdataframe_spark.operators.sketches import count_min_estimates
+
+            # fixed 30-key probe set against a sketch whose cell table
+            # is depth*width REGARDLESS of key cardinality — the
+            # bounded dimension this row certifies
+            probes = (
+                li.select("l_partkey").distinct().orderBy("l_partkey").limit(30)
+            )
+            count_min_estimates(
+                li, "l_partkey", probes, depth=3, width=1024
+            ).write.format("noop").mode("overwrite").save()
+
+        record("count_min_estimates", factor, timed(countmin), n_li)
+
         liq = inflate_liqty(spark, factor)
         n_liq = liq.count()
 
@@ -341,6 +356,24 @@ def main():
             ).write.format("noop").mode("overwrite").save()
 
         record("spearman_rho", factor, timed(spearman), n_liq)
+
+        def spearman_quantized():
+            from mdataframe_spark.operators.stats_tests import spearman_rho
+
+            # the documented knob in action: quantizing the continuous
+            # column upstream (here to cents) bounds the distinct-value
+            # rank tables, so the single-partition rank windows stay
+            # model-sized no matter how the corpus grows
+            spearman_rho(
+                liq.select(
+                    "l_quantity",
+                    F.round("l_extendedprice", 0).alias("l_extendedprice"),
+                ),
+                "l_quantity",
+                "l_extendedprice",
+            ).write.format("noop").mode("overwrite").save()
+
+        record("spearman_rho_quantized", factor, timed(spearman_quantized), n_liq)
 
         events = inflate_events(spark, factor)
         n_events = events.count()
@@ -374,6 +407,28 @@ def main():
             ).save()
 
         record("srp_embedding_neardup", factor, timed(srp), n_vecs)
+
+        def nc_confusion():
+            from mdataframe_spark.operators.evaluation import confusion_metrics
+            from mdataframe_spark.operators.similarity import (
+                nearest_centroid_predict,
+            )
+
+            # 10 classes regardless of corpus size: the centroid agg is
+            # classes*dim scalars, scoring is a broadcast argmax, and
+            # confusion collapses the corpus in one groupBy(label, pred)
+            # — everything downstream is the 10x10 matrix
+            labeled = vecs.select(
+                "vec_id",
+                F.pmod(F.col("vec_id"), F.lit(10)).alias("label"),
+                "embedding",
+            )
+            pred = nearest_centroid_predict(labeled)
+            confusion_metrics(pred, "label", "pred").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("nearest_centroid_confusion", factor, timed(nc_confusion), n_vecs)
 
     lines = [
         "# SCALE.md — inflated-input stress measurements",
@@ -468,6 +523,22 @@ def main():
         "windows are single-partition over those tables, so quantize",
         "continuous inputs upstream (the auc score_decimals knob) to",
         "keep them model-sized; the per-pair join work is linear.",
+        "`spearman_rho_quantized` runs the SAME inflated input with the",
+        "price rounded to integer dollars first — the knob in action:",
+        "the distinct-value tables stop growing with the corpus, so the",
+        "rank windows stay model-sized and the ratio tracks the linear",
+        "scan/join work, not the window.",
+        "",
+        "Round-9 entries: `count_min_estimates` certifies the sketch's",
+        "bounded dimension — the cell table is depth×width (3×1024)",
+        "REGARDLESS of key cardinality, so growth is the linear",
+        "explode+groupBy over the key stream; the probe join is against",
+        "a broadcast constant-size cell table.",
+        "`nearest_centroid_confusion` is bounded by classes×dim: one",
+        "partial-agged posexplode pass fits 10 centroids, scoring is a",
+        "broadcast nested-loop argmax (zero shuffles), and the",
+        "confusion matrix collapses the corpus in one",
+        "groupBy(label, pred) — downstream work is the 10×10 matrix.",
         "",
         "Round-6-continuation entries: `bloom_decontaminate` is",
         "near-flat because the probe is a map over the gram stream",
