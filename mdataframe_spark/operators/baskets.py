@@ -493,3 +493,158 @@ def jaccard_link_prediction(
     return out.orderBy(
         F.col("jaccard").desc(), F.col("id_x").asc(), F.col("id_y").asc()
     ).limit(top_k)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    basket_cap: int = DEFAULT_DF_CAP,
+    top_k: int = 100,
+) -> DataFrame:
+    """Directed association rules from market baskets: every
+    co-occurring pair (from :func:`co_occurrence_pairs`, so the same
+    cap/min_count discipline) yields the two rules a→b and b→a with
+    the classic trio — support = co/N, confidence = co/n(antecedent),
+    lift = N·co / (n(a)·n(b)) — deterministic top-``top_k`` by lift
+    (ties → antecedent, consequent). The "people who bought X also
+    bought Y, and how reliably" view on top of the co-occurrence edge
+    set.
+
+    Plan shape: everything corpus-scale happens inside
+    co_occurrence_pairs (ONE bucket-frame shuffle); rule direction is
+    a 2× union of the pair table (pair-bounded); support/confidence
+    derive from the SAME integer counts both engines see, the only
+    float ops being the final rounded divisions. The basket count N
+    for support is recomputed from the capped distinct frame with
+    exactly the cap discipline co_occurrence_pairs uses for lift, so
+    both denominators describe the same pairing population.
+    """
+    pairs = co_occurrence_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_count=min_count,
+        basket_cap=basket_cap,
+        with_stats=True,
+    )
+    # n_baskets is embedded in lift by co_occurrence_pairs; recover the
+    # SAME value relationally would re-shuffle, so recompute it the way
+    # co_occurrence_pairs does: from the capped distinct frame. The
+    # duplication is two cheap aggregations over the already-shuffled
+    # distinct projection; correctness is pinned by the fixture tests.
+    from .dedup import ensure_parallelism
+
+    items = ensure_parallelism(
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+    ).distinct()
+    capped = cap_hot_keys(items, ["__b"], basket_cap, "basket")
+    n_baskets = capped.select("__b").distinct().count()
+    fwd = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_co",
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+        "lift",
+    )
+    rev = pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_co",
+        F.col("n_b").alias("n_ante"),
+        F.col("n_a").alias("n_cons"),
+        "lift",
+    )
+    rules = fwd.unionByName(rev).select(
+        "antecedent",
+        "consequent",
+        "n_co",
+        "n_ante",
+        "n_cons",
+        F.round(F.col("n_co") / F.lit(float(n_baskets)), 6).alias("support"),
+        F.round(F.col("n_co") / F.col("n_ante"), 6).alias("confidence"),
+        "lift",
+    )
+    return rules.orderBy(
+        F.col("lift").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(top_k)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph
+    (Newman 2002): the Pearson correlation of the degrees at the two
+    ends of every edge, over BOTH orientations. Positive = hubs link
+    to hubs (social networks), negative = hubs link to leaves
+    (catalogs, the web). Returns ONE row: (n_nodes, n_edges,
+    n_directed, assortativity).
+
+    Plan shape: edges dedupe once; degrees are one explode+groupBy
+    (node-bounded); the directed edge list joins the broadcast degree
+    table twice; the five moment sums accumulate in DECIMAL(38,0)
+    (deg² terms scale past int64 on hub-heavy graphs — the spearman
+    convention) and the coefficient is one scalar double expression
+    over the exact pieces, so the oracle replays it bit-for-bit.
+    Degenerate graphs (all degrees equal → zero variance) return NULL.
+    """
+    e = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("__x"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
+    ).filter(F.col("__x") != F.col("__y")).distinct()
+    e = _persist_tracked(e)
+    deg = (
+        e.select(F.col("__x").alias("__v"))
+        .unionByName(e.select(F.col("__y").alias("__v")))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__d"))
+    )
+    directed = e.select(
+        F.col("__x").alias("__s"), F.col("__y").alias("__t")
+    ).unionByName(
+        e.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
+    )
+    ds = deg.select(F.col("__v").alias("__s"), F.col("__d").alias("__dx"))
+    dt = deg.select(F.col("__v").alias("__t"), F.col("__d").alias("__dy"))
+    m = (
+        directed.join(F.broadcast(ds), "__s")
+        .join(F.broadcast(dt), "__t")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__dx").alias("__sx"),
+            F.sum("__dy").alias("__sy"),
+            F.sum(F.col("__dx") * F.col("__dy")).alias("__sxy"),
+            F.sum(F.col("__dx") * F.col("__dx")).alias("__sxx"),
+            F.sum(F.col("__dy") * F.col("__dy")).alias("__syy"),
+        )
+    )
+    n_nodes = deg.count()
+    num = (
+        F.col("__n") * F.col("__sxy").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sy").cast("double")
+    )
+    varx = (
+        F.col("__n") * F.col("__sxx").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sx").cast("double")
+    )
+    vary = (
+        F.col("__n") * F.col("__syy").cast("double")
+        - F.col("__sy").cast("double") * F.col("__sy").cast("double")
+    )
+    return m.select(
+        F.lit(int(n_nodes)).cast("bigint").alias("n_nodes"),
+        (F.col("__n") / 2).cast("bigint").alias("n_edges"),
+        F.col("__n").cast("bigint").alias("n_directed"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(num / F.sqrt(varx * vary), 6),
+        ).alias("assortativity"),
+    )

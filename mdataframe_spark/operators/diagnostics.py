@@ -343,3 +343,114 @@ def candidate_keys(df: DataFrame, candidates) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def benford_expected() -> list[str]:
+    """Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as
+    12-dp decimal strings. ONE implementation shared by the Spark plan
+    and the SQL-oracle builder (the ewma_weights convention) — both
+    engines embed the same literals, so no log10() ulp divergence."""
+    import math
+
+    return [f"{math.log10(1.0 + 1.0 / d):.12f}" for d in range(1, 10)]
+
+
+def benford_test(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fabricated-data / unit-mixing screen for financial
+    and measurement columns. Returns 9 rows (digit, n_observed,
+    p_expected, n_expected, chi2_term) with chi2_term =
+    (O − E)² / E; Σ chi2_term vs χ²(8) is the test statistic (the
+    caller's threshold — this reports the spectrum, the
+    data-quality-gate convention of dq_expectations).
+
+    Determinism: the first digit is extracted ARITHMETICALLY from
+    round(x·100) as a BIGINT string prefix (never from double
+    formatting, which differs between engines); expected probabilities
+    are shared 12-dp literals from :func:`benford_expected`; E rounds
+    to 6 dp before the χ² term so both engines divide identical
+    numbers. Rows with x·100 < 1 (zero/negative/sub-cent) are
+    excluded — they have no Benford digit.
+
+    Plan shape: ONE partial-agged groupBy(digit) collapses the corpus;
+    the 9-row spine join and χ² arithmetic run on the digit table.
+    """
+    v = F.round(F.col(col).cast("double") * 100, 0).cast("bigint")
+    digits = (
+        df.select(v.alias("__v"))
+        .filter(F.col("__v") >= 1)
+        .select(F.substring(F.col("__v").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_observed"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, p) for d, p in zip(range(1, 10), benford_expected())],
+        "digit INT, p_str STRING",
+    ).select("digit", F.col("p_str").cast("double").alias("p_expected"))
+    tot = digits.agg(F.sum("n_observed").alias("__n"))
+    joined = (
+        spine.join(F.broadcast(digits), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_observed", F.lit(0)).cast("bigint").alias(
+                "n_observed"
+            ),
+            "p_expected",
+            F.round(F.col("__n") * F.col("p_expected"), 6).alias(
+                "n_expected"
+            ),
+        )
+    )
+    diff = F.col("n_observed") - F.col("n_expected")
+    return joined.select(
+        "digit",
+        "n_observed",
+        "p_expected",
+        "n_expected",
+        F.round(diff * diff / F.col("n_expected"), 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols,
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the companion gate
+    to :func:`k_anonymity`: a k-anonymous equivalence class is still
+    re-identifying if every member shares the same SENSITIVE value.
+    Reports each quasi-identifier class with its size and the number
+    of distinct sensitive values, flagging classes below ``l``.
+    Returns (quasi..., n_rows, n_sensitive, meets_l) ordered by the
+    quasi columns.
+
+    Plan shape: ONE partial-agged groupBy over (quasi, sensitive)
+    collapses the corpus; class sizes and distinct-sensitive counts
+    are a second aggregation of that (class × value)-bounded table —
+    count_distinct never sees raw rows. NULL sensitive values count as
+    a distinct value (they are an observable bucket to an attacker).
+    """
+    quasi_cols = (
+        [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    )
+    pair = df.groupBy(
+        *quasi_cols,
+        F.coalesce(F.col(sensitive_col).cast("string"), F.lit("__null__")).alias(
+            "__sv"
+        ),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pair.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+        )
+        .withColumn("meets_l", F.col("n_sensitive") >= int(l))
+        .orderBy(*quasi_cols)
+    )

@@ -1363,3 +1363,90 @@ def tfidf_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def keyword_llr(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 3,
+) -> DataFrame:
+    """Distinctive keywords per group by Dunning's log-likelihood
+    ratio (G², Dunning 1993): for each (group, token), the 2×2
+    contingency of token-in-group vs token-elsewhere, scored
+    G² = 2·Σ k_ij·ln(k_ij·N / (row_i·col_j)) over the non-zero cells —
+    the corpus-vs-subcorpus "what words make this source different"
+    view that TF-IDF (per-document) does not answer. Only
+    OVERREPRESENTED tokens qualify as keywords (k11·N > row·col);
+    returns top-``k`` per group (ties → token asc):
+    (group, token, n_in_group, n_elsewhere, llr, rank).
+
+    Plan shape: ONE (group, token) groupBy collapses the corpus
+    (whitespace tokens, the tfidf_topk convention); token totals are a
+    vocab-bounded aggregation broadcast back; group totals and N are
+    groups-bounded; the ranking window partitions by group over the
+    vocab-bounded score table. G² terms are double ln over exact
+    integer ratios, rounded 6 dp at the end (the PMI convention).
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    gt = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k11")
+    )
+    tok_tot = gt.groupBy("__t").agg(F.sum("k11").alias("__ct"))
+    grp_tot = gt.groupBy("__g").agg(F.sum("k11").alias("__rg"))
+    n_tot = gt.agg(F.sum("k11").alias("__N"))
+    cells = (
+        gt.join(F.broadcast(tok_tot), "__t")
+        .join(F.broadcast(grp_tot), "__g")
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("k11") >= int(min_count))
+    )
+    k11 = F.col("k11").cast("double")
+    k12 = (F.col("__ct") - F.col("k11")).cast("double")
+    k21 = (F.col("__rg") - F.col("k11")).cast("double")
+    k22 = (
+        F.col("__N") - F.col("__rg") - F.col("__ct") + F.col("k11")
+    ).cast("double")
+    n = F.col("__N").cast("double")
+
+    def _term(kc, row, colsum):
+        # k·ln(k·N / (row·col)); zero cells contribute zero
+        return F.when(
+            kc > 0, kc * F.log(kc * n / (row * colsum))
+        ).otherwise(F.lit(0.0))
+
+    # table orientation: rows = token/not-token, cols = group/rest —
+    # row1 = ct (token total), row2 = N - ct; col1 = rg, col2 = N - rg
+    c1 = F.col("__rg").cast("double")
+    c2 = (F.col("__N") - F.col("__rg")).cast("double")
+    rr1 = F.col("__ct").cast("double")
+    rr2 = (F.col("__N") - F.col("__ct")).cast("double")
+    llr = 2.0 * (
+        _term(k11, rr1, c1)
+        + _term(k12, rr1, c2)
+        + _term(k21, rr2, c1)
+        + _term(k22, rr2, c2)
+    )
+    scored = cells.filter(
+        k11 * n > rr1 * c1  # overrepresented in the group only
+    ).select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias("token"),
+        F.col("k11").alias("n_in_group"),
+        (F.col("__ct") - F.col("k11")).cast("bigint").alias("n_elsewhere"),
+        F.round(llr, 6).alias("llr"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("llr").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .orderBy(group_col, "rank")
+    )

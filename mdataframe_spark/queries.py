@@ -8553,6 +8553,251 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-9 wave B: association rules, graph assortativity, Benford audit,
+# l-diversity, LLR keywords.
+
+
+def rec_association_rules(spark, sf_dir):
+    """Directed association rules with support/confidence/lift
+    (operators/baskets.py association_rules): built on the capped
+    co-occurrence pair table (one bucket-frame shuffle); rule
+    direction is a 2x union of the pair-bounded table; deterministic
+    top-100 by lift."""
+    from .operators.baskets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_count=3, top_k=100
+    )
+
+
+REC_RULES_SQL = """
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
+), tot AS (
+  SELECT i, count(*)::BIGINT AS n FROM items GROUP BY i
+), nb AS (
+  SELECT count(DISTINCT b)::BIGINT AS nbk FROM items
+), p AS (
+  SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS n_co
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), pe AS (
+  SELECT ia, ib, n_co, ta.n AS na, tb.n AS ncb,
+         round(CAST(nbk AS DOUBLE) * n_co / (ta.n * tb.n), 6) AS lift
+  FROM p JOIN tot ta ON ia = ta.i JOIN tot tb ON ib = tb.i, nb
+), rules AS (
+  SELECT ia AS antecedent, ib AS consequent, n_co,
+         na AS n_ante, ncb AS n_cons, lift FROM pe
+  UNION ALL
+  SELECT ib, ia, n_co, ncb, na, lift FROM pe
+)
+SELECT antecedent, consequent, n_co, n_ante, n_cons,
+       round(n_co / (SELECT nbk FROM nb)::DOUBLE, 6) AS support,
+       round(n_co / n_ante::DOUBLE, 6) AS confidence,
+       lift
+FROM rules
+ORDER BY lift DESC, antecedent ASC, consequent ASC
+LIMIT 100
+"""
+
+
+def gr_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph
+    (operators/baskets.py degree_assortativity): Pearson correlation
+    of endpoint degrees over both edge orientations, moment sums in
+    DECIMAL(38,0) (the spearman convention), coefficient as one
+    scalar double expression."""
+    from .operators.baskets import co_occurrence_pairs, degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return degree_assortativity(pairs)
+
+
+GR_ASSORT_SQL = """
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
+), e AS (
+  SELECT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), deg AS (
+  -- DECIMAL(18,0) keeps the product width <= 38 (DuckDB raises past
+  -- it); Spark accumulates the same exact values in DECIMAL(38,0)
+  SELECT v, CAST(count(*) AS DECIMAL(18,0)) AS d FROM (
+    SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e
+  ) GROUP BY v
+), directed AS (
+  SELECT x AS s, y AS t FROM e UNION ALL SELECT y AS s, x AS t FROM e
+), m AS (
+  SELECT count(*) AS n, sum(dx.d) AS sx, sum(dy.d) AS sy,
+         sum(dx.d * dy.d) AS sxy, sum(dx.d * dx.d) AS sxx,
+         sum(dy.d * dy.d) AS syy
+  FROM directed JOIN deg dx ON s = dx.v JOIN deg dy ON t = dy.v
+), nn AS (
+  SELECT count(*)::BIGINT AS n_nodes FROM deg
+)
+SELECT n_nodes, (n / 2)::BIGINT AS n_edges, n::BIGINT AS n_directed,
+       CASE WHEN (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN round(
+              (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+              / sqrt((n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * (n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+              6)
+       END AS assortativity
+FROM m CROSS JOIN nn
+"""
+
+
+def dq_benford(spark, sf_dir):
+    """Benford first-digit audit of extended price
+    (operators/diagnostics.py benford_test): one groupBy(digit)
+    collapses the corpus; expected probabilities are shared 12-dp
+    literals (benford_expected builds BOTH this plan and the oracle's
+    spine), digits extracted arithmetically from bigint strings."""
+    from .operators.diagnostics import benford_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_test(li, "l_extendedprice")
+
+
+def _benford_spine_cte() -> str:
+    from .operators.diagnostics import benford_expected
+
+    return " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST('{p}' AS DOUBLE) AS p_expected"
+        for d, p in zip(range(1, 10), benford_expected())
+    )
+
+
+DQ_BENFORD_SQL = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice::DOUBLE * 100, 0) AS BIGINT) AS v
+  FROM lineitem
+), d AS (
+  SELECT CAST(substr(v::VARCHAR, 1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS n_observed
+  FROM v WHERE v >= 1 GROUP BY 1
+), spine AS (
+  {_benford_spine_cte()}
+), tot AS (
+  SELECT sum(n_observed) AS n FROM d
+), j AS (
+  SELECT spine.digit, coalesce(n_observed, 0)::BIGINT AS n_observed,
+         p_expected, round(n * p_expected, 6) AS n_expected
+  FROM spine LEFT JOIN d ON spine.digit = d.digit CROSS JOIN tot
+)
+SELECT digit, n_observed, p_expected, n_expected,
+       round((n_observed - n_expected) * (n_observed - n_expected)
+             / n_expected, 6) AS chi2_term
+FROM j ORDER BY digit
+"""
+
+
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/diagnostics.py l_diversity) of
+    customer balance bands within (nation, segment) classes — the
+    companion privacy gate to dq_k_anonymity: one (quasi, sensitive)
+    groupBy collapses the corpus, the report re-aggregates the
+    class x value table."""
+    from .operators.diagnostics import l_diversity
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 100).cast("bigint")
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3
+    )
+
+
+DQ_LDIV_SQL = """
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         coalesce(CAST(floor(c_acctbal::DOUBLE / 100) AS VARCHAR),
+                  '__null__') AS sv
+  FROM customer
+), pair AS (
+  SELECT c_nationkey, c_mktsegment, sv, count(*) AS n
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_sensitive, count(*) >= 3 AS meets_l
+FROM pair GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def txt_keyword_llr(spark, sf_dir):
+    """Dunning G2 distinctive keywords per source
+    (operators/text.py keyword_llr): one (source, token) groupBy
+    collapses the corpus; the 2x2 contingency scores run on the
+    vocab-bounded table; top-5 per source."""
+    from .operators.text import keyword_llr
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_llr(docs, "source", "text", k=5, min_count=3)
+
+
+TXT_LLR_SQL = r"""
+WITH toks AS (
+  SELECT source AS g, unnest(string_split(
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+), gt AS (
+  SELECT g, t, count(*)::BIGINT AS k11 FROM toks WHERE t <> '' GROUP BY g, t
+), ctt AS (
+  SELECT t, sum(k11) AS ct FROM gt GROUP BY t
+), rgt AS (
+  SELECT g, sum(k11) AS rg FROM gt GROUP BY g
+), nt AS (
+  SELECT sum(k11) AS N FROM gt
+), cells AS (
+  SELECT gt.g, gt.t, k11, ct, rg, N
+  FROM gt JOIN ctt USING (t) JOIN rgt USING (g) CROSS JOIN nt
+  WHERE k11 >= 3
+), scored AS (
+  SELECT g, t, k11, (ct - k11)::BIGINT AS n_elsewhere,
+         round(2.0 * (
+           CASE WHEN k11 > 0
+                THEN k11::DOUBLE * ln(k11::DOUBLE * N::DOUBLE
+                                      / (ct::DOUBLE * rg::DOUBLE))
+                ELSE 0 END
+         + CASE WHEN (ct - k11) > 0
+                THEN (ct - k11)::DOUBLE * ln((ct - k11)::DOUBLE * N::DOUBLE
+                       / (ct::DOUBLE * (N - rg)::DOUBLE))
+                ELSE 0 END
+         + CASE WHEN (rg - k11) > 0
+                THEN (rg - k11)::DOUBLE * ln((rg - k11)::DOUBLE * N::DOUBLE
+                       / ((N - ct)::DOUBLE * rg::DOUBLE))
+                ELSE 0 END
+         + CASE WHEN (N - rg - ct + k11) > 0
+                THEN (N - rg - ct + k11)::DOUBLE
+                     * ln((N - rg - ct + k11)::DOUBLE * N::DOUBLE
+                          / ((N - ct)::DOUBLE * (N - rg)::DOUBLE))
+                ELSE 0 END
+         ), 6) AS llr
+  FROM cells
+  WHERE k11::DOUBLE * N::DOUBLE > ct::DOUBLE * rg::DOUBLE
+), ranked AS (
+  SELECT g AS source, t AS token, k11 AS n_in_group, n_elsewhere, llr,
+         row_number() OVER (
+           PARTITION BY g ORDER BY llr DESC, t ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT source, token, n_in_group, n_elsewhere, llr, rank
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -8631,6 +8876,11 @@ EXTRA_QUERIES = {
     "ts_ewma_purchases": ts_ewma_purchases,
     "e_rfm_scores": e_rfm_scores,
     "e_attribution_credit": e_attribution_credit,
+    "rec_association_rules": rec_association_rules,
+    "gr_assortativity": gr_assortativity,
+    "dq_benford": dq_benford,
+    "dq_l_diversity": dq_l_diversity,
+    "txt_keyword_llr": txt_keyword_llr,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
@@ -8874,6 +9124,11 @@ EXTRA_ORACLES = {
     "ts_ewma_purchases": TS_EWMA_SQL,
     "e_rfm_scores": E_RFM_SQL,
     "e_attribution_credit": E_ATTRIBUTION_SQL,
+    "rec_association_rules": REC_RULES_SQL,
+    "gr_assortativity": GR_ASSORT_SQL,
+    "dq_benford": DQ_BENFORD_SQL,
+    "dq_l_diversity": DQ_LDIV_SQL,
+    "txt_keyword_llr": TXT_LLR_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,
