@@ -632,3 +632,163 @@ def embedding_drift(
         F.when(both, cos).alias("centroid_cosine"),
         F.round(F.when(both, 1.0 - cos), 6).alias("drift"),
     ).orderBy(label_col)
+
+
+def scalar_quantization_report(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension scalar-quantization (SQ) audit: fit the classic
+    min/max int-``bits`` quantizer per dimension, reconstruct, and
+    report the error spectrum — the "can I ship int8 embeddings"
+    check before swapping a float ANN index for a quantized one
+    (4× memory, and SQ is what IVF/HNSW indexes deploy most).
+    Returns ``dim`` rows: (p, x_min, x_max, n, mean_abs_err,
+    max_abs_err) ordered by dimension index p.
+
+    Determinism: x_min/x_max are exact (no summation); scale, codes
+    and reconstructions are identical IEEE expressions in both
+    engines (round() ties away from zero on the non-negative code
+    scale in both); per-element |err| rounds to 9 dp and accumulates
+    as DECIMAL(18,9) — order-independent — with one double division
+    at the end. Constant dimensions (min = max) quantize to code 0
+    with zero error.
+
+    Scale shape: TWO partial-agged corpus passes (per-dimension
+    min/max, then the error agg after broadcasting the dim-bounded
+    stats back); everything else is dim-bounded.
+    """
+    if dim is None:
+        row = emb.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "scalar_quantization_report: empty input — pass dim "
+                "explicitly if the frame may legitimately be empty"
+            )
+        dim = len(row[vec_col])
+    levels = (1 << bits) - 1
+    pos = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__x")
+    )
+    stats = pos.groupBy("__p").agg(
+        F.min("__x").alias("x_min"), F.max("__x").alias("x_max")
+    )
+    scale = (F.col("x_max") - F.col("x_min")) / F.lit(float(levels))
+    code = F.when(
+        F.col("x_max") > F.col("x_min"),
+        F.round((F.col("__x") - F.col("x_min")) / scale, 0),
+    ).otherwise(F.lit(0.0))
+    recon = F.when(
+        F.col("x_max") > F.col("x_min"),
+        F.col("x_min") + code * scale,
+    ).otherwise(F.col("x_min"))
+    err = (
+        pos.join(F.broadcast(stats), "__p")
+        .select(
+            "__p",
+            "x_min",
+            "x_max",
+            F.round(F.abs(F.col("__x") - recon), 9)
+            .cast("decimal(18,9)")
+            .alias("__e"),
+        )
+        .groupBy("__p", "x_min", "x_max")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__e").alias("__se"),
+            F.max("__e").alias("__me"),
+        )
+    )
+    return err.select(
+        F.col("__p").cast("int").alias("p"),
+        "x_min",
+        "x_max",
+        "n",
+        F.round(F.col("__se").cast("double") / F.col("n"), 6).alias(
+            "mean_abs_err"
+        ),
+        F.col("__me").cast("double").alias("max_abs_err"),
+    ).orderBy("p")
+
+
+def matryoshka_energy(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dims: Sequence[int] = (8, 16, 32),
+    full_dim: Optional[int] = None,
+) -> DataFrame:
+    """Prefix-energy audit for matryoshka-style truncation: for each
+    candidate prefix length d, the fraction of every vector's squared
+    L2 norm captured by its first d components — the cheap proxy for
+    "how much cosine structure survives truncating the index to d
+    dims" (energy 1.0 = truncation is lossless for that vector).
+    Returns one row per d: (dim, n_vectors, mean_energy, min_energy,
+    frac_above_90) ordered by dim.
+
+    Determinism: per-vector energy is a ratio of two unrolled
+    sequential dot folds (the :func:`dot` convention — same
+    association order as the oracle's list_dot_product), rounded 9 dp
+    and accumulated as DECIMAL(18,9); zero vectors are excluded (no
+    energy to apportion). Scale shape: ONE corpus pass per d over the
+    same scan (Catalyst collapses the union of projections), outputs
+    len(dims) rows.
+    """
+    if full_dim is None:
+        row = emb.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "matryoshka_energy: empty input — pass full_dim "
+                "explicitly if the frame may legitimately be empty"
+            )
+        full_dim = len(row[vec_col])
+    v = F.col(vec_col).cast("array<double>")
+    # materialize the full-norm ONCE per row in its own projection:
+    # repeating the unrolled full_dim-term dot inside every prefix's
+    # CASE blows janino's 64 KB method limit (codegen falls back to
+    # interpreted AND re-evaluates the norm) — two stacked projections
+    # keep each expression codegen-able and the norm single-evaluated
+    vv = emb.select(v.alias("__v"))
+    base = vv.select(
+        "__v", dot(F.col("__v"), F.col("__v"), full_dim).alias("__f")
+    )
+    parts = []
+    for d in dims:
+        if not 0 < d <= full_dim:
+            raise ValueError(
+                f"matryoshka_energy: dim {d} outside 1..{full_dim}"
+            )
+        pref = dot(F.col("__v"), F.col("__v"), d)
+        # zero-norm guard as a FILTER BEFORE the division (never a
+        # CASE around it): ANSI mode raises on 0/0, and a post-hoc
+        # isNotNull filter would be predicate-pushed below the
+        # projection, duplicating the whole unrolled expression past
+        # janino's 64 KB method limit (observed: codegen fallback)
+        parts.append(
+            base.filter(F.col("__f") > 0).select(
+                F.lit(int(d)).alias("dim"),
+                F.round(pref / F.col("__f"), 9)
+                .cast("decimal(18,9)")
+                .alias("__e"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.sum("__e").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_energy"
+            ),
+            F.min("__e").cast("double").alias("min_energy"),
+            F.round(
+                F.sum(F.when(F.col("__e") >= 0.9, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_above_90"),
+        )
+        .orderBy("dim")
+    )

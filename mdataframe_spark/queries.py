@@ -8798,6 +8798,70 @@ ORDER BY source, rank
 """
 
 
+def sim_scalar_quantization(spark, sf_dir):
+    """Scalar-quantization audit (operators/similarity.py
+    scalar_quantization_report): per-dimension int8 min/max quantizer
+    fit + reconstruction-error spectrum; two partial-agged corpus
+    passes, everything else dim-bounded."""
+    from .operators.similarity import scalar_quantization_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return scalar_quantization_report(emb, dim=64)
+
+
+SIM_SQ_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), pos AS (
+  SELECT i - 1 AS p, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+), stats AS (
+  SELECT p, min(x) AS x_min, max(x) AS x_max FROM pos GROUP BY p
+), err AS (
+  SELECT pos.p, x_min, x_max,
+         CAST(round(abs(x - (CASE WHEN x_max > x_min
+             THEN x_min + round((x - x_min) / ((x_max - x_min) / 255.0), 0)
+                  * ((x_max - x_min) / 255.0)
+             ELSE x_min END)), 9) AS DECIMAL(18,9)) AS e
+  FROM pos JOIN stats USING (p)
+)
+SELECT p::INT AS p, x_min, x_max, count(*)::BIGINT AS n,
+       round(sum(e)::DOUBLE / count(*), 6) AS mean_abs_err,
+       max(e)::DOUBLE AS max_abs_err
+FROM err GROUP BY p, x_min, x_max ORDER BY p
+"""
+
+
+def sim_matryoshka_energy(spark, sf_dir):
+    """Matryoshka prefix-energy audit (operators/similarity.py
+    matryoshka_energy): fraction of per-vector squared norm captured
+    by 8/16/32-dim prefixes — the truncation-quality proxy before
+    shrinking an ANN index; one corpus pass per prefix, 3-row output."""
+    from .operators.similarity import matryoshka_energy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_energy(emb, dims=(8, 16, 32), full_dim=64)
+
+
+SIM_MATRYOSHKA_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), en AS (
+  SELECT d.dim,
+         CAST(round(list_dot_product(v[1:d.dim], v[1:d.dim])
+                    / list_dot_product(v, v), 9) AS DECIMAL(18,9)) AS e
+  FROM e CROSS JOIN (SELECT unnest([8, 16, 32]) AS dim) d
+  WHERE list_dot_product(v, v) > 0
+)
+SELECT dim::INT AS dim, count(*)::BIGINT AS n_vectors,
+       round(sum(e)::DOUBLE / count(*), 6) AS mean_energy,
+       min(e)::DOUBLE AS min_energy,
+       round(sum(CASE WHEN e >= 0.9 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS frac_above_90
+FROM en GROUP BY dim ORDER BY dim
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -8881,6 +8945,8 @@ EXTRA_QUERIES = {
     "dq_benford": dq_benford,
     "dq_l_diversity": dq_l_diversity,
     "txt_keyword_llr": txt_keyword_llr,
+    "sim_scalar_quantization": sim_scalar_quantization,
+    "sim_matryoshka_energy": sim_matryoshka_energy,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
@@ -9129,6 +9195,8 @@ EXTRA_ORACLES = {
     "dq_benford": DQ_BENFORD_SQL,
     "dq_l_diversity": DQ_LDIV_SQL,
     "txt_keyword_llr": TXT_LLR_SQL,
+    "sim_scalar_quantization": SIM_SQ_SQL,
+    "sim_matryoshka_energy": SIM_MATRYOSHKA_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,
