@@ -109,6 +109,18 @@ HEADLINE = [
     "stat_brown_forsythe",
     "e_seasonal_profile",
     "dq_candidate_keys",
+    # round-9: the time-series decimal-accumulation battery (series
+    # collapse + lag join), the three-window RFM tiling, the per-user
+    # range-join attribution, the Benford digit collapse, the
+    # two-sided degree-moment correlation, the fixed-round k-core
+    # peel, and the zero-shuffle weighted reservoir
+    "ts_acf_hourly",
+    "e_rfm_scores",
+    "e_attribution_credit",
+    "dq_benford",
+    "gr_assortativity",
+    "gr_kcore",
+    "ds_weighted_reservoir",
 ]
 
 

@@ -26,6 +26,7 @@ def co_occurrence_pairs(
     min_count: int = 2,
     basket_cap: int = DEFAULT_DF_CAP,
     with_stats: bool = True,
+    include_n_baskets: bool = False,
 ) -> DataFrame:
     """Item pairs co-occurring in the same basket, with support counts
     and lift = N·co(a,b) / (n(a)·n(b)) — lift > 1 means the pair
@@ -96,22 +97,28 @@ def co_occurrence_pairs(
     tb = totals.select(
         F.col("__i").alias("item_b"), F.col("__n").alias("n_b")
     )
+    out_cols = [
+        F.col("item_a"),
+        F.col("item_b"),
+        F.col("n_co"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(
+            F.lit(float(n_baskets))
+            * F.col("n_co")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    ]
+    if include_n_baskets:
+        # expose the ALREADY-COMPUTED basket count as a constant column
+        # so consumers (association_rules' support denominator) never
+        # re-shuffle the corpus to recover it
+        out_cols.append(F.lit(int(n_baskets)).alias("n_baskets"))
     return (
         pairs.join(F.broadcast(ta), "item_a")
         .join(F.broadcast(tb), "item_b")
-        .select(
-            "item_a",
-            "item_b",
-            "n_co",
-            "n_a",
-            "n_b",
-            F.round(
-                F.lit(float(n_baskets))
-                * F.col("n_co")
-                / (F.col("n_a") * F.col("n_b")),
-                6,
-            ).alias("lift"),
-        )
+        .select(*out_cols)
     )
 
 
@@ -517,9 +524,9 @@ def association_rules(
     a 2× union of the pair table (pair-bounded); support/confidence
     derive from the SAME integer counts both engines see, the only
     float ops being the final rounded divisions. The basket count N
-    for support is recomputed from the capped distinct frame with
-    exactly the cap discipline co_occurrence_pairs uses for lift, so
-    both denominators describe the same pairing population.
+    for support rides out of co_occurrence_pairs as a constant column
+    (include_n_baskets) — the same capped population lift uses, with
+    no second corpus shuffle to recover it.
     """
     pairs = co_occurrence_pairs(
         df,
@@ -528,21 +535,8 @@ def association_rules(
         min_count=min_count,
         basket_cap=basket_cap,
         with_stats=True,
+        include_n_baskets=True,
     )
-    # n_baskets is embedded in lift by co_occurrence_pairs; recover the
-    # SAME value relationally would re-shuffle, so recompute it the way
-    # co_occurrence_pairs does: from the capped distinct frame. The
-    # duplication is two cheap aggregations over the already-shuffled
-    # distinct projection; correctness is pinned by the fixture tests.
-    from .dedup import ensure_parallelism
-
-    items = ensure_parallelism(
-        df.select(
-            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-        )
-    ).distinct()
-    capped = cap_hot_keys(items, ["__b"], basket_cap, "basket")
-    n_baskets = capped.select("__b").distinct().count()
     fwd = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
@@ -550,6 +544,7 @@ def association_rules(
         F.col("n_a").alias("n_ante"),
         F.col("n_b").alias("n_cons"),
         "lift",
+        "n_baskets",
     )
     rev = pairs.select(
         F.col("item_b").alias("antecedent"),
@@ -558,6 +553,7 @@ def association_rules(
         F.col("n_b").alias("n_ante"),
         F.col("n_a").alias("n_cons"),
         "lift",
+        "n_baskets",
     )
     rules = fwd.unionByName(rev).select(
         "antecedent",
@@ -565,7 +561,9 @@ def association_rules(
         "n_co",
         "n_ante",
         "n_cons",
-        F.round(F.col("n_co") / F.lit(float(n_baskets)), 6).alias("support"),
+        F.round(
+            F.col("n_co") / F.col("n_baskets").cast("double"), 6
+        ).alias("support"),
         F.round(F.col("n_co") / F.col("n_ante"), 6).alias("confidence"),
         "lift",
     )
@@ -647,4 +645,67 @@ def degree_assortativity(
             (varx > 0) & (vary > 0),
             F.round(num / F.sqrt(varx * vary), 6),
         ).alias("assortativity"),
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling: repeatedly drop
+    vertices whose degree in the SURVIVING subgraph is below ``k``
+    (removing a leaf can demote its neighbors, hence the iteration).
+    The k-core is the classic "dense backbone" extraction — spam rings
+    in link graphs, the stable catalog core in co-purchase networks.
+    Returns the surviving vertices after ``rounds`` peels with their
+    in-core degree: (v, core_degree) ordered by v.
+
+    Fixed rounds, not convergence detection (the pagerank convention):
+    no driver round-trips, and a SQL engine replays the identical
+    peeling schedule — everything here is INTEGER degrees, so the
+    replay is exact with no rounding discipline needed at all. Peeling
+    converges once no round removes a vertex; choose ``rounds`` ≥ the
+    expected peel depth (each round removes at least one vertex until
+    the fixed point, and real graphs fix within a few rounds —
+    tests assert the fixed point on the testdata graph).
+
+    Plan shape per round: one vertex-keyed groupBy (degree) + two
+    semi joins of the edge list against the (node-bounded) survivor
+    set; the edge frame is localCheckpointed each round to keep the
+    lineage flat (the connected-components discipline). Edges come
+    from the bounded candidate generators, so every structure here is
+    model-sized, never corpus-sized.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    und = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("__x"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
+    ).filter(F.col("__x") != F.col("__y")).distinct()
+    active = und.select(
+        F.col("__x").alias("__s"), F.col("__y").alias("__t")
+    ).unionByName(
+        und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
+    )
+    active = _local_checkpoint_tracked(active)
+    for _ in range(rounds):
+        deg = active.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= int(k)).select("__s")
+        active = (
+            active.join(F.broadcast(keep), "__s", "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("__s").alias("__t"))),
+                "__t",
+                "left_semi",
+            )
+        )
+        active = _local_checkpoint_tracked(active)
+    return (
+        active.groupBy(F.col("__s").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .filter(F.col("core_degree") >= int(k))
+        .orderBy("v")
     )

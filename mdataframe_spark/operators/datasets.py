@@ -905,3 +905,49 @@ def bootstrap_mean_ci(
         .crossJoin(F.broadcast(hi))
         .withColumn("n_replicates", F.lit(int(n_replicates)))
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sample-without-replacement of ``k`` rows by the
+    Efraimidis–Spirakis A-ES scheme: each row draws a deterministic
+    uniform u from the md5 of its key and competes with priority
+    ln(u)/w — the k largest priorities are EXACTLY a weighted
+    reservoir sample, and because u is a pure function of the key the
+    sample is reproducible across runs, partitionings, and engines
+    (the split_hash_u property, shifted by +0.5/2^32 so u is strictly
+    inside (0,1) and ln never sees 0). Rows with non-positive or NULL
+    weight are excluded (they have no sampling mass).
+
+    Scale shape: priority is a zero-shuffle column expression over the
+    scan; top-k compiles to TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows — never a global sort). Ordering uses the
+    9-dp ROUNDED priority with the key as tiebreak, so the boundary at
+    rank k cannot flip on a 1-ulp ln() difference between engines.
+
+    Returns (key, weight, priority) ordered best-first.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))
+    )
+    u = (
+        F.conv(F.substring(h, 1, _HASH_HEX_CHARS), 16, 10).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(_HASH_SPACE)
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(key_col),
+            w.alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(int(k))
+    )

@@ -355,6 +355,29 @@ def benford_expected() -> list[str]:
     return [f"{math.log10(1.0 + 1.0 / d):.12f}" for d in range(1, 10)]
 
 
+def benford_digit_counts(df: DataFrame, col: str) -> DataFrame:
+    """The Benford sufficient statistic: (digit, n_observed) counts of
+    the first decimal digit of round(x·100) — a SUM monoid with at
+    most 9 state rows, so a streaming aggregation's running counts
+    after any prefix of micro-batches equal this batch collapse
+    (streaming/segments.py benford_stream delegates here). Rows with
+    x·100 < 1 are excluded (no Benford digit). The digit is extracted
+    arithmetically from the BIGINT's string form — never from double
+    formatting, which differs between engines."""
+    v = F.round(F.col(col).cast("double") * 100, 0).cast("bigint")
+    return (
+        df.select(v.alias("__v"))
+        .filter(F.col("__v") >= 1)
+        .select(
+            F.substring(F.col("__v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_observed"))
+    )
+
+
 def benford_test(
     df: DataFrame,
     col: str,
@@ -378,14 +401,7 @@ def benford_test(
     Plan shape: ONE partial-agged groupBy(digit) collapses the corpus;
     the 9-row spine join and χ² arithmetic run on the digit table.
     """
-    v = F.round(F.col(col).cast("double") * 100, 0).cast("bigint")
-    digits = (
-        df.select(v.alias("__v"))
-        .filter(F.col("__v") >= 1)
-        .select(F.substring(F.col("__v").cast("string"), 1, 1).cast("int").alias("digit"))
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_observed"))
-    )
+    digits = benford_digit_counts(df, col)
     spark = df.sparkSession
     spine = spark.createDataFrame(
         [(d, p) for d, p in zip(range(1, 10), benford_expected())],

@@ -483,6 +483,37 @@ def top_event_paths(
     return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(top_k)
 
 
+def rfm_state(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    _canonical: bool = False,
+) -> DataFrame:
+    """The per-user RFM sufficient statistic: (user, last_ts,
+    frequency, monetary) in ONE partial-agged groupBy — every field is
+    an associative/commutative monoid (max, count, DECIMAL sum of
+    per-event 4-dp values), so a streaming aggregation's running state
+    after any prefix of micro-batches equals this batch collapse over
+    the same rows (streaming/segments.py rfm_stream delegates here —
+    the cdc_stream convention). Monetary accumulates exactly: each
+    event's value rounds to 4 dp ONCE and sums as DECIMAL(18,4)
+    (order-independent), never a float sum rounded after the fact.
+
+    ``_canonical=True`` skips the timestamp canonicalization (caller
+    already ran :func:`_ns`)."""
+    d = df if _canonical else _ns(df, ts_col)
+    return d.groupBy(F.col(user_col)).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(
+            F.round(
+                F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)), 4
+            ).cast("decimal(18,4)")
+        ).alias("monetary"),
+    )
+
+
 def rfm_scores(
     df: DataFrame,
     user_col: str = "user_id",
@@ -494,7 +525,8 @@ def rfm_scores(
 ) -> DataFrame:
     """RFM segmentation: per-user Recency (seconds since last event,
     measured from the corpus max timestamp), Frequency (event count)
-    and Monetary (value sum, NULLs as 0, rounded 4 dp), each scored
+    and Monetary (exact DECIMAL sum of per-event 4-dp values, NULLs
+    as 0 — the :func:`rfm_state` collapse), each scored
     into ``n_buckets`` equal-count tiles with score ``n_buckets`` =
     best (most recent / most frequent / highest spend). Ties break on
     the user id, so the order is total and cross-engine deterministic.
@@ -513,21 +545,16 @@ def rfm_scores(
       never a global window), equality-tested against the exact arm.
     """
     d = _ns(df, ts_col)
-    per_user = d.groupBy(user_col).agg(
-        F.max(ts_col).alias("__last"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.round(
-            F.sum(F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))), 4
-        ).alias("monetary"),
-    )
+    per_user = rfm_state(d, user_col, ts_col, value_col, _canonical=True)
     ref = d.agg(F.max(ts_col).alias("__ref"))
     base = (
         per_user.crossJoin(F.broadcast(ref))
         .withColumn(
             "recency_s",
-            F.expr("(__ref - __last) div 1000000000").cast("bigint"),
+            F.expr("(__ref - last_ts) div 1000000000").cast("bigint"),
         )
-        .drop("__last", "__ref")
+        .withColumn("monetary", F.col("monetary").cast("double"))
+        .drop("last_ts", "__ref")
     )
     # higher score = better: metric sorted best-first, tile 1 = best,
     # score = n_buckets + 1 - tile. "Best-first" = recency ASC,
@@ -651,3 +678,69 @@ def attribution_credit(
         )
         .orderBy("event_type")
     )
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    iterations: int = 12,
+    iter_decimals: int = 9,
+) -> DataFrame:
+    """Stationary distribution of the per-user event Markov chain:
+    power-iterate π_{k+1}(s) = Σ_u π_k(u)·P(u, s) for a FIXED number
+    of rounds from the uniform start, with each round's masses rounded
+    to ``iter_decimals`` (the pagerank trajectory convention) — the
+    long-run "where does a user's session settle" view on top of
+    :func:`event_transitions`. States with no outgoing transitions are
+    absorbing (they keep their mass — a self-loop, the standard
+    completion). Returns (event_type, stationary_p) ordered by type,
+    masses rounded 6 dp.
+
+    Scale shape: the ONLY corpus-scale work is event_transitions (one
+    user-partitioned lead window + one types² groupBy); the power
+    iteration runs on the collected types² matrix — a model-bounded
+    reducer (the kmeans-centroid / pagerank-driver convention: the
+    matrix is 25 cells for 5 event types no matter how many trillion
+    events fed it). Neighbor sums accumulate in sorted state order;
+    the per-round rounding is what lets a SQL engine replay the whole
+    trajectory (oracle: chained CTEs, one per round).
+    """
+    trans = event_transitions(df, user_col, ts_col, type_col, tiebreak_col)
+    rows = trans.collect()  # types² rows — model-bounded by design
+    if not rows:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "event_type STRING, stationary_p DOUBLE"
+        )
+    p = {(r["from_type"], r["to_type"]): r["prob"] for r in rows}
+    states = sorted(
+        {r["from_type"] for r in rows} | {r["to_type"] for r in rows}
+    )
+    outgoing = {r["from_type"] for r in rows}
+    pi = {s: round(1.0 / len(states), iter_decimals) for s in states}
+    for _ in range(iterations):
+        nxt = {}
+        for s in states:
+            # start the fold at 0.0 — an all-absorbed state's empty
+            # term list must stay a FLOAT zero (int 0 breaks the
+            # DOUBLE schema below)
+            mass = sum(
+                (
+                    pi[u] * p[(u, s)]
+                    for u in sorted(outgoing)
+                    if (u, s) in p
+                ),
+                0.0,
+            )
+            if s not in outgoing:
+                mass += pi[s]
+            nxt[s] = round(mass, iter_decimals)
+        pi = nxt
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(s, float(round(pi[s], 6))) for s in states],
+        "event_type STRING, stationary_p DOUBLE",
+    ).orderBy("event_type")

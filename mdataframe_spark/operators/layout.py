@@ -62,3 +62,50 @@ def zorder_repartition(
         .repartitionByRange(n_files, F.col(z_col))
         .sortWithinPartitions(z_col)
     )
+
+
+def zonemap_stats(
+    df: DataFrame,
+    zone: Column | str,
+    stat_cols: Sequence[str],
+) -> DataFrame:
+    """Zone-map (min/max data-skipping) statistics: per zone, the row
+    count and min/max of each stat column — exactly what parquet
+    row-group footers / Delta-Iceberg file stats hold, computed here
+    so a pipeline can AUDIT its layout ("after this write pattern,
+    how much would a typical filter actually skip?") before paying
+    for a re-cluster. Returns (zone, n_rows, min_<c>, max_<c>...)
+    ordered by zone.
+
+    Plan shape: ONE partial-agged groupBy(zone) — min/max/count are
+    all monoids, so the corpus collapses map-side; output is
+    zone-count rows (files, not rows). Pair with
+    :func:`zonemap_pruning` to score a predicate against the map and
+    with :func:`zorder_value` to fix the layout it exposes.
+    """
+    z = F.expr(zone) if isinstance(zone, str) else zone
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(z.alias("zone")).agg(*aggs).orderBy("zone")
+
+
+def zonemap_pruning(
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Score a BETWEEN predicate against a zone map from
+    :func:`zonemap_stats`: a zone is prunable iff its [min, max]
+    envelope cannot intersect [lo, hi] — the exact decision a scan
+    planner makes from file statistics. Adds a ``prunable`` boolean;
+    the caller aggregates the skip fraction (zone-count rows, free).
+    NULL envelopes (all-NULL zones) are NOT prunable — a NULL stat
+    tells the planner nothing, the conservative read."""
+    mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+    prunable = F.when(
+        mn.isNull() | mx.isNull(), F.lit(False)
+    ).otherwise((mx < F.lit(lo)) | (mn > F.lit(hi)))
+    return stats.withColumn("prunable", prunable)

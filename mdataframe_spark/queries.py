@@ -8487,8 +8487,12 @@ E_RFM_SQL = """
 WITH ns AS (
   SELECT user_id, epoch_ns(ts) AS t, value FROM events
 ), pu AS (
+  -- the rfm_state collapse: monetary is an EXACT decimal sum of
+  -- per-event 4-dp values (the streaming twin's monoid), cast to
+  -- double only at the end
   SELECT user_id, max(t) AS last_t, count(*)::BIGINT AS frequency,
-         round(sum(coalesce(value, 0)::DOUBLE), 4) AS monetary
+         sum(CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                  AS DECIMAL(18,4)))::DOUBLE AS monetary
   FROM ns GROUP BY 1
 ), ref AS (
   SELECT max(t) AS rt FROM ns
@@ -8862,6 +8866,191 @@ FROM en GROUP BY dim ORDER BY dim
 """
 
 
+def dim_zonemap_stats(spark, sf_dir):
+    """Zone-map audit (operators/layout.py zonemap_stats +
+    zonemap_pruning): per-zone min/max/count over lineitem with
+    orderkey-range zones (the file-layout proxy), scored against a
+    price predicate — the data-skipping statistics a 100 TB scan
+    planner prunes with, in one partial-agged groupBy."""
+    from .operators.layout import zonemap_pruning, zonemap_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = zonemap_stats(
+        li,
+        "l_orderkey div 4096",
+        ["l_quantity", "l_extendedprice"],
+    )
+    return zonemap_pruning(stats, "l_extendedprice", 1000.0, 50000.0)
+
+
+DIM_ZONEMAP_SQL = """
+WITH z AS (
+  SELECT l_orderkey // 4096 AS zone,
+         count(*)::BIGINT AS n_rows,
+         min(l_quantity) AS min_l_quantity,
+         max(l_quantity) AS max_l_quantity,
+         min(l_extendedprice) AS min_l_extendedprice,
+         max(l_extendedprice) AS max_l_extendedprice
+  FROM lineitem GROUP BY 1
+)
+SELECT zone, n_rows, min_l_quantity, max_l_quantity,
+       min_l_extendedprice, max_l_extendedprice,
+       CASE WHEN min_l_extendedprice IS NULL
+             OR max_l_extendedprice IS NULL THEN FALSE
+            ELSE max_l_extendedprice < 1000.0
+                 OR min_l_extendedprice > 50000.0
+       END AS prunable
+FROM z ORDER BY zone
+"""
+
+
+def ds_weighted_reservoir(spark, sf_dir):
+    """Weighted reservoir sample (operators/datasets.py
+    weighted_reservoir): Efraimidis-Spirakis priorities from
+    deterministic md5 uniforms, length-weighted over documents;
+    top-50 compiles to TakeOrderedAndProject — never a global sort."""
+    from .operators.datasets import weighted_reservoir
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_reservoir(docs, "doc_id", "n_chars", k=50)
+
+
+DS_RESERVOIR_SQL = """
+WITH u AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0 AS uu
+  FROM documents WHERE n_chars::DOUBLE > 0
+)
+SELECT doc_id, weight, round(ln(uu) / weight, 9) AS priority
+FROM u
+ORDER BY priority DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def gr_kcore(spark, sf_dir):
+    """3-core of the co-purchase graph (operators/baskets.py k_core):
+    six fixed peeling rounds — pure INTEGER degrees, so the SQL replay
+    is exact with no rounding discipline; per round one degree groupBy
+    + two broadcast semi joins over the model-sized edge list."""
+    from .operators.baskets import co_occurrence_pairs, k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return k_core(pairs, k=3, rounds=6)
+
+
+def _kcore_cte_rounds(k: int, rounds: int) -> tuple[str, str]:
+    parts = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            # MATERIALIZED: each round references the previous edge set
+            # three times — plain CTEs inline and re-expand the whole
+            # chain exponentially (the markov-oracle lesson)
+            f"d{i} AS (SELECT s, count(*) AS deg FROM {prev} GROUP BY s),\n"
+            f"k{i} AS MATERIALIZED (SELECT s FROM d{i} WHERE deg >= {k}),\n"
+            f"a{i} AS MATERIALIZED (SELECT {prev}.s, {prev}.t FROM {prev}\n"
+            f"  JOIN k{i} ks ON {prev}.s = ks.s\n"
+            f"  JOIN k{i} kt ON {prev}.t = kt.s)"
+        )
+        prev = f"a{i}"
+    return ",\n".join(parts), prev
+
+
+_KCORE_ROUNDS, _KCORE_LAST = _kcore_cte_rounds(3, 6)
+
+GR_KCORE_SQL = f"""
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
+), e AS (
+  SELECT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), a0 AS (
+  SELECT x AS s, y AS t FROM e UNION ALL SELECT y AS s, x AS t FROM e
+),
+{_KCORE_ROUNDS}
+SELECT s AS v, count(*)::BIGINT AS core_degree
+FROM {_KCORE_LAST} GROUP BY s HAVING count(*) >= 3 ORDER BY v
+"""
+
+
+def e_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain
+    (operators/events.py markov_stationary): 12 power-iteration rounds
+    at 9 dp over the types² transition matrix — the corpus collapses
+    in event_transitions; the iteration is a model-bounded reducer
+    (25 cells), replayed by the oracle as chained CTEs."""
+    from .operators.events import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_stationary(ev)
+
+
+def _markov_cte_rounds(iterations: int) -> tuple[str, str]:
+    parts = []
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+            # and each round references the previous one three times —
+            # 12 rounds of 3x re-expansion re-opens the parquet scan
+            # exponentially many times ("Too many open files")
+            f"p{i} AS MATERIALIZED (\n"
+            f"  SELECT st.state,\n"
+            f"         round(coalesce((SELECT sum(q.p * t.prob)\n"
+            f"                         FROM {prev} q JOIN trans t\n"
+            f"                           ON q.state = t.from_type\n"
+            f"                          AND t.to_type = st.state), 0)\n"
+            f"               + coalesce((SELECT q.p FROM {prev} q\n"
+            f"                           WHERE q.state = st.state\n"
+            f"                             AND st.state NOT IN\n"
+            f"                               (SELECT from_type FROM trans)),\n"
+            f"                          0), 9) AS p\n"
+            f"  FROM states st\n"
+            f")"
+        )
+        prev = f"p{i}"
+    return ",\n".join(parts), prev
+
+
+_MARKOV_ROUNDS, _MARKOV_LAST = _markov_cte_rounds(12)
+
+E_MARKOV_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+), pairs0 AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+), trans AS MATERIALIZED (
+  SELECT from_type, to_type,
+         round(n / (sum(n) OVER (PARTITION BY from_type))::DOUBLE, 6)
+           AS prob
+  FROM pairs0
+), states AS MATERIALIZED (
+  SELECT DISTINCT from_type AS state FROM trans
+  UNION
+  SELECT DISTINCT to_type FROM trans
+), nstates AS (
+  SELECT count(*)::BIGINT AS n FROM states
+), p0 AS MATERIALIZED (
+  SELECT state, round(1.0 / n, 9) AS p FROM states CROSS JOIN nstates
+),
+{_MARKOV_ROUNDS}
+SELECT state AS event_type, round(p, 6) AS stationary_p
+FROM {_MARKOV_LAST} ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -8947,6 +9136,10 @@ EXTRA_QUERIES = {
     "txt_keyword_llr": txt_keyword_llr,
     "sim_scalar_quantization": sim_scalar_quantization,
     "sim_matryoshka_energy": sim_matryoshka_energy,
+    "dim_zonemap_stats": dim_zonemap_stats,
+    "ds_weighted_reservoir": ds_weighted_reservoir,
+    "gr_kcore": gr_kcore,
+    "e_markov_stationary": e_markov_stationary,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
@@ -9197,6 +9390,10 @@ EXTRA_ORACLES = {
     "txt_keyword_llr": TXT_LLR_SQL,
     "sim_scalar_quantization": SIM_SQ_SQL,
     "sim_matryoshka_energy": SIM_MATRYOSHKA_SQL,
+    "dim_zonemap_stats": DIM_ZONEMAP_SQL,
+    "ds_weighted_reservoir": DS_RESERVOIR_SQL,
+    "gr_kcore": GR_KCORE_SQL,
+    "e_markov_stationary": E_MARKOV_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,

@@ -1,0 +1,56 @@
+"""Streaming segment/audit state — streaming twins of the round-9
+product-analytics collapses (SURVEY §2.10 extension; the reference is
+strictly batch).
+
+Both twins ride the monoid argument established by
+streaming/sketches.py (Count-Min, sum-monoid) and streaming/cdc.py
+(last-writer-wins, max-monoid):
+
+- ``rfm_stream``: per-user (max last_ts, count, DECIMAL(18,4) value
+  sum) — three associative/commutative monoids in one aggregation, so
+  the running per-user state after any prefix of micro-batches equals
+  the batch :func:`..operators.events.rfm_state` collapse over the
+  same rows. State is one row per LIVE USER (the segmentation
+  universe any RFM consumer materializes anyway); quintile SCORING is
+  deliberately not streamed — ntile over the state belongs in
+  foreachBatch / the batch reporting pass, because ranks are global
+  properties of the state, not of the stream.
+- ``benford_stream``: running first-digit counts — a sum monoid with
+  AT MOST 9 state rows, the cheapest live data-quality probe there
+  is; feed the counts to benford_test's spine arithmetic in
+  foreachBatch for the live χ² spectrum.
+
+Both DELEGATE to the batch collapse (the cdc_stream convention): one
+implementation is what guarantees the streamed and batch states can
+never diverge — equality- and checkpoint-continuation-tested in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.diagnostics import benford_digit_counts
+from ..operators.events import rfm_state
+
+
+def rfm_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running per-user RFM sufficient statistic over an event stream:
+    (user, last_ts, frequency, monetary). Use ``outputMode("complete")``
+    (the state is the live segmentation universe) or fold the update
+    stream into a store with ``foreachBatch``. Monetary accumulates as
+    an exact decimal (per-event 4-dp rounding, order-independent sum),
+    so stream state and batch collapse are equal bit-for-bit, not just
+    approximately."""
+    return rfm_state(events, user_col, ts_col, value_col)
+
+
+def benford_stream(events: DataFrame, col: str) -> DataFrame:
+    """Running Benford first-digit counts over a stream:
+    (digit, n_observed), at most 9 state rows, no watermark needed."""
+    return benford_digit_counts(events, col)

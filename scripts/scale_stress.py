@@ -9,7 +9,8 @@ Inflation is a self-union with id offsets (documents get an id-salted
 token prefix so the inflated corpus is not one giant exact-dup class,
 which would measure the degenerate path, not the scaling path).
 
-Run: python scripts/scale_stress.py  (writes SCALE.md; ~2-4 min)
+Run: python scripts/scale_stress.py  (writes SCALE.md; ~25 min —
+one fresh JVM per factor, see run_factor's docstring for why)
 """
 from __future__ import annotations
 
@@ -158,10 +159,20 @@ def timed(fn, passes: int = 2) -> float:
     return round(best, 2)
 
 
-def main():
+def run_factor(factor: int) -> dict:
+    """Measure every operator at ONE inflation factor in THIS process.
+
+    Called in a FRESH subprocess per factor by main(): a single JVM
+    that has already executed thousands of stages (code-cache and heap
+    aging) inflates the later factors' wall-clock by 2-3x run-to-run —
+    observed: jaccard x10 = 33s in one session-shared run vs 88s in
+    another, identical code. Fresh JVM per factor makes the x10/x1
+    ratio compare like-for-like JIT states, which is the quantity the
+    ratios are supposed to certify.
+    """
     from mdataframe_spark.operators import dedup, similarity
 
-    spark = get_spark("scale_stress")
+    spark = get_spark(f"scale_stress_x{factor}")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[int, float]] = {}
 
@@ -169,7 +180,7 @@ def main():
         results.setdefault(op, {})[factor] = (secs, n_rows)
         print(f"  {op} x{factor}: {secs}s ({n_rows} rows)", flush=True)
 
-    for factor in FACTORS:
+    for factor in [factor]:
         docs = inflate_docs(spark, factor)
         n_docs = docs.count()
         print(f"== factor {factor}: {n_docs} docs ==", flush=True)
@@ -430,12 +441,42 @@ def main():
 
         record("nearest_centroid_confusion", factor, timed(nc_confusion), n_vecs)
 
+    return {
+        op: {f: [v[0], v[1]] for f, v in by_f.items()}
+        for op, by_f in results.items()
+    }
+
+
+def main():
+    """Orchestrate one fresh subprocess per factor (see run_factor),
+    merge their JSON results, write SCALE.md."""
+    import subprocess
+
+    results: dict[str, dict[int, tuple]] = {}
+    for factor in FACTORS:
+        out = Path(f"/tmp/scale_stress_f{factor}.json")
+        if out.exists():
+            out.unlink()
+        subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), str(factor),
+             str(out)],
+            check=True,
+        )
+        part = json.loads(out.read_text())
+        for op, by_f in part.items():
+            for f, (secs, n) in by_f.items():
+                results.setdefault(op, {})[int(f)] = (secs, n)
+
     lines = [
         "# SCALE.md — inflated-input stress measurements",
         "",
         "Generated by `python scripts/scale_stress.py` on local[32] from",
         f"`{SF_DIR}` self-unioned with id offsets (near-dup copies, not",
-        "exact dups). The check: candidate-generation cost should grow",
+        "exact dups). Each factor runs in a FRESH JVM subprocess: a",
+        "session that has executed thousands of stages inflates later",
+        "factors 2-3x from code-cache/heap aging, which corrupted the",
+        "ratios in session-shared runs (jaccard x10: 33s vs 88s,",
+        "identical code). The check: candidate-generation cost should grow",
         "close to linearly with the corpus — the plans shuffle keys and",
         "bucket populations, never all-pairs. `semantic_dedup` scales",
         "n_clusters with the corpus (K ~ N/const), the documented knob",
@@ -510,10 +551,13 @@ def main():
         "adversarial case — new baskets over a FIXED catalog densify",
         "the item graph (co-counts cross min_count, degrees grow with",
         "the corpus), and common-neighbor counting needs BOTH wedge",
-        "orientations, so wedge work grows as Σ min(deg, max_degree)²:",
-        "the observed non-monotone x4 > x10 is the max_degree=1000 hub",
-        "cap ENGAGING at x10 (dense hubs get dropped, wedge volume",
-        "falls) — exactly the designed safety valve. On a realistic",
+        "orientations, so wedge work grows as Σ min(deg, max_degree)²",
+        "— superlinear BY CONSTRUCTION on this axis, and the one row",
+        "expected to exceed the ~10x line. Run-to-run its x4/x10",
+        "points swing widely (7.6x-21.5x observed across clean runs of",
+        "identical code, including a non-monotone x4 > x10 when the",
+        "max_degree=1000 hub cap engaged at x10 and dropped dense",
+        "hubs' wedges — the designed safety valve). On a realistic",
         "100 TB axis the catalog grows with the corpus and degrees",
         "stay sparse; on a densifying graph, set max_degree to the",
         "wedge-work budget (work ≤ m·max_degree) — the cap is the",
@@ -567,4 +611,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3:
+        # subprocess mode: measure one factor, dump JSON, exit
+        res = run_factor(int(sys.argv[1]))
+        Path(sys.argv[2]).write_text(json.dumps(res))
+    else:
+        main()

@@ -647,3 +647,113 @@ def test_cdc_stream_matches_batch_and_continues_from_checkpoint(
     assert got_ab[3] == (3, "c2") and 4 not in got_ab
     # the late change with a lower seq must NOT displace key 1's state
     assert got_ab[1] == (2, "a2")
+
+
+def test_rfm_stream_matches_batch_and_continues_from_checkpoint(
+    spark, tmp_path_factory
+):
+    """The streaming RFM twin's running per-user state equals the
+    batch rfm_state collapse after ANY prefix: max/count/decimal-sum
+    are all associative+commutative, so checkpointed state + new
+    micro-batches = one big batch. Monetary equality is EXACT (decimal
+    monoid), including under late out-of-order events."""
+    from mdataframe_spark.operators.events import rfm_state
+    from mdataframe_spark.streaming.segments import rfm_stream
+
+    root = tmp_path_factory.mktemp("rfm_stream")
+    src = root / "events"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "user_id bigint, ts bigint, value double"
+    H = 3_600_000_000_000
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    a_rows = [
+        (1, 5 * H, 10.5),
+        (1, 7 * H, None),
+        (2, 1 * H, 0.12345),  # rounds to 4 dp once, then sums exactly
+        (2, 2 * H, 0.12345),
+    ]
+    write_log(a_rows)
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            rfm_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["last_ts"], r["frequency"], r["monetary"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_state(rows):
+        return {
+            r["user_id"]: (r["last_ts"], r["frequency"], r["monetary"])
+            for r in rfm_state(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        }
+
+    got_a = run_stream("rfm_state_a")
+    assert got_a == batch_state(a_rows)
+    assert got_a[1][0] == 7 * H and got_a[1][1] == 2
+
+    # file B: LATE event for user 1 (earlier ts — max must not
+    # regress), more spend for user 2, a brand-new user 3
+    b_rows = [
+        (1, 3 * H, 99.0),
+        (2, 9 * H, 0.1231),
+        (3, 4 * H, 7.0),
+    ]
+    write_log(b_rows)
+    got_ab = run_stream("rfm_state_ab")
+    assert got_ab == batch_state(a_rows + b_rows)
+    assert got_ab[1][0] == 7 * H  # late lower ts lost the max
+    assert got_ab[1][1] == 3  # but still counted
+    assert 3 in got_ab
+
+
+def test_benford_stream_matches_batch(spark, tmp_path_factory):
+    """The streaming Benford twin's running digit counts equal the
+    batch collapse (sum monoid, <= 9 state rows)."""
+    from mdataframe_spark.operators.diagnostics import benford_digit_counts
+    from mdataframe_spark.streaming.segments import benford_stream
+
+    src = tmp_path_factory.mktemp("benford_stream") / "vals"
+    df = spark.range(300).select(
+        ((F.col("id") % 97 + 1) * 1.37).alias("x")
+    )
+    df.coalesce(3).write.mode("overwrite").parquet(str(src))
+    batch = spark.read.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        benford_stream(stream, "x")
+        .writeStream.format("memory")
+        .queryName("benford_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["digit"]: r["n_observed"]
+        for r in spark.sql("SELECT * FROM benford_counts").collect()
+    }
+    expected = {
+        r["digit"]: r["n_observed"]
+        for r in benford_digit_counts(batch, "x").collect()
+    }
+    assert streamed == expected
+    assert sum(expected.values()) == 300
