@@ -121,6 +121,10 @@ HEADLINE = [
     "gr_assortativity",
     "gr_kcore",
     "ds_weighted_reservoir",
+    # wave G: the histogram quantile sketch certification (cell build
+    # + exact percentile side) and the one-scan Expand profile
+    "sk_quantile_gate",
+    "dq_completeness_profile",
 ]
 
 

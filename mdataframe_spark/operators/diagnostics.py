@@ -470,3 +470,49 @@ def l_diversity(
         .withColumn("meets_l", F.col("n_sensitive") >= int(l))
         .orderBy(*quasi_cols)
     )
+
+
+def completeness_profile(
+    df: DataFrame,
+    cols,
+) -> DataFrame:
+    """One-pass per-column completeness profile: for each requested
+    column, (column, n_rows, n_null, null_rate, n_distinct) — the
+    first thing a pipeline asks about an unfamiliar table, computed in
+    ONE aggregation over ONE scan (the Expand-stage multi-distinct,
+    the candidate_keys pattern: k columns never re-scan the input).
+    n_distinct counts DISTINCT NON-NULL values (SQL count-distinct
+    semantics); the unpivot to one row per column is a constant-size
+    union over the 1-row aggregate. Ordered by column name.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn{i}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd{i}"))
+    one = df.agg(*aggs)
+    # stack unpivot (the expectations pattern), NOT a union of k
+    # projections: a union re-computes the aggregate subtree per
+    # branch — k scans of the corpus for a k-column profile
+    # (plan-asserted in tests). "column_name", not "column": the bare
+    # word is reserved in the SQL oracles' dialect.
+    stacked = one.select(
+        F.col("__n"),
+        F.expr(
+            "stack({}, {}) as (column_name, n_null, n_distinct)".format(
+                len(cols),
+                ", ".join(
+                    f"'{c}', __nn{i}, __nd{i}" for i, c in enumerate(cols)
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.round(F.col("n_null") / F.col("__n"), 6).alias("null_rate"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    ).orderBy("column_name")

@@ -32,11 +32,11 @@ plain `GROUP BY ... HAVING count > n/k` a small-data engine would run
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -290,4 +290,135 @@ def count_min_estimates(
         F.min(F.coalesce(F.col("__c"), F.lit(0))).cast("bigint").alias(
             "cm_estimate"
         )
+    )
+
+
+def histogram_cells(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Fixed-range equi-width histogram cells (__bin, __c) — the
+    mergeable quantile sketch: the bin range is DATA-INDEPENDENT
+    (caller-supplied [lo, hi)), so cells are a pure SUM monoid —
+    two sketches over disjoint data merge by adding cells, a streaming
+    aggregation's running cells equal the batch build
+    (streaming/sketches.py histogram_stream), and a backfill merges
+    with the live sketch. Out-of-range values clamp into the edge
+    bins (they count, with edge-bin accuracy); NULLs drop (not a
+    measurement). ONE partial-agged groupBy; state ≤ n_bins cells
+    regardless of corpus size.
+    """
+    if not hi > lo:
+        raise ValueError("histogram_cells: need hi > lo")
+    width = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width))
+    b = F.greatest(F.lit(0).cast("bigint"), F.least(F.lit(n_bins - 1).cast("bigint"), raw)).cast(
+        "int"
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(b.alias("__bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+
+
+def histogram_quantile_gate(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    probs: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the histogram sketch, CERTIFIED against
+    the exact percentiles (the count_min_estimates convention: the
+    exact side exists only to certify the sketch): for each p, the
+    estimate interpolates inside the first bin whose cumulative count
+    crosses p·n, and the guarantee |est − exact| ≤ 2·bin_width holds
+    for in-range data (the estimate lies in the crossing bin; the
+    exact order statistic lies in the same or a rank-adjacent bin).
+    Returns (p, hist_estimate, exact_value, abs_err, within_bound).
+
+    Why at 100 TB: exact percentiles need a global sort or a
+    per-value rank table; the sketch is ≤ n_bins additive cells
+    REGARDLESS of cardinality, mergeable across partitions, streams
+    and backfills — accuracy is the range/n_bins knob, certified here
+    instead of assumed.
+
+    Plan shape: the cell build and the exact-percentile aggregation
+    are each ONE partial-agged corpus pass; everything else (cumsum
+    window, crossing pick, interpolation) runs on ≤ n_bins rows.
+    """
+    width = (hi - lo) / n_bins
+    cells = histogram_cells(df, col, lo, hi, n_bins)
+    w = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("__cum", F.sum("__c").over(w))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(float(p),) for p in probs], "p DOUBLE"
+    )
+    crossing = (
+        pdf.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__cum") >= F.col("p") * F.col("__n"))
+        .groupBy("p")
+        .agg(F.min("__bin").alias("__bin"))
+    )
+    est = (
+        crossing.join(F.broadcast(cum), "__bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            (
+                F.lit(float(lo))
+                + F.lit(width)
+                * (
+                    F.col("__bin")
+                    + (
+                        (F.col("p") * F.col("__n") - (F.col("__cum") - F.col("__c")))
+                        / F.col("__c")
+                    )
+                )
+            ).alias("__est"),
+        )
+    )
+    plist = ", ".join(repr(float(p)) for p in probs)
+    exact = (
+        df.filter(F.col(col).isNotNull())
+        .agg(
+            F.expr(
+                f"percentile({col}, array({plist}))"
+            ).alias("__ex")
+        )
+        .select(F.posexplode("__ex").alias("__i", "__exact"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(float(p)) for p in probs]),
+                F.col("__i") + 1,
+            ).alias("p"),
+            "__exact",
+        )
+    )
+    bound = 2.0 * width
+    return (
+        est.join(exact, "p")
+        .select(
+            "p",
+            F.round(F.col("__est"), 6).alias("hist_estimate"),
+            F.round(F.col("__exact"), 6).alias("exact_value"),
+            F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias(
+                "abs_err"
+            ),
+            (
+                F.abs(F.col("__est") - F.col("__exact")) <= F.lit(bound)
+            ).alias("within_bound"),
+        )
+        .orderBy("p")
     )

@@ -9051,6 +9051,115 @@ FROM {_MARKOV_LAST} ORDER BY event_type
 """
 
 
+def sk_quantile_gate(spark, sf_dir):
+    """Histogram quantile sketch certification (operators/sketches.py
+    histogram_quantile_gate): 220 fixed-range cells estimate six
+    percentiles of extended price, certified against the exact
+    percentiles with the 2·bin_width bound — the mergeable-sketch
+    answer to global-sort quantiles (the sk_countmin_gate pattern)."""
+    from .operators.sketches import histogram_quantile_gate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantile_gate(
+        li, "l_extendedprice", lo=0.0, hi=110000.0, n_bins=220
+    )
+
+
+SK_QUANTILE_SQL = """
+WITH x AS (
+  SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), cells AS (
+  SELECT CAST(greatest(0, least(219, floor((x - 0.0) / 500.0))) AS INT)
+           AS bin,
+         count(*)::BIGINT AS c
+  FROM x GROUP BY 1
+), cum AS (
+  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM cells
+), tot AS (
+  SELECT sum(c) AS n FROM cells
+), probs AS (
+  -- DOUBLE cast is load-bearing: unnest of the bare list yields
+  -- DECIMAL p, and p * n would run in decimal arithmetic while the
+  -- engine multiplies doubles
+  SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+), crossing AS (
+  SELECT p, min(bin) AS bin
+  FROM probs CROSS JOIN cum CROSS JOIN tot
+  WHERE cum >= p * n GROUP BY p
+), est AS (
+  SELECT p,
+         0.0 + 500.0 * (crossing.bin
+                        + ((p * n - (cum.cum - cum.c)) / cum.c)) AS e
+  FROM crossing JOIN cum ON crossing.bin = cum.bin CROSS JOIN tot
+), exact AS (
+  SELECT 0.1 AS p, quantile_cont(x, 0.1) AS v FROM x
+  UNION ALL SELECT 0.25, quantile_cont(x, 0.25) FROM x
+  UNION ALL SELECT 0.5, quantile_cont(x, 0.5) FROM x
+  UNION ALL SELECT 0.75, quantile_cont(x, 0.75) FROM x
+  UNION ALL SELECT 0.9, quantile_cont(x, 0.9) FROM x
+  UNION ALL SELECT 0.99, quantile_cont(x, 0.99) FROM x
+)
+SELECT est.p, round(e, 6) AS hist_estimate, round(v, 6) AS exact_value,
+       round(abs(e - v), 6) AS abs_err,
+       abs(e - v) <= 1000.0 AS within_bound
+FROM est JOIN exact ON est.p = exact.p
+ORDER BY est.p
+"""
+
+
+def dq_completeness_profile(spark, sf_dir):
+    """One-pass per-column completeness profile of orders
+    (operators/diagnostics.py completeness_profile): null counts and
+    distinct cardinalities for five columns in ONE Expand-stage
+    aggregation over ONE scan (the dq_candidate_keys pattern)."""
+    from .operators.diagnostics import completeness_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return completeness_profile(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+    )
+
+
+DQ_COMPLETENESS_SQL = """
+WITH one AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn0,
+         count(DISTINCT o_orderkey)::BIGINT AS nd0,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn1,
+         count(DISTINCT o_custkey)::BIGINT AS nd1,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nn2,
+         count(DISTINCT o_orderstatus)::BIGINT AS nd2,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nn3,
+         count(DISTINCT o_totalprice)::BIGINT AS nd3,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nn4,
+         count(DISTINCT o_orderpriority)::BIGINT AS nd4
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, n AS n_rows, nn0 AS n_null,
+       round(nn0 / n::DOUBLE, 6) AS null_rate, nd0 AS n_distinct FROM one
+UNION ALL
+SELECT 'o_custkey', n, nn1, round(nn1 / n::DOUBLE, 6), nd1 FROM one
+UNION ALL
+SELECT 'o_orderstatus', n, nn2, round(nn2 / n::DOUBLE, 6), nd2 FROM one
+UNION ALL
+SELECT 'o_totalprice', n, nn3, round(nn3 / n::DOUBLE, 6), nd3 FROM one
+UNION ALL
+SELECT 'o_orderpriority', n, nn4, round(nn4 / n::DOUBLE, 6), nd4 FROM one
+ORDER BY column_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -9140,6 +9249,8 @@ EXTRA_QUERIES = {
     "ds_weighted_reservoir": ds_weighted_reservoir,
     "gr_kcore": gr_kcore,
     "e_markov_stationary": e_markov_stationary,
+    "sk_quantile_gate": sk_quantile_gate,
+    "dq_completeness_profile": dq_completeness_profile,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
@@ -9394,6 +9505,8 @@ EXTRA_ORACLES = {
     "ds_weighted_reservoir": DS_RESERVOIR_SQL,
     "gr_kcore": GR_KCORE_SQL,
     "e_markov_stationary": E_MARKOV_SQL,
+    "sk_quantile_gate": SK_QUANTILE_SQL,
+    "dq_completeness_profile": DQ_COMPLETENESS_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,

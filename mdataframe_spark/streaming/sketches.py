@@ -34,3 +34,22 @@ def count_min_stream(
     streamed and batch sketches can never diverge.
     """
     return count_min_cells(events, key_col, depth=depth, width=width)
+
+
+def histogram_stream(
+    events: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Running histogram cells over a stream: (__bin, __c), ≤ n_bins
+    state rows. The bin range is data-independent, so cells are a pure
+    sum monoid — running state after any micro-batch prefix equals the
+    batch build, and quantile estimates from the live cells carry the
+    same certified 2·bin_width bound (operators/sketches.py
+    histogram_quantile_gate). DELEGATES to the batch builder (one
+    implementation — the count_min_stream convention)."""
+    from ..operators.sketches import histogram_cells
+
+    return histogram_cells(events, col, lo, hi, n_bins)
