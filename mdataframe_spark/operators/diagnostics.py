@@ -450,16 +450,19 @@ def l_diversity(
     collapses the corpus; class sizes and distinct-sensitive counts
     are a second aggregation of that (class × value)-bounded table —
     count_distinct never sees raw rows. NULL sensitive values count as
-    a distinct value (they are an observable bucket to an attacker).
+    a distinct value (they are an observable bucket to an attacker),
+    keyed as (is_null, value) so no real value can collide with them.
     """
     quasi_cols = (
         [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
     )
+    # (is_null, value) pair key, NOT a sentinel string: a real value
+    # equal to the sentinel would collapse into the NULL bucket and
+    # undercount n_sensitive
     pair = df.groupBy(
         *quasi_cols,
-        F.coalesce(F.col(sensitive_col).cast("string"), F.lit("__null__")).alias(
-            "__sv"
-        ),
+        F.col(sensitive_col).isNull().alias("__sv_null"),
+        F.col(sensitive_col).cast("string").alias("__sv"),
     ).agg(F.count(F.lit(1)).alias("__n"))
     return (
         pair.groupBy(*quasi_cols)

@@ -382,19 +382,35 @@ def _ntile_scale_safe(base, order, n_buckets, num_partitions):
     Tied scores always share a partition (assignment depends only on
     the score value), so the partitioned row_number equals the global
     window's ordering wherever the caller's order is total."""
+    from ..cache import persist_tracked as _persist_tracked
+
+    # base feeds TWO driver actions (approxQuantile, the counts
+    # collect) plus the output plan — pin it so the caller's upstream
+    # corpus aggregation runs once, not three times per metric
+    base = _persist_tracked(base)
     spark = base.sparkSession
     if num_partitions is None:
-        num_partitions = max(
-            spark.sparkContext.defaultParallelism * 4, 16
+        # clamp: partition count here only controls local-sort
+        # parallelism (ranks stay exact at ANY count), while each cut
+        # adds a CASE branch — thousands of branches (4x parallelism on
+        # a big cluster) risk analyzer depth and janino's 64 KB method
+        # limit (the matryoshka_energy lesson)
+        num_partitions = min(
+            max(spark.sparkContext.defaultParallelism * 4, 16), 256
         )
     probs = [i / num_partitions for i in range(1, num_partitions)]
     cuts = sorted(set(base.approxQuantile("__s", probs, 0.001)))
-    # ascending quantile partition: pbkt = #cuts strictly below score
+    # ascending quantile partition: pbkt = #cuts strictly below score.
+    # NaN matches no `>` cut, which would send it to the LOWEST
+    # partition while the exact arm's DESC sort ranks NaN HIGHEST —
+    # pin NaN to the top partition so both arms agree (the documented
+    # exact==approx parity)
     pbkt = F.lit(0)
     for i, c in enumerate(cuts):
         pbkt = F.when(F.col("__s") > F.lit(c), F.lit(i + 1)).otherwise(
             pbkt
         )
+    pbkt = F.when(F.isnan(F.col("__s")), F.lit(len(cuts))).otherwise(pbkt)
     with_p = base.withColumn("__pbkt", pbkt)
     counts = {
         int(r["__pbkt"]): int(r["n"])

@@ -14,6 +14,7 @@ arithmetic; a timestamp-typed column is canonicalized on entry.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from functools import reduce
 from typing import Sequence
 
@@ -578,6 +579,9 @@ def rfm_scores(
     else:
         from .evaluation import _ntile_scale_safe
 
+        # three tilings + the output join chain all re-derive base
+        # (the corpus-collapsing per-user agg) — pin it once
+        base = _persist_tracked(base)
         out = base
         for name, m in metrics.items():
             tiled = _ntile_scale_safe(
@@ -653,13 +657,16 @@ def attribution_credit(
         (F.col("__tts") < F.col("__cts"))
         & (F.col("__tts") >= F.col("__cts") - F.lit(int(lookback_ns)))
     )
-    w_asc = Window.partitionBy("__cid").orderBy(
+    # partition by (user, conversion): the tiebreak id is only
+    # guaranteed unique PER USER by the contract — two users' colliding
+    # conversion ids must not merge into one credit window
+    w_asc = Window.partitionBy("__u", "__cid").orderBy(
         F.col("__tts").asc(), F.col("__tid").asc()
     )
-    w_desc = Window.partitionBy("__cid").orderBy(
+    w_desc = Window.partitionBy("__u", "__cid").orderBy(
         F.col("__tts").desc(), F.col("__tid").desc()
     )
-    w_cnt = Window.partitionBy("__cid")
+    w_cnt = Window.partitionBy("__u", "__cid")
     credited = joined.select(
         "__tt",
         (F.row_number().over(w_asc) == 1).cast("int").alias("__is_first"),
@@ -724,17 +731,24 @@ def markov_stationary(
     for _ in range(iterations):
         nxt = {}
         for s in states:
-            # start the fold at 0.0 — an all-absorbed state's empty
-            # term list must stay a FLOAT zero (int 0 breaks the
-            # DOUBLE schema below)
-            mass = sum(
+            # per-term 12-dp DECIMAL accumulation (the timeseries.py
+            # contract): a float fold's value depends on addition
+            # order, and the oracle's sum() adds in arbitrary order —
+            # per-round rounding does NOT absorb an order-dependent
+            # tie at the 9th decimal. Exact ties at the 12-dp quantize
+            # cannot occur (x.5e-12 is not representable in binary),
+            # so the quantize is unambiguous in every engine.
+            mass_dec = sum(
                 (
-                    pi[u] * p[(u, s)]
+                    Decimal(round(pi[u] * p[(u, s)], 12)).quantize(
+                        Decimal("1e-12"), ROUND_HALF_UP
+                    )
                     for u in sorted(outgoing)
                     if (u, s) in p
                 ),
-                0.0,
+                Decimal(0),
             )
+            mass = float(mass_dec)
             if s not in outgoing:
                 mass += pi[s]
             nxt[s] = round(mass, iter_decimals)

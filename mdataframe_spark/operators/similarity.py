@@ -637,7 +637,6 @@ def embedding_drift(
 def scalar_quantization_report(
     emb: DataFrame,
     vec_col: str = "embedding",
-    dim: Optional[int] = None,
     bits: int = 8,
 ) -> DataFrame:
     """Per-dimension scalar-quantization (SQ) audit: fit the classic
@@ -645,8 +644,9 @@ def scalar_quantization_report(
     report the error spectrum — the "can I ship int8 embeddings"
     check before swapping a float ANN index for a quantized one
     (4× memory, and SQ is what IVF/HNSW indexes deploy most).
-    Returns ``dim`` rows: (p, x_min, x_max, n, mean_abs_err,
-    max_abs_err) ordered by dimension index p.
+    Returns one row per dimension index present in the data:
+    (p, x_min, x_max, n, mean_abs_err, max_abs_err) ordered by p;
+    an empty input yields an empty frame.
 
     Determinism: x_min/x_max are exact (no summation); scale, codes
     and reconstructions are identical IEEE expressions in both
@@ -660,14 +660,6 @@ def scalar_quantization_report(
     min/max, then the error agg after broadcasting the dim-bounded
     stats back); everything else is dim-bounded.
     """
-    if dim is None:
-        row = emb.select(vec_col).first()
-        if row is None:
-            raise ValueError(
-                "scalar_quantization_report: empty input — pass dim "
-                "explicitly if the frame may legitimately be empty"
-            )
-        dim = len(row[vec_col])
     levels = (1 << bits) - 1
     pos = emb.select(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__x")

@@ -315,12 +315,15 @@ def histogram_cells(
         raise ValueError("histogram_cells: need hi > lo")
     width = (hi - lo) / n_bins
     x = F.col(col).cast("double")
+    # NaN is not a measurement either — and it bins DIVERGENTLY
+    # (Spark's floor(NaN) casts to bin 0; DuckDB's least() treats NaN
+    # as largest and clamps to the top bin), so it must drop with NULL
     raw = F.floor((x - F.lit(float(lo))) / F.lit(width))
     b = F.greatest(F.lit(0).cast("bigint"), F.least(F.lit(n_bins - 1).cast("bigint"), raw)).cast(
         "int"
     )
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .groupBy(b.alias("__bin"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )

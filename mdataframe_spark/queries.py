@@ -8539,12 +8539,13 @@ WITH ns AS (
   SELECT user_id, t AS tts, event_id AS tid, event_type AS tt FROM ns
   WHERE event_type IN ('view', 'click')
 ), j AS (
+  -- (user_id, cid): conversion ids are only unique per user
   SELECT cid, tt,
-         row_number() OVER (PARTITION BY cid
+         row_number() OVER (PARTITION BY user_id, cid
                             ORDER BY tts ASC, tid ASC) AS ra,
-         row_number() OVER (PARTITION BY cid
+         row_number() OVER (PARTITION BY user_id, cid
                             ORDER BY tts DESC, tid DESC) AS rd,
-         count(*) OVER (PARTITION BY cid) AS n
+         count(*) OVER (PARTITION BY user_id, cid) AS n
   FROM conv JOIN touch USING (user_id)
   WHERE tts < cts AND tts >= cts - 604800000000000
 )
@@ -8726,12 +8727,13 @@ def dq_l_diversity(spark, sf_dir):
 DQ_LDIV_SQL = """
 WITH b AS (
   SELECT c_nationkey, c_mktsegment,
-         coalesce(CAST(floor(c_acctbal::DOUBLE / 100) AS VARCHAR),
-                  '__null__') AS sv
+         CAST(floor(c_acctbal::DOUBLE / 100) AS VARCHAR) AS sv
   FROM customer
 ), pair AS (
-  SELECT c_nationkey, c_mktsegment, sv, count(*) AS n
-  FROM b GROUP BY 1, 2, 3
+  -- (is_null, value) pair key: no sentinel a real value could collide
+  -- with
+  SELECT c_nationkey, c_mktsegment, sv IS NULL AS svn, sv, count(*) AS n
+  FROM b GROUP BY 1, 2, 3, 4
 )
 SELECT c_nationkey, c_mktsegment, sum(n)::BIGINT AS n_rows,
        count(*)::BIGINT AS n_sensitive, count(*) >= 3 AS meets_l
@@ -8810,7 +8812,7 @@ def sim_scalar_quantization(spark, sf_dir):
     from .operators.similarity import scalar_quantization_report
 
     emb = _t(spark, sf_dir, "embeddings")
-    return scalar_quantization_report(emb, dim=64)
+    return scalar_quantization_report(emb)
 
 
 SIM_SQ_SQL = """
@@ -9004,7 +9006,11 @@ def _markov_cte_rounds(iterations: int) -> tuple[str, str]:
             # exponentially many times ("Too many open files")
             f"p{i} AS MATERIALIZED (\n"
             f"  SELECT st.state,\n"
-            f"         round(coalesce((SELECT sum(q.p * t.prob)\n"
+            # per-term 12-dp decimal accumulation: the driver arm sums
+            # exact decimals, so the oracle must not float-fold in
+            # arbitrary order
+            f"         round(coalesce((SELECT sum(CAST(round(q.p * t.prob,\n"
+            f"                           12) AS DECIMAL(16,12)))::DOUBLE\n"
             f"                         FROM {prev} q JOIN trans t\n"
             f"                           ON q.state = t.from_type\n"
             f"                          AND t.to_type = st.state), 0)\n"
@@ -9069,6 +9075,7 @@ SK_QUANTILE_SQL = """
 WITH x AS (
   SELECT l_extendedprice::DOUBLE AS x FROM lineitem
   WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(l_extendedprice::DOUBLE)
 ), cells AS (
   SELECT CAST(greatest(0, least(219, floor((x - 0.0) / 500.0))) AS INT)
            AS bin,

@@ -121,3 +121,25 @@ def test_attribution_conservation_invariants(spark):
     assert n_first == n_last
     assert out["linear_credit"].sum() == pytest.approx(n_first, abs=1e-3)
     assert (out["n_touches"] >= out["first_touch"]).all()
+
+
+def test_attribution_colliding_event_ids_across_users(spark):
+    # event ids are only unique PER USER: two users share conversion
+    # id 9 — the credit windows must not merge across users (the
+    # round-9 review fix: partition by (user, conversion))
+    D = 3600 * S
+    rows = [
+        (7, 1, "view", 1 * D, None),
+        (9, 1, "purchase", 2 * D, 1.0),
+        (7, 2, "click", 1 * D, None),
+        (9, 2, "purchase", 2 * D, 1.0),
+    ]
+    out = {
+        r["event_type"]: r
+        for r in attribution_credit(_ev(spark, rows)).collect()
+    }
+    # each conversion has exactly ONE touch -> full credit each
+    assert out["view"]["first_touch"] == 1 and out["view"]["last_touch"] == 1
+    assert out["click"]["first_touch"] == 1 and out["click"]["last_touch"] == 1
+    assert out["view"]["linear_credit"] == pytest.approx(1.0, abs=1e-9)
+    assert out["click"]["linear_credit"] == pytest.approx(1.0, abs=1e-9)

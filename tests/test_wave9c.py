@@ -45,12 +45,12 @@ def test_sq_endpoints_are_exact(spark):
     assert out["n"] == 3
 
 
-def test_sq_empty_input_raises_without_dim():
-    with pytest.raises(ValueError, match="empty input"):
-        import mdataframe_spark as mds
-
-        spark = mds.get_spark("t", shuffle_partitions=2)
-        scalar_quantization_report(_emb(spark, []).limit(0))
+def test_sq_empty_input_yields_empty_frame(spark):
+    out = scalar_quantization_report(_emb(spark, []).limit(0))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "p", "x_min", "x_max", "n", "mean_abs_err", "max_abs_err",
+    ]
 
 
 def test_matryoshka_energy_exact_fixture(spark):
