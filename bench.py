@@ -246,15 +246,23 @@ def main():
         # driver GC between shapes
         "timing": "min2_warm2_gc",
     }
-    # exceptions only: a query that did NOT get its 2 clean passes
+    # exceptions only: a query that did NOT get its 2 clean passes.
+    # Both exception maps are COUNT-capped (6 passes entries, 4 failed
+    # names): the headline list has grown past the point where the
+    # 8-name caps fit the ~2000-char tail capture under mass failure
+    # (test_bench_payload_fits_driver_capture models the worst mix)
     odd_passes = {k: v for k, v in pass_counts.items() if v != 2}
     if odd_passes:
+        if len(odd_passes) > 6:
+            kept = dict(sorted(odd_passes.items())[:6])
+            kept["__omitted__"] = len(odd_passes) - 6
+            odd_passes = kept
         payload["passes"] = odd_passes
     if errors:
         payload["n_errors"] = len(errors)
         failed = sorted(errors)
-        payload["failed"] = failed[:8] + (
-            [f"+{len(failed) - 8} more"] if len(failed) > 8 else []
+        payload["failed"] = failed[:4] + (
+            [f"+{len(failed) - 4} more"] if len(failed) > 4 else []
         )
     print(json.dumps(payload, separators=(",", ":")))
 

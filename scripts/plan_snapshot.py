@@ -69,6 +69,20 @@ PICKS = [
     ("ml_gain_deciles", "unpartitioned ntile by necessity (exact equal-count buckets, bh_adjust discipline)"),
     ("sim_embedding_drift", "two labels x dim centroid aggs; labels-bounded full-outer join; codegen dot"),
     ("dim_scd2_history_compact", "one key-partitioned window island pass + one (key, run) groupBy — single shuffle"),
+    # round 9
+    ("ts_acf_hourly", "ONE bucket groupBy collapses the corpus; lag join + scalar broadcast over the model-bounded series"),
+    ("ts_ewma_purchases", "constant-size weight-ladder cross join (broadcast); series-membership semi join; exact-decimal products"),
+    ("e_rfm_scores", "ONE per-user partial-agged groupBy; 1-row max-ts broadcast; ntile over the user table"),
+    ("e_attribution_credit", "user-key equi join with range filter; the three credit models share one (user, conversion)-partitioned window shuffle"),
+    ("dq_benford", "ONE digit groupBy (≤9 rows out); 9-row spine + 1-row total broadcast"),
+    ("gr_assortativity", "edge distinct + node-bounded degree agg broadcast twice; decimal moment sums in one final agg"),
+    ("rec_association_rules", "all corpus work inside the shared co_occurrence path; 2x union of the PAIR table; top-k TakeOrderedAndProject"),
+    ("sim_scalar_quantization", "two partial-agged corpus passes (per-dim min/max, then error agg); dim-bounded stats broadcast"),
+    ("dim_zonemap_stats", "min/max/count monoids collapse map-side to zone-count rows; pruning is a projection"),
+    ("ds_weighted_reservoir", "zero-shuffle md5 priority expression; top-k as TakeOrderedAndProject"),
+    ("gr_kcore", "per round: one degree groupBy + two broadcast semi joins; LogicalRDD leaves from the per-round localCheckpoint"),
+    ("sk_quantile_gate", "ONE cell groupBy + ONE exact-percentile agg; cumsum/crossing/interpolation on ≤ n_bins broadcast rows"),
+    ("dq_completeness_profile", "ONE Expand-stage multi-distinct aggregation over ONE scan; stack unpivot of the 1-row result"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")

@@ -161,20 +161,23 @@ def test_bench_payload_fits_driver_capture():
         f"the serialization"
     )
     # Mass-failure shape (round-7 advice): errors are reduced on the
-    # guaranteed line to a count + an 8-name cap, so even "everything
-    # but the fast half failed" stays within the capture. Model the
-    # WORST mix: all but 8 queries timed, the 8 longest names failed
-    # (failed names appear in BOTH `failed` and, absent from timings,
-    # free nothing extra) plus the odd-passes map for those 8.
+    # guaranteed line to a count + a 4-name cap and the passes map to
+    # 6 entries (round 9: the grown headline list no longer fit the
+    # 8-name caps), so even "everything but the fast half failed"
+    # stays within the capture. Model the WORST mix: all but 9
+    # queries timed, the 9 longest names failed, exception maps
+    # capped exactly as bench.py caps them.
     longest = sorted(bench.HEADLINE, key=len, reverse=True)[:9]
+    capped_passes = dict(sorted((n, 1) for n in longest)[:6])
+    capped_passes["__omitted__"] = len(longest) - 6
     worst_fail = {
         **payload,
         "queries": {
             n: 999.999 for n in bench.HEADLINE if n not in longest
         },
-        "passes": {n: 1 for n in longest},
+        "passes": capped_passes,
         "n_errors": len(longest),
-        "failed": sorted(longest)[:8] + ["+1 more"],
+        "failed": sorted(longest)[:4] + [f"+{len(longest) - 4} more"],
     }
     line2 = _json.dumps(worst_fail, separators=(",", ":"))
     assert len(line2) <= 1950, (
