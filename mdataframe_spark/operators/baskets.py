@@ -709,3 +709,74 @@ def k_core(
         .filter(F.col("core_degree") >= int(k))
         .orderBy("v")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007): every vertex starts as its own community and each round
+    adopts the most frequent label among its neighbors plus itself
+    (self-vote damps the 2-cycle oscillation synchronous LPA is prone
+    to; ties break on the LOWEST label). Fixed ``rounds``, so the
+    whole trajectory is deterministic INTEGER arithmetic — a SQL
+    engine replays it exactly, no rounding discipline, no driver
+    round-trips (the k_core convention). Returns (v, community,
+    community_size) ordered by v.
+
+    Plan shape per round: the node-bounded label table broadcast-joins
+    the directed edge list, one (vertex, label) groupBy counts the
+    votes, and a lexicographic struct-min picks the winner; labels
+    localCheckpoint each round (flat lineage). Everything is
+    model-sized — edges come from the bounded candidate generators.
+    """
+    und = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("__x"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
+    ).filter(F.col("__x") != F.col("__y")).distinct()
+    directed = und.select(
+        F.col("__x").alias("__s"), F.col("__y").alias("__t")
+    ).unionByName(
+        und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
+    )
+    directed = _persist_tracked(directed)
+    labels = (
+        directed.select(F.col("__s").alias("__v"))
+        .distinct()
+        .withColumn("__l", F.col("__v"))
+    )
+    labels = _local_checkpoint_tracked(labels)
+    for _ in range(rounds):
+        neighbor_votes = directed.join(
+            F.broadcast(labels.select(F.col("__v").alias("__t"), "__l")),
+            "__t",
+        ).select(F.col("__s").alias("__v"), "__l")
+        self_votes = labels.select("__v", "__l")
+        winner = (
+            neighbor_votes.unionByName(self_votes)
+            .groupBy("__v", "__l")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("__v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("__negc"),
+                        F.col("__l").alias("__lbl"),
+                    )
+                ).alias("__w")
+            )
+            .select("__v", F.col("__w.__lbl").alias("__l"))
+        )
+        labels = _local_checkpoint_tracked(winner)
+    sizes = labels.groupBy(F.col("__l").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        labels.select(F.col("__v").alias("v"), F.col("__l").alias("community"))
+        .join(F.broadcast(sizes), "community")
+        .select("v", "community", "community_size")
+        .orderBy("v")
+    )

@@ -9167,6 +9167,70 @@ ORDER BY column_name
 """
 
 
+def gr_label_propagation(spark, sf_dir):
+    """Label-propagation communities on the co-purchase graph
+    (operators/baskets.py label_propagation): four synchronous rounds
+    with self-vote damping and lowest-label ties — pure integer
+    arithmetic, replayed exactly by the chained MATERIALIZED CTEs."""
+    from .operators.baskets import co_occurrence_pairs, label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return label_propagation(pairs, rounds=4)
+
+
+def _lpa_cte_rounds(rounds: int) -> tuple[str, str]:
+    parts = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            # MATERIALIZED: the k_core / markov CTE-inlining lesson
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT v, lbl FROM (\n"
+            f"    SELECT v, lbl,\n"
+            f"           row_number() OVER (PARTITION BY v\n"
+            f"             ORDER BY cnt DESC, lbl ASC) AS rn\n"
+            f"    FROM (\n"
+            f"      SELECT v, lbl, count(*) AS cnt FROM (\n"
+            f"        SELECT d.s AS v, l.lbl FROM directed d\n"
+            f"        JOIN {prev} l ON d.t = l.v\n"
+            f"        UNION ALL SELECT v, lbl FROM {prev}\n"
+            f"      ) GROUP BY 1, 2\n"
+            f"    )\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+        prev = f"l{i}"
+    return ",\n".join(parts), prev
+
+
+_LPA_ROUNDS, _LPA_LAST = _lpa_cte_rounds(4)
+
+GR_LPA_SQL = f"""
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
+), e AS (
+  SELECT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), directed AS MATERIALIZED (
+  SELECT x AS s, y AS t FROM e UNION ALL SELECT y AS s, x AS t FROM e
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT s AS v, s AS lbl FROM directed
+),
+{_LPA_ROUNDS}
+SELECT f.v, f.lbl AS community, sz.n AS community_size
+FROM {_LPA_LAST} f
+JOIN (SELECT lbl, count(*)::BIGINT AS n FROM {_LPA_LAST} GROUP BY lbl) sz
+  ON f.lbl = sz.lbl
+ORDER BY f.v
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -9258,6 +9322,7 @@ EXTRA_QUERIES = {
     "e_markov_stationary": e_markov_stationary,
     "sk_quantile_gate": sk_quantile_gate,
     "dq_completeness_profile": dq_completeness_profile,
+    "gr_label_propagation": gr_label_propagation,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
@@ -9514,6 +9579,7 @@ EXTRA_ORACLES = {
     "e_markov_stationary": E_MARKOV_SQL,
     "sk_quantile_gate": SK_QUANTILE_SQL,
     "dq_completeness_profile": DQ_COMPLETENESS_SQL,
+    "gr_label_propagation": GR_LPA_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,

@@ -94,3 +94,45 @@ def test_markov_stationary_empty_input(spark):
     out = markov_stationary(_ev(spark, []))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["event_type", "stationary_p"]
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from mdataframe_spark.operators.baskets import label_propagation
+
+    # two 4-cliques joined by one bridge edge: two communities, the
+    # bridge does not merge them
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = cl1 + cl2 + [(3, 10)]
+    out = label_propagation(_edges(spark, pairs), rounds=6).collect()
+    comms = {}
+    for r in out:
+        comms.setdefault(r["community"], set()).add(r["v"])
+    assert len(comms) == 2
+    sizes = sorted(r["community_size"] for r in out)
+    assert set(sizes) == {4}
+    # lowest-label convention: each clique's community is its min id
+    assert set(comms) == {0, 10}
+
+
+def test_lpa_clique_converges_to_min_label(spark):
+    from mdataframe_spark.operators.baskets import label_propagation
+
+    k5 = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    out = label_propagation(_edges(spark, k5), rounds=4).collect()
+    assert {r["community"] for r in out} == {5}
+    assert all(r["community_size"] == 5 for r in out)
+
+
+def test_lpa_deterministic_across_runs(spark):
+    from mdataframe_spark.operators.baskets import label_propagation
+
+    pairs = [
+        (a, b)
+        for a in range(15)
+        for b in range(a + 1, 15)
+        if (a * 5 + b * 3) % 4 == 0
+    ]
+    a = sorted(map(tuple, label_propagation(_edges(spark, pairs)).collect()))
+    b = sorted(map(tuple, label_propagation(_edges(spark, pairs)).collect()))
+    assert a == b
