@@ -11,12 +11,47 @@ engine reproduces the fixpoint trajectory bit-for-bit).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import local_checkpoint_tracked as _local_checkpoint_tracked
 from ..cache import persist_tracked as _persist_tracked
 from .dedup import DEFAULT_DF_CAP, cap_hot_keys
+
+_log = logging.getLogger(__name__)
+
+# Directed-edge count above which the iterative graph operators stop
+# broadcasting their node-bounded side tables (keep sets, label
+# tables): node count <= directed edge count, and ~5M keys of a few
+# dozen bytes is the conventional upper end of a safe broadcast on a
+# multi-GB executor. Above it the per-round joins fall back to shuffle
+# — correct, logged, slower — instead of a broadcast OOM.
+BROADCAST_EDGES_MAX = 5_000_000
+
+
+def _graph_broadcast_gate(directed: DataFrame, limit: int, op: str) -> bool:
+    """Probe the (persisted) directed edge list ONCE and decide whether
+    the per-round node-bounded tables may be broadcast. The probe is a
+    count on an already-materialized frame — one cheap action, the
+    cap_hot_keys loud-guard discipline applied to the broadcast
+    assumption instead of the join-key assumption."""
+    n = directed.count()
+    if limit and n > limit:
+        _log.warning(
+            "%s: directed edge list has %d rows > broadcast_edges_max=%d"
+            " — falling back to shuffle joins for the per-round node"
+            " tables (correct but slower; raise the limit only with"
+            " executor memory to spare)",
+            op, n, limit,
+        )
+        return False
+    return True
+
+
+def _bc(df: DataFrame, use_broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if use_broadcast else df
 
 
 def co_occurrence_pairs(
@@ -654,6 +689,8 @@ def k_core(
     rounds: int = 6,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    broadcast_edges_max: int = BROADCAST_EDGES_MAX,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """k-core decomposition by fixed-round peeling: repeatedly drop
     vertices whose degree in the SURVIVING subgraph is below ``k``
@@ -677,7 +714,24 @@ def k_core(
     set; the edge frame is localCheckpointed each round to keep the
     lineage flat (the connected-components discipline). Edges come
     from the bounded candidate generators, so every structure here is
-    model-sized, never corpus-sized.
+    model-sized, never corpus-sized — but the assumption is GUARDED,
+    not assumed: an edge list past ``broadcast_edges_max`` flips the
+    per-round survivor joins from broadcast to shuffle with a logged
+    warning (the cap_hot_keys discipline), so a corpus-scale caller
+    gets a slower-but-correct plan instead of a broadcast OOM.
+
+    Degree semantics at early stopping: ``core_degree`` is the degree
+    in the LAST SURVIVING SUBGRAPH (after ``rounds`` peels), not among
+    the returned vertices — if the schedule stops before the peeling
+    fixed point, the final ``>= k`` filter can drop a vertex whose
+    edges were still counted in a surviving neighbor's degree. At the
+    fixed point (which the tests assert on the testdata graph, and
+    which real graphs reach within a few rounds) the filter drops
+    nothing and the two readings coincide. Pass
+    ``check_convergence=True`` to verify: one extra aggregate on the
+    node-bounded degree frame, raising a descriptive error if any
+    vertex was dropped by the final filter (i.e. ``rounds`` was too
+    small for this graph).
     """
     if k < 1:
         raise ValueError("k_core: k must be >= 1")
@@ -691,23 +745,33 @@ def k_core(
         und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
     )
     active = _local_checkpoint_tracked(active)
+    use_bc = _graph_broadcast_gate(active, broadcast_edges_max, "k_core")
     for _ in range(rounds):
         deg = active.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.filter(F.col("__d") >= int(k)).select("__s")
         active = (
-            active.join(F.broadcast(keep), "__s", "left_semi")
+            active.join(_bc(keep, use_bc), "__s", "left_semi")
             .join(
-                F.broadcast(keep.select(F.col("__s").alias("__t"))),
+                _bc(keep.select(F.col("__s").alias("__t")), use_bc),
                 "__t",
                 "left_semi",
             )
         )
         active = _local_checkpoint_tracked(active)
+    final_deg = active.groupBy(F.col("__s").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    if check_convergence:
+        dropped = final_deg.filter(F.col("core_degree") < int(k)).count()
+        if dropped:
+            raise ValueError(
+                f"k_core: peeling did not reach its fixed point within "
+                f"rounds={rounds} — the final degree filter would drop "
+                f"{dropped} vertex(es) whose edges are still counted in "
+                f"surviving neighbors' core_degree; raise rounds"
+            )
     return (
-        active.groupBy(F.col("__s").alias("v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .filter(F.col("core_degree") >= int(k))
-        .orderBy("v")
+        final_deg.filter(F.col("core_degree") >= int(k)).orderBy("v")
     )
 
 
@@ -716,6 +780,7 @@ def label_propagation(
     rounds: int = 4,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    broadcast_edges_max: int = BROADCAST_EDGES_MAX,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     2007): every vertex starts as its own community and each round
@@ -731,7 +796,12 @@ def label_propagation(
     the directed edge list, one (vertex, label) groupBy counts the
     votes, and a lexicographic struct-min picks the winner; labels
     localCheckpoint each round (flat lineage). Everything is
-    model-sized — edges come from the bounded candidate generators.
+    model-sized — edges come from the bounded candidate generators —
+    but the assumption is GUARDED: an edge list past
+    ``broadcast_edges_max`` flips the per-round label join from
+    broadcast to shuffle with a logged warning (the cap_hot_keys
+    discipline), so a corpus-scale caller gets a slower-but-correct
+    plan instead of a broadcast OOM.
     """
     und = edges.select(
         F.least(F.col(a_col), F.col(b_col)).alias("__x"),
@@ -743,6 +813,9 @@ def label_propagation(
         und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
     )
     directed = _persist_tracked(directed)
+    use_bc = _graph_broadcast_gate(
+        directed, broadcast_edges_max, "label_propagation"
+    )
     labels = (
         directed.select(F.col("__s").alias("__v"))
         .distinct()
@@ -751,7 +824,7 @@ def label_propagation(
     labels = _local_checkpoint_tracked(labels)
     for _ in range(rounds):
         neighbor_votes = directed.join(
-            F.broadcast(labels.select(F.col("__v").alias("__t"), "__l")),
+            _bc(labels.select(F.col("__v").alias("__t"), "__l"), use_bc),
             "__t",
         ).select(F.col("__s").alias("__v"), "__l")
         self_votes = labels.select("__v", "__l")
@@ -776,7 +849,7 @@ def label_propagation(
     )
     return (
         labels.select(F.col("__v").alias("v"), F.col("__l").alias("community"))
-        .join(F.broadcast(sizes), "community")
+        .join(_bc(sizes, use_bc), "community")
         .select("v", "community", "community_size")
         .orderBy("v")
     )

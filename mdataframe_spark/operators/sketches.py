@@ -393,8 +393,13 @@ def histogram_quantile_gate(
         )
     )
     plist = ", ".join(repr(float(p)) for p in probs)
+    # the exact arm must drop exactly what the sketch drops: NULL and
+    # NaN (histogram_cells excludes both, and so does the DuckDB oracle
+    # via NOT isnan) — otherwise a NaN-bearing column makes the two
+    # arms disagree on the population and voids the 2·bin_width bound
+    xd = F.col(col).cast("double")
     exact = (
-        df.filter(F.col(col).isNotNull())
+        df.filter(xd.isNotNull() & ~F.isnan(xd))
         .agg(
             F.expr(
                 f"percentile({col}, array({plist}))"

@@ -235,7 +235,11 @@ def ewma_smooth(
     # stay narrow enough that both engines multiply exactly
     frac = max(len(w.split(".")[1]) if "." in w else 0 for w in weights)
     prec = frac + 2
-    if 18 + prec > 38:
+    # Spark's multiply-result precision is p1 + p2 + 1 (the carry
+    # digit), so the guard must include the +1: at 18 + prec == 38 the
+    # x*w product is precision 39 and Spark silently rounds while
+    # DuckDB stays exact — voiding the oracle-parity contract
+    if 18 + prec + 1 > 38:
         raise ValueError(
             f"ewma_smooth: weight ladder needs DECIMAL({prec},{frac}); "
             f"the x*w product would exceed decimal precision 38 — lower "
