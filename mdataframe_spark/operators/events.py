@@ -521,7 +521,7 @@ def rfm_scores(
     ts_col: str = "ts",
     value_col: str = "value",
     n_buckets: int = 5,
-    approx_buckets: bool = False,
+    approx_buckets: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """RFM segmentation: per-user Recency (seconds since last event,
@@ -536,14 +536,20 @@ def rfm_scores(
 
     Scale shape: the corpus collapses in ONE partial-agged
     groupBy(user); scoring runs on the user table. Two arms for the
-    tiling (the gain_deciles convention):
+    tiling (the gain_deciles convention) — the user table genuinely
+    GROWS with the corpus (unlike eval splits), so the scale-safe arm
+    is the DEFAULT and the exact windows are the opt-in:
 
-    - ``approx_buckets=False``: three ntile windows over the user
-      table — fine while users are model-sized relative to events.
-    - ``approx_buckets=True``: the corpus-scale path — each metric is
-      tiled by :func:`..operators.evaluation._ntile_scale_safe`
+    - ``approx_buckets=True`` (default): the corpus-scale path — each
+      metric is tiled by
+      :func:`..operators.evaluation._ntile_scale_safe`
       (approx-quantile partition cuts + exact global-rank arithmetic,
-      never a global window), equality-tested against the exact arm.
+      never a global window). The ranks are exact, so the tiles are
+      IDENTICAL to the ntile arm — equality-tested, and the oracle
+      replays one tiling for both arms.
+    - ``approx_buckets=False``: three unpartitioned ntile windows over
+      the user table — three single-reducer sorts, acceptable only
+      while the user table is genuinely small.
     """
     d = _ns(df, ts_col)
     per_user = rfm_state(d, user_col, ts_col, value_col, _canonical=True)

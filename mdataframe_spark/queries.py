@@ -8473,10 +8473,12 @@ FROM agg ORDER BY bucket
 
 def e_rfm_scores(spark, sf_dir):
     """RFM segmentation (operators/events.py rfm_scores): the corpus
-    collapses in one groupBy(user); quintile scores via exact ntile
-    over the user-bounded table (the approx_buckets arm is the
-    corpus-scale path, equality-tested in
-    tests/test_rfm_attribution.py)."""
+    collapses in one groupBy(user); quintile scores via the DEFAULT
+    scale-safe tiling (_ntile_scale_safe — approx-quantile partition
+    cuts + exact global-rank arithmetic, no global window). The ranks
+    are exact so the tiles equal the ntile arm's (equality-tested in
+    tests/test_rfm_attribution.py), and the oracle's single ntile
+    replay covers both arms."""
     from .operators.events import rfm_scores
 
     ev = _events(spark, sf_dir)
@@ -9268,26 +9270,28 @@ QUERIES = {
     "w3_window_suite": w3_window_suite,
     "e_latency_percentiles": e_latency_percentiles,
     "stat_psi": stat_psi,
-    # --- rotated in round 9 (driver records for the round-8 waves;
-    # 17 veterans green 2+ rounds ceded their slots and keep the
-    # identical oracle protocol in EXTRA_QUERIES) ---
-    "j_q4_priority": j_q4_priority,
-    "j_q7_volume_shipping": j_q7_volume_shipping,
-    "j_q9_profit": j_q9_profit,
-    "j_q12_late_lines": j_q12_late_lines,
-    "j_q15_top_supplier": j_q15_top_supplier,
-    "j_q18_large_orders": j_q18_large_orders,
-    "j_q22_lapsed_customers": j_q22_lapsed_customers,
-    "ml_ols_fit": ml_ols_fit,
-    "ml_confusion_nc": ml_confusion_nc,
-    "ml_pr_curve": ml_pr_curve,
-    "stat_welch_ttest": stat_welch_ttest,
-    "stat_spearman": stat_spearman,
-    "dim_cdc_apply": dim_cdc_apply,
-    "dim_snapshot_diff": dim_snapshot_diff,
-    "gr_jaccard_linkpred": gr_jaccard_linkpred,
-    "sk_countmin_gate": sk_countmin_gate,
-    "sim_embedding_drift": sim_embedding_drift,
+    # --- rotated in round 10 (sixth rotation, per the round-9
+    # verdict: the never-driver-recorded round-8 leftovers and
+    # second-half TPC-H twins take the slots of the 17 round-9 rows,
+    # all driver-green in r9 and keeping the identical oracle
+    # protocol in EXTRA_QUERIES) ---
+    "ml_ndcg_events": ml_ndcg_events,
+    "ml_gain_deciles": ml_gain_deciles,
+    "stat_anova_oneway": stat_anova_oneway,
+    "stat_brown_forsythe": stat_brown_forsythe,
+    "e_event_transitions": e_event_transitions,
+    "e_top_paths": e_top_paths,
+    "dim_scd2_history_compact": dim_scd2_history_compact,
+    "e_seasonal_profile": e_seasonal_profile,
+    "dq_candidate_keys": dq_candidate_keys,
+    "j_q6_forecast_revenue": j_q6_forecast_revenue,
+    "j_q8_market_share": j_q8_market_share,
+    "j_q10_returned_items": j_q10_returned_items,
+    "j_q13_order_distribution": j_q13_order_distribution,
+    "j_q14_promo_share": j_q14_promo_share,
+    "j_q16_supplier_count": j_q16_supplier_count,
+    "j_q19_bracket_revenue": j_q19_bracket_revenue,
+    "j_q20_excess_suppliers": j_q20_excess_suppliers,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
     "stat_edger_exact_test": stat_edger_exact_test,
     "stat_deseq2": stat_deseq2,
@@ -9397,31 +9401,27 @@ EXTRA_QUERIES = {
     "dd_norm_collisions": dd_norm_collisions,
     "j_q17_small_quantity": j_q17_small_quantity,
     "e_moving_stats": e_moving_stats,
-    # --- new in round 8: classifier-ops & paths wave ---
-    "e_top_paths": e_top_paths,
-    # --- new in round 8: drift & history wave ---
-    "dim_scd2_history_compact": dim_scd2_history_compact,
-    # --- new in round 8: sketch & profiling wave ---
-    "e_seasonal_profile": e_seasonal_profile,
-    "dq_candidate_keys": dq_candidate_keys,
-    # --- new in round 8: model-ops completion wave ---
-    "stat_anova_oneway": stat_anova_oneway,
-    "stat_brown_forsythe": stat_brown_forsythe,
-    "ml_gain_deciles": ml_gain_deciles,
-    # --- new in round 8: relational completeness, second half ---
-    "j_q6_forecast_revenue": j_q6_forecast_revenue,
-    "j_q8_market_share": j_q8_market_share,
-    "j_q10_returned_items": j_q10_returned_items,
-    "j_q14_promo_share": j_q14_promo_share,
-    "j_q16_supplier_count": j_q16_supplier_count,
-    "j_q19_bracket_revenue": j_q19_bracket_revenue,
-    "j_q20_excess_suppliers": j_q20_excess_suppliers,
-    # --- new in round 8: warehouse & pipeline wave ---
-    "e_event_transitions": e_event_transitions,
-    # --- new in round 8: evaluation & statistics wave ---
-    "ml_ndcg_events": ml_ndcg_events,
-    # --- new in round 8: relational-completeness wave ---
-    "j_q13_order_distribution": j_q13_order_distribution,
+    # --- rotated out of the driver registry in round 10 (driver-green
+    # r9; same oracle protocol in-repo from here on — the round-8 wave
+    # queries that previously sat here moved INTO the driver registry
+    # in the sixth rotation) ---
+    "j_q4_priority": j_q4_priority,
+    "j_q7_volume_shipping": j_q7_volume_shipping,
+    "j_q9_profit": j_q9_profit,
+    "j_q12_late_lines": j_q12_late_lines,
+    "j_q15_top_supplier": j_q15_top_supplier,
+    "j_q18_large_orders": j_q18_large_orders,
+    "j_q22_lapsed_customers": j_q22_lapsed_customers,
+    "ml_ols_fit": ml_ols_fit,
+    "ml_confusion_nc": ml_confusion_nc,
+    "ml_pr_curve": ml_pr_curve,
+    "stat_welch_ttest": stat_welch_ttest,
+    "stat_spearman": stat_spearman,
+    "dim_cdc_apply": dim_cdc_apply,
+    "dim_snapshot_diff": dim_snapshot_diff,
+    "gr_jaccard_linkpred": gr_jaccard_linkpred,
+    "sk_countmin_gate": sk_countmin_gate,
+    "sim_embedding_drift": sim_embedding_drift,
     # --- rotated out of the driver registry in round 8 (driver-green
     # r1-r7; same oracle protocol in-repo from here on) ---
     "j_q5_multijoin": j_q5_multijoin,
@@ -9533,24 +9533,24 @@ ORACLES = {
     "w3_window_suite": W3_WINDOW_SQL,
     "e_latency_percentiles": E_LATENCY_SQL,
     "stat_psi": STAT_PSI_SQL,
-    # --- rotated in round 9 ---
-    "j_q4_priority": J_Q4_SQL,
-    "j_q7_volume_shipping": J_Q7_SQL,
-    "j_q9_profit": J_Q9_SQL,
-    "j_q12_late_lines": J_Q12_SQL,
-    "j_q15_top_supplier": J_Q15_SQL,
-    "j_q18_large_orders": J_Q18_SQL,
-    "j_q22_lapsed_customers": J_Q22_SQL,
-    "ml_ols_fit": ML_OLS_SQL,
-    "ml_confusion_nc": ML_CONFUSION_SQL,
-    "ml_pr_curve": ML_PR_SQL,
-    "stat_welch_ttest": STAT_WELCH_SQL,
-    "stat_spearman": STAT_SPEARMAN_SQL,
-    "dim_cdc_apply": DIM_CDC_SQL,
-    "dim_snapshot_diff": DIM_SNAPDIFF_SQL,
-    "gr_jaccard_linkpred": GR_LINKPRED_SQL,
-    "sk_countmin_gate": SK_COUNTMIN_SQL,
-    "sim_embedding_drift": SIM_DRIFT_SQL,
+    # --- rotated in round 10 (sixth rotation) ---
+    "ml_ndcg_events": ML_NDCG_SQL,
+    "ml_gain_deciles": ML_GAIN_SQL,
+    "stat_anova_oneway": STAT_ANOVA_SQL,
+    "stat_brown_forsythe": STAT_BF_SQL,
+    "e_event_transitions": E_TRANSITIONS_SQL,
+    "e_top_paths": E_PATHS_SQL,
+    "dim_scd2_history_compact": DIM_COMPACT_SQL,
+    "e_seasonal_profile": E_SEASONAL_SQL,
+    "dq_candidate_keys": DQ_CANDKEYS_SQL,
+    "j_q6_forecast_revenue": J_Q6_SQL,
+    "j_q8_market_share": J_Q8_SQL,
+    "j_q10_returned_items": J_Q10_SQL,
+    "j_q13_order_distribution": J_Q13_SQL,
+    "j_q14_promo_share": J_Q14_SQL,
+    "j_q16_supplier_count": J_Q16_SQL,
+    "j_q19_bracket_revenue": J_Q19_SQL,
+    "j_q20_excess_suppliers": J_Q20_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent. Their
     # numeric parity is asserted against the reference's R goldens in
@@ -9656,31 +9656,26 @@ EXTRA_ORACLES = {
     "dd_norm_collisions": DD_NORM_COLLISIONS_SQL,
     "j_q17_small_quantity": J_Q17_SQL,
     "e_moving_stats": E_MOVING_SQL,
-    # --- new in round 8: classifier-ops & paths wave ---
-    "e_top_paths": E_PATHS_SQL,
-    # --- new in round 8: drift & history wave ---
-    "dim_scd2_history_compact": DIM_COMPACT_SQL,
-    # --- new in round 8: sketch & profiling wave ---
-    "e_seasonal_profile": E_SEASONAL_SQL,
-    "dq_candidate_keys": DQ_CANDKEYS_SQL,
-    # --- new in round 8: model-ops completion wave ---
-    "stat_anova_oneway": STAT_ANOVA_SQL,
-    "stat_brown_forsythe": STAT_BF_SQL,
-    "ml_gain_deciles": ML_GAIN_SQL,
-    # --- new in round 8: relational completeness, second half ---
-    "j_q6_forecast_revenue": J_Q6_SQL,
-    "j_q8_market_share": J_Q8_SQL,
-    "j_q10_returned_items": J_Q10_SQL,
-    "j_q14_promo_share": J_Q14_SQL,
-    "j_q16_supplier_count": J_Q16_SQL,
-    "j_q19_bracket_revenue": J_Q19_SQL,
-    "j_q20_excess_suppliers": J_Q20_SQL,
-    # --- new in round 8: warehouse & pipeline wave ---
-    "e_event_transitions": E_TRANSITIONS_SQL,
-    # --- new in round 8: evaluation & statistics wave ---
-    "ml_ndcg_events": ML_NDCG_SQL,
-    # --- new in round 8: relational-completeness wave ---
-    "j_q13_order_distribution": J_Q13_SQL,
+    # --- rotated out of the driver registry in round 10 (sixth
+    # rotation; the round-8 wave oracles that sat here moved into the
+    # driver ORACLES) ---
+    "j_q4_priority": J_Q4_SQL,
+    "j_q7_volume_shipping": J_Q7_SQL,
+    "j_q9_profit": J_Q9_SQL,
+    "j_q12_late_lines": J_Q12_SQL,
+    "j_q15_top_supplier": J_Q15_SQL,
+    "j_q18_large_orders": J_Q18_SQL,
+    "j_q22_lapsed_customers": J_Q22_SQL,
+    "ml_ols_fit": ML_OLS_SQL,
+    "ml_confusion_nc": ML_CONFUSION_SQL,
+    "ml_pr_curve": ML_PR_SQL,
+    "stat_welch_ttest": STAT_WELCH_SQL,
+    "stat_spearman": STAT_SPEARMAN_SQL,
+    "dim_cdc_apply": DIM_CDC_SQL,
+    "dim_snapshot_diff": DIM_SNAPDIFF_SQL,
+    "gr_jaccard_linkpred": GR_LINKPRED_SQL,
+    "sk_countmin_gate": SK_COUNTMIN_SQL,
+    "sim_embedding_drift": SIM_DRIFT_SQL,
     # --- rotated out of the driver registry in round 8 ---
     "j_q5_multijoin": J_Q5_SQL,
     "w1_bh_fdr": W1_SQL,

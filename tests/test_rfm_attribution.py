@@ -55,7 +55,12 @@ def test_rfm_score_buckets_are_balanced(spark):
 
 def test_rfm_exact_vs_approx_arms_identical(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    exact = rfm_scores(ev).toPandas().set_index("user_id").sort_index()
+    exact = (
+        rfm_scores(ev, approx_buckets=False)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
     approx = (
         rfm_scores(ev, approx_buckets=True, num_partitions=7)
         .toPandas()
