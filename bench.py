@@ -125,6 +125,10 @@ HEADLINE = [
     # + exact percentile side) and the one-scan Expand profile
     "sk_quantile_gate",
     "dq_completeness_profile",
+    # round-10: the end-to-end curation recipe — gate → exact dedup →
+    # MinHash near-dup drop → mixture sample → pack as ONE lineage
+    # (the longest chained plan in the registry)
+    "pipe_fineweb_recipe",
 ]
 
 

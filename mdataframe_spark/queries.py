@@ -9233,6 +9233,175 @@ ORDER BY f.v
 """
 
 
+def pipe_fineweb_recipe(spark, sf_dir):
+    """End-to-end FineWeb-style curation recipe — the already-
+    oracle-checked stages composed as ONE lineage: quality gate
+    (txt_quality_gate's knobs) → exact dedup keep-min (dd_exact_dedup)
+    → MinHash-LSH near-dup drop (dd_minhash_lsh's pair generator with
+    the deterministic keep-lowest heuristic) → md5 domain-mixture
+    sampling with rates derived from the SURVIVOR statistics, not the
+    raw table (ds_domain_mixture's machinery) → 512-token greedy
+    packing (ds_pack_sequences). What this checks that no single-stage
+    query does: the operator INTERFACES under realistic chaining —
+    each stage consumes the previous stage's frame, and the mixture
+    rate probe runs on pipeline-internal state.
+
+    Scale shape: the survivor frames are persisted once each, so the
+    near-dup signature build, the rate probe, and the downstream
+    sample share one materialization instead of re-running the gate;
+    every stage keeps its own bounded-shuffle discipline (fused
+    one-scan gate, map-side-combined minhash, df-capped banding,
+    zero-shuffle md5 draw, shard-keyed packing window)."""
+    from .cache import persist_tracked
+    from .operators.datasets import domain_mixture_sample, pack_sequences
+    from .operators.text import quality_gate, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = quality_gate(
+        docs, entropy_band=(4.1, 6.0), min_tokens=10, min_stopwords=1
+    )
+    kept = gated.filter(F.col("keep_quality")).select(*docs.columns)
+    keep_ids = (
+        kept.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = persist_tracked(kept.join(keep_ids, "doc_id", "left_semi"))
+    sigs = dedup.minhash_signatures(s1, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s2 = persist_tracked(s1.join(near_dups, "doc_id", "left_anti"))
+    sampled = domain_mixture_sample(
+        s2, "lang", _MIX_WEIGHTS, _MIX_BUDGET_FRACTION,
+        token_col="n_chars", seed=_MIX_SEED,
+    )
+    withtok = sampled.withColumn(
+        "n_tokens", token_count(F.col("text")).cast("bigint")
+    )
+    out = pack_sequences(
+        withtok, ["lang", "source"], "n_tokens",
+        order_col="doc_id", capacity=512,
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_tokens", "bin_id", "bin_offset"
+    )
+
+
+PIPE_FINEWEB_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nospace_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+         len(list_intersect(
+           list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+           ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop,
+         len(regexp_extract_all(
+           ' ' || regexp_replace(trim(text), '\s+', '  ', 'g') || ' ',
+           '\s[^A-Za-z\s]+\s')) AS n_nonalpha
+  FROM documents
+), g AS (
+  SELECT doc_id, text, n_tok,
+         ((n_tok >= 10 AND n_tok <= 100000)
+          AND (nospace_chars / CAST(n_tok AS DOUBLE) >= 3.0
+               AND nospace_chars / CAST(n_tok AS DOUBLE) <= 10.0)
+          AND (n_sym / CAST(n_tok AS DOUBLE) <= 0.1)
+          AND (n_stop >= 1)
+          AND ((n_tok - n_nonalpha) / CAST(n_tok AS DOUBLE) >= 0.8)) AS keep_gopher
+  FROM d
+), chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL AND len(text) > 0
+), c2 AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+), ent AS (
+  SELECT doc_id, round(log2(sum(c)) - sum(round(c * log2(c), 9)) / sum(c), 6)
+           AS char_entropy
+  FROM c2 GROUP BY doc_id
+), lrates AS (
+  SELECT doc_id,
+    round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|and|to|in|is|that|it|for)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_en,
+    round(len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|von|zu|mit|den|ein)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_de,
+    round(len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|es|se|no)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_es,
+    round(len(regexp_extract_all(lower(text), '\b(?:le|la|de|et|les|des|est|un|une|du)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_fr
+  FROM g
+), lng AS (
+  SELECT doc_id, greatest(r_en, r_de, r_es, r_fr) AS best,
+         CASE WHEN r_de = greatest(r_en, r_de, r_es, r_fr) THEN 'de'
+              WHEN r_en = greatest(r_en, r_de, r_es, r_fr) THEN 'en'
+              WHEN r_es = greatest(r_en, r_de, r_es, r_fr) THEN 'es'
+              ELSE 'fr' END AS pred
+  FROM lrates
+), q AS (
+  SELECT g.doc_id
+  FROM g JOIN lng USING (doc_id) LEFT JOIN ent USING (doc_id)
+  WHERE coalesce(g.keep_gopher, false)
+    AND coalesce(ent.char_entropy >= 4.1 AND ent.char_entropy <= 6.0, false)
+    AND coalesce(lng.pred IN ('en','de','es','fr') AND lng.best > 0, false)
+), s1 AS MATERIALIZED (
+  SELECT doc.* FROM documents doc JOIN q USING (doc_id)
+), ex AS (
+  SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)
+), s2 AS MATERIALIZED (
+  SELECT s1.* FROM s1 JOIN ex USING (doc_id)
+), toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+') AS t
+  FROM s2
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 14, 13))::BIGINT AS h2
+  FROM grams
+), sig AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM hashed GROUP BY doc_id
+), bands0 AS (
+  {_BAND_ROWS}
+), bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000
+), neardup AS (
+  SELECT DISTINCT r.doc_id AS doc_id
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), s3 AS MATERIALIZED (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+), stats AS (
+  SELECT lang, sum(n_chars)::BIGINT AS toks2 FROM s3 GROUP BY lang
+), budget AS (
+  SELECT {_MIX_BUDGET_FRACTION} * sum(toks2) AS b FROM stats
+), mrates AS (
+  SELECT lang, least(1.0, ({_MIX_W_SQL}) * (SELECT b FROM budget) / toks2) AS rate
+  FROM stats
+), s4 AS (
+  SELECT s3.* FROM s3 JOIN mrates USING (lang)
+  WHERE CAST(('0x' || substr(md5(s3.doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rate
+), pk AS (
+  SELECT doc_id, lang, source,
+         len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+  FROM s4
+), st AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM pk
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS bin_id,
+       (start % 512)::BIGINT AS bin_offset
+FROM st
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
@@ -9308,6 +9477,8 @@ QUERIES = {
 # sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
+    # --- new in round 10: end-to-end pipeline composition ---
+    "pipe_fineweb_recipe": pipe_fineweb_recipe,
     "ts_acf_hourly": ts_acf_hourly,
     "ts_cusum_errors": ts_cusum_errors,
     "ts_ewma_purchases": ts_ewma_purchases,
@@ -9561,6 +9732,8 @@ ORACLES = {
 # Oracles for the EXTRA_QUERIES — same comparison protocol, run
 # in-repo (tests/test_extra_parity.py) instead of by the driver.
 EXTRA_ORACLES = {
+    # --- new in round 10: end-to-end pipeline composition ---
+    "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     "ts_acf_hourly": TS_ACF_SQL,
     "ts_cusum_errors": TS_CUSUM_SQL,
     "ts_ewma_purchases": TS_EWMA_SQL,
