@@ -478,6 +478,7 @@ def l_diversity(
 def completeness_profile(
     df: DataFrame,
     cols,
+    with_distinct: bool = True,
 ) -> DataFrame:
     """One-pass per-column completeness profile: for each requested
     column, (column, n_rows, n_null, null_rate, n_distinct) — the
@@ -487,6 +488,15 @@ def completeness_profile(
     n_distinct counts DISTINCT NON-NULL values (SQL count-distinct
     semantics); the unpivot to one row per column is a constant-size
     union over the 1-row aggregate. Ordered by column name.
+
+    ``with_distinct=False`` drops the n_distinct column and its
+    Expand stage, leaving only count/sum aggregates — a pure SUM
+    monoid over the scan. That arm exists for the streaming twin
+    (streaming/segments.py completeness_stream): Structured Streaming
+    rejects exact distinct aggregation (unbounded per-value state),
+    and the sketch alternative (approx_count_distinct) would break
+    the twin-equality contract, so the streamed profile is honestly
+    the monoid subset of this one.
     """
     cols = [cols] if isinstance(cols, str) else list(cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -494,28 +504,32 @@ def completeness_profile(
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn{i}")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd{i}"))
+        if with_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd{i}"))
     one = df.agg(*aggs)
     # stack unpivot (the expectations pattern), NOT a union of k
     # projections: a union re-computes the aggregate subtree per
     # branch — k scans of the corpus for a k-column profile
     # (plan-asserted in tests). "column_name", not "column": the bare
     # word is reserved in the SQL oracles' dialect.
+    if with_distinct:
+        stack_fields = ", ".join(
+            f"'{c}', __nn{i}, __nd{i}" for i, c in enumerate(cols)
+        )
+        stack_as = "(column_name, n_null, n_distinct)"
+    else:
+        stack_fields = ", ".join(f"'{c}', __nn{i}" for i, c in enumerate(cols))
+        stack_as = "(column_name, n_null)"
     stacked = one.select(
         F.col("__n"),
-        F.expr(
-            "stack({}, {}) as (column_name, n_null, n_distinct)".format(
-                len(cols),
-                ", ".join(
-                    f"'{c}', __nn{i}, __nd{i}" for i, c in enumerate(cols)
-                ),
-            )
-        ),
+        F.expr(f"stack({len(cols)}, {stack_fields}) as {stack_as}"),
     )
-    return stacked.select(
-        "column_name",
+    out_cols = [
+        F.col("column_name"),
         F.col("__n").cast("bigint").alias("n_rows"),
         F.col("n_null").cast("bigint").alias("n_null"),
         F.round(F.col("n_null") / F.col("__n"), 6).alias("null_rate"),
-        F.col("n_distinct").cast("bigint").alias("n_distinct"),
-    ).orderBy("column_name")
+    ]
+    if with_distinct:
+        out_cols.append(F.col("n_distinct").cast("bigint").alias("n_distinct"))
+    return stacked.select(*out_cols).orderBy("column_name")

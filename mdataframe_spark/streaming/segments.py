@@ -54,3 +54,22 @@ def benford_stream(events: DataFrame, col: str) -> DataFrame:
     """Running Benford first-digit counts over a stream:
     (digit, n_observed), at most 9 state rows, no watermark needed."""
     return benford_digit_counts(events, col)
+
+
+def completeness_stream(events: DataFrame, cols) -> DataFrame:
+    """Running per-column completeness profile over a stream:
+    (column_name, n_rows, n_null, null_rate) — count and null-count
+    are SUM monoids, so the running state after any prefix of
+    micro-batches equals the batch
+    :func:`..operators.diagnostics.completeness_profile` collapse
+    (``with_distinct=False`` arm) over the same rows; state is ≤ k
+    aggregate cells for a k-column profile. n_distinct is deliberately
+    ABSENT: Structured Streaming rejects exact distinct aggregation
+    (per-value state is unbounded), and approx_count_distinct's sketch
+    would diverge from the batch exact count — violating the
+    twin-equality contract every other twin in this package holds.
+    Delegates to the batch collapse (the cdc_stream convention), so
+    the two arms cannot diverge by construction."""
+    from ..operators.diagnostics import completeness_profile
+
+    return completeness_profile(events, cols, with_distinct=False)

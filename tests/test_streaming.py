@@ -757,3 +757,84 @@ def test_benford_stream_matches_batch(spark, tmp_path_factory):
     }
     assert streamed == expected
     assert sum(expected.values()) == 300
+
+
+def test_completeness_stream_matches_batch_and_continues_from_checkpoint(
+    spark, tmp_path_factory
+):
+    """The streaming completeness twin's running per-column profile
+    equals the batch collapse (with_distinct=False arm) after ANY
+    prefix: count and null-count are sum monoids, so checkpointed
+    state + new micro-batches = one big batch. n_distinct is absent
+    by design (streaming rejects exact distinct aggregation)."""
+    from mdataframe_spark.operators.diagnostics import completeness_profile
+    from mdataframe_spark.streaming.segments import completeness_stream
+
+    root = tmp_path_factory.mktemp("completeness_stream")
+    src = root / "rows"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "a bigint, b string, c double"
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    a_rows = [
+        (1, "x", None),
+        (None, "y", 2.5),
+        (3, None, 2.5),
+        (None, None, None),
+    ]
+    write_log(a_rows)
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            completeness_stream(stream, ["a", "b", "c"])
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["column_name"]: (r["n_rows"], r["n_null"], r["null_rate"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_state(rows):
+        return {
+            r["column_name"]: (r["n_rows"], r["n_null"], r["null_rate"])
+            for r in completeness_profile(
+                spark.createDataFrame(rows, schema),
+                ["a", "b", "c"],
+                with_distinct=False,
+            ).collect()
+        }
+
+    got_a = run_stream("completeness_a")
+    assert got_a == batch_state(a_rows)
+    assert got_a["a"] == (4, 2, 0.5)
+
+    b_rows = [(5, "z", 1.0), (None, "z", None)]
+    write_log(b_rows)
+    got_ab = run_stream("completeness_ab")
+    assert got_ab == batch_state(a_rows + b_rows)
+    assert got_ab["a"] == (6, 3, 0.5)
+    assert got_ab["c"] == (6, 3, 0.5)
+
+
+def test_completeness_stream_columns_are_monoid_subset(spark):
+    """The twin's schema is exactly the batch profile minus
+    n_distinct — nothing else drifts between the arms."""
+    from mdataframe_spark.operators.diagnostics import completeness_profile
+    from mdataframe_spark.streaming.segments import completeness_stream
+
+    df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    batch_cols = completeness_profile(df, ["a", "b"]).columns
+    twin_cols = completeness_stream(df, ["a", "b"]).columns
+    assert twin_cols == [c for c in batch_cols if c != "n_distinct"]
