@@ -533,3 +533,77 @@ def completeness_profile(
     if with_distinct:
         out_cols.append(F.col("n_distinct").cast("bigint").alias("n_distinct"))
     return stacked.select(*out_cols).orderBy("column_name")
+
+
+def gini_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value column —
+    the concentration audit that complements key-skew and the
+    completeness profile: how unequally are tokens/chars/spend
+    distributed across documents/users within each group? 0 = perfect
+    equality, →1 = one row holds everything. Returns (group, n,
+    total, gini) ordered by group; gini NULL when the group has n < 2
+    or a zero total (concentration undefined).
+
+    Decomposition (the mannwhitney doubled-rank convention applied to
+    the rank-weighted identity G = 2·Σᵢ rᵢvᵢ / (N·S) − (N+1)/N):
+    ONE partial-agged groupBy(group, value) collapses the corpus to
+    distinct-value blocks; a per-group cumulative window over the
+    block table yields midrank sums, and the doubled rank-weighted
+    total 2·Σ rᵢvᵢ = Σ_v v·t·(2·cum − t + 1) accumulates as EXACT
+    decimal (values rounded to 4 dp once, the rfm_state convention)
+    — ties get their midrank automatically, so the result is
+    order-independent and replays bit-for-bit in SQL. Everything
+    after the first pass is bounded by distinct values per group;
+    quantize continuous values upstream if that table must stay
+    model-sized (the documented spearman/auc knob).
+
+    Negative values are REJECTED rows (filtered with the NULLs):
+    Lorenz-based concentration is undefined below zero — a signed
+    column wants a different audit, not a silently wrong Gini.
+    """
+    g = F.col(group_col) if group_col else F.lit("all")
+    # values quantize to 4 dp ONCE, then live as SCALED INTEGERS
+    # (v·10⁴ as bigint — the mannwhitney integer-accumulation form):
+    # decimal×decimal products would hit Spark's precision-loss
+    # reduction, while integer products in decimal(38,0) are exact in
+    # both engines, and the 10⁴ scale cancels inside the Gini ratio
+    vs = F.round(F.col(value_col).cast("double") * 10000).cast("bigint")
+    keep = F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(g.alias("__g"), vs.alias("__v"))
+    blocks = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__t")
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blocks = blocks.withColumn("__cum", F.sum("__t").over(w))
+    dec = "decimal(38,0)"
+    acc = blocks.groupBy("__g").agg(
+        F.sum("__t").alias("__n"),
+        F.sum(F.col("__v").cast(dec) * F.col("__t")).alias("__s"),
+        F.sum(
+            F.col("__v").cast(dec)
+            * F.col("__t")
+            * (2 * F.col("__cum") - F.col("__t") + 1)
+        ).alias("__rv2"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    gini = F.when(
+        (F.col("__n") >= 2) & (s > 0),
+        F.col("__rv2").cast("double") / (n * s) - (n + 1) / n,
+    )
+    return acc.select(
+        F.col("__g").alias("group"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(s / 10000.0, 4).alias("total"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("group")

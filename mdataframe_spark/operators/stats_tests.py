@@ -675,3 +675,197 @@ def brown_forsythe(
         "__g", F.abs(F.col("__v") - F.col("__med")).alias("__dev")
     )
     return anova_oneway(dev, "__dev", "__g", with_p=with_p)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis rank test across the k levels of
+    ``group_col`` — the nonparametric counterpart of
+    :func:`anova_oneway` (do the groups share a DISTRIBUTION, judged
+    on ranks?). Returns ONE row: (n_groups, n, h_stat) with
+    H = [12/(N(N+1)) · Σ_g (2R_g)²/(4n_g) − 3(N+1)] / C and the
+    standard tie correction C = 1 − Σ(t³−t)/(N³−N); H is NULL when
+    k < 2 or every value is tied (C = 0).
+
+    Decomposition (the mannwhitney_u doubled-rank convention, extended
+    to k groups): ONE partial-agged groupBy(value, group) collapses
+    the corpus to distinct (value, group) cells; a groupBy(value) over
+    that cell table plus one cumulative window gives the midrank blocks,
+    and the doubled per-group rank sum 2·R_g = Σ_v t_vg·(2·cum − t + 1)
+    is an exact integer accumulated in decimal(38,0) — every term
+    replays bit-for-bit in SQL. Downstream of the first pass,
+    everything is bounded by distinct values × groups; quantize
+    continuous values upstream to keep that table model-sized at
+    100 TB (the documented spearman/auc knob).
+
+    P-value: chi-square upper tail with k−1 dof (with_p=True rides
+    outside the hashed oracle set, the module convention).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    cells = base.groupBy(
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(group_col).alias("__g"),
+    ).agg(F.count(F.lit(1)).alias("__tg"))
+    totals = cells.groupBy("__v").agg(F.sum("__tg").alias("__t"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    blocks = totals.withColumn("__cum", F.sum("__t").over(w))
+    dec = "decimal(38,0)"
+    # doubled per-group rank sums: every value row in group g at
+    # distinct value v contributes the block midrank (2·cum − t + 1)/2
+    per_g = (
+        cells.join(blocks, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__tg").alias("__ng"),
+            F.sum(
+                F.col("__tg").cast(dec)
+                * (2 * F.col("__cum") - F.col("__t") + 1)
+            ).alias("__r2"),
+        )
+    )
+    ties = blocks.agg(
+        F.sum(
+            F.col("__t").cast(dec) * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("__ties")
+    )
+    acc = per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("__ng").alias("n"),
+        # Σ_g R_g²/n_g = Σ_g (2R_g)²/(4 n_g); the square leaves
+        # decimal range (N² per term, N⁴ squared), so it runs in
+        # double AFTER the exact doubled sums — the mannwhitney
+        # product convention
+        F.sum(
+            F.col("__r2").cast("double")
+            * F.col("__r2").cast("double")
+            / (4.0 * F.col("__ng"))
+        ).alias("__sr"),
+    ).crossJoin(ties)
+    n = F.col("n").cast("double")
+    k = F.col("n_groups")
+    h_raw = 12.0 / (n * (n + 1)) * F.col("__sr") - 3.0 * (n + 1)
+    corr = F.lit(1.0) - F.col("__ties").cast("double") / (n * n * n - n)
+    h = F.when((k >= 2) & (n > 1) & (corr > 0), h_raw / corr)
+    out = acc.select(
+        "n_groups",
+        "n",
+        F.round(h, 6).alias("h_stat"),
+    )
+    if with_p:
+        out = out.withColumn(
+            "p_value",
+            F.round(
+                _chi2_p(
+                    F.col("h_stat"),
+                    (F.col("n_groups") - 1).cast("double"),
+                ),
+                6,
+            ),
+        )
+    return out
+
+
+def kendall_tau_cells(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b from the contingency-cell collapse: ONE
+    partial-agged groupBy(x, y) reduces the corpus to cells (x, y,
+    count); concordant/discordant pair masses are then an inequality
+    join over the CELL table — C² pair terms where C = distinct(x,y)
+    cells, never n² rows. Returns ONE row: (n, n_cells, concordant,
+    discordant, tau_b), τ-b with the standard tie normalization
+    τ = (P − Q)/√((n₀−n₁)(n₀−n₂)), NULL when either margin is fully
+    tied.
+
+    This is the quantized-knob design made FIRST-CLASS instead of
+    advisory: τ on raw continuous data is inherently O(n log n)
+    sequential (merge-sort inversion counting does not distribute),
+    but real 100 TB monitoring compares BUCKETED features, where the
+    cell table is model-sized by construction and every downstream
+    structure is cells-bounded. P and Q are exact integer sums of
+    count products accumulated in decimal(38,0) — bit-for-bit
+    SQL-replayable.
+    """
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    cells = base.groupBy(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    from ..cache import persist_tracked
+
+    cells = persist_tracked(cells)
+    dec = "decimal(38,0)"
+    l, r = cells.alias("l"), cells.alias("r")
+    # strict double inequality = concordant; opposite = discordant.
+    # Each unordered cell pair is counted once (l < r lexicographic
+    # on x keeps the join one-sided).
+    pair = (
+        l.join(r, F.col("l.__x") < F.col("r.__x"))
+        .select(
+            (F.col("l.__c").cast(dec) * F.col("r.__c")).alias("__m"),
+            (F.col("r.__y") > F.col("l.__y")).alias("__conc"),
+            (F.col("r.__y") < F.col("l.__y")).alias("__disc"),
+        )
+        .agg(
+            F.sum(F.when(F.col("__conc"), F.col("__m")).otherwise(
+                F.lit(0).cast(dec))).alias("__p"),
+            F.sum(F.when(F.col("__disc"), F.col("__m")).otherwise(
+                F.lit(0).cast(dec))).alias("__q"),
+        )
+    )
+    margins = cells.agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    tx = (
+        cells.groupBy("__x").agg(F.sum("__c").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t").cast(dec) * (F.col("__t") - 1)
+            ).alias("__tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("__y").agg(F.sum("__c").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t").cast(dec) * (F.col("__t") - 1)
+            ).alias("__ty2")
+        )
+    )
+    acc = margins.crossJoin(pair).crossJoin(tx).crossJoin(ty)
+    n = F.col("__n").cast("double")
+    # doubled tie masses: n0·2 = n(n−1), n1·2 = Σ tx(tx−1), etc. —
+    # the √ of a product of differences is scale-invariant to the
+    # common factor 2, so the doubled forms divide out exactly
+    d0 = n * (n - 1)
+    den = F.sqrt(
+        (d0 - F.col("__tx2").cast("double"))
+        * (d0 - F.col("__ty2").cast("double"))
+    )
+    tau = F.when(
+        den > 0,
+        2.0
+        * (F.col("__p").cast("double") - F.col("__q").cast("double"))
+        / den,
+    )
+    # concordant/discordant accumulate exactly in decimal(38,0) and
+    # surface as bigint (pair masses reach int64 only near 4·10^9
+    # rows; cast the select below back to the decimals for a corpus
+    # beyond that)
+    return acc.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.col("__p").cast("bigint").alias("concordant"),
+        F.col("__q").cast("bigint").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )

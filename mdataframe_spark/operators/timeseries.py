@@ -272,3 +272,69 @@ def ewma_smooth(
             F.col("__swx").cast("double") / F.col("__sw").cast("double"), 6
         ).alias("ewma"),
     ).orderBy("bucket")
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+    season_lag: int = 24,
+) -> DataFrame:
+    """Seasonality-strength diagnostic on the bucketed series: the
+    MASE-style ratio of the one-step naive forecast's MAE to the
+    seasonal-naive forecast's MAE,
+    mase = mean|x_b − x_{b−1}| / mean|x_b − x_{b−season_lag}|.
+    A ratio well above 1 means the season-ago value predicts the
+    series better than the last observation — strong seasonality at
+    ``season_lag`` buckets; ≈1 means none. Returns ONE row:
+    (n_naive, n_seasonal, mae_naive, mae_seasonal, mase); mase NULL
+    when the seasonal MAE is zero or either term set is empty.
+
+    Each forecast's error set is complete-case over the bucket pairs
+    that BOTH exist (missing buckets contribute no term — the
+    ewma_smooth convention), so the two means may run over different
+    counts; both counts are reported.
+
+    Plan shape: the corpus collapses once in :func:`bucket_series`
+    (exact DECIMAL cells); the two lag comparisons are equi-joins of
+    the bucket table against itself on (bucket − lag) — bucket-
+    bounded, no windows, no global sort. The |diff| terms are exact
+    decimal subtractions summed as decimals; the two divisions and
+    the final ratio are the only double arithmetic, rounded 6 dp.
+    """
+    if season_lag < 2:
+        raise ValueError("seasonal_naive_mase: season_lag must be >= 2")
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    cur = s.select(F.col("bucket").alias("__b"), F.col("x").alias("__x"))
+
+    def _mae(lag: int, nname: str, mname: str) -> DataFrame:
+        prev = s.select(
+            (F.col("bucket") + lag).alias("__b"), F.col("x").alias("__p")
+        )
+        return cur.join(prev, "__b").agg(
+            F.count(F.lit(1)).cast("bigint").alias(nname),
+            F.sum(F.abs(F.col("__x") - F.col("__p"))).alias(mname),
+        )
+
+    naive = _mae(1, "n_naive", "__s1")
+    seasonal = _mae(int(season_lag), "n_seasonal", "__ss")
+    acc = naive.crossJoin(seasonal)
+    mae1 = F.col("__s1").cast("double") / F.col("n_naive")
+    maes = F.col("__ss").cast("double") / F.col("n_seasonal")
+    return acc.select(
+        "n_naive",
+        "n_seasonal",
+        F.round(F.when(F.col("n_naive") > 0, mae1), 6).alias("mae_naive"),
+        F.round(F.when(F.col("n_seasonal") > 0, maes), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(
+            F.when(
+                (F.col("n_naive") > 0) & (F.col("n_seasonal") > 0)
+                & (maes > 0),
+                mae1 / maes,
+            ),
+            6,
+        ).alias("mase"),
+    )

@@ -9233,6 +9233,182 @@ ORDER BY f.v
 """
 
 
+def stat_kruskal_wallis(spark, sf_dir):
+    """Tie-corrected Kruskal-Wallis H across the lineitem return-flag
+    groups (operators/stats_tests.py kruskal_wallis): ONE
+    groupBy(value, group) corpus collapse, then midrank blocks and
+    decimal(38,0) doubled rank sums over the distinct-value table —
+    the k-group extension of the mannwhitney decomposition. with_p
+    rides outside the hashed set (module convention)."""
+    from .operators.stats_tests import kruskal_wallis
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kruskal_wallis(li, "l_quantity", "l_returnflag", with_p=False)
+
+
+STAT_KW_SQL = """
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS v, l_returnflag AS g
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+), cells AS (
+  SELECT v, g, count(*)::BIGINT AS tg FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT v, sum(tg)::BIGINT AS t FROM cells GROUP BY v
+), blocks AS (
+  SELECT v, t, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tot
+), perg AS (
+  SELECT g, sum(tg)::BIGINT AS ng,
+         sum(tg::HUGEINT * (2 * cum - t + 1)) AS r2
+  FROM cells JOIN blocks USING (v) GROUP BY g
+), ties AS (
+  SELECT sum(t::HUGEINT * t * t - t) AS tie FROM blocks
+), acc AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(ng)::BIGINT AS n,
+         sum((r2::DOUBLE) * (r2::DOUBLE) / (4.0 * ng)) AS sr
+  FROM perg
+)
+SELECT n_groups, n,
+       round(CASE WHEN n_groups >= 2 AND n > 1
+                       AND (1.0 - tie::DOUBLE / (n::DOUBLE * n * n - n)) > 0
+             THEN (12.0 / (n::DOUBLE * (n + 1)) * sr - 3.0 * (n + 1))
+                  / (1.0 - tie::DOUBLE / (n::DOUBLE * n * n - n)) END,
+             6) AS h_stat
+FROM acc, ties
+"""
+
+
+def stat_kendall_tau(spark, sf_dir):
+    """Kendall's τ-b between lineitem quantity and the price bucketed
+    to thousands (operators/stats_tests.py kendall_tau_cells): the
+    contingency-cell collapse makes τ distributable — ONE
+    groupBy(x, y), then a cells²-bounded inequality join with exact
+    decimal(38,0) concordant/discordant masses. The price bucketing
+    is the quantized knob made first-class: raw τ needs sequential
+    inversion counting, bucketed τ is model-sized by construction."""
+    from .operators.stats_tests import kendall_tau_cells
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_quantity",
+        F.round(F.col("l_extendedprice") / 1000.0, 0).alias("price_k"),
+    )
+    return kendall_tau_cells(d, "l_quantity", "price_k")
+
+
+STAT_KENDALL_SQL = """
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS x,
+         round(l_extendedprice / 1000.0, 0)::DOUBLE AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), cells AS (
+  SELECT x, y, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+), pair AS (
+  SELECT sum(CASE WHEN r.y > l.y THEN l.c::HUGEINT * r.c ELSE 0 END) AS p,
+         sum(CASE WHEN r.y < l.y THEN l.c::HUGEINT * r.c ELSE 0 END) AS q
+  FROM cells l JOIN cells r ON l.x < r.x
+), margins AS (
+  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS n_cells FROM cells
+), tx AS (
+  SELECT sum(t::HUGEINT * (t - 1)) AS tx2
+  FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT sum(t::HUGEINT * (t - 1)) AS ty2
+  FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY y)
+)
+SELECT n, n_cells, p::BIGINT AS concordant, q::BIGINT AS discordant,
+       round(CASE WHEN (n::DOUBLE * (n - 1) - tx2::DOUBLE) > 0
+                       AND (n::DOUBLE * (n - 1) - ty2::DOUBLE) > 0
+             THEN 2.0 * (p::DOUBLE - q::DOUBLE)
+                  / sqrt((n::DOUBLE * (n - 1) - tx2::DOUBLE)
+                         * (n::DOUBLE * (n - 1) - ty2::DOUBLE)) END,
+             6) AS tau_b
+FROM margins, pair, tx, ty
+"""
+
+
+def dq_gini_concentration(spark, sf_dir):
+    """Per-language Gini coefficient of document lengths
+    (operators/diagnostics.py gini_index): the concentration audit
+    next to key-skew. Values quantize to 4 dp once and accumulate as
+    scaled integers in decimal(38,0) (the mannwhitney convention), so
+    ties get exact midranks and both engines replay the rank-weighted
+    Lorenz identity bit-for-bit."""
+    from .operators.diagnostics import gini_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_index(docs, "n_chars", group_col="lang")
+
+
+DQ_GINI_SQL = """
+WITH base AS (
+  SELECT lang AS g,
+         CAST(round(n_chars::DOUBLE * 10000) AS BIGINT) AS v
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0 AND lang IS NOT NULL
+), blocks AS (
+  SELECT g, v, count(*)::BIGINT AS t FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, t,
+         sum(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM blocks
+), acc AS (
+  SELECT g, sum(t)::BIGINT AS n,
+         sum(v::HUGEINT * t) AS s,
+         sum(v::HUGEINT * t * (2 * cum - t + 1)) AS rv2
+  FROM cum GROUP BY g
+)
+SELECT g AS "group", n,
+       round(s::DOUBLE / 10000.0, 4) AS total,
+       round(CASE WHEN n >= 2 AND s > 0
+             THEN rv2::DOUBLE / (n::DOUBLE * s::DOUBLE) - (n + 1.0) / n END,
+             6) AS gini
+FROM acc ORDER BY g
+"""
+
+
+def ts_mase_hourly(spark, sf_dir):
+    """Seasonality strength of the hourly event-count series
+    (operators/timeseries.py seasonal_naive_mase, season_lag=24): the
+    ratio of the one-step naive MAE to the day-ago seasonal-naive MAE.
+    One bucket_series collapse + two bucket-table lag equi-joins;
+    exact decimal |diff| sums, double arithmetic only in the two
+    means and the final ratio."""
+    from .operators.timeseries import seasonal_naive_mase
+
+    ev = _events(spark, sf_dir)
+    return seasonal_naive_mase(ev, season_lag=24)
+
+
+TS_MASE_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         count(*)::DECIMAL(18,4) AS x
+  FROM ns GROUP BY 1
+), naive AS (
+  SELECT count(*)::BIGINT AS n_naive, sum(abs(c.x - p.x)) AS s1
+  FROM s c JOIN s p ON c.bucket = p.bucket + 1
+), seasonal AS (
+  SELECT count(*)::BIGINT AS n_seasonal, sum(abs(c.x - p.x)) AS ss
+  FROM s c JOIN s p ON c.bucket = p.bucket + 24
+)
+SELECT n_naive, n_seasonal,
+       round(CASE WHEN n_naive > 0 THEN s1::DOUBLE / n_naive END, 6)
+         AS mae_naive,
+       round(CASE WHEN n_seasonal > 0 THEN ss::DOUBLE / n_seasonal END, 6)
+         AS mae_seasonal,
+       round(CASE WHEN n_naive > 0 AND n_seasonal > 0
+                       AND ss::DOUBLE / n_seasonal > 0
+             THEN (s1::DOUBLE / n_naive) / (ss::DOUBLE / n_seasonal) END,
+             6) AS mase
+FROM naive, seasonal
+"""
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -9479,6 +9655,11 @@ QUERIES = {
 EXTRA_QUERIES = {
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
+    # --- new in round 10: rank-statistics & concentration wave ---
+    "stat_kruskal_wallis": stat_kruskal_wallis,
+    "stat_kendall_tau": stat_kendall_tau,
+    "dq_gini_concentration": dq_gini_concentration,
+    "ts_mase_hourly": ts_mase_hourly,
     "ts_acf_hourly": ts_acf_hourly,
     "ts_cusum_errors": ts_cusum_errors,
     "ts_ewma_purchases": ts_ewma_purchases,
@@ -9734,6 +9915,11 @@ ORACLES = {
 EXTRA_ORACLES = {
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
+    # --- new in round 10: rank-statistics & concentration wave ---
+    "stat_kruskal_wallis": STAT_KW_SQL,
+    "stat_kendall_tau": STAT_KENDALL_SQL,
+    "dq_gini_concentration": DQ_GINI_SQL,
+    "ts_mase_hourly": TS_MASE_SQL,
     "ts_acf_hourly": TS_ACF_SQL,
     "ts_cusum_errors": TS_CUSUM_SQL,
     "ts_ewma_purchases": TS_EWMA_SQL,
