@@ -9409,6 +9409,60 @@ FROM naive, seasonal
 """
 
 
+def e_kaplan_meier(spark, sf_dir):
+    """Time-to-conversion with right-censoring (operators/survival.py
+    kaplan_meier): per-user duration = active span in whole hours,
+    event = the user ever purchased (non-purchasers are censored at
+    their last observed activity). One per-user collapse + one
+    step-table groupBy; the survival curve is the IEEE-exact ordered
+    fold of 9-dp step factors (aggregate/list_reduce — see the module
+    determinism contract)."""
+    from .operators.survival import kaplan_meier
+
+    ev = _events(spark, sf_dir)  # ts canonicalized to epoch-ns bigint
+    users = ev.groupBy("user_id").agg(
+        F.expr("(max(ts) - min(ts)) div 3600000000000").alias("dur_h"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+    )
+    return kaplan_meier(users, "dur_h", "converted")
+
+
+E_KM_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+), u AS (
+  SELECT user_id,
+         (max(t) - min(t)) // 3600000000000 AS dur,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM ns GROUP BY 1
+), g AS (
+  SELECT dur::DOUBLE AS t, sum(ev)::BIGINT AS d,
+         sum(1 - ev)::BIGINT AS c
+  FROM u GROUP BY 1
+), tot AS (
+  SELECT sum(d + c)::BIGINT AS n FROM g
+), cum AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cdc
+  FROM g
+), f AS (
+  SELECT t, d, c,
+         (SELECT n FROM tot) - cdc + d + c AS at_risk,
+         round(1.0 - d::DOUBLE
+                 / ((SELECT n FROM tot) - cdc + d + c), 9) AS fct
+  FROM cum
+)
+SELECT t, at_risk::BIGINT AS n_at_risk, d AS n_events, c AS n_censored,
+       round(list_reduce(
+               list(fct) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING),
+               (a, b) -> a * b),
+             6) AS survival
+FROM f ORDER BY t
+"""
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -9660,6 +9714,7 @@ EXTRA_QUERIES = {
     "stat_kendall_tau": stat_kendall_tau,
     "dq_gini_concentration": dq_gini_concentration,
     "ts_mase_hourly": ts_mase_hourly,
+    "e_kaplan_meier": e_kaplan_meier,
     "ts_acf_hourly": ts_acf_hourly,
     "ts_cusum_errors": ts_cusum_errors,
     "ts_ewma_purchases": ts_ewma_purchases,
@@ -9920,6 +9975,7 @@ EXTRA_ORACLES = {
     "stat_kendall_tau": STAT_KENDALL_SQL,
     "dq_gini_concentration": DQ_GINI_SQL,
     "ts_mase_hourly": TS_MASE_SQL,
+    "e_kaplan_meier": E_KM_SQL,
     "ts_acf_hourly": TS_ACF_SQL,
     "ts_cusum_errors": TS_CUSUM_SQL,
     "ts_ewma_purchases": TS_EWMA_SQL,

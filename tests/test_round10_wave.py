@@ -247,3 +247,37 @@ def test_mase_rejects_degenerate_lag(spark):
     df = _events_df(spark, [1, 2, 3])
     with pytest.raises(ValueError, match="season_lag"):
         seasonal_naive_mase(df, season_lag=1)
+
+
+# --- kaplan-meier ----------------------------------------------------
+
+def test_kaplan_meier_textbook_fixture(spark):
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (4.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "dur DOUBLE, ev INT")
+    from mdataframe_spark.operators.survival import kaplan_meier
+
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert out[1.0]["n_at_risk"] == 6 and out[1.0]["n_events"] == 1
+    assert out[1.0]["survival"] == pytest.approx(5 / 6, abs=1e-6)
+    # censoring at t=2 leaves the curve flat but shrinks the risk set
+    assert out[2.0]["n_censored"] == 1
+    assert out[2.0]["survival"] == out[1.0]["survival"]
+    assert out[3.0]["n_at_risk"] == 4 and out[3.0]["n_events"] == 2
+    assert out[3.0]["survival"] == pytest.approx(5 / 12, abs=1e-6)
+    assert out[5.0]["n_at_risk"] == 1
+    assert out[5.0]["survival"] == 0.0
+
+
+def test_kaplan_meier_monotone_and_no_censoring_equals_ecdf(spark):
+    from mdataframe_spark.operators.survival import kaplan_meier
+
+    durs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([(d, 1) for d in durs], "dur DOUBLE, ev INT")
+    rows = kaplan_meier(df, "dur", "ev").collect()
+    surv = [r["survival"] for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    # with zero censoring KM degenerates to 1 - ECDF
+    n = len(durs)
+    for r in rows:
+        frac_gt = sum(1 for d in durs if d > r["t"]) / n
+        assert r["survival"] == pytest.approx(frac_gt, abs=1e-6)
