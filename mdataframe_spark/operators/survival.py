@@ -91,3 +91,32 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def user_event_spans(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    event_value: str = "purchase",
+) -> DataFrame:
+    """The per-subject sufficient statistic feeding Kaplan-Meier on an
+    event log: (user, first_ts, last_ts, converted) — min, max and a
+    boolean max, three associative/commutative monoids in ONE
+    partial-agged groupBy, so a streaming aggregation's running state
+    after any prefix of micro-batches equals this batch collapse
+    (streaming/segments.py user_spans_stream delegates here — the
+    rfm_state convention). Duration/censoring derive from the state:
+    duration = last_ts − first_ts, event = converted, censored
+    otherwise. The KM curve itself is deliberately not streamed —
+    risk sets and the survival fold are global properties of the
+    state (the rfm quintile-scoring argument); fold the state in
+    foreachBatch or the batch reporting pass.
+    """
+    return df.groupBy(F.col(user_col)).agg(
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.max(
+            (F.col(event_type_col) == event_value).cast("int")
+        ).alias("converted"),
+    )

@@ -9417,14 +9417,13 @@ def e_kaplan_meier(spark, sf_dir):
     step-table groupBy; the survival curve is the IEEE-exact ordered
     fold of 9-dp step factors (aggregate/list_reduce — see the module
     determinism contract)."""
-    from .operators.survival import kaplan_meier
+    from .operators.survival import kaplan_meier, user_event_spans
 
     ev = _events(spark, sf_dir)  # ts canonicalized to epoch-ns bigint
-    users = ev.groupBy("user_id").agg(
-        F.expr("(max(ts) - min(ts)) div 3600000000000").alias("dur_h"),
-        F.max((F.col("event_type") == "purchase").cast("int")).alias(
-            "converted"
-        ),
+    users = user_event_spans(ev).select(
+        "user_id",
+        F.expr("(last_ts - first_ts) div 3600000000000").alias("dur_h"),
+        "converted",
     )
     return kaplan_meier(users, "dur_h", "converted")
 

@@ -73,3 +73,24 @@ def completeness_stream(events: DataFrame, cols) -> DataFrame:
     from ..operators.diagnostics import completeness_profile
 
     return completeness_profile(events, cols, with_distinct=False)
+
+
+def user_spans_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    event_value: str = "purchase",
+) -> DataFrame:
+    """Running per-user (first_ts, last_ts, converted) state over an
+    event stream — the Kaplan-Meier sufficient statistic (min/max/
+    boolean-max monoids, one state row per live user). Delegates to
+    the batch :func:`..operators.survival.user_event_spans` collapse
+    (the rfm_stream convention); the survival CURVE stays in
+    foreachBatch / the batch pass because risk sets are global
+    properties of the state, not of the stream."""
+    from ..operators.survival import user_event_spans
+
+    return user_event_spans(
+        events, user_col, ts_col, event_type_col, event_value
+    )

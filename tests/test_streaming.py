@@ -838,3 +838,77 @@ def test_completeness_stream_columns_are_monoid_subset(spark):
     batch_cols = completeness_profile(df, ["a", "b"]).columns
     twin_cols = completeness_stream(df, ["a", "b"]).columns
     assert twin_cols == [c for c in batch_cols if c != "n_distinct"]
+
+
+def test_user_spans_stream_matches_batch_and_continues_from_checkpoint(
+    spark, tmp_path_factory
+):
+    """The KM sufficient-statistic twin: per-user (min first_ts,
+    max last_ts, boolean-max converted) are all monoids, so
+    checkpointed state + new micro-batches = one big batch — including
+    under late out-of-order events and a conversion arriving after
+    the user was first seen."""
+    from mdataframe_spark.operators.survival import user_event_spans
+    from mdataframe_spark.streaming.segments import user_spans_stream
+
+    root = tmp_path_factory.mktemp("user_spans_stream")
+    src = root / "events"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "user_id bigint, ts bigint, event_type string"
+    H = 3_600_000_000_000
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    a_rows = [
+        (1, 2 * H, "view"),
+        (1, 5 * H, "click"),
+        (2, 1 * H, "view"),
+    ]
+    write_log(a_rows)
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            user_spans_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["first_ts"], r["last_ts"], r["converted"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_state(rows):
+        return {
+            r["user_id"]: (r["first_ts"], r["last_ts"], r["converted"])
+            for r in user_event_spans(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        }
+
+    got_a = run_stream("user_spans_a")
+    assert got_a == batch_state(a_rows)
+    assert got_a[1] == (2 * H, 5 * H, 0)
+
+    # file B: late earlier event for user 1 (min must regress), a
+    # conversion for user 2, a new user 3
+    b_rows = [
+        (1, 1 * H, "view"),
+        (2, 6 * H, "purchase"),
+        (3, 4 * H, "view"),
+    ]
+    write_log(b_rows)
+    got_ab = run_stream("user_spans_ab")
+    assert got_ab == batch_state(a_rows + b_rows)
+    assert got_ab[1] == (1 * H, 5 * H, 0)
+    assert got_ab[2][2] == 1
+    assert 3 in got_ab
