@@ -83,6 +83,13 @@ PICKS = [
     ("gr_kcore", "per round: one degree groupBy + two broadcast semi joins; LogicalRDD leaves from the per-round localCheckpoint"),
     ("sk_quantile_gate", "ONE cell groupBy + ONE exact-percentile agg; cumsum/crossing/interpolation on ≤ n_bins broadcast rows"),
     ("dq_completeness_profile", "ONE Expand-stage multi-distinct aggregation over ONE scan; stack unpivot of the 1-row result"),
+    # round 10
+    ("pipe_fineweb_recipe", "the five-stage curation recipe as ONE lineage: fused gate projection, keep-min semi join, df-capped LSH band pairing, anti join, zero-shuffle md5 draw, shard-keyed packing window; survivor frames pinned once (InMemoryRelation)"),
+    ("stat_kruskal_wallis", "ONE (value,group) cell groupBy; midrank window + decimal rank sums over the distinct-value table"),
+    ("stat_kendall_tau", "ONE (x,y) cell groupBy; cells-squared inequality join over the model-sized cell table"),
+    ("dq_gini_concentration", "ONE (group,value) block groupBy; per-group cumsum window bounded by distinct values"),
+    ("ts_mase_hourly", "ONE bucket groupBy; two lag equi-joins over the bucket table; exact-decimal diff sums"),
+    ("e_kaplan_meier", "per-user monoid collapse + step-table groupBy; ordered-window collect_list fold (IEEE-exact survival)"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")
