@@ -36,9 +36,15 @@ def _graph_broadcast_gate(directed: DataFrame, limit: int, op: str) -> bool:
     the per-round node-bounded tables may be broadcast. The probe is a
     count on an already-materialized frame — one cheap action, the
     cap_hot_keys loud-guard discipline applied to the broadcast
-    assumption instead of the join-key assumption."""
+    assumption instead of the join-key assumption.
+
+    ``limit <= 0`` means NEVER broadcast (the natural reading of a
+    zero budget — always take the shuffle-join arm), not 'unlimited'.
+    """
+    if limit <= 0:
+        return False
     n = directed.count()
-    if limit and n > limit:
+    if n > limit:
         _log.warning(
             "%s: directed edge list has %d rows > broadcast_edges_max=%d"
             " — falling back to shuffle joins for the per-round node"

@@ -561,9 +561,15 @@ def gini_index(
     quantize continuous values upstream if that table must stay
     model-sized (the documented spearman/auc knob).
 
-    Negative values are REJECTED rows (filtered with the NULLs):
-    Lorenz-based concentration is undefined below zero — a signed
-    column wants a different audit, not a silently wrong Gini.
+    Negative values are REJECTED rows (filtered with the NULLs and
+    NaN — NaN passes a >= 0 comparison under Spark's NaN-is-largest
+    ordering and would silently quantize to garbage): Lorenz-based
+    concentration is undefined below zero — a signed column wants a
+    different audit, not a silently wrong Gini. Magnitude bound: the
+    4-dp scaled integers live in int64, so values must stay below
+    ~9.2·10¹⁴ — rescale a larger-unit column (raw nanoseconds,
+    cumulative bytes) upstream; past the bound Spark's non-ANSI cast
+    would clamp while the SQL oracle errors.
     """
     g = F.col(group_col) if group_col else F.lit("all")
     # values quantize to 4 dp ONCE, then live as SCALED INTEGERS
@@ -571,8 +577,9 @@ def gini_index(
     # decimal×decimal products would hit Spark's precision-loss
     # reduction, while integer products in decimal(38,0) are exact in
     # both engines, and the 10⁴ scale cancels inside the Gini ratio
-    vs = F.round(F.col(value_col).cast("double") * 10000).cast("bigint")
-    keep = F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    vd = F.col(value_col).cast("double")
+    vs = F.round(vd * 10000).cast("bigint")
+    keep = vd.isNotNull() & ~F.isnan(vd) & (vd >= 0)
     if group_col:
         keep = keep & F.col(group_col).isNotNull()
     base = df.filter(keep).select(g.alias("__g"), vs.alias("__v"))

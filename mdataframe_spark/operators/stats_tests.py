@@ -705,11 +705,15 @@ def kruskal_wallis(
     P-value: chi-square upper tail with k−1 dof (with_p=True rides
     outside the hashed oracle set, the module convention).
     """
+    vd = F.col(value_col).cast("double")
+    # NaN is not a measurement: it would rank as the LARGEST distinct
+    # value (Spark's NaN ordering) and shift every rank sum — drop it
+    # with NULL (the histogram_quantile_gate convention)
     base = df.filter(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        vd.isNotNull() & ~F.isnan(vd) & F.col(group_col).isNotNull()
     )
     cells = base.groupBy(
-        F.col(value_col).cast("double").alias("__v"),
+        vd.alias("__v"),
         F.col(group_col).alias("__g"),
     ).agg(F.count(F.lit(1)).alias("__tg"))
     totals = cells.groupBy("__v").agg(F.sum("__tg").alias("__t"))
@@ -795,10 +799,16 @@ def kendall_tau_cells(
     count products accumulated in decimal(38,0) — bit-for-bit
     SQL-replayable.
     """
-    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    # NaN rows drop with NULL (not a measurement; Spark would give NaN
+    # a real cell and rank it largest — the quantile-gate convention)
+    base = df.filter(
+        xd.isNotNull() & ~F.isnan(xd) & yd.isNotNull() & ~F.isnan(yd)
+    )
     cells = base.groupBy(
-        F.col(x_col).cast("double").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"),
+        xd.alias("__x"),
+        yd.alias("__y"),
     ).agg(F.count(F.lit(1)).alias("__c"))
     from ..cache import persist_tracked
 
@@ -861,11 +871,15 @@ def kendall_tau_cells(
     # concordant/discordant accumulate exactly in decimal(38,0) and
     # surface as bigint (pair masses reach int64 only near 4·10^9
     # rows; cast the select below back to the decimals for a corpus
-    # beyond that)
+    # beyond that). They coalesce to 0: with a constant x margin the
+    # inequality join is EMPTY and the sums aggregate over zero rows —
+    # the true pair counts are well-defined zeros, not NULL (tau_b
+    # still reports NULL via the degenerate-margin denominator guard).
+    zero = F.lit(0).cast("bigint")
     return acc.select(
         F.col("__n").cast("bigint").alias("n"),
         F.col("n_cells").cast("bigint").alias("n_cells"),
-        F.col("__p").cast("bigint").alias("concordant"),
-        F.col("__q").cast("bigint").alias("discordant"),
+        F.coalesce(F.col("__p").cast("bigint"), zero).alias("concordant"),
+        F.coalesce(F.col("__q").cast("bigint"), zero).alias("discordant"),
         F.round(tau, 6).alias("tau_b"),
     )

@@ -48,12 +48,13 @@ def kaplan_meier(
     step table model-sized.
     """
     ev = F.col(event_col).cast("boolean").cast("int")
+    td = F.col(duration_col).cast("double")
+    # a NaN duration would become a garbage final step (NaN ranks
+    # largest) — drop with NULL, the complete-case convention
     base = df.filter(
-        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+        td.isNotNull() & ~F.isnan(td) & F.col(event_col).isNotNull()
     )
-    g = base.groupBy(
-        F.col(duration_col).cast("double").alias("t")
-    ).agg(
+    g = base.groupBy(td.alias("t")).agg(
         F.sum(ev).cast("bigint").alias("__d"),
         F.sum(1 - ev).cast("bigint").alias("__c"),
     )

@@ -1481,12 +1481,17 @@ _BAND_ROWS = "\nUNION ALL\n".join(
     for b in range(4)
 )
 
-DD_MINHASH_SQL = f"""
-WITH toks AS (
+def _minhash_cte_block(src: str) -> str:
+    """The shingle→sign→band CTE chain (toks/grams/hashed/sig/bands0/
+    bands) reading from ``src`` — ONE text shared by DD_MINHASH_SQL
+    (src='documents') and the pipeline oracle (src = the survivor
+    CTE), so a hash-family or cap tweak cannot silently diverge
+    between the standalone and composed replays."""
+    return f"""toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text),
              '[^\\w\\s]', '', 'g')), '\\s+') AS t
-  FROM documents
+  FROM {src}
 ), grams AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
@@ -1506,7 +1511,11 @@ WITH toks AS (
   -- document-frequency cap (dedup.DEFAULT_DF_CAP on the Spark side)
   SELECT * FROM bands0
   QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000
-)
+)"""
+
+
+DD_MINHASH_SQL = f"""
+WITH {_minhash_cte_block("documents")}
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 """
@@ -4531,8 +4540,11 @@ def txt_quality_gate(spark, sf_dir):
     )
 
 
-TXT_GATE_SQL = r"""
-WITH d AS (
+# The quality-gate CTE chain (d/g/chars/c2/ent/rates/lang) — ONE text
+# shared by TXT_GATE_SQL and the pipeline oracle (PIPE_FINEWEB_SQL),
+# so a stopword-list or regex tweak cannot silently diverge between
+# the standalone and composed replays.
+_GATE_CTE_BLOCK = r"""d AS (
   SELECT doc_id, text,
          len(string_split_regex(trim(text), '\s+')) AS n_tok,
          length(regexp_replace(text, '\s+', '', 'g')) AS nospace_chars,
@@ -4576,7 +4588,10 @@ WITH d AS (
               WHEN r_es = greatest(r_en, r_de, r_es, r_fr) THEN 'es'
               ELSE 'fr' END AS pred
   FROM rates
-)
+)"""
+
+TXT_GATE_SQL = f"""
+WITH {_GATE_CTE_BLOCK}
 SELECT g.doc_id, ent.char_entropy,
        CASE WHEN lang.best > 0 THEN lang.pred END AS predicted_lang,
        g.keep_gopher,
@@ -9249,7 +9264,8 @@ def stat_kruskal_wallis(spark, sf_dir):
 STAT_KW_SQL = """
 WITH base AS (
   SELECT l_quantity::DOUBLE AS v, l_returnflag AS g
-  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  FROM lineitem WHERE l_quantity IS NOT NULL
+    AND NOT isnan(l_quantity::DOUBLE) AND l_returnflag IS NOT NULL
 ), cells AS (
   SELECT v, g, count(*)::BIGINT AS tg FROM base GROUP BY 1, 2
 ), tot AS (
@@ -9301,7 +9317,8 @@ WITH base AS (
   SELECT l_quantity::DOUBLE AS x,
          round(l_extendedprice / 1000.0, 0)::DOUBLE AS y
   FROM lineitem
-  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity::DOUBLE)
+    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice::DOUBLE)
 ), cells AS (
   SELECT x, y, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
 ), pair AS (
@@ -9346,7 +9363,8 @@ WITH base AS (
   SELECT lang AS g,
          CAST(round(n_chars::DOUBLE * 10000) AS BIGINT) AS v
   FROM documents
-  WHERE n_chars IS NOT NULL AND n_chars >= 0 AND lang IS NOT NULL
+  WHERE n_chars IS NOT NULL AND NOT isnan(n_chars::DOUBLE)
+    AND n_chars >= 0 AND lang IS NOT NULL
 ), blocks AS (
   SELECT g, v, count(*)::BIGINT AS t FROM base GROUP BY 1, 2
 ), cum AS (
@@ -9517,86 +9535,19 @@ def pipe_fineweb_recipe(spark, sf_dir):
 
 
 PIPE_FINEWEB_SQL = rf"""
-WITH d AS (
-  SELECT doc_id, text,
-         len(string_split_regex(trim(text), '\s+')) AS n_tok,
-         length(regexp_replace(text, '\s+', '', 'g')) AS nospace_chars,
-         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
-         len(list_intersect(
-           list_distinct(string_split_regex(trim(lower(text)), '\s+')),
-           ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop,
-         len(regexp_extract_all(
-           ' ' || regexp_replace(trim(text), '\s+', '  ', 'g') || ' ',
-           '\s[^A-Za-z\s]+\s')) AS n_nonalpha
-  FROM documents
-), g AS (
-  SELECT doc_id, text, n_tok,
-         ((n_tok >= 10 AND n_tok <= 100000)
-          AND (nospace_chars / CAST(n_tok AS DOUBLE) >= 3.0
-               AND nospace_chars / CAST(n_tok AS DOUBLE) <= 10.0)
-          AND (n_sym / CAST(n_tok AS DOUBLE) <= 0.1)
-          AND (n_stop >= 1)
-          AND ((n_tok - n_nonalpha) / CAST(n_tok AS DOUBLE) >= 0.8)) AS keep_gopher
-  FROM d
-), chars AS (
-  SELECT doc_id, unnest(string_split(text, '')) AS ch
-  FROM documents WHERE text IS NOT NULL AND len(text) > 0
-), c2 AS (
-  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
-), ent AS (
-  SELECT doc_id, round(log2(sum(c)) - sum(round(c * log2(c), 9)) / sum(c), 6)
-           AS char_entropy
-  FROM c2 GROUP BY doc_id
-), lrates AS (
-  SELECT doc_id,
-    round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|and|to|in|is|that|it|for)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_en,
-    round(len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|von|zu|mit|den|ein)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_de,
-    round(len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|es|se|no)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_es,
-    round(len(regexp_extract_all(lower(text), '\b(?:le|la|de|et|les|des|est|un|une|du)\b')) / CAST(n_tok AS DOUBLE), 9) AS r_fr
-  FROM g
-), lng AS (
-  SELECT doc_id, greatest(r_en, r_de, r_es, r_fr) AS best,
-         CASE WHEN r_de = greatest(r_en, r_de, r_es, r_fr) THEN 'de'
-              WHEN r_en = greatest(r_en, r_de, r_es, r_fr) THEN 'en'
-              WHEN r_es = greatest(r_en, r_de, r_es, r_fr) THEN 'es'
-              ELSE 'fr' END AS pred
-  FROM lrates
-), q AS (
+WITH {_GATE_CTE_BLOCK}, q AS (
   SELECT g.doc_id
-  FROM g JOIN lng USING (doc_id) LEFT JOIN ent USING (doc_id)
+  FROM g JOIN lang USING (doc_id) LEFT JOIN ent USING (doc_id)
   WHERE coalesce(g.keep_gopher, false)
     AND coalesce(ent.char_entropy >= 4.1 AND ent.char_entropy <= 6.0, false)
-    AND coalesce(lng.pred IN ('en','de','es','fr') AND lng.best > 0, false)
+    AND coalesce(lang.pred IN ('en','de','es','fr') AND lang.best > 0, false)
 ), s1 AS MATERIALIZED (
   SELECT doc.* FROM documents doc JOIN q USING (doc_id)
 ), ex AS (
   SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)
 ), s2 AS MATERIALIZED (
   SELECT s1.* FROM s1 JOIN ex USING (doc_id)
-), toks AS (
-  SELECT doc_id,
-         string_split_regex(trim(regexp_replace(lower(text),
-             '[^\w\s]', '', 'g')), '\s+') AS t
-  FROM s2
-), grams AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-             i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
-  FROM toks
-), hashed AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS h1,
-         ('0x' || substr(md5(shingle), 14, 13))::BIGINT AS h2
-  FROM grams
-), sig AS (
-  SELECT doc_id, {_MINHASH_COLS}
-  FROM hashed GROUP BY doc_id
-), bands0 AS (
-  {_BAND_ROWS}
-), bands AS (
-  SELECT * FROM bands0
-  QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000
-), neardup AS (
+), {_minhash_cte_block("s2")}, neardup AS (
   SELECT DISTINCT r.doc_id AS doc_id
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id

@@ -281,3 +281,82 @@ def test_kaplan_meier_monotone_and_no_censoring_equals_ecdf(spark):
     for r in rows:
         frac_gt = sum(1 for d in durs if d > r["t"]) / n
         assert r["survival"] == pytest.approx(frac_gt, abs=1e-6)
+
+
+# --- code-review regressions: NaN populations & guard semantics ------
+
+def test_rank_operators_drop_nan_like_null(spark):
+    nan = float("nan")
+    kw_clean = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")],
+        "v DOUBLE, g STRING",
+    )
+    kw_noisy = kw_clean.unionByName(
+        spark.createDataFrame([(nan, "a"), (nan, "b")], "v DOUBLE, g STRING")
+    )
+    assert (
+        kruskal_wallis(kw_noisy, "v", "g", with_p=False).collect()
+        == kruskal_wallis(kw_clean, "v", "g", with_p=False).collect()
+    )
+
+    kt_clean = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 1.0), (3.0, 4.0)], "x DOUBLE, y DOUBLE"
+    )
+    kt_noisy = kt_clean.unionByName(
+        spark.createDataFrame([(nan, 1.0), (1.0, nan)], "x DOUBLE, y DOUBLE")
+    )
+    assert (
+        kendall_tau_cells(kt_noisy, "x", "y").collect()
+        == kendall_tau_cells(kt_clean, "x", "y").collect()
+    )
+
+    gi_clean = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v DOUBLE")
+    gi_noisy = gi_clean.unionByName(
+        spark.createDataFrame([(nan,)], "v DOUBLE")
+    )
+    assert (
+        gini_index(gi_noisy, "v").collect()
+        == gini_index(gi_clean, "v").collect()
+    )
+
+    from mdataframe_spark.operators.survival import kaplan_meier
+
+    km_clean = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1)], "dur DOUBLE, ev INT"
+    )
+    km_noisy = km_clean.unionByName(
+        spark.createDataFrame([(nan, 1)], "dur DOUBLE, ev INT")
+    )
+    assert (
+        kaplan_meier(km_noisy, "dur", "ev").collect()
+        == kaplan_meier(km_clean, "dur", "ev").collect()
+    )
+
+
+def test_kendall_constant_margin_counts_are_zero_not_null(spark):
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (1.0, 3.0)], "x DOUBLE, y DOUBLE"
+    )
+    row = kendall_tau_cells(tied, "x", "y").collect()[0]
+    assert row["concordant"] == 0 and row["discordant"] == 0
+    assert row["tau_b"] is None
+
+
+def test_graph_broadcast_limit_zero_means_never_broadcast(spark):
+    from mdataframe_spark.operators.baskets import k_core, label_propagation
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(pairs, "id_a BIGINT, id_b BIGINT")
+    bc = sorted(tuple(r) for r in k_core(e, k=2).collect())
+    z = sorted(
+        tuple(r) for r in k_core(e, k=2, broadcast_edges_max=0).collect()
+    )
+    assert z == bc
+    lbc = sorted(tuple(r) for r in label_propagation(e, rounds=4).collect())
+    lz = sorted(
+        tuple(r)
+        for r in label_propagation(
+            e, rounds=4, broadcast_edges_max=0
+        ).collect()
+    )
+    assert lz == lbc
