@@ -61,13 +61,26 @@ def test_rfm_exact_vs_approx_arms_identical(spark):
         .set_index("user_id")
         .sort_index()
     )
+    # small_users_max=0 FORCES the distributed partition-cut tiling —
+    # without it the size gate would take the window sub-arm and this
+    # test would stop covering the scale-safe path
     approx = (
-        rfm_scores(ev, approx_buckets=True, num_partitions=7)
+        rfm_scores(
+            ev, approx_buckets=True, num_partitions=7, small_users_max=0
+        )
         .toPandas()
         .set_index("user_id")
         .sort_index()
     )
     assert exact.equals(approx)
+    # the gated sub-arm (default) must agree with both
+    gated = (
+        rfm_scores(ev)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert exact.equals(gated)
 
 
 def test_attribution_fixture_credits(spark):
