@@ -9507,7 +9507,13 @@ def pipe_fineweb_recipe(spark, sf_dir):
     gated = quality_gate(
         docs, entropy_band=(4.1, 6.0), min_tokens=10, min_stopwords=1
     )
-    kept = gated.filter(F.col("keep_quality")).select(*docs.columns)
+    # pin the gate output BEFORE branching: keep_ids and the semi join
+    # both consume it, and the gate's Arrow entropy pass is the most
+    # expensive projection in the chain — unpinned, it would run once
+    # per branch
+    kept = persist_tracked(
+        gated.filter(F.col("keep_quality")).select(*docs.columns)
+    )
     keep_ids = (
         kept.groupBy(F.md5(F.col("text")).alias("__h"))
         .agg(F.min("doc_id").alias("doc_id"))
