@@ -883,3 +883,88 @@ def kendall_tau_cells(
         F.coalesce(F.col("__q").cast("bigint"), zero).alias("discordant"),
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the TRUE and
+    FALSE groups' empirical distributions of ``value_col`` — the
+    integral counterpart of the KS max-gap in the drift battery:
+    W₁ = ∫|F₁ − F₂| spots total distribution shift that a mean test
+    misses and weights it by HOW FAR mass moved, where KS only sees
+    the single worst gap. Returns ONE row: (n1, n2, n_values,
+    wasserstein); NULL when either group is empty.
+
+    Decomposition (the gini scaled-integer + rank-block conventions
+    combined): values quantize to 4 dp once and live as scaled
+    integers; ONE groupBy(value) collapses the corpus to distinct-
+    value blocks with per-group counts; the trapezoid-free exact
+    identity W₁ = Σᵢ |F₁(vᵢ) − F₂(vᵢ)|·(vᵢ₊₁ − vᵢ) accumulates as
+    decimal(38,0) cross-products |cum₁·n₂ − cum₂·n₁|·gap (no float
+    CDF is ever formed), divided once by n₁·n₂·10⁴ at the end.
+    Everything after the first pass is bounded by distinct values —
+    quantize continuous inputs upstream (the documented knob).
+    """
+    vd = F.col(value_col).cast("double")
+    g = F.col(group_col).cast("boolean")
+    base = df.filter(
+        vd.isNotNull() & ~F.isnan(vd) & F.col(group_col).isNotNull()
+    ).select(
+        F.round(vd * 10000).cast("bigint").alias("__v"),
+        g.alias("__f"),
+    )
+    blocks = base.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(F.col("__f").cast("bigint")).alias("__t1"),
+    )
+    w = Window.orderBy("__v")
+    cum = (
+        blocks.withColumn(
+            "__cum1",
+            F.sum("__t1").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "__cum2",
+            F.sum(F.col("__t") - F.col("__t1")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("__next", F.lead("__v").over(w))
+    )
+    tot = blocks.agg(
+        F.sum("__t1").alias("__n1"),
+        F.sum(F.col("__t") - F.col("__t1")).alias("__n2"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    dec = "decimal(38,0)"
+    acc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("__next").isNotNull())
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("__cum1").cast(dec) * F.col("__n2")
+                    - F.col("__cum2").cast(dec) * F.col("__n1")
+                )
+                * (F.col("__next") - F.col("__v"))
+            ).alias("__w")
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    n1d = F.col("__n1").cast("double")
+    n2d = F.col("__n2").cast("double")
+    return acc.select(
+        F.col("__n1").cast("bigint").alias("n1"),
+        F.col("__n2").cast("bigint").alias("n2"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.round(
+            F.when(
+                (F.col("__n1") > 0) & (F.col("__n2") > 0),
+                F.col("__w").cast("double") / (n1d * n2d * 10000.0),
+            ),
+            6,
+        ).alias("wasserstein"),
+    )

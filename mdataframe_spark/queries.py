@@ -9427,6 +9427,254 @@ FROM naive, seasonal
 """
 
 
+def stat_two_proportion(spark, sf_dir):
+    """Conversion-rate A/B read-out (operators/experiments.py
+    two_proportion_ztest): users split by the parity of their id,
+    success = ever purchased (the user_event_spans monoid collapse).
+    ONE per-user collapse + ONE four-sum aggregation; z from exact
+    integer sums. with_p rides outside the hashed set."""
+    from .operators.experiments import two_proportion_ztest
+    from .operators.survival import user_event_spans
+
+    ev = _events(spark, sf_dir)
+    d = user_event_spans(ev).select(
+        (F.col("user_id") % 2 == 0).alias("variant"),
+        F.col("converted"),
+    )
+    return two_proportion_ztest(d, "variant", "converted", with_p=False)
+
+
+STAT_TWOPROP_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY 1
+), b AS (
+  SELECT (user_id % 2 = 0) AS g, ev FROM u
+), acc AS (
+  SELECT sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN g THEN ev ELSE 0 END)::BIGINT AS x1,
+         sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN NOT g THEN ev ELSE 0 END)::BIGINT AS x2
+  FROM b
+)
+SELECT n1, x1, n2, x2,
+       round(CASE WHEN n1 > 0 THEN x1::DOUBLE / n1 END, 6) AS rate1,
+       round(CASE WHEN n2 > 0 THEN x2::DOUBLE / n2 END, 6) AS rate2,
+       round(CASE WHEN n2 > 0 AND x2::DOUBLE / n2 > 0
+             THEN (x1::DOUBLE / n1) / (x2::DOUBLE / n2) - 1.0 END,
+             6) AS lift,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+                       AND ((x1 + x2)::DOUBLE / (n1 + n2))
+                           * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2))
+                           * (1.0 / n1 + 1.0 / n2) > 0
+             THEN (x1::DOUBLE / n1 - x2::DOUBLE / n2)
+                  / sqrt(((x1 + x2)::DOUBLE / (n1 + n2))
+                         * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2))
+                         * (1.0 / n1 + 1.0 / n2)) END,
+             6) AS z
+FROM acc
+"""
+
+
+def e_cuped_adjust(spark, sf_dir):
+    """CUPED variance reduction (operators/experiments.py
+    cuped_adjust): per-user post-period spend adjusted by pre-period
+    spend (the time range split at its midpoint — computed with
+    min + (max−min) div 2, never min+max which overflows epoch-ns
+    int64), variants by user-id parity. Per-event values round to
+    4 dp and sum as exact decimals (the rfm_state convention), so the
+    operator's decimal moment accumulation replays bit-for-bit."""
+    from .operators.experiments import cuped_adjust
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        (
+            F.min("ts")
+            + F.expr("(max(ts) - min(ts)) div 2")
+        ).alias("__mid")
+    )
+    v4 = F.round(F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4).cast(
+        "decimal(18,4)"
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") <= F.col("__mid"), v4)).alias("__pre"),
+            F.sum(F.when(F.col("ts") > F.col("__mid"), v4)).alias("__post"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            F.coalesce(F.col("__post"), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("post_value"),
+            F.coalesce(F.col("__pre"), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("pre_value"),
+        )
+    )
+    return cuped_adjust(per_user, "post_value", "pre_value", "variant")
+
+
+E_CUPED_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, value FROM events
+), mid AS (
+  SELECT min(t) + (max(t) - min(t)) // 2 AS m FROM ns
+), u AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN t <= (SELECT m FROM mid)
+                  THEN CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                            AS DECIMAL(18,4)) END),
+                  0)::DECIMAL(18,4) AS pre,
+         coalesce(sum(CASE WHEN t > (SELECT m FROM mid)
+                  THEN CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                            AS DECIMAL(18,4)) END),
+                  0)::DECIMAL(18,4) AS post
+  FROM ns GROUP BY 1
+), b AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         post AS y, pre AS x
+  FROM u
+), per AS (
+  SELECT g, count(*)::BIGINT AS n, sum(y) AS sy, sum(x) AS sx
+  FROM b GROUP BY g
+), gm AS (
+  SELECT count(*)::BIGINT AS tn, sum(y) AS ty, sum(x) AS tx,
+         sum(x * y) AS txy, sum(x * x) AS txx, sum(y * y) AS tyy
+  FROM b
+)
+SELECT g AS "group", n,
+       round(sy::DOUBLE / n, 6) AS mean_raw,
+       round(CASE WHEN txx::DOUBLE - tx::DOUBLE * tx::DOUBLE / tn > 0
+             THEN sy::DOUBLE / n
+                  - ((txy::DOUBLE - tx::DOUBLE * ty::DOUBLE / tn)
+                     / (txx::DOUBLE - tx::DOUBLE * tx::DOUBLE / tn))
+                    * (sx::DOUBLE / n - tx::DOUBLE / tn) END,
+             6) AS mean_adjusted,
+       round(CASE WHEN txx::DOUBLE - tx::DOUBLE * tx::DOUBLE / tn > 0
+             THEN (txy::DOUBLE - tx::DOUBLE * ty::DOUBLE / tn)
+                  / (txx::DOUBLE - tx::DOUBLE * tx::DOUBLE / tn) END,
+             6) AS theta,
+       round(CASE WHEN txx::DOUBLE - tx::DOUBLE * tx::DOUBLE / tn > 0
+                       AND tyy::DOUBLE - ty::DOUBLE * ty::DOUBLE / tn > 0
+             THEN (txy::DOUBLE - tx::DOUBLE * ty::DOUBLE / tn)
+                  * (txy::DOUBLE - tx::DOUBLE * ty::DOUBLE / tn)
+                  / ((txx::DOUBLE - tx::DOUBLE * tx::DOUBLE / tn)
+                     * (tyy::DOUBLE - ty::DOUBLE * ty::DOUBLE / tn)) END,
+             6) AS var_reduction
+FROM per, gm
+ORDER BY g
+"""
+
+
+_SRM_WEIGHTS = {"control": 0.5, "t1": 0.25, "t2": 0.25}
+
+
+def dq_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guard (operators/experiments.py
+    srm_check): per-user variants assigned by id mod 4 (0,1 → control;
+    2 → t1; 3 → t2) against the designed 50/25/25 split. One user
+    collapse + one variant count collapse; chi² terms from the weight
+    literals both engines embed. with_p rides outside the hashed
+    set."""
+    from .operators.experiments import srm_check
+
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct().select(
+        F.when(F.col("user_id") % 4 <= 1, F.lit("control"))
+        .when(F.col("user_id") % 4 == 2, F.lit("t1"))
+        .otherwise(F.lit("t2"))
+        .alias("variant")
+    )
+    return srm_check(users, "variant", _SRM_WEIGHTS, with_p=False)
+
+
+DQ_SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), v AS (
+  SELECT CASE WHEN user_id % 4 <= 1 THEN 'control'
+              WHEN user_id % 4 = 2 THEN 't1'
+              ELSE 't2' END AS g
+  FROM u
+), counts AS (
+  SELECT g, count(*)::BIGINT AS n_observed FROM v GROUP BY g
+), tot AS (
+  SELECT sum(n_observed)::BIGINT AS n, count(*)::BIGINT AS k FROM counts
+), terms AS (
+  SELECT g, n_observed,
+         round(CASE g WHEN 'control' THEN 0.5
+                      WHEN 't1' THEN 0.25
+                      ELSE 0.25 END * (SELECT n FROM tot), 6) AS n_expected
+  FROM counts
+), t2 AS (
+  SELECT g, n_observed, n_expected,
+         round((n_observed - n_expected) * (n_observed - n_expected)
+               / n_expected, 6) AS chi2_term
+  FROM terms
+)
+SELECT g AS "group", n_observed, n_expected, chi2_term,
+       (SELECT n FROM tot) AS n,
+       round((SELECT sum(chi2_term) FROM t2), 6) AS chi2,
+       (SELECT k - 1 FROM tot) AS dof
+FROM t2 ORDER BY g
+"""
+
+
+def stat_wasserstein(spark, sf_dir):
+    """1-D Wasserstein drift distance (operators/stats_tests.py
+    wasserstein_1d) between returned ('R') and non-returned lineitem
+    quantity distributions — the integral counterpart of KS in the
+    drift battery. One distinct-value block collapse; exact
+    decimal(38,0) CDF cross-products; one division at the end."""
+    from .operators.stats_tests import wasserstein_1d
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_quantity", (F.col("l_returnflag") == "R").alias("is_returned")
+    )
+    return wasserstein_1d(d, "l_quantity", "is_returned")
+
+
+STAT_WASSERSTEIN_SQL = """
+WITH base AS (
+  SELECT CAST(round(l_quantity::DOUBLE * 10000) AS BIGINT) AS v,
+         (l_returnflag = 'R') AS f
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity::DOUBLE)
+    AND l_returnflag IS NOT NULL
+), blocks AS (
+  SELECT v, count(*)::BIGINT AS t,
+         sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS t1
+  FROM base GROUP BY v
+), tot AS (
+  SELECT sum(t1)::BIGINT AS n1, sum(t - t1)::BIGINT AS n2,
+         count(*)::BIGINT AS n_values
+  FROM blocks
+), cum AS (
+  SELECT v,
+         sum(t1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(t - t1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+         lead(v) OVER (ORDER BY v) AS nx
+  FROM blocks
+), acc AS (
+  SELECT sum(abs(c1::HUGEINT * (SELECT n2 FROM tot)
+                 - c2::HUGEINT * (SELECT n1 FROM tot))
+             * (nx - v)) AS w
+  FROM cum WHERE nx IS NOT NULL
+)
+SELECT n1, n2, n_values,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+             THEN w::DOUBLE / (n1::DOUBLE * n2 * 10000.0) END,
+             6) AS wasserstein
+FROM tot, acc
+"""
+
+
 def e_kaplan_meier(spark, sf_dir):
     """Time-to-conversion with right-censoring (operators/survival.py
     kaplan_meier): per-user duration = active span in whole hours,
@@ -9671,6 +9919,11 @@ EXTRA_QUERIES = {
     "dq_gini_concentration": dq_gini_concentration,
     "ts_mase_hourly": ts_mase_hourly,
     "e_kaplan_meier": e_kaplan_meier,
+    # --- new in round 10: experimentation & drift wave ---
+    "stat_two_proportion": stat_two_proportion,
+    "e_cuped_adjust": e_cuped_adjust,
+    "dq_srm_check": dq_srm_check,
+    "stat_wasserstein": stat_wasserstein,
     "ts_acf_hourly": ts_acf_hourly,
     "ts_cusum_errors": ts_cusum_errors,
     "ts_ewma_purchases": ts_ewma_purchases,
@@ -9932,6 +10185,11 @@ EXTRA_ORACLES = {
     "dq_gini_concentration": DQ_GINI_SQL,
     "ts_mase_hourly": TS_MASE_SQL,
     "e_kaplan_meier": E_KM_SQL,
+    # --- new in round 10: experimentation & drift wave ---
+    "stat_two_proportion": STAT_TWOPROP_SQL,
+    "e_cuped_adjust": E_CUPED_SQL,
+    "dq_srm_check": DQ_SRM_SQL,
+    "stat_wasserstein": STAT_WASSERSTEIN_SQL,
     "ts_acf_hourly": TS_ACF_SQL,
     "ts_cusum_errors": TS_CUSUM_SQL,
     "ts_ewma_purchases": TS_EWMA_SQL,
