@@ -224,3 +224,29 @@ def srm_check(
             ),
         )
     return out
+
+
+def variant_counts(
+    df: DataFrame,
+    group_col: str,
+    success_col: str | None = None,
+) -> DataFrame:
+    """Per-variant (n, conversions) — the sufficient statistic behind
+    the whole experimentation read-out (two_proportion_ztest consumes
+    the four sums; srm_check the counts), and a pure SUM monoid: a
+    streaming aggregation's running counters after any prefix of
+    micro-batches equal this batch collapse over the same rows
+    (streaming/segments.py ab_counts_stream delegates here — the
+    rfm_state convention). The z/chi² statistics stay in foreachBatch
+    or the batch pass: they are global functions of the counters, not
+    of the stream."""
+    base = df.filter(F.col(group_col).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    if success_col is not None:
+        base = base.filter(F.col(success_col).isNotNull())
+        aggs.append(
+            F.sum(F.col(success_col).cast("boolean").cast("int"))
+            .cast("bigint")
+            .alias("conversions")
+        )
+    return base.groupBy(F.col(group_col).alias("variant")).agg(*aggs)

@@ -338,3 +338,123 @@ def seasonal_naive_mase(
             6,
         ).alias("mase"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+    with_p: bool = True,
+) -> DataFrame:
+    """Mann-Kendall trend test on the bucketed series: S = Σ_{i<j}
+    sgn(x_j − x_i) over time-ordered buckets, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected z — the standard nonparametric "is this
+    metric monotonically drifting" answer (no linearity or normality
+    assumed; the CUSUM scan finds WHERE, this says WHETHER). Returns
+    ONE row: (n, s_stat, var_s, z); z NULL when the variance
+    degenerates (all values tied or n < 2).
+
+    Plan shape: the corpus collapses once in :func:`bucket_series`;
+    the pair comparison is an inequality self-join of the SERIES table
+    (time-span-bounded², never corpus²) producing exact integer sign
+    sums; ties aggregate over the distinct-value blocks. All double
+    arithmetic is scalar over exact integers, rounded 6 dp.
+    """
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    a = s.select(F.col("bucket").alias("__ba"), F.col("x").alias("__xa"))
+    b = s.select(F.col("bucket").alias("__bb"), F.col("x").alias("__xb"))
+    pairs = a.join(b, F.col("__bb") > F.col("__ba")).agg(
+        F.sum(
+            F.when(F.col("__xb") > F.col("__xa"), 1)
+            .when(F.col("__xb") < F.col("__xa"), -1)
+            .otherwise(0)
+        ).cast("bigint").alias("s_stat")
+    )
+    ties = (
+        s.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.count(F.lit(1)).alias("__nv"),
+            F.sum("__t").alias("__n"),
+            F.sum(
+                F.col("__t").cast("decimal(38,0)")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("__tie"),
+        )
+    )
+    acc = pairs.crossJoin(F.broadcast(ties))
+    n = F.col("__n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tie").cast("double")
+    ) / 18.0
+    sc = F.col("s_stat").cast("double")
+    z = F.when(
+        (F.col("__n") >= 2) & (var_s > 0),
+        F.when(F.col("s_stat") > 0, (sc - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sc + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    out = acc.select(
+        F.col("__n").cast("bigint").alias("n"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
+    if with_p:
+        from .stats_tests import _z_p
+
+        out = out.withColumn("p_value", _z_p(F.col("z")))
+    return out
+
+
+def theil_sen(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+) -> DataFrame:
+    """Theil-Sen robust trend line over the bucketed series: slope =
+    median of all pairwise slopes (x_j − x_i)/(b_j − b_i), intercept =
+    median of (x_i − slope·b_i) — the 29%-breakdown alternative to OLS
+    for drifting metrics with outlier spikes (one wild hour corrupts a
+    least-squares slope; it is one vote among n²/2 here). Returns ONE
+    row: (n_points, n_pairs, slope, intercept); NULL slope when the
+    series has < 2 points.
+
+    Plan shape: one :func:`bucket_series` collapse; the pair-slope
+    set is an inequality self-join of the series table (time-span-
+    bounded², never corpus²); both medians are exact ``percentile``
+    aggregations (the f13/e_latency interpolation-parity convention).
+    The slope is rounded to 6 dp BEFORE the residual median, so both
+    engines compute residuals from the identical literal.
+    """
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    a = s.select(F.col("bucket").alias("__ba"), F.col("x").alias("__xa"))
+    b = s.select(F.col("bucket").alias("__bb"), F.col("x").alias("__xb"))
+    slopes = a.join(b, F.col("__bb") > F.col("__ba")).select(
+        (
+            (F.col("__xb") - F.col("__xa")).cast("double")
+            / (F.col("__bb") - F.col("__ba")).cast("double")
+        ).alias("__m")
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(__m, 0.5)"), 6).alias("slope"),
+    )
+    resid = (
+        s.crossJoin(F.broadcast(med))
+        .withColumn(
+            "__r",
+            F.col("x").cast("double") - F.col("slope") * F.col("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.first("n_pairs").alias("n_pairs"),
+            F.first("slope").alias("slope"),
+            F.round(F.expr("percentile(__r, 0.5)"), 6).alias("intercept"),
+        )
+    )
+    return resid.select("n_points", "n_pairs", "slope", "intercept")

@@ -9625,6 +9625,88 @@ FROM t2 ORDER BY g
 """
 
 
+def ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on the hourly event-count
+    series (operators/timeseries.py mann_kendall): exact integer sign
+    sums over the series² pair join (time-span-bounded, never
+    corpus²); tie-corrected variance from the distinct-value blocks.
+    with_p rides outside the hashed set."""
+    from .operators.timeseries import mann_kendall
+
+    ev = _events(spark, sf_dir)
+    return mann_kendall(ev, with_p=False)
+
+
+TS_MK_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         count(*)::DECIMAL(18,4) AS x
+  FROM ns GROUP BY 1
+), pairs AS (
+  SELECT sum(CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s_stat
+  FROM s a JOIN s b ON b.bucket > a.bucket
+), ties AS (
+  SELECT sum(t)::BIGINT AS n,
+         sum(t::HUGEINT * (t - 1) * (2 * t + 5)) AS tie
+  FROM (SELECT count(*)::BIGINT AS t FROM s GROUP BY x)
+)
+SELECT n, s_stat,
+       round((n::DOUBLE * (n - 1) * (2 * n + 5) - tie::DOUBLE) / 18.0,
+             6) AS var_s,
+       round(CASE WHEN n >= 2
+                       AND (n::DOUBLE * (n - 1) * (2 * n + 5)
+                            - tie::DOUBLE) / 18.0 > 0
+             THEN CASE WHEN s_stat > 0
+                       THEN (s_stat::DOUBLE - 1)
+                            / sqrt((n::DOUBLE * (n - 1) * (2 * n + 5)
+                                    - tie::DOUBLE) / 18.0)
+                       WHEN s_stat < 0
+                       THEN (s_stat::DOUBLE + 1)
+                            / sqrt((n::DOUBLE * (n - 1) * (2 * n + 5)
+                                    - tie::DOUBLE) / 18.0)
+                       ELSE 0.0 END END,
+             6) AS z
+FROM pairs, ties
+"""
+
+
+def ts_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend line on the hourly event-count series
+    (operators/timeseries.py theil_sen): slope = exact-percentile
+    median of the series² pairwise slopes, intercept = median residual
+    against the 6-dp-rounded slope literal (both engines interpolate
+    identically — the f13 percentile-parity convention)."""
+    from .operators.timeseries import theil_sen
+
+    ev = _events(spark, sf_dir)
+    return theil_sen(ev)
+
+
+TS_THEILSEN_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         count(*)::DECIMAL(18,4) AS x
+  FROM ns GROUP BY 1
+), sl AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         round(quantile_cont((b.x - a.x)::DOUBLE
+                             / (b.bucket - a.bucket), 0.5), 6) AS slope
+  FROM s a JOIN s b ON b.bucket > a.bucket
+), res AS (
+  SELECT count(*)::BIGINT AS n_points,
+         round(quantile_cont(x::DOUBLE - (SELECT slope FROM sl) * bucket,
+                             0.5), 6) AS intercept
+  FROM s
+)
+SELECT n_points, n_pairs, slope, intercept FROM res, sl
+"""
+
+
 def stat_wasserstein(spark, sf_dir):
     """1-D Wasserstein drift distance (operators/stats_tests.py
     wasserstein_1d) between returned ('R') and non-returned lineitem
@@ -9924,6 +10006,8 @@ EXTRA_QUERIES = {
     "e_cuped_adjust": e_cuped_adjust,
     "dq_srm_check": dq_srm_check,
     "stat_wasserstein": stat_wasserstein,
+    "ts_mann_kendall": ts_mann_kendall,
+    "ts_theil_sen": ts_theil_sen,
     "ts_acf_hourly": ts_acf_hourly,
     "ts_cusum_errors": ts_cusum_errors,
     "ts_ewma_purchases": ts_ewma_purchases,
@@ -10190,6 +10274,8 @@ EXTRA_ORACLES = {
     "e_cuped_adjust": E_CUPED_SQL,
     "dq_srm_check": DQ_SRM_SQL,
     "stat_wasserstein": STAT_WASSERSTEIN_SQL,
+    "ts_mann_kendall": TS_MK_SQL,
+    "ts_theil_sen": TS_THEILSEN_SQL,
     "ts_acf_hourly": TS_ACF_SQL,
     "ts_cusum_errors": TS_CUSUM_SQL,
     "ts_ewma_purchases": TS_EWMA_SQL,

@@ -94,3 +94,19 @@ def user_spans_stream(
     return user_event_spans(
         events, user_col, ts_col, event_type_col, event_value
     )
+
+
+def ab_counts_stream(
+    events: DataFrame,
+    group_col: str = "variant",
+    success_col: str | None = None,
+) -> DataFrame:
+    """Running per-variant experiment counters over an event stream:
+    (variant, n[, conversions]) — sum monoids, one state row per
+    variant. Delegates to the batch
+    :func:`..operators.experiments.variant_counts` collapse (the
+    rfm_stream convention); the z/chi² read-out stays in foreachBatch
+    because it is a global function of the counters."""
+    from ..operators.experiments import variant_counts
+
+    return variant_counts(events, group_col, success_col)

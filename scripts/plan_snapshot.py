@@ -90,6 +90,9 @@ PICKS = [
     ("dq_gini_concentration", "ONE (group,value) block groupBy; per-group cumsum window bounded by distinct values"),
     ("ts_mase_hourly", "ONE bucket groupBy; two lag equi-joins over the bucket table; exact-decimal diff sums"),
     ("e_kaplan_meier", "per-user monoid collapse + step-table groupBy; ordered-window collect_list fold (IEEE-exact survival)"),
+    ("e_cuped_adjust", "per-user pre/post decimal collapse; two group-bounded moment aggs; broadcast midpoint + pooled moments"),
+    ("stat_wasserstein", "ONE distinct-value block groupBy; decimal CDF cross-products; broadcast group totals"),
+    ("ts_mann_kendall", "ONE bucket groupBy; series-squared inequality join with integer sign sums"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")

@@ -141,3 +141,85 @@ def test_wasserstein_matches_sorted_quantile_replay(spark):
     # equal sample sizes: W1 = mean |sorted_a - sorted_b|
     expect = float(np.mean(np.abs(np.sort(a) - np.sort(b))))
     assert got == pytest.approx(expect, abs=1e-6)
+
+
+# --- Mann-Kendall / Theil-Sen ---------------------------------------
+
+HOUR_NS = 3_600_000_000_000
+
+
+def _series_df(spark, counts):
+    rows = []
+    for b, n in enumerate(counts):
+        for j in range(n):
+            rows.append((b * HOUR_NS + j * 1_000_000,))
+    return spark.createDataFrame(rows, "ts BIGINT")
+
+
+def _mk_reference(xs):
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+    )
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, var, z
+
+
+def test_mann_kendall_matches_definitional_replay(spark):
+    from mdataframe_spark.operators.timeseries import mann_kendall
+
+    counts = [3, 5, 4, 6, 8, 7, 9, 9, 11, 10]
+    df = _series_df(spark, counts)
+    r = mann_kendall(df, with_p=False).collect()[0]
+    s, var, z = _mk_reference(counts)
+    assert r["n"] == len(counts)
+    assert r["s_stat"] == s
+    assert r["var_s"] == pytest.approx(var, abs=1e-6)
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+    assert r["z"] > 2  # clearly increasing
+
+
+def test_mann_kendall_flat_series_z_zero_or_null(spark):
+    from mdataframe_spark.operators.timeseries import mann_kendall
+
+    df = _series_df(spark, [4, 4, 4, 4])
+    r = mann_kendall(df, with_p=False).collect()[0]
+    assert r["s_stat"] == 0
+    assert r["z"] is None  # all tied -> zero variance
+
+
+def test_theil_sen_matches_numpy_replay(spark):
+    from mdataframe_spark.operators.timeseries import theil_sen
+
+    counts = [3, 5, 4, 9, 8, 7, 12, 11, 30, 14]  # one outlier spike
+    df = _series_df(spark, counts)
+    r = theil_sen(df).collect()[0]
+    xs = np.array(counts, dtype=float)
+    bs = np.arange(len(counts), dtype=float)
+    slopes = [
+        (xs[j] - xs[i]) / (bs[j] - bs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    slope = round(float(np.median(slopes)), 6)
+    assert r["n_points"] == len(counts)
+    assert r["n_pairs"] == len(slopes)
+    assert r["slope"] == pytest.approx(slope, abs=1e-6)
+    intercept = float(np.median(xs - slope * bs))
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-6)
+    # robustness: the outlier must not drag the slope toward OLS
+    ols = float(np.polyfit(bs, xs, 1)[0])
+    assert abs(r["slope"] - 1.0) < abs(ols - 1.0)

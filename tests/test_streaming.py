@@ -912,3 +912,65 @@ def test_user_spans_stream_matches_batch_and_continues_from_checkpoint(
     assert got_ab[1] == (1 * H, 5 * H, 0)
     assert got_ab[2][2] == 1
     assert 3 in got_ab
+
+
+def test_ab_counts_stream_matches_batch_and_continues_from_checkpoint(
+    spark, tmp_path_factory
+):
+    """The experiment-counter twin: per-variant n/conversions are sum
+    monoids, so checkpointed state + new micro-batches = one big
+    batch; a brand-new variant appears in the state as soon as its
+    first event lands."""
+    from mdataframe_spark.operators.experiments import variant_counts
+    from mdataframe_spark.streaming.segments import ab_counts_stream
+
+    root = tmp_path_factory.mktemp("ab_counts_stream")
+    src = root / "events"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "variant string, converted int"
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    a_rows = [("control", 1), ("control", 0), ("t1", 0), ("t1", 1),
+              ("t1", 1)]
+    write_log(a_rows)
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            ab_counts_stream(stream, "variant", "converted")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["variant"]: (r["n"], r["conversions"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_state(rows):
+        return {
+            r["variant"]: (r["n"], r["conversions"])
+            for r in variant_counts(
+                spark.createDataFrame(rows, schema), "variant", "converted"
+            ).collect()
+        }
+
+    got_a = run_stream("ab_counts_a")
+    assert got_a == batch_state(a_rows) == {
+        "control": (2, 1), "t1": (3, 2)
+    }
+
+    b_rows = [("control", 1), ("t2", 0)]
+    write_log(b_rows)
+    got_ab = run_stream("ab_counts_ab")
+    assert got_ab == batch_state(a_rows + b_rows)
+    assert got_ab["control"] == (3, 2) and got_ab["t2"] == (1, 0)
