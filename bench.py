@@ -127,8 +127,11 @@ HEADLINE = [
     "dq_completeness_profile",
     # round-10: the end-to-end curation recipe — gate → exact dedup →
     # MinHash near-dup drop → mixture sample → pack as ONE lineage
-    # (the longest chained plan in the registry)
+    # (the longest chained plan in the registry) — plus the survival
+    # fold and the series² trend join
     "pipe_fineweb_recipe",
+    "e_kaplan_meier",
+    "ts_mann_kendall",
 ]
 
 
