@@ -430,3 +430,100 @@ def histogram_quantile_gate(
         )
         .orderBy("p")
     )
+
+
+def count_min_join_size(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Join-cardinality estimate from Count-Min INNER PRODUCTS,
+    certified against the exact |A ⋈_key B| (Cormode & Muthukrishnan
+    2005): per depth row d, est_d = Σ_w cmA[d,w]·cmB[d,w]; the
+    estimate is min_d est_d. Guarantees, certified in the output:
+    the estimate NEVER undercounts (hash collisions only add
+    cross-terms), and overcounts by ≤ e·N_A·N_B/width with
+    probability 1−(1/2)^depth. Returns ONE row: (n_a, n_b,
+    exact_join_size, cm_estimate, overcount, within_bound).
+
+    Why at 100 TB: the exact join size needs the join (or two
+    key-cardinality-sized count tables joined); the sketch is
+    2·depth×width additive cells built in one pass per side,
+    MERGEABLE across partitions/streams — the shuffle-planning probe
+    ("will this join explode?") before committing to the join itself.
+    The exact side here is the CERTIFICATION side only (the
+    sk_countmin_gate convention). Accuracy is the width knob: the
+    expected overcount is (N_A·N_B − J)/width per row, so size width
+    to the N_A·N_B product scale you need resolved.
+
+    Plan shape: two count_min_cells builds (one partial-agged groupBy
+    each); the inner product is a cells-sized equi-join + depth-row
+    groupBy; the exact side is two per-key count tables joined on the
+    key with a decimal(38,0) product sum.
+    """
+    cells_a = count_min_cells(df_a, key_col, depth=depth, width=width)
+    cells_b = count_min_cells(df_b, key_col, depth=depth, width=width)
+    dec = "decimal(38,0)"
+    per_row = (
+        cells_a.join(
+            cells_b.select(
+                "__row", "__b", F.col("__c").alias("__cb")
+            ),
+            ["__row", "__b"],
+        )
+        .groupBy("__row")
+        .agg(
+            F.sum(F.col("__c").cast(dec) * F.col("__cb")).alias("__est")
+        )
+    )
+    spark = df_a.sparkSession
+    spine = spark.range(depth).select(F.col("id").cast("int").alias("__row"))
+    est = (
+        spine.join(per_row, "__row", "left")
+        .agg(
+            F.min(
+                F.coalesce(F.col("__est"), F.lit(0).cast(dec))
+            ).alias("__cm")
+        )
+    )
+    ka = df_a.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__na"))
+    kb = df_b.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__nb"))
+    exact = ka.join(kb, "__k").agg(
+        F.coalesce(
+            F.sum(F.col("__na").cast(dec) * F.col("__nb")),
+            F.lit(0).cast(dec),
+        ).alias("__exact")
+    )
+    tot = (
+        df_a.filter(F.col(key_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(
+            df_b.filter(F.col(key_col).isNotNull()).agg(
+                F.count(F.lit(1)).alias("n_b")
+            )
+        )
+    )
+    acc = tot.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(exact))
+    over = F.col("__cm") - F.col("__exact")
+    bound = F.ceil(
+        F.lit(3.0)
+        * F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.lit(float(width))
+    )
+    return acc.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("__exact").cast("bigint").alias("exact_join_size"),
+        F.col("__cm").cast("bigint").alias("cm_estimate"),
+        over.cast("bigint").alias("overcount"),
+        (
+            (over >= 0) & (over.cast("double") <= bound.cast("double"))
+        ).alias("within_bound"),
+    )

@@ -9625,6 +9625,64 @@ FROM t2 ORDER BY g
 """
 
 
+def sk_join_size_gate(spark, sf_dir):
+    """Join-cardinality estimation from Count-Min inner products
+    (operators/sketches.py count_min_join_size), certified against
+    the exact |events ⋈_user purchases|: the shuffle-planning probe
+    that answers "will this join explode?" from 2·depth·width
+    additive cells instead of running the join. The one-sided
+    overcount guarantee (est ≥ exact, overcount ≤ e·N_A·N_B/width
+    w.p. 1−2^-depth) is checked in-row."""
+    from .operators.sketches import count_min_join_size
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return count_min_join_size(a, b, "user_id", depth=3, width=1024)
+
+
+SK_JOINSIZE_SQL = r"""
+WITH hs AS (SELECT unnest(range(0, 3)) AS i),
+a AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+b AS (SELECT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+ca AS (
+  SELECT i AS r,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || ':' || i::VARCHAR),
+                              1, 15)) AS BIGINT) % 1024 AS bkt,
+         count(*)::BIGINT AS c
+  FROM a, hs GROUP BY 1, 2
+), cb AS (
+  SELECT i AS r,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || ':' || i::VARCHAR),
+                              1, 15)) AS BIGINT) % 1024 AS bkt,
+         count(*)::BIGINT AS c
+  FROM b, hs GROUP BY 1, 2
+), per_row AS (
+  SELECT r, sum(ca.c::HUGEINT * cb.c) AS est
+  FROM ca JOIN cb USING (r, bkt) GROUP BY r
+), est AS (
+  SELECT min(coalesce(est, 0))::BIGINT AS cm
+  FROM (SELECT i AS r FROM hs) s LEFT JOIN per_row USING (r)
+), ex AS (
+  SELECT coalesce(sum(ka.n::HUGEINT * kb.n), 0)::BIGINT AS exact
+  FROM (SELECT user_id, count(*)::BIGINT AS n FROM a GROUP BY 1) ka
+  JOIN (SELECT user_id, count(*)::BIGINT AS n FROM b GROUP BY 1) kb
+    USING (user_id)
+), tot AS (
+  SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+         (SELECT count(*) FROM b)::BIGINT AS n_b
+)
+SELECT n_a, n_b, exact AS exact_join_size, cm AS cm_estimate,
+       (cm - exact)::BIGINT AS overcount,
+       (cm - exact >= 0)
+         AND ((cm - exact)::DOUBLE
+              <= ceil(3.0 * n_a::DOUBLE * n_b::DOUBLE / 1024.0))
+         AS within_bound
+FROM tot, est, ex
+"""
+
+
 def ts_mann_kendall(spark, sf_dir):
     """Mann-Kendall monotone-trend test on the hourly event-count
     series (operators/timeseries.py mann_kendall): exact integer sign
@@ -10008,6 +10066,7 @@ EXTRA_QUERIES = {
     "stat_wasserstein": stat_wasserstein,
     "ts_mann_kendall": ts_mann_kendall,
     "ts_theil_sen": ts_theil_sen,
+    "sk_join_size_gate": sk_join_size_gate,
     "ts_acf_hourly": ts_acf_hourly,
     "ts_cusum_errors": ts_cusum_errors,
     "ts_ewma_purchases": ts_ewma_purchases,
@@ -10276,6 +10335,7 @@ EXTRA_ORACLES = {
     "stat_wasserstein": STAT_WASSERSTEIN_SQL,
     "ts_mann_kendall": TS_MK_SQL,
     "ts_theil_sen": TS_THEILSEN_SQL,
+    "sk_join_size_gate": SK_JOINSIZE_SQL,
     "ts_acf_hourly": TS_ACF_SQL,
     "ts_cusum_errors": TS_CUSUM_SQL,
     "ts_ewma_purchases": TS_EWMA_SQL,

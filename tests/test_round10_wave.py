@@ -360,3 +360,55 @@ def test_graph_broadcast_limit_zero_means_never_broadcast(spark):
         ).collect()
     )
     assert lz == lbc
+
+
+# --- count-min join-size gate ----------------------------------------
+
+def test_join_size_gate_exact_on_wide_sketch(spark):
+    from mdataframe_spark.operators.sketches import count_min_join_size
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3]], "k BIGINT"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 4]], "k BIGINT"
+    )
+    # exact join size: 3*1 (k=1) + 2*2 (k=2) = 7
+    r = count_min_join_size(a, b, "k", depth=3, width=1 << 16).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (6, 4)
+    assert r["exact_join_size"] == 7
+    assert r["cm_estimate"] >= 7  # never undercounts
+    assert r["overcount"] == r["cm_estimate"] - 7
+    assert r["within_bound"]
+    # 3 distinct keys in 65536 buckets: md5 is deterministic, and this
+    # fixture is collision-free at this width -> estimate is EXACT
+    assert r["cm_estimate"] == 7
+
+
+def test_join_size_gate_disjoint_keys(spark):
+    from mdataframe_spark.operators.sketches import count_min_join_size
+
+    a = spark.createDataFrame([(1,), (2,)], "k BIGINT")
+    b = spark.createDataFrame([(3,), (4,)], "k BIGINT")
+    r = count_min_join_size(a, b, "k", depth=3, width=1 << 16).collect()[0]
+    assert r["exact_join_size"] == 0
+    assert r["cm_estimate"] >= 0 and r["within_bound"]
+
+
+def test_join_size_gate_narrow_sketch_still_one_sided(spark):
+    from mdataframe_spark.operators.sketches import count_min_join_size
+
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    a = spark.createDataFrame(
+        [(int(k),) for k in rng.randint(0, 200, 500)], "k BIGINT"
+    )
+    b = spark.createDataFrame(
+        [(int(k),) for k in rng.randint(0, 200, 300)], "k BIGINT"
+    )
+    # width 64 << 200 keys: heavy collisions, but the one-sided
+    # guarantee and the certified bound must still hold
+    r = count_min_join_size(a, b, "k", depth=3, width=64).collect()[0]
+    assert r["overcount"] >= 0
+    assert r["within_bound"]
