@@ -93,6 +93,7 @@ PICKS = [
     ("e_cuped_adjust", "per-user pre/post decimal collapse; two group-bounded moment aggs; broadcast midpoint + pooled moments"),
     ("stat_wasserstein", "ONE distinct-value block groupBy; decimal CDF cross-products; broadcast group totals"),
     ("ts_mann_kendall", "ONE bucket groupBy; series-squared inequality join with integer sign sums"),
+    ("sk_join_size_gate", "two cell groupBys + cells-sized inner-product join; exact side joins two per-key count tables"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")
