@@ -143,3 +143,75 @@ def test_quality_gate_single_scan_no_exchange(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_kendall_corpus_collapse_before_pair_join(spark):
+    """kendall_tau_cells: the ONLY corpus-scale structure is the
+    (x, y) cell groupBy; the inequality pair join runs over the
+    cell table (InMemoryRelation from the tracked persist), never
+    the raw scan."""
+    from mdataframe_spark.queries import stat_kendall_tau
+
+    plan = _plan(stat_kendall_tau(spark, SF))
+    # the persisted cell table feeds both join sides and the margins
+    assert "InMemoryTableScan" in plan, plan
+    # no Python anywhere in the pipeline
+    assert "EvalPython" not in plan, plan
+
+
+def test_wasserstein_single_block_collapse(spark):
+    """wasserstein_1d: one partial-agged block groupBy collapses the
+    corpus; everything above is windows/joins over the distinct-value
+    table; no Python, no per-row UDF."""
+    from mdataframe_spark.queries import stat_wasserstein
+
+    plan = _plan(stat_wasserstein(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan
+    # exactly one scan of the lineitem fact (blocks reused via the
+    # plan, not re-scanned per consumer)
+    assert plan.count("Scan parquet") <= 3, plan
+
+
+def test_kaplan_meier_fold_over_step_table(spark):
+    """e_kaplan_meier: the survival fold is an ordered-window
+    collect_list aggregate over the step table — one per-user
+    exchange, one step-table sort, no Python."""
+    from mdataframe_spark.queries import e_kaplan_meier
+
+    plan = _plan(e_kaplan_meier(spark, SF))
+    assert "collect_list" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pipeline_pins_survivor_frames(spark):
+    """pipe_fineweb_recipe: the gate output and both survivor frames
+    are persisted (InMemoryRelation) so the signature build, the
+    mixture rate probe, and the packing pass share materializations
+    instead of re-running the gate."""
+    from mdataframe_spark.queries import pipe_fineweb_recipe
+
+    plan = _plan(pipe_fineweb_recipe(spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_cuped_moment_aggregation_no_python(spark):
+    """e_cuped_adjust: decimal moment sums with partial aggregation;
+    the statistics are scalar projections — no Python, no window."""
+    from mdataframe_spark.queries import e_cuped_adjust
+
+    plan = _plan(e_cuped_adjust(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan
+    assert "Window" not in plan, plan
+
+
+def test_join_size_gate_broadcast_cells(spark):
+    """sk_join_size_gate: the sketch sides collapse to cell tables
+    before any join; the spine/estimate joins are broadcast; no
+    Python."""
+    from mdataframe_spark.queries import sk_join_size_gate
+
+    plan = _plan(sk_join_size_gate(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
