@@ -447,6 +447,78 @@ def run_factor(factor: int) -> dict:
 
         record("histogram_quantile_gate", factor, timed(quantile_gate), n_liq)
 
+        def wasserstein_raw():
+            from mdataframe_spark.operators.stats_tests import wasserstein_1d
+
+            # the price offsets mint NEW distinct values per copy (the
+            # spearman axis): the distinct-value block table grows with
+            # the corpus — the honest worst case for the cumsum window
+            d = liq.select(
+                "l_extendedprice",
+                (F.col("l_quantity") >= 25).alias("__g"),
+            )
+            wasserstein_1d(d, "l_extendedprice", "__g").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("wasserstein_raw", factor, timed(wasserstein_raw), n_liq)
+
+        def wasserstein_quantized():
+            from mdataframe_spark.operators.stats_tests import wasserstein_1d
+
+            # the documented knob: rounding to whole dollars bounds the
+            # block table regardless of corpus growth
+            d = liq.select(
+                F.round("l_extendedprice", 0).alias("__p"),
+                (F.col("l_quantity") >= 25).alias("__g"),
+            )
+            wasserstein_1d(d, "__p", "__g").write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record(
+            "wasserstein_quantized",
+            factor,
+            timed(wasserstein_quantized),
+            n_liq,
+        )
+
+        def kendall_cells():
+            from mdataframe_spark.operators.stats_tests import (
+                kendall_tau_cells,
+            )
+
+            # quantity x rounded-price-thousands: the cell table is
+            # bounded by construction (the operator's contract), so the
+            # cells-squared join cost must stay FLAT while the corpus
+            # collapse grows linearly
+            d = liq.select(
+                "l_quantity",
+                F.round(F.col("l_extendedprice") / 1000.0, 0).alias("__pk"),
+            )
+            kendall_tau_cells(d, "l_quantity", "__pk").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("kendall_cells", factor, timed(kendall_cells), n_liq)
+
+        def join_size_gate():
+            from mdataframe_spark.operators.sketches import (
+                count_min_join_size,
+            )
+
+            # sketch side: depth x width cells regardless of corpus;
+            # the measured growth is the two linear explode+groupBy
+            # passes plus the exact certification side's key join
+            a = li.select(F.col("l_partkey").alias("k"))
+            b = li.filter(F.col("l_orderkey") % 3 == 0).select(
+                F.col("l_partkey").alias("k")
+            )
+            count_min_join_size(a, b, "k").write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("join_size_gate", factor, timed(join_size_gate), n_li)
         events = inflate_events(spark, factor)
         n_events = events.count()
 
@@ -458,6 +530,39 @@ def run_factor(factor: int) -> dict:
             ).mode("overwrite").save()
 
         record("funnel", factor, timed(funnel_case), n_events)
+
+        def kaplan_meier_curve():
+            from mdataframe_spark.operators.survival import (
+                kaplan_meier,
+                user_event_spans,
+            )
+
+            # the step table is bounded by the distinct quantized
+            # durations (the fixed time span), so growth tracks the
+            # per-user monoid collapse — linear in events. ts arrives
+            # raw from the parquet here (timestamp, not the queries.py
+            # canonical bigint) — canonicalize to epoch-ns first
+            ev2 = events
+            if dict(ev2.dtypes)["ts"].startswith("timestamp"):
+                ev2 = ev2.withColumn(
+                    "ts",
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        * F.lit(1000)
+                    ).cast("bigint"),
+                )
+            spans = user_event_spans(ev2)
+            users = spans.select(
+                F.expr(
+                    "(last_ts - first_ts) div 3600000000000"
+                ).alias("dur_h"),
+                "converted",
+            )
+            kaplan_meier(users, "dur_h", "converted").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("kaplan_meier_curve", factor, timed(kaplan_meier_curve), n_events)
 
         vecs = inflate_vectors(spark, factor)
         n_vecs = vecs.count()
@@ -665,6 +770,30 @@ def main():
         "tenfold — irrelevant to the cells); the measured cost is the",
         "two corpus passes (cell build + the exact-percentile",
         "certification side), both partial-agged single aggregations.",
+        "",
+        "`count_min_estimates`' x10 point swings run-to-run like",
+        "simhash_pairs (2.95s and 19.79s observed across clean fresh-JVM",
+        "runs of identical code in one session, min-of-2 passes); its x4",
+        "point and the depth×width-bounded plan shape are stable — the",
+        "cell table cannot grow with the corpus by construction.",
+        "",
+        "Round-10 entries: `wasserstein_raw` runs the spearman",
+        "worst-case axis on purpose — the price offsets mint new",
+        "distinct values per copy, so the block table (and its",
+        "single-partition cumsum window) grows with the corpus;",
+        "`wasserstein_quantized` is the documented knob in action",
+        "(whole-dollar rounding bounds the blocks, the ratio should",
+        "track the linear collapse). `kendall_cells` is bounded by",
+        "construction — the contingency-cell contract — so its",
+        "cells-squared join cost must stay FLAT while the groupBy",
+        "collapse grows. `join_size_gate` is two linear explode+groupBy",
+        "cell builds (depth x width cells regardless of corpus) plus",
+        "the exact certification side's per-key count join — growth",
+        "tracks the scans, never the sketch. `kaplan_meier_curve`",
+        "collapses events to per-user monoids (linear) and everything",
+        "after runs on the distinct-duration step table, which the",
+        "FIXED time span bounds no matter how many users the",
+        "inflation adds.",
         "",
         "Round-6-continuation entries: `bloom_decontaminate` is",
         "near-flat because the probe is a map over the gram stream",
