@@ -34,14 +34,17 @@ def two_proportion_ztest(
     rate1, rate2, lift, z) with the pooled-variance statistic
     z = (p1 − p2) / √(p̂(1−p̂)(1/n1 + 1/n2)); z NULL when either arm
     is empty or the pooled rate is degenerate (0 or 1 — no variance).
-    Rows with a NULL group or success flag drop (complete-case).
+    Rows whose group or success flag is NULL *after the boolean cast*
+    drop (complete-case): an unparseable success string must not count
+    toward the arm size while being excluded from the conversions.
 
     ONE aggregation over the corpus: four integer sums. Everything
     downstream is scalar arithmetic on them, rounded 6 dp.
     """
-    g = F.col(group_col).cast("boolean")
-    s = F.col(success_col).cast("boolean").cast("int")
-    base = df.filter(g.isNotNull() & F.col(success_col).isNotNull())
+    g = F.col(group_col).try_cast("boolean")
+    sb = F.col(success_col).try_cast("boolean")
+    s = sb.cast("int")
+    base = df.filter(g.isNotNull() & sb.isNotNull())
     acc = base.agg(
         F.sum(g.cast("int")).cast("bigint").alias("n1"),
         F.sum(F.when(g, s).otherwise(0)).cast("bigint").alias("x1"),
@@ -160,19 +163,28 @@ def srm_check(
     downstream statistic is suspect). Returns one row per variant:
     (group, n_observed, n_expected, chi2_term) plus the per-row total
     columns (n, chi2, dof) repeated for single-scan consumption,
-    ordered by group; variants in the data but absent from
-    ``expected_weights`` raise (a typo'd weight table must not
-    silently pass).
+    ordered by group. The variant SPINE is the DESIGNED weight table,
+    not the observed counts: an arm that logged zero rows — the most
+    severe SRM possible — still contributes its full (0−E)²/E term and
+    still counts toward dof = len(expected_weights) − 1. Variants in
+    the data but absent from ``expected_weights`` raise, and so does
+    any non-positive designed weight (a zero-weight "arm" makes the
+    goodness-of-fit expected count 0 — same broken-weight-table
+    condition).
 
-    ONE per-variant count collapse; the expected counts derive from
-    the weight literals both engines embed; chi² terms are scalar
-    doubles rounded 6 dp.
+    ONE per-variant count collapse left-joined onto the weight spine;
+    the expected counts derive from the weight literals both engines
+    embed; chi² terms are scalar doubles rounded 6 dp.
     """
     if not expected_weights:
         raise ValueError("srm_check: expected_weights must be non-empty")
+    if any(not float(v) > 0 for v in expected_weights.values()):
+        raise ValueError(
+            "srm_check: every designed weight must be > 0 — a zero-weight "
+            "variant has expected count 0 (chi² undefined); drop it from "
+            "the design or fix the weight table"
+        )
     total_w = float(sum(expected_weights.values()))
-    if not total_w > 0:
-        raise ValueError("srm_check: weights must sum to a positive value")
     counts = (
         df.filter(F.col(group_col).isNotNull())
         .groupBy(F.col(group_col).cast("string").alias("group"))
@@ -186,23 +198,32 @@ def srm_check(
             f"expected_weights {sorted(known)} — fix the weight table, "
             f"do not silently drop data"
         )
-    w = F.lit(None).cast("double")
-    for k, v in sorted(expected_weights.items()):
-        w = F.when(F.col("group") == str(k), F.lit(float(v) / total_w)).otherwise(w)
-    tot = counts.agg(F.sum("n_observed").alias("__n"))
-    j = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "n_expected", F.round(w * F.col("__n"), 6)
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(str(k), float(v) / total_w) for k, v in sorted(expected_weights.items())],
+        "group string, __w double",
     )
-    term = (
+    # right-outer keeps every designed arm; counts (variants-bounded)
+    # is the broadcastable build side for that join shape.
+    full = F.broadcast(counts).join(spine, "group", "right").select(
+        "group",
+        "__w",
+        F.coalesce(F.col("n_observed"), F.lit(0)).cast("bigint").alias(
+            "n_observed"
+        ),
+    )
+    tot = full.agg(F.sum("n_observed").alias("__n"))
+    j = full.crossJoin(F.broadcast(tot)).withColumn(
+        "n_expected", F.round(F.col("__w") * F.col("__n"), 6)
+    )
+    term = F.when(
+        F.col("n_expected") > 0,
         (F.col("n_observed") - F.col("n_expected"))
         * (F.col("n_observed") - F.col("n_expected"))
-        / F.col("n_expected")
+        / F.col("n_expected"),
     )
     j = j.withColumn("chi2_term", F.round(term, 6))
-    agg = j.agg(
-        F.round(F.sum("chi2_term"), 6).alias("chi2"),
-        F.count(F.lit(1)).alias("__k"),
-    )
+    agg = j.agg(F.round(F.sum("chi2_term"), 6).alias("chi2"))
     out = (
         j.crossJoin(F.broadcast(agg))
         .select(
@@ -212,7 +233,7 @@ def srm_check(
             "chi2_term",
             F.col("__n").cast("bigint").alias("n"),
             "chi2",
-            (F.col("__k") - 1).cast("bigint").alias("dof"),
+            F.lit(len(expected_weights) - 1).cast("bigint").alias("dof"),
         )
         .orderBy("group")
     )

@@ -32,6 +32,7 @@ plain `GROUP BY ... HAVING count > n/k` a small-data engine would run
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Sequence
 
 import pandas as pd
@@ -511,8 +512,14 @@ def count_min_join_size(
     )
     acc = tot.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(exact))
     over = F.col("__cm") - F.col("__exact")
+    # The certified constant IS the documented one: the classic CM
+    # guarantee e·N_A·N_B/width (Markov on the per-row expected
+    # overcount (N_A·N_B − J)/width, min over depth rows → failure
+    # probability ≤ e^-depth). An earlier 3.0 slack constant let a
+    # sketch violating the documented bound still report
+    # within_bound=true.
     bound = F.ceil(
-        F.lit(3.0)
+        F.lit(math.e)
         * F.col("n_a").cast("double")
         * F.col("n_b").cast("double")
         / F.lit(float(width))

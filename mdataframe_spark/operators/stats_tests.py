@@ -956,6 +956,10 @@ def wasserstein_1d(
     )
     n1d = F.col("__n1").cast("double")
     n2d = F.col("__n2").cast("double")
+    # __w aggregates to NULL when zero interval rows survive the lead
+    # filter (all mass on one shared distinct value) — the true W₁ is a
+    # well-defined 0 there, so coalesce INSIDE the both-groups-present
+    # branch; the empty-group case stays NULL.
     return acc.select(
         F.col("__n1").cast("bigint").alias("n1"),
         F.col("__n2").cast("bigint").alias("n2"),
@@ -963,7 +967,8 @@ def wasserstein_1d(
         F.round(
             F.when(
                 (F.col("__n1") > 0) & (F.col("__n2") > 0),
-                F.col("__w").cast("double") / (n1d * n2d * 10000.0),
+                F.coalesce(F.col("__w").cast("double"), F.lit(0.0))
+                / (n1d * n2d * 10000.0),
             ),
             6,
         ).alias("wasserstein"),

@@ -9603,18 +9603,23 @@ WITH u AS (
   FROM u
 ), counts AS (
   SELECT g, count(*)::BIGINT AS n_observed FROM v GROUP BY g
+), wts AS (
+  SELECT * FROM (VALUES ('control', 0.5), ('t1', 0.25), ('t2', 0.25))
+           AS w(g, wt)
+), spine AS (
+  SELECT w.g, w.wt, coalesce(c.n_observed, 0)::BIGINT AS n_observed
+  FROM wts w LEFT JOIN counts c USING (g)
 ), tot AS (
-  SELECT sum(n_observed)::BIGINT AS n, count(*)::BIGINT AS k FROM counts
+  SELECT sum(n_observed)::BIGINT AS n, count(*)::BIGINT AS k FROM spine
 ), terms AS (
   SELECT g, n_observed,
-         round(CASE g WHEN 'control' THEN 0.5
-                      WHEN 't1' THEN 0.25
-                      ELSE 0.25 END * (SELECT n FROM tot), 6) AS n_expected
-  FROM counts
+         round(wt * (SELECT n FROM tot), 6) AS n_expected
+  FROM spine
 ), t2 AS (
   SELECT g, n_observed, n_expected,
-         round((n_observed - n_expected) * (n_observed - n_expected)
-               / n_expected, 6) AS chi2_term
+         round(CASE WHEN n_expected > 0
+               THEN (n_observed - n_expected) * (n_observed - n_expected)
+                    / n_expected END, 6) AS chi2_term
   FROM terms
 )
 SELECT g AS "group", n_observed, n_expected, chi2_term,
@@ -9677,7 +9682,7 @@ SELECT n_a, n_b, exact AS exact_join_size, cm AS cm_estimate,
        (cm - exact)::BIGINT AS overcount,
        (cm - exact >= 0)
          AND ((cm - exact)::DOUBLE
-              <= ceil(3.0 * n_a::DOUBLE * n_b::DOUBLE / 1024.0))
+              <= ceil(exp(1.0) * n_a::DOUBLE * n_b::DOUBLE / 1024.0))
          AS within_bound
 FROM tot, est, ex
 """
@@ -9809,7 +9814,7 @@ WITH base AS (
 )
 SELECT n1, n2, n_values,
        round(CASE WHEN n1 > 0 AND n2 > 0
-             THEN w::DOUBLE / (n1::DOUBLE * n2 * 10000.0) END,
+             THEN coalesce(w, 0)::DOUBLE / (n1::DOUBLE * n2 * 10000.0) END,
              6) AS wasserstein
 FROM tot, acc
 """
