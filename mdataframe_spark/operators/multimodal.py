@@ -9,10 +9,15 @@ decode/feature-extract path is Arrow-batched ``mapInPandas``.
 Decoders: PNG is decoded FOR REAL, stdlib-only (zlib/struct — chunk
 walk with CRC32 validation, IHDR parse, full IDAT inflate + scanline
 unfiltering for 8-bit gray/RGB/RGBA, per-channel pixel means as
-features; ``encode_png`` synthesizes real files for fixtures). Other
-media formats (JPEG/audio/video codecs need external libraries absent
-from this container) fall back to the deterministic byte-sum feature
-path, which is also the documented behavior for non-media payloads.
+features; ``encode_png`` synthesizes real files for fixtures). WAV
+audio is decoded FOR REAL too, stdlib-only (struct — RIFF chunk walk,
+fmt parse, PCM 8/16/24/32-bit integer frames; exact integer sample
+sums → DC mean / RMS / peak features; ``encode_wav`` synthesizes
+spec-valid files, cross-checked against the stdlib ``wave`` module in
+tests). Remaining media formats (JPEG/compressed audio/video codecs
+need external libraries absent from this container) fall back to the
+deterministic byte-sum feature path, which is also the documented
+behavior for non-media payloads.
 """
 
 from __future__ import annotations

@@ -10018,28 +10018,27 @@ QUERIES = {
     "w3_window_suite": w3_window_suite,
     "e_latency_percentiles": e_latency_percentiles,
     "stat_psi": stat_psi,
-    # --- rotated in round 10 (sixth rotation, per the round-9
-    # verdict: the never-driver-recorded round-8 leftovers and
-    # second-half TPC-H twins take the slots of the 17 round-9 rows,
-    # all driver-green in r9 and keeping the identical oracle
-    # protocol in EXTRA_QUERIES) ---
-    "ml_ndcg_events": ml_ndcg_events,
-    "ml_gain_deciles": ml_gain_deciles,
-    "stat_anova_oneway": stat_anova_oneway,
-    "stat_brown_forsythe": stat_brown_forsythe,
-    "e_event_transitions": e_event_transitions,
-    "e_top_paths": e_top_paths,
-    "dim_scd2_history_compact": dim_scd2_history_compact,
-    "e_seasonal_profile": e_seasonal_profile,
-    "dq_candidate_keys": dq_candidate_keys,
-    "j_q6_forecast_revenue": j_q6_forecast_revenue,
-    "j_q8_market_share": j_q8_market_share,
-    "j_q10_returned_items": j_q10_returned_items,
-    "j_q13_order_distribution": j_q13_order_distribution,
-    "j_q14_promo_share": j_q14_promo_share,
-    "j_q16_supplier_count": j_q16_supplier_count,
-    "j_q19_bracket_revenue": j_q19_bracket_revenue,
-    "j_q20_excess_suppliers": j_q20_excess_suppliers,
+    # --- rotated in round 11 (seventh rotation: the 17 oldest
+    # never-driver-recorded round-9 wave queries take the slots of
+    # the 17 round-10 rows, all driver-green in r10 and keeping the
+    # identical oracle protocol in EXTRA_QUERIES) ---
+    "ts_acf_hourly": ts_acf_hourly,
+    "ts_cusum_errors": ts_cusum_errors,
+    "ts_ewma_purchases": ts_ewma_purchases,
+    "e_rfm_scores": e_rfm_scores,
+    "e_attribution_credit": e_attribution_credit,
+    "rec_association_rules": rec_association_rules,
+    "gr_assortativity": gr_assortativity,
+    "dq_benford": dq_benford,
+    "dq_l_diversity": dq_l_diversity,
+    "txt_keyword_llr": txt_keyword_llr,
+    "sim_scalar_quantization": sim_scalar_quantization,
+    "sim_matryoshka_energy": sim_matryoshka_energy,
+    "dim_zonemap_stats": dim_zonemap_stats,
+    "ds_weighted_reservoir": ds_weighted_reservoir,
+    "gr_kcore": gr_kcore,
+    "e_markov_stationary": e_markov_stationary,
+    "sk_quantile_gate": sk_quantile_gate,
     # --- rows-only from here down (iterative fits, no SQL oracle) ---
     "stat_edger_exact_test": stat_edger_exact_test,
     "stat_deseq2": stat_deseq2,
@@ -10072,23 +10071,27 @@ EXTRA_QUERIES = {
     "ts_mann_kendall": ts_mann_kendall,
     "ts_theil_sen": ts_theil_sen,
     "sk_join_size_gate": sk_join_size_gate,
-    "ts_acf_hourly": ts_acf_hourly,
-    "ts_cusum_errors": ts_cusum_errors,
-    "ts_ewma_purchases": ts_ewma_purchases,
-    "e_rfm_scores": e_rfm_scores,
-    "e_attribution_credit": e_attribution_credit,
-    "rec_association_rules": rec_association_rules,
-    "gr_assortativity": gr_assortativity,
-    "dq_benford": dq_benford,
-    "dq_l_diversity": dq_l_diversity,
-    "txt_keyword_llr": txt_keyword_llr,
-    "sim_scalar_quantization": sim_scalar_quantization,
-    "sim_matryoshka_energy": sim_matryoshka_energy,
-    "dim_zonemap_stats": dim_zonemap_stats,
-    "ds_weighted_reservoir": ds_weighted_reservoir,
-    "gr_kcore": gr_kcore,
-    "e_markov_stationary": e_markov_stationary,
-    "sk_quantile_gate": sk_quantile_gate,
+    # --- rotated out of the driver registry in round 11 (seventh
+    # rotation; driver-green r10, same oracle protocol in-repo from
+    # here on) ---
+    "ml_ndcg_events": ml_ndcg_events,
+    "ml_gain_deciles": ml_gain_deciles,
+    "stat_anova_oneway": stat_anova_oneway,
+    "stat_brown_forsythe": stat_brown_forsythe,
+    "e_event_transitions": e_event_transitions,
+    "e_top_paths": e_top_paths,
+    "dim_scd2_history_compact": dim_scd2_history_compact,
+    "e_seasonal_profile": e_seasonal_profile,
+    "dq_candidate_keys": dq_candidate_keys,
+    "j_q6_forecast_revenue": j_q6_forecast_revenue,
+    "j_q8_market_share": j_q8_market_share,
+    "j_q10_returned_items": j_q10_returned_items,
+    "j_q13_order_distribution": j_q13_order_distribution,
+    "j_q14_promo_share": j_q14_promo_share,
+    "j_q16_supplier_count": j_q16_supplier_count,
+    "j_q19_bracket_revenue": j_q19_bracket_revenue,
+    "j_q20_excess_suppliers": j_q20_excess_suppliers,
+    # --- round-9 wave queries still queued for a driver record ---
     "dq_completeness_profile": dq_completeness_profile,
     "gr_label_propagation": gr_label_propagation,
     "txt_repetition": txt_repetition,
@@ -10297,24 +10300,24 @@ ORACLES = {
     "w3_window_suite": W3_WINDOW_SQL,
     "e_latency_percentiles": E_LATENCY_SQL,
     "stat_psi": STAT_PSI_SQL,
-    # --- rotated in round 10 (sixth rotation) ---
-    "ml_ndcg_events": ML_NDCG_SQL,
-    "ml_gain_deciles": ML_GAIN_SQL,
-    "stat_anova_oneway": STAT_ANOVA_SQL,
-    "stat_brown_forsythe": STAT_BF_SQL,
-    "e_event_transitions": E_TRANSITIONS_SQL,
-    "e_top_paths": E_PATHS_SQL,
-    "dim_scd2_history_compact": DIM_COMPACT_SQL,
-    "e_seasonal_profile": E_SEASONAL_SQL,
-    "dq_candidate_keys": DQ_CANDKEYS_SQL,
-    "j_q6_forecast_revenue": J_Q6_SQL,
-    "j_q8_market_share": J_Q8_SQL,
-    "j_q10_returned_items": J_Q10_SQL,
-    "j_q13_order_distribution": J_Q13_SQL,
-    "j_q14_promo_share": J_Q14_SQL,
-    "j_q16_supplier_count": J_Q16_SQL,
-    "j_q19_bracket_revenue": J_Q19_SQL,
-    "j_q20_excess_suppliers": J_Q20_SQL,
+    # --- rotated in round 11 (seventh rotation) ---
+    "ts_acf_hourly": TS_ACF_SQL,
+    "ts_cusum_errors": TS_CUSUM_SQL,
+    "ts_ewma_purchases": TS_EWMA_SQL,
+    "e_rfm_scores": E_RFM_SQL,
+    "e_attribution_credit": E_ATTRIBUTION_SQL,
+    "rec_association_rules": REC_RULES_SQL,
+    "gr_assortativity": GR_ASSORT_SQL,
+    "dq_benford": DQ_BENFORD_SQL,
+    "dq_l_diversity": DQ_LDIV_SQL,
+    "txt_keyword_llr": TXT_LLR_SQL,
+    "sim_scalar_quantization": SIM_SQ_SQL,
+    "sim_matryoshka_energy": SIM_MATRYOSHKA_SQL,
+    "dim_zonemap_stats": DIM_ZONEMAP_SQL,
+    "ds_weighted_reservoir": DS_RESERVOIR_SQL,
+    "gr_kcore": GR_KCORE_SQL,
+    "e_markov_stationary": E_MARKOV_SQL,
+    "sk_quantile_gate": SK_QUANTILE_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent. Their
     # numeric parity is asserted against the reference's R goldens in
@@ -10341,23 +10344,26 @@ EXTRA_ORACLES = {
     "ts_mann_kendall": TS_MK_SQL,
     "ts_theil_sen": TS_THEILSEN_SQL,
     "sk_join_size_gate": SK_JOINSIZE_SQL,
-    "ts_acf_hourly": TS_ACF_SQL,
-    "ts_cusum_errors": TS_CUSUM_SQL,
-    "ts_ewma_purchases": TS_EWMA_SQL,
-    "e_rfm_scores": E_RFM_SQL,
-    "e_attribution_credit": E_ATTRIBUTION_SQL,
-    "rec_association_rules": REC_RULES_SQL,
-    "gr_assortativity": GR_ASSORT_SQL,
-    "dq_benford": DQ_BENFORD_SQL,
-    "dq_l_diversity": DQ_LDIV_SQL,
-    "txt_keyword_llr": TXT_LLR_SQL,
-    "sim_scalar_quantization": SIM_SQ_SQL,
-    "sim_matryoshka_energy": SIM_MATRYOSHKA_SQL,
-    "dim_zonemap_stats": DIM_ZONEMAP_SQL,
-    "ds_weighted_reservoir": DS_RESERVOIR_SQL,
-    "gr_kcore": GR_KCORE_SQL,
-    "e_markov_stationary": E_MARKOV_SQL,
-    "sk_quantile_gate": SK_QUANTILE_SQL,
+    # --- rotated out of the driver registry in round 11 (seventh
+    # rotation; driver-green r10) ---
+    "ml_ndcg_events": ML_NDCG_SQL,
+    "ml_gain_deciles": ML_GAIN_SQL,
+    "stat_anova_oneway": STAT_ANOVA_SQL,
+    "stat_brown_forsythe": STAT_BF_SQL,
+    "e_event_transitions": E_TRANSITIONS_SQL,
+    "e_top_paths": E_PATHS_SQL,
+    "dim_scd2_history_compact": DIM_COMPACT_SQL,
+    "e_seasonal_profile": E_SEASONAL_SQL,
+    "dq_candidate_keys": DQ_CANDKEYS_SQL,
+    "j_q6_forecast_revenue": J_Q6_SQL,
+    "j_q8_market_share": J_Q8_SQL,
+    "j_q10_returned_items": J_Q10_SQL,
+    "j_q13_order_distribution": J_Q13_SQL,
+    "j_q14_promo_share": J_Q14_SQL,
+    "j_q16_supplier_count": J_Q16_SQL,
+    "j_q19_bracket_revenue": J_Q19_SQL,
+    "j_q20_excess_suppliers": J_Q20_SQL,
+    # --- round-9 wave queries still queued for a driver record ---
     "dq_completeness_profile": DQ_COMPLETENESS_SQL,
     "gr_label_propagation": GR_LPA_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
