@@ -169,6 +169,201 @@ def decode_png(payload: bytes) -> dict:
         "pixels": _png_unfilter(raw, w, h, ch),
     }
 
+WAV_MAGIC = b"RIFF"
+
+# sample width (bytes) -> (struct code or None, unsigned-8 flag)
+_WAV_WIDTHS = {1, 2, 3, 4}
+
+
+def encode_wav(
+    sample_rate: int,
+    channels: int,
+    frames: "list[tuple] | list[int]",
+    sampwidth: int = 2,
+) -> bytes:
+    """Minimal REAL WAV (RIFF/WAVE) encoder, stdlib struct only:
+    integer PCM (format tag 1), 8-bit unsigned / 16/24/32-bit signed
+    little-endian. ``frames`` is a list of per-frame tuples (or bare
+    ints for mono). Produces spec-valid files the stdlib ``wave``
+    module reads back bit-for-bit (asserted in tests) — used to
+    synthesize fixture media."""
+    if sampwidth not in _WAV_WIDTHS:
+        raise ValueError(f"unsupported sample width {sampwidth}")
+    if channels < 1:
+        raise ValueError("channels must be >= 1")
+    body = bytearray()
+    for fr in frames:
+        vals = fr if isinstance(fr, (tuple, list)) else (fr,)
+        if len(vals) != channels:
+            raise ValueError(
+                f"frame has {len(vals)} samples, expected {channels}"
+            )
+        for v in vals:
+            if sampwidth == 1:
+                body += struct.pack("<B", v & 0xFF)
+            else:
+                body += int(v).to_bytes(sampwidth, "little", signed=True)
+    block_align = channels * sampwidth
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        sampwidth * 8,
+    )
+    data = bytes(body)
+    riff_body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return WAV_MAGIC + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _wav_parse(payload: bytes) -> tuple:
+    """RIFF/WAVE chunk walk (word-aligned per spec): validate the
+    header, parse fmt, locate data. Returns (channels, sample_rate,
+    sampwidth, data_bytes). Compressed/float/extensible format tags
+    raise ValueError (honestly unsupported, not silently wrong)."""
+    if payload is None or len(payload) < 12 or not payload.startswith(WAV_MAGIC):
+        raise ValueError("not a WAV (bad RIFF signature)")
+    if payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (RIFF form is not WAVE)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            if length < 16:
+                raise ValueError("fmt chunk too short")
+            (
+                audio_format,
+                channels,
+                sample_rate,
+                _byte_rate,
+                block_align,
+                bits,
+            ) = struct.unpack("<HHIIHH", chunk[:16])
+            if audio_format != 1:
+                raise ValueError(
+                    f"unsupported WAV format tag {audio_format}: only "
+                    f"integer PCM (1) is decoded"
+                )
+            if bits not in (8, 16, 24, 32):
+                raise ValueError(f"unsupported PCM bit depth {bits}")
+            if channels < 1 or block_align != channels * (bits // 8):
+                raise ValueError("inconsistent fmt chunk")
+            fmt = (channels, sample_rate, bits // 8)
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + length + (length % 2)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    if data is None:
+        raise ValueError("missing data chunk")
+    channels, sample_rate, sampwidth = fmt
+    return channels, sample_rate, sampwidth, data
+
+
+def _wav_channel_matrix(data: bytes, channels: int, sampwidth: int):
+    """Decode interleaved integer PCM into an int64 numpy matrix of
+    shape (n_frames, channels) — the C-speed path the executor batch
+    decode rides (a per-sample Python loop would dominate the Arrow
+    batch). 8-bit unsigned is re-biased to signed (v − 128) so every
+    width shares the zero-centered convention; 24-bit is composed from
+    the byte planes (no native numpy dtype)."""
+    import numpy as np
+
+    frame_size = channels * sampwidth
+    n_frames = len(data) // frame_size
+    buf = memoryview(data)[: n_frames * frame_size]
+    if sampwidth == 1:
+        m = np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128
+    elif sampwidth == 2:
+        m = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+    elif sampwidth == 4:
+        m = np.frombuffer(buf, dtype="<i4").astype(np.int64)
+    else:  # 24-bit: compose from byte planes
+        b = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        m = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        m -= (m >> 23) << 24  # sign-extend bit 23
+    return m.reshape(n_frames, channels)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL stdlib WAV decoder: validates the RIFF/WAVE header, walks
+    chunks verifying word alignment, parses fmt, and decodes integer
+    PCM frames — 8-bit unsigned, 16/24/32-bit signed little-endian,
+    any channel count. Returns {channels, sample_rate, sampwidth,
+    n_frames, duration_s, samples: list[list[int]] per channel} with
+    8-bit samples re-biased to signed (v − 128) so every width shares
+    the zero-centered convention."""
+    channels, sample_rate, sampwidth, data = _wav_parse(payload)
+    m = _wav_channel_matrix(data, channels, sampwidth)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "sampwidth": sampwidth,
+        "n_frames": int(m.shape[0]),
+        "duration_s": m.shape[0] / sample_rate if sample_rate else 0.0,
+        "samples": [m[:, c].tolist() for c in range(channels)],
+    }
+
+
+def _wav_features(payload: bytes, dim: int = 8) -> list:
+    """REAL audio features from a decoded WAV: [sample_rate, channels,
+    n_frames, duration_s, dc_mean, rms, peak, zero_crossing_rate],
+    truncated/padded to ``dim``. Amplitudes normalize by the width's
+    full scale (2^(bits−1)); sums accumulate as exact int64 (numpy
+    integer reduction — order-independent), so the features are
+    engine-portable like the PNG pixel means."""
+    import numpy as np
+
+    channels, sample_rate, sampwidth, data = _wav_parse(payload)
+    m = _wav_channel_matrix(data, channels, sampwidth)
+    n = m.size
+    full_scale = float(1 << (sampwidth * 8 - 1))
+    if n == 0:
+        feats = [float(sample_rate), float(channels), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        return (feats + [0.0] * dim)[:dim]
+    s = int(m.sum())
+    # 8/16-bit: exact int64 square sums (2^30 per sample — exact past
+    # 2^33 samples). 24/32-bit squares reach 2^62 per sample, so the
+    # square sum accumulates in float64 (numpy pairwise — deterministic
+    # for a fixed array; the feature rounds to 9 dp regardless).
+    if sampwidth <= 2:
+        ss = float((m * m).sum())
+    else:
+        mf = m.astype(np.float64)
+        ss = float((mf * mf).sum())
+    peak = int(np.abs(m).max())
+    flat = m.reshape(-1)
+    zc = int(((flat[:-1] < 0) != (flat[1:] < 0)).sum()) if n > 1 else 0
+    feats = [
+        float(sample_rate),
+        float(channels),
+        float(m.shape[0]),
+        round(m.shape[0] / sample_rate, 9) if sample_rate else 0.0,
+        round(s / n / full_scale, 9),
+        round((ss / n) ** 0.5 / full_scale, 9),
+        round(peak / full_scale, 9),
+        round(zc / max(n - 1, 1), 9),
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -258,21 +453,29 @@ def _png_features(payload: bytes, dim: int = 8) -> list:
 
 
 def decode_features(payload: bytes, dim: int = 8) -> list:
-    """Per-payload dispatch: PNG magic → real decode (CRC-validated,
-    unfiltered pixel means); anything else → byte-sum fallback.
+    """Per-payload dispatch: PNG magic → real image decode
+    (CRC-validated, unfiltered pixel means); RIFF/WAVE magic → real
+    audio decode (PCM frames, DC/RMS/peak/zero-cross features);
+    anything else → byte-sum fallback.
 
-    A payload that LOOKS like a PNG but fails to decode (truncated,
-    CRC-corrupt, palette/16-bit/interlaced, bad deflate stream) also
-    falls back to the byte-sum features instead of raising: one bad
-    blob in an Arrow batch must degrade ONE row's features, never
-    fail the whole mapInPandas task (and with it the job). Callers
-    that want hard validation call :func:`decode_png` directly."""
+    A payload that LOOKS like decodable media but fails to decode
+    (truncated, CRC-corrupt, palette/16-bit/interlaced PNG, non-PCM
+    WAV, bad deflate stream) also falls back to the byte-sum features
+    instead of raising: one bad blob in an Arrow batch must degrade
+    ONE row's features, never fail the whole mapInPandas task (and
+    with it the job). Callers that want hard validation call
+    :func:`decode_png` / :func:`decode_wav` directly."""
     if payload is None:
         return None
     if payload.startswith(PNG_MAGIC):
         try:
             return _png_features(payload, dim)
         except (ValueError, zlib.error):
+            return _byte_sum_features(payload, dim)
+    if payload.startswith(WAV_MAGIC) and payload[8:12] == b"WAVE":
+        try:
+            return _wav_features(payload, dim)
+        except ValueError:
             return _byte_sum_features(payload, dim)
     return _byte_sum_features(payload, dim)
 

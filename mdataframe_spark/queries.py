@@ -1767,6 +1767,55 @@ LEFT JOIN acc ON acc.media_id = b.media_id AND acc.dim_idx = j.dim_idx
 """
 
 
+def mm_wav_features(spark, sf_dir):
+    """REAL WAV audio decode through the Arrow batch path (rows-only:
+    the RIFF byte-walk has no SQL form; the codec is pinned against
+    the independent stdlib ``wave`` module in
+    tests/test_multimodal_wav.py, and the deterministic synth→decode
+    roundtrip below asserts itself end-to-end). Fixture audio is
+    synthesized per user id — a Weyl-sequence 16-bit PCM pattern —
+    encoded with encode_wav IN THE EXECUTORS (mapInPandas; no driver
+    traffic), then decoded back by the dispatch decoder; output is the
+    exploded (media_id, n_bytes, dim_idx, value) feature table, 6-dp
+    rounded. Plumbing shape identical to mm_features."""
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(64)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for uid in pdf["user_id"]:
+                u = int(uid)
+                n = 200 + u % 50
+                frames = [
+                    ((u * 2654435761 + i * 40503) % 65536) - 32768
+                    for i in range(n)
+                ]
+                payloads.append(mm.encode_wav(8000, 1, frames, sampwidth=2))
+            yield pd.DataFrame(
+                {"media_id": pdf["user_id"], "payload": payloads}
+            )
+
+    media = users.mapInPandas(synth, "media_id long, payload binary")
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming-shaped (batch-equivalent window aggregation)
 # ---------------------------------------------------------------------------
@@ -10115,6 +10164,9 @@ EXTRA_QUERIES = {
     "e_events_hourly": e_events_hourly,
     "dd_distinct_pairs": dd_distinct_pairs,
     "mm_payload_stats": mm_payload_stats,
+    # rows-only: RIFF/PCM byte-walk has no SQL form (codec pinned to
+    # the stdlib wave module in tests/test_multimodal_wav.py)
+    "mm_wav_features": mm_wav_features,
     "n_zscore_rows": n_zscore_rows,
     "sim_embedding_stats": sim_embedding_stats,
     "ml_cluster_summary": ml_cluster_summary,
