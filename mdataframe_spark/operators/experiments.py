@@ -247,6 +247,295 @@ def srm_check(
     return out
 
 
+def winsorized_metrics(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized and trimmed per-variant means — the heavy-tail
+    defense every revenue experiment needs (one whale order moves a
+    raw mean by more than the treatment effect; capping at the
+    [lo, hi] percentile band restores sensitivity without dropping
+    the rows). Returns one row per group: (group, n, mean_raw,
+    p_lo, p_hi, mean_winsorized, n_trimmed, mean_trimmed) ordered by
+    group; winsorized = values clamped to the band, trimmed = values
+    outside the band dropped.
+
+    Decomposition: values round to 4 dp once (the cuped_adjust decimal
+    grid); per-group band edges are EXACT interpolated percentiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont`` — the f13
+    parity convention), themselves rounded back to the 4-dp grid so
+    clamped values stay exact decimals; every mean is an exact decimal
+    sum over one corpus pass + one groups-bounded broadcast join.
+    """
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError("winsorized_metrics: need 0 <= lo < hi <= 1")
+    v = F.round(F.col(metric_col).cast("double"), 4).cast("decimal(18,4)")
+    base = df.filter(
+        F.col(metric_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    # percentile over the DOUBLE image of the 4-dp grid: Spark's exact
+    # `percentile` and DuckDB's `quantile_cont` then interpolate the
+    # identical IEEE values (the f13 parity convention)
+    edges = base.groupBy("__g").agg(
+        F.round(
+            F.expr(f"percentile(cast(__v as double), {float(lo)!r})"), 4
+        ).cast("decimal(18,4)").alias("__lo"),
+        F.round(
+            F.expr(f"percentile(cast(__v as double), {float(hi)!r})"), 4
+        ).cast("decimal(18,4)").alias("__hi"),
+    )
+    j = base.join(F.broadcast(edges), "__g")
+    clamped = F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi"))
+    inside = (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+    acc = j.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__v").alias("__sv"),
+        F.first("__lo").alias("__flo"),
+        F.first("__hi").alias("__fhi"),
+        F.sum(clamped).alias("__sw"),
+        F.sum(F.when(inside, 1).otherwise(0)).cast("bigint").alias("n_trimmed"),
+        F.sum(F.when(inside, F.col("__v")).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("__st"),
+    )
+    return acc.select(
+        F.col("__g").alias("group"),
+        "n",
+        F.round(F.col("__sv").cast("double") / F.col("n"), 6).alias("mean_raw"),
+        F.col("__flo").cast("double").alias("p_lo"),
+        F.col("__fhi").cast("double").alias("p_hi"),
+        F.round(F.col("__sw").cast("double") / F.col("n"), 6).alias(
+            "mean_winsorized"
+        ),
+        "n_trimmed",
+        F.round(
+            F.when(
+                F.col("n_trimmed") > 0,
+                F.col("__st").cast("double") / F.col("n_trimmed"),
+            ),
+            6,
+        ).alias("mean_trimmed"),
+    ).orderBy("group")
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    numer_col: str,
+    denom_col: str,
+    group_col: str,
+    z: float = 1.959963985,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per session, clicks per impression) — the read-out naive per-unit
+    averaging gets wrong: the estimand is Σx/Σy (a ratio of means),
+    and its sampling variance needs the numerator-denominator
+    covariance, var(r) ≈ (s_xx − 2r·s_xy + r²·s_yy)/(n·ȳ²) (Deng et
+    al. 2017's experimentation-standard linearization). Returns one
+    row per group: (group, n, sum_numer, sum_denom, ratio, se, ci_lo,
+    ci_hi) ordered by group; se/CI NULL when n < 2 or ȳ degenerates.
+
+    ONE partial-agged pass: per-group moments accumulate as exact
+    decimals (the cuped_adjust discipline — 4-dp grid, decimal(37,8)
+    cross/square products); everything downstream is scalar double
+    arithmetic over the groups-bounded table, rounded 6 dp.
+    """
+    x = F.round(F.col(numer_col).cast("double"), 4).cast("decimal(18,4)")
+    y = F.round(F.col(denom_col).cast("double"), 4).cast("decimal(18,4)")
+    base = df.filter(
+        F.col(numer_col).isNotNull()
+        & F.col(denom_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), x.alias("__x"), y.alias("__y"))
+    acc = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    mx = sx / n
+    my = sy / n
+    sxx = (F.col("__sxx").cast("double") - sx * mx) / (n - 1.0)
+    syy = (F.col("__syy").cast("double") - sy * my) / (n - 1.0)
+    sxy = (F.col("__sxy").cast("double") - sx * my) / (n - 1.0)
+    r = F.when(sy != 0, sx / sy)
+    var = F.when(
+        (F.col("__n") > 1) & (my != 0.0),
+        (sxx - F.lit(2.0) * r * sxy + r * r * syy) / (n * my * my),
+    )
+    se = F.when(var >= 0, F.sqrt(var))
+    return acc.select(
+        F.col("__g").alias("group"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__sx").cast("double").alias("sum_numer"),
+        F.col("__sy").cast("double").alias("sum_denom"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(float(z)) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(float(z)) * se, 6).alias("ci_hi"),
+    ).orderBy("group")
+
+
+def covariate_balance(
+    df: DataFrame,
+    covariate_cols: list,
+    group_col: str,
+) -> DataFrame:
+    """Standardized mean difference (SMD) per covariate between the
+    TRUE and FALSE arms — the pre-experiment randomization audit
+    (|SMD| < 0.1 is the conventional "balanced" bar; an imbalanced
+    covariate says the split is confounded BEFORE any outcome is
+    read). Returns one row per covariate: (covariate, n1, n2, mean1,
+    mean2, smd, balanced) ordered by covariate name; SMD NULL when
+    either arm degenerates (n < 2 or zero pooled variance).
+
+    Plan shape: ONE corpus scan — the covariates unpivot through an
+    Expand stage (the dq_completeness_profile convention) so k
+    covariates do NOT mean k scans; per-(covariate, arm) moments
+    accumulate as exact decimals, then a covariates-bounded collapse.
+    Rows with a NULL group drop; NULL covariate values drop per-cell
+    (complete-case per covariate, not per row).
+    """
+    if not covariate_cols:
+        raise ValueError("covariate_balance: need at least one covariate")
+    g = F.col(group_col).cast("boolean")
+    pairs = ", ".join(
+        f"'{c}', round(cast(`{c}` as double), 4)" for c in covariate_cols
+    )
+    base = (
+        df.filter(g.isNotNull())
+        .select(
+            g.alias("__g"),
+            F.expr(
+                f"stack({len(covariate_cols)}, {pairs}) as (__cov, __x)"
+            ),
+        )
+        .filter(F.col("__x").isNotNull() & ~F.isnan(F.col("__x")))
+        .select(
+            "__g", "__cov", F.col("__x").cast("decimal(18,4)").alias("__x")
+        )
+    )
+    acc = base.groupBy("__cov").agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~F.col("__g"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("__g"), F.col("__x"))).alias("__s1"),
+        F.sum(F.when(~F.col("__g"), F.col("__x"))).alias("__s2"),
+        F.sum(
+            F.when(F.col("__g"), F.col("__x") * F.col("__x"))
+        ).alias("__q1"),
+        F.sum(
+            F.when(~F.col("__g"), F.col("__x") * F.col("__x"))
+        ).alias("__q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("__s1").cast("double") / n1
+    m2 = F.col("__s2").cast("double") / n2
+    v1 = (F.col("__q1").cast("double") - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (F.col("__q2").cast("double") - n2 * m2 * m2) / (n2 - 1.0)
+    pooled = (v1 + v2) / 2.0
+    smd = F.when(
+        (F.col("n1") > 1) & (F.col("n2") > 1) & (pooled > 0),
+        (m1 - m2) / F.sqrt(pooled),
+    )
+    return acc.select(
+        F.col("__cov").alias("covariate"),
+        "n1",
+        "n2",
+        F.round(F.when(F.col("n1") > 0, m1), 6).alias("mean1"),
+        F.round(F.when(F.col("n2") > 0, m2), 6).alias("mean2"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(F.round(smd, 6)) < 0.1).alias("balanced"),
+    ).orderBy("covariate")
+
+
+def eb_rate_shrinkage(
+    df: DataFrame,
+    key_col: str,
+    trials_col: str,
+    successes_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-key rates —
+    the small-n defense for per-item CTR/conversion tables: a key with
+    2/2 successes must NOT outrank one with 180/200, so every raw rate
+    shrinks toward the pooled rate with strength K (the
+    method-of-moments prior precision à la Kleinman 1973): shrunk =
+    (x + K·m)/(n + K) with m the pooled rate and K from the excess of
+    the observed rate variance over binomial noise. Input is an
+    ALREADY-COLLAPSED per-key table (n_i, x_i) — collapse the event
+    log upstream. Returns one row per key: (key, trials, successes,
+    rate_raw, rate_shrunk) plus the repeated prior columns
+    (pooled_rate, prior_strength); when the between-key variance does
+    not exceed the sampling noise (no real heterogeneity) K is NULL
+    and every rate shrinks fully to the pool.
+
+    Decomposition: per-key rates and inverse trials round to 9 dp and
+    accumulate as exact decimals in ONE keys-bounded pass (rate
+    squares exact at decimal(38,18)); K and m are scalar doubles both
+    engines derive from those sums; the shrunk rates are one
+    multiply-add per key, rounded 6 dp.
+    """
+    n_i = F.col(trials_col).cast("bigint")
+    x_i = F.col(successes_col).cast("bigint")
+    base = df.filter(
+        n_i.isNotNull() & x_i.isNotNull() & (n_i > 0)
+    ).select(
+        F.col(key_col).alias("key"),
+        n_i.alias("trials"),
+        x_i.alias("successes"),
+        # rates/inverse-trials sit in [0, 1]: decimal(10,9) keeps the
+        # square product at precision 21 — exact, no Spark 38-cap
+        # reduction (the ewma precision-rule lesson)
+        F.round(x_i.cast("double") / n_i.cast("double"), 9)
+        .cast("decimal(10,9)")
+        .alias("__p"),
+        F.round(F.lit(1.0) / n_i.cast("double"), 9)
+        .cast("decimal(10,9)")
+        .alias("__inv"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("trials").alias("__tn"),
+        F.sum("successes").alias("__tx"),
+        F.sum("__p").alias("__sp"),
+        F.sum(F.col("__p") * F.col("__p")).alias("__spp"),
+        F.sum("__inv").alias("__sinv"),
+    )
+    k = F.col("__k").cast("double")
+    m = F.col("__tx").cast("double") / F.col("__tn").cast("double")
+    sp = F.col("__sp").cast("double")
+    var_p = F.when(
+        F.col("__k") > 1,
+        (F.col("__spp").cast("double") - sp * sp / k) / (k - 1.0),
+    )
+    h = F.col("__sinv").cast("double") / k
+    strength = F.when(
+        var_p > m * (1.0 - m) * h,
+        (m * (1.0 - m) - var_p) / (var_p - m * (1.0 - m) * h),
+    )
+    j = base.crossJoin(F.broadcast(glob))
+    kk = strength
+    shrunk = F.when(
+        kk.isNotNull() & (kk > 0),
+        (F.col("successes").cast("double") + kk * m)
+        / (F.col("trials").cast("double") + kk),
+    ).otherwise(m)
+    return j.select(
+        "key",
+        "trials",
+        "successes",
+        F.round(F.col("__p").cast("double"), 6).alias("rate_raw"),
+        F.round(shrunk, 6).alias("rate_shrunk"),
+        F.round(m, 6).alias("pooled_rate"),
+        F.round(kk, 6).alias("prior_strength"),
+    ).orderBy("key")
+
+
 def variant_counts(
     df: DataFrame,
     group_col: str,

@@ -973,3 +973,101 @@ def wasserstein_1d(
             6,
         ).alias("wasserstein"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — "did the same
+    subjects flip?": the within-subject counterpart of the
+    two-proportion z-test (which assumes independent arms and is
+    anti-conservative on before/after data because it ignores the
+    pairing). Only the discordant cells carry signal: b = pre-only,
+    c = post-only; chi² = (|b − c| − 1)²/(b + c) with the standard
+    continuity correction, 1 dof. Returns ONE row: (n, both, neither,
+    pre_only, post_only, chi2); chi2 NULL when b + c = 0 (no
+    discordance — nothing to test). Complete-case on the boolean CAST
+    results (the two_proportion_ztest convention — an unparseable
+    flag drops the row, never deflates a cell).
+
+    ONE aggregation over the corpus: four integer cell sums;
+    everything downstream is scalar arithmetic, rounded 6 dp.
+    """
+    a = F.col(pre_col).try_cast("boolean")
+    b = F.col(post_col).try_cast("boolean")
+    base = df.filter(a.isNotNull() & b.isNotNull())
+    acc = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((a & b).cast("int")).cast("bigint").alias("both"),
+        F.sum((~a & ~b).cast("int")).cast("bigint").alias("neither"),
+        F.sum((a & ~b).cast("int")).cast("bigint").alias("pre_only"),
+        F.sum((~a & b).cast("int")).cast("bigint").alias("post_only"),
+    )
+    bb = F.col("pre_only").cast("double")
+    cc = F.col("post_only").cast("double")
+    chi2 = F.when(
+        (F.col("pre_only") + F.col("post_only")) > 0,
+        (F.abs(bb - cc) - 1.0)
+        * (F.abs(bb - cc) - 1.0)
+        / (bb + cc),
+    )
+    out = acc.select(
+        "n", "both", "neither", "pre_only", "post_only",
+        F.round(chi2, 6).alias("chi2"),
+    )
+    if with_p:
+        out = out.withColumn(
+            "p_value", F.round(_chi2_p(F.col("chi2"), F.lit(1.0)), 6)
+        )
+    return out
+
+
+def dispersion_nb_fit(
+    df: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Overdispersion audit + negative-binomial method-of-moments fit
+    for a count column — the "is Poisson a lie?" probe every
+    count-model (and every per-user activity distribution) needs
+    first: the Fano factor var/mean is 1 under Poisson; when it
+    exceeds 1 the NB moment fit gives the heterogeneity scale
+    (q = mean/var, r = mean²/(var − mean); var = mean + mean²/r).
+    Returns ONE row: (n, mean, variance, fano, overdispersed, nb_r,
+    nb_q); the NB parameters are NULL when variance ≤ mean (under- or
+    equi-dispersed — the fit is undefined, not zero). Complete-case
+    on NULL counts; negative counts raise nothing here — validate
+    upstream.
+
+    ONE aggregation: n, Σk, Σk² as exact integers (decimal(38,0) for
+    the square sum); mean/variance/Fano are scalar doubles over those
+    sums, rounded 6 dp — any SQL engine replays them bit-for-bit.
+    """
+    k = F.col(count_col).cast("bigint")
+    base = df.filter(k.isNotNull())
+    acc = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("decimal(38,0)").alias("__sk"),
+        # decimal(18,0)² -> precision 37: exact, no 38-cap reduction
+        F.sum(k.cast("decimal(18,0)") * k.cast("decimal(18,0)")).alias("__skk"),
+    )
+    n = F.col("n").cast("double")
+    sk = F.col("__sk").cast("double")
+    m = sk / n
+    v = F.when(
+        F.col("n") > 1,
+        (F.col("__skk").cast("double") - sk * m) / (n - 1.0),
+    )
+    fano = F.when(m > 0, v / m)
+    over = v > m
+    return acc.select(
+        "n",
+        F.round(F.when(F.col("n") > 0, m), 6).alias("mean"),
+        F.round(v, 6).alias("variance"),
+        F.round(fano, 6).alias("fano"),
+        over.alias("overdispersed"),
+        F.round(F.when(over, m * m / (v - m)), 6).alias("nb_r"),
+        F.round(F.when(over, m / v), 6).alias("nb_q"),
+    )

@@ -94,6 +94,190 @@ def kaplan_meier(
     )
 
 
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: do the TRUE and FALSE groups of
+    ``group_col`` share one survival curve? The inferential companion
+    to :func:`kaplan_meier` — at every distinct duration t_j the test
+    compares the TRUE group's observed events d1_j against its
+    expectation under the null, E1_j = d_j·n1_j/n_j (a hypergeometric
+    draw from the pooled risk set), accumulating O1 − E1 and the
+    hypergeometric variance V_j = d_j·(n1_j/n_j)·(1 − n1_j/n_j)·
+    (n_j − d_j)/(n_j − 1); chi² = (O1 − E1)²/V with 1 dof. Returns ONE
+    row: (n1, n2, observed1, expected1, observed2, expected2,
+    variance, chi2); chi2 NULL when V degenerates (no events, or one
+    group empty). Complete-case on NULL/NaN durations and NULL flags.
+
+    Plan shape: the kaplan_meier discipline twice-collapsed — ONE
+    corpus groupBy(duration) with per-group event/censor sums, one
+    broadcast total, cumulative windows over the step-bounded table.
+    Determinism: risk sets and event counts are exact integers; the
+    per-step E and V terms are single IEEE multiply/divide chains
+    rounded to 9 dp and summed as exact decimals (order-independent),
+    so both engines derive chi² from identical literals.
+    """
+    ev = F.col(event_col).cast("boolean").cast("int")
+    td = F.col(duration_col).cast("double")
+    g = F.col(group_col).cast("boolean")
+    base = df.filter(
+        td.isNotNull()
+        & ~F.isnan(td)
+        & F.col(event_col).isNotNull()
+        & g.isNotNull()
+    ).select(td.alias("t"), ev.alias("__e"), g.alias("__g"))
+    steps = base.groupBy("t").agg(
+        F.sum(F.when(F.col("__g"), F.col("__e")).otherwise(0))
+        .cast("bigint")
+        .alias("__d1"),
+        F.sum(F.when(F.col("__g"), 1 - F.col("__e")).otherwise(0))
+        .cast("bigint")
+        .alias("__c1"),
+        F.sum(F.when(~F.col("__g"), F.col("__e")).otherwise(0))
+        .cast("bigint")
+        .alias("__d2"),
+        F.sum(F.when(~F.col("__g"), 1 - F.col("__e")).otherwise(0))
+        .cast("bigint")
+        .alias("__c2"),
+    )
+    tot = steps.agg(
+        F.sum(F.col("__d1") + F.col("__c1")).alias("__n1"),
+        F.sum(F.col("__d2") + F.col("__c2")).alias("__n2"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        steps.crossJoin(F.broadcast(tot))
+        .withColumn("__cum1", F.sum(F.col("__d1") + F.col("__c1")).over(w))
+        .withColumn("__cum2", F.sum(F.col("__d2") + F.col("__c2")).over(w))
+        .withColumn(
+            "__r1",
+            F.col("__n1") - F.col("__cum1") + F.col("__d1") + F.col("__c1"),
+        )
+        .withColumn(
+            "__r2",
+            F.col("__n2") - F.col("__cum2") + F.col("__d2") + F.col("__c2"),
+        )
+    )
+    r1 = F.col("__r1").cast("double")
+    nj = (F.col("__r1") + F.col("__r2")).cast("double")
+    dj = (F.col("__d1") + F.col("__d2")).cast("double")
+    e_term = F.when(nj > 0, dj * r1 / nj).otherwise(F.lit(0.0))
+    v_term = F.when(
+        (F.col("__r1") + F.col("__r2")) > 1,
+        dj
+        * (r1 / nj)
+        * (1.0 - r1 / nj)
+        * (nj - dj)
+        / (nj - 1.0),
+    ).otherwise(F.lit(0.0))
+    dec = "decimal(28,9)"
+    acc = cum.agg(
+        F.first("__n1").alias("__fn1"),
+        F.first("__n2").alias("__fn2"),
+        F.sum("__d1").cast("bigint").alias("__o1"),
+        F.sum("__d2").cast("bigint").alias("__o2"),
+        F.sum(F.round(e_term, 9).cast(dec)).alias("__e1"),
+        F.sum(F.round(v_term, 9).cast(dec)).alias("__v"),
+    )
+    o1 = F.col("__o1").cast("double")
+    e1 = F.col("__e1").cast("double")
+    vv = F.col("__v").cast("double")
+    d_tot = (F.col("__o1") + F.col("__o2")).cast("double")
+    out = acc.select(
+        F.col("__fn1").cast("bigint").alias("n1"),
+        F.col("__fn2").cast("bigint").alias("n2"),
+        F.col("__o1").alias("observed1"),
+        F.round(e1, 6).alias("expected1"),
+        F.col("__o2").alias("observed2"),
+        F.round(d_tot - e1, 6).alias("expected2"),
+        F.round(vv, 6).alias("variance"),
+        F.round(
+            F.when(vv > 0, (o1 - e1) * (o1 - e1) / vv), 6
+        ).alias("chi2"),
+    )
+    if with_p:
+        from .stats_tests import _chi2_p
+
+        out = out.withColumn(
+            "p_value", F.round(_chi2_p(F.col("chi2"), F.lit(1.0)), 6)
+        )
+    return out
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float | None = None,
+) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan-Meier
+    curve up to the horizon ``tau`` — "expected event-free time within
+    the first tau units", the clinically/product-standard summary when
+    the curve never reaches zero (mean survival is undefined under
+    censoring; RMST is always estimable). ``tau=None`` integrates to
+    the last observed step. Returns ONE row: (tau, n_steps, n_events,
+    rmst).
+
+    Decomposition: the curve is a step function, so the integral is
+    the exact sum of rectangle areas S(t_prev)·(min(t_i, τ) −
+    min(t_prev, τ)) with S(0⁻) = 1 — plus the tail S(t_last)·(τ −
+    t_last) when τ extends past the last step. Survival values are
+    :func:`kaplan_meier`'s 6-dp fold outputs; each rectangle rounds to
+    9 dp and sums as an exact decimal (order-independent), so any SQL
+    engine replays the integral bit-for-bit over the step-bounded
+    table.
+    """
+    km = kaplan_meier(df, duration_col, event_col)
+    wo = Window.orderBy("t")
+    stepped = km.select(
+        "t",
+        "n_events",
+        "survival",
+        F.lag("t", 1, None).over(wo).alias("__pt"),
+        F.lag("survival", 1, 1.0).over(wo).alias("__ps"),
+    )
+    if tau is None:
+        tau_col = stepped.agg(F.max("t").alias("__tau"))
+    else:
+        spark = df.sparkSession
+        tau_col = spark.range(1).select(F.lit(float(tau)).alias("__tau"))
+    j = stepped.crossJoin(F.broadcast(tau_col))
+    # first step integrates from 0 (durations are non-negative)
+    prev_t = F.coalesce(F.col("__pt"), F.lit(0.0))
+    gap = F.greatest(
+        F.least(F.col("t"), F.col("__tau"))
+        - F.least(prev_t, F.col("__tau")),
+        F.lit(0.0),
+    )
+    dec = "decimal(28,9)"
+    area = F.round(F.col("__ps") * gap, 9).cast(dec)
+    tail = F.round(
+        F.col("survival")
+        * F.greatest(F.col("__tau") - F.col("t"), F.lit(0.0)),
+        9,
+    ).cast(dec)
+    is_last = F.lead("t", 1).over(wo).isNull()
+    acc = j.withColumn(
+        "__area",
+        area + F.when(is_last, tail).otherwise(F.lit(0).cast(dec)),
+    ).agg(
+        F.first("__tau").alias("tau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("__area").cast("double").alias("__rmst"),
+    )
+    return acc.select(
+        F.round(F.col("tau"), 6).alias("tau"),
+        F.col("n_steps"),
+        F.col("n_events"),
+        F.round(F.col("__rmst"), 6).alias("rmst"),
+    )
+
+
 def user_event_spans(
     df: DataFrame,
     user_col: str = "user_id",

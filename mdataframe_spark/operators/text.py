@@ -1450,3 +1450,126 @@ def keyword_llr(
         .filter(F.col("rank") <= int(k))
         .orderBy(group_col, "rank")
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-richness audit per group: Chao1 total-vocabulary
+    estimate and Good-Turing unseen mass — "how much of this source's
+    vocabulary have we actually seen?", the coverage counterpart of
+    the KL mixing signal (a source whose Chao1 dwarfs its observed
+    vocabulary is under-sampled; a high Good-Turing mass says the next
+    document still brings new tokens). Per group: observed vocabulary
+    V, token count N, singletons f1, doubletons f2, the bias-corrected
+    Chao1 V + f1·(f1−1)/(2·(f2+1)) (defined even at f2 = 0), and
+    unseen-mass p0 = f1/N. Ordered by group.
+
+    Scale shape: ONE (group, token) count collapses the corpus; the
+    frequency-of-frequencies collapse is groups×distinct-counts
+    bounded; every statistic is exact integer arithmetic with ONE
+    division per column at the end (tokenization =
+    source_token_divergence's shared normalize/split fragment).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    toks = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.explode(F.split(norm, _WS)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    acc = counts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("vocab").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (f2 + 1.0)
+    )
+    return acc.select(
+        F.col("grp").alias(group_col),
+        "vocab",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, f1 / F.col("n_tokens")), 6
+        ).alias("gt_unseen_mass"),
+        F.round(
+            F.when(F.col("vocab") > 0, f1 / F.col("vocab")), 6
+        ).alias("singleton_ratio"),
+    ).orderBy(group_col)
+
+
+def source_token_jsd(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's unigram distribution
+    against the corpus blend over the shared top-``top_k`` vocabulary
+    — the SYMMETRIC, bounded (≤ ln 2) companion of
+    :func:`source_token_divergence`: KL explodes when a source
+    assigns near-zero mass to a common token, JSD saturates, so it
+    ranks heterogeneous sources on one comparable scale (and √JSD is
+    a metric). Same Lidstone smoothing, same grid, same plan shape:
+    everything past the first (group, token) groupBy is bounded by
+    groups × vocabulary.
+
+    Determinism: the source_token_divergence convention — p and q are
+    exact ratios of integer counts; the only double accumulation is
+    the final per-group sum, rounded 6 dp (ln() ulp noise sits ~9
+    orders below the grid).
+    """
+    a = float(alpha)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    toks = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.explode(F.split(norm, _WS)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = _persist_tracked(
+        toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        counts.groupBy("tok")
+        .agg(F.sum("c").alias("cc"))
+        .orderBy(F.col("cc").desc(), F.col("tok").asc())
+        .limit(top_k)
+    )
+    vocab = _persist_tracked(vocab)
+    big_n, v_size = vocab.agg(F.sum("cc"), F.count(F.lit(1))).first()
+    grid = vocab.crossJoin(counts.select("grp").distinct())
+    joined = grid.join(counts, ["grp", "tok"], "left").select(
+        "grp",
+        "cc",
+        F.coalesce(F.col("c"), F.lit(0)).alias("cg"),
+    )
+    totals = joined.groupBy("grp").agg(F.sum("cg").alias("ng"))
+    scored = joined.join(F.broadcast(totals), "grp")
+    p = (F.col("cg") + a) / (F.col("ng") + a * v_size)
+    q = (F.col("cc") + a) / (float(big_n) + a * v_size)
+    m = (p + q) / 2.0
+    jsd = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.first("ng").alias("__ng"),
+            F.round(F.sum(jsd), 6).alias("jsd_vs_corpus"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("__ng").cast("bigint").alias("n_vocab_tokens"),
+            "jsd_vs_corpus",
+        )
+    )

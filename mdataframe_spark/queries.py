@@ -9922,6 +9922,683 @@ FROM f ORDER BY t
 """
 
 
+def e_log_rank(spark, sf_dir):
+    """Log-rank test between the even- and odd-user-id survival
+    curves (operators/survival.py log_rank_test) on the same
+    time-to-conversion durations e_kaplan_meier estimates — the "are
+    these two curves the same?" read-out. Risk sets and event counts
+    are exact integers; the per-step hypergeometric E/V terms round
+    to 9 dp and sum as exact decimals (order-independent), so chi²
+    derives from identical literals in both engines."""
+    from .operators.survival import log_rank_test, user_event_spans
+
+    ev = _events(spark, sf_dir)
+    users = user_event_spans(ev).select(
+        (F.col("user_id") % 2 == 0).alias("grp"),
+        F.expr("(last_ts - first_ts) div 3600000000000").alias("dur_h"),
+        "converted",
+    )
+    return log_rank_test(users, "dur_h", "converted", "grp", with_p=False)
+
+
+E_LOGRANK_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+), u AS (
+  SELECT user_id,
+         ((max(t) - min(t)) // 3600000000000)::DOUBLE AS dur,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev,
+         (user_id % 2 = 0) AS g
+  FROM ns GROUP BY 1
+), steps AS (
+  SELECT dur AS t,
+         sum(CASE WHEN g THEN ev ELSE 0 END)::BIGINT AS d1,
+         sum(CASE WHEN g THEN 1 - ev ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN NOT g THEN ev ELSE 0 END)::BIGINT AS d2,
+         sum(CASE WHEN NOT g THEN 1 - ev ELSE 0 END)::BIGINT AS c2
+  FROM u GROUP BY 1
+), tot AS (
+  SELECT sum(d1 + c1)::BIGINT AS n1, sum(d2 + c2)::BIGINT AS n2 FROM steps
+), r AS (
+  SELECT t, d1, d2,
+         (SELECT n1 FROM tot)
+           - sum(d1 + c1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           + d1 + c1 AS r1,
+         (SELECT n2 FROM tot)
+           - sum(d2 + c2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           + d2 + c2 AS r2
+  FROM steps
+), terms AS (
+  SELECT d1, d2,
+         CASE WHEN r1 + r2 > 0
+              THEN round((d1 + d2)::DOUBLE * r1::DOUBLE
+                         / (r1 + r2)::DOUBLE, 9)
+              ELSE 0 END AS e_t,
+         CASE WHEN r1 + r2 > 1
+              THEN round((d1 + d2)::DOUBLE
+                         * (r1::DOUBLE / (r1 + r2)::DOUBLE)
+                         * (1.0 - r1::DOUBLE / (r1 + r2)::DOUBLE)
+                         * ((r1 + r2)::DOUBLE - (d1 + d2)::DOUBLE)
+                         / ((r1 + r2)::DOUBLE - 1.0), 9)
+              ELSE 0 END AS v_t
+  FROM r
+), acc AS (
+  SELECT sum(d1)::BIGINT AS o1, sum(d2)::BIGINT AS o2,
+         sum(e_t::DECIMAL(28,9)) AS e1, sum(v_t::DECIMAL(28,9)) AS v
+  FROM terms
+)
+SELECT (SELECT n1 FROM tot) AS n1, (SELECT n2 FROM tot) AS n2,
+       o1 AS observed1, round(e1::DOUBLE, 6) AS expected1,
+       o2 AS observed2,
+       round((o1 + o2)::DOUBLE - e1::DOUBLE, 6) AS expected2,
+       round(v::DOUBLE, 6) AS variance,
+       round(CASE WHEN v::DOUBLE > 0
+             THEN (o1::DOUBLE - e1::DOUBLE) * (o1::DOUBLE - e1::DOUBLE)
+                  / v::DOUBLE END, 6) AS chi2
+FROM acc
+"""
+
+
+def e_rmst(spark, sf_dir):
+    """Restricted mean survival time at a 400-hour horizon
+    (operators/survival.py rmst): the area under e_kaplan_meier's
+    curve — "expected conversion-free hours within the first 400".
+    The curve is the IEEE-exact ordered fold; each rectangle rounds
+    to 9 dp and sums as an exact decimal."""
+    from .operators.survival import rmst, user_event_spans
+
+    ev = _events(spark, sf_dir)
+    users = user_event_spans(ev).select(
+        F.expr("(last_ts - first_ts) div 3600000000000").alias("dur_h"),
+        "converted",
+    )
+    return rmst(users, "dur_h", "converted", tau=400.0)
+
+
+E_RMST_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+), u AS (
+  SELECT user_id,
+         (max(t) - min(t)) // 3600000000000 AS dur,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM ns GROUP BY 1
+), g AS (
+  SELECT dur::DOUBLE AS t, sum(ev)::BIGINT AS d,
+         sum(1 - ev)::BIGINT AS c
+  FROM u GROUP BY 1
+), tot AS (
+  SELECT sum(d + c)::BIGINT AS n FROM g
+), cum AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cdc
+  FROM g
+), f AS (
+  SELECT t, d,
+         round(1.0 - d::DOUBLE
+                 / ((SELECT n FROM tot) - cdc + d + c), 9) AS fct
+  FROM cum
+), km AS (
+  SELECT t, d AS n_events,
+         round(list_reduce(
+                 list(fct) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING),
+                 (a, b) -> a * b),
+               6) AS s
+  FROM f
+), seg AS (
+  SELECT t, n_events, s,
+         lag(t, 1) OVER (ORDER BY t) AS pt,
+         lag(s, 1, 1.0) OVER (ORDER BY t) AS ps,
+         (lead(t, 1) OVER (ORDER BY t) IS NULL) AS is_last
+  FROM km
+), areas AS (
+  SELECT n_events,
+         round(ps * greatest(least(t, 400.0)
+                             - least(coalesce(pt, 0.0), 400.0),
+                             0.0), 9)::DECIMAL(28,9)
+         + CASE WHEN is_last
+                THEN round(s * greatest(400.0 - t, 0.0),
+                           9)::DECIMAL(28,9)
+                ELSE 0::DECIMAL(28,9) END AS area
+  FROM seg
+)
+SELECT round(CAST(400.0 AS DOUBLE), 6) AS tau,
+       count(*)::BIGINT AS n_steps,
+       sum(n_events)::BIGINT AS n_events,
+       round(sum(area)::DOUBLE, 6) AS rmst
+FROM areas
+"""
+
+
+def stat_mcnemar(spark, sf_dir):
+    """McNemar paired test (operators/stats_tests.py mcnemar_test):
+    did the same users purchase in the SECOND half of the time range
+    who did not in the first? The paired pre/post flags use the CUPED
+    midpoint convention (min + (max−min) div 2 over epoch-ns); only
+    the discordant cells carry signal. with_p rides outside the
+    hashed set."""
+    from .operators.stats_tests import mcnemar_test
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        (F.min("ts") + F.expr("(max(ts) - min(ts)) div 2")).alias("__mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") <= F.col("__mid"))
+                ).cast("int")
+            ).alias("pre"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("__mid"))
+                ).cast("int")
+            ).alias("post"),
+        )
+    )
+    return mcnemar_test(per_user, "pre", "post", with_p=False)
+
+
+STAT_MCNEMAR_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+), mid AS (
+  SELECT min(t) + (max(t) - min(t)) // 2 AS m FROM ns
+), u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                       AND t <= (SELECT m FROM mid)
+                  THEN 1 ELSE 0 END) AS pre,
+         max(CASE WHEN event_type = 'purchase'
+                       AND t > (SELECT m FROM mid)
+                  THEN 1 ELSE 0 END) AS post
+  FROM ns GROUP BY 1
+), acc AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS "both",
+         sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS neither,
+         sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS pre_only,
+         sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS post_only
+  FROM u
+)
+SELECT n, "both", neither, pre_only, post_only,
+       round(CASE WHEN pre_only + post_only > 0
+             THEN (abs(pre_only::DOUBLE - post_only::DOUBLE) - 1.0)
+                  * (abs(pre_only::DOUBLE - post_only::DOUBLE) - 1.0)
+                  / (pre_only::DOUBLE + post_only::DOUBLE) END,
+             6) AS chi2
+FROM acc
+"""
+
+
+def e_winsorized_lift(spark, sf_dir):
+    """Winsorized/trimmed per-variant spend means
+    (operators/experiments.py winsorized_metrics) over per-user total
+    spend (the rfm decimal monoid), variants by user-id parity, band
+    [p05, p95]. Band edges are exact interpolated percentiles rounded
+    back to the 4-dp grid (the f13 parity convention), so the clamped
+    sums are exact decimals in both engines."""
+    from .operators.experiments import winsorized_metrics
+
+    ev = _events(spark, sf_dir)
+    v4 = F.round(
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4
+    ).cast("decimal(18,4)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.sum(v4).alias("__spend"))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            F.col("__spend").cast("double").alias("spend"),
+        )
+    )
+    return winsorized_metrics(per_user, "spend", "variant", lo=0.05, hi=0.95)
+
+
+E_WINSOR_SQL = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                  AS DECIMAL(18,4)))::DECIMAL(18,4) AS spend
+  FROM events GROUP BY 1
+), b AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         CAST(round(spend::DOUBLE, 4) AS DECIMAL(18,4)) AS v
+  FROM u
+), edges AS (
+  SELECT g,
+         CAST(round(quantile_cont(v::DOUBLE, 0.05), 4)
+              AS DECIMAL(18,4)) AS lo,
+         CAST(round(quantile_cont(v::DOUBLE, 0.95), 4)
+              AS DECIMAL(18,4)) AS hi
+  FROM b GROUP BY g
+), j AS (
+  SELECT b.g, b.v, edges.lo, edges.hi FROM b JOIN edges USING (g)
+), acc AS (
+  SELECT g, count(*)::BIGINT AS n, sum(v) AS sv,
+         min(lo) AS flo, min(hi) AS fhi,
+         sum(least(greatest(v, lo), hi)) AS sw,
+         sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)::BIGINT
+           AS n_trimmed,
+         sum(CASE WHEN v >= lo AND v <= hi THEN v
+                  ELSE 0::DECIMAL(18,4) END) AS st
+  FROM j GROUP BY g
+)
+SELECT g AS "group", n,
+       round(sv::DOUBLE / n, 6) AS mean_raw,
+       flo::DOUBLE AS p_lo, fhi::DOUBLE AS p_hi,
+       round(sw::DOUBLE / n, 6) AS mean_winsorized,
+       n_trimmed,
+       round(CASE WHEN n_trimmed > 0
+             THEN st::DOUBLE / n_trimmed END, 6) AS mean_trimmed
+FROM acc ORDER BY g
+"""
+
+
+def e_ratio_metric_delta(spark, sf_dir):
+    """Delta-method CI for the revenue-per-event ratio metric
+    (operators/experiments.py ratio_metric_delta): per-user numerator
+    = purchase spend (decimal monoid), denominator = event count,
+    variants by user-id parity. Moments accumulate as exact decimals
+    (the cuped discipline); the linearized variance is scalar double
+    arithmetic over them."""
+    from .operators.experiments import ratio_metric_delta
+
+    ev = _events(spark, sf_dir)
+    v4 = F.round(
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4
+    ).cast("decimal(18,4)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", v4)
+            ).alias("__rev"),
+            F.count(F.lit(1)).alias("__ne"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            F.coalesce(F.col("__rev"), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.col("__ne").cast("double").alias("n_events"),
+        )
+    )
+    return ratio_metric_delta(per_user, "revenue", "n_events", "variant")
+
+
+E_RATIO_DELTA_SQL = """
+WITH u AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                            AS DECIMAL(18,4)) END),
+                  0)::DECIMAL(18,4) AS rev,
+         count(*)::BIGINT AS ne
+  FROM events GROUP BY 1
+), b AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         CAST(round(rev::DOUBLE, 4) AS DECIMAL(18,4)) AS x,
+         CAST(round(ne::DOUBLE, 4) AS DECIMAL(18,4)) AS y
+  FROM u
+), acc AS (
+  SELECT g, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM b GROUP BY g
+), mom AS (
+  SELECT g, n, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         sy::DOUBLE / n AS my,
+         (sxx::DOUBLE - sx::DOUBLE * (sx::DOUBLE / n)) / (n - 1.0) AS vxx,
+         (syy::DOUBLE - sy::DOUBLE * (sy::DOUBLE / n)) / (n - 1.0) AS vyy,
+         (sxy::DOUBLE - sx::DOUBLE * (sy::DOUBLE / n)) / (n - 1.0) AS vxy
+  FROM acc
+), rv AS (
+  SELECT g, n, sxd, syd,
+         CASE WHEN syd <> 0 THEN sxd / syd END AS rr,
+         CASE WHEN n > 1 AND my <> 0
+              THEN (vxx
+                    - 2.0 * (CASE WHEN syd <> 0 THEN sxd / syd END) * vxy
+                    + (CASE WHEN syd <> 0 THEN sxd / syd END)
+                      * (CASE WHEN syd <> 0 THEN sxd / syd END) * vyy)
+                   / (n * my * my) END AS var
+  FROM mom
+), fin AS (
+  SELECT g, n, sxd, syd, rr,
+         CASE WHEN var >= 0 THEN sqrt(var) END AS se
+  FROM rv
+)
+SELECT g AS "group", n, sxd AS sum_numer, syd AS sum_denom,
+       round(rr, 6) AS ratio,
+       round(se, 6) AS se,
+       round(rr - 1.959963985 * se, 6) AS ci_lo,
+       round(rr + 1.959963985 * se, 6) AS ci_hi
+FROM fin ORDER BY g
+"""
+
+
+def dq_covariate_balance(spark, sf_dir):
+    """Randomization-balance audit (operators/experiments.py
+    covariate_balance): SMD of three per-user covariates (event count,
+    total spend, active span hours) between the parity arms — the
+    check that must pass BEFORE any outcome read-out. One Expand-stage
+    unpivot, exact decimal moments, covariates-bounded collapse."""
+    from .operators.experiments import covariate_balance
+
+    ev = _events(spark, sf_dir)
+    v4 = F.round(
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4
+    ).cast("decimal(18,4)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("__ne"),
+            F.sum(v4).alias("__spend"),
+            F.expr("(max(ts) - min(ts)) div 3600000000000").alias("__span"),
+        )
+        .select(
+            (F.col("user_id") % 2 == 0).alias("variant"),
+            F.col("__ne").cast("double").alias("n_events"),
+            F.col("__spend").cast("double").alias("spend"),
+            F.col("__span").cast("double").alias("span_hours"),
+        )
+    )
+    return covariate_balance(
+        per_user, ["n_events", "spend", "span_hours"], "variant"
+    )
+
+
+DQ_BALANCE_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, value FROM events
+), u AS (
+  SELECT user_id,
+         (user_id % 2 = 0) AS g,
+         count(*)::DOUBLE AS n_events,
+         sum(CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                  AS DECIMAL(18,4)))::DOUBLE AS spend,
+         ((max(t) - min(t)) // 3600000000000)::DOUBLE AS span_hours
+  FROM ns GROUP BY 1
+), long AS (
+  SELECT g, 'n_events' AS cov,
+         CAST(round(n_events, 4) AS DECIMAL(18,4)) AS x FROM u
+  UNION ALL
+  SELECT g, 'spend', CAST(round(spend, 4) AS DECIMAL(18,4)) FROM u
+  UNION ALL
+  SELECT g, 'span_hours',
+         CAST(round(span_hours, 4) AS DECIMAL(18,4)) FROM u
+), acc AS (
+  SELECT cov,
+         sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN g THEN x END) AS s1,
+         sum(CASE WHEN NOT g THEN x END) AS s2,
+         sum(CASE WHEN g THEN x * x END) AS q1,
+         sum(CASE WHEN NOT g THEN x * x END) AS q2
+  FROM long GROUP BY cov
+)
+SELECT cov AS covariate, n1, n2,
+       round(CASE WHEN n1 > 0 THEN s1::DOUBLE / n1 END, 6) AS mean1,
+       round(CASE WHEN n2 > 0 THEN s2::DOUBLE / n2 END, 6) AS mean2,
+       round(CASE WHEN n1 > 1 AND n2 > 1
+                       AND ((q1::DOUBLE - n1 * (s1::DOUBLE / n1)
+                                          * (s1::DOUBLE / n1))
+                              / (n1 - 1.0)
+                            + (q2::DOUBLE - n2 * (s2::DOUBLE / n2)
+                                          * (s2::DOUBLE / n2))
+                              / (n2 - 1.0)) / 2.0 > 0
+             THEN (s1::DOUBLE / n1 - s2::DOUBLE / n2)
+                  / sqrt(((q1::DOUBLE - n1 * (s1::DOUBLE / n1)
+                                      * (s1::DOUBLE / n1))
+                            / (n1 - 1.0)
+                          + (q2::DOUBLE - n2 * (s2::DOUBLE / n2)
+                                        * (s2::DOUBLE / n2))
+                            / (n2 - 1.0)) / 2.0) END,
+             6) AS smd,
+       (abs(round(CASE WHEN n1 > 1 AND n2 > 1
+                       AND ((q1::DOUBLE - n1 * (s1::DOUBLE / n1)
+                                          * (s1::DOUBLE / n1))
+                              / (n1 - 1.0)
+                            + (q2::DOUBLE - n2 * (s2::DOUBLE / n2)
+                                          * (s2::DOUBLE / n2))
+                              / (n2 - 1.0)) / 2.0 > 0
+             THEN (s1::DOUBLE / n1 - s2::DOUBLE / n2)
+                  / sqrt(((q1::DOUBLE - n1 * (s1::DOUBLE / n1)
+                                      * (s1::DOUBLE / n1))
+                            / (n1 - 1.0)
+                          + (q2::DOUBLE - n2 * (s2::DOUBLE / n2)
+                                        * (s2::DOUBLE / n2))
+                            / (n2 - 1.0)) / 2.0) END,
+             6)) < 0.1) AS balanced
+FROM acc ORDER BY covariate
+"""
+
+
+def txt_vocab_richness(spark, sf_dir):
+    """Per-source Chao1 vocabulary estimate + Good-Turing unseen mass
+    (operators/text.py vocab_richness) — the coverage audit of the
+    mixing battery. One (source, token) collapse; exact integer
+    frequency-of-frequencies; one division per statistic."""
+    from .operators.text import vocab_richness
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_richness(docs, group_col="source")
+
+
+TXT_VOCAB_SQL = r"""
+WITH toks AS (
+  SELECT source::VARCHAR AS grp,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT grp, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok <> '' GROUP BY grp, tok
+), acc AS (
+  SELECT grp, count(*)::BIGINT AS vocab, sum(c)::BIGINT AS n_tokens,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM counts GROUP BY grp
+)
+SELECT grp AS source, vocab, n_tokens, f1, f2,
+       round(vocab::DOUBLE
+             + f1::DOUBLE * (f1::DOUBLE - 1.0)
+               / (2.0 * (f2::DOUBLE + 1.0)), 6) AS chao1,
+       round(CASE WHEN n_tokens > 0
+             THEN f1::DOUBLE / n_tokens END, 6) AS gt_unseen_mass,
+       round(CASE WHEN vocab > 0
+             THEN f1::DOUBLE / vocab END, 6) AS singleton_ratio
+FROM acc ORDER BY source
+"""
+
+
+def txt_source_jsd(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence vs the corpus blend
+    (operators/text.py source_token_jsd) — the symmetric, bounded
+    companion of txt_source_kl over the identical smoothed top-4096
+    grid; same plan shape, same 6-dp log-sum convention."""
+    from .operators.text import source_token_jsd
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_token_jsd(docs, group_col="source", top_k=4096)
+
+
+TXT_JSD_SQL = r"""
+WITH toks AS (
+  SELECT source::VARCHAR AS grp,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT grp, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok <> '' GROUP BY grp, tok
+), vocab AS (
+  SELECT tok, cc FROM (
+    SELECT tok, sum(c)::BIGINT AS cc,
+           row_number() OVER (ORDER BY sum(c) DESC, tok ASC) AS r
+    FROM counts GROUP BY tok
+  ) WHERE r <= 4096
+), tot AS (
+  SELECT sum(cc)::BIGINT AS big_n, count(*)::BIGINT AS v FROM vocab
+), grid AS (
+  SELECT g.grp, vocab.tok, vocab.cc
+  FROM vocab CROSS JOIN (SELECT DISTINCT grp FROM counts) g
+), joined AS (
+  SELECT grid.grp, grid.cc, coalesce(counts.c, 0)::BIGINT AS cg
+  FROM grid LEFT JOIN counts
+    ON grid.grp = counts.grp AND grid.tok = counts.tok
+), totals AS (
+  SELECT grp, sum(cg)::BIGINT AS ng FROM joined GROUP BY grp
+)
+SELECT j.grp AS source, totals.ng AS n_vocab_tokens,
+       round(sum(0.5 * ((cg + 0.5) / (ng + 0.5 * v))
+                     * ln(((cg + 0.5) / (ng + 0.5 * v))
+                          / ((((cg + 0.5) / (ng + 0.5 * v))
+                              + ((cc + 0.5) / (big_n + 0.5 * v))) / 2.0))
+                 + 0.5 * ((cc + 0.5) / (big_n + 0.5 * v))
+                     * ln(((cc + 0.5) / (big_n + 0.5 * v))
+                          / ((((cg + 0.5) / (ng + 0.5 * v))
+                              + ((cc + 0.5) / (big_n + 0.5 * v))) / 2.0))),
+             6) AS jsd_vs_corpus
+FROM joined j JOIN totals USING (grp), tot
+GROUP BY j.grp, totals.ng
+"""
+
+
+def e_eb_ctr_shrinkage(spark, sf_dir):
+    """Empirical-Bayes per-user conversion-rate shrinkage
+    (operators/experiments.py eb_rate_shrinkage): trials = events,
+    successes = purchases per user; low-activity users shrink toward
+    the pool with the method-of-moments prior strength. Per-key rates
+    round to 9 dp and accumulate as exact decimals; the shrunk rates
+    are one multiply-add per key."""
+    from .operators.experiments import eb_rate_shrinkage
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("successes"),
+    )
+    return eb_rate_shrinkage(per_user, "key", "trials", "successes")
+
+
+E_EB_SQL = """
+WITH u AS (
+  SELECT user_id AS key, count(*)::BIGINT AS trials,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS successes
+  FROM events GROUP BY 1
+), b AS (
+  SELECT key, trials, successes,
+         CAST(round(successes::DOUBLE / trials::DOUBLE, 9)
+              AS DECIMAL(10,9)) AS p,
+         CAST(round(1.0 / trials::DOUBLE, 9) AS DECIMAL(10,9)) AS inv
+  FROM u WHERE trials > 0
+), g AS (
+  SELECT count(*)::BIGINT AS k, sum(trials)::BIGINT AS tn,
+         sum(successes)::BIGINT AS tx,
+         sum(p) AS sp, sum(p * p) AS spp, sum(inv) AS sinv
+  FROM b
+), s AS (
+  SELECT tx::DOUBLE / tn::DOUBLE AS m,
+         CASE WHEN k > 1
+              AND (spp::DOUBLE - sp::DOUBLE * sp::DOUBLE / k::DOUBLE)
+                  / (k::DOUBLE - 1.0)
+                  > (tx::DOUBLE / tn::DOUBLE)
+                    * (1.0 - tx::DOUBLE / tn::DOUBLE)
+                    * (sinv::DOUBLE / k::DOUBLE)
+              THEN ((tx::DOUBLE / tn::DOUBLE)
+                    * (1.0 - tx::DOUBLE / tn::DOUBLE)
+                    - (spp::DOUBLE - sp::DOUBLE * sp::DOUBLE / k::DOUBLE)
+                      / (k::DOUBLE - 1.0))
+                   / ((spp::DOUBLE - sp::DOUBLE * sp::DOUBLE / k::DOUBLE)
+                        / (k::DOUBLE - 1.0)
+                      - (tx::DOUBLE / tn::DOUBLE)
+                        * (1.0 - tx::DOUBLE / tn::DOUBLE)
+                        * (sinv::DOUBLE / k::DOUBLE))
+              END AS kk
+  FROM g
+)
+SELECT key, trials, successes,
+       round(p::DOUBLE, 6) AS rate_raw,
+       round(CASE WHEN kk IS NOT NULL AND kk > 0
+             THEN (successes::DOUBLE + kk * m) / (trials::DOUBLE + kk)
+             ELSE m END, 6) AS rate_shrunk,
+       round(m, 6) AS pooled_rate,
+       round(kk, 6) AS prior_strength
+FROM b, s ORDER BY key
+"""
+
+
+def stat_dispersion_nb(spark, sf_dir):
+    """Overdispersion audit + NB moment fit
+    (operators/stats_tests.py dispersion_nb_fit) on per-user event
+    counts — "is user activity Poisson?" (it never is). ONE per-user
+    collapse + ONE exact-integer moment aggregation; scalar doubles
+    downstream."""
+    from .operators.stats_tests import dispersion_nb_fit
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return dispersion_nb_fit(per_user, "k")
+
+
+STAT_DISPERSION_SQL = """
+WITH u AS (
+  SELECT count(*)::BIGINT AS k FROM events GROUP BY user_id
+), acc AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(k)::DECIMAL(38,0) AS sk,
+         sum(k::DECIMAL(18,0) * k::DECIMAL(18,0)) AS skk
+  FROM u
+)
+SELECT n,
+       round(CASE WHEN n > 0 THEN sk::DOUBLE / n::DOUBLE END, 6) AS mean,
+       round(CASE WHEN n > 1
+             THEN (skk::DOUBLE - sk::DOUBLE * (sk::DOUBLE / n::DOUBLE))
+                  / (n::DOUBLE - 1.0) END, 6) AS variance,
+       round(CASE WHEN n > 1 AND sk::DOUBLE / n::DOUBLE > 0
+             THEN ((skk::DOUBLE - sk::DOUBLE * (sk::DOUBLE / n::DOUBLE))
+                   / (n::DOUBLE - 1.0)) / (sk::DOUBLE / n::DOUBLE) END,
+             6) AS fano,
+       (CASE WHEN n > 1
+        THEN (skk::DOUBLE - sk::DOUBLE * (sk::DOUBLE / n::DOUBLE))
+             / (n::DOUBLE - 1.0) END) > (sk::DOUBLE / n::DOUBLE)
+         AS overdispersed,
+       round(CASE WHEN n > 1
+                  AND (skk::DOUBLE - sk::DOUBLE * (sk::DOUBLE / n::DOUBLE))
+                      / (n::DOUBLE - 1.0) > sk::DOUBLE / n::DOUBLE
+             THEN (sk::DOUBLE / n::DOUBLE) * (sk::DOUBLE / n::DOUBLE)
+                  / ((skk::DOUBLE - sk::DOUBLE * (sk::DOUBLE / n::DOUBLE))
+                     / (n::DOUBLE - 1.0) - sk::DOUBLE / n::DOUBLE) END,
+             6) AS nb_r,
+       round(CASE WHEN n > 1
+                  AND (skk::DOUBLE - sk::DOUBLE * (sk::DOUBLE / n::DOUBLE))
+                      / (n::DOUBLE - 1.0) > sk::DOUBLE / n::DOUBLE
+             THEN (sk::DOUBLE / n::DOUBLE)
+                  / ((skk::DOUBLE - sk::DOUBLE * (sk::DOUBLE / n::DOUBLE))
+                     / (n::DOUBLE - 1.0)) END,
+             6) AS nb_q
+FROM acc
+"""
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -10104,6 +10781,18 @@ QUERIES = {
 # sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
+    # --- new in round 11: survival inference + experimentation
+    # metrics + corpus coverage wave ---
+    "e_log_rank": e_log_rank,
+    "e_rmst": e_rmst,
+    "stat_mcnemar": stat_mcnemar,
+    "e_winsorized_lift": e_winsorized_lift,
+    "e_ratio_metric_delta": e_ratio_metric_delta,
+    "dq_covariate_balance": dq_covariate_balance,
+    "txt_vocab_richness": txt_vocab_richness,
+    "txt_source_jsd": txt_source_jsd,
+    "e_eb_ctr_shrinkage": e_eb_ctr_shrinkage,
+    "stat_dispersion_nb": stat_dispersion_nb,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
     # --- new in round 10: rank-statistics & concentration wave ---
@@ -10380,6 +11069,18 @@ ORACLES = {
 # Oracles for the EXTRA_QUERIES — same comparison protocol, run
 # in-repo (tests/test_extra_parity.py) instead of by the driver.
 EXTRA_ORACLES = {
+    # --- new in round 11: survival inference + experimentation
+    # metrics + corpus coverage wave ---
+    "e_log_rank": E_LOGRANK_SQL,
+    "e_rmst": E_RMST_SQL,
+    "stat_mcnemar": STAT_MCNEMAR_SQL,
+    "e_winsorized_lift": E_WINSOR_SQL,
+    "e_ratio_metric_delta": E_RATIO_DELTA_SQL,
+    "dq_covariate_balance": DQ_BALANCE_SQL,
+    "txt_vocab_richness": TXT_VOCAB_SQL,
+    "txt_source_jsd": TXT_JSD_SQL,
+    "e_eb_ctr_shrinkage": E_EB_SQL,
+    "stat_dispersion_nb": STAT_DISPERSION_SQL,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     # --- new in round 10: rank-statistics & concentration wave ---
