@@ -498,6 +498,12 @@ def eb_rate_shrinkage(
         .cast("decimal(10,9)")
         .alias("__inv"),
     )
+    # the per-key table feeds BOTH the prior moments and the shrink
+    # projection: persist it so the moment probe does not re-run the
+    # caller's upstream collapse (one pass over the keys, not two)
+    from ..cache import persist_tracked
+
+    base = persist_tracked(base)
     glob = base.agg(
         F.count(F.lit(1)).alias("__k"),
         F.sum("trials").alias("__tn"),
@@ -534,6 +540,36 @@ def eb_rate_shrinkage(
         F.round(m, 6).alias("pooled_rate"),
         F.round(kk, 6).alias("prior_strength"),
     ).orderBy("key")
+
+
+def paired_conversion_state(
+    df: DataFrame,
+    boundary_ts: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    event_value: str = "purchase",
+) -> DataFrame:
+    """Per-user paired (pre, post) conversion flags around a FIXED
+    boundary timestamp — the McNemar sufficient statistic, and two
+    boolean-max monoids: a streaming aggregation's running state after
+    any prefix of micro-batches equals this batch collapse over the
+    same rows (streaming/segments.py paired_flags_stream delegates
+    here — the user_spans convention). The boundary must be a KNOWN
+    constant (campaign launch, feature flag flip): a data-derived
+    midpoint is a global property of the full log and belongs in the
+    batch pass (the stat_mcnemar query computes one from min/max
+    probes). The McNemar cells/chi² stay in foreachBatch — global
+    functions of the state."""
+    is_ev = F.col(event_type_col) == event_value
+    return df.groupBy(F.col(user_col)).agg(
+        F.max(
+            (is_ev & (F.col(ts_col) <= F.lit(boundary_ts))).cast("int")
+        ).alias("pre"),
+        F.max(
+            (is_ev & (F.col(ts_col) > F.lit(boundary_ts))).cast("int")
+        ).alias("post"),
+    )
 
 
 def variant_counts(

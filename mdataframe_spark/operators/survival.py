@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked as _persist_tracked
+
 
 def kaplan_meier(
     df: DataFrame,
@@ -54,9 +56,14 @@ def kaplan_meier(
     base = df.filter(
         td.isNotNull() & ~F.isnan(td) & F.col(event_col).isNotNull()
     )
-    g = base.groupBy(td.alias("t")).agg(
-        F.sum(ev).cast("bigint").alias("__d"),
-        F.sum(1 - ev).cast("bigint").alias("__c"),
+    # the step table feeds BOTH the scalar total and the cumulative
+    # windows: persist it (model-bounded) so the total's aggregation
+    # does not re-run the corpus collapse — one scan, not two
+    g = _persist_tracked(
+        base.groupBy(td.alias("t")).agg(
+            F.sum(ev).cast("bigint").alias("__d"),
+            F.sum(1 - ev).cast("bigint").alias("__c"),
+        )
     )
     tot = g.agg(F.sum(F.col("__d") + F.col("__c")).alias("__n"))
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
@@ -130,7 +137,10 @@ def log_rank_test(
         & F.col(event_col).isNotNull()
         & g.isNotNull()
     ).select(td.alias("t"), ev.alias("__e"), g.alias("__g"))
-    steps = base.groupBy("t").agg(
+    # persisted for the same one-scan reason as kaplan_meier's step
+    # table: the group totals and the cumulative risk windows both
+    # read it
+    steps = _persist_tracked(base.groupBy("t").agg(
         F.sum(F.when(F.col("__g"), F.col("__e")).otherwise(0))
         .cast("bigint")
         .alias("__d1"),
@@ -143,7 +153,7 @@ def log_rank_test(
         F.sum(F.when(~F.col("__g"), 1 - F.col("__e")).otherwise(0))
         .cast("bigint")
         .alias("__c2"),
-    )
+    ))
     tot = steps.agg(
         F.sum(F.col("__d1") + F.col("__c1")).alias("__n1"),
         F.sum(F.col("__d2") + F.col("__c2")).alias("__n2"),

@@ -110,3 +110,25 @@ def ab_counts_stream(
     from ..operators.experiments import variant_counts
 
     return variant_counts(events, group_col, success_col)
+
+
+def paired_flags_stream(
+    events: DataFrame,
+    boundary_ts: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    event_value: str = "purchase",
+) -> DataFrame:
+    """Running per-user paired (pre, post) conversion flags around a
+    fixed boundary timestamp — the McNemar sufficient statistic (two
+    boolean-max monoids, one state row per live user). Delegates to
+    the batch :func:`..operators.experiments.paired_conversion_state`
+    collapse (the rfm_stream convention); the McNemar cells and chi²
+    stay in foreachBatch / the batch pass because they are global
+    functions of the state."""
+    from ..operators.experiments import paired_conversion_state
+
+    return paired_conversion_state(
+        events, boundary_ts, user_col, ts_col, event_type_col, event_value
+    )

@@ -215,3 +215,93 @@ def test_join_size_gate_broadcast_cells(spark):
     plan = _plan(sk_join_size_gate(spark, SF))
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_log_rank_step_table_collapse(spark):
+    """e_log_rank: one per-user collapse + one step groupBy; the
+    hypergeometric term sums are decimal partial aggregations over the
+    step-bounded table — no Python, broadcast totals only."""
+    from mdataframe_spark.queries import e_log_rank
+
+    plan = _plan(e_log_rank(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rmst_reuses_km_fold_shape(spark):
+    """e_rmst: the KM fold (ordered-window collect_list) over the step
+    table plus lag/lead segment windows — no Python, no extra corpus
+    scan beyond the per-user collapse."""
+    from mdataframe_spark.queries import e_rmst
+
+    plan = _plan(e_rmst(spark, SF))
+    assert "collect_list" in plan, plan
+    assert "EvalPython" not in plan, plan
+    # the step table is persisted: the scalar total and the windows
+    # both read InMemoryTableScan (the textual FileScan below it is
+    # the cached relation's lineage, not a second runtime pass)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_winsorized_one_scan_groups_bounded_edges(spark):
+    """e_winsorized_lift: per-group percentile edges are a
+    groups-bounded aggregate broadcast back onto the units — the unit
+    table joins via BroadcastHashJoin, never a shuffle join; decimal
+    clamp sums partial-aggregate."""
+    from mdataframe_spark.queries import e_winsorized_lift
+
+    plan = _plan(e_winsorized_lift(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_" in plan
+
+
+def test_covariate_balance_stack_single_scan(spark):
+    """dq_covariate_balance: the k-covariate unpivot is ONE scan
+    through a Generate-stack stage (never k scans), then a
+    covariates-bounded moment collapse."""
+    from mdataframe_spark.queries import dq_covariate_balance
+
+    plan = _plan(dq_covariate_balance(spark, SF))
+    assert "Generate stack" in plan or "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_eb_shrinkage_keys_bounded_broadcast(spark):
+    """e_eb_ctr_shrinkage: ONE keys-bounded moment aggregate broadcast
+    back onto the per-key table; the shrink itself is a projection —
+    no second corpus pass, no Python."""
+    from mdataframe_spark.queries import e_eb_ctr_shrinkage
+
+    plan = _plan(e_eb_ctr_shrinkage(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the per-key table is persisted: the prior-moment probe and the
+    # shrink projection both read InMemoryTableScan instead of
+    # re-running the upstream collapse
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_vocab_richness_two_level_collapse(spark):
+    """txt_vocab_richness: corpus -> (group, token) counts ->
+    frequency-of-frequencies, all partial-agged; no Python, one scan."""
+    from mdataframe_spark.queries import txt_vocab_richness
+
+    plan = _plan(txt_vocab_richness(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_source_jsd_vocab_grid_bounded(spark):
+    """txt_source_jsd: the corpus never flows past the (group, token)
+    groupBy — the KL-grid machinery reads the persisted count table
+    (InMemoryTableScan), and the vocabulary probe is a distributed
+    top-K (TakeOrderedAndProject), not a global sort."""
+    from mdataframe_spark.queries import txt_source_jsd
+
+    plan = _plan(txt_source_jsd(spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -974,3 +974,81 @@ def test_ab_counts_stream_matches_batch_and_continues_from_checkpoint(
     got_ab = run_stream("ab_counts_ab")
     assert got_ab == batch_state(a_rows + b_rows)
     assert got_ab["control"] == (3, 2) and got_ab["t2"] == (1, 0)
+
+
+def test_paired_flags_stream_matches_batch_and_continues_from_checkpoint(
+    spark, tmp_path_factory
+):
+    """The McNemar sufficient-statistic twin: per-user pre/post
+    conversion flags around a fixed boundary are boolean-max monoids,
+    so checkpointed state + new micro-batches = one big batch —
+    including a late pre-period conversion arriving after the user
+    already converted post-period."""
+    from mdataframe_spark.operators.experiments import (
+        paired_conversion_state,
+    )
+    from mdataframe_spark.streaming.segments import paired_flags_stream
+
+    root = tmp_path_factory.mktemp("paired_flags_stream")
+    src = root / "events"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "user_id bigint, ts bigint, event_type string"
+    H = 3_600_000_000_000
+    BOUNDARY = 5 * H
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    a_rows = [
+        (1, 2 * H, "purchase"),
+        (1, 7 * H, "view"),
+        (2, 6 * H, "purchase"),
+        (3, 1 * H, "view"),
+    ]
+    write_log(a_rows)
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            paired_flags_stream(stream, BOUNDARY)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["pre"], r["post"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_state(rows):
+        return {
+            r["user_id"]: (r["pre"], r["post"])
+            for r in paired_conversion_state(
+                spark.createDataFrame(rows, schema), BOUNDARY
+            ).collect()
+        }
+
+    got_a = run_stream("paired_flags_a")
+    assert got_a == batch_state(a_rows)
+    assert got_a[1] == (1, 0) and got_a[2] == (0, 1) and got_a[3] == (0, 0)
+
+    # file B: user 2's LATE pre-period purchase (pre must flip to 1
+    # from checkpointed state), user 3 converts post, new user 4
+    b_rows = [
+        (2, 3 * H, "purchase"),
+        (3, 9 * H, "purchase"),
+        (4, 8 * H, "view"),
+    ]
+    write_log(b_rows)
+    got_ab = run_stream("paired_flags_ab")
+    assert got_ab == batch_state(a_rows + b_rows)
+    assert got_ab[2] == (1, 1)
+    assert got_ab[3] == (0, 1)
+    assert got_ab[4] == (0, 0)
