@@ -132,6 +132,14 @@ HEADLINE = [
     "pipe_fineweb_recipe",
     "e_kaplan_meier",
     "ts_mann_kendall",
+    # round-11: the log-rank double risk-set windows over the persisted
+    # step table, the per-group exact-percentile winsorization over the
+    # users-scale table, the JSD vocab grid, and the EB shrink over the
+    # persisted per-key table
+    "e_log_rank",
+    "e_winsorized_lift",
+    "txt_source_jsd",
+    "e_eb_ctr_shrinkage",
 ]
 
 

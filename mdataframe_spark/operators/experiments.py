@@ -272,9 +272,12 @@ def winsorized_metrics(
     """
     if not (0.0 <= lo < hi <= 1.0):
         raise ValueError("winsorized_metrics: need 0 <= lo < hi <= 1")
-    v = F.round(F.col(metric_col).cast("double"), 4).cast("decimal(18,4)")
+    vd = F.col(metric_col).cast("double")
+    v = F.round(vd, 4).cast("decimal(18,4)")
+    # NaN drops like NULL (complete-case): a NaN would raise on the
+    # ANSI decimal cast and corrupt the percentile edges regardless
     base = df.filter(
-        F.col(metric_col).isNotNull() & F.col(group_col).isNotNull()
+        vd.isNotNull() & ~F.isnan(vd) & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("__g"), v.alias("__v"))
     # percentile over the DOUBLE image of the 4-dp grid: Spark's exact
     # `percentile` and DuckDB's `quantile_cont` then interpolate the
@@ -340,11 +343,17 @@ def ratio_metric_delta(
     cross/square products); everything downstream is scalar double
     arithmetic over the groups-bounded table, rounded 6 dp.
     """
-    x = F.round(F.col(numer_col).cast("double"), 4).cast("decimal(18,4)")
-    y = F.round(F.col(denom_col).cast("double"), 4).cast("decimal(18,4)")
+    xd = F.col(numer_col).cast("double")
+    yd = F.col(denom_col).cast("double")
+    x = F.round(xd, 4).cast("decimal(18,4)")
+    y = F.round(yd, 4).cast("decimal(18,4)")
+    # NaN drops like NULL (complete-case — the winsorized_metrics
+    # ANSI-decimal-cast rationale)
     base = df.filter(
-        F.col(numer_col).isNotNull()
-        & F.col(denom_col).isNotNull()
+        xd.isNotNull()
+        & ~F.isnan(xd)
+        & yd.isNotNull()
+        & ~F.isnan(yd)
         & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("__g"), x.alias("__x"), y.alias("__y"))
     acc = base.groupBy("__g").agg(

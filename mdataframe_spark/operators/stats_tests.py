@@ -1071,3 +1071,322 @@ def dispersion_nb_fit(
         F.round(F.when(over, m * m / (v - m)), 6).alias("nb_r"),
         F.round(F.when(over, m / v), 6).alias("nb_q"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    condition_col: str,
+    outcome_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Cochran's Q test — "do the k conditions share one success rate
+    across matched blocks?": the k-condition generalization of McNemar
+    (k = 2 reduces to it) for PAIRED binary outcomes, e.g. "does the
+    same user convert on surface A, B and C at the same rate?".
+    Q = (k−1)·(k·ΣC_j² − N²) / (k·ΣR_i − ΣR_i²) with C_j the
+    per-condition success totals, R_i the per-block success totals,
+    N = ΣC_j; chi²-distributed with k−1 dof. Returns ONE row:
+    (n_blocks, k, n_successes, q, dof); Q NULL when the denominator
+    degenerates (every block all-0 or all-k — no discordance).
+    Blocks NOT observed under every condition raise (Cochran requires
+    complete blocks; silently dropping or zero-filling them changes
+    the hypothesis — build the complete grid upstream).
+
+    Plan shape: one (block, condition) collapse is the caller's job
+    (the input is long-format one row per block×condition); here ONE
+    per-block sum + ONE scalar aggregation, all exact integers.
+    """
+    b = F.col(block_col)
+    c = F.col(condition_col)
+    o = F.col(outcome_col).cast("boolean").cast("int")
+    base = df.filter(b.isNotNull() & c.isNotNull() & o.isNotNull())
+    k_count = base.select(c).distinct().count()
+    if k_count < 2:
+        raise ValueError("cochran_q: need at least 2 conditions")
+    incomplete = (
+        base.groupBy(b.alias("__b"))
+        .agg(
+            F.count_distinct(c).alias("__kc"),
+            F.count(F.lit(1)).alias("__ct"),
+        )
+        # a duplicated (block, condition) row would pass a
+        # distinct-only check while double-counting the block total
+        .filter((F.col("__kc") != k_count) | (F.col("__ct") != k_count))
+        .count()
+    )
+    if incomplete:
+        raise ValueError(
+            f"cochran_q: {incomplete} block(s) without exactly one "
+            f"outcome per condition (all {k_count} required) — Cochran "
+            f"requires complete blocks; build the full grid upstream"
+        )
+    rows = base.groupBy(b.alias("__b")).agg(F.sum(o).alias("__r"))
+    row_acc = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("__r").cast("bigint").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).cast("bigint").alias("__srr"),
+    )
+    cols = base.groupBy(c.alias("__c")).agg(F.sum(o).alias("__cj"))
+    col_acc = cols.agg(
+        # (18,0) x (18,0) -> precision 37: exact in Spark AND DuckDB
+        F.sum(
+            F.col("__cj").cast("decimal(18,0)")
+            * F.col("__cj").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__scc"),
+    )
+    j = row_acc.crossJoin(F.broadcast(col_acc))
+    kk = F.lit(k_count).cast("double")
+    n_tot = F.col("__sr").cast("double")
+    num = (kk - 1.0) * (
+        kk * F.col("__scc").cast("double") - n_tot * n_tot
+    )
+    den = kk * n_tot - F.col("__srr").cast("double")
+    q = F.when(den > 0, num / den)
+    out = j.select(
+        "n_blocks",
+        F.lit(k_count).cast("bigint").alias("k"),
+        F.col("__sr").alias("n_successes"),
+        F.round(q, 6).alias("q"),
+        F.lit(k_count - 1).cast("bigint").alias("dof"),
+    )
+    if with_p:
+        out = out.withColumn(
+            "p_value",
+            F.round(_chi2_p(F.col("q"), F.lit(float(k_count - 1))), 6),
+        )
+    return out
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Friedman test — "do the k treatments share one distribution
+    across matched blocks?": the nonparametric repeated-measures
+    ANOVA (rank within each block, compare rank sums across
+    treatments), with the standard tie correction
+    C = 1 − Σ(t³−t) / (n·(k³−k)). Returns ONE row: (n_blocks, k,
+    chi2, dof); chi2 NULL when ties degenerate C to 0 (every block
+    constant). Incomplete blocks raise (same contract as
+    :func:`cochran_q`).
+
+    Decomposition (the mannwhitney doubled-rank convention, per
+    block): the within-block midranks live as DOUBLED ranks — exact
+    integers under ties — via one (block, value) tie-block collapse
+    and a per-block cumulative window; rank sums and the tie term are
+    exact integer aggregations, so the statistic replays bit-for-bit.
+    The windows partition BY BLOCK (model-bounded per block, corpus
+    distributed across blocks) — never a single global sort.
+    """
+    b = F.col(block_col)
+    t = F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        b.isNotNull() & t.isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(b.alias("__b"), t.alias("__t"), v.alias("__v"))
+    k_count = base.select("__t").distinct().count()
+    if k_count < 2:
+        raise ValueError("friedman_test: need at least 2 treatments")
+    incomplete = (
+        base.groupBy("__b")
+        .agg(F.count_distinct("__t").alias("__kc"), F.count(F.lit(1)).alias("__ct"))
+        .filter((F.col("__kc") != k_count) | (F.col("__ct") != k_count))
+        .count()
+    )
+    if incomplete:
+        raise ValueError(
+            f"friedman_test: {incomplete} block(s) without exactly one "
+            f"value per treatment — build the complete grid upstream"
+        )
+    # doubled midrank of value v within its block: 2·(#less) + (#tied
+    # at v) + 1 — exact integers under ties (the mannwhitney
+    # convention), from one (block, value) tie collapse
+    blocks = base.groupBy("__b", "__v").agg(
+        F.count(F.lit(1)).alias("__tie")
+    )
+    wb = Window.partitionBy("__b").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = blocks.withColumn("__cum", F.sum("__tie").over(wb)).select(
+        "__b",
+        "__v",
+        "__tie",
+        (
+            2 * (F.col("__cum") - F.col("__tie")) + F.col("__tie") + 1
+        ).alias("__dr"),
+    )
+    scored = base.join(ranked, ["__b", "__v"])
+    per_treatment = scored.groupBy("__t").agg(
+        F.sum("__dr").cast("bigint").alias("__sdr")
+    )
+    acc = per_treatment.agg(
+        F.sum(
+            F.col("__sdr").cast("decimal(18,0)")
+            * F.col("__sdr").cast("decimal(18,0)")
+        ).cast("decimal(38,0)").alias("__sdrr"),
+    )
+    ties = blocks.agg(
+        F.count_distinct("__b").cast("bigint").alias("__n"),
+        # tie <= k (tiny): bigint cubes are exact, no decimal dance
+        F.sum(
+            F.col("__tie") * F.col("__tie") * F.col("__tie")
+            - F.col("__tie")
+        ).cast("decimal(38,0)").alias("__t3t"),
+    )
+    j = acc.crossJoin(F.broadcast(ties))
+    n = F.col("__n").cast("double")
+    kk = float(k_count)
+    # Σ R_j² from doubled rank sums: R_j = DR_j/2 → Σ R_j² = ΣDR_j²/4
+    srr = F.col("__sdrr").cast("double") / 4.0
+    fr = (
+        12.0 / (n * kk * (kk + 1.0)) * srr - 3.0 * n * (kk + 1.0)
+    )
+    corr = 1.0 - F.col("__t3t").cast("double") / (
+        n * (kk * kk * kk - kk)
+    )
+    chi2 = F.when(corr > 0, fr / corr)
+    out = j.select(
+        F.col("__n").alias("n_blocks"),
+        F.lit(k_count).cast("bigint").alias("k"),
+        F.round(chi2, 6).alias("chi2"),
+        F.lit(k_count - 1).cast("bigint").alias("dof"),
+    )
+    if with_p:
+        out = out.withColumn(
+            "p_value",
+            F.round(_chi2_p(F.col("chi2"), F.lit(kk - 1.0)), 6),
+        )
+    return out
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a sequence around
+    its median: too FEW runs of above/below-median values means the
+    series is trending or sticky (autocorrelated residuals, regime
+    drift); too MANY means oscillation. Values EQUAL to the median
+    drop (the standard convention — they belong to neither side).
+    Returns ONE row: (n_above, n_below, n_runs, z) with the normal
+    approximation z = (R − μ)/σ, μ = 2·n1·n2/(n1+n2) + 1; z NULL when
+    either side is empty.
+
+    Decomposition: ONE exact-percentile median probe (rounded to the
+    6-dp literal grid — the theil_sen convention), one ordered lag
+    window over the model-bounded sequence counting sign changes as
+    exact integers, one scalar projection.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(order_col).alias("__o"), v.alias("__v")
+    )
+    med = base.agg(
+        F.round(F.expr("percentile(__v, 0.5)"), 6).alias("__med")
+    )
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .filter(F.col("__v") != F.col("__med"))
+        .select("__o", (F.col("__v") > F.col("__med")).alias("__up"))
+    )
+    wo = Window.orderBy("__o")
+    runs = signed.withColumn(
+        "__new_run",
+        F.when(
+            F.lag("__up").over(wo).isNull()
+            | (F.lag("__up").over(wo) != F.col("__up")),
+            1,
+        ).otherwise(0),
+    )
+    acc = runs.agg(
+        F.sum(F.col("__up").cast("int")).cast("bigint").alias("n_above"),
+        F.sum((~F.col("__up")).cast("int")).cast("bigint").alias("n_below"),
+        F.sum("__new_run").cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    r = F.col("n_runs").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = F.when(
+        (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0),
+        (r - mu) / F.sqrt(var),
+    )
+    out = acc.select(
+        "n_above", "n_below", "n_runs", F.round(z, 6).alias("z")
+    )
+    if with_p:
+        out = out.withColumn("p_value", _z_p(F.col("z")))
+    return out
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Cochran-Armitage trend test — "does the success rate move
+    MONOTONICALLY with the ordered dose/exposure score?": the
+    dose-response read-out a plain chi-square independence test wastes
+    power on (it ignores the ordering). Z = Σs_i·(x_i − n_i·p̄) /
+    √(p̄(1−p̄)·(Σs_i²n_i − (Σs_i n_i)²/N)) over score groups with
+    integer scores s_i, sizes n_i, successes x_i. Returns ONE row:
+    (n, n_groups, n_successes, z); z NULL when p̄ or the score spread
+    degenerates. Complete-case on the boolean CAST result (the
+    two_proportion convention).
+
+    ONE (score) collapse bounds everything downstream by the number
+    of distinct scores; every sum is an exact integer (decimal
+    products for s²n), one scalar projection at the end.
+    """
+    s = F.col(score_col).cast("bigint")
+    x = F.col(success_col).try_cast("boolean").cast("int")
+    base = df.filter(s.isNotNull() & x.isNotNull())
+    g = base.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).cast("bigint").alias("__x"),
+    )
+    dec = "decimal(18,0)"
+    acc = g.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("__x").cast("bigint").alias("n_successes"),
+        # (18,0) x (18,0) products: precision <= 37, exact in Spark
+        # AND DuckDB (a 19+20 width errors on the DuckDB side)
+        F.sum(
+            F.col("__s").cast(dec) * F.col("__x").cast(dec)
+        ).cast("decimal(38,0)").alias("__sx"),
+        F.sum(
+            F.col("__s").cast(dec) * F.col("__n").cast(dec)
+        ).cast("decimal(38,0)").alias("__sn"),
+        F.sum(
+            (F.col("__s") * F.col("__s")).cast(dec)
+            * F.col("__n").cast(dec)
+        ).cast("decimal(38,0)").alias("__ssn"),
+    )
+    nd = F.col("n").cast("double")
+    pbar = F.col("n_successes").cast("double") / nd
+    num = F.col("__sx").cast("double") - pbar * F.col("__sn").cast("double")
+    spread = F.col("__ssn").cast("double") - (
+        F.col("__sn").cast("double") * (F.col("__sn").cast("double") / nd)
+    )
+    var = pbar * (1.0 - pbar) * spread
+    z = F.when((pbar > 0) & (pbar < 1) & (spread > 0), num / F.sqrt(var))
+    out = acc.select(
+        "n", "n_groups", "n_successes", F.round(z, 6).alias("z")
+    )
+    if with_p:
+        out = out.withColumn("p_value", _z_p(F.col("z")))
+    return out

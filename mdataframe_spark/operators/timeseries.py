@@ -458,3 +458,59 @@ def theil_sen(
         )
     )
     return resid.select("n_points", "n_pairs", "slope", "intercept")
+
+
+def page_hinkley(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page-Hinkley drift detector over the bucketed series — the
+    sequential "has the mean shifted UP?" monitor (Page 1954, the
+    streaming-drift standard next to the CUSUM single-changepoint
+    scan): U_t = Σ_{i≤t} (x_i − m_i − δ) with m_i the RUNNING prefix
+    mean, PH_t = U_t − min_{s≤t} U_s, alarm when PH_t > λ. Returns
+    per-bucket (bucket, x, u, ph, alarm) ordered by bucket.
+
+    Determinism: the prefix means derive from the exact decimal
+    cumulative sum (x_i − m_i = d_i/i with d_i = x_i·i − CS_i exact
+    decimals, one double division per step); the U cumulative and
+    running-min windows then fold the IDENTICAL double sequence in the
+    IDENTICAL bucket order in both engines (the KM ordered-fold
+    argument — correctly-rounded IEEE ops in the same sequence), so
+    alarms compare bit-for-bit. Outputs round to 6 dp AFTER the alarm
+    compare. The series is model-bounded (the bucket_series
+    single-shuffle contract); the windows are single-partition by
+    construction — series-sized, never corpus-sized.
+    """
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    wo = Window.orderBy("bucket")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        s.withColumn("__cs", F.sum("x").over(w))
+        .withColumn("__i", F.row_number().over(wo))
+        .withColumn(
+            "__dev",
+            # (23,4) x int(10,0) -> precision 34: exact, no 38-cap
+            # reduction (the ewma precision-rule lesson)
+            (
+                F.col("x").cast("decimal(23,4)") * F.col("__i")
+                - F.col("__cs")
+            ).cast("double")
+            / F.col("__i")
+            - F.lit(float(delta)),
+        )
+        .withColumn("__u", F.sum("__dev").over(w))
+        .withColumn("__runmin", F.min("__u").over(w))
+        .withColumn("__ph", F.col("__u") - F.col("__runmin"))
+    )
+    return cum.select(
+        "bucket",
+        F.col("x").cast("double").alias("x"),
+        F.round(F.col("__u"), 6).alias("u"),
+        F.round(F.col("__ph"), 6).alias("ph"),
+        (F.col("__ph") > F.lit(float(lam))).alias("alarm"),
+    ).orderBy("bucket")

@@ -10599,6 +10599,334 @@ FROM acc
 """
 
 
+def stat_cochran_q(spark, sf_dir):
+    """Cochran's Q (operators/stats_tests.py cochran_q): do users
+    engage each event surface at the same rate in the post-midpoint
+    half? Blocks = users, conditions = event types, outcome = did
+    that type after the CUPED midpoint. The complete user×type grid
+    is built explicitly (zero-filled), so the complete-blocks
+    contract holds by construction. with_p rides outside the hashed
+    set."""
+    from .operators.stats_tests import cochran_q
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        (F.min("ts") + F.expr("(max(ts) - min(ts)) div 2")).alias("__mid")
+    )
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    obs = (
+        ev.crossJoin(F.broadcast(mid))
+        .filter(F.col("ts") > F.col("__mid"))
+        .groupBy("user_id", "event_type")
+        .agg(F.lit(1).alias("__o"))
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(obs, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("__o"), F.lit(0)).alias("did"),
+        )
+    )
+    return cochran_q(grid, "user_id", "event_type", "did", with_p=False)
+
+
+STAT_COCHRANQ_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+), mid AS (
+  SELECT min(t) + (max(t) - min(t)) // 2 AS m FROM ns
+), u AS (
+  SELECT DISTINCT user_id FROM ns
+), c AS (
+  SELECT DISTINCT event_type FROM ns
+), grid AS (
+  SELECT u.user_id, c.event_type FROM u CROSS JOIN c
+), obs AS (
+  SELECT user_id, event_type, 1 AS o
+  FROM ns WHERE t > (SELECT m FROM mid) GROUP BY 1, 2
+), g AS (
+  SELECT grid.user_id, grid.event_type, coalesce(obs.o, 0) AS o
+  FROM grid LEFT JOIN obs USING (user_id, event_type)
+), rws AS (
+  SELECT user_id, sum(o)::BIGINT AS r FROM g GROUP BY 1
+), racc AS (
+  SELECT count(*)::BIGINT AS n_blocks, sum(r)::BIGINT AS sr,
+         sum(r * r)::BIGINT AS srr
+  FROM rws
+), cacc AS (
+  SELECT sum(cj::DECIMAL(18,0) * cj::DECIMAL(18,0))::DECIMAL(38,0)
+           AS scc,
+         count(*)::BIGINT AS k
+  FROM (SELECT event_type, sum(o)::BIGINT AS cj FROM g GROUP BY 1)
+)
+SELECT n_blocks, k, sr AS n_successes,
+       round(CASE WHEN k::DOUBLE * sr::DOUBLE - srr::DOUBLE > 0
+             THEN (k::DOUBLE - 1.0)
+                  * (k::DOUBLE * scc::DOUBLE - sr::DOUBLE * sr::DOUBLE)
+                  / (k::DOUBLE * sr::DOUBLE - srr::DOUBLE) END,
+             6) AS q,
+       (k - 1)::BIGINT AS dof
+FROM racc, cacc
+"""
+
+
+def stat_friedman(spark, sf_dir):
+    """Friedman test (operators/stats_tests.py friedman_test): do the
+    event types share one per-user activity distribution? Blocks =
+    users, treatments = event types, value = per-user count of that
+    type (complete grid, zero-filled). Within-block doubled midranks
+    are exact integers; windows partition by user. with_p rides
+    outside the hashed set."""
+    from .operators.stats_tests import friedman_test
+
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(cnt, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("__v"), F.lit(0)).cast("double").alias("cnt"),
+        )
+    )
+    return friedman_test(
+        grid, "user_id", "event_type", "cnt", with_p=False
+    )
+
+
+STAT_FRIEDMAN_SQL = """
+WITH ns AS (
+  SELECT user_id, event_type FROM events
+), u AS (
+  SELECT DISTINCT user_id FROM ns
+), c AS (
+  SELECT DISTINCT event_type FROM ns
+), kk AS (
+  SELECT count(*)::BIGINT AS k FROM c
+), grid AS (
+  SELECT u.user_id, c.event_type FROM u CROSS JOIN c
+), cnt AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS v
+  FROM ns GROUP BY 1, 2
+), g AS (
+  SELECT grid.user_id AS b, grid.event_type AS trt,
+         coalesce(cnt.v, 0)::DOUBLE AS v
+  FROM grid LEFT JOIN cnt USING (user_id, event_type)
+), blocks AS (
+  SELECT b, v, count(*)::BIGINT AS tie FROM g GROUP BY 1, 2
+), ranked AS (
+  SELECT b, v, tie,
+         2 * (sum(tie) OVER (PARTITION BY b ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) - tie)
+           + tie + 1 AS dr
+  FROM blocks
+), scored AS (
+  SELECT g.trt, ranked.dr
+  FROM g JOIN ranked ON g.b = ranked.b AND g.v = ranked.v
+), pt AS (
+  SELECT trt, sum(dr)::BIGINT AS sdr FROM scored GROUP BY 1
+), acc AS (
+  SELECT sum(sdr::DECIMAL(18,0) * sdr::DECIMAL(18,0))::DECIMAL(38,0)
+           AS sdrr
+  FROM pt
+), ties AS (
+  SELECT count(DISTINCT b)::BIGINT AS n,
+         sum(tie * tie * tie - tie)::DECIMAL(38,0) AS t3t
+  FROM blocks
+)
+SELECT n AS n_blocks, (SELECT k FROM kk) AS k,
+       round(CASE WHEN 1.0 - t3t::DOUBLE
+                        / (n::DOUBLE * ((SELECT k FROM kk)::DOUBLE
+                                        * (SELECT k FROM kk)::DOUBLE
+                                        * (SELECT k FROM kk)::DOUBLE
+                                        - (SELECT k FROM kk)::DOUBLE)) > 0
+             THEN (12.0 / (n::DOUBLE * (SELECT k FROM kk)::DOUBLE
+                           * ((SELECT k FROM kk)::DOUBLE + 1.0))
+                   * (sdrr::DOUBLE / 4.0)
+                   - 3.0 * n::DOUBLE * ((SELECT k FROM kk)::DOUBLE + 1.0))
+                  / (1.0 - t3t::DOUBLE
+                           / (n::DOUBLE * ((SELECT k FROM kk)::DOUBLE
+                                           * (SELECT k FROM kk)::DOUBLE
+                                           * (SELECT k FROM kk)::DOUBLE
+                                           - (SELECT k FROM kk)::DOUBLE)))
+             END, 6) AS chi2,
+       ((SELECT k FROM kk) - 1)::BIGINT AS dof
+FROM acc, ties
+"""
+
+
+def stat_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/stats_tests.py runs_test)
+    on the hourly event-count series: is the load sequence random
+    around its median, or trending/sticky? One bucket collapse + one
+    exact-percentile median probe + one ordered lag window over the
+    series-bounded table. with_p rides outside the hashed set."""
+    from .operators.stats_tests import runs_test
+    from .operators.timeseries import bucket_series
+
+    ev = _events(spark, sf_dir)
+    s = bucket_series(ev)
+    return runs_test(s, "bucket", "x", with_p=False)
+
+
+STAT_RUNS_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket, count(*)::DOUBLE AS v
+  FROM ns GROUP BY 1
+), med AS (
+  SELECT round(quantile_cont(v, 0.5), 6) AS m FROM s
+), signed AS (
+  SELECT bucket, (v > (SELECT m FROM med)) AS up
+  FROM s WHERE v <> (SELECT m FROM med)
+), runs AS (
+  SELECT up,
+         CASE WHEN lag(up) OVER (ORDER BY bucket) IS NULL
+                   OR lag(up) OVER (ORDER BY bucket) <> up
+              THEN 1 ELSE 0 END AS nr
+  FROM signed
+), acc AS (
+  SELECT sum(CASE WHEN up THEN 1 ELSE 0 END)::BIGINT AS n_above,
+         sum(CASE WHEN NOT up THEN 1 ELSE 0 END)::BIGINT AS n_below,
+         sum(nr)::BIGINT AS n_runs
+  FROM runs
+)
+SELECT n_above, n_below, n_runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0
+                       AND 2.0 * n_above::DOUBLE * n_below::DOUBLE
+                           * (2.0 * n_above::DOUBLE * n_below::DOUBLE
+                              - n_above::DOUBLE - n_below::DOUBLE)
+                           / ((n_above::DOUBLE + n_below::DOUBLE)
+                              * (n_above::DOUBLE + n_below::DOUBLE)
+                              * (n_above::DOUBLE + n_below::DOUBLE - 1.0))
+                           > 0
+             THEN (n_runs::DOUBLE
+                   - (2.0 * n_above::DOUBLE * n_below::DOUBLE
+                      / (n_above::DOUBLE + n_below::DOUBLE) + 1.0))
+                  / sqrt(2.0 * n_above::DOUBLE * n_below::DOUBLE
+                         * (2.0 * n_above::DOUBLE * n_below::DOUBLE
+                            - n_above::DOUBLE - n_below::DOUBLE)
+                         / ((n_above::DOUBLE + n_below::DOUBLE)
+                            * (n_above::DOUBLE + n_below::DOUBLE)
+                            * (n_above::DOUBLE + n_below::DOUBLE - 1.0)))
+             END, 6) AS z
+FROM acc
+"""
+
+
+def stat_trend_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test (operators/stats_tests.py
+    cochran_armitage_trend): does conversion rise monotonically with
+    view-count exposure? Scores = per-user view count capped at 10
+    (ordered dose buckets), success = ever purchased. ONE score
+    collapse bounds everything; exact integer/decimal sums. with_p
+    rides outside the hashed set."""
+    from .operators.stats_tests import cochran_armitage_trend
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum((F.col("event_type") == "view").cast("int")), F.lit(10)
+        ).alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    return cochran_armitage_trend(
+        per_user, "score", "converted", with_p=False
+    )
+
+
+STAT_TREND_SQL = """
+WITH u AS (
+  SELECT user_id,
+         least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+               10)::BIGINT AS s,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), g AS (
+  SELECT s, count(*)::BIGINT AS n_i, sum(x)::BIGINT AS x_i
+  FROM u GROUP BY 1
+), acc AS (
+  SELECT sum(n_i)::BIGINT AS n, count(*)::BIGINT AS n_groups,
+         sum(x_i)::BIGINT AS n_successes,
+         sum(s::DECIMAL(18,0) * x_i::DECIMAL(18,0))::DECIMAL(38,0) AS sx,
+         sum(s::DECIMAL(18,0) * n_i::DECIMAL(18,0))::DECIMAL(38,0) AS sn,
+         sum((s * s)::DECIMAL(18,0) * n_i::DECIMAL(18,0))::DECIMAL(38,0)
+           AS ssn
+  FROM g
+)
+SELECT n, n_groups, n_successes,
+       round(CASE WHEN n_successes::DOUBLE / n::DOUBLE > 0
+                       AND n_successes::DOUBLE / n::DOUBLE < 1
+                       AND ssn::DOUBLE
+                           - sn::DOUBLE * (sn::DOUBLE / n::DOUBLE) > 0
+             THEN (sx::DOUBLE - (n_successes::DOUBLE / n::DOUBLE)
+                                * sn::DOUBLE)
+                  / sqrt((n_successes::DOUBLE / n::DOUBLE)
+                         * (1.0 - n_successes::DOUBLE / n::DOUBLE)
+                         * (ssn::DOUBLE
+                            - sn::DOUBLE * (sn::DOUBLE / n::DOUBLE)))
+             END, 6) AS z
+FROM acc
+"""
+
+
+def ts_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift monitor (operators/timeseries.py
+    page_hinkley) on the hourly event-count series: running prefix
+    means from the exact decimal cumulative sum, then the U/running-
+    min fold over the identical double sequence in both engines (the
+    KM ordered-fold argument). Per-bucket output with the alarm
+    decision computed BEFORE rounding."""
+    from .operators.timeseries import page_hinkley
+
+    ev = _events(spark, sf_dir)
+    return page_hinkley(ev, delta=0.0, lam=25.0)
+
+
+TS_PH_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         count(*)::DECIMAL(18,4) AS x
+  FROM ns GROUP BY 1
+), c1 AS (
+  SELECT bucket, x,
+         sum(x) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cs,
+         row_number() OVER (ORDER BY bucket) AS i
+  FROM s
+), c2 AS (
+  SELECT bucket, x,
+         (x::DECIMAL(23,4) * i::DECIMAL(6,0)
+          - cs::DECIMAL(30,4))::DOUBLE / i - 0.0 AS dev
+  FROM c1
+), c3 AS (
+  SELECT bucket, x,
+         sum(dev) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS u
+  FROM c2
+), c4 AS (
+  SELECT bucket, x, u,
+         min(u) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS runmin
+  FROM c3
+)
+SELECT bucket, x::DOUBLE AS x, round(u, 6) AS u,
+       round(u - runmin, 6) AS ph,
+       (u - runmin > 25.0) AS alarm
+FROM c4 ORDER BY bucket
+"""
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -10793,6 +11121,12 @@ EXTRA_QUERIES = {
     "txt_source_jsd": txt_source_jsd,
     "e_eb_ctr_shrinkage": e_eb_ctr_shrinkage,
     "stat_dispersion_nb": stat_dispersion_nb,
+    # --- new in round 11, wave 2: matched-block & sequence tests ---
+    "stat_cochran_q": stat_cochran_q,
+    "stat_friedman": stat_friedman,
+    "stat_runs_test": stat_runs_test,
+    "stat_trend_armitage": stat_trend_armitage,
+    "ts_page_hinkley": ts_page_hinkley,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
     # --- new in round 10: rank-statistics & concentration wave ---
@@ -11081,6 +11415,12 @@ EXTRA_ORACLES = {
     "txt_source_jsd": TXT_JSD_SQL,
     "e_eb_ctr_shrinkage": E_EB_SQL,
     "stat_dispersion_nb": STAT_DISPERSION_SQL,
+    # --- new in round 11, wave 2: matched-block & sequence tests ---
+    "stat_cochran_q": STAT_COCHRANQ_SQL,
+    "stat_friedman": STAT_FRIEDMAN_SQL,
+    "stat_runs_test": STAT_RUNS_SQL,
+    "stat_trend_armitage": STAT_TREND_SQL,
+    "ts_page_hinkley": TS_PH_SQL,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     # --- new in round 10: rank-statistics & concentration wave ---

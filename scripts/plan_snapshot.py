@@ -94,6 +94,14 @@ PICKS = [
     ("stat_wasserstein", "ONE distinct-value block groupBy; decimal CDF cross-products; broadcast group totals"),
     ("ts_mann_kendall", "ONE bucket groupBy; series-squared inequality join with integer sign sums"),
     ("sk_join_size_gate", "two cell groupBys + cells-sized inner-product join; exact side joins two per-key count tables"),
+    ("e_log_rank", "persisted step table feeds two cumulative risk windows + decimal term sums (one corpus pass)"),
+    ("e_rmst", "KM fold over the persisted step table; lag/lead segment windows; decimal rectangle sums"),
+    ("e_winsorized_lift", "groups-bounded percentile agg broadcast back onto units; decimal clamp sums"),
+    ("dq_covariate_balance", "Generate-stack unpivot in ONE scan; (covariate, arm) decimal moment collapse"),
+    ("e_eb_ctr_shrinkage", "persisted per-key table feeds the prior probe and the shrink projection; broadcast 1-row prior"),
+    ("txt_source_jsd", "persisted (group, token) counts; TakeOrderedAndProject vocab; grid left join + broadcast totals"),
+    ("stat_friedman", "user×type grid; per-block tie collapse; block-partitioned rank windows (no global sort)"),
+    ("ts_page_hinkley", "ONE bucket collapse; ordered decimal cumsum + U/running-min windows over the series table"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")

@@ -256,6 +256,21 @@ def run_factor(factor: int) -> dict:
 
         record("source_token_divergence", factor, timed(source_kl), n_docs)
 
+        def vocab_case():
+            from mdataframe_spark.operators.text import vocab_richness
+
+            # frequency-of-frequencies is groups x distinct-count
+            # bounded; the measured growth is the (group, token) count
+            # pass — linear in tokens
+            srcd = docs.withColumn(
+                "source", F.concat(F.lit("src"), F.col("doc_id") % 20)
+            )
+            vocab_richness(srcd).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("vocab_richness", factor, timed(vocab_case), n_docs)
+
         def group_topk():
             from mdataframe_spark.operators.datasets import group_topk_sample
 
@@ -563,6 +578,87 @@ def run_factor(factor: int) -> dict:
             ).mode("overwrite").save()
 
         record("kaplan_meier_curve", factor, timed(kaplan_meier_curve), n_events)
+
+        def _events_ns():
+            ev2 = events
+            if dict(ev2.dtypes)["ts"].startswith("timestamp"):
+                ev2 = ev2.withColumn(
+                    "ts",
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        * F.lit(1000)
+                    ).cast("bigint"),
+                )
+            return ev2
+
+        def log_rank_case():
+            from mdataframe_spark.operators.survival import (
+                log_rank_test,
+                user_event_spans,
+            )
+
+            # same step-table bound as kaplan_meier_curve; the added
+            # cost is the second cumulative window over the persisted
+            # step table — constant in corpus size
+            spans = user_event_spans(_events_ns())
+            users = spans.select(
+                (F.col("user_id") % 2 == 0).alias("grp"),
+                F.expr(
+                    "(last_ts - first_ts) div 3600000000000"
+                ).alias("dur_h"),
+                "converted",
+            )
+            log_rank_test(
+                users, "dur_h", "converted", "grp", with_p=False
+            ).write.format("noop").mode("overwrite").save()
+
+        record("log_rank_chi2", factor, timed(log_rank_case), n_events)
+
+        def winsorized_case():
+            from mdataframe_spark.operators.experiments import (
+                winsorized_metrics,
+            )
+
+            # per-group exact percentiles over the users-scale table:
+            # the groups-bounded edge aggregate broadcasts back — the
+            # measured growth is the per-user collapse + clamp pass
+            v4 = F.round(
+                F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4
+            ).cast("decimal(18,4)")
+            per_user = (
+                events.groupBy("user_id")
+                .agg(F.sum(v4).alias("__s"))
+                .select(
+                    F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+                    .otherwise(F.lit("B"))
+                    .alias("g"),
+                    F.col("__s").cast("double").alias("v"),
+                )
+            )
+            winsorized_metrics(per_user, "v", "g").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("winsorized_means", factor, timed(winsorized_case), n_events)
+
+        def eb_case():
+            from mdataframe_spark.operators.experiments import (
+                eb_rate_shrinkage,
+            )
+
+            # keys-bounded: one persisted per-key table feeds the
+            # prior probe and the shrink projection
+            per_user = events.groupBy(F.col("user_id").alias("key")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("event_type") == "purchase").cast("int")
+                ).alias("x"),
+            )
+            eb_rate_shrinkage(per_user, "key", "n", "x").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        record("eb_rate_shrinkage", factor, timed(eb_case), n_events)
 
         vecs = inflate_vectors(spark, factor)
         n_vecs = vecs.count()

@@ -305,3 +305,27 @@ def test_source_jsd_vocab_grid_bounded(spark):
     plan = _plan(txt_source_jsd(spark, SF))
     assert "InMemoryTableScan" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_friedman_block_partitioned_windows(spark):
+    """stat_friedman: the rank windows partition BY BLOCK — no
+    single-partition global sort of the grid; no Python."""
+    from mdataframe_spark.queries import stat_friedman
+
+    plan = _plan(stat_friedman(spark, SF))
+    assert "EvalPython" not in plan, plan
+    # a block-partitioned window sorts (b, v) inside hash partitions
+    # of b — the plan must not contain an unpartitioned Sort of the
+    # whole grid feeding the rank window
+    assert "partial_" in plan
+
+
+def test_page_hinkley_series_bounded_windows(spark):
+    """ts_page_hinkley: ONE corpus collapse (bucket_series); every
+    window runs over the series-bounded bucket table; no Python."""
+    from mdataframe_spark.queries import ts_page_hinkley
+
+    plan = _plan(ts_page_hinkley(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan

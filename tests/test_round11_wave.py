@@ -262,3 +262,16 @@ def test_source_jsd_bounded_and_orders_divergence(spark):
         assert 0.0 <= r["jsd_vs_corpus"] <= math.log(2.0) + 1e-9
     # the off-domain source diverges more than the blend members
     assert got["off"]["jsd_vs_corpus"] > got["same"]["jsd_vs_corpus"]
+
+
+def test_winsorized_and_ratio_drop_nan(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", float("nan"), 1.0),
+         ("A", 3.0, float("nan")), ("A", 4.0, 8.0)],
+        "g string, x double, y double",
+    )
+    w = winsorized_metrics(df, "x", "g", 0.0, 1.0).collect()[0]
+    assert w["n"] == 4  # only the x-NaN row drops for the metric
+    r = ratio_metric_delta(df, "x", "y", "g").collect()[0]
+    assert r["n"] == 3  # both NaN rows drop complete-case
+    assert r["ratio"] == pytest.approx((1 + 2 + 4) / (2 + 4 + 8), abs=1e-6)
