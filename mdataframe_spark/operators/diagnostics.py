@@ -614,3 +614,52 @@ def gini_index(
         F.round(s / 10000.0, 4).alias("total"),
         F.round(gini, 6).alias("gini"),
     ).orderBy("group")
+
+
+def null_patterns(
+    df: DataFrame,
+    cols: list,
+    top_k: int = 20,
+) -> DataFrame:
+    """Co-missingness audit: which columns go missing TOGETHER? The
+    completeness profile says HOW MUCH each column is null; the
+    pattern table says the STRUCTURE — '011' concentrated in one
+    pattern means the two columns fail as a unit (one upstream
+    extractor), scattered singletons mean independent noise. Returns
+    the top-``top_k`` per-row null masks (one char per column, '1' =
+    NULL, column order as given): (pattern, n_rows, n_missing_cols,
+    share), ordered by n_rows desc then pattern asc.
+
+    ONE scan, one pattern-bounded groupBy (≤ 2^k distinct masks, in
+    practice a handful), one broadcast total; the top-k is a
+    distributed TakeOrderedAndProject, never a global sort.
+    """
+    if not cols:
+        raise ValueError("null_patterns: need at least one column")
+    mask = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in cols
+        ]
+    )
+    pats = df.select(mask.alias("pattern")).groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = pats.agg(F.sum("n_rows").alias("__n"))
+    miss = sum(
+        (F.substring(F.col("pattern"), i + 1, 1) == "1").cast("int")
+        for i in range(len(cols))
+    )
+    return (
+        pats.crossJoin(F.broadcast(tot))
+        .select(
+            "pattern",
+            "n_rows",
+            miss.cast("bigint").alias("n_missing_cols"),
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__n"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("pattern").asc())
+        .limit(int(top_k))
+    )

@@ -16,7 +16,7 @@ cross-engine-exact form).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .stats_tests import _chi2_p, _z_p
@@ -605,3 +605,145 @@ def variant_counts(
             .alias("conversions")
         )
     return base.groupBy(F.col(group_col).alias("variant")).agg(*aggs)
+
+
+def msprt_monitor(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    success_col: str,
+    tau2: float = 0.01,
+    alpha: float = 0.05,
+    period_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT, Johari et
+    al. 2017 "Peeking at A/B tests") — the ALWAYS-VALID p-value for a
+    running two-proportion experiment: classic z-tests are only valid
+    at a pre-committed sample size, and peeking hourly inflates false
+    positives several-fold; the mSPRT's p_t = 1 / max_{s≤t} Λ_s is
+    valid at EVERY look, so the dashboard can stop the moment it
+    crosses α. Λ uses the normal mixture prior N(0, τ²) over the
+    effect: Λ_t = √(V_t/(V_t+τ²)) · exp(τ²·δ_t² / (2·V_t·(V_t+τ²)))
+    with δ_t the running rate difference and V_t the pooled variance
+    of δ_t. Returns one row per period bucket, ordered: (bucket, n1,
+    x1, n2, x2 — running totals — lambda, p_always_valid,
+    significant).
+
+    Determinism: the running totals are exact integer cumulative
+    windows over the bucket-bounded increment table (ONE corpus
+    collapse); Λ is a fixed IEEE chain over them, the running max and
+    the reciprocal ride the identical ordered double sequence in both
+    engines (the KM ordered-fold argument), and ``significant``
+    compares the 6-dp ROUNDED p to α so the decision column is
+    grid-deterministic. The √/exp libm ulp noise sits far below the
+    6-dp grid (the txt_source_kl ln() convention).
+    """
+    g = F.col(group_col).try_cast("boolean")
+    s = F.col(success_col).try_cast("boolean").cast("int")
+    base = df.filter(g.isNotNull() & s.isNotNull()).select(
+        # exact integer div: float(epoch-ns) > 2^53 rounds by up to
+        # ~128 ns, enough to flip a bucket boundary (the st_events
+        # lesson)
+        F.expr(
+            f"cast({ts_col} as bigint) div {int(period_ns)}"
+        ).alias("__bucket"),
+        g.alias("__g"),
+        s.alias("__s"),
+    )
+    inc = base.groupBy("__bucket").agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__dn1"),
+        F.sum(F.when(F.col("__g"), F.col("__s")).otherwise(0)).alias("__dx1"),
+        F.sum(F.when(~F.col("__g"), 1).otherwise(0)).alias("__dn2"),
+        F.sum(F.when(~F.col("__g"), F.col("__s")).otherwise(0)).alias("__dx2"),
+    )
+    w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        inc.withColumn("n1", F.sum("__dn1").over(w).cast("bigint"))
+        .withColumn("x1", F.sum("__dx1").over(w).cast("bigint"))
+        .withColumn("n2", F.sum("__dn2").over(w).cast("bigint"))
+        .withColumn("x2", F.sum("__dx2").over(w).cast("bigint"))
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    p1 = F.col("x1").cast("double") / n1
+    p2 = F.col("x2").cast("double") / n2
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (n1 + n2)
+    v = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+    t2 = float(tau2)
+    lam = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (v > 0),
+        F.sqrt(v / (v + t2))
+        * F.exp(
+            t2 * (p1 - p2) * (p1 - p2) / (2.0 * v * (v + t2))
+        ),
+    )
+    scored = cum.withColumn("__lam", lam).withColumn(
+        "__runmax", F.max("__lam").over(w)
+    )
+    p_av = F.when(
+        F.col("__runmax") > 1.0, 1.0 / F.col("__runmax")
+    ).otherwise(F.lit(1.0))
+    return scored.select(
+        F.col("__bucket").alias("bucket"),
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(F.col("__lam"), 6).alias("lambda"),
+        F.round(p_av, 6).alias("p_always_valid"),
+        (F.round(p_av, 6) < F.lit(float(alpha))).alias("significant"),
+    ).orderBy("bucket")
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    quantiles: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects — WHERE in the distribution did the
+    treatment act? A mean lift of +2% can be the whole tail moving or
+    every user moving; the per-quantile differences q_treat(τ) −
+    q_control(τ) disaggregate it (the heavy-tail companion of
+    :func:`winsorized_metrics`). Returns one row per requested
+    quantile, ordered: (q, q_treatment, q_control, qte).
+
+    ONE per-arm aggregation: the exact interpolated percentile at the
+    whole quantile VECTOR (Spark ``percentile(col, array(...))`` ==
+    DuckDB ``quantile_cont(col, [...])`` — the f13 parity convention
+    applied element-wise over the 4-dp double grid), then a
+    quantiles-bounded explode. NaN/NULL metrics drop complete-case.
+    """
+    if not quantiles:
+        raise ValueError("quantile_treatment_effect: need quantiles")
+    qs = [float(q) for q in quantiles]
+    if not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("quantile_treatment_effect: quantiles in [0,1]")
+    vd = F.col(metric_col).cast("double")
+    g = F.col(group_col).try_cast("boolean")
+    base = df.filter(
+        vd.isNotNull() & ~F.isnan(vd) & g.isNotNull()
+    ).select(g.alias("__g"), F.round(vd, 4).alias("__v"))
+    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    acc = base.agg(
+        F.expr(
+            f"percentile(CASE WHEN __g THEN __v END, {arr})"
+        ).alias("__qt"),
+        F.expr(
+            f"percentile(CASE WHEN NOT __g THEN __v END, {arr})"
+        ).alias("__qc"),
+    )
+    qdf = acc.select(
+        F.posexplode(
+            F.arrays_zip(F.col("__qt"), F.col("__qc"))
+        ).alias("__i", "__z")
+    )
+    qlit = F.array(*[F.lit(q) for q in qs])
+    return qdf.select(
+        F.element_at(qlit, F.col("__i") + 1).alias("q"),
+        F.round(F.col("__z.__qt"), 6).alias("q_treatment"),
+        F.round(F.col("__z.__qc"), 6).alias("q_control"),
+        F.round(F.col("__z.__qt") - F.col("__z.__qc"), 6).alias("qte"),
+    ).orderBy("q")

@@ -1573,3 +1573,57 @@ def source_token_jsd(
             "jsd_vs_corpus",
         )
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 256,
+) -> DataFrame:
+    """Church-Gale burstiness for the top-``top_k`` corpus tokens:
+    burstiness = collection frequency / document frequency — the mean
+    occurrences per CONTAINING document. A function word scores ~its
+    per-doc rate everywhere; a topical/bursty token concentrates (one
+    doc mentions it many times, most docs never) — the signal behind
+    adaptive LM caches and topical-keyword extraction, and a
+    boilerplate detector (high df + high burstiness = repeated
+    template strings). Returns (token, collection_freq, doc_freq,
+    burstiness, doc_share) ordered by collection_freq desc, token asc,
+    limited to ``top_k``.
+
+    ONE (doc, token) count collapse; the token table aggregates it;
+    the truncation is a distributed top-K (TakeOrderedAndProject);
+    one broadcast doc-count probe. Exact integer ratios, 6 dp.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(norm, _WS)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("__doc", "tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
+    agg = per_doc.groupBy("tok").agg(
+        F.sum("__c").cast("bigint").alias("collection_freq"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("tok").alias("token"),
+            "collection_freq",
+            "doc_freq",
+            F.round(
+                F.col("collection_freq").cast("double")
+                / F.col("doc_freq"),
+                6,
+            ).alias("burstiness"),
+            F.round(
+                F.col("doc_freq").cast("double") / F.col("__nd"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy(F.col("collection_freq").desc(), F.col("token").asc())
+        .limit(int(top_k))
+    )

@@ -10927,6 +10927,235 @@ FROM c4 ORDER BY bucket
 """
 
 
+def e_msprt_monitor(spark, sf_dir):
+    """Always-valid sequential monitoring (operators/experiments.py
+    msprt_monitor): the hourly mSPRT read-out of the purchase-rate
+    difference between the parity arms — the p-value a dashboard may
+    legally peek at every hour. Running totals are exact integer
+    cumulative windows; Λ/runmax/1/x ride the identical ordered double
+    sequence in both engines; `significant` compares the 6-dp ROUNDED
+    p to α (grid-deterministic decision column)."""
+    from .operators.experiments import msprt_monitor
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "ts",
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        (F.col("event_type") == "purchase").alias("succ"),
+    )
+    return msprt_monitor(d, "ts", "arm", "succ", tau2=0.0001, alpha=0.05)
+
+
+E_MSPRT_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t, (user_id % 2 = 0) AS g,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events
+), inc AS (
+  SELECT t // 3600000000000 AS bucket,
+         sum(CASE WHEN g THEN 1 ELSE 0 END) AS dn1,
+         sum(CASE WHEN g THEN s ELSE 0 END) AS dx1,
+         sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS dn2,
+         sum(CASE WHEN NOT g THEN s ELSE 0 END) AS dx2
+  FROM ns GROUP BY 1
+), cum AS (
+  SELECT bucket,
+         sum(dn1) OVER w::BIGINT AS n1, sum(dx1) OVER w::BIGINT AS x1,
+         sum(dn2) OVER w::BIGINT AS n2, sum(dx2) OVER w::BIGINT AS x2
+  FROM inc WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+), lam AS (
+  SELECT bucket, n1, x1, n2, x2,
+         CASE WHEN n1 > 0 AND n2 > 0
+                   AND ((x1 + x2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                       * (1.0 - (x1 + x2)::DOUBLE
+                                / (n1::DOUBLE + n2::DOUBLE))
+                       * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE) > 0
+              THEN sqrt((((x1 + x2)::DOUBLE
+                          / (n1::DOUBLE + n2::DOUBLE))
+                         * (1.0 - (x1 + x2)::DOUBLE
+                                  / (n1::DOUBLE + n2::DOUBLE))
+                         * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))
+                        / ((((x1 + x2)::DOUBLE
+                             / (n1::DOUBLE + n2::DOUBLE))
+                            * (1.0 - (x1 + x2)::DOUBLE
+                                     / (n1::DOUBLE + n2::DOUBLE))
+                            * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))
+                           + 0.0001))
+                   * exp(0.0001
+                         * (x1::DOUBLE / n1::DOUBLE
+                            - x2::DOUBLE / n2::DOUBLE)
+                         * (x1::DOUBLE / n1::DOUBLE
+                            - x2::DOUBLE / n2::DOUBLE)
+                         / (2.0
+                            * (((x1 + x2)::DOUBLE
+                                / (n1::DOUBLE + n2::DOUBLE))
+                               * (1.0 - (x1 + x2)::DOUBLE
+                                        / (n1::DOUBLE + n2::DOUBLE))
+                               * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))
+                            * ((((x1 + x2)::DOUBLE
+                                 / (n1::DOUBLE + n2::DOUBLE))
+                                * (1.0 - (x1 + x2)::DOUBLE
+                                         / (n1::DOUBLE + n2::DOUBLE))
+                                * (1.0 / n1::DOUBLE
+                                   + 1.0 / n2::DOUBLE))
+                               + 0.0001)))
+              END AS l
+  FROM cum
+), mx AS (
+  SELECT bucket, n1, x1, n2, x2, l,
+         max(l) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM lam
+)
+SELECT bucket, n1, x1, n2, x2,
+       round(l, 6) AS "lambda",
+       round(CASE WHEN runmax > 1.0 THEN 1.0 / runmax ELSE 1.0 END, 6)
+         AS p_always_valid,
+       (round(CASE WHEN runmax > 1.0 THEN 1.0 / runmax ELSE 1.0 END, 6)
+        < 0.05) AS significant
+FROM mx ORDER BY bucket
+"""
+
+
+def e_qte_deciles(spark, sf_dir):
+    """Quantile treatment effects (operators/experiments.py
+    quantile_treatment_effect): where in the per-user spend
+    distribution do the parity arms differ? One per-arm
+    percentile-vector aggregation over the decimal-monoid spend table
+    (element-wise f13 parity), then a quantiles-bounded explode."""
+    from .operators.experiments import quantile_treatment_effect
+
+    ev = _events(spark, sf_dir)
+    v4 = F.round(
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4
+    ).cast("decimal(18,4)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.sum(v4).alias("__spend"))
+        .select(
+            (F.col("user_id") % 2 == 0).alias("variant"),
+            F.col("__spend").cast("double").alias("spend"),
+        )
+    )
+    return quantile_treatment_effect(per_user, "spend", "variant")
+
+
+E_QTE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                  AS DECIMAL(18,4)))::DECIMAL(18,4) AS spend
+  FROM events GROUP BY 1
+), b AS (
+  SELECT (user_id % 2 = 0) AS g,
+         round(spend::DOUBLE, 4) AS v
+  FROM u
+), acc AS (
+  SELECT quantile_cont(CASE WHEN g THEN v END,
+                       [0.1, 0.25, 0.5, 0.75, 0.9]) AS qt,
+         quantile_cont(CASE WHEN NOT g THEN v END,
+                       [0.1, 0.25, 0.5, 0.75, 0.9]) AS qc
+  FROM b
+)
+SELECT (ARRAY[0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[])[i] AS q,
+       round(qt[i], 6) AS q_treatment,
+       round(qc[i], 6) AS q_control,
+       round(qt[i] - qc[i], 6) AS qte
+FROM acc, (SELECT unnest(range(1, 6))::INT AS i)
+ORDER BY q
+"""
+
+
+def dq_null_patterns(spark, sf_dir):
+    """Co-missingness audit (operators/diagnostics.py null_patterns):
+    the top per-row null masks over (value, props, user_id) with nulls
+    synthesized DETERMINISTICALLY in both engines (the
+    dd_norm_collisions convention — value nulled on event_id % 7 = 0,
+    props on event_id % 11 = 0): '110'-style patterns surface columns
+    that fail as a unit. One scan, pattern-bounded groupBy."""
+    from .operators.diagnostics import null_patterns
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ).alias("props"),
+        "user_id",
+    )
+    return null_patterns(d, ["value", "props", "user_id"], top_k=8)
+
+
+DQ_NULLPAT_SQL = """
+WITH d AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props,
+         user_id
+  FROM events
+), pats AS (
+  SELECT concat(CASE WHEN value IS NULL THEN '1' ELSE '0' END,
+                CASE WHEN props IS NULL THEN '1' ELSE '0' END,
+                CASE WHEN user_id IS NULL THEN '1' ELSE '0' END)
+           AS pattern,
+         count(*)::BIGINT AS n_rows
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT sum(n_rows)::BIGINT AS n FROM pats
+)
+SELECT pattern, n_rows,
+       (CASE WHEN substr(pattern, 1, 1) = '1' THEN 1 ELSE 0 END
+        + CASE WHEN substr(pattern, 2, 1) = '1' THEN 1 ELSE 0 END
+        + CASE WHEN substr(pattern, 3, 1) = '1' THEN 1 ELSE 0 END)::BIGINT
+         AS n_missing_cols,
+       round(n_rows::DOUBLE / (SELECT n FROM tot), 6) AS share
+FROM pats
+ORDER BY n_rows DESC, pattern ASC
+LIMIT 8
+"""
+
+
+def txt_burstiness(spark, sf_dir):
+    """Church-Gale token burstiness (operators/text.py
+    token_burstiness): mean occurrences per containing document for
+    the top-256 corpus tokens — topical concentration vs function-word
+    spread, and the boilerplate detector. One (doc, token) collapse;
+    distributed top-K truncation; exact integer ratios."""
+    from .operators.text import token_burstiness
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_burstiness(docs, top_k=256)
+
+
+TXT_BURSTINESS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+), agg AS (
+  SELECT tok AS token, sum(c)::BIGINT AS collection_freq,
+         count(*)::BIGINT AS doc_freq
+  FROM per_doc GROUP BY 1
+), nd AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), ranked AS (
+  SELECT token, collection_freq, doc_freq,
+         row_number() OVER (ORDER BY collection_freq DESC, token ASC)
+           AS r
+  FROM agg
+)
+SELECT token, collection_freq, doc_freq,
+       round(collection_freq::DOUBLE / doc_freq, 6) AS burstiness,
+       round(doc_freq::DOUBLE / (SELECT n_docs FROM nd), 6) AS doc_share
+FROM ranked WHERE r <= 256
+ORDER BY collection_freq DESC, token ASC
+"""
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -11127,6 +11356,12 @@ EXTRA_QUERIES = {
     "stat_runs_test": stat_runs_test,
     "stat_trend_armitage": stat_trend_armitage,
     "ts_page_hinkley": ts_page_hinkley,
+    # --- new in round 11, wave 3: sequential monitoring / QTE /
+    # co-missingness / burstiness ---
+    "e_msprt_monitor": e_msprt_monitor,
+    "e_qte_deciles": e_qte_deciles,
+    "dq_null_patterns": dq_null_patterns,
+    "txt_burstiness": txt_burstiness,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
     # --- new in round 10: rank-statistics & concentration wave ---
@@ -11421,6 +11656,11 @@ EXTRA_ORACLES = {
     "stat_runs_test": STAT_RUNS_SQL,
     "stat_trend_armitage": STAT_TREND_SQL,
     "ts_page_hinkley": TS_PH_SQL,
+    # --- new in round 11, wave 3 ---
+    "e_msprt_monitor": E_MSPRT_SQL,
+    "e_qte_deciles": E_QTE_SQL,
+    "dq_null_patterns": DQ_NULLPAT_SQL,
+    "txt_burstiness": TXT_BURSTINESS_SQL,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     # --- new in round 10: rank-statistics & concentration wave ---
