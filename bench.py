@@ -191,7 +191,10 @@ def main():
             try:
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                dt = round(time.time() - t0, 3)
+                # 2-dp timings: centisecond resolution (below the
+                # JVM noise floor) keeps the 70-query payload line
+                # inside the driver's ~2000-char tail capture
+                dt = round(time.time() - t0, 2)
                 _ok += 1
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # noqa: BLE001
@@ -217,7 +220,7 @@ def main():
             # inflate the recorded noise floor for flaky queries
             pass_counts[name] = _ok
             errors.pop(name, None)
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     # The driver records only the LAST ~2000 characters of stdout
     # (BENCH_r06 lost its headline total to a >2000-char JSON line).
     # Two lines; the GUARANTEED-PARSEABLE payload prints LAST (the

@@ -747,3 +747,123 @@ def quantile_treatment_effect(
         F.round(F.col("__z.__qc"), 6).alias("q_control"),
         F.round(F.col("__z.__qt") - F.col("__z.__qc"), 6).alias("qte"),
     ).orderBy("q")
+
+
+def diff_in_diff(
+    df: DataFrame,
+    metric_col: str,
+    treated_col: str,
+    post_col: str,
+) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator
+    when assignment was NOT randomized (a staged rollout, a region
+    launch): the treatment effect is the treated group's pre→post
+    change MINUS the control group's, netting out the common time
+    trend that a naive post-only comparison absorbs. Input is
+    unit-period level (one row per unit per period). Returns ONE row:
+    the four cell means (mean_treated_pre, mean_treated_post,
+    mean_control_pre, mean_control_post), their counts, did, se and
+    the 95% CI, with se = √(Σ s²_cell/n_cell) (the standard
+    unpooled four-cell variance); se/CI NULL when any cell has n < 2.
+
+    ONE partial-agged pass: per-cell decimal moments (the
+    cuped_adjust 4-dp grid + decimal(37,8) squares); everything
+    downstream is scalar doubles over the 4-cell table, rounded 6 dp.
+    Complete-case on NULL/NaN metrics and NULL flags (try_cast — the
+    two_proportion convention).
+    """
+    yd = F.col(metric_col).cast("double")
+    y = F.round(yd, 4).cast("decimal(18,4)")
+    t = F.col(treated_col).try_cast("boolean")
+    p = F.col(post_col).try_cast("boolean")
+    base = df.filter(
+        yd.isNotNull() & ~F.isnan(yd) & t.isNotNull() & p.isNotNull()
+    ).select(t.alias("__t"), p.alias("__p"), y.alias("__y"))
+
+    def cell(tt, pp, what):
+        cond = (F.col("__t") == tt) & (F.col("__p") == pp)
+        if what == "n":
+            return F.sum(cond.cast("int")).cast("bigint")
+        if what == "s":
+            return F.sum(F.when(cond, F.col("__y")))
+        return F.sum(F.when(cond, F.col("__y") * F.col("__y")))
+
+    acc = base.agg(
+        *[
+            expr.alias(f"__{name}")
+            for name, expr in [
+                ("n_tp", cell(True, False, "n")),
+                ("s_tp", cell(True, False, "s")),
+                ("q_tp", cell(True, False, "q")),
+                ("n_ta", cell(True, True, "n")),
+                ("s_ta", cell(True, True, "s")),
+                ("q_ta", cell(True, True, "q")),
+                ("n_cp", cell(False, False, "n")),
+                ("s_cp", cell(False, False, "s")),
+                ("q_cp", cell(False, False, "q")),
+                ("n_ca", cell(False, True, "n")),
+                ("s_ca", cell(False, True, "s")),
+                ("q_ca", cell(False, True, "q")),
+            ]
+        ]
+    )
+
+    def mean(s, n):
+        return F.col(f"__{s}").cast("double") / F.col(f"__{n}").cast(
+            "double"
+        )
+
+    def varm(q, s, n):
+        nn = F.col(f"__{n}").cast("double")
+        ss = F.col(f"__{s}").cast("double")
+        return (F.col(f"__{q}").cast("double") - ss * (ss / nn)) / (
+            nn - 1.0
+        )
+
+    m_tp = mean("s_tp", "n_tp")
+    m_ta = mean("s_ta", "n_ta")
+    m_cp = mean("s_cp", "n_cp")
+    m_ca = mean("s_ca", "n_ca")
+    did = (m_ta - m_tp) - (m_ca - m_cp)
+    all_n2 = (
+        (F.col("__n_tp") > 1)
+        & (F.col("__n_ta") > 1)
+        & (F.col("__n_cp") > 1)
+        & (F.col("__n_ca") > 1)
+    )
+    var = (
+        varm("q_tp", "s_tp", "n_tp") / F.col("__n_tp").cast("double")
+        + varm("q_ta", "s_ta", "n_ta") / F.col("__n_ta").cast("double")
+        + varm("q_cp", "s_cp", "n_cp") / F.col("__n_cp").cast("double")
+        + varm("q_ca", "s_ca", "n_ca") / F.col("__n_ca").cast("double")
+    )
+    se = F.when(all_n2 & (var >= 0), F.sqrt(var))
+    any_n0 = (
+        (F.col("__n_tp") > 0)
+        & (F.col("__n_ta") > 0)
+        & (F.col("__n_cp") > 0)
+        & (F.col("__n_ca") > 0)
+    )
+    did_g = F.when(any_n0, did)
+    return acc.select(
+        F.col("__n_tp").alias("n_treated_pre"),
+        F.col("__n_ta").alias("n_treated_post"),
+        F.col("__n_cp").alias("n_control_pre"),
+        F.col("__n_ca").alias("n_control_post"),
+        F.round(F.when(F.col("__n_tp") > 0, m_tp), 6).alias(
+            "mean_treated_pre"
+        ),
+        F.round(F.when(F.col("__n_ta") > 0, m_ta), 6).alias(
+            "mean_treated_post"
+        ),
+        F.round(F.when(F.col("__n_cp") > 0, m_cp), 6).alias(
+            "mean_control_pre"
+        ),
+        F.round(F.when(F.col("__n_ca") > 0, m_ca), 6).alias(
+            "mean_control_post"
+        ),
+        F.round(did_g, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did_g - F.lit(1.959963985) * se, 6).alias("ci_lo"),
+        F.round(did_g + F.lit(1.959963985) * se, 6).alias("ci_hi"),
+    )

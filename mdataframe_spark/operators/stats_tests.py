@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked as _persist_tracked
+
 
 def _chi2_p(chi2_col, dof_col):
     """Upper-tail chi-square p = Q(dof/2, chi2/2) as an Arrow-batched
@@ -1386,6 +1388,160 @@ def cochran_armitage_trend(
     z = F.when((pbar > 0) & (pbar < 1) & (spread > 0), num / F.sqrt(var))
     out = acc.select(
         "n", "n_groups", "n_successes", F.round(z, 6).alias("z")
+    )
+    if with_p:
+        out = out.withColumn("p_value", _z_p(F.col("z")))
+    return out
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    score_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test — "does
+    ``value_col`` shift monotonically UP across the ordered groups?":
+    the continuous-response companion of the Cochran-Armitage trend
+    test (which handles proportions) and the ordered upgrade of
+    Kruskal-Wallis (which wastes power ignoring the group order).
+    JT = Σ_{i<j} U_ij over group pairs in score order, with the
+    standard ½ tie credit; z uses the tie-corrected null variance
+    (Hollander & Wolfe — verified against a Monte-Carlo permutation
+    null in tests). Returns ONE row: (n, n_groups, n_values,
+    jt2 — the DOUBLED statistic, an exact integer — e2_jt, z); z NULL
+    when the variance degenerates.
+
+    Decomposition: ONE (score, value) cell collapse bounds everything
+    downstream by k × distinct values; the cross-group "less-than"
+    mass accumulates on the DENSE (value × group) grid via two
+    cumulative windows (strictly-lower groups within value, then
+    strictly-lower values within group — the dense zero-filled grid is
+    what makes the value prefix complete), all exact integers;
+    variance moments are decimal products ≤ precision 38. Quantize
+    continuous values upstream to bound the grid (the documented
+    spearman/wasserstein knob).
+    """
+    v = F.col(value_col).cast("double")
+    s = F.col(score_col).cast("bigint")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & s.isNotNull()
+    ).select(s.alias("__s"), v.alias("__v"))
+    cells = base.groupBy("__s", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    cells = _persist_tracked(cells)
+    groups = cells.select("__s").distinct()
+    values = cells.select("__v").distinct()
+    grid = (
+        values.crossJoin(groups)
+        .join(cells, ["__s", "__v"], "left")
+        .select(
+            "__s",
+            "__v",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("__n"),
+        )
+    )
+    wg = Window.partitionBy("__v").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wv = Window.partitionBy("__s").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dense = grid.withColumn(
+        "__cumg", F.coalesce(F.sum("__n").over(wg), F.lit(0))
+    ).withColumn(
+        "__l", F.coalesce(F.sum("__cumg").over(wv), F.lit(0))
+    )
+    dec12 = "decimal(12,0)"
+    dec18 = "decimal(18,0)"
+    term1 = dense.agg(
+        # (2n) folds into ONE bigint first: a decimal triple product
+        # would exceed width 38 on the DuckDB side
+        F.sum(
+            (F.lit(2) * F.col("__n")).cast(dec18)
+            * F.col("__l").cast(dec18)
+        ).cast("decimal(38,0)").alias("__t1")
+    )
+    # per-value pair mass in BIGINT (exact while per-value counts stay
+    # below ~3e9 — the gini scaled-integer bound convention); the
+    # halving is an exact shift (T^2 - sum n^2 is always even)
+    vblocks = cells.groupBy("__v").agg(
+        F.sum("__n").cast("bigint").alias("__t"),
+        F.sum(F.col("__n") * F.col("__n")).cast("bigint").alias("__snn"),
+    )
+    tacc = vblocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(
+            F.shiftright(
+                F.col("__t") * F.col("__t") - F.col("__snn"), 1
+            )
+        ).cast("decimal(38,0)").alias("__tie2h"),
+        F.sum(
+            F.col("__t").cast(dec12)
+            * (F.col("__t") - 1).cast(dec12)
+            * (2 * F.col("__t") + 5).cast(dec12)
+        ).cast("decimal(38,0)").alias("__tv25"),
+        F.sum(
+            F.col("__t").cast(dec12)
+            * (F.col("__t") - 1).cast(dec12)
+            * (F.col("__t") - 2).cast(dec12)
+        ).cast("decimal(38,0)").alias("__tv12"),
+        F.sum(
+            F.col("__t").cast(dec18) * (F.col("__t") - 1).cast(dec18)
+        ).cast("decimal(38,0)").alias("__tv1"),
+    )
+    gsizes = cells.groupBy("__s").agg(F.sum("__n").cast("bigint").alias("__gn"))
+    gacc = gsizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("__gn").cast("bigint").alias("n"),
+        F.sum(
+            F.col("__gn").cast(dec18) * F.col("__gn").cast(dec18)
+        ).cast("decimal(38,0)").alias("__gnn"),
+        F.sum(
+            F.col("__gn").cast(dec12)
+            * (F.col("__gn") - 1).cast(dec12)
+            * (2 * F.col("__gn") + 5).cast(dec12)
+        ).cast("decimal(38,0)").alias("__gn25"),
+        F.sum(
+            F.col("__gn").cast(dec12)
+            * (F.col("__gn") - 1).cast(dec12)
+            * (F.col("__gn") - 2).cast(dec12)
+        ).cast("decimal(38,0)").alias("__gn12"),
+        F.sum(
+            F.col("__gn").cast(dec18) * (F.col("__gn") - 1).cast(dec18)
+        ).cast("decimal(38,0)").alias("__gn1"),
+    )
+    acc = gacc.crossJoin(F.broadcast(term1)).crossJoin(F.broadcast(tacc))
+    nd = F.col("n").cast("double")
+    # doubled statistic and doubled null mean (exact integers)
+    jt2 = F.col("__t1").cast("double") + F.col("__tie2h").cast("double")
+    e2 = (nd * nd - F.col("__gnn").cast("double")) / 2.0
+    var = (
+        (
+            nd * (nd - 1.0) * (2.0 * nd + 5.0)
+            - F.col("__gn25").cast("double")
+            - F.col("__tv25").cast("double")
+        )
+        / 72.0
+        + F.col("__gn12").cast("double")
+        * F.col("__tv12").cast("double")
+        / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        + F.col("__gn1").cast("double")
+        * F.col("__tv1").cast("double")
+        / (8.0 * nd * (nd - 1.0))
+    )
+    z = F.when(
+        (F.col("n") > 2) & (var > 0),
+        (jt2 / 2.0 - e2 / 2.0) / F.sqrt(var),
+    )
+    out = acc.select(
+        "n",
+        "n_groups",
+        "n_values",
+        (F.col("__t1") + F.col("__tie2h")).cast("bigint").alias("jt2"),
+        F.round(e2, 6).alias("e2_jt"),
+        F.round(z, 6).alias("z"),
     )
     if with_p:
         out = out.withColumn("p_value", _z_p(F.col("z")))

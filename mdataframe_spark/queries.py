@@ -11156,6 +11156,234 @@ ORDER BY collection_freq DESC, token ASC
 """
 
 
+def e_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences (operators/experiments.py
+    diff_in_diff): per-user pre/post spend around the CUPED midpoint,
+    treated = user-id parity — the quasi-experimental net-of-trend
+    effect with the four-cell unpooled SE. The unit-period long table
+    unpivots through ONE stack; cell moments are exact decimals."""
+    from .operators.experiments import diff_in_diff
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        (F.min("ts") + F.expr("(max(ts) - min(ts)) div 2")).alias("__mid")
+    )
+    v4 = F.round(
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4
+    ).cast("decimal(18,4)")
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") <= F.col("__mid"), v4)),
+                F.lit(0).cast("decimal(18,4)"),
+            ).cast("double").alias("__pre"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") > F.col("__mid"), v4)),
+                F.lit(0).cast("decimal(18,4)"),
+            ).cast("double").alias("__post"),
+        )
+    )
+    long = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.expr(
+            "stack(2, false, __pre, true, __post) as (post, spend)"
+        ),
+    )
+    return diff_in_diff(long, "spend", "treated", "post")
+
+
+E_DID_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, value FROM events
+), mid AS (
+  SELECT min(t) + (max(t) - min(t)) // 2 AS m FROM ns
+), u AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN t <= (SELECT m FROM mid)
+                  THEN CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                            AS DECIMAL(18,4)) END),
+                  0)::DECIMAL(18,4)::DOUBLE AS pre,
+         coalesce(sum(CASE WHEN t > (SELECT m FROM mid)
+                  THEN CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                            AS DECIMAL(18,4)) END),
+                  0)::DECIMAL(18,4)::DOUBLE AS post
+  FROM ns GROUP BY 1
+), long AS (
+  SELECT (user_id % 2 = 0) AS t, false AS p,
+         CAST(round(pre, 4) AS DECIMAL(18,4)) AS y FROM u
+  UNION ALL
+  SELECT (user_id % 2 = 0), true,
+         CAST(round(post, 4) AS DECIMAL(18,4)) FROM u
+), acc AS (
+  SELECT
+    sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+    sum(CASE WHEN t AND NOT p THEN y END) AS s_tp,
+    sum(CASE WHEN t AND NOT p THEN y * y END) AS q_tp,
+    sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT AS n_ta,
+    sum(CASE WHEN t AND p THEN y END) AS s_ta,
+    sum(CASE WHEN t AND p THEN y * y END) AS q_ta,
+    sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS n_cp,
+    sum(CASE WHEN NOT t AND NOT p THEN y END) AS s_cp,
+    sum(CASE WHEN NOT t AND NOT p THEN y * y END) AS q_cp,
+    sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT AS n_ca,
+    sum(CASE WHEN NOT t AND p THEN y END) AS s_ca,
+    sum(CASE WHEN NOT t AND p THEN y * y END) AS q_ca
+  FROM long
+), m AS (
+  SELECT n_tp, n_ta, n_cp, n_ca,
+         s_tp::DOUBLE / n_tp::DOUBLE AS m_tp,
+         s_ta::DOUBLE / n_ta::DOUBLE AS m_ta,
+         s_cp::DOUBLE / n_cp::DOUBLE AS m_cp,
+         s_ca::DOUBLE / n_ca::DOUBLE AS m_ca,
+         (q_tp::DOUBLE - s_tp::DOUBLE * (s_tp::DOUBLE / n_tp::DOUBLE))
+           / (n_tp::DOUBLE - 1.0) AS v_tp,
+         (q_ta::DOUBLE - s_ta::DOUBLE * (s_ta::DOUBLE / n_ta::DOUBLE))
+           / (n_ta::DOUBLE - 1.0) AS v_ta,
+         (q_cp::DOUBLE - s_cp::DOUBLE * (s_cp::DOUBLE / n_cp::DOUBLE))
+           / (n_cp::DOUBLE - 1.0) AS v_cp,
+         (q_ca::DOUBLE - s_ca::DOUBLE * (s_ca::DOUBLE / n_ca::DOUBLE))
+           / (n_ca::DOUBLE - 1.0) AS v_ca
+  FROM acc
+), fin AS (
+  SELECT n_tp, n_ta, n_cp, n_ca, m_tp, m_ta, m_cp, m_ca,
+         CASE WHEN n_tp > 0 AND n_ta > 0 AND n_cp > 0 AND n_ca > 0
+              THEN (m_ta - m_tp) - (m_ca - m_cp) END AS did,
+         CASE WHEN n_tp > 1 AND n_ta > 1 AND n_cp > 1 AND n_ca > 1
+                   AND v_tp / n_tp::DOUBLE + v_ta / n_ta::DOUBLE
+                       + v_cp / n_cp::DOUBLE + v_ca / n_ca::DOUBLE >= 0
+              THEN sqrt(v_tp / n_tp::DOUBLE + v_ta / n_ta::DOUBLE
+                        + v_cp / n_cp::DOUBLE + v_ca / n_ca::DOUBLE)
+              END AS se
+  FROM m
+)
+SELECT n_tp AS n_treated_pre, n_ta AS n_treated_post,
+       n_cp AS n_control_pre, n_ca AS n_control_post,
+       round(CASE WHEN n_tp > 0 THEN m_tp END, 6) AS mean_treated_pre,
+       round(CASE WHEN n_ta > 0 THEN m_ta END, 6) AS mean_treated_post,
+       round(CASE WHEN n_cp > 0 THEN m_cp END, 6) AS mean_control_pre,
+       round(CASE WHEN n_ca > 0 THEN m_ca END, 6) AS mean_control_post,
+       round(did, 6) AS did,
+       round(se, 6) AS se,
+       round(did - 1.959963985 * se, 6) AS ci_lo,
+       round(did + 1.959963985 * se, 6) AS ci_hi
+FROM fin
+"""
+
+
+def stat_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra ordered trend (operators/stats_tests.py
+    jonckheere_terpstra): does per-user spend rise monotonically with
+    view-count exposure buckets? Scores = views div 5 capped at 6
+    (ordered doses), values = per-user spend on the 4-dp grid. The
+    doubled statistic is an exact integer over the dense value×group
+    grid; the tie-corrected variance is Monte-Carlo-verified in
+    tests. with_p rides outside the hashed set."""
+    from .operators.stats_tests import jonckheere_terpstra
+
+    ev = _events(spark, sf_dir)
+    v4 = F.round(
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)), 4
+    ).cast("decimal(18,4)")
+    per_user = ev.groupBy("user_id").agg(
+        F.least(
+            F.expr(
+                "sum(cast(event_type = 'view' as int)) div 5"
+            ),
+            F.lit(6).cast("bigint"),
+        ).alias("score"),
+        F.sum(v4).cast("double").alias("spend"),
+    )
+    return jonckheere_terpstra(per_user, "spend", "score", with_p=False)
+
+
+STAT_JT_SQL = """
+WITH u AS (
+  SELECT user_id,
+         least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               // 5, 6)::BIGINT AS s,
+         sum(CAST(round(coalesce(value, 0)::DOUBLE, 4)
+                  AS DECIMAL(18,4)))::DOUBLE AS v
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT s, v, count(*)::BIGINT AS n FROM u GROUP BY 1, 2
+), grid AS (
+  SELECT g.s, vv.v, coalesce(c.n, 0)::BIGINT AS n
+  FROM (SELECT DISTINCT v FROM cells) vv
+  CROSS JOIN (SELECT DISTINCT s FROM cells) g
+  LEFT JOIN cells c ON c.s = g.s AND c.v = vv.v
+), dense AS (
+  SELECT s, v, n,
+         coalesce(sum(n) OVER (PARTITION BY v ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cumg
+  FROM grid
+), dense2 AS (
+  SELECT s, v, n,
+         coalesce(sum(cumg) OVER (PARTITION BY s ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS l
+  FROM dense
+), t1 AS (
+  SELECT sum((2 * n)::DECIMAL(18,0)
+             * l::DECIMAL(18,0))::DECIMAL(38,0) AS t1
+  FROM dense2
+), vb AS (
+  SELECT v, sum(n)::BIGINT AS t,
+         sum(n * n)::BIGINT AS snn
+  FROM cells GROUP BY 1
+), tacc AS (
+  SELECT count(*)::BIGINT AS n_values,
+         sum((t * t - snn) // 2)::DECIMAL(38,0) AS tie2h,
+         sum(t::DECIMAL(12,0) * (t - 1)::DECIMAL(12,0)
+             * (2 * t + 5)::DECIMAL(12,0))::DECIMAL(38,0) AS tv25,
+         sum(t::DECIMAL(12,0) * (t - 1)::DECIMAL(12,0)
+             * (t - 2)::DECIMAL(12,0))::DECIMAL(38,0) AS tv12,
+         sum(t::DECIMAL(18,0) * (t - 1)::DECIMAL(18,0))::DECIMAL(38,0)
+           AS tv1
+  FROM vb
+), gs AS (
+  SELECT s, sum(n)::BIGINT AS gn FROM cells GROUP BY 1
+), gacc AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(gn)::BIGINT AS n,
+         sum(gn::DECIMAL(18,0) * gn::DECIMAL(18,0))::DECIMAL(38,0)
+           AS gnn,
+         sum(gn::DECIMAL(12,0) * (gn - 1)::DECIMAL(12,0)
+             * (2 * gn + 5)::DECIMAL(12,0))::DECIMAL(38,0) AS gn25,
+         sum(gn::DECIMAL(12,0) * (gn - 1)::DECIMAL(12,0)
+             * (gn - 2)::DECIMAL(12,0))::DECIMAL(38,0) AS gn12,
+         sum(gn::DECIMAL(18,0) * (gn - 1)::DECIMAL(18,0))::DECIMAL(38,0)
+           AS gn1
+  FROM gs
+)
+SELECT n, n_groups, n_values,
+       (t1 + tie2h)::BIGINT AS jt2,
+       round((n::DOUBLE * n::DOUBLE - gnn::DOUBLE) / 2.0, 6) AS e2_jt,
+       round(CASE WHEN n > 2
+                  AND (n::DOUBLE * (n::DOUBLE - 1.0)
+                       * (2.0 * n::DOUBLE + 5.0)
+                       - gn25::DOUBLE - tv25::DOUBLE) / 72.0
+                      + gn12::DOUBLE * tv12::DOUBLE
+                        / (36.0 * n::DOUBLE * (n::DOUBLE - 1.0)
+                           * (n::DOUBLE - 2.0))
+                      + gn1::DOUBLE * tv1::DOUBLE
+                        / (8.0 * n::DOUBLE * (n::DOUBLE - 1.0)) > 0
+             THEN ((t1::DOUBLE + tie2h::DOUBLE) / 2.0
+                   - (n::DOUBLE * n::DOUBLE - gnn::DOUBLE) / 2.0 / 2.0)
+                  / sqrt((n::DOUBLE * (n::DOUBLE - 1.0)
+                          * (2.0 * n::DOUBLE + 5.0)
+                          - gn25::DOUBLE - tv25::DOUBLE) / 72.0
+                         + gn12::DOUBLE * tv12::DOUBLE
+                           / (36.0 * n::DOUBLE * (n::DOUBLE - 1.0)
+                              * (n::DOUBLE - 2.0))
+                         + gn1::DOUBLE * tv1::DOUBLE
+                           / (8.0 * n::DOUBLE * (n::DOUBLE - 1.0)))
+             END, 6) AS z
+FROM t1, tacc, gacc
+"""
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -11362,6 +11590,9 @@ EXTRA_QUERIES = {
     "e_qte_deciles": e_qte_deciles,
     "dq_null_patterns": dq_null_patterns,
     "txt_burstiness": txt_burstiness,
+    # --- new in round 11, wave 4: quasi-experimental + ordered trend ---
+    "e_diff_in_diff": e_diff_in_diff,
+    "stat_jonckheere": stat_jonckheere,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
     # --- new in round 10: rank-statistics & concentration wave ---
@@ -11661,6 +11892,9 @@ EXTRA_ORACLES = {
     "e_qte_deciles": E_QTE_SQL,
     "dq_null_patterns": DQ_NULLPAT_SQL,
     "txt_burstiness": TXT_BURSTINESS_SQL,
+    # --- new in round 11, wave 4 ---
+    "e_diff_in_diff": E_DID_SQL,
+    "stat_jonckheere": STAT_JT_SQL,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     # --- new in round 10: rank-statistics & concentration wave ---

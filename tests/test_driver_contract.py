@@ -145,10 +145,10 @@ def test_bench_payload_fits_driver_capture():
 
     import bench
 
-    worst = {name: 999.999 for name in bench.HEADLINE}
+    worst = {name: 999.99 for name in bench.HEADLINE}
     payload = {
         "metric": "headline_queries_wall_clock",
-        "value": round(sum(worst.values()), 3),
+        "value": round(sum(worst.values()), 2),
         "unit": "sec",
         "queries": worst,
         "sf": 0.1,
@@ -173,7 +173,7 @@ def test_bench_payload_fits_driver_capture():
     worst_fail = {
         **payload,
         "queries": {
-            n: 999.999 for n in bench.HEADLINE if n not in longest
+            n: 999.99 for n in bench.HEADLINE if n not in longest
         },
         "passes": capped_passes,
         "n_errors": len(longest),
