@@ -57,8 +57,16 @@ def bh_adjust(
     tiebreak_cols: Sequence[str] = (),
     allow_global: bool = False,
     scale_safe: bool = False,
+    by_correction: bool = False,
 ) -> DataFrame:
     """Benjamini-Hochberg adjusted p-values as a window computation.
+
+    ``by_correction=True`` applies the Benjamini-Yekutieli harmonic
+    factor c(n) = Σ_{i≤n} 1/i (q_i = min_{j≥i} p_j·n·c(n)/j) — the
+    FDR control valid under ARBITRARY dependence between the tests
+    (plain BH assumes independence/PRDS); c(n) is computed in-plan as
+    one more window sum over the ranked frame (the ln(n)+γ-ish factor
+    costs power, so it is opt-in). Window path only.
 
     BH: sort p ascending, q_i = min_{j>=i}( p_j * n / j ), clipped to 1.
     Expressed as two windows: a row_number to get the rank j, then the
@@ -89,6 +97,11 @@ def bh_adjust(
     the computation.
     """
     if scale_safe and not group_cols:
+        if by_correction:
+            raise NotImplementedError(
+                "by_correction is window-path only; the scale-safe arm "
+                "has no BY variant yet"
+            )
         return bh_adjust_scale_safe(df, p_col, out_col, tiebreak_cols=tiebreak_cols)
     parts = list(group_cols or [])
     if not parts:
@@ -104,6 +117,28 @@ def bh_adjust(
     )
     n = F.count(F.when(F.col(p_col).isNotNull(), 1)).over(w_n)
     rank = F.row_number().over(w_rank)
+    if by_correction:
+        # c(n) = sum over ranked non-null rows of 1/rank — the rank
+        # materializes first (window functions cannot nest), then one
+        # more window sum over the same (already single-reducer)
+        # frame; the harmonic terms differ across engines only in the
+        # last ulp, far below the output rounding grid
+        staged = df.withColumn("__bh_rank", rank)
+        harm = F.sum(
+            F.when(
+                F.col(p_col).isNotNull(),
+                F.lit(1.0) / F.col("__bh_rank"),
+            )
+        ).over(w_n)
+        raw = F.col(p_col) * n / F.col("__bh_rank") * harm
+        return (
+            staged.withColumn("__bh_raw", raw)
+            .withColumn(
+                out_col,
+                F.least(F.min("__bh_raw").over(w_runmin), F.lit(1.0)),
+            )
+            .drop("__bh_raw", "__bh_rank")
+        )
     raw = F.col(p_col) * n / rank
     return (
         df.withColumn("__bh_raw", raw)

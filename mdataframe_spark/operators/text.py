@@ -1627,3 +1627,65 @@ def token_burstiness(
         .orderBy(F.col("collection_freq").desc(), F.col("token").asc())
         .limit(int(top_k))
     )
+
+
+def good_turing_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 10,
+) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus unigram
+    spectrum: for each low count r, the adjusted count
+    r* = (r+1)·S(r+1)/S(r) (Good 1953) — the estimate behind
+    Katz/Kneser-Ney discounting and the "how much probability mass do
+    unseen tokens deserve?" question :func:`vocab_richness` answers
+    only at r = 0. Returns one row per count r = 1..``max_r`` with
+    S(r) > 0: (r, s_r, s_r_next, r_star, raw_mass, smoothed_mass),
+    ordered by r; r* NULL when S(r+1) = 0 (the classic estimator is
+    undefined there — smooth the spectrum upstream if the tail
+    matters).
+
+    ONE (token) count collapse, one frequency-of-frequencies collapse
+    (bounded by distinct counts), one self-lag join on r+1 over the
+    spectrum-bounded table. Exact integer ratios, 6 dp.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    toks = df.select(
+        F.explode(F.split(norm, _WS)).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    spectrum = counts.groupBy(F.col("__c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_r")
+    )
+    spectrum = _persist_tracked(spectrum)
+    tot = counts.agg(F.sum("__c").cast("bigint").alias("__n"))
+    nxt = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("s_r").alias("s_r_next")
+    )
+    j = (
+        spectrum.filter(F.col("r") <= int(max_r))
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    rd = F.col("r").cast("double")
+    r_star = F.when(
+        F.col("s_r_next").isNotNull() & (F.col("s_r") > 0),
+        (rd + 1.0)
+        * F.col("s_r_next").cast("double")
+        / F.col("s_r").cast("double"),
+    )
+    nd = F.col("__n").cast("double")
+    return j.select(
+        F.col("r").cast("bigint").alias("r"),
+        "s_r",
+        F.coalesce(F.col("s_r_next"), F.lit(0)).cast("bigint").alias(
+            "s_r_next"
+        ),
+        F.round(r_star, 6).alias("r_star"),
+        F.round(rd * F.col("s_r").cast("double") / nd, 6).alias(
+            "raw_mass"
+        ),
+        F.round(
+            r_star * F.col("s_r").cast("double") / nd, 6
+        ).alias("smoothed_mass"),
+    ).orderBy("r")

@@ -11384,6 +11384,163 @@ FROM t1, tacc, gacc
 """
 
 
+def stat_effect_sizes(spark, sf_dir):
+    """Standardized effect sizes (operators/stats_tests.py
+    effect_sizes) for the returned-vs-kept lineitem quantity split:
+    Cohen's d / Hedges' g from the 4-dp-rounded moment sums (the
+    welch_ttest convention) and the Vargha-Delaney A from the exact
+    doubled rank decomposition — the magnitude read-out beside the
+    drift battery's p-values."""
+    from .operators.stats_tests import effect_sizes
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_quantity", (F.col("l_returnflag") == "R").alias("is_returned")
+    )
+    return effect_sizes(d, "l_quantity", "is_returned")
+
+
+STAT_EFFECT_SQL = """
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS v, (l_returnflag = 'R') AS g
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+), per AS (
+  SELECT g, count(*)::BIGINT AS n,
+         round(sum(v), 4) AS s1, round(sum(v * v), 4) AS s2
+  FROM base GROUP BY g
+), one AS (
+  SELECT sum(CASE WHEN g THEN n END)::BIGINT AS n1,
+         sum(CASE WHEN g THEN s1 END) AS s1a,
+         sum(CASE WHEN g THEN s2 END) AS s2a,
+         sum(CASE WHEN NOT g THEN n END)::BIGINT AS n2,
+         sum(CASE WHEN NOT g THEN s1 END) AS s1b,
+         sum(CASE WHEN NOT g THEN s2 END) AS s2b
+  FROM per
+), blocks AS (
+  SELECT v, count(*)::BIGINT AS t,
+         sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS t1
+  FROM base GROUP BY v
+), cum AS (
+  SELECT t1, t,
+         sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumt
+  FROM blocks
+), u AS (
+  SELECT sum(t1::DECIMAL(18,0)
+             * (2 * cumt - t + 1)::DECIMAL(18,0))::DECIMAL(38,0) AS r2
+  FROM cum
+), m AS (
+  SELECT n1, n2,
+         s1a / n1::DOUBLE AS m1, s1b / n2::DOUBLE AS m2,
+         CASE WHEN n1 > 1
+              THEN (s2a - s1a * (s1a / n1::DOUBLE)) / (n1::DOUBLE - 1)
+              END AS v1,
+         CASE WHEN n2 > 1
+              THEN (s2b - s1b * (s1b / n2::DOUBLE)) / (n2::DOUBLE - 1)
+              END AS v2,
+         r2
+  FROM one, u
+), fin AS (
+  SELECT n1, n2, m1, m2, r2,
+         CASE WHEN n1 > 1 AND n2 > 1
+              THEN ((n1::DOUBLE - 1.0) * v1 + (n2::DOUBLE - 1.0) * v2)
+                   / (n1::DOUBLE + n2::DOUBLE - 2.0) END AS pooled
+  FROM m
+)
+SELECT n1, n2,
+       round(CASE WHEN n1 > 0 AND n2 > 0 THEN m1 - m2 END, 6)
+         AS mean_diff,
+       round(CASE WHEN pooled > 0
+             THEN (m1 - m2) / sqrt(pooled) END, 6) AS cohens_d,
+       round(CASE WHEN pooled > 0 THEN (m1 - m2) / sqrt(pooled) END
+             * (1.0 - 3.0 / (4.0 * (n1::DOUBLE + n2::DOUBLE) - 9.0)),
+             6) AS hedges_g,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+             THEN (r2::DOUBLE - n1::DOUBLE * (n1::DOUBLE + 1.0))
+                  / (2.0 * n1::DOUBLE * n2::DOUBLE) END, 6) AS vd_a
+FROM fin
+"""
+
+
+def txt_good_turing(spark, sf_dir):
+    """Good-Turing smoothed counts (operators/text.py
+    good_turing_frequencies) over the corpus unigram spectrum — the
+    Katz/KN discount source; r* = (r+1)·S(r+1)/S(r) for r ≤ 10. One
+    token collapse, one spectrum collapse, one lag join."""
+    from .operators.text import good_turing_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    return good_turing_frequencies(docs, max_r=10)
+
+
+TXT_GT_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok <> '' GROUP BY tok
+), spectrum AS (
+  SELECT c AS r, count(*)::BIGINT AS s_r FROM counts GROUP BY c
+), tot AS (
+  SELECT sum(c)::BIGINT AS n FROM counts
+), j AS (
+  SELECT a.r, a.s_r, b.s_r AS s_r_next
+  FROM spectrum a LEFT JOIN spectrum b ON b.r = a.r + 1
+  WHERE a.r <= 10
+)
+SELECT r, s_r, coalesce(s_r_next, 0)::BIGINT AS s_r_next,
+       round(CASE WHEN s_r_next IS NOT NULL AND s_r > 0
+             THEN (r::DOUBLE + 1.0) * s_r_next::DOUBLE / s_r::DOUBLE
+             END, 6) AS r_star,
+       round(r::DOUBLE * s_r::DOUBLE / (SELECT n FROM tot)::DOUBLE, 6)
+         AS raw_mass,
+       round(CASE WHEN s_r_next IS NOT NULL AND s_r > 0
+             THEN (r::DOUBLE + 1.0) * s_r_next::DOUBLE / s_r::DOUBLE
+             END
+             * s_r::DOUBLE / (SELECT n FROM tot)::DOUBLE, 6)
+         AS smoothed_mass
+FROM j ORDER BY r
+"""
+
+
+def w_by_fdr(spark, sf_dir):
+    """Benjamini-Yekutieli FDR (functions/stats.py bh_adjust with
+    by_correction) over the same per-part pseudo p-values as
+    w1_bh_fdr — the arbitrary-dependence-valid correction with the
+    in-plan harmonic factor c(n) = Σ 1/i."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(F.avg("l_discount") * 10, 6).alias("p")
+    )
+    out = bh_adjust(
+        p, "p", "fdr", tiebreak_cols=["partkey"], by_correction=True
+    )
+    return out.select("partkey", "p", F.round("fdr", 8).alias("fdr"))
+
+
+W_BY_SQL = """
+WITH p AS (
+  SELECT l_partkey AS partkey, round(avg(l_discount) * 10, 6) AS p
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT partkey, p,
+         row_number() OVER (ORDER BY p, partkey) AS rn,
+         count(*) OVER () AS n
+  FROM p
+), h AS (
+  SELECT sum(1.0 / rn) AS c FROM r
+)
+SELECT partkey, p,
+       round(least(min(p * n / rn * (SELECT c FROM h))
+                   OVER (ORDER BY p, partkey
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING), 1.0), 8) AS fdr
+FROM r
+"""
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -11593,6 +11750,10 @@ EXTRA_QUERIES = {
     # --- new in round 11, wave 4: quasi-experimental + ordered trend ---
     "e_diff_in_diff": e_diff_in_diff,
     "stat_jonckheere": stat_jonckheere,
+    # --- new in round 11, wave 5: effect sizes / GT smoothing / BY ---
+    "stat_effect_sizes": stat_effect_sizes,
+    "txt_good_turing": txt_good_turing,
+    "w_by_fdr": w_by_fdr,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
     # --- new in round 10: rank-statistics & concentration wave ---
@@ -11895,6 +12056,10 @@ EXTRA_ORACLES = {
     # --- new in round 11, wave 4 ---
     "e_diff_in_diff": E_DID_SQL,
     "stat_jonckheere": STAT_JT_SQL,
+    # --- new in round 11, wave 5 ---
+    "stat_effect_sizes": STAT_EFFECT_SQL,
+    "txt_good_turing": TXT_GT_SQL,
+    "w_by_fdr": W_BY_SQL,
     # --- new in round 10: end-to-end pipeline composition ---
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     # --- new in round 10: rank-statistics & concentration wave ---

@@ -132,3 +132,27 @@ def paired_flags_stream(
     return paired_conversion_state(
         events, boundary_ts, user_col, ts_col, event_type_col, event_value
     )
+
+
+def null_patterns_stream(events: DataFrame, cols) -> DataFrame:
+    """Running co-missingness pattern counts over an event stream —
+    the per-mask row counts are pure COUNT monoids (≤ 2^k state
+    rows). Shares the mask construction with the batch
+    :func:`..operators.diagnostics.null_patterns`; the share/top-k
+    read-out stays in foreachBatch (global functions of the counts).
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("null_patterns_stream: need at least one column")
+    mask = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in cols
+        ]
+    )
+    return (
+        events.select(mask.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -1052,3 +1052,67 @@ def test_paired_flags_stream_matches_batch_and_continues_from_checkpoint(
     assert got_ab[2] == (1, 1)
     assert got_ab[3] == (0, 1)
     assert got_ab[4] == (0, 0)
+
+
+def test_null_patterns_stream_matches_batch_and_continues(
+    spark, tmp_path_factory
+):
+    """Co-missingness pattern counts are pure COUNT monoids: the
+    running per-mask counts after any prefix of micro-batches equal
+    the batch mask groupBy over the same rows."""
+    from mdataframe_spark.streaming.segments import null_patterns_stream
+
+    root = tmp_path_factory.mktemp("null_patterns_stream")
+    src = root / "events"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "a double, b string"
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def batch_counts(rows):
+        from pyspark.sql import functions as F
+
+        d = spark.createDataFrame(rows, schema)
+        mask = F.concat(
+            F.when(F.col("a").isNull(), F.lit("1")).otherwise(F.lit("0")),
+            F.when(F.col("b").isNull(), F.lit("1")).otherwise(F.lit("0")),
+        )
+        return {
+            r["pattern"]: r["n"]
+            for r in d.select(mask.alias("pattern"))
+            .groupBy("pattern")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            null_patterns_stream(stream, ["a", "b"])
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["pattern"]: r["n_rows"]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    a_rows = [(1.0, "x"), (None, "y"), (2.0, None), (None, None)]
+    write_log(a_rows)
+    got_a = run_stream("nullpat_a")
+    assert got_a == batch_counts(a_rows)
+
+    b_rows = [(None, "z"), (3.0, "w"), (None, None), (None, None)]
+    write_log(b_rows)
+    got_ab = run_stream("nullpat_ab")
+    assert got_ab == batch_counts(a_rows + b_rows)
+    assert got_ab["11"] == 3
