@@ -481,7 +481,12 @@ def eb_rate_shrinkage(
     rate_raw, rate_shrunk) plus the repeated prior columns
     (pooled_rate, prior_strength); when the between-key variance does
     not exceed the sampling noise (no real heterogeneity) K is NULL
-    and every rate shrinks fully to the pool.
+    and every rate shrinks fully to the pool. The opposite extreme —
+    between-key variance past the binomial ceiling m(1−m), where the
+    MoM solution turns negative — clamps K at 0 and leaves every rate
+    RAW: extreme heterogeneity means the prior carries no information
+    (round-11 advice item; previously that branch fell into the
+    full-pool shrink reserved for the no-heterogeneity case).
 
     Decomposition: per-key rates and inverse trials round to 9 dp and
     accumulate as exact decimals in ONE keys-bounded pass (rate
@@ -534,12 +539,21 @@ def eb_rate_shrinkage(
         (m * (1.0 - m) - var_p) / (var_p - m * (1.0 - m) * h),
     )
     j = base.crossJoin(F.broadcast(glob))
-    kk = strength
-    shrunk = F.when(
-        kk.isNotNull() & (kk > 0),
-        (F.col("successes").cast("double") + kk * m)
-        / (F.col("trials").cast("double") + kk),
-    ).otherwise(m)
+    # K is clamped at 0 (round-11 advice item): when the between-key
+    # variance exceeds m(1−m) the MoM numerator goes negative — that
+    # is EXTREME heterogeneity, so the prior carries no information
+    # and every rate stays raw (K→0), NOT the full-pool branch that
+    # the no-heterogeneity NULL case takes.
+    kk = F.when(strength.isNotNull(), F.greatest(strength, F.lit(0.0)))
+    shrunk = (
+        F.when(
+            kk.isNotNull() & (kk > 0),
+            (F.col("successes").cast("double") + kk * m)
+            / (F.col("trials").cast("double") + kk),
+        )
+        .when(kk.isNotNull(), F.col("__p").cast("double"))
+        .otherwise(m)
+    )
     return j.select(
         "key",
         "trials",
@@ -715,6 +729,11 @@ def quantile_treatment_effect(
     DuckDB ``quantile_cont(col, [...])`` — the f13 parity convention
     applied element-wise over the 4-dp double grid), then a
     quantiles-bounded explode. NaN/NULL metrics drop complete-case.
+    An EMPTY arm yields NULL quantiles on that side, not an empty
+    frame: the percentile arrays coalesce to all-NULL arrays of
+    len(quantiles) so the per-quantile spine always survives
+    (round-11 advice item — a NULL array would zip/posexplode to
+    zero rows and silently collapse the whole result).
     """
     if not quantiles:
         raise ValueError("quantile_treatment_effect: need quantiles")
@@ -727,6 +746,7 @@ def quantile_treatment_effect(
         vd.isNotNull() & ~F.isnan(vd) & g.isNotNull()
     ).select(g.alias("__g"), F.round(vd, 4).alias("__v"))
     arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    nulls = F.array(*[F.lit(None).cast("double") for _ in qs])
     acc = base.agg(
         F.expr(
             f"percentile(CASE WHEN __g THEN __v END, {arr})"
@@ -734,6 +754,9 @@ def quantile_treatment_effect(
         F.expr(
             f"percentile(CASE WHEN NOT __g THEN __v END, {arr})"
         ).alias("__qc"),
+    ).select(
+        F.coalesce(F.col("__qt"), nulls).alias("__qt"),
+        F.coalesce(F.col("__qc"), nulls).alias("__qc"),
     )
     qdf = acc.select(
         F.posexplode(

@@ -325,7 +325,9 @@ def decode_wav(payload: bytes) -> dict:
 def _wav_features(payload: bytes, dim: int = 8) -> list:
     """REAL audio features from a decoded WAV: [sample_rate, channels,
     n_frames, duration_s, dc_mean, rms, peak, zero_crossing_rate],
-    truncated/padded to ``dim``. Amplitudes normalize by the width's
+    truncated/padded to ``dim``. The zero-crossing rate is computed
+    per channel (consecutive FRAMES within one channel, m[:, c]) and
+    averaged across channels — never across the interleaved stream. Amplitudes normalize by the width's
     full scale (2^(bits−1)); sums accumulate as exact int64 (numpy
     integer reduction — order-independent), so the features are
     engine-portable like the PNG pixel means."""
@@ -349,8 +351,14 @@ def _wav_features(payload: bytes, dim: int = 8) -> list:
         mf = m.astype(np.float64)
         ss = float((mf * mf).sum())
     peak = int(np.abs(m).max())
-    flat = m.reshape(-1)
-    zc = int(((flat[:-1] < 0) != (flat[1:] < 0)).sum()) if n > 1 else 0
+    # zero-crossing rate PER CHANNEL, averaged (round-11 advice item:
+    # the flat interleaved stream compared c0 vs c1 within a frame,
+    # making the feature a channel-phase artifact). Each channel has
+    # the same frame count, so the mean of per-channel rates equals
+    # total crossings / (channels * (n_frames - 1)).
+    n_frames = m.shape[0]
+    zc = int(((m[:-1] < 0) != (m[1:] < 0)).sum()) if n_frames > 1 else 0
+    zc_denom = channels * max(n_frames - 1, 1)
     feats = [
         float(sample_rate),
         float(channels),
@@ -359,7 +367,7 @@ def _wav_features(payload: bytes, dim: int = 8) -> list:
         round(s / n / full_scale, 9),
         round((ss / n) ** 0.5 / full_scale, 9),
         round(peak / full_scale, 9),
-        round(zc / max(n - 1, 1), 9),
+        round(zc / zc_denom, 9),
     ]
     return (feats + [0.0] * dim)[:dim]
 

@@ -1046,9 +1046,16 @@ def dispersion_nb_fit(
     ONE aggregation: n, Σk, Σk² as exact integers (decimal(38,0) for
     the square sum); mean/variance/Fano are scalar doubles over those
     sums, rounded 6 dp — any SQL engine replays them bit-for-bit.
+
+    NaN counts drop complete-case like NULLs (round-11 advice item:
+    a plain non-ANSI bigint cast turns NaN into 0, silently deflating
+    the moments — the double image is NaN-filtered BEFORE the cast).
+    Fractional counts still truncate on the bigint grid, documented:
+    counts are integers by contract.
     """
+    kd = F.col(count_col).cast("double")
     k = F.col(count_col).cast("bigint")
-    base = df.filter(k.isNotNull())
+    base = df.filter(kd.isNotNull() & ~F.isnan(kd))
     acc = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(k).cast("decimal(38,0)").alias("__sk"),
@@ -1567,12 +1574,16 @@ def effect_sizes(
     Decomposition: the welch_ttest moment convention (per-group sums
     rounded to 4 dp before the arithmetic) + the mannwhitney
     distinct-value rank blocks for the doubled U — both exact in SQL.
+
+    Complete-case on the POST-cast group flag (try_cast — the
+    two_proportion convention) and on NaN values: a row whose group
+    value casts to NULL boolean is excluded from BOTH the moment sums
+    and the pooled tie counts, so vd_a's rank decomposition and n1/n2
+    always describe the same population (round-11 advice item).
     """
-    flag = F.col(group_col).cast("boolean")
+    flag = F.col(group_col).try_cast("boolean")
     v = F.col(value_col).cast("double")
-    base = df.filter(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
-    )
+    base = df.filter(v.isNotNull() & ~F.isnan(v) & flag.isNotNull())
     per = base.groupBy(flag.alias("__g")).agg(
         F.count(F.lit(1)).alias("__n"),
         F.round(F.sum(v), 4).alias("__s1"),

@@ -10535,11 +10535,14 @@ WITH u AS (
 )
 SELECT key, trials, successes,
        round(p::DOUBLE, 6) AS rate_raw,
-       round(CASE WHEN kk IS NOT NULL AND kk > 0
-             THEN (successes::DOUBLE + kk * m) / (trials::DOUBLE + kk)
+       round(CASE WHEN kk IS NOT NULL AND greatest(kk, 0.0) > 0
+             THEN (successes::DOUBLE + greatest(kk, 0.0) * m)
+                  / (trials::DOUBLE + greatest(kk, 0.0))
+             WHEN kk IS NOT NULL THEN p::DOUBLE
              ELSE m END, 6) AS rate_shrunk,
        round(m, 6) AS pooled_rate,
-       round(kk, 6) AS prior_strength
+       round(CASE WHEN kk IS NOT NULL THEN greatest(kk, 0.0) END, 6)
+         AS prior_strength
 FROM b, s ORDER BY key
 """
 

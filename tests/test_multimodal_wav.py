@@ -135,8 +135,10 @@ def test_wav_features_match_numpy():
         math.sqrt((flat.astype(float) ** 2).mean()) / fs, abs=1e-9
     )
     assert feats[6] == pytest.approx(np.abs(flat).max() / fs, abs=1e-9)
-    zc = ((flat[:-1] < 0) != (flat[1:] < 0)).sum()
-    assert feats[7] == pytest.approx(zc / (flat.size - 1), abs=1e-9)
+    # per-channel crossings averaged across channels (round-12: the
+    # interleaved-stream definition was a channel-phase artifact)
+    zc = ((m[:-1] < 0) != (m[1:] < 0)).sum()
+    assert feats[7] == pytest.approx(zc / (2 * (m.shape[0] - 1)), abs=1e-9)
 
 
 def test_wav_features_silence_and_empty():
