@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import DEFAULT_MAX_STEPS, probe_collapsed
 from .stats_tests import _chi2_p, _z_p
 
 
@@ -629,6 +630,7 @@ def msprt_monitor(
     tau2: float = 0.01,
     alpha: float = 0.05,
     period_ns: int = 3_600_000_000_000,
+    max_buckets: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Mixture sequential probability ratio test (mSPRT, Johari et
     al. 2017 "Peeking at A/B tests") — the ALWAYS-VALID p-value for a
@@ -636,7 +638,9 @@ def msprt_monitor(
     at a pre-committed sample size, and peeking hourly inflates false
     positives several-fold; the mSPRT's p_t = 1 / max_{s≤t} Λ_s is
     valid at EVERY look, so the dashboard can stop the moment it
-    crosses α. Λ uses the normal mixture prior N(0, τ²) over the
+    crosses α. The bucket table must stay model-sized (pick period_ns
+    at dashboard granularity) — RUNTIME-ENFORCED by a ``max_buckets``
+    count probe (default 100k; None disables). Λ uses the normal mixture prior N(0, τ²) over the
     effect: Λ_t = √(V_t/(V_t+τ²)) · exp(τ²·δ_t² / (2·V_t·(V_t+τ²)))
     with δ_t the running rate difference and V_t the pooled variance
     of δ_t. Returns one row per period bucket, ordered: (bucket, n1,
@@ -664,12 +668,20 @@ def msprt_monitor(
         g.alias("__g"),
         s.alias("__s"),
     )
-    inc = base.groupBy("__bucket").agg(
+    from ..cache import persist_tracked
+
+    # the bucket table is persisted and count-probed (round-12): its
+    # cumulative windows and running max all ride ONE unpartitioned
+    # ordered window, sound only while buckets stay model-sized —
+    # period_ns too fine (or a raw-timestamp bucket) now fails loud
+    # instead of going single-reducer silently
+    inc = persist_tracked(base.groupBy("__bucket").agg(
         F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__dn1"),
         F.sum(F.when(F.col("__g"), F.col("__s")).otherwise(0)).alias("__dx1"),
         F.sum(F.when(~F.col("__g"), 1).otherwise(0)).alias("__dn2"),
         F.sum(F.when(~F.col("__g"), F.col("__s")).otherwise(0)).alias("__dx2"),
-    )
+    ))
+    probe_collapsed(inc, max_buckets, "msprt_monitor", "bucket", "max_buckets")
     w = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import persist_tracked as _persist_tracked
+from .guards import DEFAULT_MAX_CELLS, DEFAULT_MAX_STEPS, probe_collapsed
 
 
 def _chi2_p(chi2_col, dof_col):
@@ -782,6 +783,7 @@ def kendall_tau_cells(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_cells: int | None = DEFAULT_MAX_CELLS,
 ) -> DataFrame:
     """Kendall's τ-b from the contingency-cell collapse: ONE
     partial-agged groupBy(x, y) reduces the corpus to cells (x, y,
@@ -800,6 +802,12 @@ def kendall_tau_cells(
     structure is cells-bounded. P and Q are exact integer sums of
     count products accumulated in decimal(38,0) — bit-for-bit
     SQL-replayable.
+
+    The contract is RUNTIME-ENFORCED (round-12): a count probe on the
+    persisted cell table raises :class:`~.guards.CollapsedTableTooLarge`
+    past ``max_cells`` (default 10k — ~5·10⁷ pair terms) instead of
+    letting a raw-continuous input explode the cells² join silently.
+    ``max_cells=None`` disables the guard.
     """
     xd = F.col(x_col).cast("double")
     yd = F.col(y_col).cast("double")
@@ -815,6 +823,7 @@ def kendall_tau_cells(
     from ..cache import persist_tracked
 
     cells = persist_tracked(cells)
+    probe_collapsed(cells, max_cells, "kendall_tau_cells", "cell", "max_cells")
     dec = "decimal(38,0)"
     l, r = cells.alias("l"), cells.alias("r")
     # strict double inequality = concordant; opposite = discordant.
@@ -891,6 +900,7 @@ def wasserstein_1d(
     df: DataFrame,
     value_col: str,
     group_col: str,
+    max_blocks: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """1-D Wasserstein (earth-mover) distance between the TRUE and
     FALSE groups' empirical distributions of ``value_col`` — the
@@ -908,7 +918,14 @@ def wasserstein_1d(
     decimal(38,0) cross-products |cum₁·n₂ − cum₂·n₁|·gap (no float
     CDF is ever formed), divided once by n₁·n₂·10⁴ at the end.
     Everything after the first pass is bounded by distinct values —
-    quantize continuous inputs upstream (the documented knob).
+    quantize continuous inputs upstream (the documented knob). The
+    knob is RUNTIME-ENFORCED (round-12): the block table is persisted
+    (it feeds both the cumulative windows and the totals — one corpus
+    scan, not two) and a count probe raises
+    :class:`~.guards.CollapsedTableTooLarge` past ``max_blocks``
+    (default 100k) instead of silently placing a corpus-sized
+    distinct-value table on ONE ``Window.orderBy`` reducer.
+    ``max_blocks=None`` disables the guard.
     """
     vd = F.col(value_col).cast("double")
     g = F.col(group_col).cast("boolean")
@@ -918,10 +935,13 @@ def wasserstein_1d(
         F.round(vd * 10000).cast("bigint").alias("__v"),
         g.alias("__f"),
     )
-    blocks = base.groupBy("__v").agg(
-        F.count(F.lit(1)).alias("__t"),
-        F.sum(F.col("__f").cast("bigint")).alias("__t1"),
+    blocks = _persist_tracked(
+        base.groupBy("__v").agg(
+            F.count(F.lit(1)).alias("__t"),
+            F.sum(F.col("__f").cast("bigint")).alias("__t1"),
+        )
     )
+    probe_collapsed(blocks, max_blocks, "wasserstein_1d", "block", "max_blocks")
     w = Window.orderBy("__v")
     cum = (
         blocks.withColumn(

@@ -27,12 +27,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import persist_tracked as _persist_tracked
+from .guards import DEFAULT_MAX_STEPS, probe_collapsed
 
 
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
     event_col: str,
+    max_steps: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Kaplan-Meier product-limit estimator: one row per distinct
     duration with (t, n_at_risk, n_events, n_censored, survival),
@@ -47,7 +49,11 @@ def kaplan_meier(
     Plan shape: ONE corpus groupBy(duration) → (d, c) per step; one
     scalar total (broadcast); one cumulative window + the fold over
     the step-bounded table. Quantize durations upstream to keep the
-    step table model-sized.
+    step table model-sized — RUNTIME-ENFORCED (round-12): a count
+    probe on the persisted step table raises
+    :class:`~.guards.CollapsedTableTooLarge` past ``max_steps``
+    (default 100k) instead of silently folding a corpus-sized step
+    table on one window reducer; ``max_steps=None`` disables.
     """
     ev = F.col(event_col).cast("boolean").cast("int")
     td = F.col(duration_col).cast("double")
@@ -65,6 +71,7 @@ def kaplan_meier(
             F.sum(1 - ev).cast("bigint").alias("__c"),
         )
     )
+    probe_collapsed(g, max_steps, "kaplan_meier", "step", "max_steps")
     tot = g.agg(F.sum(F.col("__d") + F.col("__c")).alias("__n"))
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
@@ -107,6 +114,7 @@ def log_rank_test(
     event_col: str,
     group_col: str,
     with_p: bool = True,
+    max_steps: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Log-rank (Mantel-Cox) test: do the TRUE and FALSE groups of
     ``group_col`` share one survival curve? The inferential companion
@@ -122,7 +130,9 @@ def log_rank_test(
 
     Plan shape: the kaplan_meier discipline twice-collapsed — ONE
     corpus groupBy(duration) with per-group event/censor sums, one
-    broadcast total, cumulative windows over the step-bounded table.
+    broadcast total, cumulative windows over the step-bounded table —
+    step-boundedness RUNTIME-ENFORCED by the same ``max_steps`` count
+    probe as :func:`kaplan_meier` (round-12).
     Determinism: risk sets and event counts are exact integers; the
     per-step E and V terms are single IEEE multiply/divide chains
     rounded to 9 dp and summed as exact decimals (order-independent),
@@ -154,6 +164,7 @@ def log_rank_test(
         .cast("bigint")
         .alias("__c2"),
     ))
+    probe_collapsed(steps, max_steps, "log_rank_test", "step", "max_steps")
     tot = steps.agg(
         F.sum(F.col("__d1") + F.col("__c1")).alias("__n1"),
         F.sum(F.col("__d2") + F.col("__c2")).alias("__n2"),
@@ -223,6 +234,7 @@ def rmst(
     duration_col: str,
     event_col: str,
     tau: float | None = None,
+    max_steps: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Restricted mean survival time: the area under the Kaplan-Meier
     curve up to the horizon ``tau`` — "expected event-free time within
@@ -241,7 +253,7 @@ def rmst(
     engine replays the integral bit-for-bit over the step-bounded
     table.
     """
-    km = kaplan_meier(df, duration_col, event_col)
+    km = kaplan_meier(df, duration_col, event_col, max_steps=max_steps)
     wo = Window.orderBy("t")
     stepped = km.select(
         "t",

@@ -467,14 +467,17 @@ def run_factor(factor: int) -> dict:
 
             # the price offsets mint NEW distinct values per copy (the
             # spearman axis): the distinct-value block table grows with
-            # the corpus — the honest worst case for the cumsum window
+            # the corpus — the honest worst case for the cumsum window.
+            # max_blocks=None: the stress harness measures the raw arm
+            # DELIBERATELY; production calls hit the round-12 loud cap
+            # instead of reaching this regime silently.
             d = liq.select(
                 "l_extendedprice",
                 (F.col("l_quantity") >= 25).alias("__g"),
             )
-            wasserstein_1d(d, "l_extendedprice", "__g").write.format(
-                "noop"
-            ).mode("overwrite").save()
+            wasserstein_1d(
+                d, "l_extendedprice", "__g", max_blocks=None
+            ).write.format("noop").mode("overwrite").save()
 
         record("wasserstein_raw", factor, timed(wasserstein_raw), n_liq)
 
