@@ -152,7 +152,11 @@ def test_bench_payload_fits_driver_capture():
         "unit": "sec",
         "queries": worst,
         "sf": 0.1,
-        "timing": "min2_warm2_gc",
+        # round-12 anchor-normalization scalars at worst-case width
+        # (short keys; the methodology string moved to the sacrificial
+        # summary line to pay for them)
+        "anchor": 2999.997,
+        "norm": 999.99,
     }
     line = _json.dumps(payload, separators=(",", ":"))
     assert len(line) <= 1900, (
