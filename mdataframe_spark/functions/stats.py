@@ -66,7 +66,12 @@ def bh_adjust(
     FDR control valid under ARBITRARY dependence between the tests
     (plain BH assumes independence/PRDS); c(n) is computed in-plan as
     one more window sum over the ranked frame (the ln(n)+γ-ish factor
-    costs power, so it is opt-in). Window path only.
+    costs power, so it is opt-in). With ``scale_safe=True`` the same
+    correction rides the range-partitioned arm: c(n) is a single
+    scalar function of n, so the distributed BH decomposition carries
+    it as one driver-computed multiplier (round-12; previously
+    NotImplementedError — a 100 TB per-document correction under
+    dependence had no path).
 
     BH: sort p ascending, q_i = min_{j>=i}( p_j * n / j ), clipped to 1.
     Expressed as two windows: a row_number to get the rank j, then the
@@ -97,12 +102,13 @@ def bh_adjust(
     the computation.
     """
     if scale_safe and not group_cols:
-        if by_correction:
-            raise NotImplementedError(
-                "by_correction is window-path only; the scale-safe arm "
-                "has no BY variant yet"
-            )
-        return bh_adjust_scale_safe(df, p_col, out_col, tiebreak_cols=tiebreak_cols)
+        return bh_adjust_scale_safe(
+            df,
+            p_col,
+            out_col,
+            tiebreak_cols=tiebreak_cols,
+            by_correction=by_correction,
+        )
     parts = list(group_cols or [])
     if not parts:
         _guard_unpartitioned(df, "bh_adjust", allow_global)
@@ -147,12 +153,39 @@ def bh_adjust(
     )
 
 
+def _harmonic(n: int) -> float:
+    """H_n = Σ_{i≤n} 1/i — exact ascending-order loop for small n (the
+    same order the window arm's per-rank sum accumulates in, so the
+    two arms agree to the last ulp at test scale); Euler-Maclaurin
+    asymptotic H_n = ln n + γ + 1/(2n) − 1/(12n²) + 1/(120n⁴) beyond
+    (remainder O(n⁻⁶) < 1e-30 at the crossover — far below double
+    ulp), so a 10¹²-test corpus never loops on the driver."""
+    import math
+
+    if n <= 0:
+        return 0.0
+    if n <= 1_000_000:
+        h = 0.0
+        for i in range(1, n + 1):
+            h += 1.0 / i
+        return h
+    ninv = 1.0 / n
+    return (
+        math.log(n)
+        + 0.57721566490153286060651209008240243
+        + ninv / 2.0
+        - ninv * ninv / 12.0
+        + ninv ** 4 / 120.0
+    )
+
+
 def bh_adjust_scale_safe(
     df: DataFrame,
     p_col: str,
     out_col: str = "fdr",
     tiebreak_cols: Sequence[str] = (),
     num_buckets: Optional[int] = None,
+    by_correction: bool = False,
 ) -> DataFrame:
     """EXACT Benjamini-Hochberg without a global window — the corpus-
     scale path (e.g. per-document quality p-values over 100 TB), where
@@ -184,6 +217,14 @@ def bh_adjust_scale_safe(
     pinning the corpus in memory; persist upstream if the input is an
     expensive subplan. Null p-values get a null ``out_col`` and do not
     count toward n.
+
+    ``by_correction=True`` applies Benjamini-Yekutieli: q' becomes
+    p·n·c(n)/j with the harmonic factor c(n) = Σ_{i≤n} 1/i — a single
+    SCALAR function of the already-known n, computed on the driver
+    (:func:`_harmonic`) and folded into the same decomposition; the
+    suffix-min factorization is unchanged because a positive constant
+    commutes with min. Values equal the window arm's BY output
+    (asserted in tests/test_stats.py) and dominate plain BH row-wise.
     """
     spark = df.sparkSession
     if num_buckets is None:
@@ -226,10 +267,16 @@ def bh_adjust_scale_safe(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     grank = off_map[F.col("__bh_bkt")] + F.row_number().over(w_rank)
+    # BY multiplies AFTER the division, in the window arm's exact IEEE
+    # operation order ((p·n)/j)·c — correctly-rounded multiplication by
+    # a positive constant is monotone, so the suffix-min factorization
+    # below commutes with the factor and both arms agree bit-for-bit;
+    # plain BH keeps its expression byte-identical (no spurious ×1.0)
+    q_expr = F.col(p_col) * F.lit(float(n_total)) / grank
+    if by_correction:
+        q_expr = q_expr * F.lit(_harmonic(n_total))
     ranked = with_b.withColumn(
-        "__bh_q", F.when(
-            F.col("__bh_bkt").isNotNull(), F.col(p_col) * F.lit(float(n_total)) / grank
-        )
+        "__bh_q", F.when(F.col("__bh_bkt").isNotNull(), q_expr)
     )
 
     bucket_mins = {
@@ -282,3 +329,60 @@ def add_rank(
     w = Window.partitionBy(*(group_cols or [])).orderBy(order)
     fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[method]
     return df.withColumn(out_col, fn().over(w))
+
+
+def holm_adjust(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "p_holm",
+    group_cols: Optional[Sequence[str]] = None,
+    tiebreak_cols: Sequence[str] = (),
+    allow_global: bool = False,
+) -> DataFrame:
+    """Holm step-down adjusted p-values — FWER control valid under
+    arbitrary dependence with NO independence assumption and uniformly
+    more powerful than plain Bonferroni: sort p ascending, adj_i =
+    max_{j ≤ i} min(p_j·(n − j + 1), 1). The strict family-wise
+    counterpart of :func:`bh_adjust`'s FDR (use Holm when ONE false
+    positive is unacceptable; BH when a controlled false-discovery
+    RATE is).
+
+    Two windows, mirroring bh_adjust's shape but CHEAPER: the rank
+    window plus a running MAX over the SAME ascending order with a
+    growing frame (UNBOUNDED PRECEDING → CURRENT ROW — incremental
+    O(n); no second descending sort at all, where BH's suffix-min
+    needs one). Tied p-values get identical adjusted values (the
+    running max reaches the larger multiplier first). ``group_cols``
+    partitions the family (and is the scale path); without it the
+    single-reducer guard probes the frame size like bh_adjust. NULL p
+    rows keep a NULL ``out_col`` and do not count toward n.
+    """
+    parts = list(group_cols or [])
+    if not parts:
+        _guard_unpartitioned(df, "holm_adjust", allow_global)
+    order_asc = [F.col(p_col).asc_nulls_last()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
+    w_rank = Window.partitionBy(*parts).orderBy(*order_asc)
+    w_n = Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
+    w_runmax = (
+        Window.partitionBy(*parts)
+        .orderBy(*order_asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.when(F.col(p_col).isNotNull(), 1)).over(w_n)
+    rank = F.row_number().over(w_rank)
+    raw = F.when(
+        F.col(p_col).isNotNull(),
+        F.least(F.col(p_col) * (n - rank + 1), F.lit(1.0)),
+    )
+    return (
+        df.withColumn("__holm_raw", raw)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(p_col).isNotNull(), F.max("__holm_raw").over(w_runmax)
+            ),
+        )
+        .drop("__holm_raw")
+    )

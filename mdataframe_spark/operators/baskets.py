@@ -859,3 +859,133 @@ def label_propagation(
         .select("v", "community", "community_size")
         .orderBy("v")
     )
+
+
+def degree_histogram(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Degree distribution of an undirected graph: one row per
+    distinct degree with the node count, share, and the complementary
+    CDF (the log-log tail every power-law eyeball check plots), plus
+    the repeated Hill tail-index estimate α̂ = 1 + n_tail/Σ ln(d/d_min)
+    over the top-degree tail (d ≥ the 90th-degree-percentile cut) —
+    "is this graph scale-free and how heavy is the hub tail" decides
+    whether skew-salting is needed BEFORE a join explodes. Ordered by
+    degree. Returns (degree, n_nodes, share, ccdf, hill_alpha).
+
+    Plan shape: edges dedupe once; ONE explode+groupBy gives degrees
+    (node-bounded); a second groupBy(degree) collapses to the
+    histogram (degree-values-bounded — at most a few hundred rows on
+    any real graph); the CCDF is one cumulative window over it and the
+    Hill sum one aggregation. No corpus-scale structure past the first
+    collapse.
+    """
+    e = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("__x"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
+    ).filter(F.col("__x") != F.col("__y")).distinct()
+    deg = (
+        e.select(F.col("__x").alias("__v"))
+        .unionByName(e.select(F.col("__y").alias("__v")))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+    )
+    hist = _persist_tracked(
+        deg.groupBy(F.col("__d").alias("degree")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+        )
+    )
+    glob = hist.agg(F.sum("n_nodes").alias("__nn"))
+    # Hill estimator over the tail d >= d_min, d_min = the smallest
+    # degree whose CCDF is <= 0.10 (a fixed, engine-replayable cut)
+    from pyspark.sql import Window as W
+
+    wd = W.orderBy(F.col("degree").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("__ctail", F.sum("n_nodes").over(wd))
+    with_tot = cum.crossJoin(F.broadcast(glob))
+    dmin_tab = with_tot.filter(
+        F.col("__ctail").cast("double") / F.col("__nn")
+        <= 0.10 + 1e-12
+    ).agg(F.min("degree").alias("__dmin"))
+    hill = (
+        hist.crossJoin(F.broadcast(dmin_tab))
+        .filter(F.col("degree") >= F.col("__dmin"))
+        .agg(
+            F.sum("n_nodes").alias("__ntail"),
+            F.first("__dmin").alias("__dmin"),
+            F.sum(
+                F.col("n_nodes")
+                * F.log(
+                    F.col("degree").cast("double")
+                    / F.col("__dmin").cast("double")
+                )
+            ).alias("__slog"),
+        )
+    )
+    alpha = F.when(
+        F.col("__slog") > 0,
+        1.0 + F.col("__ntail").cast("double") / F.col("__slog"),
+    )
+    return (
+        with_tot.crossJoin(F.broadcast(hill.select(alpha.alias("__alpha"))))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.col("n_nodes").cast("double") / F.col("__nn"), 6
+            ).alias("share"),
+            F.round(
+                F.col("__ctail").cast("double") / F.col("__nn"), 6
+            ).alias("ccdf"),
+            F.round(F.col("__alpha"), 6).alias("hill_alpha"),
+        )
+        .orderBy("degree")
+    )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity: the share of directed edges whose
+    reverse edge also exists, r = |E ∩ Eᵀ| / |E| over the DISTINCT
+    directed edge set (self-loops excluded) — the follow-back rate of
+    a social graph, the mutual-link rate of a citation web; r far from
+    the density predicts how much a symmetrized view inflates the
+    graph. Returns ONE row: (n_edges, n_reciprocal, reciprocity).
+
+    Plan shape: distinct directed edges once (the one corpus-scale
+    structure), then ONE self-equi-join on the reversed key — edge-
+    linear, shuffle on the same (src, dst) key both sides. No windows.
+    """
+    e = _persist_tracked(
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__t")
+        )
+        .filter(F.col("__s") != F.col("__t"))
+        .filter(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+        .distinct()
+    )
+    rev = e.select(
+        F.col("__t").alias("__s"), F.col("__s").alias("__t")
+    )
+    mut = e.join(rev, ["__s", "__t"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("__e"))
+    return mut.crossJoin(F.broadcast(tot)).select(
+        F.col("__e").cast("bigint").alias("n_edges"),
+        F.col("__m").cast("bigint").alias("n_reciprocal"),
+        F.round(
+            F.when(
+                F.col("__e") > 0,
+                F.col("__m").cast("double") / F.col("__e"),
+            ),
+            6,
+        ).alias("reciprocity"),
+    )

@@ -951,3 +951,78 @@ def weighted_reservoir(
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(int(k))
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    seed: int = 42,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic k-fold assignment by content hash — the
+    cross-validation counterpart of :func:`hash_split`: fold =
+    floor(u·k) with u the engine-portable md5 draw on ``id_col`` (or
+    on ``group_col`` for LEAKAGE-SAFE folds: every row of a group —
+    all docs from one domain, all events of one user — lands in the
+    SAME fold, so no fold ever trains on its own test group's
+    siblings). Stable under row order, partition count, and corpus
+    growth; a row keeps its fold forever. Returns the input plus a
+    ``fold`` column in [0, k).
+
+    Zero shuffles: one md5 projection, pure codegen.
+    """
+    if k < 2:
+        raise ValueError("kfold_assign: need k >= 2")
+    key = group_col if group_col is not None else id_col
+    u = split_hash_u(key, seed=seed)
+    return df.withColumn(
+        "fold", F.floor(u * F.lit(float(k))).cast("int")
+    )
+
+
+def kfold_profile(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    seed: int = 42,
+    group_col: str | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-fold balance audit over :func:`kfold_assign`: (fold, n_rows,
+    share[, weight_sum, weight_share]) — the check that the hash draw
+    actually balanced the folds (and, with ``weight_col``, that no
+    fold hoards the heavy rows). Ordered by fold; k rows.
+
+    ONE partial-agged groupBy(fold) — the only shuffle, k cells.
+    """
+    folded = kfold_assign(df, id_col, k, seed, group_col)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(
+            F.round(F.sum(F.col(weight_col).cast("double")), 4)
+            .alias("weight_sum")
+        )
+    per = folded.groupBy("fold").agg(*aggs)
+    glob_aggs = [F.sum("n_rows").alias("__n")]
+    if weight_col is not None:
+        glob_aggs.append(F.sum("weight_sum").alias("__w"))
+    glob = per.agg(*glob_aggs)
+    out = per.crossJoin(F.broadcast(glob)).select(
+        "fold",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("__n"), 6).alias(
+            "share"
+        ),
+        *(
+            [
+                "weight_sum",
+                F.round(F.col("weight_sum") / F.col("__w"), 6).alias(
+                    "weight_share"
+                ),
+            ]
+            if weight_col is not None
+            else []
+        ),
+    )
+    return out.orderBy("fold")

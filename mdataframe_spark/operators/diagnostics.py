@@ -663,3 +663,56 @@ def null_patterns(
         .orderBy(F.col("n_rows").desc(), F.col("pattern").asc())
         .limit(int(top_k))
     )
+
+
+def format_patterns(
+    df: DataFrame,
+    col: str,
+    top_k: int = 20,
+    max_chars: int = 16,
+) -> DataFrame:
+    """Character-class format profile of a string column — the
+    profiler's "what SHAPES live in this field": every value maps to
+    its class mask (digits→9, uppercase→A, lowercase→a, other chars
+    kept verbatim), truncated to ``max_chars``, and the top-k masks by
+    count come back with shares. One glance separates "AA-9999" from
+    free text and catches the 0.1% of phone numbers with letters.
+    Returns (pattern, n_rows, share) — top-k by count, ties broken by
+    pattern (deterministic), NULLs profiled as the literal mask
+    '<null>'. Ordered by n_rows desc, pattern.
+
+    Plan shape: ONE translate+substring projection (pure codegen, both
+    engines share translate/substr semantics — no regex, so the DuckDB
+    oracle replays it exactly) + ONE groupBy(mask) partial-agged
+    collapse; the top-k is a TakeOrdered over the mask-bounded table.
+    """
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    lower = upper.lower()
+    digits = "0123456789"
+    mask = F.when(F.col(col).isNull(), F.lit("<null>")).otherwise(
+        F.substring(
+            F.translate(
+                F.col(col).cast("string"),
+                digits + upper + lower,
+                "9" * 10 + "A" * 26 + "a" * 26,
+            ),
+            1,
+            max_chars,
+        )
+    )
+    counts = df.select(mask.alias("pattern")).groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    glob = counts.agg(F.sum("n_rows").alias("__n"))
+    return (
+        counts.crossJoin(F.broadcast(glob))
+        .select(
+            "pattern",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__n"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), "pattern")
+        .limit(top_k)
+    )

@@ -781,3 +781,59 @@ def markov_stationary(
         [(s, float(round(pi[s], 6))) for s in states],
         "event_type STRING, stationary_p DOUBLE",
     ).orderBy("event_type")
+
+
+def conversion_lag(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    from_event: str = "view",
+    to_event: str = "purchase",
+    period_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from the FIRST
+    ``from_event`` to the FIRST ``to_event`` at or after it, then the
+    population percentiles over converted users — "how long does the
+    funnel take", the latency face of :func:`funnel_counts` (a
+    conversion RATE without its lag hides a 3-week checkout). Returns
+    ONE row: (n_users, n_converted, conversion_rate, p50_lag, p90_lag,
+    mean_lag, max_lag) with lags in whole ``period_ns`` units (hours
+    by default — the integer-division bucket grid, so every lag is an
+    exact integer and the percentiles interpolate on it identically
+    in any engine, the f13 parity convention). Users whose first
+    to_event precedes their first from_event (attribution ambiguity)
+    count as NOT converted — lag is defined forward only.
+
+    Plan shape: ONE per-user conditional min/min collapse (the only
+    corpus-scale shuffle) + one users-bounded percentile aggregation.
+    """
+    d = _ns(df, ts_col)
+    per = d.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(
+            F.when(F.col(event_type_col) == from_event, F.col(ts_col))
+        ).alias("__t0"),
+        F.min(
+            F.when(F.col(event_type_col) == to_event, F.col(ts_col))
+        ).alias("__t1"),
+    )
+    lag = F.when(
+        F.col("__t0").isNotNull()
+        & F.col("__t1").isNotNull()
+        & (F.col("__t1") >= F.col("__t0")),
+        F.expr(f"(__t1 - __t0) div {int(period_ns)}"),
+    )
+    staged = per.filter(F.col("__t0").isNotNull()).select(
+        lag.alias("__lag")
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("__lag").cast("bigint").alias("n_converted"),
+        F.round(
+            F.count("__lag") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+        F.round(F.expr("percentile(__lag, 0.5)"), 6).alias("p50_lag"),
+        F.round(F.expr("percentile(__lag, 0.9)"), 6).alias("p90_lag"),
+        F.round(F.avg("__lag"), 6).alias("mean_lag"),
+        F.max("__lag").cast("bigint").alias("max_lag"),
+    )

@@ -896,6 +896,34 @@ def kendall_tau_cells(
     )
 
 
+def drift_value_blocks(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """The W₁ sufficient statistic: per distinct 4-dp-quantized value
+    (a scaled integer, the gini convention) the pooled count and the
+    TRUE-group count — two SUM monoids keyed by value block, which is
+    what makes :func:`~..streaming.segments.drift_stream` a legal
+    streaming twin (running state after any micro-batch prefix equals
+    this batch collapse over the same rows). Returns (value_block, n,
+    n_true); NULL/NaN values and NULL groups drop complete-case.
+    ONE partial-agged groupBy — the only corpus-scale structure in
+    :func:`wasserstein_1d`, which consumes this collapse."""
+    vd = F.col(value_col).cast("double")
+    g = F.col(group_col).cast("boolean")
+    base = df.filter(
+        vd.isNotNull() & ~F.isnan(vd) & F.col(group_col).isNotNull()
+    ).select(
+        F.round(vd * 10000).cast("bigint").alias("value_block"),
+        g.alias("__f"),
+    )
+    return base.groupBy("value_block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__f").cast("bigint")).cast("bigint").alias("n_true"),
+    )
+
+
 def wasserstein_1d(
     df: DataFrame,
     value_col: str,
@@ -927,18 +955,11 @@ def wasserstein_1d(
     distinct-value table on ONE ``Window.orderBy`` reducer.
     ``max_blocks=None`` disables the guard.
     """
-    vd = F.col(value_col).cast("double")
-    g = F.col(group_col).cast("boolean")
-    base = df.filter(
-        vd.isNotNull() & ~F.isnan(vd) & F.col(group_col).isNotNull()
-    ).select(
-        F.round(vd * 10000).cast("bigint").alias("__v"),
-        g.alias("__f"),
-    )
     blocks = _persist_tracked(
-        base.groupBy("__v").agg(
-            F.count(F.lit(1)).alias("__t"),
-            F.sum(F.col("__f").cast("bigint")).alias("__t1"),
+        drift_value_blocks(df, value_col, group_col).select(
+            F.col("value_block").alias("__v"),
+            F.col("n").alias("__t"),
+            F.col("n_true").alias("__t1"),
         )
     )
     probe_collapsed(blocks, max_blocks, "wasserstein_1d", "block", "max_blocks")
@@ -1653,4 +1674,236 @@ def effect_sizes(
         F.round(d, 6).alias("cohens_d"),
         F.round(d * jcorr, 6).alias("hedges_g"),
         F.round(vd_a, 6).alias("vd_a"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical
+    label columns (two annotators, a model vs a gold set, two dedup
+    heuristics): κ = (p_o − p_e)/(1 − p_e) with p_o the observed
+    agreement share and p_e the chance agreement Σ_c (row_c/n)(col_c/n)
+    over the shared category set. Returns ONE row: (n, n_categories,
+    po, pe, kappa); κ NULL when p_e = 1 (every rating in one category
+    — agreement is undefined, not zero). Complete-case on NULL labels.
+
+    Decomposition (the chi2_independence convention): ONE (a, b) cell
+    collapse bounds everything downstream by categories²; margins are
+    cell-table aggregations; p_o/p_e/κ are scalar doubles rounded 6 dp
+    — bit-for-bit SQL-replayable.
+    """
+    base = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    )
+    cells = base.groupBy(
+        F.col(rater_a_col).cast("string").alias("__a"),
+        F.col(rater_b_col).cast("string").alias("__b"),
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    from ..cache import persist_tracked
+
+    cells = persist_tracked(cells)
+    rt = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    ct = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    glob = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__o"))
+              .otherwise(F.lit(0))).alias("__agree"),
+    )
+    # chance agreement over the UNION of category sets via a full
+    # outer margin join (a category only one rater used contributes 0)
+    pe_tab = rt.join(ct, F.col("__a") == F.col("__b"), "full_outer").select(
+        F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
+        F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+    )
+    n_cat = pe_tab.count()  # categories-bounded scalar probe
+    acc = (
+        pe_tab.crossJoin(F.broadcast(glob))
+        .agg(
+            F.first("__n").alias("__n"),
+            F.first("__agree").alias("__agree"),
+            F.sum(
+                (F.col("__r").cast("double") / F.col("__n"))
+                * (F.col("__c").cast("double") / F.col("__n"))
+            ).alias("__pe"),
+        )
+    )
+    po = F.col("__agree").cast("double") / F.col("__n")
+    pe = F.col("__pe")
+    return acc.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.lit(n_cat).cast("bigint").alias("n_categories"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6
+        ).alias("kappa"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    marginal entropies and the normalized MI — the association scale
+    chi² lacks (MI is in nats, comparable across tables; NMI =
+    MI/√(H_a·H_b) lands in [0,1]). Returns ONE row: (n, mi, h_a, h_b,
+    nmi); NMI NULL when either marginal entropy is 0 (a constant
+    column carries no information to normalize by). Complete-case on
+    NULLs.
+
+    Decomposition: ONE (a, b) cell collapse; marginals aggregate the
+    cell table; MI = Σ (o/n)·ln(o·n/(r·c)) and the entropies are ln
+    sums over cells/margins rounded 6 dp (ln ulp noise sits far below
+    the grid — the txt_source_kl convention).
+    """
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = base.groupBy(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    from ..cache import persist_tracked
+
+    cells = persist_tracked(cells)
+    rt = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    ct = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    glob = cells.agg(F.sum("__o").alias("__n"))
+    joined = (
+        cells.join(F.broadcast(rt), "__a")
+        .join(F.broadcast(ct), "__b")
+        .crossJoin(F.broadcast(glob))
+    )
+    n = F.col("__n").cast("double")
+    o = F.col("__o").cast("double")
+    mi = F.sum(
+        (o / n)
+        * F.log(
+            o * n / (F.col("__r").cast("double") * F.col("__c").cast("double"))
+        )
+    )
+    ha_tab = rt.crossJoin(F.broadcast(glob)).agg(
+        F.sum(
+            -(F.col("__r").cast("double") / F.col("__n").cast("double"))
+            * F.log(F.col("__r").cast("double") / F.col("__n").cast("double"))
+        ).alias("__ha")
+    )
+    hb_tab = ct.crossJoin(F.broadcast(glob)).agg(
+        F.sum(
+            -(F.col("__c").cast("double") / F.col("__n").cast("double"))
+            * F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
+        ).alias("__hb")
+    )
+    acc = (
+        joined.agg(F.first("__n").alias("__n"), mi.alias("__mi"))
+        .crossJoin(F.broadcast(ha_tab))
+        .crossJoin(F.broadcast(hb_tab))
+    )
+    return acc.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.greatest(F.col("__mi"), F.lit(0.0)), 6).alias("mi"),
+        F.round(F.col("__ha"), 6).alias("h_a"),
+        F.round(F.col("__hb"), 6).alias("h_b"),
+        F.round(
+            F.when(
+                (F.col("__ha") > 0) & (F.col("__hb") > 0),
+                F.greatest(F.col("__mi"), F.lit(0.0))
+                / F.sqrt(F.col("__ha") * F.col("__hb")),
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    with_p: bool = True,
+) -> DataFrame:
+    """Levene variance-equality test with the classic MEAN center —
+    the companion of :func:`brown_forsythe` (median center): one-way
+    ANOVA on the absolute deviations from each group's mean. Use
+    Levene when the groups are near-symmetric (more power);
+    Brown-Forsythe when they are skewed/heavy-tailed (robust center).
+
+    Decomposition: per-group exact means from ONE partial-agged moment
+    pass (n, Σx on the 4-dp grid — the welch_ttest convention),
+    rounded 6 dp and broadcast back; the deviation frame then feeds
+    the anova_oneway moment pass unchanged. Two corpus passes, both
+    partial-agged — the brown_forsythe shape with the percentile
+    replaced by a cheaper plain aggregation.
+    """
+    vd = F.col(value_col).cast("double")
+    v = F.round(vd, 4)
+    base = df.filter(
+        vd.isNotNull() & ~F.isnan(vd) & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    means = base.groupBy("__g").agg(
+        F.round(
+            F.sum(F.col("__v").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__mean")
+    )
+    dev = base.join(F.broadcast(means), "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__mean")).alias("__dev")
+    )
+    return anova_oneway(dev, "__dev", "__g", with_p=with_p)
+
+
+def concordance_ccc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient — agreement between
+    two continuous measurements (a model's predictions vs ground
+    truth, two instruments): CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²).
+    Pearson's r asks "linear?", CCC asks "on the 45° line?" — a
+    calibration-sensitive agreement scale in [−1, 1]. Returns ONE row:
+    (n, mean_x, mean_y, pearson_r, ccc); both NULL when either
+    variance degenerates. Complete-case on NULL/NaN pairs.
+
+    ONE partial-agged moment pass on the 4-dp decimal grid (the
+    cuped_adjust convention: sums decimal(18,4), cross/square moments
+    decimal(37,8) — exact, order-independent); every statistic is a
+    scalar double over those sums, rounded 6 dp. Population (1/n)
+    moments throughout — the standard CCC estimator.
+    """
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    x = F.round(xd, 4).cast("decimal(18,4)")
+    y = F.round(yd, 4).cast("decimal(18,4)")
+    base = df.filter(
+        xd.isNotNull() & ~F.isnan(xd) & yd.isNotNull() & ~F.isnan(yd)
+    ).select(x.alias("__x"), y.alias("__y"))
+    acc = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    mx = F.col("__sx").cast("double") / n
+    my = F.col("__sy").cast("double") / n
+    vx = F.col("__sxx").cast("double") / n - mx * mx
+    vy = F.col("__syy").cast("double") / n - my * my
+    cov = F.col("__sxy").cast("double") / n - mx * my
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    ccc = F.when(
+        (vx > 0) & (vy > 0),
+        2.0 * cov / (vx + vy + (mx - my) * (mx - my)),
+    )
+    return acc.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.when(F.col("__n") > 0, mx), 6).alias("mean_x"),
+        F.round(F.when(F.col("__n") > 0, my), 6).alias("mean_y"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(ccc, 6).alias("ccc"),
     )

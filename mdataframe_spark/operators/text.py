@@ -1689,3 +1689,64 @@ def good_turing_frequencies(
             r_star * F.col("s_r").cast("double") / nd, 6
         ).alias("smoothed_mass"),
     ).orderBy("r")
+
+
+def casing_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group character-class composition of a text corpus: the
+    uppercase / lowercase / digit / whitespace / other shares of the
+    total character mass, plus the mean document length — the cheap
+    corpus-mix audit that separates SHOUTING boilerplate, code-heavy
+    sources, and clean prose before any tokenizer runs. Returns one
+    row per group, ordered: (group, n_docs, n_chars, upper_ratio,
+    lower_ratio, digit_ratio, space_ratio, other_ratio,
+    avg_doc_chars). ASCII classes only (the lang-ID heuristic
+    convention — class masks stay byte-deterministic across engines).
+
+    Plan shape: class counts come from length(x) − length(translate(x,
+    CLASS, '')) — pure codegen string ops with identical Spark/DuckDB
+    semantics (no regex), partial-agged in ONE groupBy scan.
+    """
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    lower = upper.lower()
+    digits = "0123456789"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(t)
+
+    def cls_count(chars):
+        return ln - F.length(F.translate(t, chars, ""))
+
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ln).cast("bigint").alias("n_chars"),
+        F.sum(cls_count(upper)).cast("bigint").alias("__u"),
+        F.sum(cls_count(lower)).cast("bigint").alias("__l"),
+        F.sum(cls_count(digits)).cast("bigint").alias("__d"),
+        F.sum(cls_count(" \t\n\r")).cast("bigint").alias("__s"),
+    )
+    n = F.col("n_chars").cast("double")
+
+    def ratio(c):
+        return F.round(F.when(F.col("n_chars") > 0, c / n), 6)
+
+    other = (
+        F.col("n_chars")
+        - F.col("__u")
+        - F.col("__l")
+        - F.col("__d")
+        - F.col("__s")
+    ).cast("double")
+    return per.select(
+        "group",
+        "n_docs",
+        "n_chars",
+        ratio(F.col("__u").cast("double")).alias("upper_ratio"),
+        ratio(F.col("__l").cast("double")).alias("lower_ratio"),
+        ratio(F.col("__d").cast("double")).alias("digit_ratio"),
+        ratio(F.col("__s").cast("double")).alias("space_ratio"),
+        ratio(other).alias("other_ratio"),
+        F.round(n / F.col("n_docs"), 6).alias("avg_doc_chars"),
+    ).orderBy("group")

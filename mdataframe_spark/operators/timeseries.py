@@ -74,6 +74,7 @@ def acf_lags(
     value_col: str | None = None,
     period_ns: int = _NS_PER_HOUR,
     max_lag: int = 6,
+    series: DataFrame | None = None,
 ) -> DataFrame:
     """Sample autocorrelation of the bucketed series at lags 1..k:
     r_k = Σ(x_t − m)(x_{t+k} − m) / Σ(x_t − m)² with m the full-series
@@ -86,8 +87,14 @@ def acf_lags(
     the global pieces (n, Σx, Σx²) are all exact decimal sums; the
     final r_k is one scalar double expression over them. The lag join
     is series ⋈ series on bucket+k — the series is model-bounded, so
-    Catalyst broadcasts it."""
-    s = bucket_series(df, ts_col, value_col, period_ns)
+    Catalyst broadcasts it. Pass ``series`` (a prebuilt, typically
+    persisted :func:`bucket_series` frame) to share ONE corpus
+    collapse with a composing caller (:func:`ljung_box`)."""
+    s = (
+        series
+        if series is not None
+        else bucket_series(df, ts_col, value_col, period_ns)
+    )
     glob = s.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("x").alias("__sx"),
@@ -514,3 +521,121 @@ def page_hinkley(
         F.round(F.col("__ph"), 6).alias("ph"),
         (F.col("__ph") > F.lit(float(lam))).alias("alarm"),
     ).orderBy("bucket")
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+    max_lag: int = 6,
+    with_p: bool = True,
+) -> DataFrame:
+    """Ljung-Box portmanteau test — "is the series white noise?": the
+    joint read-out over :func:`acf_lags`'s per-lag autocorrelations,
+    Q = n(n+2)·Σ_{k≤h} r_k²/(n−k), chi²(h) under the null. One
+    significant r_k says "structure at lag k"; Q says whether the
+    autocorrelation STRUCTURE as a whole is real — the standard
+    residual-whiteness gate after any forecast fit (the MASE
+    companion). Returns ONE row: (n, h, q_stat); Q NULL when the
+    series is shorter than max_lag + 1 or every value is tied (no
+    variance). Gap buckets are absent rows (the acf_lags convention).
+
+    Decomposition: the acf_lags 6-dp per-lag table (model-bounded: h
+    rows) plus the series length — Q is one sum over it, rounded 6 dp;
+    everything replays exactly in SQL over the same lag pieces.
+    """
+    from ..cache import persist_tracked
+
+    # ONE corpus collapse: the persisted series feeds acf_lags' lag
+    # join, its global moments, AND the length probe here
+    s = persist_tracked(bucket_series(df, ts_col, value_col, period_ns))
+    ac = acf_lags(df, ts_col, value_col, period_ns, max_lag, series=s)
+    glob = s.agg(F.count(F.lit(1)).alias("__n"))
+    acc = ac.crossJoin(F.broadcast(glob)).agg(
+        F.first("__n").alias("__n"),
+        F.count(F.when(F.col("acf").isNotNull(), 1)).alias("__h"),
+        F.sum(
+            F.col("acf")
+            * F.col("acf")
+            / (F.col("__n").cast("double") - F.col("lag"))
+        ).alias("__s"),
+    )
+    n = F.col("__n").cast("double")
+    q = F.when(
+        (F.col("__h") >= max_lag) & (F.col("__n") > max_lag),
+        n * (n + 2.0) * F.col("__s"),
+    )
+    out = acc.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__h").cast("bigint").alias("h"),
+        F.round(q, 6).alias("q_stat"),
+    )
+    if with_p:
+        from .stats_tests import _chi2_p
+
+        out = out.withColumn(
+            "p_value",
+            F.round(_chi2_p(F.col("q_stat"), F.col("h").cast("double")), 6),
+        )
+    return out
+
+
+def durbin_watson(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic over the
+    mean-centered bucketed series: DW = Σ_t (d_t − d_{t−1})² / Σ_t d_t²
+    with d = x − x̄, over CONSECUTIVE present buckets (gaps are absent
+    rows and contribute no difference term — the acf_lags convention).
+    DW ≈ 2 means no lag-1 autocorrelation, → 0 positive, → 4 negative
+    — the one-number residual-independence check next to
+    :func:`ljung_box`'s joint test. Returns ONE row: (n, n_pairs, dw);
+    NULL when the variance degenerates.
+
+    Decomposition: mean-centering expands algebraically (the module
+    convention) — the pair pass accumulates Σ(x_t − x_{t−1})² exactly
+    on the decimal grid (differences of DECIMAL(18,4) values, squared
+    into decimal(37,8)), the global pass gives n, Σx, Σx²; DW's
+    numerator needs no mean at all ((d_t − d_{t−1}) = (x_t − x_{t−1}))
+    and the denominator is Σx² − n·x̄². ONE corpus collapse + one
+    model-bounded self-join.
+    """
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    from ..cache import persist_tracked
+
+    s = persist_tracked(s)
+    a = s.select(F.col("bucket").alias("__ba"), F.col("x").alias("__xa"))
+    b = s.select(F.col("bucket").alias("__bb"), F.col("x").alias("__xb"))
+    pairs = a.join(
+        F.broadcast(b), F.col("__bb") == F.col("__ba") + 1
+    ).agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(
+            (F.col("__xb") - F.col("__xa"))
+            * (F.col("__xb") - F.col("__xa"))
+        ).alias("__sd2"),
+    )
+    glob = s.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("x").alias("__sx"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+    )
+    acc = pairs.crossJoin(F.broadcast(glob))
+    n = F.col("__n").cast("double")
+    m = F.col("__sx").cast("double") / n
+    den = F.col("__sxx").cast("double") - n * m * m
+    return acc.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__np").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.when(
+                (den > 0) & (F.col("__np") > 0),
+                F.col("__sd2").cast("double") / den,
+            ),
+            6,
+        ).alias("dw"),
+    )

@@ -11544,6 +11544,30 @@ FROM r
 """
 
 
+def w_by_fdr_scale(spark, sf_dir):
+    """Benjamini-Yekutieli FDR through the RANGE-PARTITIONED arm
+    (functions/stats.py bh_adjust_scale_safe with by_correction,
+    round-12): the same per-part pseudo p-values as w_by_fdr, but no
+    unpartitioned window anywhere — bucketed quantile ranks carry the
+    driver-computed harmonic factor c(n) as one scalar multiplier.
+    Shares w_by_fdr's oracle: both arms produce identical values on
+    the 8-dp grid (the equality the round-11 verdict asked the
+    scale-safe arm to close)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(F.avg("l_discount") * 10, 6).alias("p")
+    )
+    out = bh_adjust(
+        p,
+        "p",
+        "fdr",
+        tiebreak_cols=["partkey"],
+        by_correction=True,
+        scale_safe=True,
+    )
+    return out.select("partkey", "p", F.round("fdr", 8).alias("fdr"))
+
+
 def pipe_fineweb_recipe(spark, sf_dir):
     """End-to-end FineWeb-style curation recipe — the already-
     oracle-checked stages composed as ONE lineage: quality gate
@@ -11652,7 +11676,568 @@ FROM st
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-12 wave: agreement & association (kappa, MI, CCC), variance
+# equality with the classic center (Levene), FWER control (Holm),
+# residual-whiteness (Ljung-Box, Durbin-Watson), graph shape audits
+# (degree distribution + Hill tail, reciprocity), profiling (format
+# patterns, casing mix), cross-validation folds, and funnel latency.
+# All oracle-backed, all bounded collapses — no new corpus-scale
+# structure beyond one partial-agged groupBy each.
+# ---------------------------------------------------------------------------
+
+
+def stat_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa (operators/stats_tests.py cohens_kappa) between
+    two length-quality heuristics rating the same documents — the
+    inter-annotator-agreement shape every labeling pipeline audits.
+    ONE cells collapse; margins/kappa are cells-bounded scalars."""
+    from .operators.stats_tests import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    d = docs.select(
+        F.when(F.col("n_chars") >= 500, "long").otherwise("short").alias("rater_a"),
+        F.when(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            >= 80,
+            "long",
+        ).otherwise("short").alias("rater_b"),
+    )
+    return cohens_kappa(d, "rater_a", "rater_b")
+
+
+STAT_KAPPA_SQL = """
+WITH base AS (
+  SELECT CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END AS a,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) >= 80
+              THEN 'long' ELSE 'short' END AS b
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+), cells AS (
+  SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY a, b
+), rt AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY b),
+g AS (
+  SELECT sum(o)::BIGINT AS n,
+         sum(CASE WHEN a = b THEN o ELSE 0 END)::BIGINT AS agree
+  FROM cells
+), pe_tab AS (
+  SELECT coalesce(r, 0) AS r, coalesce(c, 0) AS c
+  FROM rt FULL OUTER JOIN ct ON rt.a = ct.b
+), acc AS (
+  SELECT count(*)::BIGINT AS n_categories,
+         sum((r::DOUBLE / n) * (c::DOUBLE / n)) AS pe
+  FROM pe_tab, g
+)
+SELECT n, n_categories,
+       round(agree::DOUBLE / n, 6) AS po,
+       round(pe, 6) AS pe,
+       round(CASE WHEN pe < 1.0
+             THEN (agree::DOUBLE / n - pe) / (1.0 - pe) END, 6) AS kappa
+FROM g, acc
+"""
+
+
+def stat_mutual_information(spark, sf_dir):
+    """Mutual information lang x source (operators/stats_tests.py
+    mutual_information): how much does a document's source determine
+    its language — the association scale chi-square lacks. Cells
+    collapse + ln sums, the txt_source_kl convention."""
+    from .operators.stats_tests import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+STAT_MI_SQL = """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), cells AS (
+  SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY a, b
+), rt AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY b),
+g AS (SELECT sum(o)::BIGINT AS n FROM cells),
+mi_t AS (
+  SELECT sum((o::DOUBLE / n) * ln(o::DOUBLE * n / (r::DOUBLE * c::DOUBLE)))
+           AS mi
+  FROM cells JOIN rt USING (a) JOIN ct USING (b), g
+), ha_t AS (
+  SELECT sum(-(r::DOUBLE / n) * ln(r::DOUBLE / n)) AS ha FROM rt, g
+), hb_t AS (
+  SELECT sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS hb FROM ct, g
+)
+SELECT n, round(greatest(mi, 0.0), 6) AS mi,
+       round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+       round(CASE WHEN ha > 0 AND hb > 0
+             THEN greatest(mi, 0.0) / sqrt(ha * hb) END, 6) AS nmi
+FROM g, mi_t, ha_t, hb_t
+"""
+
+
+def stat_levene(spark, sf_dir):
+    """Levene variance-equality test with the MEAN center
+    (operators/stats_tests.py levene_test) over per-type event values
+    — the symmetric-distribution companion of stat_brown_forsythe's
+    median-centered arm; same two partial-agged corpus passes with a
+    plain mean aggregation replacing the percentile."""
+    from .operators.stats_tests import levene_test
+
+    ev = _t(spark, sf_dir, "events")
+    return levene_test(ev, "value", "event_type", with_p=False)
+
+
+STAT_LEVENE_SQL = """
+WITH src AS (
+  SELECT round(value::DOUBLE, 4) AS v0, event_type AS g0
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+    AND event_type IS NOT NULL
+), mn AS (
+  SELECT g0 AS gm,
+         round(sum(CAST(v0 AS DECIMAL(18,4)))::DOUBLE / count(*), 6) AS m
+  FROM src GROUP BY g0
+), base AS (
+  SELECT abs(v0 - m) AS v, g0 AS g FROM src JOIN mn ON g0 = gm
+), per AS (
+  SELECT g, count(*)::BIGINT AS n,
+         round(sum(v), 4) AS s1, round(sum(v * v), 4) AS s2
+  FROM base GROUP BY g
+), acc AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n,
+         sum(s1) AS t1, sum(s2) AS t2,
+         sum(s2 - s1 * s1 / n) AS ssw
+  FROM per
+)
+SELECT n_groups, n,
+       round((t2 - t1 * t1 / n) - ssw, 4) AS ss_between,
+       round(ssw, 4) AS ss_within,
+       round(CASE WHEN n_groups > 1 AND n > n_groups AND ssw > 0
+                  THEN (((t2 - t1 * t1 / n) - ssw) / (n_groups - 1))
+                       / (ssw / (n - n_groups)) END, 6) AS f_stat,
+       round(CASE WHEN (t2 - t1 * t1 / n) > 0
+                  THEN ((t2 - t1 * t1 / n) - ssw) / (t2 - t1 * t1 / n)
+             END, 6) AS eta_sq
+FROM acc
+"""
+
+
+def stat_concordance_ccc(spark, sf_dir):
+    """Lin's concordance correlation (operators/stats_tests.py
+    concordance_ccc) between gross and discounted lineitem price — the
+    on-the-45-degree-line agreement scale beside Pearson's r. ONE
+    moment pass on the 4-dp decimal grid."""
+    from .operators.stats_tests import concordance_ccc
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_extendedprice").cast("double").alias("x"),
+        (
+            F.col("l_extendedprice").cast("double")
+            * (F.lit(1.0) - F.col("l_discount").cast("double"))
+        ).alias("y"),
+    )
+    return concordance_ccc(d, "x", "y")
+
+
+STAT_CCC_SQL = """
+WITH base AS (
+  -- DECIMAL(19,4): forces DuckDB onto int128 arithmetic so the
+  -- price-squared products (~1e18 at scale 4) never overflow the
+  -- int64 DECIMAL(18) kernel; values identical to Spark's
+  -- decimal(18,4) inputs either way
+  SELECT CAST(round(l_extendedprice::DOUBLE, 4) AS DECIMAL(19,4)) AS x,
+         CAST(round(l_extendedprice::DOUBLE * (1.0 - l_discount::DOUBLE), 4)
+              AS DECIMAL(19,4)) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+), acc AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM base
+)
+SELECT n,
+       round(CASE WHEN n > 0 THEN sx::DOUBLE / n END, 6) AS mean_x,
+       round(CASE WHEN n > 0 THEN sy::DOUBLE / n END, 6) AS mean_y,
+       round(CASE WHEN (sxx::DOUBLE / n - (sx::DOUBLE/n)*(sx::DOUBLE/n)) > 0
+                   AND (syy::DOUBLE / n - (sy::DOUBLE/n)*(sy::DOUBLE/n)) > 0
+             THEN (sxy::DOUBLE / n - (sx::DOUBLE/n)*(sy::DOUBLE/n))
+                  / sqrt((sxx::DOUBLE / n - (sx::DOUBLE/n)*(sx::DOUBLE/n))
+                         * (syy::DOUBLE / n - (sy::DOUBLE/n)*(sy::DOUBLE/n)))
+             END, 6) AS pearson_r,
+       round(CASE WHEN (sxx::DOUBLE / n - (sx::DOUBLE/n)*(sx::DOUBLE/n)) > 0
+                   AND (syy::DOUBLE / n - (sy::DOUBLE/n)*(sy::DOUBLE/n)) > 0
+             THEN 2.0 * (sxy::DOUBLE / n - (sx::DOUBLE/n)*(sy::DOUBLE/n))
+                  / ((sxx::DOUBLE / n - (sx::DOUBLE/n)*(sx::DOUBLE/n))
+                     + (syy::DOUBLE / n - (sy::DOUBLE/n)*(sy::DOUBLE/n))
+                     + (sx::DOUBLE/n - sy::DOUBLE/n)
+                       * (sx::DOUBLE/n - sy::DOUBLE/n))
+             END, 6) AS ccc
+FROM acc
+"""
+
+
+def w_holm_adjust(spark, sf_dir):
+    """Holm step-down FWER adjustment (functions/stats.py holm_adjust)
+    over the w1_bh_fdr per-part pseudo p-values — the strict
+    family-wise sibling of BH, one ascending running-max window
+    (cheaper than BH: no second descending sort)."""
+    p = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_partkey").alias("partkey")
+    ).agg(F.round(F.avg("l_discount") * 10, 6).alias("p"))
+    from .functions.stats import holm_adjust
+
+    out = holm_adjust(p, "p", "p_holm", tiebreak_cols=["partkey"])
+    return out.select("partkey", "p", F.round("p_holm", 8).alias("p_holm"))
+
+
+W_HOLM_SQL = """
+WITH p AS (
+  SELECT l_partkey AS partkey, round(avg(l_discount) * 10, 6) AS p
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT partkey, p,
+         row_number() OVER (ORDER BY p, partkey) AS rn,
+         count(*) OVER () AS n
+  FROM p
+)
+SELECT partkey, p,
+       round(max(least(p * (n - rn + 1), 1.0))
+             OVER (ORDER BY p, partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             8) AS p_holm
+FROM r
+"""
+
+
+def ts_ljung_box(spark, sf_dir):
+    """Ljung-Box whiteness test over the hourly event-count series
+    (operators/timeseries.py ljung_box): Q = n(n+2) sum r_k^2/(n-k)
+    over the ts_acf_hourly per-lag table — ONE persisted corpus
+    collapse shared by the lag join, the moments, and the length."""
+    from .operators.timeseries import ljung_box
+
+    ev = _events(spark, sf_dir)
+    return ljung_box(ev, max_lag=6, with_p=False)
+
+
+TS_LJUNG_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         CAST(count(*) AS DECIMAL(18,4)) AS x
+  FROM ns GROUP BY 1
+), g AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM s
+), lp AS (
+  SELECT l.lag::INT AS lag, count(*) AS np,
+         sum(a.x * b.x) AS sab, sum(a.x) AS sa, sum(b.x) AS sb
+  FROM range(1, 7) l(lag)
+  CROSS JOIN s a
+  JOIN s b ON b.bucket = a.bucket + l.lag
+  GROUP BY 1
+), ac AS (
+  SELECT lag,
+         CASE WHEN (sxx::DOUBLE - n * (sx::DOUBLE / n) * (sx::DOUBLE / n)) > 0
+              THEN round(
+                (((sab::DOUBLE - (sx::DOUBLE / n) * sa::DOUBLE)
+                  - (sx::DOUBLE / n) * sb::DOUBLE)
+                 + (np * (sx::DOUBLE / n)) * (sx::DOUBLE / n))
+                / (sxx::DOUBLE - (n * (sx::DOUBLE / n)) * (sx::DOUBLE / n)),
+                6)
+         END AS acf
+  FROM lp CROSS JOIN g
+), acc AS (
+  SELECT count(acf)::BIGINT AS h,
+         sum(acf * acf / (n::DOUBLE - lag)) AS sq
+  FROM ac CROSS JOIN g GROUP BY n
+)
+SELECT n::BIGINT AS n, h,
+       round(CASE WHEN h >= 6 AND n > 6
+             THEN n::DOUBLE * (n::DOUBLE + 2.0) * sq END, 6) AS q_stat
+FROM g, acc
+"""
+
+
+def ts_durbin_watson(spark, sf_dir):
+    """Durbin-Watson lag-1 statistic over the mean-centered hourly
+    count series (operators/timeseries.py durbin_watson): the
+    difference sum needs no mean at all, the denominator comes from
+    the exact decimal moments — one collapse, one bucket+1 self-join."""
+    from .operators.timeseries import durbin_watson
+
+    ev = _events(spark, sf_dir)
+    return durbin_watson(ev)
+
+
+TS_DW_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         CAST(count(*) AS DECIMAL(18,4)) AS x
+  FROM ns GROUP BY 1
+), pairs AS (
+  SELECT count(*)::BIGINT AS np,
+         sum((b.x - a.x) * (b.x - a.x)) AS sd2
+  FROM s a JOIN s b ON b.bucket = a.bucket + 1
+), g AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx FROM s
+)
+SELECT n, np AS n_pairs,
+       round(CASE WHEN (sxx::DOUBLE - n * (sx::DOUBLE / n) * (sx::DOUBLE / n)) > 0
+                   AND np > 0
+             THEN sd2::DOUBLE
+                  / (sxx::DOUBLE - n * (sx::DOUBLE / n) * (sx::DOUBLE / n))
+             END, 6) AS dw
+FROM pairs, g
+"""
+
+
+def gr_degree_distribution(spark, sf_dir):
+    """Degree histogram + Hill tail index of the co-purchase graph
+    (operators/baskets.py degree_histogram) — the scale-free audit
+    that decides whether a join needs skew salting. Same edge
+    derivation as gr_assortativity; everything past the degree
+    collapse is histogram-bounded."""
+    from .operators.baskets import co_occurrence_pairs, degree_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return degree_histogram(pairs)
+
+
+GR_DEGREE_SQL = """
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
+), e AS (
+  SELECT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e
+  ) GROUP BY v
+), hist AS (
+  SELECT d AS degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY d
+), g AS (SELECT sum(n_nodes)::BIGINT AS nn FROM hist),
+cum AS (
+  SELECT degree, n_nodes,
+         sum(n_nodes) OVER (ORDER BY degree DESC
+                            ROWS UNBOUNDED PRECEDING) AS ctail
+  FROM hist
+), dmin_t AS (
+  SELECT min(degree) AS dmin FROM cum, g
+  WHERE ctail::DOUBLE / nn <= 0.10 + 1e-12
+), hill AS (
+  SELECT sum(n_nodes)::BIGINT AS ntail,
+         sum(n_nodes * ln(degree::DOUBLE / dmin::DOUBLE)) AS slog
+  FROM hist, dmin_t WHERE degree >= dmin
+)
+SELECT degree, n_nodes,
+       round(n_nodes::DOUBLE / nn, 6) AS share,
+       round(ctail::DOUBLE / nn, 6) AS ccdf,
+       round(CASE WHEN slog > 0
+             THEN 1.0 + ntail::DOUBLE / slog END, 6) AS hill_alpha
+FROM cum, g, hill ORDER BY degree
+"""
+
+
+def gr_reciprocity(spark, sf_dir):
+    """Directed reciprocity of the dominant event-transition graph
+    (operators/baskets.py reciprocity over event_transitions edges
+    with prob >= 0.25): does step A->B imply B->A at the behavioral
+    level? One lead window + one reversed-key semi join."""
+    from .operators.baskets import reciprocity
+    from .operators.events import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    edges = event_transitions(ev).filter(F.col("prob") >= 0.25).select(
+        F.col("from_type").alias("src"), F.col("to_type").alias("dst")
+    )
+    return reciprocity(edges)
+
+
+GR_RECIP_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+), probs AS (
+  SELECT from_type, to_type,
+         round(n / (sum(n) OVER (PARTITION BY from_type))::DOUBLE, 6)
+           AS prob
+  FROM pairs
+), e AS (
+  SELECT DISTINCT from_type AS s, to_type AS t
+  FROM probs
+  WHERE prob >= 0.25 AND from_type != to_type
+    AND from_type IS NOT NULL AND to_type IS NOT NULL
+), m AS (
+  SELECT count(*)::BIGINT AS nm FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.t AND r.t = e.s)
+), tot AS (SELECT count(*)::BIGINT AS ne FROM e)
+SELECT ne AS n_edges, nm AS n_reciprocal,
+       round(CASE WHEN ne > 0 THEN nm::DOUBLE / ne END, 6) AS reciprocity
+FROM m, tot
+"""
+
+
+def dq_format_patterns(spark, sf_dir):
+    """Character-class format profile of the events props field
+    (operators/diagnostics.py format_patterns): digits->9, upper->A,
+    lower->a masks truncated to 16 chars, top-20 by count — the
+    profiler's shape audit, pure translate/substr codegen both
+    engines share."""
+    from .operators.diagnostics import format_patterns
+
+    ev = _t(spark, sf_dir, "events")
+    return format_patterns(ev, "props", top_k=20, max_chars=16)
+
+
+DQ_FORMAT_SQL = """
+WITH m AS (
+  SELECT CASE WHEN props IS NULL THEN '<null>'
+         ELSE substr(translate(props,
+              '0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+              '9999999999AAAAAAAAAAAAAAAAAAAAAAAAAAaaaaaaaaaaaaaaaaaaaaaaaaaa'),
+              1, 16) END AS pattern
+  FROM events
+), c AS (
+  SELECT pattern, count(*)::BIGINT AS n_rows FROM m GROUP BY pattern
+), g AS (SELECT sum(n_rows) AS n FROM c)
+SELECT pattern, n_rows,
+       round(n_rows::DOUBLE / n, 6) AS share
+FROM c, g ORDER BY n_rows DESC, pattern LIMIT 20
+"""
+
+
+def ds_kfold_profile(spark, sf_dir):
+    """Deterministic 5-fold assignment + balance audit over documents
+    (operators/datasets.py kfold_profile): the engine-portable md5
+    draw buckets doc_ids into folds; the k-row profile checks the
+    draw balanced both rows and character mass. Zero shuffles before
+    the k-cell collapse."""
+    from .operators.datasets import kfold_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return kfold_profile(docs, "doc_id", k=5, weight_col="n_chars")
+
+
+DS_KFOLD_SQL = """
+WITH h AS (
+  SELECT n_chars,
+         CAST(floor(
+           (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))
+                 AS BIGINT)::DOUBLE / 4294967296.0) * 5.0
+         ) AS INT) AS fold
+  FROM documents
+), per AS (
+  SELECT fold, count(*)::BIGINT AS n_rows,
+         round(sum(n_chars::DOUBLE), 4) AS weight_sum
+  FROM h GROUP BY fold
+), g AS (
+  SELECT sum(n_rows) AS n, sum(weight_sum) AS w FROM per
+)
+SELECT fold, n_rows,
+       round(n_rows::DOUBLE / n, 6) AS share,
+       weight_sum,
+       round(weight_sum / w, 6) AS weight_share
+FROM per, g ORDER BY fold
+"""
+
+
+def txt_casing_profile(spark, sf_dir):
+    """Per-source character-class composition (operators/text.py
+    casing_profile): upper/lower/digit/space/other shares of the
+    character mass via pure translate/length codegen — the corpus-mix
+    audit before any tokenizer runs. ONE partial-agged scan."""
+    from .operators.text import casing_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return casing_profile(docs, "text", "source")
+
+
+TXT_CASING_SQL = """
+WITH per AS (
+  SELECT source AS grp, count(*)::BIGINT AS n_docs,
+         sum(length(coalesce(text, '')))::BIGINT AS n_chars,
+         sum(length(coalesce(text, ''))
+             - length(translate(coalesce(text, ''),
+                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '')))::BIGINT AS u,
+         sum(length(coalesce(text, ''))
+             - length(translate(coalesce(text, ''),
+                                'abcdefghijklmnopqrstuvwxyz', '')))::BIGINT AS l,
+         sum(length(coalesce(text, ''))
+             - length(translate(coalesce(text, ''),
+                                '0123456789', '')))::BIGINT AS d,
+         sum(length(coalesce(text, ''))
+             - length(translate(coalesce(text, ''),
+                                ' ' || chr(9) || chr(10) || chr(13), '')))::BIGINT AS sp
+  FROM documents GROUP BY source
+)
+SELECT grp AS "group", n_docs, n_chars,
+       round(CASE WHEN n_chars > 0 THEN u::DOUBLE / n_chars END, 6) AS upper_ratio,
+       round(CASE WHEN n_chars > 0 THEN l::DOUBLE / n_chars END, 6) AS lower_ratio,
+       round(CASE WHEN n_chars > 0 THEN d::DOUBLE / n_chars END, 6) AS digit_ratio,
+       round(CASE WHEN n_chars > 0 THEN sp::DOUBLE / n_chars END, 6) AS space_ratio,
+       round(CASE WHEN n_chars > 0
+             THEN (n_chars - u - l - d - sp)::DOUBLE / n_chars END, 6)
+         AS other_ratio,
+       round(n_chars::DOUBLE / n_docs, 6) AS avg_doc_chars
+FROM per ORDER BY grp
+"""
+
+
+def e_conversion_lag(spark, sf_dir):
+    """View-to-purchase latency distribution (operators/events.py
+    conversion_lag): per-user conditional first-view/first-purchase
+    mins (ONE corpus collapse), forward-only lags on the whole-hour
+    integer grid, population percentiles via the percentile ==
+    quantile_cont proven pair."""
+    from .operators.events import conversion_lag
+
+    ev = _events(spark, sf_dir)
+    return conversion_lag(ev)
+
+
+E_CONVLAG_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+), per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN t END) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN t END) AS t1
+  FROM ns GROUP BY user_id
+), staged AS (
+  SELECT CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+              THEN (t1 - t0) // 3600000000000 END AS lag
+  FROM per WHERE t0 IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_users,
+       count(lag)::BIGINT AS n_converted,
+       round(count(lag) / count(*)::DOUBLE, 6) AS conversion_rate,
+       round(quantile_cont(lag, 0.5), 6) AS p50_lag,
+       round(quantile_cont(lag, 0.9), 6) AS p90_lag,
+       round(avg(lag), 6) AS mean_lag,
+       max(lag)::BIGINT AS max_lag
+FROM staged
+"""
+
+
 QUERIES = {
+    # --- permanent spine: flagship + bench anchors + the hash-
+    # checked sub-layers of the two rows-only NB/GLM fits ---
     "q1_pricing_summary": q1_pricing_summary,
     "f1_filter_dsl": f1_filter_dsl,
     "dd_exact_dedup": dd_exact_dedup,
@@ -11660,8 +12245,91 @@ QUERIES = {
     "dd_semantic_dedup": dd_semantic_dedup,
     "stat_edger_norm": stat_edger_norm,
     "stat_deseq2_base": stat_deseq2_base,
-    # --- rotated in round 7 (driver records for the round-6
-    # continuation waves) ---
+    # --- rotated in round 12 (eighth rotation): the ENTIRE
+    # never-driver-recorded queue — the two round-9 leftovers,
+    # all 13 round-10 wave queries, all 24 round-11 wave queries
+    # — plus the new round-12 scale-safe BY arm. The 41 rows they
+    # replace are all driver-green in CORRECTNESS_r11 and keep
+    # the identical oracle protocol in EXTRA_QUERIES. ---
+    "dq_completeness_profile": dq_completeness_profile,
+    "gr_label_propagation": gr_label_propagation,
+    "pipe_fineweb_recipe": pipe_fineweb_recipe,
+    "stat_kruskal_wallis": stat_kruskal_wallis,
+    "stat_kendall_tau": stat_kendall_tau,
+    "dq_gini_concentration": dq_gini_concentration,
+    "ts_mase_hourly": ts_mase_hourly,
+    "e_kaplan_meier": e_kaplan_meier,
+    "stat_two_proportion": stat_two_proportion,
+    "e_cuped_adjust": e_cuped_adjust,
+    "dq_srm_check": dq_srm_check,
+    "stat_wasserstein": stat_wasserstein,
+    "ts_mann_kendall": ts_mann_kendall,
+    "ts_theil_sen": ts_theil_sen,
+    "sk_join_size_gate": sk_join_size_gate,
+    "e_log_rank": e_log_rank,
+    "e_rmst": e_rmst,
+    "stat_mcnemar": stat_mcnemar,
+    "e_winsorized_lift": e_winsorized_lift,
+    "e_ratio_metric_delta": e_ratio_metric_delta,
+    "dq_covariate_balance": dq_covariate_balance,
+    "txt_vocab_richness": txt_vocab_richness,
+    "txt_source_jsd": txt_source_jsd,
+    "e_eb_ctr_shrinkage": e_eb_ctr_shrinkage,
+    "stat_dispersion_nb": stat_dispersion_nb,
+    "stat_cochran_q": stat_cochran_q,
+    "stat_friedman": stat_friedman,
+    "stat_runs_test": stat_runs_test,
+    "stat_trend_armitage": stat_trend_armitage,
+    "ts_page_hinkley": ts_page_hinkley,
+    "e_msprt_monitor": e_msprt_monitor,
+    "e_qte_deciles": e_qte_deciles,
+    "dq_null_patterns": dq_null_patterns,
+    "txt_burstiness": txt_burstiness,
+    "e_diff_in_diff": e_diff_in_diff,
+    "stat_jonckheere": stat_jonckheere,
+    "stat_effect_sizes": stat_effect_sizes,
+    "txt_good_turing": txt_good_turing,
+    "w_by_fdr": w_by_fdr,
+    "w_by_fdr_scale": w_by_fdr_scale,
+    # --- rows-only from here down (no SQL oracle): the two
+    # iterative NB/GLM fits, plus the decoded-WAV feature path
+    # (RIFF/PCM byte-walk — pinned to the stdlib wave module in
+    # tests/test_multimodal_wav.py) so the audio modality holds
+    # a driver rows record like the fits do ---
+    "stat_edger_exact_test": stat_edger_exact_test,
+    "stat_deseq2": stat_deseq2,
+    "mm_wav_features": mm_wav_features,
+}
+
+# Queries ceded from the 50-row driver registry — still first-class
+# library surface: the five with oracles are hash-compared with the
+# driver's exact protocol in tests/test_extra_parity.py; the two
+# without (simulation/ML summaries) keep their unit/golden coverage.
+# Their driver-registered stand-ins: n_zscore_rows → a2_group_zscore
+# (same z-score kernel), dd_distinct_pairs → dd_exact_dedup,
+# e_events_hourly → st_events_window (identical result via streaming),
+# mm_payload_stats → mm_features, sim_embedding_stats →
+# sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
+# tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
+EXTRA_QUERIES = {
+    # --- new in round 12: agreement/association, whiteness,
+    # graph shape, profiling, folds, funnel latency wave ---
+    "stat_cohens_kappa": stat_cohens_kappa,
+    "stat_mutual_information": stat_mutual_information,
+    "stat_levene": stat_levene,
+    "stat_concordance_ccc": stat_concordance_ccc,
+    "w_holm_adjust": w_holm_adjust,
+    "ts_ljung_box": ts_ljung_box,
+    "ts_durbin_watson": ts_durbin_watson,
+    "gr_degree_distribution": gr_degree_distribution,
+    "gr_reciprocity": gr_reciprocity,
+    "dq_format_patterns": dq_format_patterns,
+    "ds_kfold_profile": ds_kfold_profile,
+    "txt_casing_profile": txt_casing_profile,
+    "e_conversion_lag": e_conversion_lag,
+    # --- rotated out of the driver registry in round 12 (eighth
+    # rotation; all driver-green in r11 or earlier — same oracle
+    # protocol in-repo from here on) ---
     "txt_pmi_collocations": txt_pmi_collocations,
     "e_cohort_retention": e_cohort_retention,
     "e_rate_anomaly": e_rate_anomaly,
@@ -11669,9 +12337,6 @@ QUERIES = {
     "dq_expectations": dq_expectations,
     "dq_histogram": dq_histogram,
     "e_period_over_period": e_period_over_period,
-    # --- rotated in round 8 (driver records for the round-7 waves;
-    # 17 veterans green since r1-r5 ceded their slots and keep the
-    # identical oracle protocol in EXTRA_QUERIES) ---
     "txt_pii_scrub": txt_pii_scrub,
     "dq_robust_outliers": dq_robust_outliers,
     "dq_k_anonymity": dq_k_anonymity,
@@ -11689,10 +12354,6 @@ QUERIES = {
     "w3_window_suite": w3_window_suite,
     "e_latency_percentiles": e_latency_percentiles,
     "stat_psi": stat_psi,
-    # --- rotated in round 11 (seventh rotation: the 17 oldest
-    # never-driver-recorded round-9 wave queries take the slots of
-    # the 17 round-10 rows, all driver-green in r10 and keeping the
-    # identical oracle protocol in EXTRA_QUERIES) ---
     "ts_acf_hourly": ts_acf_hourly,
     "ts_cusum_errors": ts_cusum_errors,
     "ts_ewma_purchases": ts_ewma_purchases,
@@ -11710,69 +12371,16 @@ QUERIES = {
     "gr_kcore": gr_kcore,
     "e_markov_stationary": e_markov_stationary,
     "sk_quantile_gate": sk_quantile_gate,
-    # --- rows-only from here down (iterative fits, no SQL oracle) ---
-    "stat_edger_exact_test": stat_edger_exact_test,
-    "stat_deseq2": stat_deseq2,
-}
-
-# Queries ceded from the 50-row driver registry — still first-class
-# library surface: the five with oracles are hash-compared with the
-# driver's exact protocol in tests/test_extra_parity.py; the two
-# without (simulation/ML summaries) keep their unit/golden coverage.
-# Their driver-registered stand-ins: n_zscore_rows → a2_group_zscore
-# (same z-score kernel), dd_distinct_pairs → dd_exact_dedup,
-# e_events_hourly → st_events_window (identical result via streaming),
-# mm_payload_stats → mm_features, sim_embedding_stats →
-# sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
-# tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
-EXTRA_QUERIES = {
     # --- new in round 11: survival inference + experimentation
     # metrics + corpus coverage wave ---
-    "e_log_rank": e_log_rank,
-    "e_rmst": e_rmst,
-    "stat_mcnemar": stat_mcnemar,
-    "e_winsorized_lift": e_winsorized_lift,
-    "e_ratio_metric_delta": e_ratio_metric_delta,
-    "dq_covariate_balance": dq_covariate_balance,
-    "txt_vocab_richness": txt_vocab_richness,
-    "txt_source_jsd": txt_source_jsd,
-    "e_eb_ctr_shrinkage": e_eb_ctr_shrinkage,
-    "stat_dispersion_nb": stat_dispersion_nb,
     # --- new in round 11, wave 2: matched-block & sequence tests ---
-    "stat_cochran_q": stat_cochran_q,
-    "stat_friedman": stat_friedman,
-    "stat_runs_test": stat_runs_test,
-    "stat_trend_armitage": stat_trend_armitage,
-    "ts_page_hinkley": ts_page_hinkley,
     # --- new in round 11, wave 3: sequential monitoring / QTE /
     # co-missingness / burstiness ---
-    "e_msprt_monitor": e_msprt_monitor,
-    "e_qte_deciles": e_qte_deciles,
-    "dq_null_patterns": dq_null_patterns,
-    "txt_burstiness": txt_burstiness,
     # --- new in round 11, wave 4: quasi-experimental + ordered trend ---
-    "e_diff_in_diff": e_diff_in_diff,
-    "stat_jonckheere": stat_jonckheere,
     # --- new in round 11, wave 5: effect sizes / GT smoothing / BY ---
-    "stat_effect_sizes": stat_effect_sizes,
-    "txt_good_turing": txt_good_turing,
-    "w_by_fdr": w_by_fdr,
     # --- new in round 10: end-to-end pipeline composition ---
-    "pipe_fineweb_recipe": pipe_fineweb_recipe,
     # --- new in round 10: rank-statistics & concentration wave ---
-    "stat_kruskal_wallis": stat_kruskal_wallis,
-    "stat_kendall_tau": stat_kendall_tau,
-    "dq_gini_concentration": dq_gini_concentration,
-    "ts_mase_hourly": ts_mase_hourly,
-    "e_kaplan_meier": e_kaplan_meier,
     # --- new in round 10: experimentation & drift wave ---
-    "stat_two_proportion": stat_two_proportion,
-    "e_cuped_adjust": e_cuped_adjust,
-    "dq_srm_check": dq_srm_check,
-    "stat_wasserstein": stat_wasserstein,
-    "ts_mann_kendall": ts_mann_kendall,
-    "ts_theil_sen": ts_theil_sen,
-    "sk_join_size_gate": sk_join_size_gate,
     # --- rotated out of the driver registry in round 11 (seventh
     # rotation; driver-green r10, same oracle protocol in-repo from
     # here on) ---
@@ -11794,8 +12402,6 @@ EXTRA_QUERIES = {
     "j_q19_bracket_revenue": j_q19_bracket_revenue,
     "j_q20_excess_suppliers": j_q20_excess_suppliers,
     # --- round-9 wave queries still queued for a driver record ---
-    "dq_completeness_profile": dq_completeness_profile,
-    "gr_label_propagation": gr_label_propagation,
     "txt_repetition": txt_repetition,
     "txt_gopher_filter": txt_gopher_filter,
     "txt_unigram_lm": txt_unigram_lm,
@@ -11819,7 +12425,6 @@ EXTRA_QUERIES = {
     "mm_payload_stats": mm_payload_stats,
     # rows-only: RIFF/PCM byte-walk has no SQL form (codec pinned to
     # the stdlib wave module in tests/test_multimodal_wav.py)
-    "mm_wav_features": mm_wav_features,
     "n_zscore_rows": n_zscore_rows,
     "sim_embedding_stats": sim_embedding_stats,
     "ml_cluster_summary": ml_cluster_summary,
@@ -11980,6 +12585,74 @@ ORACLES = {
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
     "stat_edger_norm": STAT_EDGER_NORM_SQL,
     "stat_deseq2_base": STAT_DESEQ2_BASE_SQL,
+    # --- rotated in round 12 (eighth rotation) ---
+    "dq_completeness_profile": DQ_COMPLETENESS_SQL,
+    "gr_label_propagation": GR_LPA_SQL,
+    "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
+    "stat_kruskal_wallis": STAT_KW_SQL,
+    "stat_kendall_tau": STAT_KENDALL_SQL,
+    "dq_gini_concentration": DQ_GINI_SQL,
+    "ts_mase_hourly": TS_MASE_SQL,
+    "e_kaplan_meier": E_KM_SQL,
+    "stat_two_proportion": STAT_TWOPROP_SQL,
+    "e_cuped_adjust": E_CUPED_SQL,
+    "dq_srm_check": DQ_SRM_SQL,
+    "stat_wasserstein": STAT_WASSERSTEIN_SQL,
+    "ts_mann_kendall": TS_MK_SQL,
+    "ts_theil_sen": TS_THEILSEN_SQL,
+    "sk_join_size_gate": SK_JOINSIZE_SQL,
+    "e_log_rank": E_LOGRANK_SQL,
+    "e_rmst": E_RMST_SQL,
+    "stat_mcnemar": STAT_MCNEMAR_SQL,
+    "e_winsorized_lift": E_WINSOR_SQL,
+    "e_ratio_metric_delta": E_RATIO_DELTA_SQL,
+    "dq_covariate_balance": DQ_BALANCE_SQL,
+    "txt_vocab_richness": TXT_VOCAB_SQL,
+    "txt_source_jsd": TXT_JSD_SQL,
+    "e_eb_ctr_shrinkage": E_EB_SQL,
+    "stat_dispersion_nb": STAT_DISPERSION_SQL,
+    "stat_cochran_q": STAT_COCHRANQ_SQL,
+    "stat_friedman": STAT_FRIEDMAN_SQL,
+    "stat_runs_test": STAT_RUNS_SQL,
+    "stat_trend_armitage": STAT_TREND_SQL,
+    "ts_page_hinkley": TS_PH_SQL,
+    "e_msprt_monitor": E_MSPRT_SQL,
+    "e_qte_deciles": E_QTE_SQL,
+    "dq_null_patterns": DQ_NULLPAT_SQL,
+    "txt_burstiness": TXT_BURSTINESS_SQL,
+    "e_diff_in_diff": E_DID_SQL,
+    "stat_jonckheere": STAT_JT_SQL,
+    "stat_effect_sizes": STAT_EFFECT_SQL,
+    "txt_good_turing": TXT_GT_SQL,
+    "w_by_fdr": W_BY_SQL,
+    "w_by_fdr_scale": W_BY_SQL,
+    # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
+    # iterative NB/GLM fits with no SQL-expressible equivalent (R
+    # goldens in tests/test_*_golden.py; deterministic sub-layers
+    # hash-checked via stat_edger_norm / stat_deseq2_base).
+    # mm_wav_features is rows-only: the RIFF/PCM byte-walk has no
+    # SQL form (codec pinned to the stdlib wave module in
+    # tests/test_multimodal_wav.py).
+}
+
+# Oracles for the EXTRA_QUERIES — same comparison protocol, run
+# in-repo (tests/test_extra_parity.py) instead of by the driver.
+EXTRA_ORACLES = {
+    # --- new in round 12 ---
+    "stat_cohens_kappa": STAT_KAPPA_SQL,
+    "stat_mutual_information": STAT_MI_SQL,
+    "stat_levene": STAT_LEVENE_SQL,
+    "stat_concordance_ccc": STAT_CCC_SQL,
+    "w_holm_adjust": W_HOLM_SQL,
+    "ts_ljung_box": TS_LJUNG_SQL,
+    "ts_durbin_watson": TS_DW_SQL,
+    "gr_degree_distribution": GR_DEGREE_SQL,
+    "gr_reciprocity": GR_RECIP_SQL,
+    "dq_format_patterns": DQ_FORMAT_SQL,
+    "ds_kfold_profile": DS_KFOLD_SQL,
+    "txt_casing_profile": TXT_CASING_SQL,
+    "e_conversion_lag": E_CONVLAG_SQL,
+    # --- rotated out of the driver registry in round 12 ---
     "txt_pmi_collocations": TXT_PMI_SQL,
     "e_cohort_retention": E_COHORT_SQL,
     "e_rate_anomaly": E_ANOMALY_SQL,
@@ -11987,7 +12660,6 @@ ORACLES = {
     "dq_expectations": DQ_EXPECTATIONS_SQL,
     "dq_histogram": DQ_HISTOGRAM_SQL,
     "e_period_over_period": E_POP_SQL,
-    # --- rotated in round 8 ---
     "txt_pii_scrub": TXT_PII_SCRUB_SQL,
     "dq_robust_outliers": DQ_ROBUST_SQL,
     "dq_k_anonymity": DQ_KANON_SQL,
@@ -12005,7 +12677,6 @@ ORACLES = {
     "w3_window_suite": W3_WINDOW_SQL,
     "e_latency_percentiles": E_LATENCY_SQL,
     "stat_psi": STAT_PSI_SQL,
-    # --- rotated in round 11 (seventh rotation) ---
     "ts_acf_hourly": TS_ACF_SQL,
     "ts_cusum_errors": TS_CUSUM_SQL,
     "ts_ewma_purchases": TS_EWMA_SQL,
@@ -12023,62 +12694,15 @@ ORACLES = {
     "gr_kcore": GR_KCORE_SQL,
     "e_markov_stationary": E_MARKOV_SQL,
     "sk_quantile_gate": SK_QUANTILE_SQL,
-    # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
-    # iterative NB/GLM fits with no SQL-expressible equivalent. Their
-    # numeric parity is asserted against the reference's R goldens in
-    # tests/test_*_golden.py, and their deterministic sub-layers are
-    # hash-checked via stat_edger_norm / stat_deseq2_base / stat_vst.
-}
-
-# Oracles for the EXTRA_QUERIES — same comparison protocol, run
-# in-repo (tests/test_extra_parity.py) instead of by the driver.
-EXTRA_ORACLES = {
     # --- new in round 11: survival inference + experimentation
     # metrics + corpus coverage wave ---
-    "e_log_rank": E_LOGRANK_SQL,
-    "e_rmst": E_RMST_SQL,
-    "stat_mcnemar": STAT_MCNEMAR_SQL,
-    "e_winsorized_lift": E_WINSOR_SQL,
-    "e_ratio_metric_delta": E_RATIO_DELTA_SQL,
-    "dq_covariate_balance": DQ_BALANCE_SQL,
-    "txt_vocab_richness": TXT_VOCAB_SQL,
-    "txt_source_jsd": TXT_JSD_SQL,
-    "e_eb_ctr_shrinkage": E_EB_SQL,
-    "stat_dispersion_nb": STAT_DISPERSION_SQL,
     # --- new in round 11, wave 2: matched-block & sequence tests ---
-    "stat_cochran_q": STAT_COCHRANQ_SQL,
-    "stat_friedman": STAT_FRIEDMAN_SQL,
-    "stat_runs_test": STAT_RUNS_SQL,
-    "stat_trend_armitage": STAT_TREND_SQL,
-    "ts_page_hinkley": TS_PH_SQL,
     # --- new in round 11, wave 3 ---
-    "e_msprt_monitor": E_MSPRT_SQL,
-    "e_qte_deciles": E_QTE_SQL,
-    "dq_null_patterns": DQ_NULLPAT_SQL,
-    "txt_burstiness": TXT_BURSTINESS_SQL,
     # --- new in round 11, wave 4 ---
-    "e_diff_in_diff": E_DID_SQL,
-    "stat_jonckheere": STAT_JT_SQL,
     # --- new in round 11, wave 5 ---
-    "stat_effect_sizes": STAT_EFFECT_SQL,
-    "txt_good_turing": TXT_GT_SQL,
-    "w_by_fdr": W_BY_SQL,
     # --- new in round 10: end-to-end pipeline composition ---
-    "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     # --- new in round 10: rank-statistics & concentration wave ---
-    "stat_kruskal_wallis": STAT_KW_SQL,
-    "stat_kendall_tau": STAT_KENDALL_SQL,
-    "dq_gini_concentration": DQ_GINI_SQL,
-    "ts_mase_hourly": TS_MASE_SQL,
-    "e_kaplan_meier": E_KM_SQL,
     # --- new in round 10: experimentation & drift wave ---
-    "stat_two_proportion": STAT_TWOPROP_SQL,
-    "e_cuped_adjust": E_CUPED_SQL,
-    "dq_srm_check": DQ_SRM_SQL,
-    "stat_wasserstein": STAT_WASSERSTEIN_SQL,
-    "ts_mann_kendall": TS_MK_SQL,
-    "ts_theil_sen": TS_THEILSEN_SQL,
-    "sk_join_size_gate": SK_JOINSIZE_SQL,
     # --- rotated out of the driver registry in round 11 (seventh
     # rotation; driver-green r10) ---
     "ml_ndcg_events": ML_NDCG_SQL,
@@ -12099,8 +12723,6 @@ EXTRA_ORACLES = {
     "j_q19_bracket_revenue": J_Q19_SQL,
     "j_q20_excess_suppliers": J_Q20_SQL,
     # --- round-9 wave queries still queued for a driver record ---
-    "dq_completeness_profile": DQ_COMPLETENESS_SQL,
-    "gr_label_propagation": GR_LPA_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "txt_gopher_filter": TXT_GOPHER_SQL,
     "txt_unigram_lm": TXT_UNIGRAM_SQL,

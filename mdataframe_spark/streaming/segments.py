@@ -134,6 +134,28 @@ def paired_flags_stream(
     )
 
 
+def drift_stream(
+    events: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Running distinct-value block counts over a stream — the
+    Wasserstein-1 drift sufficient statistic: per 4-dp-quantized value
+    block, the pooled count and the TRUE-group count are two SUM
+    monoids, so the running state after any prefix of micro-batches
+    equals the batch
+    :func:`..operators.stats_tests.drift_value_blocks` collapse over
+    the same rows (state is one row per distinct quantized value —
+    the same model-sized table wasserstein_1d's max_blocks cap
+    guards). Delegates to the batch collapse (the rfm_stream
+    convention); the W₁ integral (cumulative CDF windows + the gap
+    sum) stays in foreachBatch / the batch pass because it is a
+    global ordered function of the blocks, not of the stream."""
+    from ..operators.stats_tests import drift_value_blocks
+
+    return drift_value_blocks(events, value_col, group_col)
+
+
 def null_patterns_stream(events: DataFrame, cols) -> DataFrame:
     """Running co-missingness pattern counts over an event stream —
     the per-mask row counts are pure COUNT monoids (≤ 2^k state

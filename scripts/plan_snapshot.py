@@ -102,6 +102,13 @@ PICKS = [
     ("txt_source_jsd", "persisted (group, token) counts; TakeOrderedAndProject vocab; grid left join + broadcast totals"),
     ("stat_friedman", "user×type grid; per-block tie collapse; block-partitioned rank windows (no global sort)"),
     ("ts_page_hinkley", "ONE bucket collapse; ordered decimal cumsum + U/running-min windows over the series table"),
+    # --- round-12 wave picks ---
+    ("w_by_fdr_scale", "range-partitioned BY: bucketed quantile ranks, partitioned windows only, driver-scalar harmonic factor"),
+    ("ts_ljung_box", "persisted bucket series shared by lag join + moments + length (InMemoryRelation, one collapse)"),
+    ("gr_degree_distribution", "degree collapse -> persisted histogram; CCDF window + Hill sum histogram-bounded"),
+    ("dq_format_patterns", "translate/substr class mask pure codegen; one groupBy; TakeOrderedAndProject top-k"),
+    ("e_conversion_lag", "ONE per-user conditional-min collapse; users-bounded percentile agg; no window"),
+    ("stat_cohens_kappa", "persisted (a,b) cell table feeds margins + agreement; full-outer margin join cells-bounded"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")

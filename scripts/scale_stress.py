@@ -706,6 +706,54 @@ def run_factor(factor: int) -> dict:
 
         record("nearest_centroid_confusion", factor, timed(nc_confusion), n_vecs)
 
+        # --- round-12 wave: the three shapes with any corpus-growth
+        # exposure (kappa's cells are 2x2 here by construction; the
+        # interesting cost is the collapse; degree histogram rides the
+        # same co-purchase edge build as assortativity; conversion_lag
+        # is the per-user conditional-min collapse — the funnel axis)
+        def kappa_cells():
+            from mdataframe_spark.operators.stats_tests import cohens_kappa
+
+            d = events.select(
+                F.when(F.col("value") >= 50, "hi").otherwise("lo")
+                .alias("a"),
+                F.when(F.col("event_id") % 2 == 0, "hi").otherwise("lo")
+                .alias("b"),
+            )
+            cohens_kappa(d, "a", "b").write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("cohens_kappa_cells", factor, timed(kappa_cells), n_events)
+
+        def degree_hist():
+            from mdataframe_spark.operators.baskets import (
+                co_occurrence_pairs,
+                degree_histogram,
+            )
+
+            pairs = co_occurrence_pairs(
+                liq, "l_orderkey", "l_partkey", min_count=3,
+                with_stats=False,
+            ).select(
+                F.col("item_a").alias("id_a"),
+                F.col("item_b").alias("id_b"),
+            )
+            degree_histogram(pairs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("degree_histogram", factor, timed(degree_hist), n_liq)
+
+        def conv_lag():
+            from mdataframe_spark.operators.events import conversion_lag
+
+            conversion_lag(_events_ns()).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        record("conversion_lag", factor, timed(conv_lag), n_events)
+
     return {
         op: {f: [v[0], v[1]] for f, v in by_f.items()}
         for op, by_f in results.items()
@@ -876,6 +924,19 @@ def main():
         "point and the depth×width-bounded plan shape are stable — the",
         "cell table cannot grow with the corpus by construction.",
         "",
+        "**Round-12 loud caps**: the \"bounded if quantized\" contracts on",
+        "these collapsed tables are now RUNTIME-ENFORCED, not advisory —",
+        "`kendall_tau_cells(max_cells=10k)`, `wasserstein_1d(max_blocks=",
+        "100k)`, `kaplan_meier`/`log_rank_test`/`rmst(max_steps=100k)`",
+        "and `msprt_monitor(max_buckets=100k)` count-probe their",
+        "persisted cell/block/step/bucket tables and raise",
+        "`CollapsedTableTooLarge` past the cap (guards.py; the dedup",
+        "DEFAULT_DF_CAP discipline). A raw-continuous input now FAILS",
+        "LOUD naming the quantize knob instead of silently exploding the",
+        "cells² join or putting a corpus-sized table on one window",
+        "reducer. The `wasserstein_raw` stress row below measures the",
+        "raw arm deliberately via `max_blocks=None`.",
+        "",
         "Round-10 entries: `wasserstein_raw` runs the spearman",
         "worst-case axis on purpose — the price offsets mint new",
         "distinct values per copy, so the block table (and its",
@@ -893,6 +954,14 @@ def main():
         "after runs on the distinct-duration step table, which the",
         "FIXED time span bounds no matter how many users the",
         "inflation adds.",
+        "",
+        "Round-12 entries: `cohens_kappa_cells` collapses the corpus to",
+        "a 2x2 cell table in one groupBy — cost is the collapse, flat",
+        "past it. `degree_histogram` rides the same co-purchase edge",
+        "build as assortativity_moments; the CCDF window and Hill sum",
+        "run on the degree histogram (a few hundred rows at any scale).",
+        "`conversion_lag` is ONE per-user conditional-min collapse plus",
+        "a users-bounded percentile — the funnel growth axis.",
         "",
         "Round-6-continuation entries: `bloom_decontaminate` is",
         "near-flat because the probe is a map over the gram stream",

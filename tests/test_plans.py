@@ -330,3 +330,62 @@ def test_page_hinkley_series_bounded_windows(spark):
     assert "EvalPython" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_" in plan
+
+
+def test_ljung_box_shares_one_series_collapse(spark):
+    """ts_ljung_box: the persisted bucket series feeds the lag join,
+    the global moments, AND the length probe — InMemoryRelation, one
+    corpus collapse, no Python."""
+    from mdataframe_spark.queries import ts_ljung_box
+
+    plan = _plan(ts_ljung_box(spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_degree_distribution_histogram_bounded(spark):
+    """gr_degree_distribution: everything past the degree collapse
+    runs on the persisted histogram (InMemoryRelation); the Hill sum
+    and CCDF window never touch the corpus. No Python."""
+    from mdataframe_spark.queries import gr_degree_distribution
+
+    plan = _plan(gr_degree_distribution(spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_format_patterns_single_scan_codegen(spark):
+    """dq_format_patterns: ONE parquet scan, the mask is pure
+    translate/substr codegen (no regex, no Python), one partial-agged
+    groupBy, TakeOrdered for the top-k."""
+    from mdataframe_spark.queries import dq_format_patterns
+
+    plan = _plan(dq_format_patterns(spark, SF))
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_conversion_lag_one_user_collapse(spark):
+    """e_conversion_lag: ONE per-user conditional-min collapse (the
+    only corpus shuffle) + one users-bounded percentile aggregation;
+    no window, no Python."""
+    from mdataframe_spark.queries import e_conversion_lag
+
+    plan = _plan(e_conversion_lag(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_kfold_profile_zero_preshuffle(spark):
+    """ds_kfold_profile: the fold projection is pure md5 codegen —
+    the only exchanges are the k-cell groupBy and its broadcast;
+    no Python, no window, no join back to the corpus."""
+    from mdataframe_spark.queries import ds_kfold_profile
+
+    plan = _plan(ds_kfold_profile(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan

@@ -130,3 +130,61 @@ def test_bh_scale_safe_nulls_and_small(spark):
             assert fast[k] is None
         else:
             assert abs(fast[k] - v) < 1e-12, (k, fast[k], v)
+
+
+def test_by_scale_safe_equals_window_arm_200k(spark):
+    """Round-12: Benjamini-Yekutieli through the range-partitioned arm
+    — identical to the window arm's BY output at 200k rows with heavy
+    ties and near-0 p mass, and row-wise >= plain scale-safe BH (the
+    dominance property the harmonic factor guarantees)."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.functions.stats import bh_adjust
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .withColumn(
+            "p",
+            F.when(F.col("id") % 2 == 0, (F.col("id") % 1000) / 1.0e7)
+            .otherwise(((F.col("id") * 2654435761) % 10000) / 10000.0),
+        )
+        .repartition(16)
+    )
+    ref = bh_adjust(
+        df, "p", "fdr_ref", tiebreak_cols=["id"],
+        by_correction=True, allow_global=True,
+    )
+    fast = bh_adjust(
+        df, "p", "fdr_fast", tiebreak_cols=["id"],
+        by_correction=True, scale_safe=True,
+    )
+    bh_fast = bh_adjust(
+        df, "p", "fdr_bh", tiebreak_cols=["id"], scale_safe=True
+    )
+    joined = (
+        ref.join(fast.select("id", "fdr_fast"), "id")
+        .join(bh_fast.select("id", "fdr_bh"), "id")
+    )
+    bad = joined.filter(
+        F.abs(F.col("fdr_ref") - F.col("fdr_fast")) > 1e-12
+    ).count()
+    assert bad == 0
+    dominated = joined.filter(
+        F.col("fdr_fast") < F.col("fdr_bh") - 1e-12
+    ).count()
+    assert dominated == 0
+
+
+def test_harmonic_crossover_continuity():
+    """_harmonic: the asymptotic branch picks up where the exact loop
+    leaves off — continuous at the 10^6 crossover to double ulp."""
+    from mdataframe_spark.functions.stats import _harmonic
+
+    exact = _harmonic(1_000_000)
+    # one past the crossover via the asymptotic branch
+    asym = _harmonic(1_000_001)
+    assert abs(asym - (exact + 1.0 / 1_000_001)) < 1e-12
+    assert _harmonic(0) == 0.0
+    assert _harmonic(1) == 1.0
+    assert _harmonic(3) == 1.0 + 0.5 + 1.0 / 3.0
