@@ -232,8 +232,19 @@ def main():
     # capture next to the raw series, so it is written to
     # BENCH_NORM.json at the repo root instead (both forms, one file).
     ANCHORS = ["q1_pricing_summary", "dd_exact_dedup", "f1_filter_dsl"]
-    anchor_sec = round(sum(timings.get(a, 0.0) for a in ANCHORS), 3)
-    value_norm = round(total / anchor_sec, 2) if anchor_sec > 0 else None
+    # the ratio is only honest when ALL THREE anchors timed: a missing
+    # anchor would deflate anchor_sec and inflate norm for a reason
+    # unrelated to box speed (review finding, round 12) — report None
+    # and let the raw series carry that round
+    anchors_ok = all(a in timings for a in ANCHORS)
+    anchor_sec = (
+        round(sum(timings[a] for a in ANCHORS), 3) if anchors_ok else None
+    )
+    value_norm = (
+        round(total / anchor_sec, 2)
+        if anchors_ok and anchor_sec > 0
+        else None
+    )
     norm_record = {
         "metric": "headline_queries_anchor_normalized",
         "anchors": ANCHORS,
@@ -243,7 +254,11 @@ def main():
         "sf": float(sf),
         "queries_sec": timings,
         "queries_norm": {
-            k: round(v / anchor_sec, 2) if anchor_sec > 0 else None
+            k: (
+                round(v / anchor_sec, 2)
+                if anchor_sec is not None and anchor_sec > 0
+                else None
+            )
             for k, v in timings.items()
         },
     }

@@ -882,10 +882,16 @@ def degree_histogram(
     Hill sum one aggregation. No corpus-scale structure past the first
     collapse.
     """
-    e = edges.select(
-        F.least(F.col(a_col), F.col(b_col)).alias("__x"),
-        F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
-    ).filter(F.col("__x") != F.col("__y")).distinct()
+    # persisted: the degree union reads e TWICE (both endpoints), and
+    # the caller's upstream edge build (co-occurrence pair generation)
+    # must not re-run per branch — the assortativity discipline
+    # (review finding, round 12)
+    e = _persist_tracked(
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("__x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
+        ).filter(F.col("__x") != F.col("__y")).distinct()
+    )
     deg = (
         e.select(F.col("__x").alias("__v"))
         .unionByName(e.select(F.col("__y").alias("__v")))

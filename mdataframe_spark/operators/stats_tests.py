@@ -1718,12 +1718,17 @@ def cohens_kappa(
         F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
         F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
     )
-    n_cat = pe_tab.count()  # categories-bounded scalar probe
+    # n_categories rides INSIDE the one aggregation (glob is a single
+    # row, so the crossJoin row count IS the category count — exactly
+    # what the oracle's acc CTE computes); a separate count() would be
+    # an extra eager job re-deriving the margin join (review finding,
+    # round 12)
     acc = (
         pe_tab.crossJoin(F.broadcast(glob))
         .agg(
             F.first("__n").alias("__n"),
             F.first("__agree").alias("__agree"),
+            F.count(F.lit(1)).alias("__ncat"),
             F.sum(
                 (F.col("__r").cast("double") / F.col("__n"))
                 * (F.col("__c").cast("double") / F.col("__n"))
@@ -1734,7 +1739,7 @@ def cohens_kappa(
     pe = F.col("__pe")
     return acc.select(
         F.col("__n").cast("bigint").alias("n"),
-        F.lit(n_cat).cast("bigint").alias("n_categories"),
+        F.col("__ncat").cast("bigint").alias("n_categories"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
         F.round(

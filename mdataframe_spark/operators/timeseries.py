@@ -552,14 +552,22 @@ def ljung_box(
     s = persist_tracked(bucket_series(df, ts_col, value_col, period_ns))
     ac = acf_lags(df, ts_col, value_col, period_ns, max_lag, series=s)
     glob = s.agg(F.count(F.lit(1)).alias("__n"))
-    acc = ac.crossJoin(F.broadcast(glob)).agg(
-        F.first("__n").alias("__n"),
-        F.count(F.when(F.col("acf").isNotNull(), 1)).alias("__h"),
-        F.sum(
-            F.col("acf")
-            * F.col("acf")
-            / (F.col("__n").cast("double") - F.col("lag"))
-        ).alias("__s"),
+    # n rides OUTSIDE the lag aggregation (second crossJoin): with an
+    # empty lag table (single-bucket series) first("__n") over the
+    # empty frame would be NULL while the series length is a real 1 —
+    # the oracle takes n from the series moments, so must Spark
+    # (review finding, round 12)
+    acc = (
+        ac.crossJoin(F.broadcast(glob))
+        .agg(
+            F.count(F.when(F.col("acf").isNotNull(), 1)).alias("__h"),
+            F.sum(
+                F.col("acf")
+                * F.col("acf")
+                / (F.col("__n").cast("double") - F.col("lag"))
+            ).alias("__s"),
+        )
+        .crossJoin(F.broadcast(glob))
     )
     n = F.col("__n").cast("double")
     q = F.when(
@@ -597,9 +605,13 @@ def durbin_watson(
     NULL when the variance degenerates.
 
     Decomposition: mean-centering expands algebraically (the module
-    convention) — the pair pass accumulates Σ(x_t − x_{t−1})² exactly
-    on the decimal grid (differences of DECIMAL(18,4) values, squared
-    into decimal(37,8)), the global pass gives n, Σx, Σx²; DW's
+    convention); the squared step accumulates as EXACT SCALED INTEGERS
+    (the gini convention): (x_t − x_{t−1})·10⁴ is an exact
+    decimal(19,0) integer, its square exact decimal(38,0) — scale-0
+    decimals never lose fractional digits to Spark's 38-precision cap
+    (a direct decimal square rounded sub-1e-7 steps to zero; review
+    finding, round 12) — and the sum divides by 10⁸ once at the end.
+    The global pass gives n, Σx, Σx²; DW's
     numerator needs no mean at all ((d_t − d_{t−1}) = (x_t − x_{t−1}))
     and the denominator is Σx² − n·x̄². ONE corpus collapse + one
     model-bounded self-join.
@@ -610,14 +622,24 @@ def durbin_watson(
     s = persist_tracked(s)
     a = s.select(F.col("bucket").alias("__ba"), F.col("x").alias("__xa"))
     b = s.select(F.col("bucket").alias("__bb"), F.col("x").alias("__xb"))
+    # the squared step rides the SCALED-INTEGER grid (the gini
+    # convention): a direct (xb − xa)² would widen decimal(18,4) to
+    # (19,4)², overflow Spark's 38-precision cap down to scale 7, and
+    # silently round a 1e-8 step (two 4-dp values 0.0001 apart) to
+    # ZERO — reproduced in review; the expanded-moments form rescales
+    # the same way on the ×2 term. Scale-0 decimals never lose
+    # fractional digits to the cap: diff·10⁴ is an exact integer in
+    # decimal(19,0), its square is exact in decimal(38,0), and the
+    # sum divides back by 10⁸ once at the end — the oracle replays
+    # the identical scaled arithmetic.
+    dsc = (
+        (F.col("__xb") - F.col("__xa")) * 10000
+    ).cast("decimal(19,0)")
     pairs = a.join(
         F.broadcast(b), F.col("__bb") == F.col("__ba") + 1
     ).agg(
         F.count(F.lit(1)).alias("__np"),
-        F.sum(
-            (F.col("__xb") - F.col("__xa"))
-            * (F.col("__xb") - F.col("__xa"))
-        ).alias("__sd2"),
+        F.sum(dsc * dsc).alias("__sd2"),
     )
     glob = s.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -634,7 +656,7 @@ def durbin_watson(
         F.round(
             F.when(
                 (den > 0) & (F.col("__np") > 0),
-                F.col("__sd2").cast("double") / den,
+                (F.col("__sd2").cast("double") / 100000000.0) / den,
             ),
             6,
         ).alias("dw"),

@@ -11950,9 +11950,13 @@ WITH ns AS (
          END AS acf
   FROM lp CROSS JOIN g
 ), acc AS (
+  -- ungrouped aggregate: an empty lag table must still yield ONE row
+  -- (h = 0, sq NULL), matching Spark's global agg over the empty
+  -- cross join (review finding, round 12: GROUP BY n returned zero
+  -- rows there and broke the parity SHAPE on a single-bucket series)
   SELECT count(acf)::BIGINT AS h,
          sum(acf * acf / (n::DOUBLE - lag)) AS sq
-  FROM ac CROSS JOIN g GROUP BY n
+  FROM ac CROSS JOIN g
 )
 SELECT n::BIGINT AS n, h,
        round(CASE WHEN h >= 6 AND n > 6
@@ -11980,8 +11984,11 @@ WITH ns AS (
          CAST(count(*) AS DECIMAL(18,4)) AS x
   FROM ns GROUP BY 1
 ), pairs AS (
+  -- scaled-integer squares (mirrors Spark exactly): diff*10^4 is an
+  -- exact DECIMAL(19,0) integer, the product exact DECIMAL(38,0)
   SELECT count(*)::BIGINT AS np,
-         sum((b.x - a.x) * (b.x - a.x)) AS sd2
+         sum(CAST((b.x - a.x) * 10000 AS DECIMAL(19,0))
+             * CAST((b.x - a.x) * 10000 AS DECIMAL(19,0))) AS sd2
   FROM s a JOIN s b ON b.bucket = a.bucket + 1
 ), g AS (
   SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx FROM s
@@ -11989,7 +11996,7 @@ WITH ns AS (
 SELECT n, np AS n_pairs,
        round(CASE WHEN (sxx::DOUBLE - n * (sx::DOUBLE / n) * (sx::DOUBLE / n)) > 0
                    AND np > 0
-             THEN sd2::DOUBLE
+             THEN (sd2::DOUBLE / 100000000.0)
                   / (sxx::DOUBLE - n * (sx::DOUBLE / n) * (sx::DOUBLE / n))
              END, 6) AS dw
 FROM pairs, g

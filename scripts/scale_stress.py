@@ -485,14 +485,18 @@ def run_factor(factor: int) -> dict:
             from mdataframe_spark.operators.stats_tests import wasserstein_1d
 
             # the documented knob: rounding to whole dollars bounds the
-            # block table regardless of corpus growth
+            # block table regardless of corpus growth. The dollar grid
+            # over this price range is ~104k blocks — a hair past the
+            # 100k default loud cap (round-12), so the stress arm
+            # raises the cap explicitly; the MEASUREMENT (blocks flat
+            # while the corpus grows) is exactly what the knob claims.
             d = liq.select(
                 F.round("l_extendedprice", 0).alias("__p"),
                 (F.col("l_quantity") >= 25).alias("__g"),
             )
-            wasserstein_1d(d, "__p", "__g").write.format("noop").mode(
-                "overwrite"
-            ).save()
+            wasserstein_1d(
+                d, "__p", "__g", max_blocks=200_000
+            ).write.format("noop").mode("overwrite").save()
 
         record(
             "wasserstein_quantized",
@@ -733,7 +737,7 @@ def run_factor(factor: int) -> dict:
             )
 
             pairs = co_occurrence_pairs(
-                liq, "l_orderkey", "l_partkey", min_count=3,
+                li, "l_orderkey", "l_partkey", min_count=3,
                 with_stats=False,
             ).select(
                 F.col("item_a").alias("id_a"),
@@ -743,7 +747,7 @@ def run_factor(factor: int) -> dict:
                 "overwrite"
             ).save()
 
-        record("degree_histogram", factor, timed(degree_hist), n_liq)
+        record("degree_histogram", factor, timed(degree_hist), n_li)
 
         def conv_lag():
             from mdataframe_spark.operators.events import conversion_lag

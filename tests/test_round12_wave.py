@@ -280,3 +280,38 @@ def test_conversion_lag_hand_events(spark):
     assert r["p50_lag"] == pytest.approx(2.5)
     assert r["mean_lag"] == pytest.approx(2.5)
     assert r["max_lag"] == 5
+
+
+def test_durbin_watson_exact_on_tiny_fractional_steps(spark):
+    """Review regression (round-12): a 4-dp value series whose
+    consecutive buckets differ by 0.0001 — the direct (xb − xa)²
+    decimal square overflowed Spark's 38-precision cap to scale 7 and
+    rounded every 1e-8 step to ZERO (dw = 0.0, 'perfect positive
+    autocorrelation'); the scaled-integer form (diff·10⁴ squared in
+    decimal(38,0), divided by 10⁸ once) keeps the sum exact."""
+    import numpy as np
+
+    H = 3_600_000_000_000
+    vals = [1.0 + 0.0001 * i for i in range(30)]
+    rows = [(i * H, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts long, value double")
+    r = durbin_watson(df, value_col="value").collect()[0]
+    x = np.array(vals)
+    d = x - x.mean()
+    dw = (np.diff(d) ** 2).sum() / (d ** 2).sum()
+    assert r["dw"] is not None and r["dw"] > 0
+    assert r["dw"] == pytest.approx(dw, rel=1e-4)
+
+
+def test_ljung_box_single_bucket_series_keeps_n(spark):
+    """Review regression (round-12): a single-bucket series has an
+    empty lag table — the result must still be ONE row with the REAL
+    series length (n=1, h=0, q NULL), matching the oracle's shape."""
+    H = 3_600_000_000_000
+    df = spark.createDataFrame([(10,), (20,), (30,)], "ts long")
+    df = df.select((F.col("ts") % H).alias("ts"))  # all in bucket 0
+    rows = ljung_box(df, max_lag=3, with_p=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 1
+    assert rows[0]["h"] == 0
+    assert rows[0]["q_stat"] is None
