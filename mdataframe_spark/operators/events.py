@@ -783,6 +783,34 @@ def markov_stationary(
     ).orderBy("event_type")
 
 
+def user_conversion_spans(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    from_event: str = "view",
+    to_event: str = "purchase",
+) -> DataFrame:
+    """Per-user (first_from_ts, first_to_ts) conditional minimums —
+    the :func:`conversion_lag` sufficient statistic: two MIN monoids
+    per user, which is what makes
+    :func:`~..streaming.segments.conversion_lag_stream` a legal
+    streaming twin (running state after any micro-batch prefix equals
+    this batch collapse over the same rows). One state row per live
+    user; the lag arithmetic and percentiles are global functions of
+    the state and stay in the batch pass / foreachBatch. Returns
+    (user, first_from_ts, first_to_ts)."""
+    d = _ns(df, ts_col)
+    return d.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(
+            F.when(F.col(event_type_col) == from_event, F.col(ts_col))
+        ).alias("first_from_ts"),
+        F.min(
+            F.when(F.col(event_type_col) == to_event, F.col(ts_col))
+        ).alias("first_to_ts"),
+    )
+
+
 def conversion_lag(
     df: DataFrame,
     user_col: str = "user_id",
@@ -806,16 +834,15 @@ def conversion_lag(
     count as NOT converted — lag is defined forward only.
 
     Plan shape: ONE per-user conditional min/min collapse (the only
-    corpus-scale shuffle) + one users-bounded percentile aggregation.
+    corpus-scale shuffle — :func:`user_conversion_spans`, shared with
+    the streaming twin) + one users-bounded percentile aggregation.
     """
-    d = _ns(df, ts_col)
-    per = d.groupBy(F.col(user_col).alias("user")).agg(
-        F.min(
-            F.when(F.col(event_type_col) == from_event, F.col(ts_col))
-        ).alias("__t0"),
-        F.min(
-            F.when(F.col(event_type_col) == to_event, F.col(ts_col))
-        ).alias("__t1"),
+    per = user_conversion_spans(
+        df, user_col, ts_col, event_type_col, from_event, to_event
+    ).select(
+        "user",
+        F.col("first_from_ts").alias("__t0"),
+        F.col("first_to_ts").alias("__t1"),
     )
     lag = F.when(
         F.col("__t0").isNotNull()

@@ -156,6 +156,29 @@ def drift_stream(
     return drift_value_blocks(events, value_col, group_col)
 
 
+def conversion_lag_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    from_event: str = "view",
+    to_event: str = "purchase",
+) -> DataFrame:
+    """Running per-user (first_from_ts, first_to_ts) conditional
+    minimums over an event stream — the conversion-lag sufficient
+    statistic (two MIN monoids, one state row per live user; a late
+    earlier view correctly pulls first_from_ts back). Delegates to the
+    batch :func:`..operators.events.user_conversion_spans` collapse
+    (the rfm_stream convention); the forward-only lag arithmetic and
+    the population percentiles stay in foreachBatch / the batch pass
+    because they are global functions of the state."""
+    from ..operators.events import user_conversion_spans
+
+    return user_conversion_spans(
+        events, user_col, ts_col, event_type_col, from_event, to_event
+    )
+
+
 def null_patterns_stream(events: DataFrame, cols) -> DataFrame:
     """Running co-missingness pattern counts over an event stream —
     the per-mask row counts are pure COUNT monoids (≤ 2^k state

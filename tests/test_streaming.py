@@ -1201,3 +1201,94 @@ def test_drift_stream_matches_batch_and_continues_from_checkpoint(
         spark.createDataFrame(clean, "v double, g boolean"), "v", "g"
     ).collect()[0]["wasserstein"]
     assert w_state == w_batch
+
+
+def test_conversion_lag_stream_matches_batch_and_continues(
+    spark, tmp_path_factory
+):
+    """The conversion-lag twin (round-12): per-user conditional first
+    view/first purchase timestamps are MIN monoids, so checkpointed
+    state + new micro-batches = one big batch — including a LATE
+    earlier view arriving after the user already converted, which must
+    pull first_from_ts back and lengthen the lag."""
+    from mdataframe_spark.operators.events import (
+        conversion_lag,
+        user_conversion_spans,
+    )
+    from mdataframe_spark.streaming.segments import conversion_lag_stream
+
+    root = tmp_path_factory.mktemp("conversion_lag_stream")
+    src = root / "events"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "user_id bigint, ts bigint, event_type string"
+    H = 3_600_000_000_000
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            conversion_lag_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user"]: (r["first_from_ts"], r["first_to_ts"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_state(rows):
+        return {
+            r["user"]: (r["first_from_ts"], r["first_to_ts"])
+            for r in user_conversion_spans(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        }
+
+    a_rows = [
+        (1, 4 * H, "view"), (1, 9 * H, "purchase"),
+        (2, 2 * H, "view"),
+        (3, 5 * H, "purchase"),
+    ]
+    write_log(a_rows)
+    got_a = run_stream("convlag_a")
+    assert got_a == batch_state(a_rows)
+    assert got_a[1] == (4 * H, 9 * H)
+
+    # file B: user 1's LATE earlier view (first_from pulls back),
+    # user 2 converts, user 3 gets a view AFTER its purchase
+    b_rows = [
+        (1, 1 * H, "view"),
+        (2, 7 * H, "purchase"),
+        (3, 8 * H, "view"),
+    ]
+    write_log(b_rows)
+    got_ab = run_stream("convlag_ab")
+    assert got_ab == batch_state(a_rows + b_rows)
+    assert got_ab[1] == (1 * H, 9 * H)
+
+    # foreachBatch read-out: the lag summary computed FROM the state
+    # (reconstructed as events) equals batch conversion_lag on the raw
+    # rows — user 3's purchase-before-view stays NOT converted
+    rebuilt = [
+        (u, t0, "view") for u, (t0, t1) in got_ab.items() if t0 is not None
+    ] + [
+        (u, t1, "purchase") for u, (t0, t1) in got_ab.items() if t1 is not None
+    ]
+    from_state = conversion_lag(
+        spark.createDataFrame(rebuilt, schema)
+    ).collect()[0]
+    from_raw = conversion_lag(
+        spark.createDataFrame(a_rows + b_rows, schema)
+    ).collect()[0]
+    assert from_state == from_raw
+    assert from_raw["n_converted"] == 2  # users 1 and 2, not 3
