@@ -1750,3 +1750,109 @@ def casing_profile(
         ratio(other).alias("other_ratio"),
         F.round(n / F.col("n_docs"), 6).alias("avg_doc_chars"),
     ).orderBy("group")
+
+
+def bigram_entropy_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int = 1 << 16,
+) -> DataFrame:
+    """Corpus bigram conditional entropy rate — "how predictable is
+    the next word": H(w₂|w₁) = −Σ p(w₁,w₂)·ln p(w₂|w₁) in nats, with
+    the right-margin unigram entropy H(w₂) and their difference
+    I(w₁;w₂) = H(w₂) − H(w₂|w₁) (the mutual information between
+    adjacent words — template-stitched or word-salad corpora show a
+    LOW gain where natural prose shows a high one; the one-number
+    companion of the per-doc KN perplexity filter). Returns ONE row:
+    (n_bigrams, n_distinct_bigrams, n_next_tokens, h_unigram,
+    h_conditional, info_gain) — n_next_tokens is the distinct
+    right-margin vocabulary H(w₂) is measured over.
+
+    Execution shape — the kn_bigram discipline end-to-end: bigrams
+    form INSIDE the scan (split → slice → arrays_zip → explode, zero
+    shuffle); tokens outside the ``vocab_cap`` most frequent collapse
+    to ``<unk>`` BEFORE bigrams (broadcast vocab), so the count table
+    is bounded by the capped vocabulary², never the raw corpus; the
+    margins are re-aggregations of that (persisted) table and the
+    entropies are ln sums over it (the txt_source_kl ulp argument),
+    rounded 6 dp.
+    """
+    arr_all = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, "")), _WS
+    )
+    arr = F.filter(arr_all, lambda t: t != "")
+    toks = df.select(F.explode(arr).alias("__tok"))
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        counts.orderBy(F.col("__c").desc(), F.col("__tok").asc())
+        .limit(vocab_cap)
+        .select("__tok")
+    )
+    m = F.greatest(F.size(arr) - F.lit(1), F.lit(0))
+    pairs = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, m).alias("a"),
+                F.slice(arr, 2, m).alias("b"),
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("__r1"), F.col("__p.b").alias("__r2"))
+    v1 = vocab.withColumnRenamed("__tok", "__r1").withColumn("__k1", F.lit(1))
+    v2 = vocab.withColumnRenamed("__tok", "__r2").withColumn("__k2", F.lit(1))
+    mapped = (
+        pairs.join(F.broadcast(v1), "__r1", "left")
+        .join(F.broadcast(v2), "__r2", "left")
+        .select(
+            F.when(F.col("__k1").isNotNull(), F.col("__r1"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__w1"),
+            F.when(F.col("__k2").isNotNull(), F.col("__r2"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__w2"),
+        )
+    )
+    big = _persist_tracked(
+        mapped.groupBy("__w1", "__w2").agg(
+            F.count(F.lit(1)).alias("__c12")
+        )
+    )
+    ctx = big.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    right = big.groupBy("__w2").agg(F.sum("__c12").alias("__c2"))
+    tot = big.agg(
+        F.sum("__c12").alias("__n"),
+        F.count(F.lit(1)).alias("__nd"),
+    )
+    n = F.col("__n").cast("double")
+    hcond_tab = (
+        big.join(F.broadcast(ctx), "__w1")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("__c12").cast("double") / n)
+                * F.log(
+                    F.col("__c12").cast("double")
+                    / F.col("__c1").cast("double")
+                )
+            ).alias("__hc")
+        )
+    )
+    hx_tab = right.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("__c2").cast("double") / n)
+            * F.log(F.col("__c2").cast("double") / n)
+        ).alias("__hx"),
+        F.count(F.lit(1)).alias("__nctx"),
+    )
+    acc = tot.crossJoin(F.broadcast(hcond_tab)).crossJoin(
+        F.broadcast(hx_tab)
+    )
+    hc = F.greatest(F.col("__hc"), F.lit(0.0))
+    hx = F.greatest(F.col("__hx"), F.lit(0.0))
+    return acc.select(
+        F.col("__n").cast("bigint").alias("n_bigrams"),
+        F.col("__nd").cast("bigint").alias("n_distinct_bigrams"),
+        F.col("__nctx").cast("bigint").alias("n_next_tokens"),
+        F.round(hx, 6).alias("h_unigram"),
+        F.round(hc, 6).alias("h_conditional"),
+        F.round(hx - hc, 6).alias("info_gain"),
+    )

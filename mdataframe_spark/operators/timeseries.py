@@ -661,3 +661,71 @@ def durbin_watson(
             6,
         ).alias("dw"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period_ns: int = _NS_PER_HOUR,
+    cycle: int = 24,
+) -> DataFrame:
+    """Seasonal strength of the bucketed series — "how much of the
+    variance is the daily shape": the hour-of-cycle ANOVA
+    decomposition SST = SSB + SSW over buckets grouped by
+    bucket mod ``cycle``, with strength = SSB/SST (the eta² of the
+    seasonal factor — 0 means the cycle explains nothing, near 1
+    means the series IS its seasonal profile). The one-number
+    forecasting audit beside :func:`seasonal_naive_mase`: a high
+    strength says the seasonal-naive baseline is the one to beat.
+    Returns ONE row: (n_buckets, n_phases, var_total, var_within,
+    seasonal_strength); NULL when the variance degenerates.
+
+    Decomposition: ONE corpus collapse (bucket_series) + one
+    cycle-bounded groupBy(phase) with exact decimal moments (sums
+    decimal(18,4), squares (37,8) — the anova convention); SSB falls
+    out as SST − SSW, all scalar doubles over the ≤cycle-row table,
+    rounded 6 dp.
+    """
+    if cycle < 2:
+        raise ValueError("seasonal_strength: need cycle >= 2")
+    s = bucket_series(df, ts_col, value_col, period_ns)
+    per = s.groupBy(
+        F.pmod(F.col("bucket"), F.lit(cycle)).alias("__phase")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("x").alias("__s1"),
+        F.sum(F.col("x") * F.col("x")).alias("__s2"),
+    )
+    acc = per.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        F.sum("__s1").alias("__t1"),
+        F.sum("__s2").alias("__t2"),
+        F.sum(
+            F.col("__s2").cast("double")
+            - F.col("__s1").cast("double")
+            * F.col("__s1").cast("double")
+            / F.col("__n")
+        ).alias("__ssw"),
+    )
+    nn = F.col("__nn").cast("double")
+    sst = (
+        F.col("__t2").cast("double")
+        - F.col("__t1").cast("double") * F.col("__t1").cast("double") / nn
+    )
+    ssw = F.col("__ssw")
+    return acc.select(
+        F.col("__nn").cast("bigint").alias("n_buckets"),
+        F.col("__k").cast("bigint").alias("n_phases"),
+        F.round(F.when(F.col("__nn") > 1, sst / (nn - 1.0)), 6).alias(
+            "var_total"
+        ),
+        F.round(
+            F.when(F.col("__nn") > F.col("__k"), ssw / (nn - F.col("__k"))),
+            6,
+        ).alias("var_within"),
+        F.round(
+            F.when(sst > 0, (sst - ssw) / sst), 6
+        ).alias("seasonal_strength"),
+    )

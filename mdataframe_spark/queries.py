@@ -12242,6 +12242,108 @@ FROM staged
 """
 
 
+def txt_bigram_entropy(spark, sf_dir):
+    """Corpus bigram conditional entropy rate (operators/text.py
+    bigram_entropy_rate): H(w2|w1), the right-margin H(w2) and the
+    adjacent-word mutual information — the one-number predictability
+    audit beside the per-doc KN perplexity filter. The kn_bigram
+    vocab-capped (<unk>) grid end-to-end; vocab_cap=1024 matches
+    txt_kn_bigram_lm's oracle cap."""
+    from .operators.text import bigram_entropy_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_entropy_rate(docs, vocab_cap=1024)
+
+
+TXT_BIGRAM_ENTROPY_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+'), t -> t <> '') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok FROM arrs
+), vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+  ORDER BY c DESC, tok LIMIT 1024
+), rawpairs AS (
+  SELECT doc_id, pair[1] AS r1, pair[2] AS r2 FROM (
+    SELECT doc_id, unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS pair
+    FROM arrs
+  ) t
+), mapped AS (
+  SELECT CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE r1 END AS w1,
+         CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE r2 END AS w2
+  FROM rawpairs p
+  LEFT JOIN vocab v1 ON p.r1 = v1.tok
+  LEFT JOIN vocab v2 ON p.r2 = v2.tok
+), big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM mapped GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, sum(c12)::BIGINT AS c1 FROM big GROUP BY w1
+), rgt AS (
+  SELECT w2, sum(c12)::BIGINT AS c2 FROM big GROUP BY w2
+), tot AS (
+  SELECT sum(c12)::BIGINT AS n, count(*)::BIGINT AS nd FROM big
+), hc AS (
+  SELECT sum(-(c12::DOUBLE / n) * ln(c12::DOUBLE / c1::DOUBLE)) AS h
+  FROM big JOIN ctx USING (w1), tot
+), hx AS (
+  SELECT sum(-(c2::DOUBLE / n) * ln(c2::DOUBLE / n)) AS h,
+         count(*)::BIGINT AS nctx
+  FROM rgt, tot
+)
+SELECT n AS n_bigrams, nd AS n_distinct_bigrams, nctx AS n_next_tokens,
+       round(greatest(hx.h, 0.0), 6) AS h_unigram,
+       round(greatest(hc.h, 0.0), 6) AS h_conditional,
+       round(greatest(hx.h, 0.0) - greatest(hc.h, 0.0), 6) AS info_gain
+FROM tot, hc, hx
+"""
+
+
+def ts_seasonal_strength(spark, sf_dir):
+    """Hour-of-day seasonal strength of the hourly event-count series
+    (operators/timeseries.py seasonal_strength): the eta-squared of
+    the phase ANOVA over the bucketed series — how much of the
+    variance IS the daily shape. ONE corpus collapse + a 24-cell
+    moment groupBy."""
+    from .operators.timeseries import seasonal_strength
+
+    ev = _events(spark, sf_dir)
+    return seasonal_strength(ev, cycle=24)
+
+
+TS_SEASONAL_STRENGTH_SQL = """
+WITH ns AS (
+  SELECT epoch_ns(ts) AS t FROM events
+), s AS (
+  SELECT t // 3600000000000 AS bucket,
+         CAST(count(*) AS DECIMAL(18,4)) AS x
+  FROM ns GROUP BY 1
+), per AS (
+  SELECT bucket % 24 AS phase, count(*)::BIGINT AS n,
+         sum(x) AS s1, sum(x * x) AS s2
+  FROM s GROUP BY 1
+), acc AS (
+  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+         sum(s1) AS t1, sum(s2) AS t2,
+         sum(s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) AS ssw
+  FROM per
+)
+SELECT nn AS n_buckets, k AS n_phases,
+       round(CASE WHEN nn > 1
+             THEN (t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / nn)
+                  / (nn::DOUBLE - 1.0) END, 6) AS var_total,
+       round(CASE WHEN nn > k
+             THEN ssw / (nn::DOUBLE - k::DOUBLE) END, 6) AS var_within,
+       round(CASE WHEN (t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / nn) > 0
+             THEN ((t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / nn) - ssw)
+                  / (t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / nn)
+             END, 6) AS seasonal_strength
+FROM acc
+"""
+
+
 QUERIES = {
     # --- permanent spine: flagship + bench anchors + the hash-
     # checked sub-layers of the two rows-only NB/GLM fits ---
@@ -12334,6 +12436,8 @@ EXTRA_QUERIES = {
     "ds_kfold_profile": ds_kfold_profile,
     "txt_casing_profile": txt_casing_profile,
     "e_conversion_lag": e_conversion_lag,
+    "txt_bigram_entropy": txt_bigram_entropy,
+    "ts_seasonal_strength": ts_seasonal_strength,
     # --- rotated out of the driver registry in round 12 (eighth
     # rotation; all driver-green in r11 or earlier — same oracle
     # protocol in-repo from here on) ---
@@ -12659,6 +12763,8 @@ EXTRA_ORACLES = {
     "ds_kfold_profile": DS_KFOLD_SQL,
     "txt_casing_profile": TXT_CASING_SQL,
     "e_conversion_lag": E_CONVLAG_SQL,
+    "txt_bigram_entropy": TXT_BIGRAM_ENTROPY_SQL,
+    "ts_seasonal_strength": TS_SEASONAL_STRENGTH_SQL,
     # --- rotated out of the driver registry in round 12 ---
     "txt_pmi_collocations": TXT_PMI_SQL,
     "e_cohort_retention": E_COHORT_SQL,

@@ -315,3 +315,68 @@ def test_ljung_box_single_bucket_series_keeps_n(spark):
     assert rows[0]["n"] == 1
     assert rows[0]["h"] == 0
     assert rows[0]["q_stat"] is None
+
+
+# --- bigram entropy rate / seasonal strength (wave addendum) --------------
+
+def test_bigram_entropy_deterministic_sequence(spark):
+    """'a b a b ...' — every context fully determines the next word:
+    H(w2|w1) = 0, info_gain = H(w2) = ln 2 (two equiprobable-ish
+    next-words over the bigram stream)."""
+    from mdataframe_spark.operators.text import bigram_entropy_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a b " * 50)], "doc_id long, text string"
+    )
+    r = bigram_entropy_rate(docs).collect()[0]
+    assert r["h_conditional"] == pytest.approx(0.0, abs=1e-9)
+    assert r["info_gain"] == pytest.approx(r["h_unigram"], abs=1e-9)
+    assert r["h_unigram"] > 0.69  # ~ln 2 over the near-balanced margin
+
+
+def test_bigram_entropy_info_gain_nonneg_and_unk_cap(spark):
+    from mdataframe_spark.operators.text import bigram_entropy_rate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} common w{i+1} common x{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    r = bigram_entropy_rate(docs, vocab_cap=5).collect()[0]
+    # plug-in MI is always >= 0; the <unk> cap bounds the grid
+    assert r["info_gain"] >= -1e-9
+    assert r["n_next_tokens"] <= 6  # capped vocab + <unk>
+
+
+def test_seasonal_strength_periodic_vs_constant(spark):
+    import numpy as np
+
+    from mdataframe_spark.operators.timeseries import seasonal_strength
+
+    H = 3_600_000_000_000
+    # perfectly 24-periodic counts -> within-phase variance 0 -> 1.0
+    pattern = [3 + (h % 24) for h in range(24 * 5)]
+    rows = [(i * H + j,) for i, c in enumerate(pattern) for j in range(c)]
+    df = spark.createDataFrame(rows, "ts long")
+    r = seasonal_strength(df, cycle=24).collect()[0]
+    assert r["n_phases"] == 24
+    assert r["seasonal_strength"] == pytest.approx(1.0, abs=1e-9)
+    # constant series -> SST 0 -> NULL strength
+    flat = spark.createDataFrame(
+        [(i * H + j,) for i in range(48) for j in range(5)], "ts long"
+    )
+    r2 = seasonal_strength(flat, cycle=24).collect()[0]
+    assert r2["seasonal_strength"] is None
+    # eta^2 against numpy on a mixed series
+    mixed = [5 + (h % 24) + (3 if h % 7 == 0 else 0) for h in range(24 * 4)]
+    rows3 = [(i * H + j,) for i, c in enumerate(mixed) for j in range(c)]
+    r3 = seasonal_strength(
+        spark.createDataFrame(rows3, "ts long"), cycle=24
+    ).collect()[0]
+    x = np.array(mixed, dtype=float)
+    phases = np.arange(len(x)) % 24
+    sst = ((x - x.mean()) ** 2).sum()
+    ssw = sum(((x[phases == p] - x[phases == p].mean()) ** 2).sum()
+              for p in range(24))
+    assert r3["seasonal_strength"] == pytest.approx(
+        (sst - ssw) / sst, abs=1e-6
+    )
