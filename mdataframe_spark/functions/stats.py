@@ -338,6 +338,7 @@ def holm_adjust(
     group_cols: Optional[Sequence[str]] = None,
     tiebreak_cols: Sequence[str] = (),
     allow_global: bool = False,
+    scale_safe: bool = False,
 ) -> DataFrame:
     """Holm step-down adjusted p-values — FWER control valid under
     arbitrary dependence with NO independence assumption and uniformly
@@ -356,7 +357,15 @@ def holm_adjust(
     partitions the family (and is the scale path); without it the
     single-reducer guard probes the frame size like bh_adjust. NULL p
     rows keep a NULL ``out_col`` and do not count toward n.
+    ``scale_safe=True`` switches to the range-partitioned exact Holm
+    (:func:`holm_adjust_scale_safe`) — same values, no single-reducer
+    window, no row ceiling; ignored when ``group_cols`` already
+    partitions the computation.
     """
+    if scale_safe and not group_cols:
+        return holm_adjust_scale_safe(
+            df, p_col, out_col, tiebreak_cols=tiebreak_cols
+        )
     parts = list(group_cols or [])
     if not parts:
         _guard_unpartitioned(df, "holm_adjust", allow_global)
@@ -385,4 +394,116 @@ def holm_adjust(
             ),
         )
         .drop("__holm_raw")
+    )
+
+
+def holm_adjust_scale_safe(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "p_holm",
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: Optional[int] = None,
+) -> DataFrame:
+    """EXACT Holm step-down without a global window — the corpus-scale
+    FWER path (per-document p-values over 100 TB), completing the
+    bh_adjust_scale_safe / BY family: the step-down running MAX
+    factorizes across range buckets exactly like BH's suffix-min,
+    just in the PREFIX direction.
+
+    Same four-step decomposition as :func:`bh_adjust_scale_safe`:
+
+    1. bucket boundaries from approximate p-quantiles;
+    2. per-bucket counts in ONE aggregation (also yields n); offsets
+       on the driver, O(B) scalars;
+    3. partitioned windows give local ranks; offset + local rank =
+       exact global rank j, raw_j = min(p_j·(n − j + 1), 1) — the
+       identical clipped expression the window arm computes;
+    4. the running max factorizes: within-bucket prefix max
+       (partitioned ascending window) combined with the max raw over
+       all LOWER buckets — per-bucket maxima are one small
+       aggregation, prefix-maximized on the driver and broadcast back.
+
+    Values are identical to ``holm_adjust`` (asserted in
+    tests/test_stats.py): bucket assignment is monotone in p, ties
+    share a bucket, and correctly-rounded IEEE ops make the clipped
+    raw sequence identical, so the factorized max equals the single
+    window's. Null p-values keep a null ``out_col`` and do not count
+    toward n.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = max(spark.sparkContext.defaultParallelism * 4, 16)
+
+    nn_col = df.filter(F.col(p_col).isNotNull())
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(nn_col.approxQuantile(p_col, probs, 0.001)))
+
+    bkt = F.lit(0)
+    for i, c in enumerate(cuts):
+        bkt = F.when(F.col(p_col) > F.lit(c), F.lit(i + 1)).otherwise(bkt)
+    bkt = F.when(F.col(p_col).isNull(), F.lit(None)).otherwise(bkt)
+
+    with_b = df.withColumn("__hm_bkt", bkt)
+    counts = {
+        int(r["__hm_bkt"]): int(r["n"])
+        for r in with_b.filter(F.col("__hm_bkt").isNotNull())
+        .groupBy("__hm_bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+
+    order_asc = [F.col(p_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w_rank = Window.partitionBy("__hm_bkt").orderBy(*order_asc)
+    w_runmax = (
+        Window.partitionBy("__hm_bkt")
+        .orderBy(*order_asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grank = off_map[F.col("__hm_bkt")] + F.row_number().over(w_rank)
+    ranked = with_b.withColumn(
+        "__hm_raw",
+        F.when(
+            F.col("__hm_bkt").isNotNull(),
+            F.least(
+                F.col(p_col) * (F.lit(n_total) - grank + 1), F.lit(1.0)
+            ),
+        ),
+    )
+
+    bucket_maxs = {
+        int(r["__hm_bkt"]): float(r["m"])
+        for r in ranked.filter(F.col("__hm_bkt").isNotNull())
+        .groupBy("__hm_bkt")
+        .agg(F.max("__hm_raw").alias("m"))
+        .collect()
+    }
+    prefix, run = {}, float("-inf")
+    for b in sorted(bucket_maxs):
+        prefix[b] = run  # max strictly BELOW bucket b
+        run = max(run, bucket_maxs[b])
+    pfx_map = F.create_map(
+        *[
+            x
+            for b, v in prefix.items()
+            for x in (F.lit(b), F.lit(v if v != float("-inf") else 0.0))
+        ]
+    )
+    adj = F.greatest(
+        F.max("__hm_raw").over(w_runmax), pfx_map[F.col("__hm_bkt")]
+    )
+    return (
+        ranked.withColumn(
+            out_col, F.when(F.col("__hm_bkt").isNotNull(), adj)
+        )
+        .drop("__hm_bkt", "__hm_raw")
     )

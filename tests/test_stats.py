@@ -188,3 +188,53 @@ def test_harmonic_crossover_continuity():
     assert _harmonic(0) == 0.0
     assert _harmonic(1) == 1.0
     assert _harmonic(3) == 1.0 + 0.5 + 1.0 / 3.0
+
+
+def test_holm_scale_safe_equals_window_arm_200k(spark):
+    """Round-12: Holm through the range-partitioned arm — identical to
+    the window arm at 200k rows with heavy ties and near-0 p mass, and
+    the step-down monotonicity survives the bucket factorization."""
+    from pyspark.sql import functions as F
+
+    from mdataframe_spark.functions.stats import holm_adjust
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .withColumn(
+            "p",
+            F.when(F.col("id") % 2 == 0, (F.col("id") % 1000) / 1.0e7)
+            .otherwise(((F.col("id") * 2654435761) % 10000) / 10000.0),
+        )
+        .repartition(16)
+    )
+    ref = holm_adjust(
+        df, "p", "h_ref", tiebreak_cols=["id"], allow_global=True
+    )
+    fast = holm_adjust(
+        df, "p", "h_fast", tiebreak_cols=["id"], scale_safe=True
+    )
+    joined = ref.join(fast.select("id", "h_fast"), "id")
+    bad = joined.filter(
+        F.abs(F.col("h_ref") - F.col("h_fast")) > 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_holm_scale_safe_nulls_and_small(spark):
+    from mdataframe_spark.functions.stats import (
+        holm_adjust,
+        holm_adjust_scale_safe,
+    )
+
+    rows = [(1, 0.01), (2, 0.04), (3, None), (4, 0.03), (5, 0.5)]
+    df = spark.createDataFrame(rows, ["id", "p"])
+    ref = {r["id"]: r["p_holm"] for r in
+           holm_adjust(df, "p", tiebreak_cols=["id"]).collect()}
+    fast = {r["id"]: r["p_holm"] for r in
+            holm_adjust_scale_safe(df, "p", tiebreak_cols=["id"]).collect()}
+    for k, v in ref.items():
+        if k == 3:
+            assert fast[k] is None
+        else:
+            assert abs(fast[k] - v) < 1e-12, (k, fast[k], v)
