@@ -154,9 +154,11 @@ def bh_adjust(
 
 
 def _harmonic(n: int) -> float:
-    """H_n = Σ_{i≤n} 1/i — exact ascending-order loop for small n (the
-    same order the window arm's per-rank sum accumulates in, so the
-    two arms agree to the last ulp at test scale); Euler-Maclaurin
+    """H_n = Σ_{i≤n} 1/i — ascending-order loop for small n (the
+    window arm's running sum usually accumulates in the same ascending
+    order, but that order is a WindowExec implementation detail, not a
+    contract — the arms agree to accumulation-order ulps, ~1e-12 at
+    200k rows, far below the output rounding grid); Euler-Maclaurin
     asymptotic H_n = ln n + γ + 1/(2n) − 1/(12n²) + 1/(120n⁴) beyond
     (remainder O(n⁻⁶) < 1e-30 at the crossover — far below double
     ulp), so a 10¹²-test corpus never loops on the driver."""
@@ -267,11 +269,17 @@ def bh_adjust_scale_safe(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     grank = off_map[F.col("__bh_bkt")] + F.row_number().over(w_rank)
-    # BY multiplies AFTER the division, in the window arm's exact IEEE
+    # BY multiplies AFTER the division, in the window arm's IEEE
     # operation order ((p·n)/j)·c — correctly-rounded multiplication by
     # a positive constant is monotone, so the suffix-min factorization
-    # below commutes with the factor and both arms agree bit-for-bit;
-    # plain BH keeps its expression byte-identical (no spurious ×1.0)
+    # below commutes with the factor. The two arms then agree up to the
+    # c(n) VALUE itself: the window arm accumulates its harmonic sum in
+    # whatever order WindowExec evaluates the running frame (an
+    # implementation detail), the scale-safe arm uses the driver-side
+    # ascending _harmonic loop — they differ only in accumulation-order
+    # ulps, far below the 6-dp output rounding grid (what the 200k-row
+    # equality test actually asserts: 1e-12 agreement). Plain BH keeps
+    # its expression byte-identical (no spurious ×1.0).
     q_expr = F.col(p_col) * F.lit(float(n_total)) / grank
     if by_correction:
         q_expr = q_expr * F.lit(_harmonic(n_total))

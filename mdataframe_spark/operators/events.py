@@ -821,17 +821,24 @@ def conversion_lag(
     period_ns: int = 3_600_000_000_000,
 ) -> DataFrame:
     """Time-to-convert distribution: per user, the lag from the FIRST
-    ``from_event`` to the FIRST ``to_event`` at or after it, then the
-    population percentiles over converted users — "how long does the
-    funnel take", the latency face of :func:`funnel_counts` (a
-    conversion RATE without its lag hides a 3-week checkout). Returns
-    ONE row: (n_users, n_converted, conversion_rate, p50_lag, p90_lag,
-    mean_lag, max_lag) with lags in whole ``period_ns`` units (hours
-    by default — the integer-division bucket grid, so every lag is an
-    exact integer and the percentiles interpolate on it identically
-    in any engine, the f13 parity convention). Users whose first
-    to_event precedes their first from_event (attribution ambiguity)
-    count as NOT converted — lag is defined forward only.
+    ``from_event`` to the user's GLOBAL FIRST ``to_event``, counted
+    only when that first to_event falls at or after the first
+    from_event (a forward-only check on the two per-user minimums),
+    then the population percentiles over converted users — "how long
+    does the funnel take", the latency face of :func:`funnel_counts`
+    (a conversion RATE without its lag hides a 3-week checkout).
+    Returns ONE row: (n_users, n_converted, conversion_rate, p50_lag,
+    p90_lag, mean_lag, max_lag) with lags in whole ``period_ns``
+    units (hours by default — the integer-division bucket grid, so
+    every lag is an exact integer and the percentiles interpolate on
+    it identically in any engine, the f13 parity convention). A user
+    whose global first to_event precedes their first from_event
+    counts as NOT converted even if a later to_event exists
+    (attribution ambiguity resolved against conversion) — this is
+    exactly what keeps the statistic two MIN monoids per user, and
+    therefore what makes the streaming twin legal; "first to_event at
+    or after the first from_event" would need conditional state that
+    no monoid carries.
 
     Plan shape: ONE per-user conditional min/min collapse (the only
     corpus-scale shuffle — :func:`user_conversion_spans`, shared with

@@ -15,6 +15,25 @@ second corpus scan) raises :class:`CollapsedTableTooLarge` past the
 cap. This is the dedup family's ``DEFAULT_DF_CAP`` discipline applied
 to the stats/survival/monitoring surface (round-10/11 verdict item:
 "implement it, don't re-document it").
+
+BEHAVIOR CHANGE (round 12, extended round 13) — read before upgrading:
+
+* The caps are ON BY DEFAULT (``max_cells=10_000``; ``max_steps`` /
+  ``max_blocks`` / ``max_buckets`` / ``max_values=100_000``). A
+  previously-working call on a large-but-legitimate unquantized input
+  now raises :class:`CollapsedTableTooLarge` instead of silently
+  running; pass ``<knob>=None`` to restore the old behavior (the
+  caller then owns boundedness), or a higher cap to accept a known
+  table size explicitly.
+* The count probe is an ACTION: the guarded operators (kendall tau,
+  wasserstein_1d, kaplan_meier / log_rank_test / rmst, msprt_monitor,
+  and since round 13 the rank-block family — auc, mannwhitney_u,
+  ks_two_sample, effect_sizes, spearman_rho) now execute their first
+  corpus scan eagerly at CALL time rather than at the first downstream
+  action. The scan is not extra work — the collapsed table is
+  persisted and every downstream consumer reads the cache — but
+  call-site timing shifts from lazy to eager, and ``<knob>=None``
+  also restores full laziness (no persist-forcing count).
 """
 
 from __future__ import annotations

@@ -1807,16 +1807,23 @@ def mutual_information(
         .crossJoin(F.broadcast(ha_tab))
         .crossJoin(F.broadcast(hb_tab))
     )
+    # Spark's greatest SKIPS nulls, so a bare greatest(__mi, 0.0) would
+    # turn the degenerate/empty-input NULL into 0.0 — guard it behind
+    # isNotNull so empty input yields NULL mi, consistent with the NULL
+    # convention everywhere else (and with the nmi guard below); the
+    # clamp itself only absorbs negative FP dust from the ln sums
+    mi_clamped = F.when(
+        F.col("__mi").isNotNull(), F.greatest(F.col("__mi"), F.lit(0.0))
+    )
     return acc.select(
         F.col("__n").cast("bigint").alias("n"),
-        F.round(F.greatest(F.col("__mi"), F.lit(0.0)), 6).alias("mi"),
+        F.round(mi_clamped, 6).alias("mi"),
         F.round(F.col("__ha"), 6).alias("h_a"),
         F.round(F.col("__hb"), 6).alias("h_b"),
         F.round(
             F.when(
                 (F.col("__ha") > 0) & (F.col("__hb") > 0),
-                F.greatest(F.col("__mi"), F.lit(0.0))
-                / F.sqrt(F.col("__ha") * F.col("__hb")),
+                mi_clamped / F.sqrt(F.col("__ha") * F.col("__hb")),
             ),
             6,
         ).alias("nmi"),

@@ -11768,7 +11768,8 @@ mi_t AS (
 ), hb_t AS (
   SELECT sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS hb FROM ct, g
 )
-SELECT n, round(greatest(mi, 0.0), 6) AS mi,
+SELECT n,
+       round(CASE WHEN mi IS NOT NULL THEN greatest(mi, 0.0) END, 6) AS mi,
        round(ha, 6) AS h_a, round(hb, 6) AS h_b,
        round(CASE WHEN ha > 0 AND hb > 0
              THEN greatest(mi, 0.0) / sqrt(ha * hb) END, 6) AS nmi
