@@ -20,6 +20,8 @@ from typing import List
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked as _persist_tracked
+from .guards import DEFAULT_MAX_STEPS, probe_collapsed
 from .similarity import dot
 
 
@@ -28,6 +30,7 @@ def auc(
     score_col: str,
     label_col: str,
     score_decimals: int | None = None,
+    max_values: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Distributed ROC AUC via the tie-aware Mann-Whitney rank sum.
 
@@ -45,7 +48,13 @@ def auc(
     ``score_decimals`` to quantize (the 100 TB knob: 6 dp caps the
     window input at a few million rows regardless of corpus size —
     same single-partition-window discipline as functions/stats.py
-    bh_adjust, which documents the bucketed exact alternative).
+    bh_adjust, which documents the bucketed exact alternative). The
+    knob is RUNTIME-ENFORCED (round-13, the
+    :func:`~..operators.stats_tests._rank_blocks` discipline): the
+    distinct-score table is persisted and count-probed, raising
+    :class:`~.guards.CollapsedTableTooLarge` past ``max_values``
+    (default 100k) instead of silently handing a corpus-sized table
+    to the one window reducer; ``max_values=None`` disables.
 
     Null scores/labels are excluded up front (complete-case, loudly
     consistent denominators — the operators/classifier.py convention).
@@ -62,6 +71,9 @@ def auc(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col(label_col).cast("bigint")).alias("__p"),
     )
+    if max_values is not None:
+        g = _persist_tracked(g)
+        probe_collapsed(g, max_values, "auc", "score", "max_values")
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
     ranked = g.withColumn("__cum", F.sum("__n").over(w))
     # the rank-sum terms scale as N²: accumulate in decimal(38,0)

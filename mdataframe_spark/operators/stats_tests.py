@@ -170,15 +170,34 @@ def chi2_independence(
     return agged
 
 
-def _rank_blocks(df: DataFrame, value_col: str, flag):
+def _rank_blocks(
+    df: DataFrame,
+    value_col: str,
+    flag,
+    label: str = "rank_blocks",
+    max_values: int | None = DEFAULT_MAX_STEPS,
+):
     """(value, n, p) distinct-value blocks plus the running pooled
     count — the shared tie-aware rank decomposition of AUC, U and KS:
     one partial-agged groupBy bounds everything downstream by the
-    number of DISTINCT values."""
+    number of DISTINCT values.
+
+    The "quantize continuous values upstream" contract is
+    RUNTIME-ENFORCED (round-13, the wasserstein_1d discipline): the
+    block table is persisted and a count probe raises
+    :class:`~.guards.CollapsedTableTooLarge` past ``max_values``
+    (default 100k) instead of silently placing a corpus-sized
+    distinct-value table on the ONE ``Window.orderBy`` reducer that
+    computes the running counts. ``max_values=None`` disables the
+    guard (and the persist-forcing probe — full laziness restored).
+    """
     g = df.groupBy(F.col(value_col).cast("double").alias("__v")).agg(
         F.count(F.lit(1)).alias("__t"),
         F.sum(flag.cast("bigint")).alias("__t1"),
     )
+    if max_values is not None:
+        g = _persist_tracked(g)
+        probe_collapsed(g, max_values, label, "value", "max_values")
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     return g.withColumn("__cum", F.sum("__t").over(w)).withColumn(
         "__cum1", F.sum("__t1").over(w)
@@ -190,6 +209,7 @@ def mannwhitney_u(
     value_col: str,
     group_col: str,
     with_p: bool = True,
+    max_values: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Tie-corrected Mann-Whitney U (Wilcoxon rank-sum): does the
     boolean ``group_col`` split ``value_col`` into stochastically
@@ -211,12 +231,17 @@ def mannwhitney_u(
     silently near 3·10^9 rows with ANSI off. The n1·n2-scale products
     feeding the double statistics are computed in double (they exceed
     int64 near 10^10 rows per group).
+
+    The quantize-upstream contract is runtime-enforced: the
+    distinct-value table raises
+    :class:`~.guards.CollapsedTableTooLarge` past ``max_values``
+    (default 100k; ``None`` disables) — see :func:`_rank_blocks`.
     """
     flag = F.col(group_col).cast("boolean")
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     )
-    blocks = _rank_blocks(base, value_col, flag)
+    blocks = _rank_blocks(base, value_col, flag, "mannwhitney_u", max_values)
     dec = "decimal(38,0)"
     acc = blocks.agg(
         F.sum(
@@ -262,6 +287,7 @@ def ks_two_sample(
     value_col: str,
     group_col: str,
     with_p: bool = True,
+    max_values: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D: the max gap between the two
     empirical CDFs — THE distribution-drift test for continuous
@@ -271,13 +297,17 @@ def ks_two_sample(
 
     Same distinct-value decomposition as :func:`mannwhitney_u`; both
     CDFs are exact integer ratios evaluated at every distinct pooled
-    value, so D is engine-exact before the final rounding.
+    value, so D is engine-exact before the final rounding. The
+    quantize-upstream contract is runtime-enforced via ``max_values``
+    (default 100k; ``None`` disables) — see :func:`_rank_blocks`; the
+    persisted block table also spares the second corpus scan the
+    totals aggregation used to pay.
     """
     flag = F.col(group_col).cast("boolean")
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     )
-    blocks = _rank_blocks(base, value_col, flag)
+    blocks = _rank_blocks(base, value_col, flag, "ks_two_sample", max_values)
     tot = blocks.agg(
         F.sum("__t1").alias("__n1"),
         F.sum(F.col("__t") - F.col("__t1")).alias("__n2"),
@@ -494,6 +524,7 @@ def spearman_rho(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_values: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Spearman rank correlation with average-rank tie handling.
     Returns ONE row: (n, n_distinct_x, n_distinct_y, rho).
@@ -511,7 +542,14 @@ def spearman_rho(
 
     Continuous inputs: quantize upstream (like auc's score_decimals)
     if the distinct-value tables must stay model-sized at 100 TB; the
-    joins themselves shuffle only (value, rank) pairs.
+    joins themselves shuffle only (value, rank) pairs. That contract
+    is runtime-enforced (round-13): EACH axis's distinct-value table
+    is persisted and count-probed, raising
+    :class:`~.guards.CollapsedTableTooLarge` past ``max_values``
+    (default 100k) instead of silently placing a corpus-sized rank
+    table on one ``Window.orderBy`` reducer; ``max_values=None``
+    disables (the raw arm scripts/scale_stress.py measures
+    deliberately).
     """
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
@@ -524,6 +562,11 @@ def spearman_rho(
         g = base.groupBy(F.col(col).alias("__v")).agg(
             F.count(F.lit(1)).alias("__t")
         )
+        if max_values is not None:
+            g = _persist_tracked(g)
+            probe_collapsed(
+                g, max_values, f"spearman_rho[{col[-1]}]", "value", "max_values"
+            )
         w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
         return g.withColumn(
             f"__u{col[-1]}",
@@ -1600,6 +1643,7 @@ def effect_sizes(
     df: DataFrame,
     value_col: str,
     group_col: str,
+    max_values: int | None = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """Standardized effect sizes for the TRUE-vs-FALSE split of
     ``value_col`` — the magnitude read-out every significance test
@@ -1621,6 +1665,10 @@ def effect_sizes(
     value casts to NULL boolean is excluded from BOTH the moment sums
     and the pooled tie counts, so vd_a's rank decomposition and n1/n2
     always describe the same population (round-11 advice item).
+
+    The quantize-upstream contract on vd_a's distinct-value table is
+    runtime-enforced via ``max_values`` (default 100k; ``None``
+    disables) — see :func:`_rank_blocks`.
     """
     flag = F.col(group_col).try_cast("boolean")
     v = F.col(value_col).cast("double")
@@ -1640,7 +1688,7 @@ def effect_sizes(
     )
     # doubled rank sum for the TRUE group over distinct-value blocks:
     # 2*R1 = sum t1*(2*cum - t + 1); 2*U1 = 2*R1 - n1*(n1+1)
-    blocks = _rank_blocks(base, value_col, flag)
+    blocks = _rank_blocks(base, value_col, flag, "effect_sizes", max_values)
     u = blocks.agg(
         F.sum(
             F.col("__t1").cast("decimal(18,0)")

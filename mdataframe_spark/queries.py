@@ -7335,18 +7335,27 @@ def stat_spearman(spark, sf_dir):
     spearman_rho) between quantity and extended price: tie-aware
     doubled average ranks from the distinct-value blocks (integer
     identity 2·cum − t + 1), Pearson on the doubled ranks entirely in
-    decimal(38,0) — one final double division."""
+    decimal(38,0) — one final double division. The price axis is
+    quantized to the 10-dollar grid UPSTREAM — the operator's
+    documented (and since round 13 runtime-enforced) knob in action:
+    raw 2-dp prices mint ~583k distinct values at sf0.1 (a
+    corpus-growing rank table on one window reducer — exactly what
+    the loud cap rejects), while the 10-dollar grid is domain-bounded
+    at ~10.4k values at ANY corpus size."""
     from .operators.stats_tests import spearman_rho
 
-    li = _t(spark, sf_dir, "lineitem")
-    return spearman_rho(li, "l_quantity", "l_extendedprice")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        F.round(F.col("l_extendedprice"), -1).alias("price_10usd"),
+    )
+    return spearman_rho(li, "l_quantity", "price_10usd")
 
 
 STAT_SPEARMAN_SQL = """
 WITH base AS (
-  SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+  SELECT l_quantity::DOUBLE AS x, round(l_extendedprice, -1)::DOUBLE AS y
   FROM lineitem
-  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  WHERE l_quantity IS NOT NULL AND round(l_extendedprice, -1) IS NOT NULL
 ), gx AS (
   SELECT x, count(*)::BIGINT AS t FROM base GROUP BY x
 ), rx AS (

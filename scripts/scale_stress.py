@@ -356,6 +356,30 @@ def run_factor(factor: int) -> dict:
 
         record("jaccard_linkpred", factor, timed(linkpred), n_li)
 
+        def linkpred_capped():
+            from mdataframe_spark.operators.baskets import (
+                co_occurrence_pairs,
+                jaccard_link_prediction,
+            )
+
+            pairs = co_occurrence_pairs(
+                li, "l_orderkey", "l_partkey", min_count=2, with_stats=False
+            ).select(
+                F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b")
+            )
+            # the VALVE ENGAGED row (round-13 verdict item — the
+            # wasserstein_raw vs _quantized convention): same densifying
+            # input as jaccard_linkpred, max_degree tightened 1000→64 so
+            # wedge work is capped at m·64 regardless of how dense the
+            # inflation makes the hubs. The pair of rows measures the
+            # knob's effect instead of narrating it: _capped should
+            # track the edge scan (~linear), the raw row tracks Σ deg².
+            jaccard_link_prediction(
+                pairs, small_graph_max=0, max_degree=64
+            ).write.format("noop").mode("overwrite").save()
+
+        record("jaccard_linkpred_capped", factor, timed(linkpred_capped), n_li)
+
         def countmin():
             from mdataframe_spark.operators.sketches import count_min_estimates
 
@@ -422,8 +446,14 @@ def run_factor(factor: int) -> dict:
         def spearman():
             from mdataframe_spark.operators.stats_tests import spearman_rho
 
+            # max_values=None: the stress harness measures the raw arm
+            # DELIBERATELY (the price offsets mint new distinct values
+            # per copy, so the rank table grows with the corpus);
+            # production calls hit the round-13 loud cap
+            # (CollapsedTableTooLarge at 100k distinct values) instead
+            # of reaching this regime silently.
             spearman_rho(
-                liq, "l_quantity", "l_extendedprice"
+                liq, "l_quantity", "l_extendedprice", max_values=None
             ).write.format("noop").mode("overwrite").save()
 
         record("spearman_rho", factor, timed(spearman), n_liq)
@@ -916,11 +946,15 @@ def main():
         "moments are five scalars regardless of graph size.",
         "`histogram_quantile_gate` certifies the quantile sketch's",
         "bounded dimension the count_min way: the cell table is",
-        "<= n_bins (256) additive cells no matter how many distinct",
-        "prices the inflation mints (x10 multiplies distinct values",
-        "tenfold — irrelevant to the cells); the measured cost is the",
-        "two corpus passes (cell build + the exact-percentile",
-        "certification side), both partial-agged single aggregations.",
+        "<= n_bins (256) additive cells BY CONSTRUCTION (F.least clamps",
+        "the bin index — no collapsed table here can grow with input,",
+        "so no loud-cap probe applies); the measured cost is the two",
+        "corpus passes (cell build + the exact-percentile certification",
+        "side), both partial-agged single aggregations. Its ~10x-at-x10",
+        "ratio is therefore the EXPECTED scan-linear shape, not a",
+        "superlinear structure: 10x rows -> 10x two-pass scan cost on a",
+        "near-zero x1 base (sub-second), with nothing downstream of the",
+        "256-cell table growing at all (round-13 adjudication).",
         "",
         "`count_min_estimates`' x10 point swings run-to-run like",
         "simhash_pairs (2.95s and 19.79s observed across clean fresh-JVM",
@@ -940,6 +974,23 @@ def main():
         "cells² join or putting a corpus-sized table on one window",
         "reducer. The `wasserstein_raw` stress row below measures the",
         "raw arm deliberately via `max_blocks=None`.",
+        "",
+        "**Round-13 loud caps — the rank-block family**: the same",
+        "discipline now covers the shared `_rank_blocks` distinct-value",
+        "table (`auc`, `mannwhitney_u`, `ks_two_sample`, `effect_sizes`)",
+        "and `spearman_rho`'s two per-axis doubled-rank tables — every",
+        "`max_values=100k` by default, `None` disables. The",
+        "`spearman_rho` stress row below measures the raw arm",
+        "DELIBERATELY via `max_values=None`; a production call on the",
+        "same input now raises `CollapsedTableTooLarge` naming the knob",
+        "instead of silently handing a corpus-growing rank table to one",
+        "window reducer. `spearman_rho_quantized` needs no override —",
+        "the upstream rounding IS the contract the cap enforces.",
+        "`jaccard_linkpred_capped` (round-13) is the VALVE-ENGAGED twin",
+        "of the adversarial `jaccard_linkpred` row: max_degree tightened",
+        "1000 -> 64, bounding wedge work at m*64 — the pair measures the",
+        "knob's effect (capped should track the edge scan, raw tracks",
+        "the superlinear Σ min(deg, max_degree)²).",
         "",
         "Round-10 entries: `wasserstein_raw` runs the spearman",
         "worst-case axis on purpose — the price offsets mint new",
