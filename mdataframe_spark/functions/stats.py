@@ -515,3 +515,74 @@ def holm_adjust_scale_safe(
         )
         .drop("__hm_bkt", "__hm_raw")
     )
+
+
+def storey_qvalue(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "qvalue",
+    pi0_lambda: float = 0.5,
+    group_cols: Optional[Sequence[str]] = None,
+    tiebreak_cols: Sequence[str] = (),
+    allow_global: bool = False,
+    scale_safe: bool = False,
+) -> DataFrame:
+    """Storey q-values: Benjamini-Hochberg rescaled by the estimated
+    null proportion pi0 = #{p > lambda} / (n * (1 - lambda)), clipped
+    to [1/n, 1] (Storey & Tibshirani 2003, single-lambda estimator) —
+    when many tests are truly non-null (a differential-expression
+    screen, a per-token association sweep), BH's implicit pi0 = 1 is
+    conservative and Storey recovers the lost power. Adds ``out_col``
+    plus a constant ``pi0`` column; NULL p-values get NULL q (the
+    bh_adjust convention).
+
+    Decomposition: pi0 is ONE count aggregation collapsed to two
+    integers (a scalar probe — never a corpus structure), rounded to
+    6 dp so both engines carry the identical multiplier; the q-values
+    are then exactly ``bh_adjust(...) * pi0``. The factorization is
+    legal for the same reason BY's c(n) factor is: multiplication by
+    a positive constant is monotone, so it commutes with BH's
+    suffix-min — and no clipping ever binds, because the suffix-min
+    over j >= i always includes j = n where p_(n)*n/n = p_max <= 1,
+    so q <= pi0 * p_max <= 1 unconditionally.
+
+    ``scale_safe=True`` rides :func:`bh_adjust_scale_safe`'s
+    range-partitioned arm unchanged (the pi0 probe is
+    corpus-size-free either way), so per-document q-values over
+    100 TB have the same path BH does; ``group_cols`` partitions the
+    correction per family, with pi0 still estimated GLOBALLY (the
+    qvalue-package convention — pass pre-filtered frames for
+    per-family pi0).
+    """
+    probe = df.agg(
+        F.count(F.when(F.col(p_col).isNotNull(), 1)).alias("n"),
+        F.count(
+            F.when(F.col(p_col) > float(pi0_lambda), 1)
+        ).alias("n_above"),
+    ).collect()[0]
+    n, n_above = int(probe["n"] or 0), int(probe["n_above"] or 0)
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double")).withColumn(
+            "pi0", F.lit(None).cast("double")
+        )
+    pi0 = n_above / (n * (1.0 - float(pi0_lambda)))
+    pi0 = round(min(1.0, max(pi0, 1.0 / n)), 6)
+    adjusted = bh_adjust(
+        df,
+        p_col,
+        out_col=out_col,
+        group_cols=group_cols,
+        tiebreak_cols=tiebreak_cols,
+        allow_global=allow_global,
+        scale_safe=scale_safe,
+    )
+    # explicit NULL-in-NULL-out: bh_adjust's suffix-min assigns a NULL
+    # p the defensive fdr 1.0 (least() skips the NULL running min);
+    # a q-VALUE for a missing p is not meaningful, so gate on p itself
+    return adjusted.withColumn(
+        out_col,
+        F.when(
+            F.col(p_col).isNotNull() & F.col(out_col).isNotNull(),
+            F.col(out_col) * F.lit(pi0),
+        ),
+    ).withColumn("pi0", F.lit(pi0))

@@ -383,6 +383,61 @@ def triangle_count(
     )
 
 
+def global_clustering(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Graph-level cohesion summary over an UNDIRECTED pair graph:
+    global transitivity 3·T/W (triangles per wedge — "if A-B and B-C,
+    how often A-C?") plus the average LOCAL clustering coefficient
+    over vertices of degree ≥ 2 (Watts-Strogatz) — the two standard
+    clustering numbers, which diverge exactly when hubs behave
+    differently from the long tail (transitivity is wedge-weighted,
+    the W-S average is vertex-weighted). Returns ONE row: (n_vertices,
+    n_edges, n_triangles, n_wedges, transitivity, avg_local_cc);
+    ratios NULL when the denominator is empty.
+
+    Decomposition: everything reduces over :func:`triangle_count`'s
+    per-vertex frame (degree-oriented wedge join — Σ outdeg² bounded,
+    the Schank-Wagner plan), so the marginal cost over a triangle
+    count is ONE aggregation of a node-bounded table: E = Σdeg/2 and
+    W = Σ C(deg,2) are exact decimal sums, T = Σ n_triangles/3 exact
+    by the handshake identity, and avg_local_cc sums the already-6-dp
+    per-vertex coefficients with the sum rounded to 4 dp BEFORE the
+    division (the welch_ttest determinism convention)."""
+    per_v = triangle_count(pairs, id_a, id_b)
+    dec = "decimal(38,0)"
+    d = F.col("degree").cast(dec)
+    acc = per_v.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(d).alias("__sdeg"),
+        F.sum(d * (F.col("degree") - 1)).alias("__swedge2"),
+        F.sum(F.col("n_triangles").cast(dec)).alias("__stri3"),
+        F.count(F.when(F.col("degree") >= 2, 1)).alias("__ncc"),
+        F.round(F.sum("clustering_coeff"), 4).alias("__scc"),
+    )
+    wedges = F.col("__swedge2") / 2
+    tris = F.col("__stri3") / 3
+    return acc.select(
+        F.col("n_vertices").cast("bigint").alias("n_vertices"),
+        (F.col("__sdeg") / 2).cast("bigint").alias("n_edges"),
+        tris.cast("bigint").alias("n_triangles"),
+        wedges.cast("bigint").alias("n_wedges"),
+        F.round(
+            F.when(
+                wedges > 0,
+                3.0 * tris.cast("double") / wedges.cast("double"),
+            ),
+            6,
+        ).alias("transitivity"),
+        F.round(
+            F.when(F.col("__ncc") > 0, F.col("__scc") / F.col("__ncc")),
+            6,
+        ).alias("avg_local_cc"),
+    )
+
+
 def _jaccard_driver(edges, max_degree, top_k):
     """Driver-arm common-neighbor Jaccard over a collected edge list —
     label-identical to the distributed wedge plan (equality-tested).

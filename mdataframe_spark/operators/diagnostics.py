@@ -716,3 +716,63 @@ def format_patterns(
         .orderBy(F.col("n_rows").desc(), "pattern")
         .limit(top_k)
     )
+
+
+def ingest_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    period_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Temporal completeness of an event stream: over the observed
+    [first, last] bucket span (hours by default), how many period
+    buckets are MISSING entirely — the ingestion-outage detector
+    (a pipeline that silently dropped Tuesday shows up here, not in
+    row counts). Returns ONE row: (first_bucket, last_bucket,
+    n_expected, n_observed, n_missing, coverage, max_gap_run) with
+    max_gap_run the longest consecutive missing stretch in buckets;
+    all NULL on an empty stream.
+
+    Plan shape: ONE partial-agged groupBy(bucket) collapses the corpus
+    to the observed-bucket table; the span, the missing count and the
+    longest run all derive from that table — the spine is NEVER
+    materialized (n_expected = last − first + 1 and runs come from a
+    lag over the observed buckets), so a year-long outage costs
+    nothing. The single unpartitioned lag window runs over distinct
+    buckets — bounded by the TIME SPAN, not the corpus (the
+    bucket_series justification).
+    """
+    from .events import _bucket, _ns
+
+    d = _ns(df.filter(F.col(ts_col).isNotNull()), ts_col)
+    obs = d.groupBy(_bucket(ts_col, period_ns).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.orderBy("__b")
+    runs = obs.withColumn("__prev", F.lag("__b").over(w)).agg(
+        F.min("__b").alias("first_bucket"),
+        F.max("__b").alias("last_bucket"),
+        F.count(F.lit(1)).alias("n_observed"),
+        F.max(
+            F.when(
+                F.col("__prev").isNotNull(),
+                F.col("__b") - F.col("__prev") - 1,
+            )
+        ).alias("__maxrun"),
+    )
+    expected = F.col("last_bucket") - F.col("first_bucket") + 1
+    return runs.select(
+        F.col("first_bucket").cast("bigint").alias("first_bucket"),
+        F.col("last_bucket").cast("bigint").alias("last_bucket"),
+        expected.cast("bigint").alias("n_expected"),
+        F.col("n_observed").cast("bigint").alias("n_observed"),
+        (expected - F.col("n_observed")).cast("bigint").alias("n_missing"),
+        F.round(
+            F.when(expected > 0, F.col("n_observed") / expected.cast("double")),
+            6,
+        ).alias("coverage"),
+        F.when(
+            F.col("n_observed") > 0, F.coalesce(F.col("__maxrun"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("max_gap_run"),
+    )

@@ -871,3 +871,75 @@ def conversion_lag(
         F.round(F.avg("__lag"), 6).alias("mean_lag"),
         F.max("__lag").cast("bigint").alias("max_lag"),
     )
+
+
+def interevent_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ns: int = 60_000_000_000,
+) -> DataFrame:
+    """Inter-event gap distribution + burstiness: per user, the gaps
+    between CONSECUTIVE events on the whole-``period_ns`` integer grid
+    (minutes by default), then the population gap moments and the
+    Goh-Barabási burstiness B = (σ − μ)/(σ + μ) — B ≈ −1 for a
+    metronome, 0 for a Poisson stream, → 1 for bursty sessions-then-
+    silence behavior (what bot detection and capacity planning both
+    read first). Returns ONE row: (n_users, n_gaps, mean_gap, sd_gap,
+    burstiness, p50_gap, p90_gap, max_gap); moment fields NULL when
+    no user has ≥ 2 events.
+
+    Decomposition: ONE lag window PARTITIONED BY USER (scale-safe —
+    the corpus shuffles once on the user key, no global order
+    anywhere), gaps integer-exact by construction (epoch-ns integer
+    division), moments as exact decimal(38,0) Σg/Σg² (σ uses the
+    population 1/n form — the B convention), and percentiles on the
+    integer grid via the percentile == quantile_cont proven pair.
+    Tie order within a user is irrelevant: gaps are differences of
+    the SORTED per-user timestamp multiset, which every tie
+    permutation reproduces identically.
+    """
+    d = _ns(df, ts_col).filter(F.col(user_col).isNotNull())
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gaps = (
+        d.withColumn("__prev", F.lag(ts_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.expr(f"({ts_col} - __prev) div {int(period_ns)}").alias(
+                "__g"
+            ),
+        )
+    )
+    dec = "decimal(38,0)"
+    users = d.select(F.countDistinct(user_col).alias("n_users"))
+    acc = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("__g").cast(dec)).alias("__s1"),
+        F.sum(F.col("__g").cast(dec) * F.col("__g")).alias("__s2"),
+        F.expr("percentile(__g, 0.5)").alias("__p50"),
+        F.expr("percentile(__g, 0.9)").alias("__p90"),
+        F.max("__g").alias("__max"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("__s1").cast("double") / n
+    # population variance: E[g²] − μ² (exact decimal sums, one double
+    # expression — engine-portable)
+    var = F.col("__s2").cast("double") / n - mu * mu
+    sd = F.when(var >= 0, F.sqrt(var))
+    return acc.crossJoin(F.broadcast(users)).select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(F.when(F.col("n_gaps") > 0, mu), 6).alias("mean_gap"),
+        F.round(F.when(F.col("n_gaps") > 0, sd), 6).alias("sd_gap"),
+        F.round(
+            F.when(
+                (F.col("n_gaps") > 0) & (sd + mu > 0),
+                (sd - mu) / (sd + mu),
+            ),
+            6,
+        ).alias("burstiness"),
+        F.round(F.col("__p50"), 6).alias("p50_gap"),
+        F.round(F.col("__p90"), 6).alias("p90_gap"),
+        F.col("__max").cast("bigint").alias("max_gap"),
+    )

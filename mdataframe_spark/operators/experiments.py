@@ -902,3 +902,56 @@ def diff_in_diff(
         F.round(did_g - F.lit(1.959963985) * se, 6).alias("ci_lo"),
         F.round(did_g + F.lit(1.959963985) * se, 6).alias("ci_hi"),
     )
+
+
+def proportion_power_mde(
+    df: DataFrame,
+    unit_col: str,
+    outcome_col: str,
+    alpha_z: float = 1.959963985,
+    power_z: float = 0.841621234,
+) -> DataFrame:
+    """Experiment planning from the observed baseline: given the
+    current per-unit conversion rate p̂ and an even 50/50 split of the
+    observed population, the minimum detectable ABSOLUTE effect at the
+    classic two-proportion z-test operating point —
+    MDE = (z_{α/2} + z_β)·√(2·p̂(1−p̂)/n_arm) — the "is this experiment
+    even worth running" number every A/B test needs BEFORE
+    two_proportion_ztest reads its result. Returns ONE row: (n_units,
+    n_per_arm, base_rate, mde_abs, mde_rel); NULL MDE when the
+    baseline degenerates (p̂ ∈ {0, 1} — no binomial variance to power
+    against) or the population is empty.
+
+    The z constants default to α = 0.05 two-sided (1.959963985 — the
+    diff_in_diff literal) and power = 0.80 (0.841621234); both are
+    passed as LITERALS into the plan so any engine replays the exact
+    double arithmetic. Decomposition: one per-unit boolean-max
+    collapse (a unit converts if ANY of its rows did — the
+    two_proportion complete-case convention on the cast flag), one
+    scalar aggregation; nothing downstream of the unit table.
+    """
+    flag = F.col(outcome_col).try_cast("boolean")
+    per = (
+        df.filter(F.col(unit_col).isNotNull() & flag.isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(F.max(flag.cast("int")).alias("__c"))
+    )
+    acc = per.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__c").alias("__conv"),
+    )
+    n = F.col("n_units").cast("double")
+    n_arm = F.floor(F.col("n_units") / 2).cast("bigint")
+    p = F.col("__conv").cast("double") / n
+    mde = F.when(
+        (F.col("n_units") >= 2) & (p > 0) & (p < 1),
+        F.lit(float(alpha_z) + float(power_z))
+        * F.sqrt(2.0 * p * (1.0 - p) / n_arm.cast("double")),
+    )
+    return acc.select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        n_arm.alias("n_per_arm"),
+        F.round(F.when(F.col("n_units") > 0, p), 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.when(p > 0, mde / p), 6).alias("mde_rel"),
+    )

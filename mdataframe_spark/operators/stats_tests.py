@@ -341,6 +341,73 @@ def ks_two_sample(
     return out
 
 
+def cvm_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    max_values: int | None = DEFAULT_MAX_STEPS,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises T: the INTEGRAL of the squared gap
+    between the two empirical CDFs, T = (n1·n2/N²)·Σ_{i≤N}
+    (F1(xᵢ) − F2(xᵢ))² over all N pooled points (Anderson 1962) — the
+    whole-distribution companion of :func:`ks_two_sample` in the
+    drift battery: KS sees only the single worst gap, CvM weights
+    every gap, so slow mid-distribution drift that never produces one
+    large gap still registers. Returns ONE row: (n1, n2, n_values,
+    cvm); NULL when either group is empty. (No p-value: the CvM null
+    distribution has no closed tail form — threshold on the statistic
+    against its asymptotic critical values, e.g. 0.461 ≈ α 0.05.)
+
+    Decomposition: the SAME guarded distinct-value rank blocks as KS
+    (:func:`_rank_blocks` — ``max_values`` default 100k, ``None``
+    disables, quantize upstream per the documented contract); per
+    block the gap is the exact integer cross-product cum1·n2 − cum2·n1
+    over the common denominator n1·n2, so T accumulates as
+    decimal(38,0) Σ t·(cum1·n2 − cum2·n1)² with ONE final double
+    division by N²·n1·n2 — bit-for-bit replayable in any engine with
+    exact decimal/HUGEINT sums (the spearman_rho convention). The
+    decimal(38,0) ceiling holds to ~10⁸ pooled rows (terms scale as
+    t·N⁴); past that, quantize harder — the same knob the cap
+    enforces anyway.
+    """
+    flag = F.col(group_col).cast("boolean")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    blocks = _rank_blocks(base, value_col, flag, "cvm_two_sample", max_values)
+    tot = blocks.agg(
+        F.sum("__t1").alias("__n1"),
+        F.sum(F.col("__t") - F.col("__t1")).alias("__n2"),
+        F.count(F.lit(1)).alias("__nv"),
+    )
+    dec = "decimal(38,0)"
+    cross = (
+        F.col("__cum1").cast(dec) * F.col("__n2")
+        - (F.col("__cum") - F.col("__cum1")).cast(dec) * F.col("__n1")
+    )
+    acc = blocks.crossJoin(F.broadcast(tot)).agg(
+        F.first("__n1").alias("n1"),
+        F.first("__n2").alias("n2"),
+        F.first("__nv").alias("n_values"),
+        F.sum(F.col("__t").cast(dec) * cross * cross).alias("__s"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    return acc.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.round(
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.col("__s").cast("double") / (nd * nd * n1d * n2d),
+            ),
+            6,
+        ).alias("cvm"),
+    )
+
+
 def population_stability_index(
     df: DataFrame,
     value_col: str,

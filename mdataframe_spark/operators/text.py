@@ -1856,3 +1856,99 @@ def bigram_entropy_rate(
         F.round(hc, 6).alias("h_conditional"),
         F.round(hx - hc, 6).alias("info_gain"),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth fit V(N) ≈ K·N^β over the corpus:
+    how fast does the vocabulary grow as tokens accumulate — the
+    curation dial that says whether more data keeps buying new
+    language (β near the English-corpus 0.4-0.6 band) or the source
+    has saturated/looped (β → 0: near-duplicate or templated text).
+    Returns ONE row: (n_buckets_used, n_tokens, vocab_size, heaps_k,
+    heaps_beta, r2); fit fields NULL with < 2 usable checkpoints.
+
+    Decomposition (all corpus passes partial-agged, nothing
+    corpus-sized downstream): documents take a DETERMINISTIC
+    pseudo-random corpus order via the engine-portable md5 draw (the
+    datasets.py split convention — Heaps' curve is defined over an
+    arbitrary fixed order, and the hash order is the statistically
+    clean one: no crawl-time topical drift in the checkpoints), exact
+    integer bucket = h·B div 2³², ONE groupBy(bucket) sums tokens and
+    ONE groupBy(token) takes min(bucket) for first occurrences, both
+    collapsed to the B-row checkpoint spine where cumulative
+    (tokens, vocab) are a tiny ordered window; the log-log OLS runs
+    in the explicit closed form over ≤ B points (the zipf_fit
+    convention — built-in regr_slope accumulation differs across
+    engines, the explicit expression does not).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    toks = (
+        df.select(
+            (h * n_buckets).alias("__hb"),
+            F.explode(F.split(norm, _WS)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        # exact integer bucket: h·B div 2^32 (SQL div — the _bucket
+        # discipline; double division would round near boundaries)
+        .select(F.expr("__hb div 4294967296").alias("__b"), "tok")
+    )
+    per_bucket = toks.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("__b").alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__nv"))
+    )
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("__b")
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        spine.join(per_bucket, "__b", "left")
+        .join(first, "__b", "left")
+        .select(
+            "__b",
+            F.sum(F.coalesce(F.col("__nt"), F.lit(0))).over(w).alias("__cn"),
+            F.sum(F.coalesce(F.col("__nv"), F.lit(0))).over(w).alias("__cv"),
+        )
+        .filter((F.col("__cn") > 0) & (F.col("__cv") > 0))
+        .select(
+            "__cn",
+            "__cv",
+            F.log(F.col("__cn").cast("double")).alias("__x"),
+            F.log(F.col("__cv").cast("double")).alias("__y"),
+        )
+    )
+    acc = cum.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.max("__cn").alias("n_tokens"),
+        F.max("__cv").alias("vocab_size"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_buckets_used").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    beta = F.when((F.col("n_buckets_used") >= 2) & (vx > 0), cov / vx)
+    k = F.exp((F.col("__sy") - beta * F.col("__sx")) / n)
+    r2 = F.when((vy > 0) & (vx > 0), cov * cov / (vx * vy))
+    return acc.select(
+        F.col("n_buckets_used").cast("bigint").alias("n_buckets_used"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.round(k, 6).alias("heaps_k"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(r2, 6).alias("r2"),
+    )

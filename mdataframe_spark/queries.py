@@ -12354,6 +12354,537 @@ FROM acc
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-13 wave: the second end-to-end pipeline (training-data mixing:
+# dedup → decontaminate → temperature mix → pack), the integral drift
+# test (Cramér–von Mises on the guarded rank blocks), Storey q-values,
+# experiment planning (MDE), graph-level clustering, inter-event
+# burstiness, Heaps'-law vocabulary growth, cross-stream correlation,
+# and temporal ingest completeness. All oracle-backed; every corpus
+# pass partial-agged with model-bounded structure downstream.
+# ---------------------------------------------------------------------------
+
+
+def pipe_training_mix(spark, sf_dir):
+    """End-to-end training-data mixing recipe — the decontamination
+    counterpart of pipe_fineweb_recipe, composed from already-
+    oracle-checked stages as ONE lineage: exact dedup keep-min
+    (dd_exact_dedup's md5 collapse) → benchmark DECONTAMINATION
+    against the held-out eval slice (ds_contamination's 5-gram scan,
+    here DROPPING the hits instead of reporting them) →
+    temperature-scaled source mixture (T=2, ds_temperature_mixture's
+    weights) at a 50% token budget with rates derived from the
+    SURVIVOR statistics → 1024-token greedy packing keyed by source
+    (ds_pack_sequences). What this checks beyond the single-stage
+    queries: the dedup→decontaminate interface (grams build on the
+    DEDUPED frame), and the mixture probe running on pipeline-internal
+    state.
+
+    Scale shape: the two survivor frames persist once each (the gram
+    explosion and the two mixture probes share one materialization);
+    the eval-gram table broadcasts (eval suites are tiny at any
+    corpus size); the mixture draw is the zero-shuffle md5 filter;
+    packing windows are keyed by source."""
+    from .cache import persist_tracked
+    from .operators.datasets import (
+        domain_mixture_sample,
+        pack_sequences,
+        temperature_weights,
+    )
+    from .operators.text import ngram_contamination, token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    keep_ids = (
+        train.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = persist_tracked(train.join(keep_ids, "doc_id", "left_semi"))
+    hit_ids = (
+        ngram_contamination(s1, ev, n=5)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    s2 = persist_tracked(s1.join(hit_ids, "doc_id", "left_anti"))
+    w = temperature_weights(s2, "source", temperature=2.0, token_col="n_chars")
+    sampled = domain_mixture_sample(
+        s2, "source", w, budget_fraction=0.5, token_col="n_chars", seed=13
+    )
+    withtok = sampled.withColumn(
+        "n_tokens", token_count(F.col("text")).cast("bigint")
+    )
+    out = pack_sequences(
+        withtok, ["source"], "n_tokens", order_col="doc_id", capacity=1024
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_tokens", "bin_id", "bin_offset"
+    )
+
+
+PIPE_TRAINING_MIX_SQL = r"""
+WITH train AS (
+  SELECT * FROM documents WHERE source IS NOT NULL AND doc_id % 97 != 0
+), ex AS (
+  SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)
+), s1 AS MATERIALIZED (
+  SELECT train.* FROM train JOIN ex USING (doc_id)
+), tb AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM s1
+), eb AS (
+  SELECT string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents WHERE source IS NOT NULL AND doc_id % 97 = 0
+), tg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+    FROM tb
+  )
+), eg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+    FROM eb
+  )
+), hit AS (
+  SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)
+), s2 AS MATERIALIZED (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+), g AS (
+  SELECT source, sum(n_chars)::BIGINT AS toks FROM s2 GROUP BY source
+), t AS (
+  SELECT sum(toks)::BIGINT AS tot FROM g
+), p AS (
+  SELECT source, toks, sqrt(toks / CAST(tot AS DOUBLE)) AS pw FROM g, t
+), z AS (
+  SELECT sum(pw) AS z FROM p
+), mrates AS (
+  SELECT source, least(1.0, round(pw / z, 9) * (0.5 * tot) / toks) AS rate
+  FROM p, z, t
+), s3 AS (
+  SELECT s2.* FROM s2 JOIN mrates USING (source)
+  WHERE CAST(('0x' || substr(md5(s2.doc_id::VARCHAR || ':13'), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rate
+), pk AS (
+  SELECT doc_id, lang, source,
+         len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+  FROM s3
+), st AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM pk
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(floor(start / 1024.0) AS BIGINT) AS bin_id,
+       (start % 1024)::BIGINT AS bin_offset
+FROM st
+"""
+
+
+def stat_cvm(spark, sf_dir):
+    """Two-sample Cramér–von Mises (operators/stats_tests.py
+    cvm_two_sample) between view and non-view event values: the
+    INTEGRAL of the squared CDF gap over the guarded distinct-value
+    rank blocks — the whole-distribution companion of
+    stat_ks_two_sample's max gap; exact decimal(38,0) cross-product
+    accumulation, one final double division."""
+    from .operators.stats_tests import cvm_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.withColumn("is_view", F.col("event_type") == "view")
+    return cvm_two_sample(e, "value", "is_view")
+
+
+STAT_CVM_SQL = """
+WITH base AS (
+  SELECT value::DOUBLE AS v, (event_type = 'view') AS f
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), g AS (
+  SELECT v, count(*)::BIGINT AS t,
+         sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS t1
+  FROM base GROUP BY v
+), c AS (
+  SELECT t, t1,
+         sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(t1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1
+  FROM g
+), tot AS (
+  SELECT sum(t1)::BIGINT AS n1, sum(t - t1)::BIGINT AS n2,
+         count(*)::BIGINT AS nv
+  FROM g
+), acc AS (
+  SELECT sum(t::HUGEINT
+             * (cum1::HUGEINT * n2 - (cum - cum1)::HUGEINT * n1)
+             * (cum1::HUGEINT * n2 - (cum - cum1)::HUGEINT * n1)) AS s
+  FROM c, tot
+)
+SELECT n1, n2, nv AS n_values,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+             THEN s::DOUBLE
+                  / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                     * n1 * n2)
+             END, 6) AS cvm
+FROM tot, acc
+"""
+
+
+def w_storey_qvalue(spark, sf_dir):
+    """Storey q-values (functions/stats.py storey_qvalue) over the
+    w1_bh_fdr per-part pseudo p-values: BH rescaled by the estimated
+    null proportion pi0 = #{p > 0.5}/(n/2), clipped to [1/n, 1] — the
+    power-recovering FDR when many tests are truly non-null; the pi0
+    probe is two integers, the q-values ride the identical suffix-min
+    window."""
+    from .functions.stats import storey_qvalue
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(F.avg("l_discount") * 10, 6).alias("p")
+    )
+    out = storey_qvalue(p, "p", "qvalue", tiebreak_cols=["partkey"])
+    return out.select(
+        "partkey", "p", F.round("qvalue", 8).alias("qvalue"), "pi0"
+    )
+
+
+W_STOREY_SQL = """
+WITH p AS (
+  SELECT l_partkey AS partkey, round(avg(l_discount) * 10, 6) AS p
+  FROM lineitem GROUP BY l_partkey
+), pi AS (
+  SELECT round(least(1.0, greatest(
+           count(CASE WHEN p > 0.5 THEN 1 END)
+             / (count(p) * (1.0 - 0.5)),
+           1.0 / count(p))), 6) AS pi0
+  FROM p
+), r AS (
+  SELECT partkey, p,
+         row_number() OVER (ORDER BY p, partkey) AS rn,
+         count(*) OVER () AS n
+  FROM p
+)
+SELECT partkey, p,
+       round(least(min(p * n / rn) OVER (ORDER BY p, partkey
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0)
+             * pi0, 8) AS qvalue,
+       pi0
+FROM r, pi
+"""
+
+
+def e_power_mde(spark, sf_dir):
+    """Experiment planning (operators/experiments.py
+    proportion_power_mde): from the observed per-user purchase rate
+    and an even split of today's population, the minimum detectable
+    absolute/relative effect at alpha 0.05 / power 0.80 — the
+    before-the-test companion of stat_two_proportion. One per-user
+    boolean-max collapse + one scalar aggregation."""
+    from .operators.experiments import proportion_power_mde
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.withColumn("is_purchase", F.col("event_type") == "purchase")
+    return proportion_power_mde(e, "user_id", "is_purchase")
+
+
+E_POWER_MDE_SQL = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id
+), acc AS (
+  SELECT count(*)::BIGINT AS n_units, sum(c)::BIGINT AS conv FROM per
+)
+SELECT n_units,
+       (n_units // 2)::BIGINT AS n_per_arm,
+       round(CASE WHEN n_units > 0
+             THEN conv / CAST(n_units AS DOUBLE) END, 6) AS base_rate,
+       round(CASE WHEN n_units >= 2 AND conv > 0 AND conv < n_units
+             THEN (1.959963985 + 0.841621234)
+                  * sqrt(2.0 * (conv / CAST(n_units AS DOUBLE))
+                         * (1.0 - conv / CAST(n_units AS DOUBLE))
+                         / CAST(n_units // 2 AS DOUBLE)) END, 6) AS mde_abs,
+       round(CASE WHEN n_units >= 2 AND conv > 0 AND conv < n_units
+             THEN ((1.959963985 + 0.841621234)
+                   * sqrt(2.0 * (conv / CAST(n_units AS DOUBLE))
+                          * (1.0 - conv / CAST(n_units AS DOUBLE))
+                          / CAST(n_units // 2 AS DOUBLE)))
+                  / (conv / CAST(n_units AS DOUBLE)) END, 6) AS mde_rel
+FROM acc
+"""
+
+
+def gr_clustering(spark, sf_dir):
+    """Graph-level clustering summary (operators/baskets.py
+    global_clustering) over the co-purchase item graph: transitivity
+    3T/W and the Watts-Strogatz average local coefficient — one
+    aggregation over gr_triangle_count's per-vertex frame (the
+    Schank-Wagner oriented wedge join), so the marginal cost over a
+    triangle count is a node-bounded reduce."""
+    from .operators.baskets import co_occurrence_pairs, global_clustering
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3, with_stats=False
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return global_clustering(pairs)
+
+
+GR_CLUSTERING_SQL = """
+WITH raw AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), items AS (
+  SELECT b, i FROM raw QUALIFY count(*) OVER (PARTITION BY b) <= 10000
+), p AS (
+  SELECT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), deg AS (
+  SELECT v, count(*)::BIGINT AS degree FROM (
+    SELECT x AS v FROM p UNION ALL SELECT y AS v FROM p
+  ) GROUP BY v
+), tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM p e1
+  JOIN p e2 ON e1.y = e2.x
+  JOIN p e3 ON e3.x = e1.x AND e3.y = e2.y
+), perv AS (
+  SELECT v, count(*)::BIGINT AS n FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+  ) GROUP BY v
+), pv AS (
+  SELECT deg.v, degree, coalesce(n, 0)::BIGINT AS n_triangles,
+         round(CASE WHEN degree >= 2
+                    THEN 2.0 * coalesce(n, 0) / (degree * (degree - 1.0))
+               END, 6) AS cc
+  FROM deg LEFT JOIN perv USING (v)
+), acc AS (
+  SELECT count(*)::BIGINT AS n_vertices,
+         sum(degree)::HUGEINT AS sdeg,
+         sum(degree::HUGEINT * (degree - 1)) AS swedge2,
+         sum(n_triangles::HUGEINT) AS stri3,
+         count(CASE WHEN degree >= 2 THEN 1 END)::BIGINT AS ncc,
+         round(sum(cc), 4) AS scc
+  FROM pv
+)
+SELECT n_vertices,
+       (sdeg / 2)::BIGINT AS n_edges,
+       (stri3 / 3)::BIGINT AS n_triangles,
+       (swedge2 / 2)::BIGINT AS n_wedges,
+       round(CASE WHEN swedge2 > 0
+             THEN 3.0 * (stri3 / 3)::DOUBLE / (swedge2 / 2)::DOUBLE
+             END, 6) AS transitivity,
+       round(CASE WHEN ncc > 0 THEN scc / ncc END, 6) AS avg_local_cc
+FROM acc
+"""
+
+
+def e_interevent_burstiness(spark, sf_dir):
+    """Inter-event gap distribution + Goh-Barabási burstiness
+    (operators/events.py interevent_stats): consecutive per-user gaps
+    on the whole-minute grid from ONE user-partitioned lag window,
+    exact decimal moments, percentile == quantile_cont pair."""
+    from .operators.events import interevent_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interevent_stats(ev)
+
+
+E_INTEREVENT_SQL = """
+WITH ns AS (
+  SELECT user_id, epoch_ns(ts) AS t FROM events WHERE user_id IS NOT NULL
+), lagged AS (
+  SELECT t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM ns
+), gaps AS (
+  SELECT (t - prev) // 60000000000 AS g FROM lagged WHERE prev IS NOT NULL
+), u AS (
+  SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ns
+), acc AS (
+  SELECT count(*)::BIGINT AS n_gaps,
+         sum(g::HUGEINT) AS s1,
+         sum(g::HUGEINT * g) AS s2,
+         quantile_cont(g, 0.5) AS p50,
+         quantile_cont(g, 0.9) AS p90,
+         max(g)::BIGINT AS mx
+  FROM gaps
+)
+SELECT n_users, n_gaps,
+       round(CASE WHEN n_gaps > 0
+             THEN s1::DOUBLE / n_gaps END, 6) AS mean_gap,
+       round(CASE WHEN n_gaps > 0
+                  AND s2::DOUBLE / n_gaps
+                      - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps) >= 0
+             THEN sqrt(s2::DOUBLE / n_gaps
+                       - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps))
+             END, 6) AS sd_gap,
+       round(CASE WHEN n_gaps > 0
+                  AND sqrt(s2::DOUBLE / n_gaps
+                           - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps))
+                      + s1::DOUBLE / n_gaps > 0
+             THEN (sqrt(s2::DOUBLE / n_gaps
+                        - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps))
+                   - s1::DOUBLE / n_gaps)
+                  / (sqrt(s2::DOUBLE / n_gaps
+                          - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps))
+                     + s1::DOUBLE / n_gaps)
+             END, 6) AS burstiness,
+       round(p50, 6) AS p50_gap,
+       round(p90, 6) AS p90_gap,
+       mx AS max_gap
+FROM acc, u
+"""
+
+
+def txt_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth fit (operators/text.py
+    heaps_law_fit): V(N) ≈ K·N^beta over 16 md5-ordered corpus
+    checkpoints — beta → 0 flags saturated/templated sources; the
+    log-log OLS runs in the explicit closed form (the zipf_fit
+    convention)."""
+    from .operators.text import heaps_law_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_law_fit(docs, n_buckets=16)
+
+
+TXT_HEAPS_SQL = r"""
+WITH b AS (
+  SELECT (CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) * 16)
+           // 4294967296 AS bk,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+'), tk -> tk <> '') AS arr
+  FROM documents
+), toks AS (
+  SELECT bk, unnest(arr) AS tok FROM b
+), pb AS (
+  SELECT bk, count(*)::BIGINT AS nt FROM toks GROUP BY bk
+), fo AS (
+  SELECT min(bk) AS bk FROM toks GROUP BY tok
+), fv AS (
+  SELECT bk, count(*)::BIGINT AS nv FROM fo GROUP BY bk
+), spine AS (
+  SELECT unnest(range(0, 16)) AS bk
+), cum AS (
+  SELECT bk,
+         sum(coalesce(nt, 0)) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(coalesce(nv, 0)) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS cv
+  FROM spine LEFT JOIN pb USING (bk) LEFT JOIN fv USING (bk)
+), pts AS (
+  SELECT cn, cv, ln(cn::DOUBLE) AS x, ln(cv::DOUBLE) AS y
+  FROM cum WHERE cn > 0 AND cv > 0
+), acc AS (
+  SELECT count(*)::BIGINT AS nb,
+         max(cn)::BIGINT AS n_tokens, max(cv)::BIGINT AS vocab_size,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+)
+SELECT nb AS n_buckets_used, n_tokens, vocab_size,
+       round(CASE WHEN nb >= 2 AND (nb * sxx - sx * sx) > 0
+             THEN exp((sy - ((nb * sxy - sx * sy) / (nb * sxx - sx * sx)) * sx)
+                      / nb) END, 6) AS heaps_k,
+       round(CASE WHEN nb >= 2 AND (nb * sxx - sx * sx) > 0
+             THEN (nb * sxy - sx * sy) / (nb * sxx - sx * sx) END, 6)
+         AS heaps_beta,
+       round(CASE WHEN (nb * syy - sy * sy) > 0 AND (nb * sxx - sx * sx) > 0
+             THEN (nb * sxy - sx * sy) * (nb * sxy - sx * sy)
+                  / ((nb * sxx - sx * sx) * (nb * syy - sy * sy)) END, 6) AS r2
+FROM acc
+"""
+
+
+def ts_cross_correlation(spark, sf_dir):
+    """Cross-correlation function (operators/timeseries.py
+    cross_correlation) between the hourly views and purchases count
+    series at lags −6..6: does the view stream lead the purchase
+    stream? Two bucket_series collapses, a broadcast lag-spine join,
+    per-lag paired Pearson from exact decimal sums."""
+    from .operators.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "view")
+    y = ev.filter(F.col("event_type") == "purchase")
+    return cross_correlation(x, y, max_lag=6)
+
+
+TS_CCF_SQL = """
+WITH sx AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS b,
+         CAST(count(*) AS DECIMAL(18,4)) AS x
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), sy AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS b,
+         CAST(count(*) AS DECIMAL(18,4)) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lagspine AS (
+  SELECT unnest(range(-6, 7)) AS k
+), pairs AS (
+  SELECT k, count(*)::BIGINT AS np,
+         sum(x) AS sa, sum(y) AS sb, sum(x * y) AS sab,
+         sum(x * x) AS saa, sum(y * y) AS sbb
+  FROM sx CROSS JOIN lagspine
+  JOIN sy ON sy.b = sx.b + k
+  GROUP BY k
+)
+SELECT k AS lag, np AS n_pairs,
+       round(CASE WHEN np >= 2
+                  AND (np::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE) > 0
+                  AND (np::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE) > 0
+             THEN (np::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+                  / sqrt((np::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                         * (np::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE))
+             END, 6) AS ccf
+FROM pairs
+"""
+
+
+def dq_ingest_gaps(spark, sf_dir):
+    """Temporal ingest completeness (operators/diagnostics.py
+    ingest_gaps): missing hourly buckets and the longest outage run
+    over the observed span — derived entirely from the observed-bucket
+    table (the spine is never materialized)."""
+    from .operators.diagnostics import ingest_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return ingest_gaps(ev)
+
+
+DQ_INGEST_GAPS_SQL = """
+WITH obs AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS b
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT b, lag(b) OVER (ORDER BY b) AS prev FROM obs
+), acc AS (
+  SELECT min(b)::BIGINT AS first_bucket, max(b)::BIGINT AS last_bucket,
+         count(*)::BIGINT AS n_observed,
+         max(CASE WHEN prev IS NOT NULL THEN b - prev - 1 END) AS mr
+  FROM r
+)
+SELECT first_bucket, last_bucket,
+       (last_bucket - first_bucket + 1)::BIGINT AS n_expected,
+       n_observed,
+       (last_bucket - first_bucket + 1 - n_observed)::BIGINT AS n_missing,
+       round(CASE WHEN last_bucket - first_bucket + 1 > 0
+             THEN n_observed
+                  / CAST(last_bucket - first_bucket + 1 AS DOUBLE) END, 6)
+         AS coverage,
+       CAST(CASE WHEN n_observed > 0 THEN coalesce(mr, 0) END AS BIGINT)
+         AS max_gap_run
+FROM acc
+"""
+
+
 QUERIES = {
     # --- permanent spine: flagship + bench anchors + the hash-
     # checked sub-layers of the two rows-only NB/GLM fits ---
@@ -12431,6 +12962,18 @@ QUERIES = {
 # sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
+    # --- new in round 13: second end-to-end pipeline, integral
+    # drift, Storey q, MDE planning, graph clustering, burstiness,
+    # Heaps' law, CCF, ingest gaps ---
+    "pipe_training_mix": pipe_training_mix,
+    "stat_cvm": stat_cvm,
+    "w_storey_qvalue": w_storey_qvalue,
+    "e_power_mde": e_power_mde,
+    "gr_clustering": gr_clustering,
+    "e_interevent_burstiness": e_interevent_burstiness,
+    "txt_heaps_law": txt_heaps_law,
+    "ts_cross_correlation": ts_cross_correlation,
+    "dq_ingest_gaps": dq_ingest_gaps,
     # --- new in round 12: agreement/association, whiteness,
     # graph shape, profiling, folds, funnel latency wave ---
     "stat_cohens_kappa": stat_cohens_kappa,
@@ -12759,6 +13302,16 @@ ORACLES = {
 # Oracles for the EXTRA_QUERIES — same comparison protocol, run
 # in-repo (tests/test_extra_parity.py) instead of by the driver.
 EXTRA_ORACLES = {
+    # --- new in round 13 ---
+    "pipe_training_mix": PIPE_TRAINING_MIX_SQL,
+    "stat_cvm": STAT_CVM_SQL,
+    "w_storey_qvalue": W_STOREY_SQL,
+    "e_power_mde": E_POWER_MDE_SQL,
+    "gr_clustering": GR_CLUSTERING_SQL,
+    "e_interevent_burstiness": E_INTEREVENT_SQL,
+    "txt_heaps_law": TXT_HEAPS_SQL,
+    "ts_cross_correlation": TS_CCF_SQL,
+    "dq_ingest_gaps": DQ_INGEST_GAPS_SQL,
     # --- new in round 12 ---
     "stat_cohens_kappa": STAT_KAPPA_SQL,
     "stat_mutual_information": STAT_MI_SQL,
