@@ -12895,38 +12895,13 @@ QUERIES = {
     "dd_semantic_dedup": dd_semantic_dedup,
     "stat_edger_norm": stat_edger_norm,
     "stat_deseq2_base": stat_deseq2_base,
-    # --- rotated in round 12 (eighth rotation): the ENTIRE
-    # never-driver-recorded queue — the two round-9 leftovers,
-    # all 13 round-10 wave queries, all 24 round-11 wave queries
-    # — plus the new round-12 scale-safe BY arm. The 41 rows they
-    # replace are all driver-green in CORRECTNESS_r11 and keep
-    # the identical oracle protocol in EXTRA_QUERIES. ---
-    "dq_completeness_profile": dq_completeness_profile,
-    "gr_label_propagation": gr_label_propagation,
+    # --- retained from the round-12 rotation (driver-green r12;
+    # pipe_fineweb_recipe stays as the flagship pipeline,
+    # ts_mann_kendall stays so the driver re-measures the r12 bench
+    # outlier on the SAME registry row, stat_effect_sizes stays to
+    # re-certify the newly guarded rank-block path) ---
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
-    "stat_kruskal_wallis": stat_kruskal_wallis,
-    "stat_kendall_tau": stat_kendall_tau,
-    "dq_gini_concentration": dq_gini_concentration,
-    "ts_mase_hourly": ts_mase_hourly,
-    "e_kaplan_meier": e_kaplan_meier,
-    "stat_two_proportion": stat_two_proportion,
-    "e_cuped_adjust": e_cuped_adjust,
-    "dq_srm_check": dq_srm_check,
-    "stat_wasserstein": stat_wasserstein,
     "ts_mann_kendall": ts_mann_kendall,
-    "ts_theil_sen": ts_theil_sen,
-    "sk_join_size_gate": sk_join_size_gate,
-    "e_log_rank": e_log_rank,
-    "e_rmst": e_rmst,
-    "stat_mcnemar": stat_mcnemar,
-    "e_winsorized_lift": e_winsorized_lift,
-    "e_ratio_metric_delta": e_ratio_metric_delta,
-    "dq_covariate_balance": dq_covariate_balance,
-    "txt_vocab_richness": txt_vocab_richness,
-    "txt_source_jsd": txt_source_jsd,
-    "e_eb_ctr_shrinkage": e_eb_ctr_shrinkage,
-    "stat_dispersion_nb": stat_dispersion_nb,
-    "stat_cochran_q": stat_cochran_q,
     "stat_friedman": stat_friedman,
     "stat_runs_test": stat_runs_test,
     "stat_trend_armitage": stat_trend_armitage,
@@ -12941,6 +12916,36 @@ QUERIES = {
     "txt_good_turing": txt_good_turing,
     "w_by_fdr": w_by_fdr,
     "w_by_fdr_scale": w_by_fdr_scale,
+    # --- rotated in round 13 (ninth rotation): the entire
+    # never-driver-recorded queue — all 15 round-12 wave queries —
+    # PLUS the round-13 wave in the same round it landed (the
+    # queue-zero policy). The 24 rows they replace are all
+    # driver-green in CORRECTNESS_r12 and keep the identical oracle
+    # protocol in EXTRA_QUERIES. ---
+    "stat_cohens_kappa": stat_cohens_kappa,
+    "stat_mutual_information": stat_mutual_information,
+    "stat_levene": stat_levene,
+    "stat_concordance_ccc": stat_concordance_ccc,
+    "w_holm_adjust": w_holm_adjust,
+    "ts_ljung_box": ts_ljung_box,
+    "ts_durbin_watson": ts_durbin_watson,
+    "gr_degree_distribution": gr_degree_distribution,
+    "gr_reciprocity": gr_reciprocity,
+    "dq_format_patterns": dq_format_patterns,
+    "ds_kfold_profile": ds_kfold_profile,
+    "txt_casing_profile": txt_casing_profile,
+    "e_conversion_lag": e_conversion_lag,
+    "txt_bigram_entropy": txt_bigram_entropy,
+    "ts_seasonal_strength": ts_seasonal_strength,
+    "pipe_training_mix": pipe_training_mix,
+    "stat_cvm": stat_cvm,
+    "w_storey_qvalue": w_storey_qvalue,
+    "e_power_mde": e_power_mde,
+    "gr_clustering": gr_clustering,
+    "e_interevent_burstiness": e_interevent_burstiness,
+    "txt_heaps_law": txt_heaps_law,
+    "ts_cross_correlation": ts_cross_correlation,
+    "dq_ingest_gaps": dq_ingest_gaps,
     # --- rows-only from here down (no SQL oracle): the two
     # iterative NB/GLM fits, plus the decoded-WAV feature path
     # (RIFF/PCM byte-walk — pinned to the stdlib wave module in
@@ -12962,35 +12967,33 @@ QUERIES = {
 # sim_cosine_topk/sim_ann_recall, stat_noiseq → stat_noiseq_md +
 # tests/test_noiseq_golden.py, ml_cluster_summary → ml_kmeans_lloyd.
 EXTRA_QUERIES = {
-    # --- new in round 13: second end-to-end pipeline, integral
-    # drift, Storey q, MDE planning, graph clustering, burstiness,
-    # Heaps' law, CCF, ingest gaps ---
-    "pipe_training_mix": pipe_training_mix,
-    "stat_cvm": stat_cvm,
-    "w_storey_qvalue": w_storey_qvalue,
-    "e_power_mde": e_power_mde,
-    "gr_clustering": gr_clustering,
-    "e_interevent_burstiness": e_interevent_burstiness,
-    "txt_heaps_law": txt_heaps_law,
-    "ts_cross_correlation": ts_cross_correlation,
-    "dq_ingest_gaps": dq_ingest_gaps,
-    # --- new in round 12: agreement/association, whiteness,
-    # graph shape, profiling, folds, funnel latency wave ---
-    "stat_cohens_kappa": stat_cohens_kappa,
-    "stat_mutual_information": stat_mutual_information,
-    "stat_levene": stat_levene,
-    "stat_concordance_ccc": stat_concordance_ccc,
-    "w_holm_adjust": w_holm_adjust,
-    "ts_ljung_box": ts_ljung_box,
-    "ts_durbin_watson": ts_durbin_watson,
-    "gr_degree_distribution": gr_degree_distribution,
-    "gr_reciprocity": gr_reciprocity,
-    "dq_format_patterns": dq_format_patterns,
-    "ds_kfold_profile": ds_kfold_profile,
-    "txt_casing_profile": txt_casing_profile,
-    "e_conversion_lag": e_conversion_lag,
-    "txt_bigram_entropy": txt_bigram_entropy,
-    "ts_seasonal_strength": ts_seasonal_strength,
+    # --- rotated out of the driver registry in round 13 (ninth
+    # rotation; all driver-green in CORRECTNESS_r12 — identical
+    # oracle protocol in-repo from here on) ---
+    "dq_completeness_profile": dq_completeness_profile,
+    "gr_label_propagation": gr_label_propagation,
+    "stat_kruskal_wallis": stat_kruskal_wallis,
+    "stat_kendall_tau": stat_kendall_tau,
+    "dq_gini_concentration": dq_gini_concentration,
+    "ts_mase_hourly": ts_mase_hourly,
+    "e_kaplan_meier": e_kaplan_meier,
+    "stat_two_proportion": stat_two_proportion,
+    "e_cuped_adjust": e_cuped_adjust,
+    "dq_srm_check": dq_srm_check,
+    "stat_wasserstein": stat_wasserstein,
+    "ts_theil_sen": ts_theil_sen,
+    "sk_join_size_gate": sk_join_size_gate,
+    "e_log_rank": e_log_rank,
+    "e_rmst": e_rmst,
+    "stat_mcnemar": stat_mcnemar,
+    "e_winsorized_lift": e_winsorized_lift,
+    "e_ratio_metric_delta": e_ratio_metric_delta,
+    "dq_covariate_balance": dq_covariate_balance,
+    "txt_vocab_richness": txt_vocab_richness,
+    "txt_source_jsd": txt_source_jsd,
+    "e_eb_ctr_shrinkage": e_eb_ctr_shrinkage,
+    "stat_dispersion_nb": stat_dispersion_nb,
+    "stat_cochran_q": stat_cochran_q,
     # --- rotated out of the driver registry in round 12 (eighth
     # rotation; all driver-green in r11 or earlier — same oracle
     # protocol in-repo from here on) ---
@@ -13249,33 +13252,9 @@ ORACLES = {
     "dd_semantic_dedup": DD_SEMDEDUP_SQL,
     "stat_edger_norm": STAT_EDGER_NORM_SQL,
     "stat_deseq2_base": STAT_DESEQ2_BASE_SQL,
-    # --- rotated in round 12 (eighth rotation) ---
-    "dq_completeness_profile": DQ_COMPLETENESS_SQL,
-    "gr_label_propagation": GR_LPA_SQL,
+    # --- retained from the round-12 rotation ---
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
-    "stat_kruskal_wallis": STAT_KW_SQL,
-    "stat_kendall_tau": STAT_KENDALL_SQL,
-    "dq_gini_concentration": DQ_GINI_SQL,
-    "ts_mase_hourly": TS_MASE_SQL,
-    "e_kaplan_meier": E_KM_SQL,
-    "stat_two_proportion": STAT_TWOPROP_SQL,
-    "e_cuped_adjust": E_CUPED_SQL,
-    "dq_srm_check": DQ_SRM_SQL,
-    "stat_wasserstein": STAT_WASSERSTEIN_SQL,
     "ts_mann_kendall": TS_MK_SQL,
-    "ts_theil_sen": TS_THEILSEN_SQL,
-    "sk_join_size_gate": SK_JOINSIZE_SQL,
-    "e_log_rank": E_LOGRANK_SQL,
-    "e_rmst": E_RMST_SQL,
-    "stat_mcnemar": STAT_MCNEMAR_SQL,
-    "e_winsorized_lift": E_WINSOR_SQL,
-    "e_ratio_metric_delta": E_RATIO_DELTA_SQL,
-    "dq_covariate_balance": DQ_BALANCE_SQL,
-    "txt_vocab_richness": TXT_VOCAB_SQL,
-    "txt_source_jsd": TXT_JSD_SQL,
-    "e_eb_ctr_shrinkage": E_EB_SQL,
-    "stat_dispersion_nb": STAT_DISPERSION_SQL,
-    "stat_cochran_q": STAT_COCHRANQ_SQL,
     "stat_friedman": STAT_FRIEDMAN_SQL,
     "stat_runs_test": STAT_RUNS_SQL,
     "stat_trend_armitage": STAT_TREND_SQL,
@@ -13290,29 +13269,7 @@ ORACLES = {
     "txt_good_turing": TXT_GT_SQL,
     "w_by_fdr": W_BY_SQL,
     "w_by_fdr_scale": W_BY_SQL,
-    # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
-    # iterative NB/GLM fits with no SQL-expressible equivalent (R
-    # goldens in tests/test_*_golden.py; deterministic sub-layers
-    # hash-checked via stat_edger_norm / stat_deseq2_base).
-    # mm_wav_features is rows-only: the RIFF/PCM byte-walk has no
-    # SQL form (codec pinned to the stdlib wave module in
-    # tests/test_multimodal_wav.py).
-}
-
-# Oracles for the EXTRA_QUERIES — same comparison protocol, run
-# in-repo (tests/test_extra_parity.py) instead of by the driver.
-EXTRA_ORACLES = {
-    # --- new in round 13 ---
-    "pipe_training_mix": PIPE_TRAINING_MIX_SQL,
-    "stat_cvm": STAT_CVM_SQL,
-    "w_storey_qvalue": W_STOREY_SQL,
-    "e_power_mde": E_POWER_MDE_SQL,
-    "gr_clustering": GR_CLUSTERING_SQL,
-    "e_interevent_burstiness": E_INTEREVENT_SQL,
-    "txt_heaps_law": TXT_HEAPS_SQL,
-    "ts_cross_correlation": TS_CCF_SQL,
-    "dq_ingest_gaps": DQ_INGEST_GAPS_SQL,
-    # --- new in round 12 ---
+    # --- rotated in round 13 (ninth rotation) ---
     "stat_cohens_kappa": STAT_KAPPA_SQL,
     "stat_mutual_information": STAT_MI_SQL,
     "stat_levene": STAT_LEVENE_SQL,
@@ -13328,6 +13285,52 @@ EXTRA_ORACLES = {
     "e_conversion_lag": E_CONVLAG_SQL,
     "txt_bigram_entropy": TXT_BIGRAM_ENTROPY_SQL,
     "ts_seasonal_strength": TS_SEASONAL_STRENGTH_SQL,
+    "pipe_training_mix": PIPE_TRAINING_MIX_SQL,
+    "stat_cvm": STAT_CVM_SQL,
+    "w_storey_qvalue": W_STOREY_SQL,
+    "e_power_mde": E_POWER_MDE_SQL,
+    "gr_clustering": GR_CLUSTERING_SQL,
+    "e_interevent_burstiness": E_INTEREVENT_SQL,
+    "txt_heaps_law": TXT_HEAPS_SQL,
+    "ts_cross_correlation": TS_CCF_SQL,
+    "dq_ingest_gaps": DQ_INGEST_GAPS_SQL,
+    # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
+    # iterative NB/GLM fits with no SQL-expressible equivalent (R
+    # goldens in tests/test_*_golden.py; deterministic sub-layers
+    # hash-checked via stat_edger_norm / stat_deseq2_base).
+    # mm_wav_features is rows-only: the RIFF/PCM byte-walk has no
+    # SQL form (codec pinned to the stdlib wave module in
+    # tests/test_multimodal_wav.py).
+}
+
+# Oracles for the EXTRA_QUERIES — same comparison protocol, run
+# in-repo (tests/test_extra_parity.py) instead of by the driver.
+EXTRA_ORACLES = {
+    # --- rotated out of the driver registry in round 13 ---
+    "dq_completeness_profile": DQ_COMPLETENESS_SQL,
+    "gr_label_propagation": GR_LPA_SQL,
+    "stat_kruskal_wallis": STAT_KW_SQL,
+    "stat_kendall_tau": STAT_KENDALL_SQL,
+    "dq_gini_concentration": DQ_GINI_SQL,
+    "ts_mase_hourly": TS_MASE_SQL,
+    "e_kaplan_meier": E_KM_SQL,
+    "stat_two_proportion": STAT_TWOPROP_SQL,
+    "e_cuped_adjust": E_CUPED_SQL,
+    "dq_srm_check": DQ_SRM_SQL,
+    "stat_wasserstein": STAT_WASSERSTEIN_SQL,
+    "ts_theil_sen": TS_THEILSEN_SQL,
+    "sk_join_size_gate": SK_JOINSIZE_SQL,
+    "e_log_rank": E_LOGRANK_SQL,
+    "e_rmst": E_RMST_SQL,
+    "stat_mcnemar": STAT_MCNEMAR_SQL,
+    "e_winsorized_lift": E_WINSOR_SQL,
+    "e_ratio_metric_delta": E_RATIO_DELTA_SQL,
+    "dq_covariate_balance": DQ_BALANCE_SQL,
+    "txt_vocab_richness": TXT_VOCAB_SQL,
+    "txt_source_jsd": TXT_JSD_SQL,
+    "e_eb_ctr_shrinkage": E_EB_SQL,
+    "stat_dispersion_nb": STAT_DISPERSION_SQL,
+    "stat_cochran_q": STAT_COCHRANQ_SQL,
     # --- rotated out of the driver registry in round 12 ---
     "txt_pmi_collocations": TXT_PMI_SQL,
     "e_cohort_retention": E_COHORT_SQL,
