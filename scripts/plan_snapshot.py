@@ -109,6 +109,15 @@ PICKS = [
     ("dq_format_patterns", "translate/substr class mask pure codegen; one groupBy; TakeOrderedAndProject top-k"),
     ("e_conversion_lag", "ONE per-user conditional-min collapse; users-bounded percentile agg; no window"),
     ("stat_cohens_kappa", "persisted (a,b) cell table feeds margins + agreement; full-outer margin join cells-bounded"),
+    # --- round-13 wave picks ---
+    ("pipe_training_mix", "dedup keep-min semi join -> broadcast eval-gram anti probe -> zero-shuffle md5 mixture draw -> source-keyed packing window; both survivor frames pinned once (InMemoryRelation)"),
+    ("stat_cvm", "guarded rank blocks: persisted distinct-value table (count probe) feeds the cumulative window + broadcast totals; decimal cross-product sum"),
+    ("w_storey_qvalue", "pi0 as a 2-integer probe; q-values ride the identical BH suffix-min window times a literal"),
+    ("gr_clustering", "triangle_count's oriented wedge join; global summary is ONE node-bounded aggregation above it"),
+    ("e_interevent_burstiness", "ONE user-partitioned lag window (corpus shuffles once on the user key); scalar moment agg"),
+    ("txt_heaps_law", "two token-stream collapses (bucket sums + first-occurrence min); cumulative + OLS over the 16-row spine"),
+    ("ts_cross_correlation", "two bucket collapses; broadcast lag spine + broadcast series join; per-lag decimal Pearson pieces"),
+    ("dq_ingest_gaps", "ONE bucket groupBy; lag window over the observed-bucket table only — spine never materialized"),
 ]
 
 ADDR = re.compile(r"#\d+L?|\[plan_id=\d+\]")
