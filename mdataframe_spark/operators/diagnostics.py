@@ -718,6 +718,28 @@ def format_patterns(
     )
 
 
+def observed_buckets(
+    df: DataFrame,
+    ts_col: str = "ts",
+    period_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """The :func:`ingest_gaps` sufficient statistic: per observed
+    period bucket, the row count — one COUNT monoid keyed by bucket,
+    which is what makes
+    :func:`~..streaming.segments.ingest_gaps_stream` a legal streaming
+    twin (running state after any micro-batch prefix equals this batch
+    collapse over the same rows; state is one row per observed bucket,
+    bounded by the TIME SPAN). Returns (bucket, n); NULL timestamps
+    drop. ONE partial-agged groupBy — the only corpus-scale structure
+    in :func:`ingest_gaps`, which consumes this collapse."""
+    from .events import _bucket, _ns
+
+    d = _ns(df.filter(F.col(ts_col).isNotNull()), ts_col)
+    return d.groupBy(_bucket(ts_col, period_ns).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 def ingest_gaps(
     df: DataFrame,
     ts_col: str = "ts",
@@ -733,7 +755,8 @@ def ingest_gaps(
     all NULL on an empty stream.
 
     Plan shape: ONE partial-agged groupBy(bucket) collapses the corpus
-    to the observed-bucket table; the span, the missing count and the
+    to the observed-bucket table (:func:`observed_buckets` — shared
+    with the streaming twin); the span, the missing count and the
     longest run all derive from that table — the spine is NEVER
     materialized (n_expected = last − first + 1 and runs come from a
     lag over the observed buckets), so a year-long outage costs
@@ -741,11 +764,8 @@ def ingest_gaps(
     buckets — bounded by the TIME SPAN, not the corpus (the
     bucket_series justification).
     """
-    from .events import _bucket, _ns
-
-    d = _ns(df.filter(F.col(ts_col).isNotNull()), ts_col)
-    obs = d.groupBy(_bucket(ts_col, period_ns).alias("__b")).agg(
-        F.count(F.lit(1)).alias("__n")
+    obs = observed_buckets(df, ts_col, period_ns).select(
+        F.col("bucket").alias("__b")
     )
     w = Window.orderBy("__b")
     runs = obs.withColumn("__prev", F.lag("__b").over(w)).agg(

@@ -201,3 +201,24 @@ def null_patterns_stream(events: DataFrame, cols) -> DataFrame:
         .groupBy("pattern")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+def ingest_gaps_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    period_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Running observed-bucket counts over an event stream — the
+    :func:`..operators.diagnostics.ingest_gaps` sufficient statistic:
+    one COUNT monoid per period bucket, so the running state after any
+    micro-batch prefix equals the batch
+    :func:`..operators.diagnostics.observed_buckets` collapse over the
+    same rows (state is one row per observed bucket — bounded by the
+    TIME SPAN, the live "is the pipeline still ingesting every hour"
+    probe). Delegates to the batch collapse (the rfm_stream
+    convention); the span/missing/longest-run read-out stays in
+    foreachBatch / the batch pass because runs are global ordered
+    functions of the bucket table, not of the stream."""
+    from ..operators.diagnostics import observed_buckets
+
+    return observed_buckets(events, ts_col, period_ns)

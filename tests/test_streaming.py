@@ -1292,3 +1292,83 @@ def test_conversion_lag_stream_matches_batch_and_continues(
     ).collect()[0]
     assert from_state == from_raw
     assert from_raw["n_converted"] == 2  # users 1 and 2, not 3
+
+
+def test_ingest_gaps_stream_matches_batch_and_continues(
+    spark, tmp_path_factory
+):
+    """The ingest-gaps twin (round-13): per-bucket observed counts are
+    COUNT monoids, so checkpointed state + new micro-batches = one big
+    batch; and the gap audit computed FROM the streamed state (via the
+    shared batch machinery) equals the batch ingest_gaps over the raw
+    rows."""
+    from mdataframe_spark.operators.diagnostics import (
+        ingest_gaps,
+        observed_buckets,
+    )
+    from mdataframe_spark.streaming.segments import ingest_gaps_stream
+
+    root = tmp_path_factory.mktemp("ingest_gaps_stream")
+    src = root / "events"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    schema = "ts bigint"
+    H = 3_600_000_000_000
+
+    def write_log(hours):
+        spark.createDataFrame(
+            [(h * H + 17,) for h in hours], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_stream(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            ingest_gaps_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["bucket"]: r["n"]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    def batch_buckets(hours):
+        return {
+            r["bucket"]: r["n"]
+            for r in observed_buckets(
+                spark.createDataFrame([(h * H + 17,) for h in hours], schema)
+            ).collect()
+        }
+
+    a_hours = [0, 0, 1, 2, 5]
+    write_log(a_hours)
+    got_a = run_stream("gaps_a")
+    assert got_a == batch_buckets(a_hours)
+    assert got_a[0] == 2
+
+    b_hours = [5, 9, 9, 9]
+    write_log(b_hours)
+    got_ab = run_stream("gaps_ab")
+    assert got_ab == batch_buckets(a_hours + b_hours)
+    assert got_ab[5] == 2 and got_ab[9] == 3
+
+    # foreachBatch read-out: the gap audit from the streamed state
+    # equals the batch ingest_gaps over the raw rows (the buckets ARE
+    # the statistic — counts don't enter the audit)
+    rebuilt = spark.createDataFrame(
+        [(b * H,) for b in got_ab], schema
+    )
+    from_state = ingest_gaps(rebuilt).collect()[0]
+    from_batch = ingest_gaps(
+        spark.createDataFrame(
+            [(h * H + 17,) for h in a_hours + b_hours], schema
+        )
+    ).collect()[0]
+    assert from_state == from_batch
+    assert from_state["max_gap_run"] == 3
+    assert from_state["n_missing"] == 5
