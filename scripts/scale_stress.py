@@ -465,6 +465,11 @@ def run_factor(factor: int) -> dict:
             # column upstream (here to cents) bounds the distinct-value
             # rank tables, so the single-partition rank windows stay
             # model-sized no matter how the corpus grows
+            # max_values=200k: the whole-dollar price DOMAIN saturates
+            # at ~104k values (900..105000) regardless of corpus size —
+            # just past the 100k default, so this arm demonstrates the
+            # higher-explicit-cap escape hatch: a KNOWN bounded domain,
+            # accepted explicitly (the guard's documented third option)
             spearman_rho(
                 liq.select(
                     "l_quantity",
@@ -472,6 +477,7 @@ def run_factor(factor: int) -> dict:
                 ),
                 "l_quantity",
                 "l_extendedprice",
+                max_values=200_000,
             ).write.format("noop").mode("overwrite").save()
 
         record("spearman_rho_quantized", factor, timed(spearman_quantized), n_liq)
