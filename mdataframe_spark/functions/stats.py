@@ -536,9 +536,12 @@ def storey_qvalue(
     plus a constant ``pi0`` column; NULL p-values get NULL q (the
     bh_adjust convention).
 
-    Decomposition: pi0 is ONE count aggregation collapsed to two
+    Decomposition: pi0 is ONE count aggregation collapsed to three
     integers (a scalar probe — never a corpus structure), rounded to
-    6 dp so both engines carry the identical multiplier; the q-values
+    6 dp so both engines carry the identical multiplier; the probe's
+    total row count also serves as :func:`bh_adjust`'s single-reducer
+    guard (same thresholds, same error), so the guard's separate
+    limit-count scan is skipped — one probe, not two. The q-values
     are then exactly ``bh_adjust(...) * pi0``. The factorization is
     legal for the same reason BY's c(n) factor is: multiplication by
     a positive constant is monotone, so it commutes with BH's
@@ -555,16 +558,38 @@ def storey_qvalue(
     per-family pi0).
     """
     probe = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col(p_col).isNotNull(), 1)).alias("n"),
         F.count(
             F.when(F.col(p_col) > float(pi0_lambda), 1)
         ).alias("n_above"),
     ).collect()[0]
     n, n_above = int(probe["n"] or 0), int(probe["n_above"] or 0)
+    n_rows = int(probe["n_rows"] or 0)
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("double")).withColumn(
             "pi0", F.lit(None).cast("double")
         )
+    # replicate _guard_unpartitioned from the EXACT count the pi0
+    # probe already paid for, then pass allow_global=True below so
+    # bh_adjust does not re-probe with a second limit-count scan
+    if not group_cols and not scale_safe and not allow_global:
+        if n_rows > SINGLE_REDUCER_MAX_ROWS:
+            raise ValueError(
+                f"storey_qvalue: unpartitioned window over "
+                f">{SINGLE_REDUCER_MAX_ROWS:,} rows serializes the whole "
+                "frame through one reducer. Pass group_cols= to partition "
+                "the computation, scale_safe=True for the range-partitioned "
+                "arm, or allow_global=True to accept the single-reducer "
+                "total order."
+            )
+        if n_rows > SINGLE_REDUCER_WARN_ROWS:
+            warnings.warn(
+                f"storey_qvalue: unpartitioned window over {n_rows:,} rows "
+                "— a single-reducer total order; pass group_cols= or "
+                "scale_safe=True.",
+                stacklevel=2,
+            )
     pi0 = n_above / (n * (1.0 - float(pi0_lambda)))
     pi0 = round(min(1.0, max(pi0, 1.0 / n)), 6)
     adjusted = bh_adjust(
@@ -573,7 +598,7 @@ def storey_qvalue(
         out_col=out_col,
         group_cols=group_cols,
         tiebreak_cols=tiebreak_cols,
-        allow_global=allow_global,
+        allow_global=True,
         scale_safe=scale_safe,
     )
     # explicit NULL-in-NULL-out: bh_adjust's suffix-min assigns a NULL

@@ -752,7 +752,8 @@ def ingest_gaps(
     row counts). Returns ONE row: (first_bucket, last_bucket,
     n_expected, n_observed, n_missing, coverage, max_gap_run) with
     max_gap_run the longest consecutive missing stretch in buckets;
-    all NULL on an empty stream.
+    on an empty stream n_observed is 0 and every other field NULL
+    (a count over zero buckets is a well-defined 0, not unknown).
 
     Plan shape: ONE partial-agged groupBy(bucket) collapses the corpus
     to the observed-bucket table (:func:`observed_buckets` — shared

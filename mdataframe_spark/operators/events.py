@@ -897,9 +897,15 @@ def interevent_stats(
     integer grid via the percentile == quantile_cont proven pair.
     Tie order within a user is irrelevant: gaps are differences of
     the SORTED per-user timestamp multiset, which every tie
-    permutation reproduces identically.
+    permutation reproduces identically. NULL timestamps drop
+    complete-case BEFORE the lag window (round-13 review fix: a NULL
+    ts row must not occupy a lag slot — Spark's NULLS FIRST ordering
+    happened to shed it, but the SQL mirror's NULLS LAST counted a
+    phantom gap).
     """
-    d = _ns(df, ts_col).filter(F.col(user_col).isNotNull())
+    d = _ns(
+        df.filter(F.col(ts_col).isNotNull()), ts_col
+    ).filter(F.col(user_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gaps = (
         d.withColumn("__prev", F.lag(ts_col).over(w))

@@ -151,9 +151,11 @@ def cross_correlation(
     (x_t, y_{t+k}) over the buckets where BOTH series have data —
     "does the views series lead the purchases series, and by how many
     hours?", the two-stream companion of :func:`acf_lags` (positive
-    lag = x leads y). Returns (lag, n_pairs, ccf) ordered by lag;
-    ccf NULL when either side's variance over the shared buckets
-    degenerates or fewer than 2 pairs align.
+    lag = x leads y). Returns EXACTLY 2k+1 rows (lag, n_pairs, ccf)
+    ordered by lag — a lag with no aligned buckets keeps its spine
+    row with n_pairs 0 (round-13 review fix: the inner series join
+    used to drop it); ccf NULL when either side's variance over the
+    shared buckets degenerates or fewer than 2 pairs align.
 
     Decomposition (the acf_lags conventions): each stream collapses
     once via :func:`bucket_series` (exact DECIMAL(18,4) per-bucket
@@ -205,9 +207,12 @@ def cross_correlation(
         "double"
     ) * F.col("__sb").cast("double")
     return (
-        pairs.select(
+        lags.join(pairs, "lag", "left")
+        .select(
             "lag",
-            F.col("__np").cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("__np"), F.lit(0)).cast("bigint").alias(
+                "n_pairs"
+            ),
             F.when(
                 (F.col("__np") >= 2) & (vx > 0) & (vy > 0),
                 F.round(num / F.sqrt(vx * vy), 6),

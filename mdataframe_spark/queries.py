@@ -12702,7 +12702,8 @@ def e_interevent_burstiness(spark, sf_dir):
 
 E_INTEREVENT_SQL = """
 WITH ns AS (
-  SELECT user_id, epoch_ns(ts) AS t FROM events WHERE user_id IS NOT NULL
+  SELECT user_id, epoch_ns(ts) AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), lagged AS (
   SELECT t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM ns
 ), gaps AS (
@@ -12835,6 +12836,10 @@ WITH sx AS (
   FROM sx CROSS JOIN lagspine
   JOIN sy ON sy.b = sx.b + k
   GROUP BY k
+), spined AS (
+  SELECT lagspine.k, coalesce(np, 0)::BIGINT AS np,
+         sa, sb, sab, saa, sbb
+  FROM lagspine LEFT JOIN pairs USING (k)
 )
 SELECT k AS lag, np AS n_pairs,
        round(CASE WHEN np >= 2
@@ -12844,7 +12849,7 @@ SELECT k AS lag, np AS n_pairs,
                   / sqrt((np::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
                          * (np::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE))
              END, 6) AS ccf
-FROM pairs
+FROM spined
 """
 
 

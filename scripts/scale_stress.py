@@ -462,9 +462,9 @@ def run_factor(factor: int) -> dict:
             from mdataframe_spark.operators.stats_tests import spearman_rho
 
             # the documented knob in action: quantizing the continuous
-            # column upstream (here to cents) bounds the distinct-value
-            # rank tables, so the single-partition rank windows stay
-            # model-sized no matter how the corpus grows
+            # column upstream (here to whole dollars) bounds the
+            # distinct-value rank tables, so the single-partition rank
+            # windows stay model-sized no matter how the corpus grows
             # max_values=200k: the whole-dollar price DOMAIN saturates
             # at ~104k values (900..105000) regardless of corpus size —
             # just past the 100k default, so this arm demonstrates the
@@ -990,8 +990,11 @@ def main():
         "DELIBERATELY via `max_values=None`; a production call on the",
         "same input now raises `CollapsedTableTooLarge` naming the knob",
         "instead of silently handing a corpus-growing rank table to one",
-        "window reducer. `spearman_rho_quantized` needs no override —",
-        "the upstream rounding IS the contract the cap enforces.",
+        "window reducer. `spearman_rho_quantized` demonstrates the",
+        "OTHER escape hatch: its whole-dollar domain saturates at ~104k",
+        "values — just past the 100k default — so the arm passes an",
+        "explicit max_values=200k (a KNOWN bounded domain, accepted",
+        "explicitly; the guard's documented higher-cap option).",
         "`jaccard_linkpred_capped` (round-13) is the VALVE-ENGAGED twin",
         "of the adversarial `jaccard_linkpred` row: max_degree tightened",
         "1000 -> 64, bounding wedge work at m*64 — the pair measures the",

@@ -304,3 +304,41 @@ def test_training_mix_stages_shrink_monotonically(spark):
     assert all(r["bin_id"] >= 0 for r in rows)
     # eval slice excluded and dedup keeps one doc per text
     assert all(r["doc_id"] % 97 != 0 for r in rows)
+
+
+# --- round-13 mid-round review fixes ------------------------------------------
+
+def test_interevent_null_ts_dropped_complete_case(spark):
+    # the review's reproducer: a NULL ts row must not occupy a lag
+    # slot in EITHER engine (the SQL mirror's NULLS LAST ordering used
+    # to count a phantom gap and deflate the mean)
+    rows = [
+        ("u1", _ts(0, 0)), ("u1", _ts(0, 10)), ("u1", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    r = interevent_stats(df).collect()[0]
+    assert r["n_gaps"] == 1
+    assert r["mean_gap"] == 10.0
+
+
+def test_ccf_keeps_empty_lag_spine_rows(spark):
+    # two series overlapping on a single bucket: every lag row must
+    # still be present, with n_pairs 0 where nothing aligns
+    x = spark.createDataFrame([(_ts(0),), (_ts(1),)], "ts timestamp")
+    y = spark.createDataFrame([(_ts(1),), (_ts(9),)], "ts timestamp")
+    got = {r["lag"]: r for r in cross_correlation(x, y, max_lag=2).collect()}
+    assert sorted(got) == [-2, -1, 0, 1, 2]
+    assert got[-2]["n_pairs"] == 0 and got[-2]["ccf"] is None
+
+
+def test_storey_single_probe_guard_raises_like_bh(spark, monkeypatch):
+    # the probe-reuse path must still enforce the single-reducer
+    # ceiling (tightened so the test stays hand-sized)
+    import mdataframe_spark.functions.stats as stats_mod
+
+    monkeypatch.setattr(stats_mod, "SINGLE_REDUCER_MAX_ROWS", 5)
+    df = spark.createDataFrame([(i, 0.1) for i in range(10)], "k int, p double")
+    with pytest.raises(ValueError, match="single-reducer"):
+        storey_qvalue(df, "p")
+    # allow_global opts in; scale_safe routes around the window
+    assert storey_qvalue(df, "p", allow_global=True).count() == 10
