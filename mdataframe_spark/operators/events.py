@@ -949,3 +949,63 @@ def interevent_stats(
         F.round(F.col("__p90"), 6).alias("p90_gap"),
         F.col("__max").cast("bigint").alias("max_gap"),
     )
+
+
+def dau_mau_stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 28,
+    period_s: int = 86400,
+) -> DataFrame:
+    """DAU/MAU stickiness: per active day, the distinct daily users,
+    the distinct users over the trailing ``window_days`` (28 by
+    default — the "monthly" in the classic ratio), and their quotient
+    — THE habit-formation metric product teams track beside retention
+    (≈ how many days per month the average active user shows up).
+    Returns (day_epoch, dau, mau, stickiness) ordered by day;
+    day_epoch is the period start in epoch seconds (the
+    cohort_retention convention).
+
+    Decomposition: ONE distinct over (user, day) — the only
+    corpus-bounded shuffle, partial-agged; DAU is a count over that
+    table; MAU joins the activity table to the DAYS-bounded day spine
+    on a trailing range (Catalyst broadcasts the spine) with one
+    count-distinct per day, so the work is (active days × window ×
+    daily users), never raw event volume. NULL users/timestamps drop
+    complete-case.
+    """
+    period_ns = period_s * _NS_PER_S
+    act = (
+        _ns(df.filter(F.col(ts_col).isNotNull()), ts_col)
+        .filter(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            _bucket(ts_col, period_ns).alias("__d"),
+        )
+        .distinct()
+    )
+    act = _persist_tracked(act)
+    dau = act.groupBy("__d").agg(F.count(F.lit(1)).alias("dau"))
+    spine = dau.select(F.col("__d").alias("__sd"))
+    mau = (
+        act.join(
+            F.broadcast(spine),
+            (F.col("__d") <= F.col("__sd"))
+            & (F.col("__d") >= F.col("__sd") - (window_days - 1)),
+        )
+        .groupBy("__sd")
+        .agg(F.countDistinct("__u").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["__d"] == mau["__sd"])
+        .select(
+            (F.col("__d") * period_s).cast("bigint").alias("day_epoch"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day_epoch")
+    )

@@ -955,3 +955,51 @@ def proportion_power_mde(
         F.round(mde, 6).alias("mde_abs"),
         F.round(F.when(p > 0, mde / p), 6).alias("mde_rel"),
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959963985,
+) -> DataFrame:
+    """Per-group Wilson score interval for a binomial rate — the
+    CI that stays inside [0, 1] and behaves at small n / extreme p
+    where the naive Wald interval collapses (the dashboard-grade
+    uncertainty band for per-segment conversion/defect rates; Brown,
+    Cai & DasGupta 2001 recommend it as the default). Returns one row
+    per group: (group, n, successes, rate, ci_lo, ci_hi); CI NULL for
+    empty groups (never happens — groups come from observed rows —
+    but guarded for n = 0 anyway).
+
+    Decomposition: ONE per-group (n, k) collapse (complete-case on
+    the try_cast boolean, the two_proportion convention); the Wilson
+    arithmetic — center (p̂ + z²/2n)/(1 + z²/n), half-width
+    z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) — is a scalar double
+    expression over the two integers, with z passed as a LITERAL so
+    any engine replays it exactly.
+    """
+    flag = F.col(success_col).try_cast("boolean")
+    base = df.filter(F.col(group_col).isNotNull() & flag.isNotNull())
+    per = base.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(flag.cast("bigint")).alias("successes"),
+    )
+    zl = F.lit(float(z))
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    denom = 1.0 + zl * zl / n
+    center = (p + zl * zl / (2.0 * n)) / denom
+    half = (
+        zl
+        * F.sqrt(p * (1.0 - p) / n + zl * zl / (4.0 * n * n))
+        / denom
+    )
+    return per.select(
+        "group",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("successes").cast("bigint").alias("successes"),
+        F.round(F.when(F.col("n") > 0, p), 6).alias("rate"),
+        F.round(F.when(F.col("n") > 0, center - half), 6).alias("ci_lo"),
+        F.round(F.when(F.col("n") > 0, center + half), 6).alias("ci_hi"),
+    )

@@ -12890,6 +12890,84 @@ FROM acc
 """
 
 
+def stat_wilson_ci(spark, sf_dir):
+    """Per-language Wilson score intervals (operators/experiments.py
+    wilson_ci) for the long-document rate (n_chars >= 500): the
+    binomial CI that behaves at small n and extreme rates — one
+    per-group (n, k) collapse, scalar interval arithmetic with the z
+    literal replayed exactly by any engine."""
+    from .operators.experiments import wilson_ci
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", (F.col("n_chars") >= 500).alias("is_long")
+    )
+    return wilson_ci(d, "lang", "is_long")
+
+
+STAT_WILSON_SQL = """
+WITH per AS (
+  SELECT lang AS "group", count(*)::BIGINT AS n,
+         sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)::BIGINT
+           AS successes
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY lang
+)
+SELECT "group", n, successes,
+       round(CASE WHEN n > 0
+             THEN successes / CAST(n AS DOUBLE) END, 6) AS rate,
+       round(CASE WHEN n > 0 THEN
+             (successes / CAST(n AS DOUBLE)
+              + 1.959963985 * 1.959963985 / (2.0 * n))
+             / (1.0 + 1.959963985 * 1.959963985 / n)
+             - 1.959963985
+               * sqrt((successes / CAST(n AS DOUBLE))
+                      * (1.0 - successes / CAST(n AS DOUBLE)) / n
+                      + 1.959963985 * 1.959963985 / (4.0 * n * n))
+               / (1.0 + 1.959963985 * 1.959963985 / n)
+             END, 6) AS ci_lo,
+       round(CASE WHEN n > 0 THEN
+             (successes / CAST(n AS DOUBLE)
+              + 1.959963985 * 1.959963985 / (2.0 * n))
+             / (1.0 + 1.959963985 * 1.959963985 / n)
+             + 1.959963985
+               * sqrt((successes / CAST(n AS DOUBLE))
+                      * (1.0 - successes / CAST(n AS DOUBLE)) / n
+                      + 1.959963985 * 1.959963985 / (4.0 * n * n))
+               / (1.0 + 1.959963985 * 1.959963985 / n)
+             END, 6) AS ci_hi
+FROM per
+"""
+
+
+def e_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness (operators/events.py dau_mau_stickiness):
+    per active day, daily actives, trailing-28-day actives, and their
+    ratio — ONE (user, day) distinct collapse, a broadcast day-spine
+    range join, one count-distinct per day."""
+    from .operators.events import dau_mau_stickiness
+
+    ev = _t(spark, sf_dir, "events")
+    return dau_mau_stickiness(ev)
+
+
+E_DAU_MAU_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), dau AS (
+  SELECT d, count(*)::BIGINT AS dau FROM act GROUP BY d
+), mau AS (
+  SELECT s.d, count(DISTINCT a.user_id)::BIGINT AS mau
+  FROM dau s JOIN act a ON a.d BETWEEN s.d - 27 AND s.d
+  GROUP BY s.d
+)
+SELECT (dau.d * 86400)::BIGINT AS day_epoch, dau, mau,
+       round(dau / CAST(mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN mau USING (d)
+"""
+
+
 QUERIES = {
     # --- permanent spine: flagship + bench anchors + the hash-
     # checked sub-layers of the two rows-only NB/GLM fits ---
@@ -12908,8 +12986,6 @@ QUERIES = {
     "pipe_fineweb_recipe": pipe_fineweb_recipe,
     "ts_mann_kendall": ts_mann_kendall,
     "stat_friedman": stat_friedman,
-    "stat_runs_test": stat_runs_test,
-    "stat_trend_armitage": stat_trend_armitage,
     "ts_page_hinkley": ts_page_hinkley,
     "e_msprt_monitor": e_msprt_monitor,
     "e_qte_deciles": e_qte_deciles,
@@ -12951,6 +13027,8 @@ QUERIES = {
     "txt_heaps_law": txt_heaps_law,
     "ts_cross_correlation": ts_cross_correlation,
     "dq_ingest_gaps": dq_ingest_gaps,
+    "stat_wilson_ci": stat_wilson_ci,
+    "e_dau_mau": e_dau_mau,
     # --- rows-only from here down (no SQL oracle): the two
     # iterative NB/GLM fits, plus the decoded-WAV feature path
     # (RIFF/PCM byte-walk — pinned to the stdlib wave module in
@@ -12999,6 +13077,8 @@ EXTRA_QUERIES = {
     "e_eb_ctr_shrinkage": e_eb_ctr_shrinkage,
     "stat_dispersion_nb": stat_dispersion_nb,
     "stat_cochran_q": stat_cochran_q,
+    "stat_runs_test": stat_runs_test,
+    "stat_trend_armitage": stat_trend_armitage,
     # --- rotated out of the driver registry in round 12 (eighth
     # rotation; all driver-green in r11 or earlier — same oracle
     # protocol in-repo from here on) ---
@@ -13261,8 +13341,6 @@ ORACLES = {
     "pipe_fineweb_recipe": PIPE_FINEWEB_SQL,
     "ts_mann_kendall": TS_MK_SQL,
     "stat_friedman": STAT_FRIEDMAN_SQL,
-    "stat_runs_test": STAT_RUNS_SQL,
-    "stat_trend_armitage": STAT_TREND_SQL,
     "ts_page_hinkley": TS_PH_SQL,
     "e_msprt_monitor": E_MSPRT_SQL,
     "e_qte_deciles": E_QTE_SQL,
@@ -13299,6 +13377,8 @@ ORACLES = {
     "txt_heaps_law": TXT_HEAPS_SQL,
     "ts_cross_correlation": TS_CCF_SQL,
     "dq_ingest_gaps": DQ_INGEST_GAPS_SQL,
+    "stat_wilson_ci": STAT_WILSON_SQL,
+    "e_dau_mau": E_DAU_MAU_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent (R
     # goldens in tests/test_*_golden.py; deterministic sub-layers
@@ -13336,6 +13416,8 @@ EXTRA_ORACLES = {
     "e_eb_ctr_shrinkage": E_EB_SQL,
     "stat_dispersion_nb": STAT_DISPERSION_SQL,
     "stat_cochran_q": STAT_COCHRANQ_SQL,
+    "stat_runs_test": STAT_RUNS_SQL,
+    "stat_trend_armitage": STAT_TREND_SQL,
     # --- rotated out of the driver registry in round 12 ---
     "txt_pmi_collocations": TXT_PMI_SQL,
     "e_cohort_retention": E_COHORT_SQL,

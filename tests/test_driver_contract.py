@@ -76,7 +76,7 @@ def test_coverage_doc_names_exist():
         "n_fail", "n_hot", "n_members", "n_dups", "n_neardup_lower",
         "o_sort", "st_events", "e_events", "n_rank", "n_points",
         "n_neigh", "n_blocks", "n_components", "c4_clean", "n_buckets",
-        "n_baskets", "n_categories",
+        "n_baskets", "n_categories", "n_pairs",
     }
     for doc in ("COVERAGE.md", "NOTES.md"):
         cited = set(pat.findall(root.joinpath(doc).read_text()))

@@ -342,3 +342,73 @@ def test_storey_single_probe_guard_raises_like_bh(spark, monkeypatch):
         storey_qvalue(df, "p")
     # allow_global opts in; scale_safe routes around the window
     assert storey_qvalue(df, "p", allow_global=True).count() == 10
+
+
+# --- round-13 addendum pair -----------------------------------------------------
+
+def test_wilson_ci_known_interval(spark):
+    from mdataframe_spark.operators.experiments import wilson_ci
+
+    # 10 trials, 8 successes at z=1.959963985: the textbook Wilson
+    # interval ~ (0.4902, 0.9433)
+    rows = [("a", i < 8) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    r = wilson_ci(df, "g", "s").collect()[0]
+    z = 1.959963985
+    n, p = 10, 0.8
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert r["rate"] == pytest.approx(0.8)
+    assert r["ci_lo"] == pytest.approx(center - half, abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(center + half, abs=1e-6)
+    assert 0.0 <= r["ci_lo"] < r["ci_hi"] <= 1.0
+
+
+def test_wilson_ci_extreme_rate_stays_in_unit_interval(spark):
+    from mdataframe_spark.operators.experiments import wilson_ci
+
+    # all successes at n=5: Wald would give [1, 1]; Wilson pulls lo
+    # well below 1 and never exceeds it
+    rows = [("a", True)] * 5
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    r = wilson_ci(df, "g", "s").collect()[0]
+    assert r["rate"] == 1.0
+    assert r["ci_hi"] == 1.0
+    assert 0.5 < r["ci_lo"] < 0.7  # exact: z²/(n+z²) lower bound ≈ 0.566
+
+
+def test_dau_mau_by_hand(spark):
+    from mdataframe_spark.operators.events import dau_mau_stickiness
+
+    # u1 active day 0 and 1; u2 active day 1. window=2 days:
+    # day0: dau 1, mau 1; day1: dau 2, mau(days 0-1) = 2
+    rows = [
+        ("u1", datetime.datetime(2024, 1, 1, 5)),
+        ("u1", datetime.datetime(2024, 1, 2, 6)),
+        ("u1", datetime.datetime(2024, 1, 2, 7)),
+        ("u2", datetime.datetime(2024, 1, 2, 8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["day_epoch"]: r for r in dau_mau_stickiness(df, window_days=2).collect()}
+    days = sorted(got)
+    assert got[days[0]]["dau"] == 1 and got[days[0]]["mau"] == 1
+    assert got[days[1]]["dau"] == 2 and got[days[1]]["mau"] == 2
+    assert got[days[1]]["stickiness"] == 1.0
+
+
+def test_dau_mau_window_slides_off(spark):
+    from mdataframe_spark.operators.events import dau_mau_stickiness
+
+    # u1 active day 0 only; u2 active day 40 only: with the default
+    # 28-day window, day 40's MAU must NOT include u1
+    rows = [
+        ("u1", datetime.datetime(2024, 1, 1, 5)),
+        ("u2", datetime.datetime(2024, 2, 10, 5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = sorted(
+        dau_mau_stickiness(df).collect(), key=lambda r: r["day_epoch"]
+    )
+    assert len(got) == 2
+    assert got[1]["mau"] == 1 and got[1]["stickiness"] == 1.0
