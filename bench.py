@@ -124,7 +124,12 @@ HEADLINE = [
     # wave G: the histogram quantile sketch certification (cell build
     # + exact percentile side) and the one-scan Expand profile
     "sk_quantile_gate",
-    "dq_completeness_profile",
+    # round-13 swap: the second end-to-end pipeline takes the slot of
+    # dq_completeness_profile (a sub-second Expand profile, benched
+    # r9-r12 and stable) — the payload budget has ~3 chars of
+    # headroom, so growth must be swap-for-swap; 69 of 70 queries
+    # stay shared with the r11/r12 series
+    "pipe_training_mix",
     # round-10: the end-to-end curation recipe — gate → exact dedup →
     # MinHash near-dup drop → mixture sample → pack as ONE lineage
     # (the longest chained plan in the registry) — plus the survival
