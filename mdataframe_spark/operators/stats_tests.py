@@ -2034,3 +2034,115 @@ def concordance_ccc(
         F.round(r, 6).alias("pearson_r"),
         F.round(ccc, 6).alias("ccc"),
     )
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    max_pairs: int | None = 10_000_000,
+) -> DataFrame:
+    """Hodges–Lehmann shift estimate between the TRUE and FALSE
+    groups: the MEDIAN of all pairwise differences x_i − y_j — the
+    robust "how far did the distribution move" number that belongs
+    next to :func:`mannwhitney_u`'s p-value (a location shift with
+    50% breakdown, no normality assumption; the Wilcoxon-consistent
+    point estimate). Returns ONE row: (n1, n2, n_pairs, hl_shift);
+    NULL when either group is empty.
+
+    Decomposition: NO pair explosion — each axis collapses to its
+    distinct-value blocks (value, count) in one partial-agged groupBy;
+    the difference multiset is the blocks_x × blocks_y cross join
+    with weight t_x·t_y, re-collapsed by difference, and the weighted
+    median reads the two middle order statistics (k = (N+1) div 2 and
+    (N+2) div 2 over N = n1·n2) off ONE cumulative-weight window over
+    the difference table. All counts are exact integers (decimal(38,0)
+    cumulative weights — N scales as corpus², past int64 near 3·10⁹
+    rows per side), so the median replays exactly in any engine; the
+    final averaging of the two middle diffs is one double expression
+    rounded 6 dp.
+
+    The cells² contract is RUNTIME-ENFORCED (the kendall_tau_cells
+    discipline): both persisted block tables are count-probed and the
+    call raises :class:`~.guards.CollapsedTableTooLarge` when
+    |blocks_x| · |blocks_y| exceeds ``max_pairs`` (default 10⁷ cell
+    pairs — a few seconds of join work) — quantize continuous values
+    upstream, or pass a higher ``max_pairs`` / ``None`` to accept the
+    cost explicitly.
+    """
+    flag = F.col(group_col).cast("boolean")
+    vd = F.col(value_col).cast("double")
+    base = df.filter(
+        vd.isNotNull() & ~F.isnan(vd) & F.col(group_col).isNotNull()
+    ).select(vd.alias("__v"), flag.alias("__f"))
+
+    def blocks(is_true):
+        g = (
+            base.filter(F.col("__f") == is_true)
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__t"))
+        )
+        if max_pairs is not None:
+            g = _persist_tracked(g)
+        return g
+
+    bx, by = blocks(True), blocks(False)
+    if max_pairs is not None:
+        nx = bx.count()
+        ny = by.count()
+        if nx * ny > max_pairs:
+            from .guards import CollapsedTableTooLarge
+
+            raise CollapsedTableTooLarge(
+                f"hodges_lehmann_shift: the difference table is "
+                f"{nx:,} x {ny:,} = {nx * ny:,} cell pairs, past the "
+                f"{max_pairs:,} cap. Quantize/bucket the value column "
+                f"upstream so the distinct-value tables are model-sized, "
+                f"or pass max_pairs=None / a higher max_pairs to accept "
+                f"the cost explicitly."
+            )
+    dec = "decimal(38,0)"
+    diffs = (
+        bx.select(F.col("__v").alias("__x"), F.col("__t").alias("__tx"))
+        .crossJoin(
+            by.select(F.col("__v").alias("__y"), F.col("__t").alias("__ty"))
+        )
+        .groupBy((F.col("__x") - F.col("__y")).alias("__d"))
+        .agg(
+            F.sum(F.col("__tx").cast(dec) * F.col("__ty")).alias("__w")
+        )
+    )
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = diffs.withColumn("__cum", F.sum("__w").over(w))
+    tot = base.agg(
+        F.sum(F.when(F.col("__f"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("__f"), 1).otherwise(0)).alias("n2"),
+    )
+    n1, n2 = F.col("n1").cast(dec), F.col("n2").cast(dec)
+    npairs = n1 * n2
+    k1 = (npairs + 1) / 2
+    k2 = (npairs + 2) / 2
+    acc = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.min(
+            F.when(F.col("__cum") >= F.floor(k1), F.col("__d"))
+        ).alias("__lo"),
+        F.min(
+            F.when(F.col("__cum") >= F.floor(k2), F.col("__d"))
+        ).alias("__hi"),
+    )
+    return acc.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (F.col("n1").cast(dec) * F.col("n2")).cast("bigint").alias(
+            "n_pairs"
+        ),
+        F.round(
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                (F.col("__lo") + F.col("__hi")) / 2.0,
+            ),
+            6,
+        ).alias("hl_shift"),
+    )

@@ -12968,6 +12968,54 @@ FROM dau JOIN mau USING (d)
 """
 
 
+def stat_hodges_lehmann(spark, sf_dir):
+    """Hodges–Lehmann shift (operators/stats_tests.py
+    hodges_lehmann_shift) of quantity between returned and kept
+    lineitems: the median of all pairwise differences, computed on the
+    two distinct-value block tables (50 x 50 cells here — never a row
+    pair explosion) with exact decimal cumulative weights; the robust
+    location-shift companion of stat_mannwhitney_u."""
+    from .operators.stats_tests import hodges_lehmann_shift
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_quantity", (F.col("l_returnflag") == "R").alias("is_returned")
+    )
+    return hodges_lehmann_shift(d, "l_quantity", "is_returned")
+
+
+STAT_HL_SQL = """
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS v, (l_returnflag = 'R') AS f
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity::DOUBLE)
+    AND l_returnflag IS NOT NULL
+), bx AS (
+  SELECT v, count(*)::BIGINT AS t FROM base WHERE f GROUP BY v
+), byy AS (
+  SELECT v, count(*)::BIGINT AS t FROM base WHERE NOT f GROUP BY v
+), diffs AS (
+  SELECT bx.v - byy.v AS d, sum(bx.t::HUGEINT * byy.t) AS w
+  FROM bx CROSS JOIN byy GROUP BY 1
+), cum AS (
+  SELECT d, sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+  FROM diffs
+), tot AS (
+  SELECT sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN NOT f THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM base
+), acc AS (
+  SELECT min(CASE WHEN cum >= (n1::HUGEINT * n2 + 1) // 2 THEN d END) AS lo,
+         min(CASE WHEN cum >= (n1::HUGEINT * n2 + 2) // 2 THEN d END) AS hi
+  FROM cum, tot
+)
+SELECT n1, n2, (n1::HUGEINT * n2)::BIGINT AS n_pairs,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+             THEN (lo + hi) / 2.0 END, 6) AS hl_shift
+FROM tot, acc
+"""
+
+
 QUERIES = {
     # --- permanent spine: flagship + bench anchors + the hash-
     # checked sub-layers of the two rows-only NB/GLM fits ---
@@ -12992,7 +13040,6 @@ QUERIES = {
     "dq_null_patterns": dq_null_patterns,
     "txt_burstiness": txt_burstiness,
     "e_diff_in_diff": e_diff_in_diff,
-    "stat_jonckheere": stat_jonckheere,
     "stat_effect_sizes": stat_effect_sizes,
     "txt_good_turing": txt_good_turing,
     "w_by_fdr": w_by_fdr,
@@ -13029,6 +13076,7 @@ QUERIES = {
     "dq_ingest_gaps": dq_ingest_gaps,
     "stat_wilson_ci": stat_wilson_ci,
     "e_dau_mau": e_dau_mau,
+    "stat_hodges_lehmann": stat_hodges_lehmann,
     # --- rows-only from here down (no SQL oracle): the two
     # iterative NB/GLM fits, plus the decoded-WAV feature path
     # (RIFF/PCM byte-walk — pinned to the stdlib wave module in
@@ -13079,6 +13127,7 @@ EXTRA_QUERIES = {
     "stat_cochran_q": stat_cochran_q,
     "stat_runs_test": stat_runs_test,
     "stat_trend_armitage": stat_trend_armitage,
+    "stat_jonckheere": stat_jonckheere,
     # --- rotated out of the driver registry in round 12 (eighth
     # rotation; all driver-green in r11 or earlier — same oracle
     # protocol in-repo from here on) ---
@@ -13347,7 +13396,6 @@ ORACLES = {
     "dq_null_patterns": DQ_NULLPAT_SQL,
     "txt_burstiness": TXT_BURSTINESS_SQL,
     "e_diff_in_diff": E_DID_SQL,
-    "stat_jonckheere": STAT_JT_SQL,
     "stat_effect_sizes": STAT_EFFECT_SQL,
     "txt_good_turing": TXT_GT_SQL,
     "w_by_fdr": W_BY_SQL,
@@ -13379,6 +13427,7 @@ ORACLES = {
     "dq_ingest_gaps": DQ_INGEST_GAPS_SQL,
     "stat_wilson_ci": STAT_WILSON_SQL,
     "e_dau_mau": E_DAU_MAU_SQL,
+    "stat_hodges_lehmann": STAT_HL_SQL,
     # stat_edger_exact_test and stat_deseq2 are honestly rows-only:
     # iterative NB/GLM fits with no SQL-expressible equivalent (R
     # goldens in tests/test_*_golden.py; deterministic sub-layers
@@ -13418,6 +13467,7 @@ EXTRA_ORACLES = {
     "stat_cochran_q": STAT_COCHRANQ_SQL,
     "stat_runs_test": STAT_RUNS_SQL,
     "stat_trend_armitage": STAT_TREND_SQL,
+    "stat_jonckheere": STAT_JT_SQL,
     # --- rotated out of the driver registry in round 12 ---
     "txt_pmi_collocations": TXT_PMI_SQL,
     "e_cohort_retention": E_COHORT_SQL,

@@ -412,3 +412,56 @@ def test_dau_mau_window_slides_off(spark):
     )
     assert len(got) == 2
     assert got[1]["mau"] == 1 and got[1]["stickiness"] == 1.0
+
+
+# --- Hodges–Lehmann shift -------------------------------------------------------
+
+def test_hl_matches_direct_enumeration(spark):
+    from mdataframe_spark.operators.stats_tests import hodges_lehmann_shift
+
+    xs = [1.0, 3.0, 5.0, 5.0]
+    ys = [2.0, 2.0, 6.0]
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    diffs = sorted(x - y for x in xs for y in ys)
+    n = len(diffs)
+    expect = (diffs[(n + 1) // 2 - 1] + diffs[(n + 2) // 2 - 1]) / 2
+    r = hodges_lehmann_shift(df, "v", "g").collect()[0]
+    assert r["n_pairs"] == 12
+    assert r["hl_shift"] == pytest.approx(expect)
+
+
+def test_hl_pure_shift_recovered(spark):
+    from mdataframe_spark.operators.stats_tests import hodges_lehmann_shift
+
+    # y = x - 7 exactly: HL estimate of the shift is exactly 7
+    xs = [float(v) for v in (10, 12, 15, 19, 23)]
+    rows = [(v, True) for v in xs] + [(v - 7.0, False) for v in xs]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    r = hodges_lehmann_shift(df, "v", "g").collect()[0]
+    assert r["hl_shift"] == 7.0
+
+
+def test_hl_empty_group_null(spark):
+    from mdataframe_spark.operators.stats_tests import hodges_lehmann_shift
+
+    df = spark.createDataFrame([(1.0, True)], "v double, g boolean")
+    r = hodges_lehmann_shift(df, "v", "g").collect()[0]
+    assert r["hl_shift"] is None
+
+
+def test_hl_guard_raises_on_cells_squared(spark):
+    from mdataframe_spark.operators.guards import CollapsedTableTooLarge
+    from mdataframe_spark.operators.stats_tests import hodges_lehmann_shift
+
+    cont = spark.range(200).select(
+        (F.col("id") + 0.123).alias("v"), (F.col("id") % 2 == 0).alias("g")
+    )
+    # 100 x 100 distinct cells > the toy cap; None accepts
+    with pytest.raises(CollapsedTableTooLarge, match="max_pairs"):
+        hodges_lehmann_shift(cont, "v", "g", max_pairs=1000)
+    open_arm = hodges_lehmann_shift(cont, "v", "g", max_pairs=None).collect()[0]
+    guarded = hodges_lehmann_shift(
+        cont, "v", "g", max_pairs=100_000
+    ).collect()[0]
+    assert open_arm == guarded
