@@ -1858,6 +1858,69 @@ def bigram_entropy_rate(
     )
 
 
+def _bucketed_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(bucket, tok) stream shared by the two Heaps collapses: docs
+    take a deterministic md5 corpus order, tokens explode from the
+    punctuation-stripped lowercase text, and the bucket is the exact
+    integer h·B div 2³² (the _bucket discipline — double division
+    would round near boundaries)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        df.select(
+            (h * n_buckets).alias("__hb"),
+            F.explode(F.split(norm, _WS)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(F.expr("__hb div 4294967296").alias("bucket"), "tok")
+    )
+
+
+def bucket_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-checkpoint-bucket token counts — one of the two
+    :func:`heaps_law_fit` sufficient statistics: a SUM monoid keyed by
+    bucket (≤ ``n_buckets`` state rows), which is what makes
+    :func:`~..streaming.segments.bucket_tokens_stream` a legal
+    streaming twin (running state after any micro-batch prefix equals
+    this batch collapse over the same rows). Returns
+    (bucket, n_tokens). ONE partial-agged groupBy."""
+    return _bucketed_tokens(df, text_col, id_col, n_buckets).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+
+
+def token_first_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-token first-occurrence checkpoint bucket — the other
+    :func:`heaps_law_fit` sufficient statistic: a MIN monoid keyed by
+    token (one state row per distinct token — the live "is the
+    vocabulary still growing" probe), which is what makes
+    :func:`~..streaming.segments.vocab_growth_stream` a legal
+    streaming twin. Returns (token, first_bucket). ONE partial-agged
+    groupBy over the token stream."""
+    return (
+        _bucketed_tokens(df, text_col, id_col, n_buckets)
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.min("bucket").cast("bigint").alias("first_bucket"))
+    )
+
+
 def heaps_law_fit(
     df: DataFrame,
     text_col: str = "text",
@@ -1884,27 +1947,20 @@ def heaps_law_fit(
     (tokens, vocab) are a tiny ordered window; the log-log OLS runs
     in the explicit closed form over ≤ B points (the zipf_fit
     convention — built-in regr_slope accumulation differs across
-    engines, the explicit expression does not).
+    engines, the explicit expression does not). Both collapses are
+    shared, by name, with the streaming twins
+    (:func:`~..streaming.segments.vocab_growth_stream` /
+    :func:`~..streaming.segments.bucket_tokens_stream`): the token
+    first-bucket is a MIN monoid keyed by token and the per-bucket
+    token count a SUM monoid, so live streamed state replays this
+    fit exactly in foreachBatch.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    toks = (
-        df.select(
-            (h * n_buckets).alias("__hb"),
-            F.explode(F.split(norm, _WS)).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        # exact integer bucket: h·B div 2^32 (SQL div — the _bucket
-        # discipline; double division would round near boundaries)
-        .select(F.expr("__hb div 4294967296").alias("__b"), "tok")
+    per_bucket = bucket_token_counts(df, text_col, id_col, n_buckets).select(
+        F.col("bucket").alias("__b"), F.col("n_tokens").alias("__nt")
     )
-    per_bucket = toks.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
     first = (
-        toks.groupBy("tok")
-        .agg(F.min("__b").alias("__b"))
-        .groupBy("__b")
+        token_first_buckets(df, text_col, id_col, n_buckets)
+        .groupBy(F.col("first_bucket").alias("__b"))
         .agg(F.count(F.lit(1)).alias("__nv"))
     )
     spine = df.sparkSession.range(n_buckets).select(

@@ -222,3 +222,41 @@ def ingest_gaps_stream(
     from ..operators.diagnostics import observed_buckets
 
     return observed_buckets(events, ts_col, period_ns)
+
+
+def vocab_growth_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Running per-token first-occurrence checkpoint bucket over a
+    document stream — one of the two Heaps'-law sufficient statistics
+    (:func:`..operators.text.heaps_law_fit`): first_bucket is a MIN
+    monoid keyed by token, so the running state after any micro-batch
+    prefix equals the batch
+    :func:`..operators.text.token_first_buckets` collapse over the
+    same rows (one state row per distinct token — the live "is the
+    corpus still buying new vocabulary" probe a curation pipeline
+    watches as shards ingest). Delegates to the batch collapse (the
+    rfm_stream convention); pair with :func:`bucket_tokens_stream`
+    and run the cumulative spine + log-log OLS in foreachBatch —
+    global ordered functions of the state, not of the stream."""
+    from ..operators.text import token_first_buckets
+
+    return token_first_buckets(docs, text_col, id_col, n_buckets)
+
+
+def bucket_tokens_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Running per-checkpoint-bucket token counts over a document
+    stream — the companion SUM monoid of :func:`vocab_growth_stream`
+    (≤ ``n_buckets`` state rows). Delegates to the batch
+    :func:`..operators.text.bucket_token_counts` collapse."""
+    from ..operators.text import bucket_token_counts
+
+    return bucket_token_counts(docs, text_col, id_col, n_buckets)

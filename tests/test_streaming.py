@@ -1372,3 +1372,114 @@ def test_ingest_gaps_stream_matches_batch_and_continues(
     assert from_state == from_batch
     assert from_state["max_gap_run"] == 3
     assert from_state["n_missing"] == 5
+
+
+def test_vocab_growth_stream_matches_batch_and_continues(
+    spark, tmp_path_factory
+):
+    """The Heaps'-law twin pair (round-13): per-token first-occurrence
+    buckets are MIN monoids and per-bucket token counts SUM monoids,
+    so checkpointed state + new micro-batches = one big batch — and
+    the Heaps fit replayed FROM the two streamed states equals the
+    batch heaps_law_fit over the same rows."""
+    import math as _math
+
+    from mdataframe_spark.operators.text import (
+        bucket_token_counts,
+        heaps_law_fit,
+        token_first_buckets,
+    )
+    from mdataframe_spark.streaming.segments import (
+        bucket_tokens_stream,
+        vocab_growth_stream,
+    )
+
+    root = tmp_path_factory.mktemp("vocab_growth_stream")
+    src = root / "docs"
+    ck1 = root / "ck1"
+    ck2 = root / "ck2"
+    src.mkdir()
+    schema = "doc_id bigint, text string"
+    B = 8
+
+    def write_log(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_stream(fn, ckpt, qname, key_cols):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            fn(stream, n_buckets=B)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            tuple(r[c] for c in key_cols[:-1]) if len(key_cols) > 2
+            else r[key_cols[0]]: r[key_cols[-1]]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    a_rows = [(i, f"alpha beta tok{i}") for i in range(6)]
+    write_log(a_rows)
+    batch_a = spark.createDataFrame(a_rows, schema)
+    got_first = run_stream(
+        vocab_growth_stream, ck1, "vocab_a", ["token", "first_bucket"]
+    )
+    want_first = {
+        r["token"]: r["first_bucket"]
+        for r in token_first_buckets(batch_a, n_buckets=B).collect()
+    }
+    assert got_first == want_first
+
+    b_rows = [(i, f"alpha gamma tok{i}") for i in range(6, 10)]
+    write_log(b_rows)
+    batch_ab = spark.createDataFrame(a_rows + b_rows, schema)
+    got_first2 = run_stream(
+        vocab_growth_stream, ck1, "vocab_ab", ["token", "first_bucket"]
+    )
+    want_first2 = {
+        r["token"]: r["first_bucket"]
+        for r in token_first_buckets(batch_ab, n_buckets=B).collect()
+    }
+    assert got_first2 == want_first2
+    got_counts = run_stream(
+        bucket_tokens_stream, ck2, "btok_ab", ["bucket", "n_tokens"]
+    )
+    want_counts = {
+        r["bucket"]: r["n_tokens"]
+        for r in bucket_token_counts(batch_ab, n_buckets=B).collect()
+    }
+    assert got_counts == want_counts
+
+    # foreachBatch read-out: the Heaps fit replayed from the two
+    # streamed states (spine + cumulative + closed-form OLS, the
+    # heaps_law_fit arithmetic) equals the batch fit over the raw rows
+    first_per_bucket = {}
+    for b in got_first2.values():
+        first_per_bucket[b] = first_per_bucket.get(b, 0) + 1
+    cn = cv = 0
+    xs, ys = [], []
+    n_tok = vocab = 0
+    for b in range(B):
+        cn += got_counts.get(b, 0)
+        cv += first_per_bucket.get(b, 0)
+        if cn > 0 and cv > 0:
+            xs.append(_math.log(cn))
+            ys.append(_math.log(cv))
+        n_tok, vocab = cn, cv
+    nb = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = (nb * sxy - sx * sy) / (nb * sxx - sx * sx)
+    k = _math.exp((sy - beta * sx) / nb)
+    got_fit = heaps_law_fit(batch_ab, n_buckets=B).collect()[0]
+    assert got_fit["n_tokens"] == n_tok and got_fit["vocab_size"] == vocab
+    assert got_fit["heaps_beta"] == pytest.approx(beta, abs=1e-6)
+    assert got_fit["heaps_k"] == pytest.approx(k, abs=1e-6)
