@@ -1095,17 +1095,34 @@ def quality_gate(
     lo, hi = entropy_band
     g = gopher_rules(df, text_col=text_col, **gopher_kwargs)
     g = char_entropy(g, id_col=id_col, text_col=text_col)
-    nt = token_count(F.col(text_col))
-    rates = {
-        lang: F.round(stopword_hits(F.col(text_col), lang) / nt, 9)
-        for lang in STOPWORDS
-    }
-    best = F.greatest(*rates.values())
-    pred = F.lit(None).cast("string")
-    for lang in sorted(STOPWORDS):
-        pred = F.when(pred.isNull() & (rates[lang] == best), F.lit(lang)).otherwise(
-            pred
-        )
+    # Argmax over an ARRAY of integer hit counts, not a chained CASE
+    # over per-lang rate columns: when the optimizer pushes
+    # `filter(keep_quality)` below the entropy UDF (correct at scale —
+    # failing rows skip the Python boundary), a CASE-chain argmax
+    # re-expands every language's regexp_count rate inside every
+    # conditional branch, where short-circuit evaluation defeats
+    # codegen subexpression elimination — measured 3x the whole-stage
+    # cost at sf0.1. Two exact simplifications: (a) the array form
+    # evaluates each count once per reference (and lower(text) is a
+    # shared, always-evaluated subexpression across the elements, so
+    # codegen hoists it); (b) argmax over round(hits/n_tokens, 9) IS
+    # argmax over integer hits — one positive per-row denominator
+    # cancels, and 9-dp rounding cannot merge distinct integer counts
+    # for any text shorter than ~2e9 tokens — so the division and its
+    # four token_count evaluations drop out. Ties still break by
+    # language code order (array_position returns the FIRST index
+    # holding the max, languages sorted); best>0 on rates is exactly
+    # best_hits>0.
+    langs = sorted(STOPWORDS)
+    hits_arr = F.array(
+        *[stopword_hits(F.col(text_col), lang) for lang in langs]
+    )
+    best = F.array_max(hits_arr)
+    idx = F.array_position(hits_arr, best)
+    pred = F.when(
+        idx > 0,
+        F.element_at(F.array(*[F.lit(x) for x in langs]), idx.cast("int")),
+    )
     r_entropy = (F.col("char_entropy") >= F.lit(float(lo))) & (
         F.col("char_entropy") <= F.lit(float(hi))
     )
