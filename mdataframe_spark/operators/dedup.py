@@ -1126,7 +1126,11 @@ def semantic_dedup(
     """
     from .similarity import cosine
 
-    v = corpus.select(
+    # spread the scan before the K-way argmax: the crossJoin dot
+    # products pipeline into the scan's split count, and a small
+    # single-row-group parquet serializes the whole assignment stage
+    # on one core (no-op at real scale — see ensure_parallelism)
+    v = ensure_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     if assign == "seed":

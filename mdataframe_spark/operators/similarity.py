@@ -72,7 +72,13 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), vec(vec_col).alias("__qv")
     ).withColumn("__qn", l2_norm(F.col("__qv"), dim))
-    c = corpus.select(
+    # spread the streaming side: the per-pair dot products pipeline
+    # into the corpus scan's split count, and a small single-row-group
+    # parquet would serialize the whole scoring stage on one core
+    # (no-op at real scale — see ensure_parallelism)
+    from .dedup import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), vec(vec_col).alias("__cv")
     ).withColumn("__cn", l2_norm(F.col("__cv"), dim))
     scored = (

@@ -1360,12 +1360,15 @@ def sim_ann_recall(spark, sf_dir):
     oracle recomputes the exact side and expects the recall claim to
     hold — a failed index build or a broken bucket join flips the hash.
 
-    Operating points (measured on this corpus at sf0.01): IVF probes
-    6/8 centroid buckets → recall 0.87; multi-probe SRP-LSH (4 planes,
-    hamming<=2 probes = 11/16 buckets) → recall 0.93.  The synthetic
-    embeddings are near-uniform (max cosine ~0.37, no cluster
-    structure), which is the worst case for locality methods — the
-    probe fractions are chosen for that; on real clustered embeddings
+    Operating points (measured on this corpus at sf0.1, the largest
+    SF the gate runs at): IVF probes 6/8 centroid buckets → recall
+    0.93; multi-probe SRP-LSH (4 planes, hamming<=3 probes = 15/16
+    buckets) → recall 0.93; PQ-ADC shortlist=200 → recall 0.80.  The
+    synthetic embeddings are near-uniform (max cosine ~0.37, no
+    cluster structure), which is the worst case for locality methods —
+    the probe fractions are chosen so the 0.7 gate holds at every SF
+    (at sf0.1 the former hamming<=2 / shortlist=50 points measured
+    0.60 recall and flipped the gate); on real clustered embeddings
     the same operators prune far deeper at equal recall."""
     from .operators.similarity import (
         ivf_cosine_topk,
@@ -1403,11 +1406,11 @@ def sim_ann_recall(spark, sf_dir):
             (F.col("__recall") >= 0.7).alias("recall_ok"),
         )
 
-    lsh = lsh_cosine_topk(emb, q, k=k, n_planes=4, probe_hamming=2)
+    lsh = lsh_cosine_topk(emb, q, k=k, n_planes=4, probe_hamming=3)
     ivf = ivf_cosine_topk(emb, q, k=k, n_centroids=8, n_probe=6)
-    # PQ-ADC + exact re-rank (measured recall 0.93 at shortlist=50 on
-    # this near-uniform worst-case corpus)
-    pq = pq_cosine_topk(emb, q, k=k, shortlist=50)
+    # PQ-ADC + exact re-rank (recall 0.80 at shortlist=200 on this
+    # near-uniform worst-case corpus at sf0.1; 50 measured 0.60 there)
+    pq = pq_cosine_topk(emb, q, k=k, shortlist=200)
     return (
         recall_row("ivf", ivf)
         .unionAll(recall_row("lsh", lsh))
