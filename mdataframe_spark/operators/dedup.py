@@ -80,17 +80,38 @@ def cap_hot_keys(df: DataFrame, key_cols, cap: int, label: str = "key") -> DataF
     return df.join(keep, key_cols)
 
 
-def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
-    """Repartition iff the input has fewer partitions than cores.
+# Repartition threshold for ensure_parallelism: if Catalyst's size
+# estimate says the frame carries fewer than this many bytes PER CORE,
+# a round-robin spread costs (at most) that much local exchange and
+# buys a fully parallel downstream stage. 4 MB mirrors
+# spark.sql.files.openCostInBytes — the same "too small to split
+# further" constant the scan planner uses.
+_SPREAD_BYTES_PER_CORE = 4 * 1024 * 1024
 
-    CPU-heavy map stages (shingle explode, hashing) inherit the scan's
-    split count; a small single-row-group parquet yields ONE partition
-    and serializes the whole stage. At real scale inputs have thousands
-    of splits and this is a no-op — the check costs only plan metadata.
+
+def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
+    """Spread a small frame across the cores before a CPU-heavy stage.
+
+    CPU-heavy map stages (shingle explode, hashing, per-pair dot
+    products) inherit the upstream split count; a small single-row-
+    group parquet yields ONE scan partition and serializes the whole
+    stage on one core. The decision comes from the optimizer's size
+    ESTIMATE (optimizedPlan().stats — pure driver metadata): at real
+    scale the estimate is far above the threshold and this is a no-op.
+
+    Deliberately NOT df.rdd.getNumPartitions(): under AQE, converting
+    a DataFrame with shuffle stages upstream into an RDD finalizes the
+    adaptive plan, which EXECUTES every upstream query stage as
+    throwaway jobs — measured 3.0s per probe on a one-shuffle frame at
+    sf0.1, and pipe_fineweb_recipe paid it twice (4.2s of 6.7s wall).
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parts:
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # py4j API drift — fall back to spreading
+        est = 0
+    if est < min_parts * _SPREAD_BYTES_PER_CORE:
         return df.repartition(min_parts)
     return df
 

@@ -989,7 +989,19 @@ def char_entropy(
             out.append(round(math.log2(n) - s / n, 6))
         return pd.Series(out, dtype=float)
 
-    return df.withColumn(out_col, _ent(F.col(text_col)))
+    # Marked non-deterministic (it is pure — this is the guide-§4.4
+    # anti-duplication lever): a downstream filter(keep_quality) that
+    # references this column otherwise gets SPLIT and pushed below any
+    # spread/exchange, dragging a SECOND ArrowEvalPython evaluation
+    # below the shuffle (and serializing it into the scan task when
+    # the scan is one split). Non-deterministic pins ONE evaluation at
+    # the declared position; the value per row is unchanged. Trade-off
+    # (accepted, measured): other filter conjuncts can no longer be
+    # evaluated below the Python boundary, so the worker sees all rows
+    # (~+10% rows at sf0.1) instead of regex-prefiltered ones.
+    _ent_once = _ent.asNondeterministic()
+
+    return df.withColumn(out_col, _ent_once(F.col(text_col)))
 
 
 def zipf_fit(

@@ -11604,22 +11604,28 @@ def pipe_fineweb_recipe(spark, sf_dir):
     from .operators.text import quality_gate, token_count
 
     docs = _t(spark, sf_dir, "documents")
+    # spread the scan before the gate: the regex battery + Arrow
+    # entropy pass are the most expensive projections in the chain and
+    # pipeline into the scan's split count (one row group locally =
+    # one task; no-op at real scale — see ensure_parallelism)
     gated = quality_gate(
-        docs, entropy_band=(4.1, 6.0), min_tokens=10, min_stopwords=1
+        dedup.ensure_parallelism(docs),
+        entropy_band=(4.1, 6.0), min_tokens=10, min_stopwords=1,
     )
-    # pin the gate output BEFORE branching: keep_ids and the semi join
-    # both consume it, and the gate's Arrow entropy pass is the most
-    # expensive projection in the chain — unpinned, it would run once
-    # per branch
-    kept = persist_tracked(
-        gated.filter(F.col("keep_quality")).select(*docs.columns)
+    kept = gated.filter(F.col("keep_quality")).select(*docs.columns)
+    # exact dedup keep-min as ONE window pass over md5(text): the
+    # groupBy + left-semi form shuffles the corpus AND a key table and
+    # — before the persisted gate is materialized — computes the gate
+    # once per join branch (two concurrent root stages racing an
+    # unfilled cache, measured 2x2.5s at sf0.1). The window form is a
+    # single corpus exchange, one gate evaluation, same kept rows
+    # (row_number()=1 ordered by doc_id IS min(doc_id) per hash).
+    w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    s1 = persist_tracked(
+        kept.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    keep_ids = (
-        kept.groupBy(F.md5(F.col("text")).alias("__h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s1 = persist_tracked(kept.join(keep_ids, "doc_id", "left_semi"))
     sigs = dedup.minhash_signatures(s1, num_hashes=16)
     pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
     near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
