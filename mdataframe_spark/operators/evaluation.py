@@ -264,9 +264,14 @@ def confusion_metrics(
 
     Scale shape: the corpus collapses in ONE partial-agged
     groupBy(label, pred) — everything downstream runs on the
-    classes² confusion matrix (model-bounded). The per-class sums are
-    two tiny re-aggregations of that matrix; ratios are exact integer
-    quotients rounded to 6 dp, so any engine replays them.
+    classes² confusion matrix (model-bounded). The matrix fans out
+    into one (class, n_true, n_pred, tp) row per cell SIDE (explode to
+    true-side + pred-side contributions) and collapses in one tiny
+    groupBy(class): a single linear pass, no self-joins — the earlier
+    by_true/by_pred/tp three-branch join re-ran the whole upstream
+    corpus pipeline once per branch (Catalyst does not share
+    non-exchange subtrees across join inputs). Ratios are exact
+    integer quotients rounded to 6 dp, so any engine replays them.
 
     Null labels/predictions are excluded up front (complete-case, one
     denominator everywhere — the classifier.py convention).
@@ -278,23 +283,33 @@ def confusion_metrics(
         F.col(pred_col).cast("string").alias("__p"),
     )
     cm = base.groupBy("__l", "__p").agg(F.count(F.lit(1)).alias("__n"))
-    tp = cm.filter(F.col("__l") == F.col("__p")).select(
-        F.col("__l").alias("class"), F.col("__n").alias("tp")
-    )
-    by_true = cm.groupBy(F.col("__l").alias("class")).agg(
-        F.sum("__n").alias("n_true")
-    )
-    by_pred = cm.groupBy(F.col("__p").alias("class")).agg(
-        F.sum("__n").alias("n_pred")
-    )
+    zero = F.lit(0).cast("bigint")
+    sides = cm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__l").alias("class"),
+                    F.col("__n").alias("__t"),
+                    zero.alias("__q"),
+                    F.when(F.col("__l") == F.col("__p"), F.col("__n"))
+                    .otherwise(zero)
+                    .alias("__tp"),
+                ),
+                F.struct(
+                    F.col("__p").alias("class"),
+                    zero.alias("__t"),
+                    F.col("__n").alias("__q"),
+                    zero.alias("__tp"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
     out = (
-        by_true.join(by_pred, "class", "full_outer")
-        .join(tp, "class", "left")
-        .select(
-            "class",
-            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
-            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
-            F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint").alias("n_pred"),
+        sides.groupBy("class")
+        .agg(
+            F.sum("__tp").cast("bigint").alias("tp"),
+            F.sum("__t").cast("bigint").alias("n_true"),
+            F.sum("__q").cast("bigint").alias("n_pred"),
         )
         .withColumn("fp", (F.col("n_pred") - F.col("tp")).cast("bigint"))
         .withColumn("fn", (F.col("n_true") - F.col("tp")).cast("bigint"))

@@ -353,68 +353,136 @@ def histogram_quantile_gate(
     and backfills — accuracy is the range/n_bins knob, certified here
     instead of assumed.
 
-    Plan shape: the cell build and the exact-percentile aggregation
-    are each ONE partial-agged corpus pass; everything else (cumsum
-    window, crossing pick, interpolation) runs on ≤ n_bins rows.
+    Plan shape (round-13): the cell build is ONE partial-agged corpus
+    pass whose ≤ n_bins cells collect to the driver; crossing picks,
+    order-statistic ranks and interpolation are driver arithmetic over
+    those cells. The exact arm is a SECOND corpus pass that keeps only
+    the ≤ 2·|probs| bins holding a needed order statistic and ranks
+    each bin's distinct values with a bin-PARTITIONED cumsum — never
+    Spark's percentile() aggregate, whose final merge holds every
+    distinct value of the corpus in ONE task.
     """
     width = (hi - lo) / n_bins
-    cells = histogram_cells(df, col, lo, hi, n_bins)
-    w = Window.orderBy("__bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = cells.withColumn("__cum", F.sum("__c").over(w))
-    tot = cells.agg(F.sum("__c").alias("__n"))
     spark = df.sparkSession
-    pdf = spark.createDataFrame(
-        [(float(p),) for p in probs], "p DOUBLE"
+    # ONE corpus pass builds the ≤ n_bins cell table; it is MODEL-SIZED
+    # by construction, so every DECISION below (crossing bin per p,
+    # order-statistic ranks, their bins and rank offsets, the estimate
+    # interpolation) is driver arithmetic over ≤ n_bins integers — the
+    # guide-§8 shape: decide on the small proxy, send only the per-bin
+    # value lookups back to the cluster. (The earlier in-plan version
+    # spent ~7 broadcast-build jobs shepherding ≤ 220-row frames.)
+    cell_rows = sorted(
+        (int(r["__bin"]), int(r["__c"]))
+        for r in histogram_cells(df, col, lo, hi, n_bins).collect()
     )
-    crossing = (
-        pdf.crossJoin(F.broadcast(cum))
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("__cum") >= F.col("p") * F.col("__n"))
-        .groupBy("p")
-        .agg(F.min("__bin").alias("__bin"))
-    )
-    est = (
-        crossing.join(F.broadcast(cum), "__bin")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "p",
-            (
-                F.lit(float(lo))
-                + F.lit(width)
-                * (
-                    F.col("__bin")
-                    + (
-                        (F.col("p") * F.col("__n") - (F.col("__cum") - F.col("__c")))
-                        / F.col("__c")
-                    )
-                )
-            ).alias("__est"),
+    n = sum(c for _, c in cell_rows)
+    cum_rows = []  # (bin, c, cum_before)
+    acc = 0
+    for b, c in cell_rows:
+        cum_rows.append((b, c, acc))
+        acc += c
+
+    def _bin_at(rank: int):
+        """Smallest bin whose cumulative count reaches integer rank."""
+        for b, c, before in cum_rows:
+            if before + c >= rank:
+                return b, c, before
+        return None
+
+    # estimates: interpolate inside the first bin whose cum crosses
+    # p·n — float64 arithmetic identical op-for-op to the previous
+    # in-plan expression (lo + width · (bin + (p·n − cum_before)/c))
+    est_rows = []  # (p, raw_estimate)
+    tgt_rows = []  # (p, pos, which, rank, bin, rank_offset_before_bin)
+    for p in (float(x) for x in probs):
+        if n == 0:
+            break
+        pn = p * n
+        hit = next(
+            ((b, c, before) for b, c, before in cum_rows if before + c >= pn),
+            None,
         )
+        if hit is None:
+            continue
+        eb, ec, ebefore = hit
+        est_rows.append((p, lo + width * (eb + (pn - ebefore) / ec)))
+        # exact arm: percentile()'s order statistics at pos = p·(n−1)
+        pos = p * (n - 1)
+        k = int(math.floor(pos))
+        for w_i, r in enumerate((k + 1, min(k + 2, n))):
+            tb, tc, tbefore = _bin_at(r)
+            tgt_rows.append((p, pos, w_i, r, tb, tbefore))
+    out_schema = (
+        "p double, hist_estimate double, exact_value double, "
+        "abs_err double, within_bound boolean"
     )
-    plist = ", ".join(repr(float(p)) for p in probs)
+    if not tgt_rows:
+        # empty input: the percentile aggregate produced no rows either
+        return spark.createDataFrame([], out_schema)
     # the exact arm must drop exactly what the sketch drops: NULL and
     # NaN (histogram_cells excludes both, and so does the DuckDB oracle
     # via NOT isnan) — otherwise a NaN-bearing column makes the two
-    # arms disagree on the population and voids the 2·bin_width bound
+    # arms disagree on the population and voids the 2·bin_width bound.
+    #
+    # Exact percentiles WITHOUT percentile()'s corpus-sized buffer
+    # (round-13): Spark's exact percentile aggregate ships EVERY
+    # distinct (value, count) into ONE final-merge task — a
+    # single-task corpus-sized sort at scale (measured 2.9s of a 4s
+    # query at sf0.1). Instead, the cell cumsum above located the
+    # ≤ 2·|probs| order-statistic ranks' bins; ONE second scan keeps
+    # only rows of those bins, and each needed value comes from a
+    # PER-BIN distinct-value cumsum — the largest single-reducer
+    # structure is one bin's distinct values (~1/n_bins of the old
+    # buffer; n_bins is the knob). The interpolation reproduces
+    # percentile()'s formula term for term:
+    # v_lo + (pos − floor(pos)) · (v_hi − v_lo) at pos = p·(n−1).
     xd = F.col(col).cast("double")
-    exact = (
+    tgt = spark.createDataFrame(
+        tgt_rows,
+        "p double, __pos double, __w int, __r long, __bin int, __base long",
+    )
+    need = sorted({r[4] for r in tgt_rows})
+    # same clamped-bin expression as histogram_cells: monotone in the
+    # value, so per-bin cumulative counts ARE global rank ranges
+    raw_bin = F.floor((xd - F.lit(float(lo))) / F.lit(width))
+    bin_of = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(n_bins - 1).cast("bigint"), raw_bin),
+    ).cast("int")
+    vals = (
         df.filter(xd.isNotNull() & ~F.isnan(xd))
+        .select(xd.alias("__x"), bin_of.alias("__bin"))
+        .filter(F.col("__bin").isin(need))
+        .groupBy("__bin", "__x")
+        .agg(F.count(F.lit(1)).alias("__vc"))
+    )
+    wv = Window.partitionBy("__bin").orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vals = vals.withColumn("__lcum", F.sum("__vc").over(wv))
+    got = (
+        vals.join(F.broadcast(tgt), "__bin")
+        .filter(F.col("__base") + F.col("__lcum") >= F.col("__r"))
+        .groupBy("p", "__pos", "__w")
+        .agg(F.min("__x").alias("__v"))
+    )
+    exact = (
+        got.groupBy("p")
         .agg(
-            F.expr(
-                f"percentile({col}, array({plist}))"
-            ).alias("__ex")
+            F.min(F.when(F.col("__w") == 0, F.col("__v"))).alias("__vlo"),
+            F.min(F.when(F.col("__w") == 1, F.col("__v"))).alias("__vhi"),
+            F.first("__pos").alias("__fpos"),
         )
-        .select(F.posexplode("__ex").alias("__i", "__exact"))
         .select(
-            F.element_at(
-                F.array(*[F.lit(float(p)) for p in probs]),
-                F.col("__i") + 1,
-            ).alias("p"),
-            "__exact",
+            "p",
+            (
+                F.col("__vlo")
+                + (F.col("__fpos") - F.floor("__fpos"))
+                * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("__exact"),
         )
     )
+    est = spark.createDataFrame(est_rows, "p double, __est double")
     bound = 2.0 * width
     return (
         est.join(exact, "p")
