@@ -31,19 +31,23 @@ _log = logging.getLogger(__name__)
 BROADCAST_EDGES_MAX = 5_000_000
 
 
-def _graph_broadcast_gate(directed: DataFrame, limit: int, op: str) -> bool:
+def _graph_broadcast_gate(
+    directed: DataFrame, limit: int, op: str, n: int | None = None
+) -> bool:
     """Probe the (persisted) directed edge list ONCE and decide whether
     the per-round node-bounded tables may be broadcast. The probe is a
     count on an already-materialized frame — one cheap action, the
     cap_hot_keys loud-guard discipline applied to the broadcast
-    assumption instead of the join-key assumption.
+    assumption instead of the join-key assumption. Pass ``n`` when the
+    caller already counted the frame (no second count job).
 
     ``limit <= 0`` means NEVER broadcast (the natural reading of a
     zero budget — always take the shuffle-join arm), not 'unlimited'.
     """
     if limit <= 0:
         return False
-    n = directed.count()
+    if n is None:
+        n = directed.count()
     if n > limit:
         _log.warning(
             "%s: directed edge list has %d rows > broadcast_edges_max=%d"
@@ -90,13 +94,15 @@ def co_occurrence_pairs(
     (pagerank, triangle_count) need just the edge set, and the lift
     joins cannot be pruned by Catalyst (they are inner joins).
     """
-    from .dedup import ensure_parallelism
-
+    # NO ensure_parallelism here (round-13): the scan-pipelined work is
+    # a two-column projection + partial distinct (CPU-light), so the
+    # spread exchange bought nothing and cost a full extra corpus
+    # exchange (A/B at sf0.1: 3.4s -> 2.9s for the pair pipeline); the
+    # genuinely CPU-heavy stage (bucket pairing explode) sits after the
+    # groupBy shuffle and is fully parallel regardless of scan splits.
     items = _persist_tracked(
-        ensure_parallelism(
-            df.select(
-                F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-            )
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         ).distinct()
     )
     # cap BEFORE collect_set so a degenerate basket cannot grow an
@@ -744,6 +750,26 @@ def degree_assortativity(
     )
 
 
+def _k_core_driver(edge_rows, k: int, rounds: int):
+    """Driver arm of :func:`k_core`: the identical fixed-round peel
+    over collected DIRECTED edge rows — pure integer arithmetic, so
+    the result matches the distributed loop exactly (equality-tested).
+    Returns the final neighbor-set dict (vertex -> surviving
+    neighbors); the caller derives (v, core_degree) rows and the
+    convergence witness from it."""
+    nbrs: dict = {}
+    for s, t in edge_rows:
+        nbrs.setdefault(s, set()).add(t)
+    for _ in range(rounds):
+        keep = {v for v, ns in nbrs.items() if len(ns) >= k}
+        nbrs = {
+            v: {w for w in ns if w in keep}
+            for v, ns in nbrs.items()
+            if v in keep
+        }
+    return nbrs
+
+
 def k_core(
     edges: DataFrame,
     k: int = 3,
@@ -752,6 +778,7 @@ def k_core(
     b_col: str = "id_b",
     broadcast_edges_max: int = BROADCAST_EDGES_MAX,
     check_convergence: bool = False,
+    small_graph_max: int = 2_000_000,
 ) -> DataFrame:
     """k-core decomposition by fixed-round peeling: repeatedly drop
     vertices whose degree in the SURVIVING subgraph is below ``k``
@@ -781,6 +808,13 @@ def k_core(
     warning (the cap_hot_keys discipline), so a corpus-scale caller
     gets a slower-but-correct plan instead of a broadcast OOM.
 
+    Size-gated driver arm (round-13, the pagerank/connected_components
+    hybrid): a graph of ≤ ``small_graph_max`` undirected edges peels on
+    the driver in one pass — identical integer semantics
+    (equality-tested), none of the per-round localCheckpoint jobs whose
+    fixed scheduler overhead dwarfs the peel on model-sized graphs.
+    ``small_graph_max=0`` forces the distributed loop.
+
     Degree semantics at early stopping: ``core_degree`` is the degree
     in the LAST SURVIVING SUBGRAPH (after ``rounds`` peels), not among
     the returned vertices — if the schedule stops before the peeling
@@ -806,7 +840,46 @@ def k_core(
         und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
     )
     active = _local_checkpoint_tracked(active)
-    use_bc = _graph_broadcast_gate(active, broadcast_edges_max, "k_core")
+    n_directed = active.count()
+    # size-gated driver arm (the pagerank/connected_components hybrid):
+    # candidate-pair graphs are model-sized by construction, and each
+    # distributed peel round costs a localCheckpoint job of fixed
+    # scheduler overhead that dwarfs microseconds of integer peeling.
+    # The gate reuses the count the broadcast gate needs anyway
+    # (directed rows = 2x undirected edges). small_graph_max=0 forces
+    # the loop; both arms are equality-tested.
+    if small_graph_max and n_directed <= 2 * small_graph_max:
+        nbrs = _k_core_driver(
+            [(r["__s"], r["__t"]) for r in active.collect()], int(k), rounds
+        )
+        if check_convergence:
+            dropped = sum(1 for ns in nbrs.values() if 0 < len(ns) < k)
+            if dropped:
+                raise ValueError(
+                    f"k_core: peeling did not reach its fixed point "
+                    f"within rounds={rounds} — the final degree filter "
+                    f"would drop {dropped} vertex(es) whose edges are "
+                    f"still counted in surviving neighbors' "
+                    f"core_degree; raise rounds"
+                )
+        from pyspark.sql import types as T
+
+        vt = active.schema["__s"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("v", vt),
+                T.StructField("core_degree", T.LongType()),
+            ]
+        )
+        rows = sorted(
+            (v, len(ns)) for v, ns in nbrs.items() if len(ns) >= k
+        )
+        return active.sparkSession.createDataFrame(
+            [(v, int(d)) for v, d in rows], schema
+        )
+    use_bc = _graph_broadcast_gate(
+        active, broadcast_edges_max, "k_core", n=n_directed
+    )
     for _ in range(rounds):
         deg = active.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.filter(F.col("__d") >= int(k)).select("__s")

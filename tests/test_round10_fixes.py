@@ -90,15 +90,33 @@ TRIANGLE_TAIL = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
 
 
 def test_kcore_shuffle_fallback_matches_broadcast_arm(spark, caplog):
+    # small_graph_max=0 forces the distributed loop on both sides —
+    # the broadcast-vs-shuffle comparison is about the LOOP's joins
     e = _edges(spark, TRIANGLE_TAIL)
-    bc = sorted(tuple(r) for r in k_core(e, k=2).collect())
+    bc = sorted(
+        tuple(r) for r in k_core(e, k=2, small_graph_max=0).collect()
+    )
     with caplog.at_level("WARNING", logger="mdataframe_spark.operators.baskets"):
         shuffled = sorted(
             tuple(r)
-            for r in k_core(e, k=2, broadcast_edges_max=1).collect()
+            for r in k_core(
+                e, k=2, broadcast_edges_max=1, small_graph_max=0
+            ).collect()
         )
     assert shuffled == bc == [(1, 2), (2, 2), (3, 2)]
     assert any("broadcast_edges_max" in m for m in caplog.messages)
+
+
+def test_kcore_driver_arm_matches_distributed_loop(spark):
+    # the size-gated driver peel (default) and the distributed loop
+    # (small_graph_max=0) must agree row-for-row, including degrees
+    e = _edges(spark, TRIANGLE_TAIL + [(5, 6), (5, 7), (6, 7), (4, 6)])
+    driver = sorted(tuple(r) for r in k_core(e, k=2).collect())
+    dist = sorted(
+        tuple(r) for r in k_core(e, k=2, small_graph_max=0).collect()
+    )
+    assert driver == dist
+    assert driver  # non-degenerate fixture: the 2-core is non-empty
 
 
 def test_lpa_shuffle_fallback_matches_broadcast_arm(spark, caplog):

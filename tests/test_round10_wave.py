@@ -347,9 +347,16 @@ def test_graph_broadcast_limit_zero_means_never_broadcast(spark):
 
     pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
     e = spark.createDataFrame(pairs, "id_a BIGINT, id_b BIGINT")
-    bc = sorted(tuple(r) for r in k_core(e, k=2).collect())
+    # small_graph_max=0 forces the distributed loop (the arm the
+    # broadcast_edges_max knob actually governs)
+    bc = sorted(
+        tuple(r) for r in k_core(e, k=2, small_graph_max=0).collect()
+    )
     z = sorted(
-        tuple(r) for r in k_core(e, k=2, broadcast_edges_max=0).collect()
+        tuple(r)
+        for r in k_core(
+            e, k=2, broadcast_edges_max=0, small_graph_max=0
+        ).collect()
     )
     assert z == bc
     lbc = sorted(tuple(r) for r in label_propagation(e, rounds=4).collect())
