@@ -150,9 +150,11 @@ def bloom_contamination(
     Build: eval grams explode to k=``n_hashes`` md5 positions JVM-side
     (:func:`bloom_bit_positions`), ONE distinct on integer positions,
     collected as a packed numpy bitset and broadcast. Probe: the
-    distinct (doc, gram) stream maps through an Arrow-batched pandas
-    UDF testing the k bits — no join, no shuffle except the final
-    per-doc count. Every hash is md5 over ``gram:i``, so the probe,
+    distinct (doc, gram) stream computes its k positions with the SAME
+    JVM expressions the build used and an Arrow-batched pandas UDF
+    tests the k bits with one vectorized numpy gather per batch — no
+    Python hashing, no join, no shuffle except the final per-doc
+    count. Every hash is md5 over ``gram:i``, so the probe,
     the JVM build, and a SQL engine agree bit-for-bit — the oracle
     replays the whole filter relationally (the dd_embedding_neardup
     pattern: approximate ALGORITHM, deterministic RESULT).
@@ -160,8 +162,6 @@ def bloom_contamination(
     Returns per training doc: n_grams, n_hit_grams_bloom,
     bloom_contaminated.
     """
-    import hashlib
-
     import numpy as np
 
     from ..cache import persist_tracked
@@ -189,31 +189,27 @@ def bloom_contamination(
     bits[[r["pos"] for r in pos_rows]] = True
     bc = df.sparkSession.sparkContext.broadcast(np.packbits(bits))
 
-    k_hashes, m_bits = n_hashes, m
-
+    # probe positions are computed JVM-SIDE with the same
+    # bloom_bit_positions expressions the build used (identical md5
+    # formula, so build/probe/oracle stay bit-for-bit) — the Python
+    # side is ONE vectorized numpy bit test per Arrow batch. The
+    # earlier row-at-a-time hashlib.md5 loop inside the UDF was the
+    # query's hottest stage (30s aggregate CPU at sf0.1; guide §4.2:
+    # hash in the JVM, hand Python only the narrow integer columns).
     @F.pandas_udf("boolean")
-    def probe(gs: pd.Series) -> pd.Series:
+    def probe(ps: pd.Series) -> pd.Series:
         packed = bc.value
-
-        def hit(g):
-            for i in range(k_hashes):
-                p = (
-                    int(
-                        hashlib.md5(f"{g}:{i}".encode()).hexdigest()[
-                            :_BLOOM_HEX_CHARS
-                        ],
-                        16,
-                    )
-                    % m_bits
-                )
-                if not (packed[p >> 3] >> (7 - (p & 7))) & 1:
-                    return False
-            return True
-
-        return gs.map(hit)
+        arr = np.array(ps.tolist(), dtype=np.int64)
+        if arr.size == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        hits = (packed[arr >> 3] >> (7 - (arr & 7))) & 1
+        return pd.Series(hits.all(axis=1))
 
     t_grams = persist_tracked(grams(df, id_col, text_col))
-    flagged = t_grams.withColumn("__hit", probe(F.col("__g")))
+    flagged = t_grams.withColumn(
+        "__hit",
+        probe(F.array(*bloom_bit_positions(F.col("__g"), m, n_hashes))),
+    )
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.col("__hit").cast("bigint")).alias("n_hit_grams_bloom"),
@@ -532,8 +528,16 @@ def count_min_join_size(
     groupBy; the exact side is two per-key count tables joined on the
     key with a decimal(38,0) product sum.
     """
-    cells_a = count_min_cells(df_a, key_col, depth=depth, width=width)
-    cells_b = count_min_cells(df_b, key_col, depth=depth, width=width)
+    from ..cache import persist_tracked
+
+    # pinned: each ≤ depth×width cell table feeds the inner product
+    # AND the n_a/n_b row sums below — one corpus pass per side
+    cells_a = persist_tracked(
+        count_min_cells(df_a, key_col, depth=depth, width=width)
+    )
+    cells_b = persist_tracked(
+        count_min_cells(df_b, key_col, depth=depth, width=width)
+    )
     dec = "decimal(38,0)"
     per_row = (
         cells_a.join(
@@ -569,12 +573,15 @@ def count_min_join_size(
             F.lit(0).cast(dec),
         ).alias("__exact")
     )
+    # n_a/n_b from the sketch itself: every non-null key contributes
+    # exactly one cell per depth row, so the row-0 cell sum IS the
+    # non-null row count — no third corpus pass per side
     tot = (
-        df_a.filter(F.col(key_col).isNotNull())
-        .agg(F.count(F.lit(1)).alias("n_a"))
+        cells_a.filter(F.col("__row") == 0)
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n_a"))
         .crossJoin(
-            df_b.filter(F.col(key_col).isNotNull()).agg(
-                F.count(F.lit(1)).alias("n_b")
+            cells_b.filter(F.col("__row") == 0).agg(
+                F.coalesce(F.sum("__c"), F.lit(0)).alias("n_b")
             )
         )
     )

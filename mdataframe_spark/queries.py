@@ -7960,9 +7960,14 @@ def sk_countmin_gate(spark, sf_dir):
     relationally (the sk_bloom_decontaminate pattern)."""
     from .operators.sketches import count_min_estimates
 
+    from .cache import persist_tracked
+
     depth, width = 3, 1024
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
-    exact = (
+    # pinned: four branches read it (top -> probes, top -> final join,
+    # the n_total sum, and top again) and each would otherwise re-run
+    # the corpus groupBy — one pass + three cache reads instead
+    exact = persist_tracked(
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
@@ -12407,12 +12412,16 @@ def pipe_training_mix(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
-    keep_ids = (
-        train.groupBy(F.md5(F.col("text")).alias("__h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup keep-min as ONE window pass over md5(text) — the
+    # pipe_fineweb_recipe shape: the groupBy + left-semi form shuffled
+    # the corpus AND a key table and raced two root stages into the
+    # unfilled persist (row_number()=1 ordered by doc_id IS min(doc_id))
+    w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    s1 = persist_tracked(
+        train.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    s1 = persist_tracked(train.join(keep_ids, "doc_id", "left_semi"))
     hit_ids = (
         ngram_contamination(s1, ev, n=5)
         .filter(F.col("contaminated"))
