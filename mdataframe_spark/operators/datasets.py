@@ -423,17 +423,16 @@ def _dsir_buckets(
     (same convention as split_hash_u). One projection + explode — no
     shuffle; bucketing keeps the downstream model size fixed at B no
     matter the vocabulary (the hashing trick the DSIR paper uses)."""
-    from .dedup import ensure_parallelism
     from .text import _PUNCT, _WS, _word_ngrams
 
-    # the regex normalize + n-gram explode + per-gram md5 pipeline
-    # into the scan's split count — a single-split local input would
-    # serialize the whole feature build on one core (measured 1.3s of
-    # a 4s query at sf0.1); no-op at real scale (size-estimate gate)
+    # NOT spread (measured, round-13): the normalize + n-gram explode
+    # + per-gram md5 build runs ~1s pipelined into a single-split
+    # local scan, and a same-JVM interleaved A/B showed the
+    # ensure_parallelism exchange costs more than it saves
+    # (2.6-2.7s vs 2.8-3.0s per query); the spread pays only for
+    # far heavier map stages (minhash shingling, semantic-dedup dots)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _PUNCT, ""))
-    ws = ensure_parallelism(df).select(
-        F.col(id_col), F.split(norm, _WS).alias("__ws")
-    )
+    ws = df.select(F.col(id_col), F.split(norm, _WS).alias("__ws"))
     gram_arrays = [_word_ngrams(F.col("__ws"), n) for n in range(1, ngram_n + 1)]
     grams = ws.select(
         id_col, F.explode(F.concat(*gram_arrays)).alias("__gram")
