@@ -631,12 +631,27 @@ def embedding_drift(
     j = ca.join(cb, label_col, "full_outer")
     cos = F.round(cosine(F.col("__c_n_a"), F.col("__c_n_b"), dim), 6)
     both = F.col("__c_n_a").isNotNull() & F.col("__c_n_b").isNotNull()
-    return j.select(
+    # the unrolled dim-term cosine appears ONCE; drift derives from the
+    # materialized column (identical expression tree — cos is already
+    # 6-dp rounded). Inlining it twice doubled the generated code of
+    # the full-outer SMJ consume function past the JVM method limit
+    # (ERROR CodeGenerator: smj_consumeFullOuterJoinRow_0 grows beyond
+    # 64 KB -> silent interpreted fallback, round-13 inherited item).
+    step = j.select(
         label_col,
         F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
         F.when(both, cos).alias("centroid_cosine"),
-        F.round(F.when(both, 1.0 - cos), 6).alias("drift"),
+    )
+    return step.withColumn(
+        "drift",
+        F.round(
+            F.when(
+                F.col("centroid_cosine").isNotNull(),
+                1.0 - F.col("centroid_cosine"),
+            ),
+            6,
+        ),
     ).orderBy(label_col)
 
 

@@ -412,9 +412,12 @@ def run_factor(factor: int) -> dict:
             ).select(
                 F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b")
             )
-            k_core(pairs, k=3, rounds=6).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # small_graph_max=0 FORCES the distributed peel (round-13
+            # added a size-gated driver arm; this row certifies the
+            # DISTRIBUTED loop's edge-linearity, the pagerank pattern)
+            k_core(pairs, k=3, rounds=6, small_graph_max=0).write.format(
+                "noop"
+            ).mode("overwrite").save()
 
         record("kcore_peel", factor, timed(kcore_peel), n_li)
 
