@@ -493,8 +493,10 @@ def run_factor(factor: int) -> dict:
             # the sketch arm is <= n_bins additive cells REGARDLESS of
             # cardinality (the price offsets multiply distinct values
             # x{factor} — irrelevant to the cell table); the exact
-            # percentile arm is the certification side and the honest
-            # cost axis: one partial-agged percentile over the corpus
+            # certification arm (round-13 rework) is histogram-guided
+            # bin-local order statistics — a second scan filtered to
+            # the <= 2|probs| needed bins with per-BIN distinct-value
+            # cumsums, never percentile()'s one-task all-values buffer
             histogram_quantile_gate(
                 liq, "l_extendedprice", lo=900.0, hi=105000.0, n_bins=256
             ).write.format("noop").mode("overwrite").save()
@@ -949,6 +951,9 @@ def main():
         "node-bounded and broadcast below broadcast_edges_max (5M",
         "directed edges), with a logged shuffle-join fallback above —",
         "the guarded version of the model-sized-graph assumption.",
+        "This row FORCES the distributed loop (small_graph_max=0):",
+        "round-13 gave k_core the pagerank-style driver arm, which",
+        "peels <= 2M-edge graphs in-process below the gate.",
         "`assortativity_moments` is one degree groupBy + one edge join",
         "against the node-bounded degree table + a single",
         "DECIMAL(38,0) moment aggregation: linear in edges, and the",
@@ -957,13 +962,16 @@ def main():
         "bounded dimension the count_min way: the cell table is",
         "<= n_bins (256) additive cells BY CONSTRUCTION (F.least clamps",
         "the bin index — no collapsed table here can grow with input,",
-        "so no loud-cap probe applies); the measured cost is the two",
-        "corpus passes (cell build + the exact-percentile certification",
-        "side), both partial-agged single aggregations. Its ~10x-at-x10",
-        "ratio is therefore the EXPECTED scan-linear shape, not a",
-        "superlinear structure: 10x rows -> 10x two-pass scan cost on a",
-        "near-zero x1 base (sub-second), with nothing downstream of the",
-        "256-cell table growing at all (round-13 adjudication).",
+        "so no loud-cap probe applies). Round-13 optimization replaced",
+        "the exact certification arm: percentile()'s final merge held",
+        "EVERY distinct corpus value in one task (the row's earlier",
+        "~10x-at-x10 came from that single-task sort); the exact order",
+        "statistics now come from a second scan filtered to the",
+        "<= 2|probs| bins the cell cumsum locates, each ranked by a",
+        "bin-partitioned distinct-value cumsum — the x10 ratio drops to",
+        "scan-linear on the filtered slice (measured ~1.5x), and the",
+        "largest single-reducer structure is ONE bin's distinct values",
+        "(n_bins is the knob).",
         "",
         "`count_min_estimates`' x10 point swings run-to-run like",
         "simhash_pairs (2.95s and 19.79s observed across clean fresh-JVM",
