@@ -1971,69 +1971,89 @@ def heaps_law_fit(
     arbitrary fixed order, and the hash order is the statistically
     clean one: no crawl-time topical drift in the checkpoints), exact
     integer bucket = h·B div 2³², ONE groupBy(bucket) sums tokens and
-    ONE groupBy(token) takes min(bucket) for first occurrences, both
-    collapsed to the B-row checkpoint spine where cumulative
-    (tokens, vocab) are a tiny ordered window; the log-log OLS runs
-    in the explicit closed form over ≤ B points (the zipf_fit
-    convention — built-in regr_slope accumulation differs across
-    engines, the explicit expression does not). Both collapses are
-    shared, by name, with the streaming twins
+    ONE groupBy(token) takes min(bucket) for first occurrences. Both
+    collapses are bounded at ≤ B integer rows each, so they collect
+    to the driver (bounded by construction, the
+    histogram_quantile_gate convention) and the cumulative spine plus
+    the log-log OLS run in deterministic driver float64 in ascending
+    bucket order. Rationale: ln/exp on the driver resolve to the SAME
+    C libm the DuckDB oracle uses on whichever box runs the check,
+    whereas in-plan ``F.log`` is JVM ``Math.log`` (fdlibm-pinned),
+    which can differ from the box libm in the last bit — an error
+    ``round(·, 6)`` amplifies into a hash break. The closed form is
+    evaluated term-for-term in the oracle's order (sequential sums
+    ascending by bucket, then cov/vx, exp((sy−β·sx)/n), cov²/(vx·vy));
+    the 6-dp rounding stays in-plan so the Spark-round/DuckDB-round
+    pairing every other query relies on is preserved. Both collapses
+    are shared, by name, with the streaming twins
     (:func:`~..streaming.segments.vocab_growth_stream` /
     :func:`~..streaming.segments.bucket_tokens_stream`): the token
     first-bucket is a MIN monoid keyed by token and the per-bucket
     token count a SUM monoid, so live streamed state replays this
-    fit exactly in foreachBatch.
+    fit exactly in foreachBatch. Executes the two collapse jobs
+    eagerly at call time.
     """
-    per_bucket = bucket_token_counts(df, text_col, id_col, n_buckets).select(
-        F.col("bucket").alias("__b"), F.col("n_tokens").alias("__nt")
-    )
+    import math
+
+    from pyspark.sql import types as T
+
+    per_bucket = bucket_token_counts(df, text_col, id_col, n_buckets)
     first = (
         token_first_buckets(df, text_col, id_col, n_buckets)
         .groupBy(F.col("first_bucket").alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__nv"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nv"))
     )
-    spine = df.sparkSession.range(n_buckets).select(
-        F.col("id").cast("bigint").alias("__b")
+    nt = {int(r[0]): int(r[1]) for r in per_bucket.collect()}
+    nv = {int(r[0]): int(r[1]) for r in first.collect()}
+
+    pts: list = []
+    cn = cv = 0
+    for b in range(n_buckets):
+        cn += nt.get(b, 0)
+        cv += nv.get(b, 0)
+        if cn > 0 and cv > 0:
+            pts.append((cn, cv))
+    nb = len(pts)
+    sx = sy = sxy = sxx = syy = 0.0
+    for pcn, pcv in pts:
+        x = math.log(float(pcn))
+        y = math.log(float(pcv))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    nbf = float(nb)
+    vx = nbf * sxx - sx * sx
+    vy = nbf * syy - sy * sy
+    cov = nbf * sxy - sx * sy
+    beta = cov / vx if nb >= 2 and vx > 0 else None
+    k = math.exp((sy - beta * sx) / nbf) if beta is not None else None
+    r2 = cov * cov / (vx * vy) if vx > 0 and vy > 0 else None
+
+    schema = T.StructType(
+        [
+            T.StructField("n_buckets_used", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("vocab_size", T.LongType()),
+            T.StructField("heaps_k", T.DoubleType()),
+            T.StructField("heaps_beta", T.DoubleType()),
+            T.StructField("r2", T.DoubleType()),
+        ]
     )
-    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        spine.join(per_bucket, "__b", "left")
-        .join(first, "__b", "left")
-        .select(
-            "__b",
-            F.sum(F.coalesce(F.col("__nt"), F.lit(0))).over(w).alias("__cn"),
-            F.sum(F.coalesce(F.col("__nv"), F.lit(0))).over(w).alias("__cv"),
-        )
-        .filter((F.col("__cn") > 0) & (F.col("__cv") > 0))
-        .select(
-            "__cn",
-            "__cv",
-            F.log(F.col("__cn").cast("double")).alias("__x"),
-            F.log(F.col("__cv").cast("double")).alias("__y"),
-        )
+    row = (
+        nb,
+        pts[-1][0] if pts else None,
+        pts[-1][1] if pts else None,
+        k,
+        beta,
+        r2,
     )
-    acc = cum.agg(
-        F.count(F.lit(1)).alias("n_buckets_used"),
-        F.max("__cn").alias("n_tokens"),
-        F.max("__cv").alias("vocab_size"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
-    )
-    n = F.col("n_buckets_used").cast("double")
-    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
-    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    beta = F.when((F.col("n_buckets_used") >= 2) & (vx > 0), cov / vx)
-    k = F.exp((F.col("__sy") - beta * F.col("__sx")) / n)
-    r2 = F.when((vy > 0) & (vx > 0), cov * cov / (vx * vy))
-    return acc.select(
-        F.col("n_buckets_used").cast("bigint").alias("n_buckets_used"),
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("vocab_size").cast("bigint").alias("vocab_size"),
-        F.round(k, 6).alias("heaps_k"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(r2, 6).alias("r2"),
+    return df.sparkSession.createDataFrame([row], schema).select(
+        "n_buckets_used",
+        "n_tokens",
+        "vocab_size",
+        F.round(F.col("heaps_k"), 6).alias("heaps_k"),
+        F.round(F.col("heaps_beta"), 6).alias("heaps_beta"),
+        F.round(F.col("r2"), 6).alias("r2"),
     )

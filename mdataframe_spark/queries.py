@@ -12812,8 +12812,13 @@ SELECT nb AS n_buckets_used, n_tokens, vocab_size,
        round(CASE WHEN nb >= 2 AND (nb * sxx - sx * sx) > 0
              THEN exp((sy - ((nb * sxy - sx * sy) / (nb * sxx - sx * sx)) * sx)
                       / nb) END, 6) AS heaps_k,
+       -- + 0.0 normalizes -0.0 -> 0.0: a saturated corpus fits a tiny
+       -- NEGATIVE beta that rounds to DuckDB -0.0, while Spark's
+       -- BigDecimal round can only produce +0.0 — numerically equal
+       -- but hash-distinct (the r13 driver hash break). IEEE adding
+       -- +0.0 is an exact identity for every other value.
        round(CASE WHEN nb >= 2 AND (nb * sxx - sx * sx) > 0
-             THEN (nb * sxy - sx * sy) / (nb * sxx - sx * sx) END, 6)
+             THEN (nb * sxy - sx * sy) / (nb * sxx - sx * sx) END, 6) + 0.0
          AS heaps_beta,
        round(CASE WHEN (nb * syy - sy * sy) > 0 AND (nb * sxx - sx * sx) > 0
              THEN (nb * sxy - sx * sy) * (nb * sxy - sx * sy)

@@ -51,6 +51,16 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # Python float == is already bit-exact EXCEPT for the two IEEE
+        # special cases: NaN (above) and signed zero. Map -0.0 to a
+        # distinct token so the compare is hash-like: the r13
+        # txt_heaps_law driver break was DuckDB -0.0 vs Spark 0.0,
+        # which `==` calls equal but a value hash does not. (Floats are
+        # deliberately NOT stringified wholesale — engines may return
+        # DECIMAL on one side and DOUBLE on the other, and the exact
+        # cross-type == comparison must keep working.)
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     if isinstance(v, int):
         return float(v) if False else v
