@@ -138,22 +138,29 @@ def co_occurrence_pairs(
     )
     if not with_stats:
         return pairs
-    ta = totals.select(
-        F.col("__i").alias("item_a"), F.col("__n").alias("n_a")
-    )
-    tb = totals.select(
-        F.col("__i").alias("item_b"), F.col("__n").alias("n_b")
-    )
+    # totals is persisted and materialized ONCE before the two
+    # broadcast joins (round-14): the n_a and n_b builds run
+    # CONCURRENTLY inside the final action, so without a filled cache
+    # each re-ran the totals groupBy — a full pass over the persisted
+    # bucket frame — and neither static exchange reuse nor AQE's stage
+    # cache deduplicated them (r14 stage profile: the duplicated
+    # 6-18s-CPU stage pair; aliasing tricks did not help). The count
+    # is one tiny item-bounded job; at scale it trades one scalar
+    # action for a whole corpus-derived pass.
+    totals = _persist_tracked(totals)
+    totals.count()
+    ta = totals.alias("__ta")
+    tb = totals.alias("__tb")
+    n_a = F.col("__ta.__n")
+    n_b = F.col("__tb.__n")
     out_cols = [
         F.col("item_a"),
         F.col("item_b"),
         F.col("n_co"),
-        F.col("n_a"),
-        F.col("n_b"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
         F.round(
-            F.lit(float(n_baskets))
-            * F.col("n_co")
-            / (F.col("n_a") * F.col("n_b")),
+            F.lit(float(n_baskets)) * F.col("n_co") / (n_a * n_b),
             6,
         ).alias("lift"),
     ]
@@ -163,8 +170,8 @@ def co_occurrence_pairs(
         # re-shuffle the corpus to recover it
         out_cols.append(F.lit(int(n_baskets)).alias("n_baskets"))
     return (
-        pairs.join(F.broadcast(ta), "item_a")
-        .join(F.broadcast(tb), "item_b")
+        pairs.join(F.broadcast(ta), F.col("item_a") == F.col("__ta.__i"))
+        .join(F.broadcast(tb), F.col("item_b") == F.col("__tb.__i"))
         .select(*out_cols)
     )
 
@@ -750,24 +757,33 @@ def degree_assortativity(
     )
 
 
-def _k_core_driver(edge_rows, k: int, rounds: int):
-    """Driver arm of :func:`k_core`: the identical fixed-round peel
-    over collected DIRECTED edge rows — pure integer arithmetic, so
-    the result matches the distributed loop exactly (equality-tested).
-    Returns the final neighbor-set dict (vertex -> surviving
-    neighbors); the caller derives (v, core_degree) rows and the
-    convergence witness from it."""
-    nbrs: dict = {}
-    for s, t in edge_rows:
-        nbrs.setdefault(s, set()).add(t)
+def _k_core_driver(s_vals, t_vals, k: int, rounds: int):
+    """Driver arm of :func:`k_core`: the identical fixed-round peel,
+    vectorized over the collected DIRECTED edge arrays (Arrow-fetched
+    numpy — ~16 bytes/edge for integer ids instead of the dict-of-sets
+    the r13 arm built from Row objects, which neared multi-GB just
+    under the gate). Pure integer arithmetic, so the result matches
+    the distributed loop exactly (equality-tested). Round r computes
+    keep = alive ∧ (degree-in-alive-subgraph ≥ k), exactly the dict
+    version's keep/filter step. Returns (vertices, alive_mask,
+    final_degree); the caller derives (v, core_degree) rows and the
+    convergence witness."""
+    import numpy as np
+
+    uniq, codes = np.unique(
+        np.concatenate([s_vals, t_vals]), return_inverse=True
+    )
+    n = len(uniq)
+    s_codes = codes[: len(s_vals)]
+    t_codes = codes[len(s_vals):]
+    deg = np.bincount(s_codes, minlength=n)
+    alive = np.ones(n, dtype=bool)
     for _ in range(rounds):
-        keep = {v for v, ns in nbrs.items() if len(ns) >= k}
-        nbrs = {
-            v: {w for w in ns if w in keep}
-            for v, ns in nbrs.items()
-            if v in keep
-        }
-    return nbrs
+        keep = alive & (deg >= k)
+        sub = keep[s_codes] & keep[t_codes]
+        deg = np.bincount(s_codes[sub], minlength=n)
+        alive = keep
+    return uniq, alive, deg
 
 
 def k_core(
@@ -830,30 +846,43 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k_core: k must be >= 1")
-    und = edges.select(
-        F.least(F.col(a_col), F.col(b_col)).alias("__x"),
-        F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
-    ).filter(F.col("__x") != F.col("__y")).distinct()
-    active = und.select(
-        F.col("__x").alias("__s"), F.col("__y").alias("__t")
-    ).unionByName(
-        und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
+    # persist + count the UNDIRECTED edge list BEFORE the two-
+    # orientation union (round-14): the union's two branches each
+    # embed und's whole upstream pipeline (often a corpus-scale
+    # candidate generator), and the eager checkpoint ran it TWICE —
+    # the r14 stage profile showed every pair-pipeline stage
+    # duplicated (gr_kcore: 2x ~25s aggregate CPU). The count fills
+    # the cache serially, so both branches read it; it also supplies
+    # the size gate and the broadcast gate (directed rows = 2x
+    # undirected edges) — no extra action vs the old active.count().
+    und = _persist_tracked(
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("__x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
+        ).filter(F.col("__x") != F.col("__y")).distinct()
     )
-    active = _local_checkpoint_tracked(active)
-    n_directed = active.count()
+    n_directed = 2 * und.count()
     # size-gated driver arm (the pagerank/connected_components hybrid):
     # candidate-pair graphs are model-sized by construction, and each
     # distributed peel round costs a localCheckpoint job of fixed
     # scheduler overhead that dwarfs microseconds of integer peeling.
-    # The gate reuses the count the broadcast gate needs anyway
-    # (directed rows = 2x undirected edges). small_graph_max=0 forces
-    # the loop; both arms are equality-tested.
+    # small_graph_max=0 forces the loop; both arms are equality-tested.
     if small_graph_max and n_directed <= 2 * small_graph_max:
-        nbrs = _k_core_driver(
-            [(r["__s"], r["__t"]) for r in active.collect()], int(k), rounds
+        import numpy as np
+
+        # Arrow fetch (toPandas), not Row.collect(): two flat arrays
+        # instead of per-edge Python objects (review finding, r13
+        # advice — the Row path held multi-GB of objects just under
+        # the gate); both orientations are built driver-side so the
+        # union never touches the cluster
+        pdf = und.select("__x", "__y").toPandas()
+        x = pdf["__x"].to_numpy()
+        y = pdf["__y"].to_numpy()
+        uniq, alive, deg = _k_core_driver(
+            np.concatenate([x, y]), np.concatenate([y, x]), int(k), rounds
         )
         if check_convergence:
-            dropped = sum(1 for ns in nbrs.values() if 0 < len(ns) < k)
+            dropped = int((alive & (deg > 0) & (deg < int(k))).sum())
             if dropped:
                 raise ValueError(
                     f"k_core: peeling did not reach its fixed point "
@@ -864,19 +893,29 @@ def k_core(
                 )
         from pyspark.sql import types as T
 
-        vt = active.schema["__s"].dataType
+        vt = und.schema["__x"].dataType
         schema = T.StructType(
             [
                 T.StructField("v", vt),
                 T.StructField("core_degree", T.LongType()),
             ]
         )
-        rows = sorted(
-            (v, len(ns)) for v, ns in nbrs.items() if len(ns) >= k
-        )
-        return active.sparkSession.createDataFrame(
-            [(v, int(d)) for v, d in rows], schema
-        )
+        keep_rows = alive & (deg >= int(k))
+        # np.unique returns ascending vertices, so rows are v-sorted
+        rows = [
+            (v, int(d))
+            for v, d in zip(
+                uniq[keep_rows].tolist(), deg[keep_rows].tolist()
+            )
+        ]
+        return und.sparkSession.createDataFrame(rows, schema)
+    # distributed arm: both orientations read the FILLED und cache
+    active = und.select(
+        F.col("__x").alias("__s"), F.col("__y").alias("__t")
+    ).unionByName(
+        und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
+    )
+    active = _local_checkpoint_tracked(active)
     use_bc = _graph_broadcast_gate(
         active, broadcast_edges_max, "k_core", n=n_directed
     )
@@ -909,12 +948,36 @@ def k_core(
     )
 
 
+def _label_propagation_driver(s_vals, t_vals, rounds: int) -> dict:
+    """Driver arm of :func:`label_propagation`: the identical
+    synchronous vote over collected DIRECTED edge arrays — neighbor
+    labels plus the self-vote, most-frequent wins, ties on the LOWEST
+    label, all integer/exact arithmetic, so the result matches the
+    distributed loop exactly (equality-tested). Returns the final
+    vertex -> community map."""
+    nbrs: dict = {}
+    for s, t in zip(s_vals, t_vals):
+        nbrs.setdefault(s, []).append(t)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v, ns in nbrs.items():
+            votes: dict = {labels[v]: 1}
+            for u in ns:
+                lbl = labels[u]
+                votes[lbl] = votes.get(lbl, 0) + 1
+            new[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 4,
     a_col: str = "id_a",
     b_col: str = "id_b",
     broadcast_edges_max: int = BROADCAST_EDGES_MAX,
+    small_graph_max: int = 500_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     2007): every vertex starts as its own community and each round
@@ -936,19 +999,62 @@ def label_propagation(
     broadcast to shuffle with a logged warning (the cap_hot_keys
     discipline), so a corpus-scale caller gets a slower-but-correct
     plan instead of a broadcast OOM.
+
+    Size-gated driver arm (round-14, the k_core/pagerank/CC pattern):
+    a graph of ≤ ``small_graph_max`` undirected edges votes on the
+    driver in one pass — identical integer semantics (equality-
+    tested), none of the per-round localCheckpoint jobs whose fixed
+    scheduler overhead dwarfs the vote on model-sized graphs. The
+    gate reuses the count the broadcast gate needs anyway; the
+    default is lower than k_core's because the vote keeps a dict of
+    neighbor LISTS (per-edge Python overhead, not numpy arrays).
+    ``small_graph_max=0`` forces the distributed loop.
     """
-    und = edges.select(
-        F.least(F.col(a_col), F.col(b_col)).alias("__x"),
-        F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
-    ).filter(F.col("__x") != F.col("__y")).distinct()
-    directed = und.select(
-        F.col("__x").alias("__s"), F.col("__y").alias("__t")
-    ).unionByName(
-        und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
+    # persist + count the UNDIRECTED edge list BEFORE the two-
+    # orientation union (round-14, the k_core fix): the union's two
+    # branches each embed und's whole upstream pipeline; the count
+    # fills the cache serially so both branches read it, and supplies
+    # both gates (directed rows = 2x undirected edges)
+    und = _persist_tracked(
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("__x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("__y"),
+        ).filter(F.col("__x") != F.col("__y")).distinct()
     )
-    directed = _persist_tracked(directed)
+    n_directed = 2 * und.count()
+    if small_graph_max and n_directed <= 2 * small_graph_max:
+        from collections import Counter
+
+        from pyspark.sql import types as T
+
+        # Arrow fetch; both orientations built driver-side
+        pdf = und.select("__x", "__y").toPandas()
+        x = pdf["__x"].tolist()
+        y = pdf["__y"].tolist()
+        labels_map = _label_propagation_driver(x + y, y + x, rounds)
+        sizes = Counter(labels_map.values())
+        vt = und.schema["__x"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("v", vt),
+                T.StructField("community", vt),
+                T.StructField("community_size", T.LongType()),
+            ]
+        )
+        rows = sorted(
+            (v, lbl, int(sizes[lbl])) for v, lbl in labels_map.items()
+        )
+        return und.sparkSession.createDataFrame(rows, schema)
+    # distributed arm: both orientations read the FILLED und cache
+    directed = _persist_tracked(
+        und.select(
+            F.col("__x").alias("__s"), F.col("__y").alias("__t")
+        ).unionByName(
+            und.select(F.col("__y").alias("__s"), F.col("__x").alias("__t"))
+        )
+    )
     use_bc = _graph_broadcast_gate(
-        directed, broadcast_edges_max, "label_propagation"
+        directed, broadcast_edges_max, "label_propagation", n=n_directed
     )
     labels = (
         directed.select(F.col("__s").alias("__v"))

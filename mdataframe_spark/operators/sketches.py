@@ -349,6 +349,15 @@ def histogram_quantile_gate(
     and backfills — accuracy is the range/n_bins knob, certified here
     instead of assumed.
 
+    EXECUTES EAGERLY at call time (r13 advice, documented contract):
+    the ≤ n_bins cell collect is a Spark job that runs when the frame
+    is CONSTRUCTED, not when it is acted on — plan-capture tooling
+    pays that job, and a source that is nondeterministically
+    recomputed between construction and action feeds the exact arm a
+    second snapshot (pass a persisted/checkpointed df if the source
+    is nondeterministic; the declared queries read deterministic
+    parquet).
+
     Plan shape (round-13): the cell build is ONE partial-agged corpus
     pass whose ≤ n_bins cells collect to the driver; crossing picks,
     order-statistic ranks and interpolation are driver arithmetic over

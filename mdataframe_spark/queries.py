@@ -12415,7 +12415,10 @@ def pipe_training_mix(spark, sf_dir):
     # exact dedup keep-min as ONE window pass over md5(text) — the
     # pipe_fineweb_recipe shape: the groupBy + left-semi form shuffled
     # the corpus AND a key table and raced two root stages into the
-    # unfilled persist (row_number()=1 ordered by doc_id IS min(doc_id))
+    # unfilled persist (row_number()=1 ordered by doc_id IS min(doc_id)).
+    # The order key is total: doc_id is the documents table's PRIMARY
+    # KEY (unique by fixture construction — TESTDATA.md), so the
+    # window pick can never be tie-dependent (r13 advice)
     w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     s1 = persist_tracked(
         train.withColumn("__rn", F.row_number().over(w_exact))

@@ -24,7 +24,7 @@ from mdataframe_spark.queries import EXTRA_QUERIES, QUERIES
 from mdataframe_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.1"
-OUT_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
+OUT_DIR = Path(__file__).resolve().parent.parent / "plans" / "r14"
 
 ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 

@@ -120,18 +120,46 @@ def test_kcore_driver_arm_matches_distributed_loop(spark):
 
 
 def test_lpa_shuffle_fallback_matches_broadcast_arm(spark, caplog):
+    # small_graph_max=0 forces the distributed loop on both sides —
+    # the broadcast-vs-shuffle comparison is about the LOOP's joins
     cliques = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
     e = _edges(spark, cliques)
-    bc = sorted(tuple(r) for r in label_propagation(e, rounds=6).collect())
+    bc = sorted(
+        tuple(r)
+        for r in label_propagation(e, rounds=6, small_graph_max=0).collect()
+    )
     with caplog.at_level("WARNING", logger="mdataframe_spark.operators.baskets"):
         shuffled = sorted(
             tuple(r)
             for r in label_propagation(
-                e, rounds=6, broadcast_edges_max=1
+                e, rounds=6, broadcast_edges_max=1, small_graph_max=0
             ).collect()
         )
     assert shuffled == bc
     assert any("broadcast_edges_max" in m for m in caplog.messages)
+
+
+def test_lpa_driver_arm_matches_distributed_loop(spark):
+    # the size-gated driver vote (default) and the distributed loop
+    # (small_graph_max=0) must agree row-for-row, including community
+    # sizes — two triangles joined by a bridge plus a pendant chain
+    cliques = [
+        (1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10),
+        (12, 20), (20, 21),
+    ]
+    e = _edges(spark, cliques)
+    for rounds in (1, 4, 6):
+        driver = sorted(
+            tuple(r) for r in label_propagation(e, rounds=rounds).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in label_propagation(
+                e, rounds=rounds, small_graph_max=0
+            ).collect()
+        )
+        assert driver == dist
+        assert driver  # non-degenerate fixture
 
 
 def test_kcore_check_convergence_raises_on_early_stop(spark):

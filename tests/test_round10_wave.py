@@ -359,11 +359,14 @@ def test_graph_broadcast_limit_zero_means_never_broadcast(spark):
         ).collect()
     )
     assert z == bc
-    lbc = sorted(tuple(r) for r in label_propagation(e, rounds=4).collect())
+    lbc = sorted(
+        tuple(r)
+        for r in label_propagation(e, rounds=4, small_graph_max=0).collect()
+    )
     lz = sorted(
         tuple(r)
         for r in label_propagation(
-            e, rounds=4, broadcast_edges_max=0
+            e, rounds=4, broadcast_edges_max=0, small_graph_max=0
         ).collect()
     )
     assert lz == lbc
